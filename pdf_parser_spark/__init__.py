@@ -1,0 +1,20 @@
+"""pdf_parser_spark — a PySpark-native extraction + analytics engine.
+
+A from-scratch reimplementation of the capabilities of the reference
+extraction pipeline (natalie-harris/PDF-Parser, see /root/reference) as an
+idiomatic Spark engine:
+
+- input: a table of interleaved text+media documents
+  ``docs(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``
+- one vectorized ``mapInPandas`` extraction kernel (no per-row Python UDFs)
+- a relational tail (validation gates, year-range explode, dedup+broadcast
+  geo enrichment, aggregates) expressed in the DataFrame API so Catalyst
+  can push down / prune / broadcast
+- salted size-bucketed partitioning to defuse large-document skew
+- snapshot-based checkpoint/resume with per-partition lineage + metrics
+
+Everything here derives from public knowledge only: the Apache Spark API and
+the observable behavior of the reference repo.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,37 @@
+"""Scalar function layer — the extraction kernel's instruction set.
+
+Pure-Python/pandas implementations (used inside the vectorized kernel and by
+the golden generator) plus Spark Column builders for the relational forms.
+Semantics replicate the reference byte-for-byte where outputs are compared
+(SURVEY.md §2h "Hard parts" watch-list).
+"""
+
+from pdf_parser_spark.functions.text import (
+    cleanup_text,
+    main_content_window,
+    make_csv_format,
+    split_with_quotes,
+)
+from pdf_parser_spark.functions.dates import (
+    bp_to_bc_ad,
+    clean_dates,
+    list_each_year,
+    remove_nonnumeric_chars,
+)
+from pdf_parser_spark.functions.coords import dms_to_dd, parse_coordinates
+from pdf_parser_spark.functions.tokens import build_chunk_group, estimate_tokens
+
+__all__ = [
+    "cleanup_text",
+    "main_content_window",
+    "make_csv_format",
+    "split_with_quotes",
+    "bp_to_bc_ad",
+    "clean_dates",
+    "list_each_year",
+    "remove_nonnumeric_chars",
+    "dms_to_dd",
+    "parse_coordinates",
+    "build_chunk_group",
+    "estimate_tokens",
+]

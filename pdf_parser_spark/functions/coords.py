@@ -1,0 +1,86 @@
+"""Coordinate parsing — DD / DMS strings to signed decimal degrees.
+
+Semantics match the reference:
+
+- ``dms_to_dd``         — reference `_parser.py:718-763`: two regex arms
+  (decimal-degree '45.5°N' form first, then DMS '45°30'15"N'), S/W negate.
+  Raises ``ValueError`` on unrecognized input, exactly like the reference.
+- ``parse_coordinates`` — reference `_parser.py:815-840`: 'lat, lon' → tuple,
+  (None, None) on failure.
+- ``bb_centroid``       — reference `_parser.py:765-813` used geographiclib's
+  WGS84 geodesic midpoint; geographiclib is not in this container, so we
+  compute the great-circle midpoint on a sphere (deterministic, pure NumPy).
+  Centroids are analytics-view-only — deliberately kept OUT of the golden
+  span-equality surface (SURVEY.md §7 watch-list), so the spherical/geodesic
+  difference (<0.2% of arc) never touches the correctness gate.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+_DD_RE = re.compile(r"([-+]?[0-9]*\.?[0-9]+)°([NSWE])")
+_DMS_RE = re.compile(r"(\d+)°(\d+)?'?(?:([0-9.]+)?\"?)?([NSWE])?")
+
+
+def dms_to_dd(dms: str) -> float:
+    m = _DD_RE.match(dms)
+    if m:
+        degree, direction = m.groups()
+        dd = float(degree)
+        if direction in "SW":
+            dd *= -1
+        return dd
+    m = _DMS_RE.match(dms)
+    if m:
+        degrees, minutes, seconds, direction = m.groups()
+        dd = (
+            float(degrees)
+            + (float(minutes) if minutes else 0) / 60
+            + (float(seconds) if seconds else 0) / 3600
+        )
+        if direction and direction in "SW":
+            dd *= -1
+        return dd
+    raise ValueError(
+        "Invalid DMS or DD format. Please enter a valid format "
+        "(e.g., '45.5°N' or '45°30'15\"N')"
+    )
+
+
+_PAIR_RE = re.compile(r"(.+),\s*(.+)")
+
+
+def parse_coordinates(coordinates: str) -> tuple[float | None, float | None]:
+    try:
+        m = _PAIR_RE.match(coordinates)
+        lat_str, lon_str = m.groups()
+        return dms_to_dd(lat_str), dms_to_dd(lon_str)
+    except Exception:
+        return None, None
+
+
+_BB_RE = re.compile(r"(.+?)-(.+?),\s*(.+?)-(.+)")
+
+
+def bb_centroid(bounding_box: str) -> tuple[float, float] | None:
+    """Great-circle midpoint of a 'lat1-lat2, lon1-lon2' bounding box."""
+    m = _BB_RE.match(bounding_box)
+    if not m:
+        return None
+    try:
+        lat1 = math.radians(dms_to_dd(m.group(1)))
+        lat2 = math.radians(dms_to_dd(m.group(2)))
+        lon1 = math.radians(dms_to_dd(m.group(3)))
+        lon2 = math.radians(dms_to_dd(m.group(4)))
+    except ValueError:
+        return None
+    bx = math.cos(lat2) * math.cos(lon2 - lon1)
+    by = math.cos(lat2) * math.sin(lon2 - lon1)
+    lat_m = math.atan2(
+        math.sin(lat1) + math.sin(lat2),
+        math.sqrt((math.cos(lat1) + bx) ** 2 + by**2),
+    )
+    lon_m = lon1 + math.atan2(by, math.cos(lat1) + bx)
+    return math.degrees(lat_m), math.degrees(lon_m)

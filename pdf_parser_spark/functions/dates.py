@@ -1,0 +1,81 @@
+"""Year/date normalization — exact reference semantics.
+
+- ``clean_dates``            — reference `_parser.py:448-461`: strips the
+  literal 'ca.' AND every 's' character (yes, every 's' — '1970s'→'1970',
+  but also 'summer 1970'→'ummer 1970'; replicated deliberately).
+- ``bp_to_bc_ad``            — reference `_parser.py:415-433`:
+  'N cal yr BP' → 1950 − N; None when the regex misses.
+- ``remove_nonnumeric_chars`` — reference `_parser.py:435-446`.
+- ``list_each_year``         — reference `_parser.py:362-413`: explode a
+  '"loc", Y1-Y2, flag' line into one line per year, with the reference's
+  guard battery (digits, Y1<Y2, span≤60, Y1≤2022, Y2≤2023, publish-year
+  caps, open 5-char ranges ending at publish year).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def clean_dates(date: str) -> str:
+    date = str(date).replace("ca.", "")
+    date = date.replace("s", "")
+    return date.strip()
+
+
+_BP_RE = re.compile(r"(\d+)\s*cal\s*yr\s*bp")
+
+
+def bp_to_bc_ad(bp_date: str) -> int | None:
+    m = _BP_RE.match(bp_date.replace(" ", "").lower())
+    if not m:
+        return None
+    return 1950 - int(m.group(1))
+
+
+def remove_nonnumeric_chars(input_string: str) -> str:
+    return re.sub(r"[^0-9]", "", input_string)
+
+
+def year_range_bounds(
+    years: str, publish_year: int | None
+) -> tuple[int, int] | None:
+    """The guard battery of ``list_each_year`` as a pure predicate.
+
+    Returns (first_year, last_year) when the range explodes, else None
+    (meaning: keep the original single line).
+    """
+    years = years.strip()
+    first_s = years[:4]
+    last_s = years[-4:]
+    if not first_s.isdigit() or (len(years) > 5 and not last_s.isdigit()):
+        return None
+    first = int(first_s)
+    if len(years) == 5 and publish_year is not None:
+        last = int(publish_year)
+    elif len(years) == 9:
+        last = int(last_s)
+    else:
+        return None
+    if first >= last or last - first > 60 or first > 2022 or last > 2023:
+        return None
+    if publish_year is not None and (first > publish_year - 1 or last > publish_year):
+        return None
+    return first, last
+
+
+def list_each_year(original_line: str, publish_year: int | None = None) -> list[str]:
+    """Explode '"loc", Y1-Y2, flag' into one line per year in [Y1..Y2]."""
+    from pdf_parser_spark.functions.text import split_with_quotes
+
+    split_line = split_with_quotes(original_line)
+    if len(split_line) != 3:
+        return [original_line]
+    location = split_line[0].strip()
+    years = split_line[1].strip()
+    outbreak = split_line[2].strip()
+    bounds = year_range_bounds(years, publish_year)
+    if bounds is None:
+        return [original_line]
+    first, last = bounds
+    return [f'"{location}", {i}, {outbreak}' for i in range(first, last + 1)]

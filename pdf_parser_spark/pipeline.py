@@ -1,0 +1,193 @@
+"""End-to-end extraction pipeline: partitioning, skew handling, resume.
+
+The reference processes documents one at a time in a single process
+(`_parser.py:1734`) with a CSV work queue for resume (`_parser.py:1581,
+1744-1749`). The engine's plan (SURVEY.md §3 E1):
+
+    docs ──anti-join(committed buckets)──▶ salted size-bucketed repartition
+         ──▶ mapInPandas extraction kernel ──▶ spans_out (+ lineage, metrics)
+         ──▶ commit snapshot manifest (per-bucket, idempotent)
+
+Skew: document size is heavy-tailed; a naive hash-partition puts a 100x doc
+next to hundreds of small ones and the stage waits on one straggler task.
+We bucket by size class (floor(log2(bytes))) and salt within each class so
+big documents spread across partitions — the per-partition *byte* budget is
+what's balanced, not the row count. On a real cluster the same plan holds at
+1000 executors: the repartition key space (size_class × salt) scales with
+``num_partitions`` and AQE coalesces small buckets.
+
+Resume: at production scale this is an Iceberg MERGE/snapshot-diff; this
+repo ships a parquet + manifest-log implementation with the same contract
+(idempotent per-bucket overwrite commits, snapshot IDs, anti-join skip of
+committed buckets) so the logic is testable without Iceberg jars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parser_spark import kernel
+
+DEFAULT_N_BUCKETS = 64
+
+
+def with_size_bucket(docs_df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Add byte_count, size_class and bucket_id columns.
+
+    bucket_id is a *stable* function of doc_id (xxhash64 mod n_buckets) so
+    the checkpoint table can name work units across runs — the analogue of
+    the reference's file_name key (`_parser.py:1744`).
+    """
+    return (
+        docs_df.withColumn(
+            "byte_count",
+            F.aggregate(
+                "spans", F.lit(0), lambda acc, s: acc + F.length(s["text"])
+            ).cast("long"),
+        )
+        .withColumn(
+            "size_class",
+            F.floor(F.log2(F.greatest(F.col("byte_count"), F.lit(1)))).cast("int"),
+        )
+        .withColumn(
+            "bucket_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+    )
+
+
+def salted_repartition(docs_df: DataFrame, num_partitions: int) -> DataFrame:
+    """Spread documents so per-partition BYTES are balanced, not row counts.
+
+    Salting by doc hash within each size class keeps the handful of 100x
+    stragglers from landing in one task (SURVEY.md §4 "Sequential
+    single-core execution" row). AQE cannot see skew inside mapInPandas, so
+    this must be explicit.
+    """
+    salted = docs_df.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(num_partitions)).cast("int")
+    )
+    return salted.repartition(num_partitions, "size_class", "salt").drop("salt")
+
+
+def extract(
+    docs_df: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """docs → (spans_out, lineage, metrics), one kernel pass."""
+    spark = docs_df.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    prepped = salted_repartition(with_size_bucket(docs_df), num_partitions)
+    kout = kernel.extract_spans(prepped.select("doc_id", "spans"))
+    spans = kernel.spans_out(kout)
+    lineage = kernel.lineage_from_kernel(kout)
+    metrics = kernel.metrics_from_lineage(lineage)
+    return spans, lineage, metrics
+
+
+# --------------------------------------------------------------------------
+# Snapshot-log checkpoint / resume (Iceberg-shaped contract, parquet impl)
+# --------------------------------------------------------------------------
+
+
+class SnapshotLog:
+    """Append-only manifest log: which bucket_ids are committed, by which
+    snapshot. Maps 1:1 onto Iceberg snapshot metadata at deploy time."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def committed_buckets(self) -> dict[int, int]:
+        """bucket_id → snapshot_id of the latest commit covering it."""
+        out: dict[int, int] = {}
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                m = json.load(f)
+            for b in m["buckets"]:
+                out[int(b)] = int(m["snapshot_id"])
+        return out
+
+    def commit(self, buckets: list[int], snapshot_id: int | None = None) -> int:
+        snapshot_id = snapshot_id if snapshot_id is not None else time.time_ns()
+        path = os.path.join(self.manifest_dir, f"{snapshot_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": snapshot_id, "buckets": sorted(buckets)}, f)
+        os.replace(tmp, path)  # atomic: a crash never leaves a half manifest
+        return snapshot_id
+
+
+def run_with_resume(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    output_root: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    num_partitions: int | None = None,
+    limit_buckets: int | None = None,
+) -> dict:
+    """Resumable extraction run.
+
+    - anti-join committed buckets (the reference's `been_processed == 0`
+      filter, `_parser.py:1581`, as a genuine left_anti join)
+    - optional ``limit_buckets`` models the reference's 2000-doc batch cap
+      (`_parser.py:1729`) at bucket granularity
+    - spans/lineage/metrics written parquet partitioned by bucket_id with
+      dynamic partition overwrite → re-running a bucket is idempotent
+    - manifest committed only after all writes succeed
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    log = SnapshotLog(output_root)
+    committed = list(log.committed_buckets())
+
+    bucketed = with_size_bucket(docs_df, n_buckets)
+    if committed:
+        committed_df = spark.createDataFrame(
+            [(int(b),) for b in committed], "bucket_id int"
+        )
+        bucketed = bucketed.join(F.broadcast(committed_df), "bucket_id", "left_anti")
+
+    pending = [
+        r.bucket_id for r in bucketed.select("bucket_id").distinct().collect()
+    ]
+    if limit_buckets is not None:
+        pending = sorted(pending)[:limit_buckets]
+        bucketed = bucketed.filter(F.col("bucket_id").isin(pending))
+    if not pending:
+        return {"committed": [], "snapshot_id": None, "docs": 0}
+
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    prepped = salted_repartition(bucketed, num_partitions)
+    kout = kernel.extract_spans(prepped.select("doc_id", "spans"))
+    # re-attach bucket_id (stable function of doc_id — no join needed)
+    kout = kout.withColumn(
+        "bucket_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+    # ONE kernel execution: persist the full kernel output, then derive
+    # lineage/metrics from the committed parquet (never recompute extraction).
+    spans_path = os.path.join(output_root, "spans_out")
+    kout.write.mode("overwrite").partitionBy("bucket_id").parquet(spans_path)
+
+    committed_kout = spark.read.parquet(spans_path).filter(
+        F.col("bucket_id").isin([int(b) for b in pending])
+    )
+    lineage = kernel.lineage_from_kernel(committed_kout)
+    lineage.write.mode("append").parquet(os.path.join(output_root, "lineage"))
+    kernel.metrics_from_lineage(lineage).write.mode("append").parquet(
+        os.path.join(output_root, "metrics")
+    )
+
+    n_docs = committed_kout.select("doc_id").distinct().count()
+    snap = log.commit(pending)
+    return {"committed": sorted(pending), "snapshot_id": snap, "docs": n_docs}

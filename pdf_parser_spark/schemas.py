@@ -1,0 +1,97 @@
+"""Explicit StructType schemas for every table the engine touches.
+
+The reference declares its DataFrame schemas at construction time
+(reference `_parser.py:1423-1424`); we do the same — no inference anywhere
+(SURVEY.md §1 "Schema system").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input: interleaved text+media documents (BASELINE.json input_hint).
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # 'text' | 'media'
+        T.StructField("text", T.StringType(), True),  # '' for media
+        T.StructField("media_ref", T.StringType(), True),  # '' for text
+        T.StructField("offset", T.IntegerType(), False),  # byte offset, ascending
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), False),
+    ]
+)
+
+# Output: reconstructed reading-order span stream (FIXTURES.md §2).
+SPANS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+# Work-queue / resume table (models the reference's all_pdfs.csv:
+# file_name, been_processed, relevance — `_parser.py:1581,1744-1749`).
+CHECKPOINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("processed", T.IntegerType(), False),
+        T.StructField("relevant", T.IntegerType(), False),
+        T.StructField("snapshot_id", T.LongType(), True),
+    ]
+)
+
+# Per-partition lineage (models the reference's stage-output table,
+# `_parser.py:1424,1483`) and metrics (north-rule span/byte counters).
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("output", T.StringType(), True),
+        T.StructField("span_count", T.LongType(), False),
+        T.StructField("byte_count", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("span_count", T.LongType(), False),
+        T.StructField("byte_count", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+# Relational-tail input (crafted rows exercising parse_response semantics,
+# reference `_parser.py:463-654`; FIXTURES.md §4).
+EXTRACTION_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("location", T.StringType(), True),
+        T.StructField("year_raw", T.StringType(), True),
+        T.StructField("outbreak", T.StringType(), True),
+        T.StructField("publish_year", T.IntegerType(), True),
+    ]
+)
+
+# Deterministic enrichment lookup replacing the external geocoder
+# (reference `_parser.py:149-315`; FIXTURES.md §5).
+GEO_CACHE_SCHEMA = T.StructType(
+    [
+        T.StructField("location", T.StringType(), False),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("state", T.StringType(), True),
+    ]
+)

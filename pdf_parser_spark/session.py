@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local mode is a stand-in for a multi-executor cluster; every knob below is
+chosen so the same plan survives a 1000-executor deployment:
+
+- AQE on (runtime coalesce + skew-join splitting),
+- Arrow batches capped LOW (one document's spans can be megabytes; a big
+  Arrow batch would blow the Python worker on skewed docs),
+- shuffle partitions sized to cores locally; on a real cluster this is set
+  to 2-3x total cores (or left to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "pdf_parser_spark",
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 64,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``arrow_max_records`` is deliberately small: the extraction kernel is a
+    ``mapInPandas`` over whole documents, and document size is heavy-tailed
+    (FIXTURES.md skews a few docs 100x the median). Small Arrow batches keep
+    Python-worker memory bounded regardless of skew.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,174 @@
+"""Deterministic synthetic interleaved text+media document corpus.
+
+Implements FIXTURES.md §1: three document classes mirroring the reference's
+extraction paths —
+
+- ``single_column``      — plain text layer (reference `_parser.py:1140-1154`):
+  text spans in reading order carrying cleanup_text-triggering artifacts
+  (hyphenated breaks, double spaces, tabs, en-dashes), 'Abstract' near the
+  start, a 'References' section near the end, optional interleaved media.
+- ``multi_column``       — layout reassembly: spans emitted in PHYSICAL
+  (column-interleaved) order with x/y metadata encoded as a text-run prefix
+  ``[[p=P;x=X;y=Y]]``; repeated header/footer boilerplate on every page.
+- ``scanned_with_media`` — OCR fallback (reference `_parser.py:1156-1177`,
+  trigger `<100` chars at `_parser.py:1238-1239`): a text layer totalling
+  <100 chars plus media spans that carry pre-OCR'd page text and a stable
+  ``media_ref``.
+
+Everything is seeded — same (n_docs, seed) → byte-identical corpus. Doc size
+is heavy-tailed: ~2% of docs get ~100x the median span count (exercises the
+salted size-bucketing of the pipeline).
+"""
+
+from __future__ import annotations
+
+import random
+
+LAYOUT_PREFIX_FMT = "[[p={p};x={x};y={y}]]"
+
+_WORDS = (
+    "spruce budworm outbreak forest defoliation larvae survey region "
+    "sample tree ring growth season host stand density climate record "
+    "site study data analysis model period event population dynamics "
+    "northern boreal balsam fir damage severity index county township"
+).split()
+
+_SENT_ARTIFACTS = ["  ", " \t", " \n", "- ", " –", "-  "]
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    words = [rng.choice(_WORDS) for _ in range(n_words)]
+    s = " ".join(words)
+    # inject cleanup_text-triggering artifacts at random joints
+    if rng.random() < 0.6:
+        k = rng.randrange(len(s) // 2)
+        s = s[:k] + rng.choice(_SENT_ARTIFACTS) + s[k:]
+    return s.capitalize() + "."
+
+
+def _text_block(rng: random.Random, n_sent: int) -> str:
+    return " ".join(_sentence(rng, rng.randint(5, 14)) for _ in range(n_sent))
+
+
+def _mk_span(kind: str, text: str, media_ref: str, offset: int) -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def make_single_column_doc(doc_id: str, rng: random.Random, scale: int = 1) -> list[dict]:
+    spans: list[dict] = []
+    off = 0
+    n_body = rng.randint(5, 50) * scale
+
+    def add(kind: str, text: str, media_ref: str = "") -> None:
+        nonlocal off
+        spans.append(_mk_span(kind, text, media_ref, off))
+        off += max(len(text), 1) + rng.randint(1, 9)
+
+    add("text", "Abstract. " + _text_block(rng, 2))
+    media_i = 0
+    for _ in range(n_body):
+        add("text", _text_block(rng, rng.randint(1, 4)))
+        if rng.random() < 0.08:
+            add("media", "", f"img-{doc_id}-{media_i:03d}")
+            media_i += 1
+    add("text", "References " + _text_block(rng, 1))
+    # trailing junk past the window — must be cut by main_content_window
+    if rng.random() < 0.7:
+        add("text", "Appendix tables " + _text_block(rng, 2))
+        if rng.random() < 0.3:
+            add("media", "", f"img-{doc_id}-{media_i:03d}")
+    return spans
+
+
+def make_multi_column_doc(doc_id: str, rng: random.Random, scale: int = 1) -> list[dict]:
+    spans: list[dict] = []
+    off = 0
+    n_pages = rng.randint(2, 4) * scale
+    header = f"Journal of Synthetic Studies Vol {rng.randint(1, 40)}"
+
+    def add(kind: str, text: str, media_ref: str = "") -> None:
+        nonlocal off
+        spans.append(_mk_span(kind, text, media_ref, off))
+        off += max(len(text), 1) + rng.randint(1, 9)
+
+    x_left, x_right = 72, 310
+    for p in range(1, n_pages + 1):
+        add("text", LAYOUT_PREFIX_FMT.format(p=p, x=x_left, y=20) + header)
+        add("text", LAYOUT_PREFIX_FMT.format(p=p, x=x_left, y=760) + f"Page {p}")
+        n_rows = rng.randint(3, 6)
+        cells: list[tuple[int, int, str]] = []
+        for r in range(n_rows):
+            y = 60 + r * 90
+            body_l = _text_block(rng, rng.randint(1, 3))
+            body_r = _text_block(rng, rng.randint(1, 3))
+            if p == 1 and r == 0:
+                body_l = "Abstract. " + body_l
+            if p == n_pages and r == n_rows - 1:
+                body_r = "References " + body_r
+            cells.append((x_left, y, body_l))
+            cells.append((x_right, y, body_r))
+        # physical emission order: row-major across columns (WRONG reading
+        # order — the kernel must restore column-major reading order)
+        for x, y, body in cells:
+            add("text", LAYOUT_PREFIX_FMT.format(p=p, x=x, y=y) + body)
+    return spans
+
+
+def make_scanned_doc(doc_id: str, rng: random.Random, scale: int = 1) -> list[dict]:
+    spans: list[dict] = []
+    off = 0
+    n_pages = rng.randint(2, 4) * scale
+
+    def add(kind: str, text: str, media_ref: str = "") -> None:
+        nonlocal off
+        spans.append(_mk_span(kind, text, media_ref, off))
+        off += max(len(text), 1) + rng.randint(1, 9)
+
+    # broken text layer: tiny fragments totalling <100 chars
+    frags = rng.randint(1, 3)
+    budget = 99
+    for _ in range(frags):
+        n = rng.randint(3, min(25, budget))
+        budget -= n + 1
+        add("text", "".join(rng.choice("abcdefgh ") for _ in range(n)).strip())
+        if budget <= 5:
+            break
+    for p in range(n_pages):
+        # media span carries the pre-OCR'd page text (fixture convention,
+        # FIXTURES.md §1 scanned_with_media)
+        add("media", _text_block(rng, rng.randint(3, 8)), f"img-{doc_id}-{p:03d}")
+    return spans
+
+
+DOC_CLASSES = {
+    "single_column": make_single_column_doc,
+    "multi_column": make_multi_column_doc,
+    "scanned_with_media": make_scanned_doc,
+}
+
+
+def make_docs(n_docs: int, seed: int = 42) -> list[dict]:
+    """Generate n_docs interleaved documents; ~2% are 100x-scale stragglers."""
+    out = []
+    classes = list(DOC_CLASSES)
+    for i in range(n_docs):
+        rng = random.Random((seed << 20) ^ i)
+        cls = classes[i % len(classes)]
+        # heavy tail: every 50th doc is a straggler (exercises salting)
+        scale = 100 if (i % 50 == 17 and cls == "single_column") else 1
+        doc_id = f"doc-{i:06d}"
+        out.append(
+            {"doc_id": doc_id, "doc_class": cls, "spans": DOC_CLASSES[cls](doc_id, rng, scale)}
+        )
+    return out
+
+
+def docs_to_spark_rows(docs: list[dict]) -> list[tuple]:
+    """(doc_id, spans) tuples matching schemas.DOCS_SCHEMA."""
+    return [
+        (
+            d["doc_id"],
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]],
+        )
+        for d in docs
+    ]

@@ -1,0 +1,14 @@
+import pytest
+
+from pdf_parser_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        master="local[4]",
+        app_name="pdf_parser_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    yield s

@@ -1,0 +1,52 @@
+"""Golden-span equality: Spark kernel output == single-threaded golden
+extractor, byte-for-byte per (kind, text, media_ref, order), per doc class.
+
+This is the correctness gate of BASELINE.json ("span-equality pass rate =
+100% vs reference goldens").
+"""
+
+import pytest
+
+from pdf_parser_spark import golden, pipeline, synth
+from pdf_parser_spark.schemas import DOCS_SCHEMA
+
+
+def _spark_spans(spark, docs):
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    spans, _, _ = pipeline.extract(df, num_partitions=4)
+    rows = spans.collect()
+    return sorted((r.doc_id, r.kind, r.text, r.media_ref, r["order"]) for r in rows)
+
+
+def _golden(docs):
+    return sorted(golden.golden_spans(docs))
+
+
+@pytest.mark.parametrize("doc_class", list(synth.DOC_CLASSES))
+def test_golden_per_class(spark, doc_class):
+    rng_docs = [
+        d for d in synth.make_docs(60, seed=7) if d["doc_class"] == doc_class
+    ]
+    assert rng_docs, "generator must produce docs of every class"
+    got = _spark_spans(spark, rng_docs)
+    want = _golden(rng_docs)
+    assert got == want
+
+
+def test_golden_mixed_corpus_with_skew(spark):
+    docs = synth.make_docs(120, seed=42)  # includes 100x straggler docs
+    assert any(len(d["spans"]) > 1000 for d in docs), "skew knob must fire"
+    assert _spark_spans(spark, docs) == _golden(docs)
+
+
+def test_parallelism_invariance(spark):
+    """Same input at different partition counts → identical sorted output
+    (SURVEY.md §5.4): catches order-dependence inside the kernel."""
+    docs = synth.make_docs(45, seed=3)
+    df = lambda: spark.createDataFrame(
+        synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA
+    )
+    a, _, _ = pipeline.extract(df(), num_partitions=1)
+    b, _, _ = pipeline.extract(df(), num_partitions=13)
+    key = lambda r: (r.doc_id, r["order"])
+    assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
