@@ -1,0 +1,6 @@
+"""Relational operator layer.
+
+Everything here is expressed with pyspark.sql built-ins (JVM-side,
+whole-stage-codegen'd) so Catalyst can push filters into the scan, prune
+columns, and broadcast small dimensions. No Python in the hot path.
+"""

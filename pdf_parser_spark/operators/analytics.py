@@ -1,0 +1,64 @@
+"""Analytics-view operators (SURVEY.md §2d/§2e/§2f).
+
+- per-(doc, area) min/max year          — reference `_parser.py:1087-1092`
+- distinct areas                        — `_parser.py:1087`
+- composite sort (area, year)           — `_parser.py:1084`
+- first-match-per-doc over ordered chunks — the reference's break-on-found
+  loops (`_parser.py:1274-1289,1317-1339,1380-1408`) as a window row_number
+- year-scaffold (dead code in reference, `_parser.py:1096-1109`):
+  sequence+explode+left-join+coalesce, documented-complete
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def area_year_bounds(outbreaks: DataFrame) -> DataFrame:
+    return outbreaks.groupBy("doc_id", "area").agg(
+        F.min("year").alias("min_year"), F.max("year").alias("max_year")
+    )
+
+
+def distinct_areas(outbreaks: DataFrame) -> DataFrame:
+    return outbreaks.select("area").distinct()
+
+
+def sorted_view(outbreaks: DataFrame) -> DataFrame:
+    return outbreaks.orderBy("area", "year")
+
+
+def first_match_per_doc(
+    chunk_results: DataFrame,
+    value_col: str = "result",
+    order_col: str = "chunk_idx",
+    reject_pattern: str = "unknown|unspecifi|not known|not understood",
+) -> DataFrame:
+    """First non-unknown result per doc in chunk order.
+
+    chunk_results: (doc_id, chunk_idx, result). The reference scans chunks
+    sequentially and breaks on the first usable answer; relationally that is
+    a filter + row_number over (doc_id ORDER BY chunk_idx) == 1.
+    """
+    w = Window.partitionBy("doc_id").orderBy(order_col)
+    return (
+        chunk_results.filter(~F.lower(F.col(value_col)).rlike(reject_pattern))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def year_scaffold(outbreaks: DataFrame) -> DataFrame:
+    """Fill gap years per (doc_id, area) with outbreak=0 — the reference's
+    commented-out pd.merge scaffold (`_parser.py:1096-1109`) done the Spark
+    way: sequence → explode → left join → coalesce."""
+    bounds = area_year_bounds(outbreaks)
+    all_years = bounds.withColumn(
+        "year", F.explode(F.sequence("min_year", "max_year"))
+    ).select("doc_id", "area", "year")
+    facts = outbreaks.select("doc_id", "area", "year", "outbreak_code")
+    return all_years.join(facts, ["doc_id", "area", "year"], "left").withColumn(
+        "outbreak_code", F.coalesce("outbreak_code", F.lit(0))
+    )

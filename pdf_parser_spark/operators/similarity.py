@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``       — brute-force exact top-k: one pass over the corpus,
+  dot products as Catalyst ``zip_with``/``aggregate`` expressions (JVM-side,
+  no Python), then a k-row sort. This is the correctness baseline and the
+  right plan when the query set is small (broadcast queries × scan corpus).
+- ``ivf_topk``          — the scale path: a coarse IVF quantizer (nearest of
+  C centroids, assigned with the same Catalyst expressions) partitions the
+  corpus; queries probe only the ``nprobe`` nearest cells, so the scan is
+  corpus/C × nprobe instead of the full table. Centroids are k-means on a
+  driver-side SAMPLE (bounded), broadcast back — at 100 TB the corpus never
+  leaves executors.
+- ``signlsh_topk``      — alternative scale path: sign-random-projection
+  buckets + multi-probe, equi-join on bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector (broadcast literal)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    if exclude_self is not None:
+        scored = scored.filter(F.col(id_col) != exclude_self)
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a bounded sample (the IVF trainer).
+
+    At 100 TB the sample fraction is chosen so the sample fits the driver
+    (e.g. 1e-6); the loop never touches the full corpus.
+    """
+    sample = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def assign_ivf_cells(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``cell`` column: index of the nearest centroid (L2).
+
+    Pure Catalyst: squared distance per centroid via zip_with/aggregate,
+    argmin via array_position(array_min). C is small (≤ a few hundred), so
+    the expression tree stays compact and codegen-able.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(c)) for c in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            for cent in centroids
+        ]
+    )
+    return emb.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    emb_with_cells: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells only, then exact cosine inside them.
+
+    The cell filter is a partition-prunable predicate when the table is
+    written partitioned/bucketed by cell — the 100 TB plan reads only
+    nprobe/C of the data.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb_with_cells.filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec_col, planes: np.ndarray):
+    """Sign-random-projection bucket id (int) for a vector column."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    bits = []
+    for j, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def signlsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    n_planes: int = 6,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """LSH-bucketed ANN: scan only buckets within Hamming distance
+    ``multiprobe_hamming`` of the query's bucket."""
+    dim = len(query_vec)
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qb = sum((1 << j) for j, p in enumerate(planes) if float(p @ q) >= 0)
+    probe = [qb]
+    if multiprobe_hamming >= 1:
+        probe += [qb ^ (1 << j) for j in range(n_planes)]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.withColumn("bucket", sign_bucket(vec_col, planes))
+        .filter(F.col("bucket").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,160 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is a Catalyst expression (regexp/length/array built-ins) so it
+runs inside whole-stage codegen over the scan — at 100 TB these are
+scan-bound, shuffle-free columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons (public-knowledge n-gram/stopword
+# heuristic). Counting is done with padded LIKE-free arithmetic:
+# occurrences(t, w) = (len(t) − len(replace(t, w, ''))) / len(w) —
+# deterministic and expressible identically in ANSI SQL (the DuckDB oracle).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " et ", " les ", " est "],
+    "es": [" el ", " los ", " que ", " es "],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, F.lit(needle).cast("string"), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def _occurrences_literal(text: Column, needle: str) -> Column:
+    # literal replace (no regex metachars in our markers)
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(
+            (_occurrences_literal(padded, m) for m in markers), start=F.lit(0.0)
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over marker-count scores; ties break by language name order;
+    all-zero scores → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    pairs = sorted(scores.items())  # deterministic tie-break: lang asc
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, score in pairs:
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored estimate: words contribute ceil(len/4), digits and
+    punctuation 1 each — the relational twin of functions.tokens.estimate_tokens."""
+    words = F.split(F.trim(text), r"\s+")
+    word_tokens = F.aggregate(
+        F.filter(words, lambda w: w.rlike("^[A-Za-z]+$")),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int"),
+    )
+    other = F.length(F.regexp_replace(text, r"[\sA-Za-z]", ""))
+    # non-pure-alpha words decompose into alpha runs + symbols; approximate
+    alpha_in_mixed = F.aggregate(
+        F.filter(words, lambda w: ~w.rlike("^[A-Za-z]+$") & w.rlike("[A-Za-z]")),
+        F.lit(0),
+        lambda acc, w: acc
+        + F.ceil(F.length(F.regexp_replace(w, "[^A-Za-z]", "")) / 4).cast("int"),
+    )
+    return word_tokens + alpha_in_mixed + other
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite score.
+
+    Mirrors the published quality-filter recipes (C4/Gopher-style rules):
+    mean word length in sane range, low symbol ratio, has stopwords.
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum(
+        (_occurrences_literal(padded, m) for m in LANG_MARKERS["en"]),
+        start=F.lit(0.0),
+    )
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_word_len = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((mean_word_len >= 2) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Order-insensitive-robust content fingerprint: md5 of the normalized
+    text (lowercase, whitespace collapsed, punctuation stripped)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return F.md5(F.trim(norm))
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    keep_mod: int = 16,
+) -> DataFrame:
+    """Winnowing-style rolling fingerprints: hash every ``window``-word
+    shingle, keep hashes ≡ 0 (mod keep_mod) — a deterministic sketch whose
+    overlap estimates document similarity. Shuffle-free sketch per doc."""
+    from pdf_parser_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), window)
+    kept = F.sort_array(
+        F.array_distinct(
+            F.filter(
+                F.transform(sh, lambda s: F.xxhash64(s)),
+                lambda h: F.pmod(h, F.lit(keep_mod)) == 0,
+            )
+        )
+    )
+    return docs.select(F.col(id_col), kept.alias("fingerprints"))

@@ -1,0 +1,169 @@
+"""Operator unit tests (SURVEY.md §5.2) — input/expected pairs lifted from
+reference behavior (cited per function in the implementation docstrings)."""
+
+import pytest
+
+from pdf_parser_spark.functions import (
+    bp_to_bc_ad,
+    build_chunk_group,
+    clean_dates,
+    cleanup_text,
+    dms_to_dd,
+    estimate_tokens,
+    list_each_year,
+    main_content_window,
+    make_csv_format,
+    parse_coordinates,
+    remove_nonnumeric_chars,
+    split_with_quotes,
+)
+from pdf_parser_spark.functions.text import (
+    cleanup_text_series,
+    is_unknown,
+    main_content_window_series,
+    yes_or_no,
+)
+
+import pandas as pd
+
+
+# ---------------------------------------------------------------- cleanup
+def test_cleanup_text_order_sensitive():
+    # '-   ' must collapse before '- ' (reference order `_parser.py:951-965`)
+    assert cleanup_text("well-   known") == "well-known"
+    assert cleanup_text("a \tb \nc") == "a b c"
+    assert cleanup_text("it 's") == "it's"
+    assert cleanup_text("one  two") == "one two"
+    assert cleanup_text("x –y") == "x-y"
+    # single pass, left-to-right: '    ' (4 spaces) → '  ' → stays 2→1 on
+    # the one '  ' replacement pass only
+    assert cleanup_text("a    b") == "a  b"
+
+
+def test_cleanup_series_matches_scalar():
+    cases = ["well-   known", "a \tb \nc", "it 's", "a    b", "x –y", ""]
+    got = cleanup_text_series(pd.Series(cases, dtype="object")).tolist()
+    assert got == [cleanup_text(c) for c in cases]
+
+
+# ---------------------------------------------------------------- window
+def test_main_content_window():
+    t = "Abstract intro body References one two References tail junk"
+    assert main_content_window(t) == "Abstract intro body References one two References"
+    assert main_content_window("no marker here") == "no marker here"
+    assert main_content_window("REFERENCES upper") == "REFERENCES"
+
+
+def test_window_series_matches_scalar():
+    cases = ["a References b", "none", "REFERENCES X references Y", ""]
+    got = main_content_window_series(pd.Series(cases, dtype="object")).tolist()
+    assert got == [main_content_window(c) for c in cases]
+
+
+# ---------------------------------------------------------------- split
+def test_split_with_quotes():
+    assert split_with_quotes('"new york", 1946, yes') == ["new york", "1946", "yes"]
+    assert split_with_quotes("a-b c,d") == ["a-b", "c", "d"]
+    assert split_with_quotes('bad "unbalanced') == []  # kernel-safe
+
+
+def test_make_csv_format():
+    assert make_csv_format("short line") == "short line"
+    assert make_csv_format("quebec city region 1946 1950 yes") == (
+        "quebec city region, 1946, 1950, yes"
+    )
+
+
+# ---------------------------------------------------------------- dates
+def test_clean_dates_strips_every_s():
+    assert clean_dates("1970s") == "1970"
+    assert clean_dates("ca. 1900") == "1900"
+    # deliberate reference quirk: EVERY 's' is stripped
+    assert clean_dates("summers") == "ummer"
+
+
+def test_bp_to_bc_ad():
+    assert bp_to_bc_ad("5000 cal yr BP") == 1950 - 5000
+    assert bp_to_bc_ad("100 cal yr bp") == 1850
+    assert bp_to_bc_ad("no match") is None
+
+
+def test_remove_nonnumeric():
+    assert remove_nonnumeric_chars("ab1c2!3") == "123"
+
+
+# ---------------------------------------------------------------- explode
+def test_list_each_year_explodes_range():
+    got = list_each_year('"quebec", 1946-1949, yes')
+    assert got == [
+        '"quebec", 1946, yes',
+        '"quebec", 1947, yes',
+        '"quebec", 1948, yes',
+        '"quebec", 1949, yes',
+    ]
+
+
+@pytest.mark.parametrize(
+    "line,publish",
+    [
+        ('"q", 1950-1949, yes', None),  # first >= last
+        ('"q", 1900-1999, yes', None),  # span > 60
+        ('"q", 2023-2024, yes', None),  # first > 2022
+        ('"q", 1946-1950, yes', 1948),  # last > publish_year
+        ('"q", 19xx-1950, yes', None),  # non-digit
+    ],
+)
+def test_list_each_year_guards(line, publish):
+    assert list_each_year(line, publish) == [line]
+
+
+def test_list_each_year_open_range_publish_year():
+    got = list_each_year('"q", 1946-, yes', 1948)
+    assert got == ['"q", 1946, yes', '"q", 1947, yes', '"q", 1948, yes']
+
+
+# ---------------------------------------------------------------- coords
+def test_dms_to_dd_decimal_form():
+    assert dms_to_dd("45.5°N") == 45.5
+    assert dms_to_dd("45.5°S") == -45.5
+    assert dms_to_dd("120.25°W") == -120.25
+
+
+def test_dms_to_dd_dms_form():
+    assert dms_to_dd("45°30'N") == 45.5
+    assert abs(dms_to_dd('45°30\'36"N') - 45.51) < 1e-9
+    assert dms_to_dd("45°30'S") == -45.5
+    with pytest.raises(ValueError):
+        dms_to_dd("not coords")
+
+
+def test_parse_coordinates():
+    assert parse_coordinates("45.5°N, 120.25°W") == (45.5, -120.25)
+    assert parse_coordinates("garbage") == (None, None)
+
+
+# ---------------------------------------------------------------- misc
+def test_yes_no_unknown():
+    assert yes_or_no("Yes, clearly") and not yes_or_no("nope")
+    assert is_unknown("Location UNKNOWN")
+    assert is_unknown("unspecified region")
+    assert not is_unknown("quebec")
+
+
+# ---------------------------------------------------------------- chunker
+def test_chunker_budget_and_coverage():
+    text = "word " * 40_000  # ~200k chars
+    chunks = build_chunk_group("SYS: ", text, max_context_length=4000)
+    assert len(chunks) > 1
+    # chunks reassemble the full text exactly
+    end = "\n\nEND\n\n"
+    joined = "".join(c[1][: -len(end)] for c in chunks)
+    assert joined == text
+    # every chunk respects the 0.9x token budget
+    for sys_msg, body in chunks:
+        assert estimate_tokens(sys_msg + body) <= int(4000 * 0.9)
+
+
+def test_chunker_single_chunk_mode():
+    chunks = build_chunk_group("S", "x" * 100_000, just_one_chunk=True)
+    assert len(chunks) == 1

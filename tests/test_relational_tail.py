@@ -1,0 +1,158 @@
+"""Pipeline tests for the relational tail (SURVEY.md §5.3): gates as
+DataFrame filters, range-explode row counts, geo enrichment, queue ops,
+analytics views."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import analytics, explode, gates, geo, queue
+from pdf_parser_spark.operators.enrich import fake_geocoder
+from pdf_parser_spark.schemas import EXTRACTION_ROWS_SCHEMA, GEO_CACHE_SCHEMA
+
+ROWS = [
+    # (doc_id, location, year_raw, outbreak, publish_year)
+    ("d1", "quebec city", "1946", "yes", None),          # clean single year
+    ("d1", "unknown region", "1950", "no", None),         # unknown gate
+    ("d1", "ontario, quebec, maine", "1950", "no", None), # multi-location gate
+    ("d1", "abc", "1950", "no", None),                    # len<=3 gate
+    ("d1", "quebec", "1950", "maybe", None),              # outbreak domain gate
+    ("d1", "quebec", "19x0", "yes", None),                # letters-in-year gate
+    ("d1", "manitoba", "1970s", "yes", None),             # decade form → 1970
+    ("d1", "alberta", "ca. 1900", "no", None),            # circa strip
+    ("d2", "quebec", "1946-1949", "yes", None),           # range → 4 rows
+    ("d2", "quebec", "1900-1999", "yes", None),           # span>60 guard
+    ("d2", "quebec", "2023-2024", "yes", None),           # first>2022 guard
+    ("d2", "nova scotia", "1946-", "yes", 1948),          # open range → 3 rows
+    ("d2", "maine", "1950", "uncertain", 1949),           # > publish_year cap
+    ("d3", "100 cal yr bp", "100 cal yr bp", "yes", None),# cal-yr loc gate? loc ok len>3
+    ("d3", "labrador", "5000 cal yr BP", "yes", None),    # BP year: 1950-5000 <0 → len!=4 drop? '-3050' len 5, no letters → kept as 5-digit single? see gates
+]
+
+
+@pytest.fixture(scope="module")
+def rows_df(spark):
+    return spark.createDataFrame(ROWS, schema=EXTRACTION_ROWS_SCHEMA)
+
+
+def test_gate_battery(spark, rows_df):
+    gated = gates.apply_row_gates(rows_df)
+    kept = {(r.doc_id, r.location, r.year_norm) for r in gated.collect()}
+    assert ("d1", "quebec city", "1946") in kept
+    assert ("d1", "manitoba", "1970") in kept  # 1970s → 1970
+    assert ("d1", "alberta", "1900") in kept  # ca. stripped
+    assert ("d2", "quebec", "1946-1949") in kept  # range passes to explode
+    assert not any(loc == "unknown region" for _, loc, _ in kept)
+    assert not any(loc == "ontario, quebec, maine" for _, loc, _ in kept)
+    assert not any(loc == "abc" for _, loc, _ in kept)
+    assert not any(y == "19x0" for *_, y in kept)
+    # outbreak 'maybe' dropped
+    assert ("d1", "quebec", "1950") not in kept
+
+
+def test_year_range_explode(spark, rows_df):
+    out = explode.explode_year_ranges(gates.apply_row_gates(rows_df))
+    rows = out.collect()
+    d2q = sorted(r.year for r in rows if r.doc_id == "d2" and r.location == "quebec" and r.outbreak == "yes")
+    # 1946-1949 explodes; 1900-1999 (span>60) and 2023-2024 (first>2022) are dropped
+    assert d2q == [1946, 1947, 1948, 1949]
+    ns = sorted(r.year for r in rows if r.location == "nova scotia")
+    assert ns == [1946, 1947, 1948]  # open range capped at publish_year
+    assert not [r for r in rows if r.location == "maine"]  # publish-year cap
+
+
+def test_publish_year_guard_on_ranges(spark):
+    df = spark.createDataFrame(
+        [("d", "quebec", "1946-1950", "yes", 1948)], schema=EXTRACTION_ROWS_SCHEMA
+    )
+    out = explode.explode_year_ranges(gates.apply_row_gates(df))
+    assert out.count() == 0  # last > publish_year → reference keeps original line → not a usable year
+
+
+def test_geo_enrichment_broadcast_and_dedup(spark, rows_df):
+    cache = spark.createDataFrame(
+        [("quebec city", 46.8, -71.2, "quebec")], schema=GEO_CACHE_SCHEMA
+    )
+    enriched = geo.resolve_misses(
+        explode.explode_year_ranges(gates.apply_row_gates(rows_df)),
+        cache,
+        fake_geocoder,
+    )
+    got = {r.location: (r.latitude, r.longitude) for r in enriched.collect()}
+    assert got["quebec city"] == (46.8, -71.2)  # cache hit wins
+    assert got["manitoba"][0] is not None  # miss resolved by enricher
+    # determinism of the fake resolver
+    assert got["manitoba"] == {
+        r.location: (r.latitude, r.longitude) for r in enriched.collect()
+    }["manitoba"]
+    # broadcast join: physical plan must not sort-merge the big side
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_outbreak_code_map(spark):
+    df = spark.createDataFrame(
+        [("yes",), ("no",), ("uncertain",)], "outbreak string"
+    ).withColumn("code", gates.outbreak_code(F.col("outbreak")))
+    assert {(r.outbreak, r.code) for r in df.collect()} == {
+        ("yes", 1),
+        ("no", 0),
+        ("uncertain", 2),
+    }
+
+
+def test_source_whitelist(spark):
+    df = spark.createDataFrame(
+        [("Pheromone traps, fairy dust, aerial defoliation survey",)], "s string"
+    ).select(gates.source_whitelist(F.col("s")).alias("v"))
+    assert sorted(df.first().v) == [
+        "aerial defoliation survey",
+        "pheromone traps",
+    ]
+
+
+def test_queue_anti_join_and_merge(spark):
+    docs = spark.createDataFrame([(f"doc-{i}",) for i in range(10)], "doc_id string")
+    ckpt = spark.createDataFrame(
+        [(0, f"doc-{i}", 1 if i < 4 else 0, 0, None) for i in range(10)],
+        "bucket_id int, doc_id string, processed int, relevant int, snapshot_id long",
+    )
+    pending = queue.pending_docs(docs, ckpt, n=3)
+    assert [r.doc_id for r in pending.collect()] == ["doc-4", "doc-5", "doc-6"]
+
+    updates = spark.createDataFrame(
+        [(0, "doc-4", 1, 1, 99)],
+        "bucket_id int, doc_id string, processed int, relevant int, snapshot_id long",
+    )
+    merged = queue.merge_checkpoint_updates(ckpt, updates)
+    got = {r.doc_id: (r.processed, r.relevant) for r in merged.collect()}
+    assert got["doc-4"] == (1, 1) and got["doc-5"] == (0, 0)
+    assert merged.count() == 10  # upsert, not append
+
+
+def test_first_match_per_doc(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", 0, "unknown"),
+            ("d1", 1, "pheromone traps"),
+            ("d1", 2, "aerial survey"),
+            ("d2", 0, "not known"),
+        ],
+        "doc_id string, chunk_idx int, result string",
+    )
+    got = {r.doc_id: r.result for r in analytics.first_match_per_doc(df).collect()}
+    assert got == {"d1": "pheromone traps"}
+
+
+def test_year_scaffold(spark):
+    df = spark.createDataFrame(
+        [("d", "quebec", 1946, 1), ("d", "quebec", 1949, 1)],
+        "doc_id string, area string, year int, outbreak_code int",
+    )
+    out = analytics.year_scaffold(df).orderBy("year").collect()
+    assert [(r.year, r.outbreak_code) for r in out] == [
+        (1946, 1),
+        (1947, 0),
+        (1948, 0),
+        (1949, 1),
+    ]

@@ -1,0 +1,70 @@
+"""Checkpoint/resume: run a bounded batch, rerun, assert no duplicate spans
+and full coverage (SURVEY.md §5.3; reference queue semantics
+`_parser.py:1581,1744-1749`)."""
+
+import os
+
+from pdf_parser_spark import golden, pipeline, synth
+from pdf_parser_spark.schemas import DOCS_SCHEMA
+
+
+def test_resume_no_dups_full_coverage(spark, tmp_path):
+    docs = synth.make_docs(80, seed=11)
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    root = str(tmp_path / "out")
+
+    # first run: only half the buckets (the reference's 2000-doc batch cap)
+    r1 = pipeline.run_with_resume(
+        spark, df, root, n_buckets=8, num_partitions=4, limit_buckets=4
+    )
+    assert len(r1["committed"]) == 4 and r1["docs"] > 0
+
+    # second run: picks up ONLY the remaining buckets
+    r2 = pipeline.run_with_resume(spark, df, root, n_buckets=8, num_partitions=4)
+    assert sorted(r1["committed"] + r2["committed"]) == list(range(8))
+    assert not set(r1["committed"]) & set(r2["committed"])
+
+    # third run: nothing left
+    r3 = pipeline.run_with_resume(spark, df, root, n_buckets=8, num_partitions=4)
+    assert r3["committed"] == [] and r3["docs"] == 0
+
+    # full coverage, no duplicates, golden-equal
+    out = spark.read.parquet(os.path.join(root, "spans_out"))
+    got = sorted(
+        (r.doc_id, r.kind, r.text, r.media_ref, r["order"])
+        for r in out.select("doc_id", "kind", "text", "media_ref", "order").collect()
+    )
+    want = sorted(golden.golden_spans(docs))
+    assert got == want
+
+    # lineage/metrics invariants (FIXTURES.md §6): every doc has a lineage
+    # row; sum(span_count) == rows in spans_out
+    lineage = spark.read.parquet(os.path.join(root, "lineage"))
+    assert lineage.select("doc_id").distinct().count() == len(docs)
+    metrics = spark.read.parquet(os.path.join(root, "metrics"))
+    assert (
+        sum(r.span_count for r in metrics.collect())
+        == out.count()
+        == sum(r.span_count for r in lineage.collect())
+    )
+
+
+def test_rerun_bucket_is_idempotent(spark, tmp_path):
+    """Simulate a task/bucket re-run: delete a manifest and run again —
+    dynamic partition overwrite must leave exactly one copy."""
+    docs = synth.make_docs(30, seed=13)
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    root = str(tmp_path / "out2")
+    pipeline.run_with_resume(spark, df, root, n_buckets=4, num_partitions=2)
+    total_before = spark.read.parquet(os.path.join(root, "spans_out")).count()
+
+    # lose a commit record (crash between write and manifest)
+    snaps = sorted(os.listdir(os.path.join(root, "_snapshots")))
+    os.remove(os.path.join(root, "_snapshots", snaps[0]))
+    log = pipeline.SnapshotLog(root)
+    lost = set(range(4)) - set(log.committed_buckets())
+    assert lost
+
+    pipeline.run_with_resume(spark, df, root, n_buckets=4, num_partitions=2)
+    total_after = spark.read.parquet(os.path.join(root, "spans_out")).count()
+    assert total_after == total_before  # overwrite, not append-duplicate

@@ -1,0 +1,186 @@
+"""Training-data pipeline operators: dedup families, similarity search,
+text QC, multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import dedup, media, similarity, textqc
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, "der schnelle braune fuchs springt und der hund ist faul und die sonne"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = dedup.exact_dedup(docs_df)
+    reps = {r.doc_id: r.dup_count for r in out.collect()}
+    assert reps[1] == 2  # docs 1 and 4 collapse, min-id representative
+    assert 4 not in reps
+    assert out.count() == 4
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs_df):
+    pairs = dedup.minhash_near_dups(docs_df, num_hashes=32, bands=16, threshold=0.5)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 2) in got or (2, 4) in got  # near-dup found
+    assert not any({3, 5} & {a, b} for a, b in got)  # unrelated docs don't pair
+
+
+def test_simhash_clusters_exact_dups(spark, docs_df):
+    out = dedup.simhash_dedup(docs_df)
+    assert out.count() == 4  # 1&4 share a fingerprint
+    sizes = {r.doc_id: r.cluster_size for r in out.collect()}
+    assert sizes[1] == 2
+
+
+def test_simhash_near_dup_distance(spark, docs_df):
+    fp = {
+        r.doc_id: r.fingerprint
+        for r in docs_df.withColumn(
+            "fingerprint", dedup.simhash(F.col("text"))
+        ).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])  # near-dup closer than unrelated
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.5, 0.2]),
+        (2, [0.99, 0.01, 0.5, 0.21]),  # near-dup of 1
+        (3, [-1.0, 0.5, -0.5, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = dedup.embedding_near_dups(df, threshold=0.99, bucket_dims=4)
+    got = {(r.a, r.b) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def _np_cosine_topk(X, q, k):
+    sims = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(X)), -sims))
+    return [int(i) for i in order[:k]]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(0)
+    X = rng.randn(200, 16).astype(np.float32)
+    rows = [(i, X[i].tolist()) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>"), X
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    df, X = emb_df
+    q = X[7].astype(np.float64)
+    got = [r.vec_id for r in similarity.cosine_topk(df, q.tolist(), k=5).collect()]
+    want = _np_cosine_topk(X.astype(np.float64), q, 5)
+    assert got == want
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    df, X = emb_df
+    cents = similarity.kmeans_centroids(df, n_centroids=8, iters=5)
+    with_cells = similarity.assign_ivf_cells(df, cents)
+    q = X[3].astype(np.float64)
+    exact = set(_np_cosine_topk(X.astype(np.float64), q, 10))
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_topk(with_cells, cents, q.tolist(), k=10, nprobe=4).collect()
+    }
+    assert len(exact & approx) >= 6  # ≥60% recall at nprobe=4/8
+
+
+def test_ivf_cells_partition_the_corpus(spark, emb_df):
+    df, _ = emb_df
+    cents = similarity.kmeans_centroids(df, n_centroids=8, iters=5)
+    counts = similarity.assign_ivf_cells(df, cents).groupBy("cell").count().collect()
+    assert sum(r["count"] for r in counts) == 200
+    assert len(counts) >= 4  # corpus actually spreads across cells
+
+
+def test_signlsh_topk_self_hit(spark, emb_df):
+    df, X = emb_df
+    q = X[11].astype(np.float64)
+    got = [r.vec_id for r in similarity.signlsh_topk(df, q.tolist(), k=3).collect()]
+    assert got and got[0] == 11  # query's own vector lands in the probed buckets
+
+
+# ------------------------------------------------------------------ textqc
+def test_detect_language(spark):
+    rows = [
+        (1, "the cat and the dog is of the house and the tree"),
+        (2, "der hund und die katze ist der beste und der grosse"),
+        (3, "le chat et les chiens est le meilleur et les arbres"),
+        (4, "el gato y los perros es el mejor que los arboles"),
+        (5, "这是的一个测试了在这里的句子是了"),
+        (6, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.lang
+        for r in df.select("id", textqc.detect_language(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a b  c\td"), (2, ""), (3, "   ")], "id int, text string")
+    got = {r.id: r.n for r in df.select("id", textqc.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 4, 2: 0, 3: 0}
+
+
+def test_quality_features(spark, docs_df):
+    out = textqc.quality_features(docs_df)
+    row = {r.doc_id: r for r in out.collect()}[1]
+    assert row.n_tokens == 14
+    assert 0 <= row.quality_score <= 1
+    assert row.quality_score >= 0.75  # normal English sentence scores high
+
+
+def test_rolling_fingerprints_overlap(spark, docs_df):
+    out = {r.doc_id: set(r.fingerprints) for r in textqc.rolling_fingerprints(docs_df, window=4, keep_mod=2).collect()}
+    inter_near = len(out[1] & out[2])
+    inter_far = len(out[1] & out[3])
+    assert inter_near > inter_far  # near-dup shares fingerprints, unrelated doesn't
+    assert out[1] == out[4]  # exact dup → identical sketch
+
+
+# ------------------------------------------------------------------ media
+def test_media_pipeline_plumbing(spark):
+    from pdf_parser_spark import synth
+    from pdf_parser_spark.schemas import DOCS_SCHEMA
+
+    docs = synth.make_docs(30, seed=5)
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    media_tbl = media.media_table_from_docs(df)
+    n_media = media_tbl.count()
+    assert n_media > 0
+    feats = media.extract_media_features(media_tbl, fake=True)
+    rows = feats.collect()
+    assert len(rows) == n_media
+    assert all(len(r.feature) == media.FEATURE_DIM for r in rows)
+    # deterministic: same media_ref → same features
+    again = {r.media_ref: r.feature for r in media.extract_media_features(media_tbl, fake=True).collect()}
+    assert all(again[r.media_ref] == r.feature for r in rows)
+    # videos sample >= 1 frame; images exactly 1
+    assert all(
+        (r.n_frames >= 1 if r.media_type == "video" else r.n_frames == 1) for r in rows
+    )
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        media.decode_image(b"bytes")
