@@ -1,38 +1,83 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (the vectorized
+mapInPandas kernel over an interleaved text+media docs table derived from
+sf0.001) and returns the spans_out DataFrame. ``queries()`` /
+``oracle_sql()`` expose the full operator inventory (SURVEY.md §2 plus the
+training-data ops) with DuckDB oracles where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)  # driver process may invoke from elsewhere
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make pdf_parser_spark importable on executor Python workers.
+
+    The driver's sys.path does NOT propagate to the executors' workers; at
+    deploy time this is `spark-submit --py-files pdf_parser_spark.zip`
+    (north rule). Here we build that zip once and addPyFile it.
+    """
+    if getattr(_ship_package, "_done", None) is spark:
+        return
+    pkg = os.path.join(REPO, "pdf_parser_spark")
+    zpath = os.path.join(REPO, ".driver_pyfiles", "pdf_parser_spark.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    src_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(pkg)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < src_mtime:
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for r, _, fs in os.walk(pkg):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(r, f)
+                        z.write(full, os.path.relpath(full, REPO))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _ship_package._done = spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs (text+media) → extraction kernel →
+    spans_out, on sf0.001."""
+    from pdf_parser_spark import pipeline
+    from pdf_parser_spark.sources.corpus import interleaved_from_documents
+
+    _ship_package(spark)
+    docs = interleaved_from_documents(spark, "/root/testdata/sf0.001", media_every=4)
+    spans, _lineage, _metrics = pipeline.extract(docs)
+    return spans
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_parser_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_parser_spark.queries import ORACLES
+
+    return dict(ORACLES)

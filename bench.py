@@ -1,0 +1,184 @@
+"""Benchmark harness.
+
+Default: runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: runs the SAME extraction job at local[8] and local[32] on the
+same input (sandbox stand-in for N vs 4N executors, per BASELINE.md) and
+writes docs/sec at both + scaling efficiency to BENCH/BASELINE.md.
+
+The extraction corpus is the synthetic interleaved text+media corpus
+(pdf_parser_spark.synth), materialized once to parquet in .bench_cache/ so
+every measured run is a pure read→kernel→write pipeline with no generator
+cost inside the timing window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+CACHE = os.path.join(REPO, ".bench_cache", f"docs_{BENCH_DOCS}")
+
+BENCH_QUERIES = [
+    "extract_kernel_spans",
+    "extract_interleaved_media",
+    "pricing_summary",
+    "revenue_by_brand",
+    "top_order_per_customer",
+    "sessionize_events",
+    "order_year_span_explode",
+    "exact_dedup_docs",
+    "minhash_near_dups",
+    "quality_scores",
+    "lang_id_confusion",
+    "ann_cosine_topk",
+]
+
+
+def ensure_corpus() -> str:
+    """Materialize the synthetic interleaved corpus to parquet (once)."""
+    marker = os.path.join(CACHE, "_SUCCESS_LOCAL")
+    if os.path.exists(marker):
+        return CACHE
+    from pdf_parser_spark import synth
+    from pdf_parser_spark.schemas import DOCS_SCHEMA
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench_corpus")
+    docs = synth.make_docs(BENCH_DOCS, seed=42)
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    df.repartition(64).write.mode("overwrite").parquet(CACHE)
+    with open(marker, "w") as f:
+        f.write("ok")
+    spark.stop()
+    return CACHE
+
+
+def run_extraction(spark, corpus_path: str) -> tuple[float, int]:
+    """One timed extraction pass: parquet → salted repartition → kernel →
+    noop sink. Returns (seconds, n_docs)."""
+    from pdf_parser_spark import pipeline
+
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    spans, _, _ = pipeline.extract(docs)
+    spans.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0, n_docs
+
+
+def run_suite() -> dict:
+    from pdf_parser_spark.queries import QUERIES
+    from pdf_parser_spark.session import get_spark
+
+    corpus = ensure_corpus()
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+
+    timings: dict[str, float] = {}
+
+    # headline: extraction throughput (docs/sec) on the skewed corpus
+    warm_sec, _ = run_extraction(spark, corpus)  # warm-up (JIT, python workers)
+    sec, n_docs = run_extraction(spark, corpus)
+    timings["extract_corpus"] = round(sec, 3)
+    docs_per_sec = n_docs / sec
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "documents/sec extraction throughput + headline query suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "extract_docs": n_docs,
+        "cpus": CPUS,
+        "warmup_extract_sec": round(warm_sec, 3),
+    }
+    spark.stop()
+    return result
+
+
+def measure_extraction_only() -> dict:
+    """Inner process for --scaling: extraction docs/sec at current CPUS."""
+    from pdf_parser_spark.session import get_spark
+
+    corpus = ensure_corpus()
+    spark = get_spark(master=f"local[{CPUS}]", app_name=f"bench_scale_{CPUS}")
+    _w, _ = run_extraction(spark, corpus)  # warm-up
+    best = None
+    for _ in range(2):
+        sec, n_docs = run_extraction(spark, corpus)
+        best = min(best, sec) if best else sec
+    spark.stop()
+    return {"cpus": CPUS, "sec": round(best, 3), "docs": n_docs,
+            "docs_per_sec": round(n_docs / best, 1)}
+
+
+def run_scaling() -> dict:
+    ensure_corpus()
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, __file__, "--_measure"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out[n] = json.loads(line)
+    r8, r32 = out[8], out[32]
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
+    report = {
+        "docs": r8["docs"],
+        "local8_docs_per_sec": r8["docs_per_sec"],
+        "local32_docs_per_sec": r32["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — throughput & scaling evidence\n\n"
+            "North rule: throughput scaling efficiency >= 0.8 from N to 4N\n"
+            "executors. Sandbox stand-in (per BASELINE.md): the SAME extraction\n"
+            "job (parquet scan -> salted size-bucketed repartition -> mapInPandas\n"
+            "kernel -> noop sink) on the SAME synthetic interleaved corpus\n"
+            f"({r8['docs']} docs, heavy-tailed span counts, seed 42) at local[8]\n"
+            "and local[32].\n\n"
+            "| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
+            f"| local[8] (N) | {r8['sec']} | {r8['docs_per_sec']} |\n"
+            f"| local[32] (4N) | {r32['sec']} | {r32['docs_per_sec']} |\n\n"
+            f"**Scaling efficiency (docs/sec ratio ÷ 4): {report['scaling_efficiency']}**"
+            f" (target ≥ 0.8)\n\n"
+            "Measured by `python bench.py --scaling`; each point is the best of\n"
+            "two timed runs after one warm-up pass in a fresh JVM.\n"
+        )
+    return report
+
+
+if __name__ == "__main__":
+    if "--_measure" in sys.argv:
+        print(json.dumps(measure_extraction_only()))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

@@ -67,29 +67,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>): sig[k] = min over shingles of xxhash64(shingle, k).
 
-    The K hash families are xxhash64 with per-family seed columns — each min
-    is an aggregate over the shingle array via F.array_min of a transform,
-    all JVM-side.
+    Plan shape: explode shingles once, then ONE groupBy(id) with K min()
+    aggregates — each shingle row is hashed K times in a single codegen'd
+    pass with map-side partial aggregation. (The tempting alternative —
+    K × array_min(transform(shingles)) — inlines the shingle-building
+    expression K times after projection collapse and is orders of magnitude
+    slower; measured 119s vs <2s on 200 docs.)
     """
-    sh = word_shingles(F.col(text_col), shingle_words)
-
-    # NB: the seed must be captured via a closure, NOT a default arg — extra
-    # lambda params become SQL lambda variables (transform binds them to the
-    # array index), silently collapsing every hash family to the same one.
-    def hash_family(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, hash_family(k)))
-            for k in range(num_hashes)
-        ]
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
     )
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    sig_aggs = [
+        F.min(F.xxhash64("shingle", F.lit(k))).alias(f"_h{k}")
+        for k in range(num_hashes)
+    ]
+    agged = ex.groupBy(id_col).agg(*sig_aggs)
+    return agged.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash).
 
@@ -97,7 +101,7 @@ def lsh_candidate_pairs(
     bands × docs, so the shuffle is linear in corpus size; only true bucket
     collisions pair up.
     """
-    n = sigs.select(F.size("sig")).first()[0]
+    n = num_hashes or sigs.select(F.size("sig")).first()[0]
     rows_per_band = n // bands
     banded = sigs.select(
         F.col(id_col),
@@ -172,7 +176,7 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash→LSH→Jaccard-verify pipeline: (a, b, jaccard)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     return jaccard_verify(docs, pairs, id_col, text_col, threshold=threshold)
 
 

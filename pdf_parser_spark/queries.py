@@ -1,0 +1,904 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with an ANSI-SQL DuckDB oracle where expressible.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash at sf=0.01):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- counts are cast to bigint (DuckDB count → BIGINT);
+- float aggregates are rounded on BOTH sides (same operand order, so the
+  doubles match before rounding);
+- queries that need engine-side hashing (xxhash64) or Python kernels with
+  no SQL twin ship WITHOUT an oracle → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark import pipeline
+from pdf_parser_spark.functions.text import CLEANUP_REPLACEMENTS
+from pdf_parser_spark.operators import dedup, explode, gates, similarity, textqc
+from pdf_parser_spark.operators.textqc import LANG_MARKERS
+from pdf_parser_spark.sources.corpus import interleaved_from_documents, load_table
+
+
+# --------------------------------------------------------------------------
+# shared expression builders (Spark side + SQL side, kept textually adjacent
+# so the two implementations can be audited line-by-line)
+# --------------------------------------------------------------------------
+
+
+def _clean_col(col):
+    """cleanup_text as a chained literal-replace Column (reference order)."""
+    out = col
+    for old, new in CLEANUP_REPLACEMENTS:
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return out
+
+
+def _clean_sql(expr: str) -> str:
+    out = expr
+    for old, new in CLEANUP_REPLACEMENTS:
+        o = old.replace("'", "''").replace("\t", "' || chr(9) || '").replace(
+            "\n", "' || chr(10) || '"
+        )
+        nn = new.replace("'", "''")
+        out = f"replace({out}, '{o}', '{nn}')"
+    return out
+
+
+def _window_col(col):
+    """Cut at end of LAST 'references' (case-insensitive); full text if absent.
+
+    last-occurrence via reverse: p = instr(reverse(lower(t)), reverse(marker));
+    end-of-marker position = length(t) − p + 1.
+    """
+    rev = F.instr(F.reverse(F.lower(col)), "secnerefer")
+    return F.when(rev > 0, F.substring(col, 1, F.length(col) - rev + 1)).otherwise(col)
+
+
+def _window_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN strpos(reverse(lower({expr})), 'secnerefer') > 0 "
+        f"THEN substr({expr}, 1, length({expr}) - strpos(reverse(lower({expr})), 'secnerefer') + 1) "
+        f"ELSE {expr} END"
+    )
+
+
+def _occ_sql(padded: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"(length({padded}) - length(replace({padded}, '{n}', ''))) / {len(needle)}"
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    """(CTE column list, predictor CASE) for the marker-count language ID."""
+    padded = "(' ' || lower(text) || ' ')"
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        parts = " + ".join(_occ_sql(padded, m) for m in markers)
+        score_cols.append(f"({parts}) AS s_{lang}")
+    langs = [lang for lang, _ in sorted(LANG_MARKERS.items())]
+    # fold semantics: strictly-greater replaces → earliest lang wins ties
+    case = [f"CASE WHEN greatest({', '.join('s_' + x for x in langs)}) <= 0 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join("s_" + x for x in langs[i + 1 :])
+        case.append(f"WHEN s_{lang} >= greatest({rest}) THEN '{lang}'")
+    case.append(f"ELSE '{langs[-1]}' END")
+    return ", ".join(score_cols), " ".join(case)
+
+
+# 3-word shingles as SQL (DuckDB list comprehension over the word array)
+_WORDS_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, greatest(len({_WORDS_SQL}) - 2, 1) + 1), "
+    f"i -> array_to_string({_WORDS_SQL}[i:i+2], ' ')))"
+)
+
+
+# --------------------------------------------------------------------------
+# queries — extraction engine
+# --------------------------------------------------------------------------
+
+
+def q_extract_kernel_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInPandas kernel over text-only interleaved docs."""
+    docs = interleaved_from_documents(spark, sf_dir, media_every=0)
+    spans, _, _ = pipeline.extract(docs)
+    return spans.select(
+        "doc_id", "kind", "text", "media_ref", F.col("order").cast("long").alias("ord")
+    )
+
+
+def sql_extract_kernel_spans() -> str:
+    body = _window_sql(_clean_sql("text"))
+    return (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, "
+        f"{body} AS text, '' AS media_ref, CAST(0 AS BIGINT) AS ord FROM documents"
+    )
+
+
+def q_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational (pure-Catalyst) form of cleanup+window over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = _window_col(_clean_col(F.col("text")))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned).alias("clean_digest"),
+    )
+
+
+def sql_extract_main_content() -> str:
+    body = _window_sql(_clean_sql("text"))
+    return (
+        f"SELECT doc_id, CAST(length({body}) AS BIGINT) AS clean_len, "
+        f"md5({body}) AS clean_digest FROM documents"
+    )
+
+
+def q_outbreak_rows_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate battery + year-range explode end-to-end on rows derived
+    deterministically from orders (locations/years/outbreak synthesized in
+    pure SQL-expressible form, then run through operators.gates/explode)."""
+    rows = _derive_extraction_rows(spark, sf_dir)
+    out = explode.explode_year_ranges(gates.apply_row_gates(rows))
+    return out.select(
+        "doc_id",
+        "location",
+        "outbreak",
+        F.col("year").cast("long").alias("year"),
+        gates.outbreak_code(F.col("outbreak")).cast("long").alias("outbreak_code"),
+    )
+
+
+def _derive_extraction_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    k = F.col("o_orderkey")
+    location = F.element_at(
+        F.array(
+            F.lit("quebec city"),
+            F.lit("unknown region"),
+            F.lit("ontario, quebec, maine"),
+            F.lit("abc"),
+            F.lit("nova scotia"),
+        ),
+        (k % 5 + 1).cast("int"),
+    )
+    y1 = (F.lit(1900) + k % 100).cast("int")
+    year_raw = F.when(
+        k % 7 == 0, F.concat(y1.cast("string"), F.lit("-"), (y1 + k % 9).cast("string"))
+    ).otherwise(y1.cast("string"))
+    outbreak = F.element_at(
+        F.array(F.lit("yes"), F.lit("no"), F.lit("uncertain"), F.lit("maybe")),
+        (k % 4 + 1).cast("int"),
+    )
+    return orders.select(
+        k.cast("string").alias("doc_id"),
+        location.alias("location"),
+        year_raw.alias("year_raw"),
+        outbreak.alias("outbreak"),
+        F.lit(None).cast("int").alias("publish_year"),
+    )
+
+
+def sql_outbreak_rows_pipeline() -> str:
+    # mirrors _derive_extraction_rows + gates.apply_row_gates +
+    # explode.explode_year_ranges, in ANSI SQL
+    return """
+WITH raw AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+         (['quebec city','unknown region','ontario, quebec, maine','abc','nova scotia'])[(o_orderkey % 5) + 1] AS location,
+         CAST(1900 + o_orderkey % 100 AS INT) AS y1,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(1900 + o_orderkey % 100 AS VARCHAR) || '-' || CAST(1900 + o_orderkey % 100 + o_orderkey % 9 AS VARCHAR)
+              ELSE CAST(1900 + o_orderkey % 100 AS VARCHAR) END AS year_raw,
+         (['yes','no','uncertain','maybe'])[(o_orderkey % 4) + 1] AS outbreak
+  FROM orders WHERE o_orderkey % 3 = 0
+), gated AS (
+  SELECT doc_id, lower(trim(location)) AS location, outbreak,
+         trim(replace(replace(lower(trim(year_raw)), 'ca.', ''), 's', '')) AS year_norm
+  FROM raw
+  WHERE NOT regexp_matches(lower(trim(location)), 'unknown|unspecifi|not known|not understood')
+    AND len(list_filter(list_transform(string_split(regexp_replace(lower(trim(location)), '\\s+and\\s+', ',', 'g'), ','), x -> trim(x)), x -> x <> '')) <= 2
+    AND lower(outbreak) IN ('yes','no','uncertain')
+    AND length(lower(trim(location))) > 3
+    AND ((NOT regexp_matches(trim(replace(replace(lower(trim(year_raw)), 'ca.', ''), 's', '')), '[A-Za-z]')
+          AND length(trim(replace(replace(lower(trim(year_raw)), 'ca.', ''), 's', ''))) IN (4,5,9)))
+), shaped AS (
+  SELECT *,
+         regexp_matches(year_norm, '^\\d{4}-\\d{4}$') AS is_range,
+         CAST(regexp_extract(year_norm, '^(\\d{4})', 1) AS INT) AS first_year,
+         TRY_CAST(regexp_extract(year_norm, '-(\\d{4})$', 1) AS INT) AS last_year
+  FROM gated
+  WHERE regexp_matches(year_norm, '^\\d{4}-\\d{4}$')
+     OR (regexp_matches(year_norm, '^\\d{4,5}$') AND TRY_CAST(year_norm AS INT) <= 2023)
+), exploded AS (
+  SELECT doc_id, location, outbreak, unnest(generate_series(first_year, last_year)) AS year
+  FROM shaped
+  WHERE is_range AND first_year < last_year AND last_year - first_year <= 60
+    AND first_year <= 2022 AND last_year <= 2023
+  UNION ALL
+  SELECT doc_id, location, outbreak, CAST(year_norm AS INT) AS year
+  FROM shaped WHERE NOT is_range
+)
+SELECT doc_id, location, outbreak, CAST(year AS BIGINT) AS year,
+       CAST(CASE lower(outbreak) WHEN 'no' THEN 0 WHEN 'yes' THEN 1 WHEN 'uncertain' THEN 2 END AS BIGINT) AS outbreak_code
+FROM exploded
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — TPC-H-ish relational coverage
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+        .limit(10)
+    )
+
+
+def sql_revenue_by_brand() -> str:
+    return """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 10
+"""
+
+
+def q_region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def sql_region_customer_rollup() -> str:
+    return """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_inactive_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+def sql_inactive_customers_by_segment() -> str:
+    return """
+SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_orders_with_discounted_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def sql_orders_with_discounted_items() -> str:
+    return """
+SELECT o_orderstatus, count(*) AS n_orders FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08)
+GROUP BY o_orderstatus
+"""
+
+
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+def sql_top_order_per_customer() -> str:
+    return """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def q_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def sql_top20_orders() -> str:
+    return (
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+    )
+
+
+def q_order_year_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y1 = F.year("o_orderdate")
+    y2 = y1 + (F.col("o_orderkey") % 5).cast("int")
+    return (
+        o.select(F.explode(F.sequence(y1, y2)).alias("year"))
+        .groupBy("year")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("year").cast("long").alias("year"), "n")
+    )
+
+
+def sql_order_year_span_explode() -> str:
+    return """
+SELECT year, count(*) AS n FROM (
+  SELECT unnest(generate_series(year(o_orderdate), year(o_orderdate) + CAST(o_orderkey % 5 AS INT))) AS year
+  FROM orders)
+GROUP BY year
+"""
+
+
+def q_status_code_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mapping = F.create_map(
+        F.lit("O"), F.lit(0), F.lit("F"), F.lit(1), F.lit("P"), F.lit(2)
+    )
+    return (
+        o.withColumn("status_code", F.element_at(mapping, F.col("o_orderstatus")))
+        .groupBy("status_code")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("status_code").cast("long").alias("status_code"), "n")
+    )
+
+
+def sql_status_code_map() -> str:
+    return """
+SELECT CAST(CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1 WHEN 'P' THEN 2 END AS BIGINT) AS status_code,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_union_priority_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return (
+        urgent.unionByName(high)
+        .distinct()
+        .agg(F.count("*").alias("n_custkeys"))
+    )
+
+
+def sql_union_priority_segments() -> str:
+    return """
+SELECT count(*) AS n_custkeys FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — events (time-flavored ops)
+# --------------------------------------------------------------------------
+
+
+def q_minmax_year_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min(F.dayofmonth("ts")).cast("long").alias("min_day"),
+        F.max(F.dayofmonth("ts")).cast("long").alias("max_day"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sql_minmax_year_per_user() -> str:
+    return """
+SELECT user_id, CAST(min(day(ts)) AS BIGINT) AS min_day,
+       CAST(max(day(ts)) AS BIGINT) AS max_day, count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch (UTC session tz)
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sql_sessionize_events() -> str:
+    return """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def sql_first_event_per_user() -> str:
+    return """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase') WHERE rn = 1
+"""
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+def sql_json_props_stats() -> str:
+    return """
+SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — training-data ops over documents / embeddings
+# --------------------------------------------------------------------------
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", textqc.token_count(F.col("text")).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def sql_token_stats_by_lang() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return f"""
+SELECT lang, sum(n_tokens) AS total_tokens, round(avg(n_tokens), 4) AS avg_tokens,
+       count(*) AS n_docs
+FROM (SELECT lang, CAST({tok} AS BIGINT) AS n_tokens FROM documents)
+GROUP BY lang
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", textqc.detect_language(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_lang_id_confusion() -> str:
+    scores, case = _lang_scores_sql()
+    return f"""
+SELECT lang, lang_pred, count(*) AS n FROM (
+  SELECT lang, {case} AS lang_pred FROM (SELECT lang, {scores} FROM documents))
+GROUP BY lang, lang_pred
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = textqc.quality_features(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "punct_ratio",
+        "alpha_ratio",
+        "quality_score",
+    )
+
+
+def sql_quality_scores() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    stop = " + ".join(
+        _occ_sql("(' ' || lower(text) || ' ')", m) for m in LANG_MARKERS["en"]
+    )
+    return f"""
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25e0 ELSE 0.0e0 END
+        + CASE WHEN punct_ratio <= 0.2 THEN 0.25e0 ELSE 0.0e0 END
+        + CASE WHEN alpha_ratio >= 0.6 THEN 0.25e0 ELSE 0.0e0 END
+        + CASE WHEN stop_ratio >= 0.01 THEN 0.25e0 ELSE 0.0e0 END) AS quality_score
+FROM (
+  SELECT doc_id, {tok} AS n_tokens,
+         CASE WHEN {tok} > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / {tok} ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN {tok} > 0 THEN ({stop}) / {tok} ELSE 0.0 END AS stop_ratio
+  FROM documents)
+"""
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select(
+        "digest", F.col("doc_id").cast("long").alias("doc_id"), "dup_count"
+    )
+
+
+def sql_exact_dedup_docs() -> str:
+    return """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+       min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textqc.content_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def sql_doc_fingerprints() -> str:
+    return """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        dedup.word_shingles(F.col("text"), 3).alias("sh"),
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.03)
+        .select("a", "b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 100
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(common / (na + nb - common), 6) AS jaccard
+FROM (SELECT pairs.*, sa.n_sh AS na, sb.n_sh AS nb
+      FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+      JOIN sizes sb ON pairs.b = sb.doc_id)
+WHERE round(common / (na + nb - common), 6) >= 0.03
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return similarity.cosine_topk(
+        emb, [float(x) for x in qrow.embedding], k=10, exclude_self=0
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+
+
+def sql_ann_cosine_topk() -> str:
+    return """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb")
+    )
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.8)
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "cosine",
+        )
+    )
+
+
+def sql_embedding_near_dup_pairs() -> str:
+    return """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — no SQL twin (driver records rows-only check)
+# --------------------------------------------------------------------------
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_near_dups(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        threshold=0.2,
+    )
+
+
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=4)
+    with_cells = similarity.assign_ivf_cells(emb, cents)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return similarity.ivf_topk(
+        with_cells, cents, [float(x) for x in qrow.embedding], k=10, nprobe=3
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    media_tbl = media_ops.media_table_from_docs(docs)
+    return media_ops.extract_media_features(media_tbl, fake=True).select(
+        "media_ref", "media_type", F.col("n_frames").cast("long").alias("n_frames")
+    )
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = textqc.rolling_fingerprints(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    return out.select(
+        "doc_id", F.size("fingerprints").cast("long").alias("n_fingerprints")
+    )
+
+
+def q_extract_interleaved_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel over docs WITH media spans (passthrough + scanned paths)."""
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    spans, _, _ = pipeline.extract(docs)
+    return spans.select(
+        "doc_id", "kind", "media_ref", F.col("order").cast("long").alias("ord")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_kernel_spans": q_extract_kernel_spans,
+    "extract_main_content": q_extract_main_content,
+    "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_brand": q_revenue_by_brand,
+    "region_customer_rollup": q_region_customer_rollup,
+    "inactive_customers_by_segment": q_inactive_customers_by_segment,
+    "orders_with_discounted_items": q_orders_with_discounted_items,
+    "top_order_per_customer": q_top_order_per_customer,
+    "top20_orders": q_top20_orders,
+    "order_year_span_explode": q_order_year_span_explode,
+    "status_code_map": q_status_code_map,
+    "union_priority_segments": q_union_priority_segments,
+    "minmax_year_per_user": q_minmax_year_per_user,
+    "sessionize_events": q_sessionize_events,
+    "first_event_per_user": q_first_event_per_user,
+    "json_props_stats": q_json_props_stats,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "lang_id_confusion": q_lang_id_confusion,
+    "quality_scores": q_quality_scores,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    # rows-only (no SQL twin)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_clusters": q_simhash_clusters,
+    "ivf_topk": q_ivf_topk,
+    "media_features": q_media_features,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "extract_interleaved_media": q_extract_interleaved_media,
+}
+
+ORACLES: dict[str, str] = {
+    "extract_kernel_spans": sql_extract_kernel_spans(),
+    "extract_main_content": sql_extract_main_content(),
+    "outbreak_rows_pipeline": sql_outbreak_rows_pipeline(),
+    "pricing_summary": sql_pricing_summary(),
+    "revenue_by_brand": sql_revenue_by_brand(),
+    "region_customer_rollup": sql_region_customer_rollup(),
+    "inactive_customers_by_segment": sql_inactive_customers_by_segment(),
+    "orders_with_discounted_items": sql_orders_with_discounted_items(),
+    "top_order_per_customer": sql_top_order_per_customer(),
+    "top20_orders": sql_top20_orders(),
+    "order_year_span_explode": sql_order_year_span_explode(),
+    "status_code_map": sql_status_code_map(),
+    "union_priority_segments": sql_union_priority_segments(),
+    "minmax_year_per_user": sql_minmax_year_per_user(),
+    "sessionize_events": sql_sessionize_events(),
+    "first_event_per_user": sql_first_event_per_user(),
+    "json_props_stats": sql_json_props_stats(),
+    "token_stats_by_lang": sql_token_stats_by_lang(),
+    "lang_id_confusion": sql_lang_id_confusion(),
+    "quality_scores": sql_quality_scores(),
+    "exact_dedup_docs": sql_exact_dedup_docs(),
+    "doc_fingerprints": sql_doc_fingerprints(),
+    "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
+    "ann_cosine_topk": sql_ann_cosine_topk(),
+    "embedding_near_dup_pairs": sql_embedding_near_dup_pairs(),
+}

@@ -1,0 +1,5 @@
+"""Sources: parquet table loaders and corpus derivations."""
+
+from pdf_parser_spark.sources.corpus import interleaved_from_documents, load_table
+
+__all__ = ["interleaved_from_documents", "load_table"]

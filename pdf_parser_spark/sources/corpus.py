@@ -1,0 +1,61 @@
+"""Table loaders + deterministic interleaved-docs derivation.
+
+``interleaved_from_documents`` turns the flat ``documents`` testdata table
+into the engine's input shape (doc_id, spans array<struct>) without any
+external data: the text becomes one text span, and docs whose id hashes
+into a media class get deterministic media spans appended. The derivation
+is pure Catalyst (no Python), so it costs one projection at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def interleaved_from_documents(
+    spark: SparkSession, sf_dir: str, media_every: int = 4
+) -> DataFrame:
+    """documents(doc_id,text,...) → docs(doc_id string, spans array<struct>).
+
+    Every ``media_every``-th doc (by doc_id) carries one media span after its
+    text span; media_ref is stable ('img-<doc_id>-000').
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("img-"), did, F.lit("-000")).alias("media_ref"),
+        (F.length("text") + 1).alias("offset"),
+    )
+    if media_every and media_every > 0:
+        spans = F.when(
+            F.col("doc_id") % media_every == 0, F.array(text_span, media_span)
+        ).otherwise(F.array(text_span))
+    else:
+        spans = F.array(text_span)
+    return docs.select(did.alias("doc_id"), spans.alias("spans"))
