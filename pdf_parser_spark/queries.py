@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from pdf_parser_spark import pipeline
 from pdf_parser_spark.functions.text import CLEANUP_REPLACEMENTS
-from pdf_parser_spark.operators import dedup, explode, gates, similarity, textqc
+from pdf_parser_spark.operators import dedup, explode, gates, geo, queue, similarity, textqc
 from pdf_parser_spark.operators.textqc import LANG_MARKERS
 from pdf_parser_spark.sources.corpus import interleaved_from_documents, load_table
 
@@ -778,6 +778,272 @@ WHERE a.vec_id < 200 AND b.vec_id < 200
 
 
 # --------------------------------------------------------------------------
+# queries — work queue / checkpoint / geo enrichment / scalar-function ops
+# (SURVEY.md §2a queue, §2c joins, §2h scalar functions, §2f first-match)
+# --------------------------------------------------------------------------
+
+
+def q_queue_pending_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + deterministic head-N — the reference's `get_n_pdfs`
+    (`_parser.py:1547-1587`): docs with no committed checkpoint, first 200."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    ckpt = d.select(
+        "doc_id", (F.col("doc_id") % 3 == 0).cast("int").alias("processed")
+    )
+    return queue.pending_docs(d, ckpt, n=200).select("doc_id")
+
+
+def sql_queue_pending_batch() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+ORDER BY doc_id LIMIT 200
+"""
+
+
+def q_checkpoint_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-backed upsert — the queue rewrite (`_parser.py:1744-1749`) as a
+    last-writer-wins MERGE (updates take precedence per doc_id)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    ckpt = d.select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).cast("long").alias("processed"),
+        F.lit(0).cast("long").alias("relevant"),
+    )
+    upd = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("processed"),
+            (F.col("doc_id") % 2).cast("long").alias("relevant"),
+        )
+    )
+    return queue.merge_checkpoint_updates(ckpt, upd)
+
+
+def sql_checkpoint_merge_upsert() -> str:
+    return """
+WITH ckpt AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 3 = 0 AS BIGINT) AS processed,
+         CAST(0 AS BIGINT) AS relevant
+  FROM documents),
+upd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(1 AS BIGINT) AS processed,
+         CAST(doc_id % 2 AS BIGINT) AS relevant
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT c.doc_id,
+       CASE WHEN u.doc_id IS NOT NULL THEN u.processed ELSE c.processed END AS processed,
+       CASE WHEN u.doc_id IS NOT NULL THEN u.relevant ELSE c.relevant END AS relevant
+FROM ckpt c LEFT JOIN upd u ON c.doc_id = u.doc_id
+"""
+
+
+def q_geo_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join geo-cache enrichment — the reference's memoized
+    geocode lookups (`_parser.py:494, 617-632`) as a small dimension join."""
+    cache = spark.createDataFrame(
+        [
+            (f"src{i}", -20.0 + 10.5 * i, 5.0 + 3.25 * i, f"state_{i}")
+            for i in range(5)
+        ],
+        "location string, latitude double, longitude double, state string",
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("location"),
+    )
+    return geo.enrich_with_coordinates(d, cache).select(
+        "doc_id", "location", "latitude", "longitude", "state"
+    )
+
+
+def sql_geo_broadcast_enrich() -> str:
+    return """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source AS location,
+       g.latitude, g.longitude, g.state
+FROM documents d LEFT JOIN (
+  SELECT 'src' || CAST(i AS VARCHAR) AS location,
+         CAST(-20.0 AS DOUBLE) + CAST(10.5 AS DOUBLE) * i AS latitude,
+         CAST(5.0 AS DOUBLE) + CAST(3.25 AS DOUBLE) * i AS longitude,
+         'state_' || CAST(i AS VARCHAR) AS state
+  FROM range(5) t(i)) g
+ON lower(trim(d.source)) = g.location
+"""
+
+
+def q_year_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_dates + cal-yr-BP normalization (`_parser.py:415-461`) over
+    year strings synthesized deterministically from orders."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("string")
+    k = F.col("o_orderkey") % 4
+    bp_n = (F.col("o_orderkey") % 2000 + 100).cast("string")
+    raw = (
+        F.when(k == 0, F.concat(yr, F.lit("s")))
+        .when(k == 1, F.concat(F.lit("ca. "), yr))
+        .when(k == 2, F.concat(bp_n, F.lit(" cal yr BP")))
+        .otherwise(yr)
+    )
+    norm = gates.normalize_year(F.lower(F.trim(raw)))
+    return (
+        o.select(norm.cast("long").alias("year_norm"))
+        .groupBy("year_norm")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_year_normalization() -> str:
+    return r"""
+WITH raw AS (
+  SELECT CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN CAST(year(o_orderdate) AS VARCHAR) || 's'
+    WHEN 1 THEN 'ca. ' || CAST(year(o_orderdate) AS VARCHAR)
+    WHEN 2 THEN CAST(o_orderkey % 2000 + 100 AS VARCHAR) || ' cal yr BP'
+    ELSE CAST(year(o_orderdate) AS VARCHAR) END AS y
+  FROM orders),
+cleaned AS (SELECT trim(replace(replace(lower(y), 'ca.', ''), 's', '')) AS c FROM raw),
+norm AS (
+  SELECT CASE WHEN contains(c, 'cal')
+                   AND regexp_extract(replace(c, ' ', ''), '^(\d+)calyrbp', 1) <> ''
+    THEN CAST(1950 - CAST(regexp_extract(replace(c, ' ', ''), '^(\d+)calyrbp', 1) AS INT) AS VARCHAR)
+    ELSE c END AS y2
+  FROM cleaned)
+SELECT CAST(y2 AS BIGINT) AS year_norm, count(*) AS n FROM norm GROUP BY 1
+"""
+
+
+def q_dms_coordinate_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dms_to_dd both regex arms (`_parser.py:718-763`): synthesize DD
+    ('45.5°N') and DMS ('45°30'15"N') strings from customer keys, parse
+    them back to signed decimal degrees with vectorized regexp arithmetic."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    deg = (k % 80).cast("string")
+    minu = (k % 60).cast("string")
+    sec = ((k * 7) % 60).cast("string")
+    frac = (k % 10).cast("string")
+    direction = F.when(k % 4 < 2, F.lit("N")).otherwise(F.lit("S"))
+    raw = F.when(
+        k % 2 == 0,
+        F.concat(deg, F.lit("."), frac, F.lit("°"), direction),
+    ).otherwise(
+        F.concat(deg, F.lit("°"), minu, F.lit("'"), sec, F.lit('"'), direction)
+    )
+    dd_num = F.regexp_extract(raw, r"^([0-9.]+)°([NSWE])$", 1)
+    dd_dir = F.regexp_extract(raw, r"^([0-9.]+)°([NSWE])$", 2)
+    dms1 = F.regexp_extract(raw, "^(\\d+)°(\\d+)'([0-9.]+)\"([NSWE])$", 1)
+    dms2 = F.regexp_extract(raw, "^(\\d+)°(\\d+)'([0-9.]+)\"([NSWE])$", 2)
+    dms3 = F.regexp_extract(raw, "^(\\d+)°(\\d+)'([0-9.]+)\"([NSWE])$", 3)
+    dms4 = F.regexp_extract(raw, "^(\\d+)°(\\d+)'([0-9.]+)\"([NSWE])$", 4)
+    sign_dd = F.when(dd_dir.isin("S", "W"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    sign_dms = F.when(dms4.isin("S", "W"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    val = F.when(dd_num != "", dd_num.cast("double") * sign_dd).otherwise(
+        (
+            dms1.cast("double")
+            + dms2.cast("double") / 60
+            + dms3.cast("double") / 3600
+        )
+        * sign_dms
+    )
+    return c.select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.round(val, 6).alias("lat_dd"),
+    )
+
+
+def sql_dms_coordinate_parse() -> str:
+    return r"""
+WITH raw AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 2 = 0
+      THEN CAST(c_custkey % 80 AS VARCHAR) || '.' || CAST(c_custkey % 10 AS VARCHAR)
+           || '°' || (CASE WHEN c_custkey % 4 < 2 THEN 'N' ELSE 'S' END)
+      ELSE CAST(c_custkey % 80 AS VARCHAR) || '°' || CAST(c_custkey % 60 AS VARCHAR)
+           || chr(39) || CAST((c_custkey * 7) % 60 AS VARCHAR) || '"'
+           || (CASE WHEN c_custkey % 4 < 2 THEN 'N' ELSE 'S' END)
+    END AS s
+  FROM customer)
+SELECT CAST(c_custkey AS BIGINT) AS custkey,
+  round(
+    CASE WHEN regexp_extract(s, '^([0-9.]+)°([NSWE])$', 1) <> ''
+      THEN CAST(regexp_extract(s, '^([0-9.]+)°([NSWE])$', 1) AS DOUBLE)
+           * (CASE WHEN regexp_extract(s, '^([0-9.]+)°([NSWE])$', 2) IN ('S','W') THEN -1.0 ELSE 1.0 END)
+      ELSE (CAST(regexp_extract(s, '^(\d+)°(\d+)''([0-9.]+)"([NSWE])$', 1) AS DOUBLE)
+            + CAST(regexp_extract(s, '^(\d+)°(\d+)''([0-9.]+)"([NSWE])$', 2) AS DOUBLE) / 60
+            + CAST(regexp_extract(s, '^(\d+)°(\d+)''([0-9.]+)"([NSWE])$', 3) AS DOUBLE) / 3600)
+           * (CASE WHEN regexp_extract(s, '^(\d+)°(\d+)''([0-9.]+)"([NSWE])$', 4) IN ('S','W') THEN -1.0 ELSE 1.0 END)
+    END, 6) AS lat_dd
+FROM raw
+"""
+
+
+def q_source_whitelist_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-validity projection (`_parser.py:1291-1296`): intersect a
+    comma-joined source list with the 7-item whitelist via array_intersect."""
+    wl = gates.VALID_SOURCES
+    arr = F.array(*[F.lit(s) for s in wl])
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pick1 = F.element_at(arr, (k % 7).cast("int") + 1)
+    pick2 = F.when(k % 3 == 0, F.lit("satellite imagery")).otherwise(
+        F.element_at(arr, ((k * 2) % 7).cast("int") + 1)
+    )
+    multi = F.concat_ws(", ", pick1, pick2)
+    valid = gates.source_whitelist(multi)
+    return d.select(
+        k.cast("long").alias("doc_id"),
+        F.array_join(F.array_sort(valid), "|").alias("valid_sources"),
+    )
+
+
+def sql_source_whitelist_intersect() -> str:
+    wl_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in gates.VALID_SOURCES)
+    return f"""
+WITH built AS (
+  SELECT doc_id, [{wl_sql}] AS arr,
+    ([{wl_sql}])[CAST(doc_id % 7 AS INT) + 1] || ', ' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'satellite imagery'
+          ELSE ([{wl_sql}])[CAST((doc_id * 2) % 7 AS INT) + 1] END) AS multi
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  array_to_string(
+    list_sort(list_distinct(list_intersect(
+      list_transform(regexp_split_to_array(lower(multi), ','), s -> trim(s)),
+      arr))), '|') AS valid_sources
+FROM built
+"""
+
+
+def q_first_long_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match short-circuit (`_parser.py:1274-1289` chunk scan): first
+    element of a filtered array — no explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    first = F.try_element_at(F.filter(words, lambda w: F.length(w) >= 6), F.lit(1))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        first.alias("first_long_word"),
+    )
+
+
+def sql_first_long_word() -> str:
+    return r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              w -> length(w) >= 6)[1] AS first_long_word
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # queries — no SQL twin (driver records rows-only check)
 # --------------------------------------------------------------------------
 
@@ -827,6 +1093,64 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy token-budget chunker (`_parser.py:656-716`) as a
+    mapInPandas stage: per doc, number of chunks and max chunk token count
+    under a small budget (forces the ×0.95 backoff loop to run)."""
+    import pandas as pd
+
+    from pdf_parser_spark.functions.tokens import build_chunk_group, estimate_tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def gen(it):
+        for pdf in it:
+            groups = [
+                build_chunk_group("SYS: ", t or "", max_context_length=80)
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chunks": [len(g) for g in groups],
+                    "max_chunk_tokens": [
+                        max(estimate_tokens(sm + ch) for sm, ch in g) if g else 0
+                        for g in groups
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        gen, "doc_id long, n_chunks long, max_chunk_tokens long"
+    )
+
+
+def q_geo_resolve_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full enrichment loop (`_parser.py:617-640`): broadcast-join the geo
+    cache, resolve DISTINCT misses via the pluggable (fake) geocoder, join
+    back. Deterministic fake → stable rows; no SQL twin (sha256 kernel)."""
+    from pdf_parser_spark.operators.enrich import fake_geocoder
+
+    cache = spark.createDataFrame(
+        [
+            (f"src{i}", -20.0 + 10.5 * i, 5.0 + 3.25 * i, f"state_{i}")
+            for i in range(5)
+        ],
+        "location string, latitude double, longitude double, state string",
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("location")
+    )
+    out = geo.resolve_misses(d, cache, fake_geocoder)
+    return (
+        out.select("location", "latitude", "longitude", "state")
+        .distinct()
+        .orderBy("location")
+    )
+
+
 def q_extract_interleaved_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel over docs WITH media spans (passthrough + scanned paths)."""
     docs = interleaved_from_documents(spark, sf_dir, media_every=4)
@@ -866,7 +1190,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "queue_pending_batch": q_queue_pending_batch,
+    "checkpoint_merge_upsert": q_checkpoint_merge_upsert,
+    "geo_broadcast_enrich": q_geo_broadcast_enrich,
+    "year_normalization": q_year_normalization,
+    "dms_coordinate_parse": q_dms_coordinate_parse,
+    "source_whitelist_intersect": q_source_whitelist_intersect,
+    "first_long_word": q_first_long_word,
     # rows-only (no SQL twin)
+    "chunk_documents": q_chunk_documents,
+    "geo_resolve_misses": q_geo_resolve_misses,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_clusters": q_simhash_clusters,
     "ivf_topk": q_ivf_topk,
@@ -901,4 +1234,11 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
     "ann_cosine_topk": sql_ann_cosine_topk(),
     "embedding_near_dup_pairs": sql_embedding_near_dup_pairs(),
+    "queue_pending_batch": sql_queue_pending_batch(),
+    "checkpoint_merge_upsert": sql_checkpoint_merge_upsert(),
+    "geo_broadcast_enrich": sql_geo_broadcast_enrich(),
+    "year_normalization": sql_year_normalization(),
+    "dms_coordinate_parse": sql_dms_coordinate_parse(),
+    "source_whitelist_intersect": sql_source_whitelist_intersect(),
+    "first_long_word": sql_first_long_word(),
 }

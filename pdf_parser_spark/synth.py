@@ -147,20 +147,22 @@ DOC_CLASSES = {
 }
 
 
+def make_doc(i: int, seed: int = 42) -> dict:
+    """Generate document #i — deterministic per (i, seed), so any index
+    subset can be generated independently (this is what makes distributed
+    corpus generation possible: each Spark task owns an index range)."""
+    classes = list(DOC_CLASSES)
+    rng = random.Random((seed << 20) ^ i)
+    cls = classes[i % len(classes)]
+    # heavy tail: every 50th doc is a straggler (exercises salting)
+    scale = 100 if (i % 50 == 17 and cls == "single_column") else 1
+    doc_id = f"doc-{i:06d}"
+    return {"doc_id": doc_id, "doc_class": cls, "spans": DOC_CLASSES[cls](doc_id, rng, scale)}
+
+
 def make_docs(n_docs: int, seed: int = 42) -> list[dict]:
     """Generate n_docs interleaved documents; ~2% are 100x-scale stragglers."""
-    out = []
-    classes = list(DOC_CLASSES)
-    for i in range(n_docs):
-        rng = random.Random((seed << 20) ^ i)
-        cls = classes[i % len(classes)]
-        # heavy tail: every 50th doc is a straggler (exercises salting)
-        scale = 100 if (i % 50 == 17 and cls == "single_column") else 1
-        doc_id = f"doc-{i:06d}"
-        out.append(
-            {"doc_id": doc_id, "doc_class": cls, "spans": DOC_CLASSES[cls](doc_id, rng, scale)}
-        )
-    return out
+    return [make_doc(i, seed) for i in range(n_docs)]
 
 
 def docs_to_spark_rows(docs: list[dict]) -> list[tuple]:
