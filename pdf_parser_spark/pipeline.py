@@ -116,12 +116,39 @@ class SnapshotLog:
                 out[int(b)] = int(m["snapshot_id"])
         return out
 
-    def commit(self, buckets: list[int], snapshot_id: int | None = None) -> int:
+    def n_buckets(self) -> int | None:
+        """Bucket-space size this log was created with (None if empty).
+
+        Bucket IDs are only meaningful within a fixed n_buckets: resuming the
+        same output with a different bucket count would silently reinterpret
+        committed IDs and re-extract (or skip) documents.
+        """
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    m = json.load(f)
+                if "n_buckets" in m:
+                    return int(m["n_buckets"])
+        return None
+
+    def commit(
+        self,
+        buckets: list[int],
+        snapshot_id: int | None = None,
+        n_buckets: int | None = None,
+    ) -> int:
         snapshot_id = snapshot_id if snapshot_id is not None else time.time_ns()
         path = os.path.join(self.manifest_dir, f"{snapshot_id}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"snapshot_id": snapshot_id, "buckets": sorted(buckets)}, f)
+            json.dump(
+                {
+                    "snapshot_id": snapshot_id,
+                    "buckets": sorted(buckets),
+                    "n_buckets": n_buckets,
+                },
+                f,
+            )
         os.replace(tmp, path)  # atomic: a crash never leaves a half manifest
         return snapshot_id
 
@@ -146,6 +173,13 @@ def run_with_resume(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     log = SnapshotLog(output_root)
+    logged_n = log.n_buckets()
+    if logged_n is not None and logged_n != n_buckets:
+        raise ValueError(
+            f"output {output_root} was committed with n_buckets={logged_n}; "
+            f"resuming with n_buckets={n_buckets} would reinterpret committed "
+            f"bucket IDs and duplicate/skip documents. Pass n_buckets={logged_n}."
+        )
     committed = list(log.committed_buckets())
 
     bucketed = with_size_bucket(docs_df, n_buckets)
@@ -189,5 +223,5 @@ def run_with_resume(
     )
 
     n_docs = committed_kout.select("doc_id").distinct().count()
-    snap = log.commit(pending)
+    snap = log.commit(pending, n_buckets=n_buckets)
     return {"committed": sorted(pending), "snapshot_id": snap, "docs": n_docs}

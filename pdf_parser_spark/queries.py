@@ -1043,6 +1043,136 @@ FROM documents
 """
 
 
+def q_year_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-scaffold merge (`_parser.py:1096-1109`, the reference's disabled
+    gap-fill): per key, explode sequence(min_year, max_year), left-join the
+    observed years, coalesce absent flags to 0."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    obs = o.select(
+        "o_custkey", F.year("o_orderdate").alias("year")
+    ).distinct()
+    span = obs.groupBy("o_custkey").agg(
+        F.min("year").alias("y_min"), F.max("year").alias("y_max")
+    )
+    scaffold = span.select(
+        "o_custkey", F.explode(F.sequence("y_min", "y_max")).alias("year")
+    )
+    present = obs.withColumn("present", F.lit(1))
+    return (
+        scaffold.join(present, ["o_custkey", "year"], "left")
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("year").cast("long").alias("year"),
+            F.coalesce("present", F.lit(0)).cast("long").alias("present"),
+        )
+    )
+
+
+def sql_year_gap_fill() -> str:
+    return """
+WITH obs AS (
+  SELECT DISTINCT o_custkey, year(o_orderdate) AS year FROM orders WHERE o_custkey < 100),
+span AS (
+  SELECT o_custkey, min(year) AS y_min, max(year) AS y_max FROM obs GROUP BY o_custkey),
+scaffold AS (
+  SELECT o_custkey, unnest(generate_series(y_min, y_max)) AS year FROM span)
+SELECT CAST(s.o_custkey AS BIGINT) AS custkey, CAST(s.year AS BIGINT) AS year,
+       CAST(CASE WHEN o.year IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS present
+FROM scaffold s LEFT JOIN obs o ON s.o_custkey = o.o_custkey AND s.year = o.year
+"""
+
+
+def q_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-tolerant fuzzy key match (`Testing/regex_test.py:3-13`): the key's
+    characters separated by `[-\\s]*` — matches hyphen/whitespace-broken
+    occurrences in scanned text."""
+    key = "outbreak"
+    pattern = "[-\\s]*".join(list(key))
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang"),
+            F.lower(F.col("text")).rlike(pattern).cast("long").alias("matched"),
+        )
+        .groupBy("lang", "matched")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_fuzzy_key_match() -> str:
+    key = "outbreak"
+    pattern = "[-\\s]*".join(list(key))
+    return f"""
+SELECT lang, CAST(regexp_matches(lower(text), '{pattern}') AS BIGINT) AS matched,
+       count(*) AS n
+FROM documents GROUP BY lang, matched
+"""
+
+
+def q_bb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box → great-circle midpoint (`_parser.py:765-813`), fully
+    JVM-side: regexp-extract the four DD coordinates, spherical-midpoint
+    trigonometry with built-in functions (no Python in the plan)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    lat1d = (k % 60).cast("double")
+    lat2d = lat1d + (k % 7).cast("double") + 1
+    lon1d = (k % 150).cast("double")
+    lon2d = lon1d + (k % 11).cast("double") + 1
+    bb = F.concat(
+        lat1d.cast("int").cast("string"), F.lit("°N-"),
+        lat2d.cast("int").cast("string"), F.lit("°N, "),
+        lon1d.cast("int").cast("string"), F.lit("°E-"),
+        lon2d.cast("int").cast("string"), F.lit("°E"),
+    )
+    pat = r"^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$"
+    lat1 = F.radians(F.regexp_extract(bb, pat, 1).cast("double"))
+    lat2 = F.radians(F.regexp_extract(bb, pat, 2).cast("double"))
+    lon1 = F.radians(F.regexp_extract(bb, pat, 3).cast("double"))
+    lon2 = F.radians(F.regexp_extract(bb, pat, 4).cast("double"))
+    bx = F.cos(lat2) * F.cos(lon2 - lon1)
+    by = F.cos(lat2) * F.sin(lon2 - lon1)
+    lat_m = F.atan2(
+        F.sin(lat1) + F.sin(lat2),
+        F.sqrt((F.cos(lat1) + bx) * (F.cos(lat1) + bx) + by * by),
+    )
+    lon_m = lon1 + F.atan2(by, F.cos(lat1) + bx)
+    return c.select(
+        k.cast("long").alias("custkey"),
+        F.round(F.degrees(lat_m), 6).alias("lat_mid"),
+        F.round(F.degrees(lon_m), 6).alias("lon_mid"),
+    )
+
+
+def sql_bb_centroid() -> str:
+    return r"""
+WITH bb AS (
+  SELECT c_custkey,
+    CAST(c_custkey % 60 AS DOUBLE) AS lat1d,
+    CAST(c_custkey % 60 AS DOUBLE) + CAST(c_custkey % 7 AS DOUBLE) + 1 AS lat2d,
+    CAST(c_custkey % 150 AS DOUBLE) AS lon1d,
+    CAST(c_custkey % 150 AS DOUBLE) + CAST(c_custkey % 11 AS DOUBLE) + 1 AS lon2d
+  FROM customer WHERE c_custkey < 500),
+parsed AS (
+  SELECT c_custkey,
+    radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 1) AS DOUBLE)) AS lat1,
+    radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 2) AS DOUBLE)) AS lat2,
+    radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 3) AS DOUBLE)) AS lon1,
+    radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 4) AS DOUBLE)) AS lon2
+  FROM (SELECT c_custkey,
+          CAST(CAST(lat1d AS INT) AS VARCHAR) || '°N-' || CAST(CAST(lat2d AS INT) AS VARCHAR)
+          || '°N, ' || CAST(CAST(lon1d AS INT) AS VARCHAR) || '°E-'
+          || CAST(CAST(lon2d AS INT) AS VARCHAR) || '°E' AS s
+        FROM bb))
+SELECT CAST(c_custkey AS BIGINT) AS custkey,
+  round(degrees(atan2(sin(lat1) + sin(lat2),
+        sqrt((cos(lat1) + cos(lat2) * cos(lon2 - lon1)) * (cos(lat1) + cos(lat2) * cos(lon2 - lon1))
+             + (cos(lat2) * sin(lon2 - lon1)) * (cos(lat2) * sin(lon2 - lon1))))), 6) AS lat_mid,
+  round(degrees(lon1 + atan2(cos(lat2) * sin(lon2 - lon1), cos(lat1) + cos(lat2) * cos(lon2 - lon1))), 6) AS lon_mid
+FROM parsed
+"""
+
+
 # --------------------------------------------------------------------------
 # queries — no SQL twin (driver records rows-only check)
 # --------------------------------------------------------------------------
@@ -1197,6 +1327,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dms_coordinate_parse": q_dms_coordinate_parse,
     "source_whitelist_intersect": q_source_whitelist_intersect,
     "first_long_word": q_first_long_word,
+    "year_gap_fill": q_year_gap_fill,
+    "fuzzy_key_match": q_fuzzy_key_match,
+    "bb_centroid": q_bb_centroid,
     # rows-only (no SQL twin)
     "chunk_documents": q_chunk_documents,
     "geo_resolve_misses": q_geo_resolve_misses,
@@ -1241,4 +1374,7 @@ ORACLES: dict[str, str] = {
     "dms_coordinate_parse": sql_dms_coordinate_parse(),
     "source_whitelist_intersect": sql_source_whitelist_intersect(),
     "first_long_word": sql_first_long_word(),
+    "year_gap_fill": sql_year_gap_fill(),
+    "fuzzy_key_match": sql_fuzzy_key_match(),
+    "bb_centroid": sql_bb_centroid(),
 }

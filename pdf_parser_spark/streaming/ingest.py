@@ -1,0 +1,71 @@
+"""Structured Streaming incremental ingest for the extraction pipeline.
+
+The reference is a bounded batch over a file list (`_parser.py:1734`) with a
+CSV work queue for resume (`_parser.py:1581`); SURVEY.md §2j therefore maps
+resume to snapshot-diff, not a state store. This module adds the Spark-native
+*continuous arrival* variant of the same contract: new document files landing
+in a directory are picked up exactly once (the file-source's checkpointed file
+log plays the role of the reference's `been_processed` column), run through
+the SAME extraction kernel, and appended to spans_out.
+
+Design notes for 10^12-doc scale:
+- `foreachBatch` reuses the batch pipeline (salted size-bucketed repartition
+  + mapInPandas kernel), so skew handling and lineage/metrics are identical
+  between batch and streaming — one kernel, two drivers.
+- `Trigger.AvailableNow` drains everything currently available and stops:
+  the idiomatic "resumable batch" — repeated invocations process only new
+  files, which is exactly the reference's queue semantics with ACID file
+  tracking instead of a rewritten CSV.
+- `maxFilesPerTrigger` bounds per-micro-batch work (the reference's
+  2000-doc batch cap, `_parser.py:1729`).
+- No watermarks/event-time aggregation: extraction is per-document, so the
+  stream is stateless; state lives only in the file-source log.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from pdf_parser_spark import pipeline
+from pdf_parser_spark.schemas import DOCS_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    max_files_per_trigger: int | None = None,
+    num_partitions: int | None = None,
+) -> int:
+    """Drain all currently-available new document files through the kernel.
+
+    Returns the number of micro-batches processed. Re-invoking with the same
+    ``output_root`` processes only files not yet recorded in the stream
+    checkpoint (exactly-once per file).
+    """
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    spans_path = os.path.join(output_root, "spans_out")
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_path)
+
+    n_batches = {"n": 0}
+
+    def process(batch_df, batch_id: int) -> None:
+        spans, _lineage, _metrics = pipeline.extract(
+            batch_df, num_partitions=num_partitions
+        )
+        spans.write.mode("append").parquet(spans_path)
+        n_batches["n"] += 1
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

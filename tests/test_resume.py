@@ -49,6 +49,20 @@ def test_resume_no_dups_full_coverage(spark, tmp_path):
     )
 
 
+def test_resume_rejects_bucket_space_change(spark, tmp_path):
+    """Resuming the same output with a different n_buckets must fail loudly:
+    bucket IDs are only meaningful within a fixed bucket space, and silently
+    reinterpreting them re-extracts (or skips) documents."""
+    import pytest
+
+    docs = synth.make_docs(20, seed=17)
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    root = str(tmp_path / "out3")
+    pipeline.run_with_resume(spark, df, root, n_buckets=8, num_partitions=2)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        pipeline.run_with_resume(spark, df, root, n_buckets=64, num_partitions=2)
+
+
 def test_rerun_bucket_is_idempotent(spark, tmp_path):
     """Simulate a task/bucket re-run: delete a manifest and run again —
     dynamic partition overwrite must leave exactly one copy."""

@@ -1,0 +1,48 @@
+"""Structured Streaming incremental ingest: new files processed exactly once
+through the SAME kernel, output golden-equal to the batch path (SURVEY.md §2j
+resume contract, Spark-native continuous-arrival variant)."""
+
+import os
+
+from pdf_parser_spark import golden, synth
+from pdf_parser_spark.schemas import DOCS_SCHEMA
+from pdf_parser_spark.streaming import stream_extract
+
+
+def _write_docs(spark, docs, path):
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    df.coalesce(2).write.mode("append").parquet(path)
+
+
+def _collect_spans(spark, root):
+    out = spark.read.parquet(os.path.join(root, "spans_out"))
+    return sorted(
+        (r.doc_id, r.kind, r.text, r.media_ref, r["order"])
+        for r in out.select("doc_id", "kind", "text", "media_ref", "order").collect()
+    )
+
+
+def test_stream_extract_exactly_once(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    root = str(tmp_path / "out")
+    first = synth.make_docs(24, seed=21)
+    _write_docs(spark, first, inbox)
+
+    n1 = stream_extract(spark, inbox, root, num_partitions=4)
+    assert n1 >= 1
+    assert _collect_spans(spark, root) == sorted(golden.golden_spans(first))
+
+    # second drain with nothing new: no duplicates appended
+    stream_extract(spark, inbox, root, num_partitions=4)
+    assert _collect_spans(spark, root) == sorted(golden.golden_spans(first))
+
+    # new files arrive → only they are processed, union is complete
+    more = [
+        {**d, "doc_id": "late-" + d["doc_id"]}
+        for d in synth.make_docs(12, seed=22)
+    ]
+    _write_docs(spark, more, inbox)
+    stream_extract(spark, inbox, root, num_partitions=4)
+    assert _collect_spans(spark, root) == sorted(
+        golden.golden_spans(first) + golden.golden_spans(more)
+    )
