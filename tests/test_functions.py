@@ -167,3 +167,22 @@ def test_chunker_budget_and_coverage():
 def test_chunker_single_chunk_mode():
     chunks = build_chunk_group("S", "x" * 100_000, just_one_chunk=True)
     assert len(chunks) == 1
+
+
+def test_cleanup_batch_matches_scalar_and_nul_fallback():
+    """The NUL-joined batch cleanup must match per-row cleanup_text exactly,
+    including when a span itself contains NUL (fallback path)."""
+    from pdf_parser_spark.functions.text import cleanup_text
+    from pdf_parser_spark.kernel import _cleanup_batch
+
+    texts = [
+        "a  b-   c \t d",
+        "plain",
+        "",
+        "x - y –z  w",
+        "tab \t nl \n q",
+    ]
+    assert _cleanup_batch(texts) == [cleanup_text(t) for t in texts]
+
+    with_nul = ["a\x00b  c", "d-   e"]
+    assert _cleanup_batch(with_nul) == [cleanup_text(t) for t in with_nul]

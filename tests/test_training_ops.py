@@ -136,6 +136,24 @@ def test_detect_language(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
 
 
+def test_detect_language_tie_breaks_earliest(spark):
+    """Equal scores must resolve to the alphabetically-first language (the
+    fold semantics the DuckDB oracle mirrors) — regression guard for the
+    argmax-over-structs rewrite."""
+    rows = [
+        (1, " the der "),  # en == de, 1 marker each → 'de' (earliest)
+        (2, " le el "),    # fr == es → 'es'
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.lang
+        for r in df.select(
+            "id", textqc.detect_language(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "de", 2: "es"}
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([(1, "a b  c\td"), (2, ""), (3, "   ")], "id int, text string")
     got = {r.id: r.n for r in df.select("id", textqc.token_count(F.col("text")).alias("n")).collect()}
