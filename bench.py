@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "quality_scores",
     "lang_id_confusion",
     "ann_cosine_topk",
+    "geo_broadcast_enrich",
+    "year_normalization",
+    "bb_centroid",
 ]
 
 

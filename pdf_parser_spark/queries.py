@@ -1043,6 +1043,53 @@ FROM documents
 """
 
 
+def q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lineage rows from the SAME kernel pass (north rule's
+    per-partition lineage + span/byte counters): for text-only docs each doc
+    yields one span whose byte_count is the windowed+cleaned text length."""
+    docs = interleaved_from_documents(spark, sf_dir, media_every=0)
+    _spans, lineage, _metrics = pipeline.extract(docs)
+    return lineage.select(
+        "doc_id",
+        F.col("span_count").cast("long").alias("span_count"),
+        F.col("byte_count").cast("long").alias("byte_count"),
+    )
+
+
+def sql_extract_lineage() -> str:
+    body = _window_sql(_clean_sql("text"))
+    return (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"CAST(1 AS BIGINT) AS span_count, "
+        f"CAST(length({body}) AS BIGINT) AS byte_count FROM documents"
+    )
+
+
+def q_extract_from_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-per-row input shape → docs_from_span_rows (pure-Catalyst
+    reassembly, one shuffle) → the same kernel. Output equals
+    extract_kernel_spans, so the oracle is shared semantics."""
+    from pdf_parser_spark.sources.corpus import docs_from_span_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    span_rows = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    docs = docs_from_span_rows(span_rows)
+    spans, _, _ = pipeline.extract(docs)
+    return spans.select(
+        "doc_id", "kind", "text", "media_ref", F.col("order").cast("long").alias("ord")
+    )
+
+
+def sql_extract_from_span_rows() -> str:
+    return sql_extract_kernel_spans()
+
+
 def q_year_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-scaffold merge (`_parser.py:1096-1109`, the reference's disabled
     gap-fill): per key, explode sequence(min_year, max_year), left-join the
@@ -1330,6 +1377,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "year_gap_fill": q_year_gap_fill,
     "fuzzy_key_match": q_fuzzy_key_match,
     "bb_centroid": q_bb_centroid,
+    "extract_lineage": q_extract_lineage,
+    "extract_from_span_rows": q_extract_from_span_rows,
     # rows-only (no SQL twin)
     "chunk_documents": q_chunk_documents,
     "geo_resolve_misses": q_geo_resolve_misses,
@@ -1377,4 +1426,6 @@ ORACLES: dict[str, str] = {
     "year_gap_fill": sql_year_gap_fill(),
     "fuzzy_key_match": sql_fuzzy_key_match(),
     "bb_centroid": sql_bb_centroid(),
+    "extract_lineage": sql_extract_lineage(),
+    "extract_from_span_rows": sql_extract_from_span_rows(),
 }

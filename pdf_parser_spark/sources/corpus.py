@@ -59,3 +59,31 @@ def interleaved_from_documents(
     else:
         spans = F.array(text_span)
     return docs.select(did.alias("doc_id"), spans.alias("spans"))
+
+
+def docs_from_span_rows(span_rows: DataFrame) -> DataFrame:
+    """Exploded span rows (doc_id, kind, text, media_ref, offset) → the
+    kernel's input shape (doc_id, spans array<struct>), offset-ordered.
+
+    Pure Catalyst — collect_list + array_sort with offset leading the sort
+    struct, then reshaped; no grouped-map Python needed to reassemble
+    documents. This is the adapter for corpora stored span-per-row (the
+    natural shape of an incremental span store): ONE shuffle on doc_id.
+    """
+    tmp = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref")
+            )
+        )
+    )
+    spans = F.transform(
+        tmp,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return span_rows.groupBy("doc_id").agg(spans.alias("spans"))
