@@ -62,6 +62,33 @@ def parse_coordinates(coordinates: str) -> tuple[float | None, float | None]:
 
 
 _BB_RE = re.compile(r"(.+?)-(.+?),\s*(.+?)-(.+)")
+_HAS_DIGIT_RE = re.compile(r"[0-9]")
+
+
+def classify_coordinates(s: str) -> str:
+    """Deterministic coordinate-format classifier — replaces the reference's
+    LLM router in ``clean_coordinates`` (`_parser.py:842-899`, prompts
+    `_parser.py:1610-1618`): 'none' (no digits, `_parser.py:862-866`),
+    'bb' (two dash-ranges), 'dms' (minute/second marks), else 'dd'."""
+    if not _HAS_DIGIT_RE.search(s):
+        return "none"
+    if _BB_RE.match(s) and s.count("-") >= 2:
+        return "bb"
+    if "'" in s or '"' in s:
+        return "dms"
+    return "dd"
+
+
+def clean_coordinates(s: str) -> tuple[float | None, float | None]:
+    """Classify then route to the matching parser (the reference's
+    dispatcher, deterministic): bb → centroid, dms/dd → pair parse,
+    none → (None, None)."""
+    fmt = classify_coordinates(s)
+    if fmt == "none":
+        return (None, None)
+    if fmt == "bb":
+        return bb_centroid(s) or (None, None)
+    return parse_coordinates(s)
 
 
 def bb_centroid(bounding_box: str) -> tuple[float, float] | None:

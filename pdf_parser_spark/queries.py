@@ -1043,6 +1043,126 @@ FROM documents
 """
 
 
+def q_coordinate_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean_coordinates dispatcher (`_parser.py:842-899`) relationally:
+    classify each string (none/bb/dms/dd, the deterministic replacement for
+    the reference's LLM router) and route to the matching parser; output the
+    parsed latitude."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    k = F.col("c_custkey")
+    d1 = (k % 60).cast("string")
+    d2 = (k % 60 + k % 7 + 1).cast("string")
+    l1 = (k % 150).cast("string")
+    l2 = (k % 150 + k % 11 + 1).cast("string")
+    minu = (k % 60).cast("string")
+    sec = ((k * 7) % 60).cast("string")
+    frac = (k % 10).cast("string")
+    form = k % 4
+    raw = (
+        F.when(
+            form == 0,
+            F.concat(d1, F.lit("°N-"), d2, F.lit("°N, "), l1, F.lit("°E-"), l2, F.lit("°E")),
+        )
+        .when(
+            form == 1,
+            F.concat(d1, F.lit("°"), minu, F.lit("'"), sec, F.lit('"'), F.lit("N, "),
+                     l1, F.lit("°"), minu, F.lit("'"), sec, F.lit('"'), F.lit("E")),
+        )
+        .when(form == 2, F.concat(d1, F.lit("."), frac, F.lit("°N, "), l1, F.lit("."), frac, F.lit("°E")))
+        .otherwise(F.lit("no coordinates reported"))
+    )
+    # classifier: none (no digits) / bb (dash ranges) / dms (minute marks) / dd
+    fmt = (
+        F.when(~raw.rlike("[0-9]"), "none")
+        .when(raw.rlike("^.+?-.+?, .+?-.+$"), "bb")
+        .when(raw.contains("'") | raw.contains('"'), "dms")
+        .otherwise("dd")
+    )
+    bbp = r"^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$"
+    blat1 = F.radians(F.regexp_extract(raw, bbp, 1).cast("double"))
+    blat2 = F.radians(F.regexp_extract(raw, bbp, 2).cast("double"))
+    blon1 = F.radians(F.regexp_extract(raw, bbp, 3).cast("double"))
+    blon2 = F.radians(F.regexp_extract(raw, bbp, 4).cast("double"))
+    bx = F.cos(blat2) * F.cos(blon2 - blon1)
+    by = F.cos(blat2) * F.sin(blon2 - blon1)
+    bb_lat = F.degrees(
+        F.atan2(
+            F.sin(blat1) + F.sin(blat2),
+            F.sqrt((F.cos(blat1) + bx) * (F.cos(blat1) + bx) + by * by),
+        )
+    )
+    dmsp = "^(\\d+)°(\\d+)'(\\d+)\"N, .*$"
+    dms_lat = (
+        F.regexp_extract(raw, dmsp, 1).cast("double")
+        + F.regexp_extract(raw, dmsp, 2).cast("double") / 60
+        + F.regexp_extract(raw, dmsp, 3).cast("double") / 3600
+    )
+    ddp = r"^([0-9.]+)°N, .*$"
+    dd_lat = F.regexp_extract(raw, ddp, 1).cast("double")
+    lat = (
+        F.when(fmt == "bb", bb_lat)
+        .when(fmt == "dms", dms_lat)
+        .when(fmt == "dd", dd_lat)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return c.select(
+        k.cast("long").alias("custkey"),
+        fmt.alias("fmt"),
+        F.round(lat, 6).alias("lat"),
+    )
+
+
+def sql_coordinate_dispatch() -> str:
+    return r"""
+WITH raw AS (
+  SELECT c_custkey,
+    CASE CAST(c_custkey % 4 AS INT)
+      WHEN 0 THEN CAST(c_custkey % 60 AS VARCHAR) || '°N-' || CAST(c_custkey % 60 + c_custkey % 7 + 1 AS VARCHAR)
+                  || '°N, ' || CAST(c_custkey % 150 AS VARCHAR) || '°E-' || CAST(c_custkey % 150 + c_custkey % 11 + 1 AS VARCHAR) || '°E'
+      WHEN 1 THEN CAST(c_custkey % 60 AS VARCHAR) || '°' || CAST(c_custkey % 60 AS VARCHAR) || chr(39)
+                  || CAST((c_custkey * 7) % 60 AS VARCHAR) || '"' || 'N, '
+                  || CAST(c_custkey % 150 AS VARCHAR) || '°' || CAST(c_custkey % 60 AS VARCHAR) || chr(39)
+                  || CAST((c_custkey * 7) % 60 AS VARCHAR) || '"' || 'E'
+      WHEN 2 THEN CAST(c_custkey % 60 AS VARCHAR) || '.' || CAST(c_custkey % 10 AS VARCHAR) || '°N, '
+                  || CAST(c_custkey % 150 AS VARCHAR) || '.' || CAST(c_custkey % 10 AS VARCHAR) || '°E'
+      ELSE 'no coordinates reported' END AS s
+  FROM customer WHERE c_custkey < 600),
+classified AS (
+  SELECT c_custkey, s,
+    CASE WHEN NOT regexp_matches(s, '[0-9]') THEN 'none'
+         WHEN regexp_matches(s, '^.+?-.+?, .+?-.+$') THEN 'bb'
+         WHEN contains(s, chr(39)) OR contains(s, '"') THEN 'dms'
+         ELSE 'dd' END AS fmt
+  FROM raw)
+SELECT CAST(c_custkey AS BIGINT) AS custkey, fmt,
+  round(CASE fmt
+    WHEN 'bb' THEN degrees(atan2(
+        sin(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 1) AS DOUBLE)))
+      + sin(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 2) AS DOUBLE))),
+      sqrt(
+        (cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 1) AS DOUBLE)))
+         + cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 2) AS DOUBLE)))
+           * cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 4) AS DOUBLE))
+                 - radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 3) AS DOUBLE))))
+        * (cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 1) AS DOUBLE)))
+           + cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 2) AS DOUBLE)))
+             * cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 4) AS DOUBLE))
+                   - radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 3) AS DOUBLE))))
+        + (cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 2) AS DOUBLE)))
+           * sin(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 4) AS DOUBLE))
+                 - radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 3) AS DOUBLE))))
+          * (cos(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 2) AS DOUBLE)))
+             * sin(radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 4) AS DOUBLE))
+                   - radians(CAST(regexp_extract(s, '^(\d+)°N-(\d+)°N, (\d+)°E-(\d+)°E$', 3) AS DOUBLE)))))))
+    WHEN 'dms' THEN CAST(regexp_extract(s, '^(\d+)°(\d+)''(\d+)"N, .*$', 1) AS DOUBLE)
+                  + CAST(regexp_extract(s, '^(\d+)°(\d+)''(\d+)"N, .*$', 2) AS DOUBLE) / 60
+                  + CAST(regexp_extract(s, '^(\d+)°(\d+)''(\d+)"N, .*$', 3) AS DOUBLE) / 3600
+    WHEN 'dd' THEN CAST(regexp_extract(s, '^([0-9.]+)°N, .*$', 1) AS DOUBLE)
+    ELSE NULL END, 6) AS lat
+FROM classified
+"""
+
+
 def q_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc lineage rows from the SAME kernel pass (north rule's
     per-partition lineage + span/byte counters): for text-only docs each doc
@@ -1379,6 +1499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bb_centroid": q_bb_centroid,
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
+    "coordinate_dispatch": q_coordinate_dispatch,
     # rows-only (no SQL twin)
     "chunk_documents": q_chunk_documents,
     "geo_resolve_misses": q_geo_resolve_misses,
@@ -1428,4 +1549,5 @@ ORACLES: dict[str, str] = {
     "bb_centroid": sql_bb_centroid(),
     "extract_lineage": sql_extract_lineage(),
     "extract_from_span_rows": sql_extract_from_span_rows(),
+    "coordinate_dispatch": sql_coordinate_dispatch(),
 }

@@ -186,3 +186,22 @@ def test_cleanup_batch_matches_scalar_and_nul_fallback():
 
     with_nul = ["a\x00b  c", "d-   e"]
     assert _cleanup_batch(with_nul) == [cleanup_text(t) for t in with_nul]
+
+
+def test_clean_coordinates_dispatcher():
+    """classify → route (the reference's clean_coordinates dispatcher,
+    `_parser.py:842-899`, with a deterministic classifier for the LLM router)."""
+    from pdf_parser_spark.functions.coords import classify_coordinates, clean_coordinates
+
+    assert classify_coordinates("no coordinates reported") == "none"
+    assert classify_coordinates("10°N-12°N, 20°E-25°E") == "bb"
+    assert classify_coordinates("45°30'15\"N, 9°10'30\"E") == "dms"
+    assert classify_coordinates("45.5°N, 9.2°E") == "dd"
+
+    assert clean_coordinates("junk text") == (None, None)
+    lat, lon = clean_coordinates("45.5°N, 9.2°E")
+    assert (lat, lon) == (45.5, 9.2)
+    lat, lon = clean_coordinates("45°30'0\"N, 9°0'0\"E")
+    assert abs(lat - 45.5) < 1e-9 and abs(lon - 9.0) < 1e-9
+    lat, lon = clean_coordinates("10°N-12°N, 20°E-20°E")
+    assert abs(lat - 11.0) < 1e-6 and abs(lon - 20.0) < 1e-6
