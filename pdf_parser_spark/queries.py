@@ -1457,6 +1457,28 @@ def q_extract_interleaved_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_extract_interleaved_media() -> str:
+    """Row-structure oracle for the interleaved kernel: every doc emits its
+    text span; media docs (doc_id%4=0) either take the scanned path
+    (text<100 chars → recovered-text + media pair after the text span) or
+    pass the media through — unless the main-content window cuts at the text
+    span (the text contains 'references'), which drops the trailing media."""
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, '' AS media_ref, CAST(0 AS BIGINT) AS ord
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text', '', CAST(1 AS BIGINT)
+FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', 'img-' || CAST(doc_id AS VARCHAR) || '-000', CAST(2 AS BIGINT)
+FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', 'img-' || CAST(doc_id AS VARCHAR) || '-000', CAST(1 AS BIGINT)
+FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 100
+  AND NOT contains(lower(text), 'references')
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1550,4 +1572,5 @@ ORACLES: dict[str, str] = {
     "extract_lineage": sql_extract_lineage(),
     "extract_from_span_rows": sql_extract_from_span_rows(),
     "coordinate_dispatch": sql_coordinate_dispatch(),
+    "extract_interleaved_media": sql_extract_interleaved_media(),
 }
