@@ -105,23 +105,56 @@ def _cleanup_batch(texts: list[str]) -> list[str]:
 
 
 def _extract_batch(pdf: pd.DataFrame, partition_id: int) -> pd.DataFrame:
+    """Pandas-input wrapper around the array kernel (kept for callers that
+    hold (doc_id, spans) pandas frames; the Spark path uses mapInArrow)."""
     t0 = time.perf_counter()
     flat = _explode_spans(pdf)
-    n = len(flat)
+    out = _extract_flat(
+        flat["doc_id"].to_numpy(),
+        flat["kind"].to_numpy(),
+        flat["text"].to_numpy(),
+        flat["media_ref"].to_numpy(),
+        flat["offset"].to_numpy(),
+    )
+    wall_us = int((time.perf_counter() - t0) * 1e6)
+    nrows = len(out["doc_id"])
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "kind": out["kind"],
+            "text": out["text"],
+            "media_ref": out["media_ref"],
+            "order": pd.array(np.asarray(out["order"], dtype=np.int32), dtype="int32"),
+            "partition_id": pd.array([partition_id] * nrows, dtype="int32"),
+            "wall_us": pd.array([wall_us] * nrows, dtype="int64"),
+        }
+    )
+
+
+def _extract_flat(
+    doc_np: np.ndarray,
+    kind_np: np.ndarray,
+    text_np: np.ndarray,
+    ref_np: np.ndarray,
+    off_np: np.ndarray,
+) -> dict[str, np.ndarray]:
+    """Core kernel over flat span arrays → output column arrays."""
+    n = len(doc_np)
     out_cols: dict[str, np.ndarray | list] = {
-        "doc_id": [],
-        "kind": [],
-        "text": [],
-        "media_ref": [],
-        "order": [],
+        "doc_id": np.empty(0, dtype=object),
+        "kind": np.empty(0, dtype=object),
+        "text": np.empty(0, dtype=object),
+        "media_ref": np.empty(0, dtype=object),
+        "order": np.empty(0, dtype=np.int64),
     }
     if n:
-        flat = flat.sort_values(["doc_id", "offset"], kind="stable").reset_index(
-            drop=True
-        )
-        kind_np = flat["kind"].to_numpy()
+        sort = np.lexsort((off_np, doc_np))
+        doc_np = doc_np[sort]
+        kind_np = kind_np[sort]
+        text_np = text_np[sort]
+        ref_np = ref_np[sort]
         is_text = kind_np == "text"
-        tser = flat["text"]
+        tser = pd.Series(text_np, dtype="object")
 
         # ---- layout metadata parse (prefix-filtered) ----
         page = np.full(n, np.nan)
@@ -170,21 +203,20 @@ def _extract_batch(pdf: pd.DataFrame, partition_id: int) -> pd.DataFrame:
             keys[:] = [p.strip() for p in parts]
             bp_np[has_layout] = keys
 
-        # ---- per-doc grouping (frame is sorted by doc_id) ----
+        # ---- per-doc grouping (arrays are sorted by doc_id) ----
         text_lens = tser.str.len().to_numpy() * is_text
-        g = flat.groupby("doc_id", sort=True)
-        starts = np.zeros(g.ngroups + 1, dtype=np.int64)
-        np.cumsum(g.size().to_numpy(), out=starts[1:])
-        doc_ids_u = list(g.groups.keys())
-        ref_np = flat["media_ref"].to_numpy()
+        change = np.nonzero(doc_np[1:] != doc_np[:-1])[0] + 1
+        starts = np.concatenate(([0], change, [n]))
+        ngroups = len(starts) - 1
+        doc_ids_u = doc_np[starts[:-1]]
 
         idx_parts: list[np.ndarray] = []  # flat-row index per output row
         code_parts: list[np.ndarray] = []  # 0 = emit text(cleaned), 1 = emit media
-        lengths = np.empty(g.ngroups, dtype=np.int64)
+        lengths = np.empty(ngroups, dtype=np.int64)
         truncations: list[tuple[int, int]] = []  # (global output row, cut pos)
         out_total = 0
 
-        for gi in range(g.ngroups):
+        for gi in range(ngroups):
             lo, hi = starts[gi], starts[gi + 1]
             idx = np.arange(lo, hi)
             text_total = int(text_lens[lo:hi].sum())
@@ -227,30 +259,18 @@ def _extract_batch(pdf: pd.DataFrame, partition_id: int) -> pd.DataFrame:
         texts = np.where(is_media_row, "", cleaned_np[cat_idx])
         for row, cut in truncations:
             texts[row] = texts[row][:cut]
-        out_cols["doc_id"] = np.repeat(np.asarray(doc_ids_u, dtype=object), lengths)
+        out_cols["doc_id"] = np.repeat(doc_ids_u, lengths)
         out_cols["kind"] = np.where(is_media_row, "media", "text")
         out_cols["text"] = texts
         out_cols["media_ref"] = np.where(is_media_row, ref_np[cat_idx], "")
         # per-doc 0-based order: global arange minus each doc's start offset
-        offs = np.zeros(g.ngroups, dtype=np.int64)
+        offs = np.zeros(ngroups, dtype=np.int64)
         np.cumsum(lengths[:-1], out=offs[1:])
         out_cols["order"] = np.arange(out_total, dtype=np.int64) - np.repeat(
             offs, lengths
         )
 
-    wall_us = int((time.perf_counter() - t0) * 1e6)
-    nrows = len(out_cols["doc_id"])
-    return pd.DataFrame(
-        {
-            "doc_id": out_cols["doc_id"],
-            "kind": out_cols["kind"],
-            "text": out_cols["text"],
-            "media_ref": out_cols["media_ref"],
-            "order": pd.array(np.asarray(out_cols["order"], dtype=np.int32), dtype="int32"),
-            "partition_id": pd.array([partition_id] * nrows, dtype="int32"),
-            "wall_us": pd.array([wall_us] * nrows, dtype="int64"),
-        }
-    )
+    return out_cols
 
 
 def _reading_order(
@@ -305,22 +325,70 @@ def _reading_order(
     return ordered
 
 
+def _extract_batch_arrow(batch, partition_id: int):
+    """Arrow-native batch path: flatten the spans ListArray zero-copy-ish
+    (no per-span Python dicts), run the array kernel, build the output
+    RecordBatch directly."""
+    import pyarrow as pa
+
+    t0 = time.perf_counter()
+    spans_col = batch.column(batch.schema.get_field_index("spans"))
+    offs = spans_col.offsets.to_numpy()
+    counts = np.diff(offs)
+    doc_ids = batch.column(batch.schema.get_field_index("doc_id")).to_numpy(
+        zero_copy_only=False
+    )
+    flat = spans_col.flatten()
+    kind_np = flat.field("kind").to_numpy(zero_copy_only=False)
+    text_np = flat.field("text").fill_null("").to_numpy(zero_copy_only=False)
+    ref_np = flat.field("media_ref").fill_null("").to_numpy(zero_copy_only=False)
+    off_np = flat.field("offset").to_numpy(zero_copy_only=False)
+
+    out = _extract_flat(
+        np.repeat(doc_ids, counts), kind_np, text_np, ref_np, off_np
+    )
+    wall_us = int((time.perf_counter() - t0) * 1e6)
+    nrows = len(out["doc_id"])
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(out["doc_id"], type=pa.string()),
+            pa.array(out["kind"], type=pa.string()),
+            pa.array(out["text"], type=pa.string()),
+            pa.array(out["media_ref"], type=pa.string()),
+            pa.array(np.asarray(out["order"], dtype=np.int32), type=pa.int32()),
+            pa.array(np.full(nrows, partition_id, dtype=np.int32), type=pa.int32()),
+            pa.array(np.full(nrows, wall_us, dtype=np.int64), type=pa.int64()),
+        ],
+        names=[
+            "doc_id",
+            "kind",
+            "text",
+            "media_ref",
+            "order",
+            "partition_id",
+            "wall_us",
+        ],
+    )
+
+
 def extract_spans(docs_df: DataFrame) -> DataFrame:
     """Run the extraction kernel: docs(doc_id, spans) → kernel output.
 
     The caller is responsible for partitioning (see pipeline.salted_repartition);
-    the kernel is pure and order-independent within a document.
+    the kernel is pure and order-independent within a document. Uses
+    ``mapInArrow`` so span structs are flattened as Arrow arrays instead of
+    materializing one Python dict per span.
     """
 
-    def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(iterator, _=None):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        for pdf in iterator:
-            if len(pdf):
-                yield _extract_batch(pdf, pid)
+        for batch in iterator:
+            if batch.num_rows:
+                yield _extract_batch_arrow(batch, pid)
 
-    return docs_df.mapInPandas(run, schema=KERNEL_OUT_SCHEMA)
+    return docs_df.mapInArrow(run, schema=KERNEL_OUT_SCHEMA)
 
 
 def spans_out(kernel_df: DataFrame) -> DataFrame:
