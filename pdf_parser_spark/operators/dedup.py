@@ -58,14 +58,27 @@ def word_shingles(text, n: int = 3):
     )
 
 
+def seeded_hash(col, k: int, portable: bool = False):
+    """Seeded 64-bit-ish hash of a string column. Default: xxhash64 with
+    seed k (cheapest JVM hash). Portable: md5 of "<s>#<k>" folded to a
+    60-bit long via conv — reproducible in any engine with md5, which is
+    how the DuckDB oracles value-check the sketch pipelines."""
+    if portable:
+        return F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{k}"))), 1, 15), 16, 10
+        ).cast("long")
+    return F.xxhash64(col, F.lit(k))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_words: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, sig array<long>): sig[k] = min over shingles of xxhash64(shingle, k).
+    """(id, sig array<long>): sig[k] = min over shingles of hash(shingle, k).
 
     Plan shape: explode shingles once, then ONE groupBy(id) with K min()
     aggregates — each shingle row is hashed K times in a single codegen'd
@@ -79,7 +92,7 @@ def minhash_signatures(
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
     )
     sig_aggs = [
-        F.min(F.xxhash64("shingle", F.lit(k))).alias(f"_h{k}")
+        F.min(seeded_hash(F.col("shingle"), k, portable)).alias(f"_h{k}")
         for k in range(num_hashes)
     ]
     agged = ex.groupBy(id_col).agg(*sig_aggs)
@@ -94,33 +107,33 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     num_hashes: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash).
 
     Returns distinct (a, b) with a < b. The join key cardinality is
     bands × docs, so the shuffle is linear in corpus size; only true bucket
-    collisions pair up.
+    collisions pair up. Portable mode keys buckets on the md5 hex of the
+    joined band (string key, engine-reproducible) instead of xxhash64.
     """
     n = num_hashes or sigs.select(F.size("sig")).first()[0]
     rows_per_band = n // bands
+
+    def band_key(b: int):
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        return F.md5(joined) if portable else F.xxhash64(joined).cast("string")
+
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band", "band_hash"
+        ),
     )
     left = banded.select(
         F.col(id_col).alias("a"), "band", "band_hash"
@@ -162,7 +175,7 @@ def jaccard_verify(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -173,10 +186,13 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash→LSH→Jaccard-verify pipeline: (a, b, jaccard)."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, portable=portable)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes=num_hashes, portable=portable
+    )
     return jaccard_verify(docs, pairs, id_col, text_col, threshold=threshold)
 
 
@@ -210,13 +226,63 @@ def simhash(text, bits: int = 64):
     return fp
 
 
+def simhash_agg(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, fingerprint) via explode + groupBy — the shape that scales.
+
+    Each token is hashed ONCE (JVM-side, codegen'd), and the per-bit votes
+    are SUM aggregates with map-side partial aggregation; the expression
+    variant ``simhash`` re-evaluates the token-hash array once per bit
+    inside one projection, which is fine for ad-hoc use but 32-64x more
+    hash work. ``portable=True`` swaps xxhash64 for the md5/conv 60-bit
+    hash so the DuckDB oracle reproduces fingerprints bit-for-bit.
+    """
+    if bits > 60 and portable:
+        raise ValueError("portable hash provides 60 usable bits")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    tok = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    if portable:
+        h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("w")
+    tok = tok.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agged = tok.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agged.select(F.col(id_col), fp.alias("fingerprint"))
+
+
 def simhash_dedup(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    agg: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Group identical SimHash fingerprints (near-dup clusters)."""
+    if agg or portable:
+        fps = simhash_agg(docs, id_col, text_col, min(bits, 60 if portable else bits), portable)
+    else:
+        fps = docs.withColumn("fingerprint", simhash(F.col(text_col), bits))
     return (
-        docs.withColumn("fingerprint", simhash(F.col(text_col), bits))
-        .groupBy("fingerprint")
+        fps.groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("cluster_size"))
     )
 

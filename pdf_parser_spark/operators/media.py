@@ -109,11 +109,18 @@ def extract_media_features(
 
 def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
     """Derive the media sidecar table from the docs spans (media spans →
-    one row each, deterministic fake metadata from the ref hash)."""
+    one row each, deterministic fake metadata from the ref hash).
+
+    The metadata hash is md5-based (conv of the first 15 hex chars → a
+    60-bit non-negative long) rather than xxhash64 so the derivation is
+    expressible identically in ANSI SQL — the DuckDB oracle recomputes it
+    and the driver value-checks the whole media pipeline. md5 here is one
+    projection over refs (tiny vs payload bytes), so portability costs
+    nothing at scale."""
     spans = docs_df.select(
         "doc_id", F.explode("spans").alias("s")
     ).filter(F.col("s.kind") == "media")
-    h = F.abs(F.xxhash64("s.media_ref"))
+    h = F.conv(F.substring(F.md5("s.media_ref"), 1, 15), 16, 10).cast("long")
     return spans.select(
         F.col("s.media_ref").alias("media_ref"),
         "doc_id",

@@ -152,19 +152,38 @@ def rolling_fingerprints(
     text_col: str = "text",
     window: int = 8,
     keep_mod: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing-style rolling fingerprints: hash every ``window``-word
-    shingle, keep hashes ≡ 0 (mod keep_mod) — a deterministic sketch whose
-    overlap estimates document similarity. Shuffle-free sketch per doc."""
+    shingle, keep ~1/keep_mod of them deterministically — a sketch whose
+    overlap estimates document similarity. Shuffle-free sketch per doc.
+
+    ``portable=False`` (default): xxhash64 longs, kept when ≡ 0 (mod
+    keep_mod) — the cheap JVM hash for the 100 TB path. ``portable=True``:
+    md5 hex strings, kept when the first nibble is '0' (≡ digest >> 124 ==
+    0, a 1/16 sample) — bit-identical in any engine with md5, which is what
+    the DuckDB oracle value-checks. Same winnowing semantics either way."""
     from pdf_parser_spark.operators.dedup import word_shingles
 
     sh = word_shingles(F.col(text_col), window)
-    kept = F.sort_array(
-        F.array_distinct(
-            F.filter(
-                F.transform(sh, lambda s: F.xxhash64(s)),
-                lambda h: F.pmod(h, F.lit(keep_mod)) == 0,
+    if portable:
+        if keep_mod != 16:
+            raise ValueError("portable variant samples on the first md5 nibble (keep_mod=16)")
+        kept = F.sort_array(
+            F.array_distinct(
+                F.filter(
+                    F.transform(sh, lambda s: F.md5(s)),
+                    lambda h: F.substring(h, 1, 1) == "0",
+                )
             )
         )
-    )
+    else:
+        kept = F.sort_array(
+            F.array_distinct(
+                F.filter(
+                    F.transform(sh, lambda s: F.xxhash64(s)),
+                    lambda h: F.pmod(h, F.lit(keep_mod)) == 0,
+                )
+            )
+        )
     return docs.select(F.col(id_col), kept.alias("fingerprints"))

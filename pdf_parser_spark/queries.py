@@ -7,8 +7,12 @@ value-hash at sf=0.01):
 - counts are cast to bigint (DuckDB count → BIGINT);
 - float aggregates are rounded on BOTH sides (same operand order, so the
   doubles match before rounding);
-- queries that need engine-side hashing (xxhash64) or Python kernels with
-  no SQL twin ship WITHOUT an oracle → the driver records a rows-only check.
+- hash-sketch queries (minhash/simhash/winnowing/media metadata) run their
+  PORTABLE variant (md5 / sha256 + conv, reproducible in any engine) so the
+  oracle value-checks them; the operators keep xxhash64 as the cheap default
+  for the 100 TB path (same plan shape, ~15% apart at bench scale);
+- only genuinely iterative ops (greedy chunker backoff loop, k-means IVF)
+  ship WITHOUT an oracle → the driver records a rows-only check.
 """
 
 from __future__ import annotations
@@ -92,12 +96,19 @@ def _lang_scores_sql() -> tuple[str, str]:
     return ", ".join(score_cols), " ".join(case)
 
 
-# 3-word shingles as SQL (DuckDB list comprehension over the word array)
+# word shingles as SQL (DuckDB list comprehension over the word array) —
+# textual twin of dedup.word_shingles (same greatest(…,1) short-doc clamp)
 _WORDS_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
-_SHINGLES_SQL = (
-    f"list_distinct(list_transform(range(1, greatest(len({_WORDS_SQL}) - 2, 1) + 1), "
-    f"i -> array_to_string({_WORDS_SQL}[i:i+2], ' ')))"
-)
+
+
+def _shingles_sql(n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({_WORDS_SQL}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({_WORDS_SQL}[i:i+{n - 1}], ' ')))"
+    )
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 
 
 # --------------------------------------------------------------------------
@@ -1346,21 +1357,97 @@ FROM parsed
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → exact-Jaccard verify, portable-hash variant:
+    the DuckDB oracle recomputes the 32 min-hash signatures, the 8 md5 band
+    keys, the bucket self-join AND the verify step, so every stage of the
+    near-dup pipeline is value-checked (not just the surviving pairs)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.minhash_near_dups(
         d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
         threshold=0.2,
+        portable=True,
     )
+
+
+def sql_minhash_near_dups() -> str:
+    k, bands = 32, 8
+    r = k // bands
+    mins = ", ".join(
+        f"min(('0x' || substr(md5(shingle || '#{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({joined}) AS bh FROM sig".format(
+            b=b,
+            joined=" || ',' || ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 200
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), verified AS (
+  SELECT pairs.a, pairs.b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+  FROM pairs JOIN sh sa ON pairs.a = sa.doc_id JOIN sh sb ON pairs.b = sb.doc_id
+)
+SELECT a, b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.2
+"""
 
 
 def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters in the explode+aggregate shape (token
+    hashed once, bit votes as map-side-combinable SUMs) with the portable
+    md5-derived hash — the DuckDB oracle recomputes the 32-bit fingerprints
+    bit-for-bit, value-checking the whole weighted-bit vote."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_dedup(
-        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        bits=32,
+        portable=True,
     )
 
 
+def sql_simhash_clusters() -> str:
+    bits = 32
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+), v AS (
+  SELECT doc_id, {votes} FROM tok GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS fingerprint FROM v
+)
+SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM fp GROUP BY fingerprint
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + nprobe search) ANN. Rows-only check: the
+    4-iteration Lloyd's loop is genuinely iterative (each pass re-joins
+    against centroids computed by the last), so there is no single-statement
+    SQL twin; the exact-math baseline ann_cosine_topk carries the full
+    value-checked oracle for the similarity arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=4)
     with_cells = similarity.assign_ivf_cells(emb, cents)
@@ -1371,23 +1458,74 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal chain: docs spans → media sidecar table (md5-derived
+    metadata) → mapInPandas fake decode (sha256-seeded features) → per-media
+    type/frame-sample/feature row. The oracle recomputes every step in SQL,
+    so this value-checks the plumbing end to end, not just row counts."""
     from pdf_parser_spark.operators import media as media_ops
 
     docs = interleaved_from_documents(spark, sf_dir, media_every=4)
     media_tbl = media_ops.media_table_from_docs(docs)
     return media_ops.extract_media_features(media_tbl, fake=True).select(
-        "media_ref", "media_type", F.col("n_frames").cast("long").alias("n_frames")
+        "media_ref",
+        "media_type",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.element_at("feature", 1).cast("double"), 3).alias("f0"),
     )
+
+
+def sql_media_features() -> str:
+    """DuckDB twin of the media pipeline: metadata hash = first 15 md5 hex
+    chars as a long; fake feature[0] = first uint32 (little-endian) of
+    sha256(media_ref) % 1000 / 1000."""
+    return """
+WITH h AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref,
+         ('0x' || substr(md5('img-' || CAST(doc_id AS VARCHAR) || '-000'), 1, 15))::BIGINT AS h,
+         sha256('img-' || CAST(doc_id AS VARCHAR) || '-000') AS sh
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT media_ref,
+  (['image','audio','video'])[CAST(h % 3 AS INT) + 1] AS media_type,
+  CAST(CASE WHEN h % 3 = 2 THEN (h % 600000) // 10000 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+  round(((  ('0x' || substr(sh, 1, 2))::BIGINT
+          + ('0x' || substr(sh, 3, 2))::BIGINT * 256
+          + ('0x' || substr(sh, 5, 2))::BIGINT * 65536
+          + ('0x' || substr(sh, 7, 2))::BIGINT * 16777216) % 1000) / 1000.0, 3) AS f0
+FROM h
+"""
 
 
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketch, portable (md5) variant so the DuckDB oracle can
+    recompute the exact fingerprint set; returns count + min fingerprint
+    per doc (the min pins actual hash values, not just cardinality)."""
     d = load_table(spark, sf_dir, "documents")
     out = textqc.rolling_fingerprints(
-        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        portable=True,
     )
     return out.select(
-        "doc_id", F.size("fingerprints").cast("long").alias("n_fingerprints")
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        F.try_element_at("fingerprints", F.lit(1)).alias("min_fp"),
     )
+
+
+def sql_rolling_fingerprints() -> str:
+    return f"""
+WITH fps AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+           list_transform({_shingles_sql(8)}, s -> md5(s)),
+           h -> substr(h, 1, 1) = '0'))) AS fp
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(fp) AS BIGINT) AS n_fingerprints,
+       CASE WHEN len(fp) > 0 THEN fp[1] ELSE NULL END AS min_fp
+FROM fps
+"""
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,6 +1584,37 @@ def q_geo_resolve_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("location")
     )
+
+
+def sql_geo_resolve_misses() -> str:
+    """DuckDB twin of the enrichment loop: cache hits reproduce the literal
+    cache rows; misses recompute the deterministic fake geocoder —
+    sha256("<salt>:<loc>") first 8 bytes big-endian as a unit float, scaled
+    to lat/lon/state exactly as enrich.fake_geocode_batch does."""
+
+    def unit(salt: str) -> str:
+        return (
+            f"('0x' || substr(sha256('{salt}:' || location), 1, 16))::UBIGINT::DOUBLE"
+            " / 18446744073709551616.0"
+        )
+
+    return f"""
+WITH locs AS (
+  SELECT DISTINCT source AS location FROM documents
+), cache AS (
+  SELECT 'src' || CAST(i AS VARCHAR) AS location,
+         -20.0 + 10.5 * i AS latitude,
+         5.0 + 3.25 * i AS longitude,
+         'state_' || CAST(i AS VARCHAR) AS state
+  FROM range(5) t(i)
+)
+SELECT l.location,
+       coalesce(c.latitude,  round({unit("lat")} * 180 - 90, 7)) AS latitude,
+       coalesce(c.longitude, round({unit("lon")} * 360 - 180, 7)) AS longitude,
+       coalesce(c.state, 'state-' || lpad(CAST(CAST(floor({unit("st")} * 50) AS INT) AS VARCHAR), 2, '0')) AS state
+FROM locs l LEFT JOIN cache c USING (location)
+ORDER BY location
+"""
 
 
 def q_extract_interleaved_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,4 +1742,9 @@ ORACLES: dict[str, str] = {
     "extract_from_span_rows": sql_extract_from_span_rows(),
     "coordinate_dispatch": sql_coordinate_dispatch(),
     "extract_interleaved_media": sql_extract_interleaved_media(),
+    "media_features": sql_media_features(),
+    "rolling_fingerprints": sql_rolling_fingerprints(),
+    "simhash_clusters": sql_simhash_clusters(),
+    "minhash_near_dups": sql_minhash_near_dups(),
+    "geo_resolve_misses": sql_geo_resolve_misses(),
 }

@@ -38,6 +38,31 @@ def test_minhash_lsh_finds_near_dup(spark, docs_df):
     assert not any({3, 5} & {a, b} for a, b in got)  # unrelated docs don't pair
 
 
+def test_portable_variants_agree_with_default(spark, docs_df):
+    """The md5-based portable variants (what the DuckDB oracles check) must
+    find the same structure as the xxhash64 defaults (the 100 TB path)."""
+    default = {
+        (r.a, r.b)
+        for r in dedup.minhash_near_dups(
+            docs_df, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    portable = {
+        (r.a, r.b)
+        for r in dedup.minhash_near_dups(
+            docs_df, num_hashes=32, bands=16, threshold=0.5, portable=True
+        ).collect()
+    }
+    assert (1, 4) in portable  # exact dup collides under any hash family
+    assert default == portable
+    # simhash: exact dups share a fingerprint in both families
+    agg = dedup.simhash_dedup(docs_df, bits=32, agg=True)
+    por = dedup.simhash_dedup(docs_df, bits=32, portable=True)
+    assert agg.count() == por.count() == 4
+    for out in (agg, por):
+        assert {r.doc_id: r.cluster_size for r in out.collect()}[1] == 2
+
+
 def test_simhash_clusters_exact_dups(spark, docs_df):
     out = dedup.simhash_dedup(docs_df)
     assert out.count() == 4  # 1&4 share a fingerprint
