@@ -53,6 +53,16 @@ def main() -> None:
         from pdf_parser_spark import pipeline
 
     docs = spark.read.parquet(args.input)
+    missing = {"doc_id", "spans"} - set(docs.columns)
+    if missing:
+        spark.stop()
+        sys.exit(
+            f"input {args.input} is missing required column(s) {sorted(missing)}; "
+            "expected docs(doc_id string, spans array<struct<kind:string,"
+            "text:string,media_ref:string,offset:int>>) — flat tables can be "
+            "adapted with sources.corpus.docs_from_span_rows / "
+            "interleaved_from_documents"
+        )
     result = pipeline.run_with_resume(
         spark,
         docs,
