@@ -1,0 +1,72 @@
+"""Physical-plan regression tests — pin the plan shapes PLANS.md documents.
+
+These guard the scale properties (pushdown, pruning, broadcast, single
+shuffle into the Python stage, partial aggregation) against accidental
+regressions: a refactor that silently adds a shuffle or drops pushdown
+passes value tests but fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parser_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _formatted(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def _spark_plan(df) -> str:
+    # executedPlan includes the exchanges EnsureRequirements inserts
+    # (sparkPlan() is pre-placement and shows no Exchange nodes)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_kernel_single_shuffle_arrow_stage(spark):
+    df = QUERIES["extract_kernel_spans"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "MapInArrow" in plan  # Arrow-native kernel stage, not MapInPandas
+    # exactly ONE shuffle — the explicit salted size-bucketed repartition
+    assert plan.count("Exchange") == 1
+    fmt = _formatted(df)
+    # column pruning reaches the scan: kernel consumes only (doc_id, text)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in fmt
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    fmt = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in fmt
+    plan = _spark_plan(df)
+    # map-side combine: the partial aggregate sits below the shuffle
+    # (tree prints top-down, so final agg < Exchange < partial agg)
+    assert 0 < plan.find("Exchange") < plan.find("partial_sum")
+
+
+def test_dim_join_broadcasts(spark):
+    df = QUERIES["revenue_by_brand"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_topk_no_shuffle(spark):
+    df = QUERIES["ann_cosine_topk"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+    assert "Exchange" not in plan
+
+
+def test_top1_per_key_group_limit_before_shuffle(spark):
+    df = QUERIES["top_order_per_customer"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    ex = plan.find("Exchange")
+    wgl = plan.find("WindowGroupLimit", ex)
+    assert ex != -1 and wgl != -1  # map-side top-1 exists below the shuffle
