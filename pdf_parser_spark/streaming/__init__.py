@@ -1,3 +1,4 @@
 from pdf_parser_spark.streaming.ingest import stream_extract
+from pdf_parser_spark.streaming.sessionize import latest_totals, stream_sessionize
 
-__all__ = ["stream_extract"]
+__all__ = ["stream_extract", "stream_sessionize", "latest_totals"]

@@ -1,0 +1,114 @@
+"""Stateful streaming sessionization via ``applyInPandasWithState``.
+
+The batch engine sessionizes with a lag/cumsum window (queries.py
+``sessionize_events``: a new session starts after a >1800 s gap). This is
+the streaming twin: per-user session/event counters that survive micro-batch
+boundaries AND restarts (checkpointed state store), demonstrating the
+custom-stateful-operator surface the reference never needed (bounded batch,
+SURVEY.md §2j) but a continuously-arriving event feed does.
+
+Semantics: each micro-batch emits one row per user seen in that batch with
+the user's RUNNING totals (n_sessions, n_events) — an update-style aggregate
+materialized append-only; the latest row per user (max n_events) is the
+current answer and, after the last event, equals the batch query's result.
+
+Scale notes:
+- state is 3 longs per user — millions of users fit a state store shard;
+- the kernel is vectorized (numpy diff/cumsum over the batch's epochs);
+  Python touches each event once, Arrow-batched;
+- event-time order across micro-batches is the caller's contract (file
+  drops are time-ordered here); for out-of-order feeds, front it with a
+  watermark + window dedup or use session windows
+  (``F.session_window``) when totals-only are needed.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+STATE_SCHEMA = "last_epoch long, n_sessions long, n_events long"
+GAP_SECONDS = 1800
+
+
+def _sessionize_group(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_epoch, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        epochs = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) // 10**9
+        prev = np.empty_like(epochs)
+        prev[1:] = epochs[:-1]
+        # first-ever event: synthetic far-past predecessor (not INT64_MIN —
+        # the subtraction below would overflow) so it opens a session
+        prev[0] = last_epoch if last_epoch is not None else -(2**62)
+        # same rule as the batch window: first-ever event or gap > 1800 s
+        n_sessions += int((epochs - prev > GAP_SECONDS).sum())
+        n_events += len(epochs)
+        last_epoch = int(epochs[-1])
+    state.update((last_epoch, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession, input_path: str, output_root: str
+) -> None:
+    """Drain available event files through the stateful sessionizer.
+
+    Appends running per-user totals to ``<output_root>/sessions``; state
+    lives in the stream checkpoint, so re-invocations continue counting
+    (exactly-once per input file, like streaming.ingest).
+    """
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "sessions")
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_path)
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def latest_totals(spark: SparkSession, output_root: str) -> DataFrame:
+    """Current answer: the row with the highest n_events per user."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(output_root, "sessions"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )

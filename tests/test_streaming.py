@@ -46,3 +46,40 @@ def test_stream_extract_exactly_once(spark, tmp_path):
     assert _collect_spans(spark, root) == sorted(
         golden.golden_spans(first) + golden.golden_spans(more)
     )
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: per-user state survives micro-batch
+    AND restart boundaries; final totals equal the batch lag/cumsum query."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.queries import q_sessionize_events
+    from pdf_parser_spark.streaming.sessionize import latest_totals, stream_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "events_inbox")
+    root = str(tmp_path / "sess_out")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter("user_id < 10")
+    mid = events.selectExpr("percentile(cast(cast(ts as timestamp) as long), 0.5) AS m").first().m
+
+    # drop 1: first half by event time; drop 2: the rest (time-ordered arrival)
+    events.filter(F.expr(f"cast(cast(ts as timestamp) as long) <= {mid}")).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    stream_sessionize(spark, inbox, root)
+    events.filter(F.expr(f"cast(cast(ts as timestamp) as long) > {mid}")).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    stream_sessionize(spark, inbox, root)  # fresh query, state from checkpoint
+
+    got = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in latest_totals(spark, root).collect()
+    }
+    want = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in q_sessionize_events(spark, sf_dir)
+        .filter("user_id < 10")
+        .collect()
+    }
+    assert got == want
