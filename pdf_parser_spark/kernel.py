@@ -210,6 +210,14 @@ def _extract_flat(
         ngroups = len(starts) - 1
         doc_ids_u = doc_np[starts[:-1]]
 
+        # batch-level precomputes: one reduceat instead of per-group slices
+        med_np = kind_np == "media"
+        marker_hit = is_text & (marker_rpos >= 0)
+        seg = starts[:-1]
+        text_total_g = np.add.reduceat(text_lens, seg)
+        has_media_g = np.add.reduceat(med_np.astype(np.int64), seg) > 0
+        ocr_g = (text_total_g < SCANNED_THRESHOLD) & has_media_g
+
         idx_parts: list[np.ndarray] = []  # flat-row index per output row
         code_parts: list[np.ndarray] = []  # 0 = emit text(cleaned), 1 = emit media
         lengths = np.empty(ngroups, dtype=np.int64)
@@ -218,23 +226,22 @@ def _extract_flat(
 
         for gi in range(ngroups):
             lo, hi = starts[gi], starts[gi + 1]
-            idx = np.arange(lo, hi)
-            text_total = int(text_lens[lo:hi].sum())
-            has_media = bool((kind_np[lo:hi] == "media").any())
 
-            if text_total < SCANNED_THRESHOLD and has_media:
+            if ocr_g[gi]:
                 # OCR path: media spans emit (recovered text, media) pairs
-                m = kind_np[idx] == "media"
+                idx = np.arange(lo, hi)
+                m = med_np[lo:hi]
                 reps = np.where(m, 2, 1)
                 rep_idx = np.repeat(idx, reps)
                 code = np.zeros(len(rep_idx), dtype=np.int8)
                 span_starts = np.cumsum(reps) - reps
                 code[span_starts[m] + 1] = 1
             else:
-                order_idx = _reading_order(idx, page, xpos, ypos, kind_np, bp_np)
+                order_idx = _reading_order(
+                    np.arange(lo, hi), page, xpos, ypos, kind_np, bp_np
+                )
                 # window cut: last kept text span containing the marker
-                is_txt_o = kind_np[order_idx] == "text"
-                hits = np.nonzero(is_txt_o & (marker_rpos[order_idx] >= 0))[0]
+                hits = np.nonzero(marker_hit[order_idx])[0]
                 if len(hits):
                     cut_span = int(hits[-1])
                     rep_idx = order_idx[: cut_span + 1]
@@ -246,7 +253,7 @@ def _extract_flat(
                     )
                 else:
                     rep_idx = order_idx
-                code = (kind_np[rep_idx] == "media").astype(np.int8)
+                code = med_np[rep_idx].astype(np.int8)
 
             idx_parts.append(rep_idx)
             code_parts.append(code)
@@ -287,21 +294,17 @@ def _reading_order(
     if not has_layout.any():
         return idx  # already offset-sorted
 
-    # x→column clustering per page (gap > COLUMN_GAP starts a new column)
+    # x→column clustering per page (gap > COLUMN_GAP starts a new column):
+    # sorted unique x's, column id = running count of gaps > COLUMN_GAP
     lay = idx[has_layout]
     col = np.zeros(len(lay), dtype=np.int64)
     for p in np.unique(pg[has_layout]):
         sel = page[lay] == p
-        xs = np.unique(xpos[lay][sel])
-        bounds = {}
-        c = 0
-        prev = None
-        for x in xs:
-            if prev is not None and x - prev > COLUMN_GAP:
-                c += 1
-            bounds[x] = c
-            prev = x
-        col[sel] = [bounds[x] for x in xpos[lay][sel]]
+        x_sel = xpos[lay][sel]
+        xs = np.unique(x_sel)
+        col_ids = np.zeros(len(xs), dtype=np.int64)
+        np.cumsum(np.diff(xs) > COLUMN_GAP, out=col_ids[1:])
+        col[sel] = col_ids[np.searchsorted(xs, x_sel)]
 
     order = np.lexsort((lay, ypos[lay], col, page[lay]))
     ordered = np.concatenate([lay[order], idx[~has_layout]])
