@@ -218,6 +218,15 @@ def _extract_flat(
         has_media_g = np.add.reduceat(med_np.astype(np.int64), seg) > 0
         ocr_g = (text_total_g < SCANNED_THRESHOLD) & has_media_g
 
+        # scanned-class docs take the raw text (golden's OCR path never
+        # parses layout) — undo the batch-level layout strip for their spans
+        ocr_rows = np.repeat(ocr_g, np.diff(starts))
+        fix = ocr_rows & has_layout
+        if fix.any():
+            refixed = _cleanup_batch(list(text_np[fix]))
+            for i, row in enumerate(np.nonzero(fix)[0]):
+                cleaned_np[row] = refixed[i]
+
         idx_parts: list[np.ndarray] = []  # flat-row index per output row
         code_parts: list[np.ndarray] = []  # 0 = emit text(cleaned), 1 = emit media
         lengths = np.empty(ngroups, dtype=np.int64)

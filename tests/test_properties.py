@@ -1,0 +1,148 @@
+"""Property-based equivalence: the vectorized kernel (both the pandas and
+the Arrow batch paths) must match the single-threaded golden extractor on
+ARBITRARY documents, not just the committed fixture classes.
+
+Hypothesis composes adversarial spans from the fragments that drive every
+kernel branch: layout prefixes, the window marker, all cleanup-replacement
+triggers, media spans, the NUL batch separator (exercises the joined-batch
+fallbacks), duplicate offsets (stable-sort tie-breaking), and scanned-class
+short texts. No Spark session needed — these run the batch kernels directly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_spark import golden, kernel
+
+FRAGMENTS = [
+    "word",
+    "a",
+    " ",
+    "  ",
+    "   ",
+    " \t",
+    " \n",
+    "\t",
+    "\n",
+    " '",
+    "-",
+    "- ",
+    "-  ",
+    "-   ",
+    "-    ",
+    " –",
+    "–",
+    "references",
+    "References",
+    "REFERENCES ",
+    "x references y",
+    "[[p=1;x=10;y=20]]",
+    "[[p=1;x=200;y=20]]",
+    "[[p=2;x=10;y=5]]",
+    "[[p=2;x=10;y=999]]",
+    "[[p=3;x=150;y=40]]",
+    "Header 12",
+    "Header 34",
+    "\x00",
+    "long body text that pushes a document over the scanned threshold " * 2,
+]
+
+text_strategy = st.lists(
+    st.sampled_from(FRAGMENTS), min_size=0, max_size=6
+).map("".join)
+
+span_strategy = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["text", "text", "text", "media"]),
+        "text": text_strategy,
+        "media_ref": st.sampled_from(["", "m1", "m2"]),
+        "offset": st.integers(min_value=0, max_value=5),  # dup offsets likely
+    }
+)
+
+doc_strategy = st.lists(span_strategy, min_size=0, max_size=7)
+corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=5)
+
+
+def _normalize(docs):
+    out = []
+    for i, spans in enumerate(docs):
+        norm = []
+        for s in spans:
+            s = dict(s)
+            if s["kind"] == "media":
+                s["media_ref"] = s["media_ref"] or "m0"
+            else:
+                s["media_ref"] = ""
+            norm.append(s)
+        out.append({"doc_id": f"d{i:03d}", "spans": norm})
+    return out
+
+
+def _golden_rows(docs):
+    return sorted(golden.golden_spans(docs))
+
+
+def _kernel_rows_pandas(docs):
+    pdf = pd.DataFrame(
+        {"doc_id": [d["doc_id"] for d in docs], "spans": [d["spans"] for d in docs]}
+    )
+    out = kernel._extract_batch(pdf, 0)
+    return sorted(
+        zip(
+            out["doc_id"],
+            out["kind"],
+            out["text"],
+            out["media_ref"],
+            (int(x) for x in out["order"]),
+        )
+    )
+
+
+def _kernel_rows_arrow(docs):
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "spans": [d["spans"] for d in docs],
+        },
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                (
+                    "spans",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        ),
+    )
+    out = kernel._extract_batch_arrow(batch, 0)
+    cols = [out.column(i).to_pylist() for i in range(5)]
+    return sorted(zip(cols[0], cols[1], cols[2], cols[3], cols[4]))
+
+
+@settings(max_examples=300, deadline=None)
+@given(corpus_strategy)
+def test_pandas_kernel_matches_golden(raw_docs):
+    docs = _normalize(raw_docs)
+    assert _kernel_rows_pandas(docs) == _golden_rows(docs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(corpus_strategy)
+def test_arrow_kernel_matches_golden(raw_docs):
+    docs = _normalize(raw_docs)
+    assert _kernel_rows_arrow(docs) == _golden_rows(docs)
