@@ -1,0 +1,210 @@
+"""Fuzz parity against the REFERENCE's own parser functions.
+
+The strongest evidence our scalar layer reimplements `_parser.py`'s
+semantics: AST-extract the reference's pure-stdlib functions (no imports
+beyond re/shlex, no I/O) from the read-only checkout, execute them in a
+sealed namespace (print stubbed out), and hypothesis-compare ours against
+them on adversarial inputs. The reference file is treated strictly as data:
+only named FunctionDef nodes are compiled, nothing else runs.
+
+Documented deliberate divergences (asserted, not ignored):
+- split_with_quotes: on unbalanced quotes the reference propagates shlex's
+  ValueError; ours returns [] so one malformed line can't kill a task.
+- list_each_year: the reference assumes the arity gate already passed and
+  indexes fields blindly (IndexError on <3 fields, silently drops extras on
+  >3); ours returns the original line outside the 3-field contract. Parity
+  is fuzzed inside the contract, the divergence pinned outside it.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+import shlex
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_spark.functions import coords as f_coords
+from pdf_parser_spark.functions import dates as f_dates
+from pdf_parser_spark.functions import text as f_text
+
+REF_PATH = "/root/reference/_parser.py"
+REF_FUNCS = {
+    "split_with_quotes",
+    "make_csv_format",
+    "list_each_year",
+    "bp_to_bc_ad",
+    "remove_nonnumeric_chars",
+    "clean_dates",
+    "dms_to_dd",
+    "parse_coordinates",
+    "cleanup_text",
+    "extract_abstract_to_references",
+    "yes_or_no",
+    "is_unknown",
+}
+
+
+def _load_reference():
+    with open(REF_PATH) as f:
+        tree = ast.parse(f.read())
+    ns: dict = {"re": re, "shlex": shlex, "print": lambda *a, **k: None}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in REF_FUNCS:
+            mod = ast.Module(body=[node], type_ignores=[])
+            exec(compile(mod, "<reference>", "exec"), ns)
+    missing = REF_FUNCS - set(ns)
+    assert not missing, f"reference functions not found: {missing}"
+    return ns
+
+
+REF = _load_reference()
+
+
+def _outcome(fn, *args):
+    try:
+        return ("ok", fn(*args))
+    except Exception as e:
+        return ("raise", type(e).__name__)
+
+
+# ---------------------------------------------------------------- strategies
+
+words = st.text(
+    alphabet="abcdefgh ACB.-–'s\t\n0123456789°", min_size=0, max_size=30
+)
+date_texts = st.one_of(
+    words,
+    st.sampled_from(
+        [
+            "ca. 1970s",
+            "5000 cal yr BP",
+            "120 cal  yr bp",
+            "  1990s  ",
+            "summer 1975",
+            "cal yr BP",
+            "ca.ca.ss",
+        ]
+    ),
+)
+year_fields = st.one_of(
+    st.sampled_from(["1990-1995", "1990-2100", "1800-1999", "2020-2021", "199x-1995"]),
+    st.from_regex(r"\d{4}-\d{4}", fullmatch=True),
+    st.from_regex(r"\d{4}-", fullmatch=True),
+    st.from_regex(r"\d{4}", fullmatch=True),
+    st.from_regex(r"\d{5}", fullmatch=True),
+)
+locations = st.sampled_from(
+    ["Alberta", "fort mcmurray", "a-b", "x, y", "Trois-Rivières", ""]
+)
+flags = st.sampled_from(["yes", "no", "uncertain", "maybe"])
+publish_years = st.one_of(st.none(), st.integers(min_value=1900, max_value=2030))
+
+dms_strings = st.one_of(
+    st.from_regex(r"[-+]?\d{1,3}(\.\d{1,4})?°[NSWE]", fullmatch=True),
+    st.from_regex(r"\d{1,3}°(\d{1,2})?'?(\d{1,2}(\.\d{1,2})?)?\"?[NSWE]?", fullmatch=True),
+    st.sampled_from(["45°30'15\"N", "45.5°N", "0°0'0\"S", "12°W", "garbage", "", "°N"]),
+)
+coord_pairs = st.one_of(
+    st.tuples(dms_strings, dms_strings).map(lambda t: f"{t[0]}, {t[1]}"),
+    words,
+)
+# balanced-quote lines: tokens joined with separators the lexer understands
+line_tokens = st.lists(
+    st.one_of(
+        st.from_regex(r"[a-z0-9\-]{1,8}", fullmatch=True),
+        st.sampled_from(['"quoted name"', '"with, comma"', "1990-1995", "yes"]),
+    ),
+    min_size=0,
+    max_size=6,
+)
+balanced_lines = st.tuples(
+    line_tokens, st.sampled_from([" ", ", ", ",", "  "])
+).map(lambda t: t[1].join(t[0]))
+
+
+# ------------------------------------------------------------------- parity
+
+@settings(max_examples=400, deadline=None)
+@given(date_texts)
+def test_clean_dates_parity(s):
+    assert f_dates.clean_dates(s) == REF["clean_dates"](s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(date_texts)
+def test_bp_to_bc_ad_parity(s):
+    assert f_dates.bp_to_bc_ad(s) == REF["bp_to_bc_ad"](s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(words)
+def test_remove_nonnumeric_parity(s):
+    assert f_dates.remove_nonnumeric_chars(s) == REF["remove_nonnumeric_chars"](s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(words)
+def test_cleanup_text_parity(s):
+    assert f_text.cleanup_text(s) == REF["cleanup_text"](s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.tuples(words, st.sampled_from(["", "references", "References ", "REFERENCES and references"])).map("".join))
+def test_window_parity(s):
+    assert f_text.main_content_window(s) == REF["extract_abstract_to_references"](s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words)
+def test_yes_no_unknown_parity(s):
+    assert f_text.yes_or_no(s) == REF["yes_or_no"](s)
+    assert f_text.is_unknown(s) == REF["is_unknown"](s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(balanced_lines)
+def test_split_and_csv_format_parity(line):
+    ref_split = _outcome(REF["split_with_quotes"], line)
+    ours_split = f_text.split_with_quotes(line)
+    if ref_split[0] == "raise":
+        assert ref_split[1] == "ValueError" and ours_split == []
+    else:
+        assert ours_split == ref_split[1]
+        assert f_text.make_csv_format(line) == REF["make_csv_format"](line)
+
+
+def test_split_unbalanced_quote_divergence():
+    assert f_text.split_with_quotes('a "b') == []
+    assert _outcome(REF["split_with_quotes"], 'a "b') == ("raise", "ValueError")
+
+
+@settings(max_examples=400, deadline=None)
+@given(dms_strings)
+def test_dms_to_dd_parity(s):
+    assert _outcome(f_coords.dms_to_dd, s) == _outcome(REF["dms_to_dd"], s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(coord_pairs)
+def test_parse_coordinates_parity(s):
+    assert f_coords.parse_coordinates(s) == REF["parse_coordinates"](s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(locations, year_fields, flags, publish_years)
+def test_list_each_year_parity_in_contract(loc, years, flag, publish_year):
+    line = f'"{loc}", {years}, {flag}'
+    if len(f_text.split_with_quotes(line)) != 3:  # stay inside the arity contract
+        return
+    assert f_dates.list_each_year(line, publish_year) == REF["list_each_year"](
+        line, publish_year
+    )
+
+
+def test_list_each_year_divergence_outside_contract():
+    with pytest.raises(IndexError):
+        REF["list_each_year"]("justonefield")
+    assert f_dates.list_each_year("justonefield") == ["justonefield"]
