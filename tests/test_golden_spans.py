@@ -50,3 +50,25 @@ def test_parallelism_invariance(spark):
     b, _, _ = pipeline.extract(df(), num_partitions=13)
     key = lambda r: (r.doc_id, r["order"])
     assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
+
+
+def test_golden_scanned_doc_with_layout_prefix(spark):
+    """Regression: scanned-class docs keep their raw span text — the layout
+    prefix is NOT stripped (the golden OCR path never parses layout); found
+    by the property fuzz in test_properties.py."""
+    docs = [
+        {
+            "doc_id": "scanned-layout",
+            "spans": [
+                {"kind": "media", "text": "recovered page", "media_ref": "m0", "offset": 0},
+                {"kind": "text", "text": "[[p=1;x=10;y=20]]stub", "media_ref": "", "offset": 1},
+            ],
+        },
+        {
+            "doc_id": "onlymedia",
+            "spans": [
+                {"kind": "media", "text": "", "media_ref": "m1", "offset": 0},
+            ],
+        },
+    ]
+    assert _spark_spans(spark, docs) == _golden(docs)
