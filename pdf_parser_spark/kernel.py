@@ -77,14 +77,18 @@ def _explode_spans(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
         )
+    # malformed spans coerce rather than kill the task: null kind → 'text',
+    # null offset → 0 (same rule as the Arrow path's fill_null)
     return pd.DataFrame(
         {
             "doc_id": doc_ids,
-            "kind": [s["kind"] for s in flat_spans],
+            "kind": [s["kind"] or "text" for s in flat_spans],
             "text": pd.Series([s["text"] or "" for s in flat_spans], dtype="object"),
             "media_ref": [s["media_ref"] or "" for s in flat_spans],
             "offset": np.fromiter(
-                (s["offset"] for s in flat_spans), dtype=np.int64, count=len(flat_spans)
+                (s["offset"] or 0 for s in flat_spans),
+                dtype=np.int64,
+                count=len(flat_spans),
             ),
         }
     )
@@ -351,10 +355,12 @@ def _extract_batch_arrow(batch, partition_id: int):
         zero_copy_only=False
     )
     flat = spans_col.flatten()
-    kind_np = flat.field("kind").to_numpy(zero_copy_only=False)
+    kind_np = flat.field("kind").fill_null("text").to_numpy(zero_copy_only=False)
     text_np = flat.field("text").fill_null("").to_numpy(zero_copy_only=False)
     ref_np = flat.field("media_ref").fill_null("").to_numpy(zero_copy_only=False)
-    off_np = flat.field("offset").to_numpy(zero_copy_only=False)
+    off_np = (
+        flat.field("offset").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
 
     out = _extract_flat(
         np.repeat(doc_ids, counts), kind_np, text_np, ref_np, off_np

@@ -146,3 +146,32 @@ def test_pandas_kernel_matches_golden(raw_docs):
 def test_arrow_kernel_matches_golden(raw_docs):
     docs = _normalize(raw_docs)
     assert _kernel_rows_arrow(docs) == _golden_rows(docs)
+
+
+def test_null_span_fields_coerce_consistently():
+    """Malformed spans (null kind/text/media_ref/offset) must coerce to
+    ('text', '', '', 0) identically in both batch paths instead of killing
+    the task or NaN-sorting."""
+    raw = [
+        {
+            "doc_id": "nulls",
+            "spans": [
+                {"kind": None, "text": None, "media_ref": None, "offset": None},
+                {"kind": "text", "text": "real body", "media_ref": None, "offset": 1},
+                {"kind": "media", "text": "rec", "media_ref": "m9", "offset": 2},
+            ],
+        }
+    ]
+    coerced = [
+        {
+            "doc_id": "nulls",
+            "spans": [
+                {"kind": "text", "text": "", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "real body", "media_ref": "", "offset": 1},
+                {"kind": "media", "text": "rec", "media_ref": "m9", "offset": 2},
+            ],
+        }
+    ]
+    want = _golden_rows(coerced)
+    assert _kernel_rows_pandas(raw) == want
+    assert _kernel_rows_arrow(raw) == want
