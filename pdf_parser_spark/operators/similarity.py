@@ -143,6 +143,52 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame, centroids: np.ndarray, path: str, vec_col: str = "embedding"
+) -> None:
+    """Materialize the IVF index: the corpus written partitioned BY CELL.
+
+    This is what makes ``ivf_topk``'s cell filter a genuine partition-
+    pruning predicate instead of a post-scan filter: each cell is its own
+    partition directory, so a probe of nprobe cells READS only
+    nprobe/n_centroids of the data (`PartitionFilters` in the plan,
+    pinned by tests/test_plans.py). At 100 TB this is the difference
+    between scanning 100 TB and scanning ~nprobe/C of it.
+    """
+    assign_ivf_cells(emb, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the materialized IVF index — scan prunes to probed cells."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sign_bucket(vec_col, planes: np.ndarray):
     """Sign-random-projection bucket id (int) for a vector column."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col

@@ -1,0 +1,40 @@
+"""Bucketed tables — shuffle-free co-located joins for repeated big⋈big work.
+
+Broadcast handles dim joins (PLANS.md); when BOTH sides are large and the
+same join key recurs (fact⋈fact, incremental merges into a span store),
+bucketing is the 100 TB answer: both tables hash-partitioned into the same
+bucket count ON WRITE, so every subsequent join on that key is an Exchange-
+free sort-merge join — the shuffle is paid once at write time, not per
+query. The moral equivalent of the reference's one-time corpus layout
+(`_parser.py:1589-1597` directory structure), promoted to a join strategy.
+
+`tests/test_plans.py::test_bucketed_join_no_shuffle` pins the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist ``df`` bucketed (and sorted) by ``key`` into the catalog."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def co_located_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key.
+
+    With matching bucket counts Catalyst plans a sort-merge join with NO
+    Exchange on either side; the merge hint keeps the planner from
+    broadcasting a small side in tests (at scale neither side broadcasts).
+    """
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    return left.join(right, key, how)

@@ -70,3 +70,41 @@ def test_top1_per_key_group_limit_before_shuffle(spark):
     ex = plan.find("Exchange")
     wgl = plan.find("WindowGroupLimit", ex)
     assert ex != -1 and wgl != -1  # map-side top-1 exists below the shuffle
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index must prune to probed cells at the SCAN
+    (PartitionFilters), not post-filter — the nprobe/C read-volume claim."""
+    from pdf_parser_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=2)
+    idx = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, cents, idx)
+    q = [float(x) for x in emb.first().embedding]
+    df = similarity.ivf_topk_pruned(spark, idx, cents, q, k=5, nprobe=2)
+    fmt = _formatted(df)
+    assert "PartitionFilters: [cell#" in fmt or "PartitionFilters: [In(cell" in fmt
+    # and the pruned result matches the in-memory cell-filtered variant
+    with_cells = similarity.assign_ivf_cells(emb, cents)
+    want = similarity.ivf_topk(with_cells, cents, q, k=5, nprobe=2)
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Same-bucketed tables join with ZERO Exchange — the shuffle was paid
+    once at write time (big⋈big strategy for recurring join keys)."""
+    from pdf_parser_spark.sources.bucketed import co_located_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "orders_bkt", "o_custkey")
+    write_bucketed(customer.select(customer.c_custkey.alias("o_custkey"), "c_name"),
+                   "customer_bkt", "o_custkey")
+    df = co_located_join(spark, "orders_bkt", "customer_bkt", "o_custkey")
+    plan = _spark_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucketing replaced the per-query shuffle
+    assert df.count() == orders.join(customer,
+        orders.o_custkey == customer.c_custkey).count()
