@@ -46,8 +46,13 @@ BENCH_QUERIES = [
     "order_year_span_explode",
     "exact_dedup_docs",
     "minhash_near_dups",
+    "simhash_clusters",
+    "ngram_jaccard_pairs",
+    "rolling_fingerprints",
+    "embedding_near_dup_pairs",
     "quality_scores",
     "lang_id_confusion",
+    "token_stats_by_lang",
     "ann_cosine_topk",
     "geo_broadcast_enrich",
     "year_normalization",

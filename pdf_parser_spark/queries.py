@@ -567,8 +567,21 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a single-split scan across the cluster before heavy per-row work.
+
+    The testdata parquet files are one row group each, so Spark gives the
+    scan ONE task — expression-heavy per-doc work (shingle building, md5
+    sketches, regex features) would run on one core no matter how many
+    executors exist. One tiny shuffle (<1 MB at bench SF) buys full
+    parallelism. At 100 TB the input arrives as thousands of splits and the
+    operators never embed this — it is a query-level decision for
+    pathological inputs, the same call a real job makes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return (
         d.withColumn("n_tokens", textqc.token_count(F.col("text")).cast("long"))
         .groupBy("lang")
@@ -594,7 +607,7 @@ GROUP BY lang
 
 
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return (
         d.withColumn("lang_pred", textqc.detect_language(F.col("text")))
         .groupBy("lang", "lang_pred")
@@ -612,7 +625,7 @@ GROUP BY lang, lang_pred
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     out = textqc.quality_features(d.select("doc_id", "text"))
     return out.select(
         "doc_id",
@@ -1412,7 +1425,7 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed once, bit votes as map-side-combinable SUMs) with the portable
     md5-derived hash — the DuckDB oracle recomputes the 32-bit fingerprints
     bit-for-bit, value-checking the whole weighted-bit vote."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_dedup(
         d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
         bits=32,
@@ -1500,7 +1513,7 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing sketch, portable (md5) variant so the DuckDB oracle can
     recompute the exact fingerprint set; returns count + min fingerprint
     per doc (the min pins actual hash values, not just cardinality)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     out = textqc.rolling_fingerprints(
         d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
         portable=True,
