@@ -13,13 +13,26 @@ query. The moral equivalent of the reference's one-time corpus layout
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
     df: DataFrame, table: str, key: str, buckets: int = 8, sort: bool = True
 ) -> None:
-    """Persist ``df`` bucketed (and sorted) by ``key`` into the catalog."""
+    """Persist ``df`` bucketed (and sorted) by ``key`` into the catalog.
+
+    Idempotent against a stale warehouse directory: with the in-memory
+    catalog (no Hive metastore) a fresh session forgets the table but its
+    files remain, and CREATE fails with LOCATION_ALREADY_EXISTS — so the
+    orphaned location is cleared first.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
