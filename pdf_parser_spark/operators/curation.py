@@ -1,0 +1,65 @@
+"""Corpus curation operators for training-data pipelines: deterministic
+stratified sampling and token-budget sequence packing.
+
+Both are pure Catalyst window/aggregate expressions — shuffle once on the
+stratum key, no Python — and both are deterministic (hash order, not RNG),
+so the DuckDB oracles value-check them exactly and re-runs are reproducible
+at any scale (the property a 100 TB curation job needs for resumability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    n_per_stratum: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random sample: top-N per stratum by md5 order.
+
+    md5(id) gives a uniform, engine-reproducible shuffle of each stratum;
+    rank ≤ N keeps exactly N docs per stratum (fewer if the stratum is
+    small). Unlike ``sampleBy`` this is exactly repeatable across engines,
+    runs, and partitionings — the sample IS a function of the data.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed token-budget bins (training-batch packing).
+
+    Docs are laid out in deterministic ``id`` order per stratum; each doc's
+    bin is ``floor(cumulative_tokens_before / budget)`` — the streaming
+    offset-based pack. One window cumsum per stratum, no Python, identical
+    in ANSI SQL. Oversized docs (> budget) still land in one bin (their
+    own, usually) — callers chunk those upstream (build_chunk_group).
+    """
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_col.cast("long")
+    cum = F.sum(toks).over(w)
+    return docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        toks.alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(budget)).cast("long").alias("bin"),
+    )

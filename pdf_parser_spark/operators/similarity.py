@@ -143,6 +143,41 @@ def ivf_topk(
     )
 
 
+def cosine_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k per query for a BATCH of query vectors.
+
+    Plan shape for scale: the query table broadcasts (it is small — a
+    request batch), the corpus streams through a single scan scoring every
+    (query, vector) pair in codegen, and the per-query top-k is a
+    WindowGroupLimit (rank ≤ k pushed below the shuffle), so the exchange
+    carries ≤ k rows per (task, query) — never the scored cross product.
+    """
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def write_ivf_index(
     emb: DataFrame, centroids: np.ndarray, path: str, vec_col: str = "embedding"
 ) -> None:

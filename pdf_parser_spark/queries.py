@@ -807,6 +807,88 @@ WHERE a.vec_id < 200 AND b.vec_id < 200
 # --------------------------------------------------------------------------
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-k per query for a broadcast batch of query vectors;
+    per-query rank via WindowGroupLimit (≤k rows cross the shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_batch(emb, queries, k=5)
+
+
+def sql_ann_batch_topk() -> str:
+    return """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT qid, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language subsample (md5-order top-N): exactly
+    reproducible across engines/runs/partitionings, unlike sampleBy."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(d, n_per_stratum=20).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+def sql_stratified_sample() -> str:
+    return """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM ranked WHERE rk <= 20
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per-language cumulative token offsets
+    assign each doc a training bin — one window cumsum, no Python."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"),
+        budget=2000,
+        token_col=textqc.token_count(F.col("text")),
+    )
+
+
+def sql_pack_sequences() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS BIGINT) AS bin
+FROM t
+"""
+
+
 def q_queue_pending_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join + deterministic head-N — the reference's `get_n_pdfs`
     (`_parser.py:1547-1587`): docs with no committed checkpoint, first 200."""
@@ -1691,6 +1773,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "ann_batch_topk": q_ann_batch_topk,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "queue_pending_batch": q_queue_pending_batch,
     "checkpoint_merge_upsert": q_checkpoint_merge_upsert,
     "geo_broadcast_enrich": q_geo_broadcast_enrich,
@@ -1760,4 +1845,7 @@ ORACLES: dict[str, str] = {
     "simhash_clusters": sql_simhash_clusters(),
     "minhash_near_dups": sql_minhash_near_dups(),
     "geo_resolve_misses": sql_geo_resolve_misses(),
+    "ann_batch_topk": sql_ann_batch_topk(),
+    "stratified_sample": sql_stratified_sample(),
+    "pack_sequences": sql_pack_sequences(),
 }
