@@ -1,0 +1,62 @@
+"""As-of (most-recent-at-or-before) join — the time-series join Spark lacks.
+
+Implemented the scale-correct way: tag both sides, UNION on (key, time),
+ONE window pass per key carrying the latest right-side value forward
+(``last(..., ignorenulls=True)``), then keep left rows. Cost: one shuffle
+on the key + a per-partition sort — linear, no range-condition nested-loop
+join and no per-left-row probe. This is the standard merge formulation
+(see e.g. pandas merge_asof / QuestDB/kdb asof semantics, re-expressed as
+a Spark window).
+
+Ties: right rows sort BEFORE left rows at equal timestamps, so the join is
+inclusive (right.time <= left.time), matching DuckDB's ``ASOF JOIN`` —
+which is exactly what the oracle uses to value-check this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_latest(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    right_value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """left + ``out_col`` = right's ``right_value_col`` at the latest
+    right.time <= left.time for the same key (null if no prior right row).
+
+    ``time_col`` must be orderable (use an epoch long for cross-engine
+    determinism). Left columns pass through unchanged.
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_value_col].dataType).alias("_rv"),
+    )
+    r = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in (key_col, time_col)
+            else F.col(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        F.col(right_value_col).alias("_rv"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(*lcols, out_col)
+    )

@@ -889,6 +889,65 @@ FROM t
 """
 
 
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the most recent error event
+    at-or-before it for the same user — the union+window merge formulation
+    (one shuffle, no range nested-loop); oracle is DuckDB's native ASOF
+    LEFT JOIN, value-checking tie semantics too."""
+    from pdf_parser_spark.operators import asof
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts_us")
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "ts_us", F.col("ts_us").alias("err_ts_us")
+    )
+    return asof.asof_join_latest(
+        clicks, errors, "user_id", "ts_us", "err_ts_us", out_col="last_err_ts_us"
+    )
+
+
+def sql_asof_last_error() -> str:
+    return """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+er AS (SELECT user_id, ts_us FROM ev WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, c.ts_us, er.ts_us AS last_err_ts_us
+FROM c ASOF LEFT JOIN er ON c.user_id = er.user_id AND c.ts_us >= er.ts_us
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (brand → grand total) — hierarchical subtotals in
+    one pass; Catalyst expands grouping sets with partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.rollup("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .select("p_brand", "revenue", "n_items")
+    )
+
+
+def sql_revenue_rollup() -> str:
+    return """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP (p_brand)
+"""
+
+
 def q_queue_pending_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join + deterministic head-N — the reference's `get_n_pdfs`
     (`_parser.py:1547-1587`): docs with no committed checkpoint, first 200."""
@@ -1773,6 +1832,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "asof_last_error": q_asof_last_error,
+    "revenue_rollup": q_revenue_rollup,
     "ann_batch_topk": q_ann_batch_topk,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
@@ -1845,6 +1906,8 @@ ORACLES: dict[str, str] = {
     "simhash_clusters": sql_simhash_clusters(),
     "minhash_near_dups": sql_minhash_near_dups(),
     "geo_resolve_misses": sql_geo_resolve_misses(),
+    "asof_last_error": sql_asof_last_error(),
+    "revenue_rollup": sql_revenue_rollup(),
     "ann_batch_topk": sql_ann_batch_topk(),
     "stratified_sample": sql_stratified_sample(),
     "pack_sequences": sql_pack_sequences(),
