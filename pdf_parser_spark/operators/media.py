@@ -107,6 +107,70 @@ def extract_media_features(
     return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("scale_num", T.IntegerType(), False),  # fit-scale numerator
+        T.StructField("scale_den", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_media(
+    media_df: DataFrame, max_width: int = 256, max_height: int = 256, fake: bool = True
+) -> DataFrame:
+    """mapInPandas aspect-preserving resize of image/video media.
+
+    The pixel work is STUBBED like decode (no PIL in this container): with
+    ``fake=True`` the kernel computes the real fit geometry — integer
+    aspect-preserving scale to (max_width, max_height), never upscaling —
+    and passes the payload through; swapping in PIL changes only the inner
+    function. Audio rows pass through unscaled (scale 1/1). The geometry is
+    pure integer arithmetic, so the DuckDB oracle value-checks it exactly.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ws, hs, sn, sd = [], [], [], []
+            for w, h, t in zip(pdf["width"], pdf["height"], pdf["media_type"]):
+                w = int(w or 0)
+                h = int(h or 0)
+                if t == "audio" or w <= 0 or h <= 0:
+                    ws.append(w), hs.append(h), sn.append(1), sd.append(1)
+                    continue
+                # integer fit scale: num/den = min(maxw/w, maxh/h, 1)
+                if max_width * h <= max_height * w:  # width-bound
+                    num, den = min(max_width, w), w
+                else:
+                    num, den = min(max_height, h), h
+                ws.append(w * num // den)
+                hs.append(h * num // den)
+                sn.append(num), sd.append(den)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": pdf["payload"],  # fake: bytes untouched
+                    "out_width": pd.array(ws, dtype="int32"),
+                    "out_height": pd.array(hs, dtype="int32"),
+                    "scale_num": pd.array(sn, dtype="int32"),
+                    "scale_den": pd.array(sd, dtype="int32"),
+                }
+            )
+
+    if not fake:  # pragma: no cover — deploy path
+        raise NotImplementedError("real resize requires PIL/opencv")
+    return media_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
     """Derive the media sidecar table from the docs spans (media spans →
     one row each, deterministic fake metadata from the ref hash).

@@ -1650,6 +1650,51 @@ FROM h
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving media resize plumbing (stubbed pixels, real
+    geometry): integer fit-scale to 256x256, audio passthrough. The oracle
+    recomputes the md5-derived metadata AND the scale arithmetic."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    m = media_ops.media_table_from_docs(docs)
+    return media_ops.resize_media(m, 256, 256).select(
+        "media_ref",
+        "media_type",
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        F.col("scale_num").cast("long").alias("scale_num"),
+        F.col("scale_den").cast("long").alias("scale_den"),
+    )
+
+
+def sql_media_resize() -> str:
+    return """
+WITH h AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref,
+         ('0x' || substr(md5('img-' || CAST(doc_id AS VARCHAR) || '-000'), 1, 15))::BIGINT AS h
+  FROM documents WHERE doc_id % 4 = 0
+), m AS (
+  SELECT media_ref,
+         (['image','audio','video'])[CAST(h % 3 AS INT) + 1] AS media_type,
+         h % 1920 AS w, h % 1080 AS ht
+  FROM h
+), g AS (
+  SELECT *,
+    CASE WHEN media_type = 'audio' OR w <= 0 OR ht <= 0 THEN 1
+         WHEN 256 * ht <= 256 * w THEN least(256, w) ELSE least(256, ht) END AS num,
+    CASE WHEN media_type = 'audio' OR w <= 0 OR ht <= 0 THEN 1
+         WHEN 256 * ht <= 256 * w THEN w ELSE ht END AS den
+  FROM m
+)
+SELECT media_ref, media_type,
+       CAST(CASE WHEN num = 1 AND den = 1 THEN w ELSE w * num // den END AS BIGINT) AS out_width,
+       CAST(CASE WHEN num = 1 AND den = 1 THEN ht ELSE ht * num // den END AS BIGINT) AS out_height,
+       CAST(num AS BIGINT) AS scale_num, CAST(den AS BIGINT) AS scale_den
+FROM g
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing sketch, portable (md5) variant so the DuckDB oracle can
     recompute the exact fingerprint set; returns count + min fingerprint
@@ -1832,6 +1877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "media_resize": q_media_resize,
     "asof_last_error": q_asof_last_error,
     "revenue_rollup": q_revenue_rollup,
     "ann_batch_topk": q_ann_batch_topk,
@@ -1906,6 +1952,7 @@ ORACLES: dict[str, str] = {
     "simhash_clusters": sql_simhash_clusters(),
     "minhash_near_dups": sql_minhash_near_dups(),
     "geo_resolve_misses": sql_geo_resolve_misses(),
+    "media_resize": sql_media_resize(),
     "asof_last_error": sql_asof_last_error(),
     "revenue_rollup": sql_revenue_rollup(),
     "ann_batch_topk": sql_ann_batch_topk(),
