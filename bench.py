@@ -54,9 +54,15 @@ BENCH_QUERIES = [
     "lang_id_confusion",
     "token_stats_by_lang",
     "ann_cosine_topk",
+    "ann_batch_topk",
     "geo_broadcast_enrich",
     "year_normalization",
     "bb_centroid",
+    "media_resize",
+    "asof_last_error",
+    "revenue_rollup",
+    "stratified_sample",
+    "pack_sequences",
 ]
 
 
