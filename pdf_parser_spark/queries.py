@@ -11,8 +11,10 @@ value-hash at sf=0.01):
   PORTABLE variant (md5 / sha256 + conv, reproducible in any engine) so the
   oracle value-checks them; the operators keep xxhash64 as the cheap default
   for the 100 TB path (same plan shape, ~15% apart at bench scale);
-- only genuinely iterative ops (greedy chunker backoff loop, k-means IVF)
-  ship WITHOUT an oracle → the driver records a rows-only check.
+- iterative control flow gets a RECURSIVE-CTE oracle where the arithmetic
+  is engine-identical (the chunker's x0.95 backoff); only IVF k-means ships
+  WITHOUT an oracle (float mean accumulation is aggregation-order-dependent
+  in a parallel engine) → the driver records a rows-only check.
 """
 
 from __future__ import annotations
@@ -1730,7 +1732,10 @@ FROM fps
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The greedy token-budget chunker (`_parser.py:656-716`) as a
     mapInPandas stage: per doc, number of chunks and max chunk token count
-    under a small budget (forces the ×0.95 backoff loop to run)."""
+    under a small budget (forces the ×0.95 backoff loop to run). The oracle
+    replays the iterative backoff as a DuckDB RECURSIVE CTE — same double
+    sequence (4.0 × 0.95^k), same int truncation, same regex tokenizer —
+    so even this loop is value-checked, not rows-only."""
     import pandas as pd
 
     from pdf_parser_spark.functions.tokens import build_chunk_group, estimate_tokens
@@ -1759,6 +1764,38 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         gen, "doc_id long, n_chunks long, max_chunk_tokens long"
     )
+
+
+def sql_chunk_documents() -> str:
+    """The chunker's shrink/accept loop as a recursive CTE: one recursion
+    step = one Python loop iteration (shrink m ×0.95 OR accept a chunk and
+    advance i), with the estimate_tokens regex replayed per candidate."""
+    return r"""
+WITH RECURSIVE st AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, 0 AS i, CAST(4.0 AS DOUBLE) AS m,
+         CAST(0 AS BIGINT) AS n_chunks, CAST(0 AS BIGINT) AS max_tok
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text,
+         CASE WHEN tok <= 72 THEN i + L ELSE i END AS i,
+         CASE WHEN tok <= 72 THEN CAST(4.0 AS DOUBLE) ELSE m * 0.95 END AS m,
+         n_chunks + CASE WHEN tok <= 72 THEN 1 ELSE 0 END AS n_chunks,
+         CASE WHEN tok <= 72 AND tok > max_tok THEN tok ELSE max_tok END AS max_tok
+  FROM (
+    SELECT doc_id, text, i, m, n_chunks, max_tok, L,
+           CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(
+               'SYS: ' || substr(text, i + 1, greatest(L, 0)) || e'\n\nEND\n\n',
+               '[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]'),
+             p -> CASE WHEN regexp_full_match(p, '[A-Za-z]+')
+                       THEN greatest(1, (length(p) + 3) // 4) ELSE 1 END)), 0) AS BIGINT) AS tok
+    FROM (SELECT *, CAST(floor(80 * m) AS INT) - 12 AS L FROM st WHERE i < length(text))
+  )
+)
+SELECT doc_id, n_chunks, max_tok AS max_chunk_tokens
+FROM st WHERE i >= length(text)
+"""
+
 
 
 def q_geo_resolve_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1952,6 +1989,7 @@ ORACLES: dict[str, str] = {
     "simhash_clusters": sql_simhash_clusters(),
     "minhash_near_dups": sql_minhash_near_dups(),
     "geo_resolve_misses": sql_geo_resolve_misses(),
+    "chunk_documents": sql_chunk_documents(),
     "media_resize": sql_media_resize(),
     "asof_last_error": sql_asof_last_error(),
     "revenue_rollup": sql_revenue_rollup(),
