@@ -308,6 +308,110 @@ GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 10
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery decorrelated into an
+    aggregate + self-join: revenue from lineitems whose quantity is below
+    20% of their part's average. Catalyst plans the per-part aggregate once
+    and broadcast-joins it back; no per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+def sql_small_quantity_revenue() -> str:
+    return """
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_cap FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_small
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < qty_cap
+"""
+
+
+def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue, top 5 (rounded, id tiebreak)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
+        .limit(5)
+    )
+
+
+def sql_top_suppliers_by_revenue() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY total_revenue DESC, s_suppkey ASC LIMIT 5
+"""
+
+
+def q_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) surface: suppliers with at least one returned item
+    — left_semi, so the lineitem side never produces output columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def sql_suppliers_with_returns() -> str:
+    return """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+ORDER BY s_suppkey
+"""
+
+
+def q_brand_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (brand, type): all four grouping-set combinations in one
+    pass — the full grouping-sets surface next to revenue_rollup's ROLLUP."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.cube("p_brand", "p_type").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def sql_brand_type_cube() -> str:
+    return """
+SELECT p_brand, p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY CUBE (p_brand, p_type)
+"""
+
+
 def q_region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -1894,6 +1998,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
     "pricing_summary": q_pricing_summary,
     "revenue_by_brand": q_revenue_by_brand,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
+    "suppliers_with_returns": q_suppliers_with_returns,
+    "brand_type_cube": q_brand_type_cube,
     "region_customer_rollup": q_region_customer_rollup,
     "inactive_customers_by_segment": q_inactive_customers_by_segment,
     "orders_with_discounted_items": q_orders_with_discounted_items,
@@ -1950,6 +2058,10 @@ ORACLES: dict[str, str] = {
     "outbreak_rows_pipeline": sql_outbreak_rows_pipeline(),
     "pricing_summary": sql_pricing_summary(),
     "revenue_by_brand": sql_revenue_by_brand(),
+    "small_quantity_revenue": sql_small_quantity_revenue(),
+    "top_suppliers_by_revenue": sql_top_suppliers_by_revenue(),
+    "suppliers_with_returns": sql_suppliers_with_returns(),
+    "brand_type_cube": sql_brand_type_cube(),
     "region_customer_rollup": sql_region_customer_rollup(),
     "inactive_customers_by_segment": sql_inactive_customers_by_segment(),
     "orders_with_discounted_items": sql_orders_with_discounted_items(),
