@@ -72,3 +72,23 @@ def test_golden_scanned_doc_with_layout_prefix(spark):
         },
     ]
     assert _spark_spans(spark, docs) == _golden(docs)
+
+
+def test_golden_single_giant_span(spark):
+    """A single multi-megabyte span (irreducible per-doc unit) must flow
+    through the Arrow kernel unsplit and byte-equal — the large-PDF shape
+    the size-bucketing exists for."""
+    big = ("lorem ipsum  dolor- sit amet " * 70000) + " references trailing"
+    docs = [
+        {
+            "doc_id": "giant",
+            "spans": [
+                {"kind": "text", "text": big, "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": "tail", "offset": 1},
+            ],
+        }
+    ]
+    got = _spark_spans(spark, docs)
+    want = _golden(docs)
+    assert got == want
+    assert len(got[0][2]) > 1_500_000  # the cleaned text really is MB-scale
