@@ -1,4 +1,11 @@
 from pdf_parser_spark.streaming.ingest import stream_extract
 from pdf_parser_spark.streaming.sessionize import latest_totals, stream_sessionize
+from pdf_parser_spark.streaming.windowed import latest_counts, stream_windowed_counts
 
-__all__ = ["stream_extract", "stream_sessionize", "latest_totals"]
+__all__ = [
+    "stream_extract",
+    "stream_sessionize",
+    "latest_totals",
+    "stream_windowed_counts",
+    "latest_counts",
+]

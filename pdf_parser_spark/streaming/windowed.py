@@ -1,0 +1,64 @@
+"""Event-time windowed aggregation with a watermark — the third streaming
+surface (stateless ingest, stateful sessionization, and now late-data-aware
+window aggregates).
+
+Tumbling per-hour counts by event type: the watermark bounds aggregation
+state (windows older than watermark − delay are finalized and dropped from
+the state store), which is what keeps a continuous 10^12-event feed's state
+finite. With ``availableNow`` drains, update-mode emissions land append-only
+in parquet; the latest row per (window, event_type) is the current count and
+equals the batch group-by once the feed drains.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> None:
+    """Drain available event files into per-window per-type running counts."""
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "window_counts")
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def latest_counts(spark: SparkSession, output_root: str) -> DataFrame:
+    """Current answer: the highest count per (window_start, event_type)."""
+    df = spark.read.parquet(os.path.join(output_root, "window_counts"))
+    return df.groupBy("window_start", "event_type").agg(F.max("n").alias("n"))

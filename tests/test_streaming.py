@@ -83,3 +83,45 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_windowed_counts_with_watermark_match_batch(spark, tmp_path):
+    """Watermarked tumbling-window counts over two time-ordered drops equal
+    the batch group-by once the feed drains (late rows inside the watermark
+    delay update their window; state for closed windows is dropped)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.streaming.windowed import latest_counts, stream_windowed_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "ev_inbox")
+    root = str(tmp_path / "win_out")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = events.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as long), 0.5) AS m"
+    ).first().m
+    events.filter(F.expr(f"cast(cast(ts as timestamp) as long) <= {mid}")).coalesce(
+        1
+    ).write.mode("append").parquet(inbox)
+    stream_windowed_counts(spark, inbox, root)
+    events.filter(F.expr(f"cast(cast(ts as timestamp) as long) > {mid}")).coalesce(
+        1
+    ).write.mode("append").parquet(inbox)
+    stream_windowed_counts(spark, inbox, root)
+
+    got = {
+        (r.window_start, r.event_type, r.n)
+        for r in latest_counts(spark, root).collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n)
+        for r in (
+            events.groupBy(
+                F.window(F.col("ts").cast("timestamp"), "1 hour")["start"].alias(
+                    "window_start"
+                ),
+                "event_type",
+            ).agg(F.count("*").alias("n"))
+        ).collect()
+    }
+    assert got == want
