@@ -18,6 +18,7 @@ def stratified_sample(
     stratum_col: str = "lang",
     n_per_stratum: int = 50,
     id_col: str = "doc_id",
+    shards: int = 32,
 ) -> DataFrame:
     """Deterministic pseudo-random sample: top-N per stratum by md5 order.
 
@@ -25,11 +26,26 @@ def stratified_sample(
     rank ≤ N keeps exactly N docs per stratum (fewer if the stratum is
     small). Unlike ``sampleBy`` this is exactly repeatable across engines,
     runs, and partitionings — the sample IS a function of the data.
+
+    Two-phase for scale: a stratum column typically has FEW values (5
+    languages), so a single window per stratum would serialize 100 TB into
+    5 tasks. Phase 1 takes top-N within (stratum, shard) — ``shards``-way
+    parallel, shard = hash(id) — which provably contains every global
+    top-N member; phase 2 ranks the ≤ N×shards survivors per stratum.
+    The OUTPUT is identical to the single-window formulation (same md5
+    order), so the oracle is unchanged.
     """
     h = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
+    w1 = Window.partitionBy(stratum_col, shard).orderBy(h, F.col(id_col))
+    survivors = (
+        docs.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= n_per_stratum)
+        .drop("_rk1")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
     return (
-        docs.withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
@@ -41,6 +57,7 @@ def pack_sequences(
     token_col,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign docs to fixed token-budget bins (training-batch packing).
 
@@ -49,17 +66,38 @@ def pack_sequences(
     offset-based pack. One window cumsum per stratum, no Python, identical
     in ANSI SQL. Oversized docs (> budget) still land in one bin (their
     own, usually) — callers chunk those upstream (build_chunk_group).
+
+    The cumsum is inherently sequential per packing group; with few strata
+    that serializes at scale, so ``shards`` (set it at 100 TB) splits each
+    stratum into hash(id) shards packed independently — bin ids become
+    (shard, bin) pairs encoded as shard * 2^40 + bin, trading global bin
+    numbering for ``shards``-way parallelism. Bin CONTENTS stay
+    deterministic; default (None) keeps globally numbered bins.
     """
-    w = (
-        Window.partitionBy(stratum_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = token_col.cast("long")
-    cum = F.sum(toks).over(w)
+    if shards:
+        shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
+        w = (
+            Window.partitionBy(stratum_col, shard)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(toks).over(w)
+        bin_col = (
+            shard.cast("long") * F.lit(2**40)
+            + F.floor((cum - toks) / F.lit(budget)).cast("long")
+        ).alias("bin")
+    else:
+        w = (
+            Window.partitionBy(stratum_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(toks).over(w)
+        bin_col = F.floor((cum - toks) / F.lit(budget)).cast("long").alias("bin")
     return docs.select(
         F.col(id_col),
         F.col(stratum_col),
         toks.alias("n_tokens"),
-        F.floor((cum - toks) / F.lit(budget)).cast("long").alias("bin"),
+        bin_col,
     )

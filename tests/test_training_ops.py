@@ -227,3 +227,62 @@ def test_media_pipeline_plumbing(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         media.decode_image(b"bytes")
+
+
+# ------------------------------------------------------------- curation
+def test_stratified_sample_two_phase_equals_single_window(spark):
+    """The sharded two-phase sample must return EXACTLY the rows a single
+    per-stratum window would (the shard pre-filter provably keeps every
+    global top-N member)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.curation import stratified_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(d, n_per_stratum=17, shards=8)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    want = {
+        (r.doc_id, r.lang)
+        for r in d.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 17")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pack_sequences_sharded_bins_respect_budget(spark):
+    """Sharded packing: within every (stratum, shard) bin, the summed
+    tokens before each doc stay under one budget of overflow, and bin ids
+    are deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.curation import pack_sequences
+    from pdf_parser_spark.operators.textqc import token_count
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    out = pack_sequences(d, budget=500, token_col=token_count(F.col("text")), shards=4)
+    rows = out.collect()
+    again = {(r.doc_id, r.bin) for r in pack_sequences(
+        d, budget=500, token_col=token_count(F.col("text")), shards=4).collect()}
+    assert {(r.doc_id, r.bin) for r in rows} == again  # deterministic
+    # every bin's PRECEDING cumulative load is < budget at each doc's start
+    from collections import defaultdict
+    by_bin = defaultdict(list)
+    for r in rows:
+        by_bin[(r.lang, r.bin)].append((r.doc_id, r.n_tokens))
+    for (lang, b), docs in by_bin.items():
+        docs.sort()
+        start = 0
+        for _, n in docs:
+            assert start < 500  # doc starts inside the budget window
+            start += n
