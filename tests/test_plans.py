@@ -108,3 +108,13 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     assert "Exchange" not in plan  # bucketing replaced the per-query shuffle
     assert df.count() == orders.join(customer,
         orders.o_custkey == customer.c_custkey).count()
+
+
+def test_batch_ann_group_limit_before_shuffle(spark):
+    """Batched ANN: per-query top-k must be taken map-side (WindowGroupLimit
+    below the Exchange) — otherwise one window partition per query would
+    sort the whole scored corpus in a single task."""
+    df = QUERIES["ann_batch_topk"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    ex = plan.find("Exchange")
+    assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
