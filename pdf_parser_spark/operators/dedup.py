@@ -38,6 +38,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep only each digest's min-id
+    representative, preserving ALL original columns.
+
+    Plan shape: the representatives table (digest, min id) is the output of
+    one partial-aggregated groupBy — far smaller than the corpus — and the
+    keep-decision is an equi-join on (digest, id). At 100 TB the corpus
+    never moves twice: digest is computed in the scan projection, and the
+    join shuffles on digest once (or broadcasts when the dup-rate is high
+    enough to shrink the representative set).
+    """
+    reps = (
+        docs.withColumn("digest", content_digest(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.withColumn("digest", content_digest(F.col(text_col))).join(
+        reps, ["digest", id_col]
+    ).drop("digest")
+
+
 def char_shingles(text, n: int = 3):
     """Distinct character n-grams of normalized text, as an array column.
 

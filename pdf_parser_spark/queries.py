@@ -785,6 +785,33 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup MATERIALIZER: the corpus with only min-id representatives
+    per normalized-content digest kept — the output a training pipeline
+    actually feeds downstream (exact_dedup_docs reports the clusters)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_filter(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.length("text").cast("long").alias("n_chars")
+    )
+
+
+def sql_dedup_corpus() -> str:
+    return """
+WITH dig AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM documents
+), reps AS (
+  SELECT digest, min(doc_id) AS doc_id FROM dig GROUP BY digest
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM dig d JOIN reps r ON d.digest = r.digest AND d.doc_id = r.doc_id
+"""
+
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -2018,6 +2045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": q_lang_id_confusion,
     "quality_scores": q_quality_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "dedup_corpus": q_dedup_corpus,
     "doc_fingerprints": q_doc_fingerprints,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2078,6 +2106,7 @@ ORACLES: dict[str, str] = {
     "lang_id_confusion": sql_lang_id_confusion(),
     "quality_scores": sql_quality_scores(),
     "exact_dedup_docs": sql_exact_dedup_docs(),
+    "dedup_corpus": sql_dedup_corpus(),
     "doc_fingerprints": sql_doc_fingerprints(),
     "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
     "ann_cosine_topk": sql_ann_cosine_topk(),
