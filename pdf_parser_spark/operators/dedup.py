@@ -202,6 +202,78 @@ def jaccard_verify(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.1,
+    df_max: int = 50,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard with a document-frequency skew guard.
+
+    The naive shape (explode shingles, self-join on ``shingle``) is
+    quadratic in the posting-list length of the hottest key: stop-word
+    shingles ("of the and") appear in a large fraction of any corpus, so
+    one join key fans out to |docs|² rows. This operator never self-joins
+    on the raw key:
+
+    1. explode shingles once (sets — ``word_shingles`` is distinct),
+    2. ONE groupBy(shingle) collects the sorted posting list,
+    3. posting lists longer than ``df_max`` are dropped (standard
+       document-frequency / suffix filtering — ubiquitous shingles carry no
+       similarity signal and are exactly the keys that blow up),
+    4. pairs are generated MAP-SIDE inside each bounded list
+       (≤ df_max²/2 structs per shingle, no shuffle),
+    5. one groupBy (a, b) counts common shingles.
+
+    The largest task is bounded by ``df_max``, not by the hottest shingle,
+    so the plan survives a 100× corpus where the self-join form degrades
+    super-linearly. Semantics: ``common`` counts only shingles with
+    df ≤ df_max while |A|,|B| in the denominator are the full set sizes —
+    Jaccard is a documented lower bound (exact for every pair whose shared
+    shingles are all rare, which is the similarity-bearing case). The
+    DuckDB oracle replicates the df filter, so the bound is value-checked.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_words).alias("sh"),
+    )
+    sizes = sh.select("_id", F.size("sh").cast("long").alias("n_sh"))
+    ex = sh.select("_id", F.explode("sh").alias("shingle"))
+    posting = (
+        ex.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_max))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.lit(df_max)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    common = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def minhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -267,6 +339,8 @@ def simhash_agg(
     """
     if bits > 60 and portable:
         raise ValueError("portable hash provides 60 usable bits")
+    if bits > 64:
+        raise ValueError("fingerprint is a 64-bit long")
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
@@ -285,7 +359,11 @@ def simhash_agg(
     agged = tok.groupBy(id_col).agg(*votes)
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+        # bit 63 is the sign bit of a long: 2**63 overflows the literal, but
+        # adding -(2**63) sets exactly that bit (fp is a sum of distinct
+        # powers of two, so two's-complement addition never carries).
+        bit_val = -(2**63) if b == 63 else 2**b
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return agged.select(F.col(id_col), fp.alias("fingerprint"))

@@ -110,6 +110,81 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         orders.o_custkey == customer.c_custkey).count()
 
 
+def test_embedding_near_dup_bucket_join_not_cartesian(spark):
+    """Embedding near-dup candidates must come from the sign-LSH bucket
+    EQUI-join — never a cross product. (BroadcastHashJoin at bench SF;
+    degrades to SortMergeJoin on bucket at scale — both fine, a nested-loop
+    shape is not.)"""
+    df = QUERIES["embedding_near_dup_pairs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join [bucket" in plan  # {BroadcastHash,SortMerge}Join [bucket#..]
+
+
+def test_ngram_jaccard_no_shingle_self_join(spark):
+    """The all-pairs Jaccard must use the df-bounded posting-list shape:
+    ONE groupBy(shingle) (collect_set below the Exchange), map-side pair
+    generation, and NO join keyed on the raw shingle — the skewed-key
+    self-join is the plan that degrades super-linearly at 100×."""
+    df = QUERIES["ngram_jaccard_pairs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join [shingle" not in plan  # no self-join on the hot key
+    assert "partial_collect_set" in plan  # posting list built map-side first
+    # pair structs generated inside the bounded list, not via join fan-out
+    assert "explode(flatten(transform" in plan
+
+
+def test_embedding_near_dups_matches_bruteforce_small_n(spark):
+    """Small-N verification twin: the bucketed operator must equal the
+    quadratic crossJoin restricted to same-bucket pairs (the bucketed form
+    is the one that ships; the crossJoin exists only here, as the check)."""
+    import pyspark.sql.functions as F
+
+    from pdf_parser_spark.operators import dedup
+    from pdf_parser_spark.operators.similarity import cosine
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    got = {
+        (r.a, r.b, round(r.cosine, 6))
+        for r in dedup.embedding_near_dups(
+            emb, threshold=0.2, bucket_dims=4
+        ).collect()
+    }
+    sign_bits = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(4)
+        ]
+    )
+    withb = emb.withColumn("bucket", sign_bits)
+    a = withb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = withb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    want = {
+        (r.a, r.b, round(r.cosine, 6))
+        for r in a.crossJoin(b)
+        .filter((F.col("a") < F.col("b")) & (F.col("ba") == F.col("bb")))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.2)
+        .select("a", "b", "cosine")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_batch_ann_group_limit_before_shuffle(spark):
     """Batched ANN: per-query top-k must be taken map-side (WindowGroupLimit
     below the Exchange) — otherwise one window partition per query would
