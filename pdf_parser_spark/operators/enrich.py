@@ -81,3 +81,45 @@ def make_distinct_enricher(
 
 
 fake_geocoder = make_distinct_enricher(fake_geocode_batch, GEO_RESOLVED_SCHEMA)
+
+
+def make_routed_enricher(
+    small_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    large_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType,
+    text_col: str = "text",
+    token_threshold: int = 4096,
+    max_retries: int = 3,
+):
+    """Model routing by token count — the engine analogue of the reference's
+    client selection (`_parser.py:92`: the standard-context model when
+    ``num_tokens < 4096``, the 16k-context model otherwise).
+
+    The token estimate is a Catalyst column (operators/textqc.token_count),
+    so routing is a DataFrame filter, not per-row Python branching: each
+    client's mapInPandas stage receives ONLY its route's rows. At 100 TB
+    that means two bounded enrichment stages whose batch budgets can differ
+    per client (the big-context client typically wants smaller Arrow
+    batches), and per-route metrics/quotas fall out of the plan for free.
+    The returned rows carry a ``route`` column ('small' | 'large') appended
+    to ``schema`` so joins-back and audits can see which client answered.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.textqc import token_count
+
+    def run(keys_df: DataFrame) -> DataFrame:
+        distinct = keys_df.distinct()
+        n_tok = token_count(F.col(text_col))
+        routed = []
+        for route, fn, pred in (
+            ("small", small_fn, n_tok < token_threshold),
+            ("large", large_fn, n_tok >= token_threshold),
+        ):
+            enrich = make_distinct_enricher(fn, schema, max_retries=max_retries)
+            routed.append(
+                enrich(distinct.filter(pred)).withColumn("route", F.lit(route))
+            )
+        return routed[0].unionByName(routed[1])
+
+    return run

@@ -47,9 +47,11 @@ FEATURES_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def _fake_decode(media_ref: str, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic fake: features derived from sha256(media_ref)."""
-    h = hashlib.sha256(media_ref.encode()).digest()
+def _fake_decode(src: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake: features derived from sha256 of the input BYTES
+    (the payload — so the fake path exercises the payload-bytes contract of
+    a real decoder, not just the ref string)."""
+    h = hashlib.sha256(src).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     return (raw % 1000).astype(np.float32) / 1000.0
 
@@ -83,8 +85,11 @@ def extract_media_features(
             if not len(pdf):
                 continue
             if fake:
+                # decode the actual payload bytes (fall back to the ref for
+                # payload-less rows) — same input contract as a real decoder
                 feats = [
-                    _fake_decode(ref).tolist() for ref in pdf["media_ref"]
+                    _fake_decode(bytes(p) if p is not None else ref.encode()).tolist()
+                    for p, ref in zip(pdf["payload"], pdf["media_ref"])
                 ]
             else:  # pragma: no cover — deploy path
                 feats = [decode_image(p).tolist() for p in pdf["payload"]]
@@ -180,7 +185,12 @@ def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
     expressible identically in ANSI SQL — the DuckDB oracle recomputes it
     and the driver value-checks the whole media pipeline. md5 here is one
     projection over refs (tiny vs payload bytes), so portability costs
-    nothing at scale."""
+    nothing at scale.
+
+    The payload is a deterministic 128-byte synthetic blob (the md5 hex of
+    the ref repeated 4×, as ASCII bytes): enough to carry real bytes through
+    Arrow into the decode kernels so the payload contract is exercised,
+    while staying SQL-reproducible (repeat(md5(ref), 4)) for the oracle."""
     spans = docs_df.select(
         "doc_id", F.explode("spans").alias("s")
     ).filter(F.col("s.kind") == "media")
@@ -192,7 +202,7 @@ def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.pmod(h, F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
-        F.lit(None).cast("binary").alias("payload"),
+        F.repeat(F.md5("s.media_ref"), 4).cast("binary").alias("payload"),
         F.pmod(h, F.lit(1920)).cast("int").alias("width"),
         F.pmod(h, F.lit(1080)).cast("int").alias("height"),
         F.pmod(h, F.lit(600000)).cast("int").alias("duration_ms"),

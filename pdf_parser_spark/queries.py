@@ -1815,13 +1815,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_media_features() -> str:
     """DuckDB twin of the media pipeline: metadata hash = first 15 md5 hex
-    chars as a long; fake feature[0] = first uint32 (little-endian) of
-    sha256(media_ref) % 1000 / 1000."""
+    chars as a long; payload = repeat(md5(ref), 4) as ASCII bytes; fake
+    feature[0] = first uint32 (little-endian) of sha256(payload) % 1000 /
+    1000 — the oracle hashes the same PAYLOAD BYTES the decode kernel
+    reads, value-checking the payload contract end to end."""
     return """
 WITH h AS (
   SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref,
          ('0x' || substr(md5('img-' || CAST(doc_id AS VARCHAR) || '-000'), 1, 15))::BIGINT AS h,
-         sha256('img-' || CAST(doc_id AS VARCHAR) || '-000') AS sh
+         sha256(repeat(md5('img-' || CAST(doc_id AS VARCHAR) || '-000'), 4)) AS sh
   FROM documents WHERE doc_id % 4 = 0
 )
 SELECT media_ref,

@@ -43,7 +43,14 @@ def stream_extract(
 
     Returns the number of micro-batches processed. Re-invoking with the same
     ``output_root`` processes only files not yet recorded in the stream
-    checkpoint (exactly-once per file).
+    checkpoint.
+
+    End-to-end effectively-once: foreachBatch alone is AT-LEAST-once (a crash
+    between the sink write and the checkpoint commit replays the micro-batch),
+    so the sink is made idempotent — each micro-batch OVERWRITES its own
+    ``batch_id=<id>`` partition directory. A replayed batch rewrites the same
+    directory with the same deterministic content instead of appending
+    duplicates; readers see ``batch_id`` as an ordinary partition column.
     """
     checkpoint = os.path.join(output_root, "_stream_checkpoint")
     spans_path = os.path.join(output_root, "spans_out")
@@ -58,7 +65,10 @@ def stream_extract(
         spans, _lineage, _metrics = pipeline.extract(
             batch_df, num_partitions=num_partitions
         )
-        spans.write.mode("append").parquet(spans_path)
+        # idempotent sink: replay of batch N overwrites batch N's directory
+        spans.write.mode("overwrite").parquet(
+            os.path.join(spans_path, f"batch_id={batch_id}")
+        )
         n_batches["n"] += 1
 
     q = (

@@ -47,12 +47,38 @@ REF_FUNCS = {
 }
 
 
+# The reference checkout is UNTRUSTED content: exec() would auto-inject full
+# __builtins__, and decorator/default-arg expressions run at definition time.
+# Seal both holes — explicit builtins allowlist (no __import__/open/eval/
+# getattr), and refuse decorated defs outright.
+_SAFE_BUILTINS = {
+    f.__name__: f
+    for f in (
+        len, range, int, float, str, list, dict, set, tuple, enumerate, zip,
+        min, max, abs, round, sum, any, all, sorted, reversed, isinstance,
+        bool, chr, ord, repr, map, filter,
+    )
+}
+_SAFE_BUILTINS.update(
+    {
+        e.__name__: e
+        for e in (Exception, ValueError, TypeError, IndexError, KeyError,
+                  AttributeError, ZeroDivisionError, StopIteration)
+    }
+)
+_SAFE_BUILTINS["print"] = lambda *a, **k: None
+
+
 def _load_reference():
     with open(REF_PATH) as f:
         tree = ast.parse(f.read())
-    ns: dict = {"re": re, "shlex": shlex, "print": lambda *a, **k: None}
+    ns: dict = {"re": re, "shlex": shlex, "__builtins__": _SAFE_BUILTINS}
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and node.name in REF_FUNCS:
+            assert not node.decorator_list, (
+                f"refusing decorated reference function {node.name} "
+                "(decorators execute at definition time)"
+            )
             mod = ast.Module(body=[node], type_ignores=[])
             exec(compile(mod, "<reference>", "exec"), ns)
     missing = REF_FUNCS - set(ns)

@@ -90,6 +90,46 @@ def test_geo_enrichment_broadcast_and_dedup(spark, rows_df):
     assert "BroadcastHashJoin" in plan
 
 
+def test_model_routing_splits_on_token_threshold(spark):
+    """Reference `_parser.py:92` picks the standard vs 16k-context client by
+    token count; the engine analogue routes each distinct key through the
+    matching fake client via a Catalyst filter. Two fake clients tag their
+    rows; the tags must split exactly on the threshold and the route column
+    must agree with the serving client."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pdf_parser_spark.operators.enrich import make_routed_enricher
+
+    schema = T.StructType(
+        [
+            T.StructField("text", T.StringType(), False),
+            T.StructField("answer", T.StringType(), False),
+        ]
+    )
+
+    def client(tag):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"text": batch["text"], "answer": tag})
+
+        return fn
+
+    routed = make_routed_enricher(
+        client("std-ctx"), client("big-ctx"), schema, token_threshold=4
+    )
+    df = spark.createDataFrame(
+        [("one two three",), ("one two three",), ("a b c d e f",), ("xx",)],
+        "text string",
+    )
+    got = {r.text: (r.answer, r.route) for r in routed(df).collect()}
+    assert got == {
+        "one two three": ("std-ctx", "small"),  # 3 tokens < 4 (deduped)
+        "xx": ("std-ctx", "small"),
+        "a b c d e f": ("big-ctx", "large"),  # 6 tokens >= 4
+    }
+
+
 def test_outbreak_code_map(spark):
     df = spark.createDataFrame(
         [("yes",), ("no",), ("uncertain",)], "outbreak string"
