@@ -172,12 +172,19 @@ def _extract_flat(
             ok = sub[0].notna().to_numpy()
             rows = np.nonzero(cand)[0][ok]
             has_layout[rows] = True
-            page[rows] = sub[0].to_numpy()[ok].astype(float)
-            xpos[rows] = sub[1].to_numpy()[ok].astype(float)
-            ypos[rows] = sub[2].to_numpy()[ok].astype(float)
-            content_np[rows] = (
-                tser[cand][ok].str.replace(LAYOUT_RE, "", regex=True).to_numpy()
-            )
+            g0 = sub[0].to_numpy()[ok]
+            g1 = sub[1].to_numpy()[ok]
+            g2 = sub[2].to_numpy()[ok]
+            page[rows] = g0.astype(float)
+            xpos[rows] = g1.astype(float)
+            ypos[rows] = g2.astype(float)
+            # prefix strip by slicing: the anchored match's length is fully
+            # determined by the group widths ("[[p=" + ";x=" + ";y=" + "]]"
+            # = 12 fixed chars) — ~10x cheaper than a per-row regex sub
+            content_np[rows] = [
+                t[12 + len(a) + len(b) + len(c) :]
+                for t, a, b, c in zip(tser.to_numpy()[rows], g0, g1, g2)
+            ]
 
         # ---- cleanup + window-marker scan over the WHOLE batch ----
         cleaned_list = _cleanup_batch(list(content_np))
@@ -227,58 +234,129 @@ def _extract_flat(
         ocr_rows = np.repeat(ocr_g, np.diff(starts))
         fix = ocr_rows & has_layout
         if fix.any():
-            refixed = _cleanup_batch(list(text_np[fix]))
-            for i, row in enumerate(np.nonzero(fix)[0]):
-                cleaned_np[row] = refixed[i]
+            refixed = np.empty(int(fix.sum()), dtype=object)
+            refixed[:] = _cleanup_batch(list(text_np[fix]))
+            cleaned_np[fix] = refixed
 
-        idx_parts: list[np.ndarray] = []  # flat-row index per output row
-        code_parts: list[np.ndarray] = []  # 0 = emit text(cleaned), 1 = emit media
-        lengths = np.empty(ngroups, dtype=np.int64)
-        truncations: list[tuple[int, int]] = []  # (global output row, cut pos)
-        out_total = 0
+        # ---- batch-level layout pass: reading order, boilerplate strip and
+        # window cut for ALL non-OCR docs in a handful of global sorts — no
+        # per-doc Python loop (was ~20% of kernel time at 2667 layout docs
+        # per 4k-doc batch).
+        gid = np.repeat(np.arange(ngroups, dtype=np.int64), np.diff(starts))
+        non_ocr = ~ocr_rows
 
-        for gi in range(ngroups):
-            lo, hi = starts[gi], starts[gi + 1]
+        # column clustering for every layout row at once: sort by (doc,
+        # page, x); a gap > COLUMN_GAP inside a (doc, page) segment starts a
+        # new column. Duplicate x's have gap 0 → same column, so this equals
+        # golden's unique-x clustering (_x_to_column).
+        col_key = np.zeros(n, dtype=np.int64)
+        lay_rows = np.nonzero(has_layout & non_ocr)[0]
+        if len(lay_rows):
+            lx = xpos[lay_rows]
+            lp = page[lay_rows]
+            lg = gid[lay_rows]
+            o = np.lexsort((lx, lp, lg))
+            sx, sp, sg = lx[o], lp[o], lg[o]
+            newseg = np.empty(len(o), dtype=bool)
+            newseg[0] = True
+            newseg[1:] = (sg[1:] != sg[:-1]) | (sp[1:] != sp[:-1])
+            gap = np.zeros(len(o), dtype=bool)
+            gap[1:] = (sx[1:] - sx[:-1]) > COLUMN_GAP
+            flagc = gap & ~newseg
+            cs = np.cumsum(flagc)
+            seg_id = np.cumsum(newseg) - 1
+            col_key[lay_rows[o]] = cs - cs[np.nonzero(newseg)[0]][seg_id]
 
-            if ocr_g[gi]:
-                # OCR path: media spans emit (recovered text, media) pairs
-                idx = np.arange(lo, hi)
-                m = med_np[lo:hi]
-                reps = np.where(m, 2, 1)
-                rep_idx = np.repeat(idx, reps)
-                code = np.zeros(len(rep_idx), dtype=np.int8)
-                span_starts = np.cumsum(reps) - reps
-                code[span_starts[m] + 1] = 1
-            else:
-                order_idx = _reading_order(
-                    np.arange(lo, hi), page, xpos, ypos, kind_np, bp_np
-                )
-                # window cut: last kept text span containing the marker
-                hits = np.nonzero(marker_hit[order_idx])[0]
-                if len(hits):
-                    cut_span = int(hits[-1])
-                    rep_idx = order_idx[: cut_span + 1]
-                    truncations.append(
-                        (
-                            out_total + cut_span,
-                            int(marker_rpos[rep_idx[cut_span]]) + len(WINDOW_MARKER),
-                        )
-                    )
-                else:
-                    rep_idx = order_idx
-                code = med_np[rep_idx].astype(np.int8)
+        # reading order, all non-OCR docs in ONE lexsort:
+        # (doc, unprefixed-spans-last, page, column, y, flat idx) — flat idx
+        # is offset order within a doc because the arrays are (doc, offset)-
+        # sorted. Docs with no layout rows sort purely by idx → unchanged.
+        nr = np.nonzero(non_ocr)[0]
+        flag_nl = (~has_layout[nr]).astype(np.int8)
+        pk = np.where(has_layout[nr], page[nr], 0.0)
+        yk = np.where(has_layout[nr], ypos[nr], 0.0)
+        ordered = nr[np.lexsort((nr, yk, col_key[nr], pk, flag_nl, gid[nr]))]
 
-            idx_parts.append(rep_idx)
-            code_parts.append(code)
-            lengths[gi] = len(rep_idx)
-            out_total += len(rep_idx)
+        # repeated-line boilerplate: distinct (doc, key, page) triples by
+        # sort+dedupe, page-counts per (doc, key) by run-length, drop keys
+        # seen on >= max(2, fraction × doc pages) pages.
+        drop_mask = np.zeros(n, dtype=bool)
+        if len(lay_rows):
+            key_codes = pd.factorize(bp_np[lay_rows])[0].astype(np.int64)
+            gk = gid[lay_rows] * (key_codes.max() + 1) + key_codes
+            pgl = page[lay_rows].astype(np.int64)
+            o2 = np.lexsort((pgl, gk))
+            gk_s, pg_s = gk[o2], pgl[o2]
+            uniq = np.empty(len(o2), dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (gk_s[1:] != gk_s[:-1]) | (pg_s[1:] != pg_s[:-1])
+            ugk = gk_s[uniq]  # one row per distinct (doc, key, page)
+            kb = np.empty(len(ugk), dtype=bool)
+            kb[0] = True
+            kb[1:] = ugk[1:] != ugk[:-1]
+            kstart = np.nonzero(kb)[0]
+            kcount = np.diff(np.append(kstart, len(ugk)))  # pages per (doc, key)
+            keys_unique = ugk[kstart]
+            # distinct (doc, page) → page count per doc
+            o3 = np.lexsort((pgl, gid[lay_rows]))
+            g_s, p_s = gid[lay_rows][o3], pgl[o3]
+            u3 = np.empty(len(o3), dtype=bool)
+            u3[0] = True
+            u3[1:] = (g_s[1:] != g_s[:-1]) | (p_s[1:] != p_s[:-1])
+            n_pages_g = np.bincount(g_s[u3], minlength=ngroups)
+            thresh = np.maximum(2.0, BOILERPLATE_PAGE_FRACTION * n_pages_g)
+            kdrop = kcount >= thresh[keys_unique // (key_codes.max() + 1)]
+            drop_mask[lay_rows] = kdrop[np.searchsorted(keys_unique, gk)]
+        ordered = ordered[~drop_mask[ordered]]
 
-        cat_idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
-        cat_code = np.concatenate(code_parts) if code_parts else np.empty(0, np.int8)
+        # window cut per doc over the ordered kept rows: drop everything
+        # after the LAST marker-bearing text span, truncate that span.
+        trunc_cut = np.full(n, -1, dtype=np.int64)
+        if len(ordered):
+            og = gid[ordered]
+            segb = np.empty(len(ordered), dtype=bool)
+            segb[0] = True
+            segb[1:] = og[1:] != og[:-1]
+            seg_start = np.nonzero(segb)[0]
+            seg_id2 = np.cumsum(segb) - 1
+            pos_in = np.arange(len(ordered)) - seg_start[seg_id2]
+            hitp = np.where(marker_hit[ordered], pos_in, -1)
+            last_r = np.maximum.reduceat(hitp, seg_start)[seg_id2]
+            is_cut = (pos_in == last_r) & (last_r >= 0)
+            trunc_rows = ordered[is_cut]
+            trunc_cut[trunc_rows] = marker_rpos[trunc_rows] + len(WINDOW_MARKER)
+            ordered = ordered[(last_r < 0) | (pos_in <= last_r)]
+        code_no = med_np[ordered].astype(np.int8)
+
+        # OCR docs, all at once: each media span emits a (recovered text,
+        # media) pair; rows are already offset-ordered within each doc.
+        oc = np.nonzero(ocr_rows)[0]
+        if len(oc):
+            m = med_np[oc]
+            reps = np.where(m, 2, 1)
+            rep_idx = np.repeat(oc, reps)
+            code_oc = np.zeros(len(rep_idx), dtype=np.int8)
+            span_starts = np.cumsum(reps) - reps
+            code_oc[span_starts[m] + 1] = 1
+        else:
+            rep_idx = np.empty(0, dtype=np.int64)
+            code_oc = np.empty(0, dtype=np.int8)
+
+        # merge the two paths back into global doc order (a doc is entirely
+        # OCR or entirely not, so a stable sort on doc group restores the
+        # per-doc contiguous layout both paths preserve internally)
+        cat_idx = np.concatenate([ordered, rep_idx])
+        cat_code = np.concatenate([code_no, code_oc])
+        perm = np.argsort(gid[cat_idx], kind="stable")
+        cat_idx = cat_idx[perm]
+        cat_code = cat_code[perm]
+        out_total = len(cat_idx)
+        lengths = np.bincount(gid[cat_idx], minlength=ngroups)
+
         is_media_row = cat_code == 1
         texts = np.where(is_media_row, "", cleaned_np[cat_idx])
-        for row, cut in truncations:
-            texts[row] = texts[row][:cut]
+        for row in np.nonzero((cat_code == 0) & (trunc_cut[cat_idx] >= 0))[0]:
+            texts[row] = texts[row][: trunc_cut[cat_idx[row]]]
         out_cols["doc_id"] = np.repeat(doc_ids_u, lengths)
         out_cols["kind"] = np.where(is_media_row, "media", "text")
         out_cols["text"] = texts
@@ -291,54 +369,6 @@ def _extract_flat(
         )
 
     return out_cols
-
-
-def _reading_order(
-    idx: np.ndarray,
-    page: np.ndarray,
-    xpos: np.ndarray,
-    ypos: np.ndarray,
-    kind: np.ndarray,
-    bp_key: np.ndarray,
-) -> np.ndarray:
-    """Row indices of one doc in reading order, boilerplate dropped."""
-    pg = page[idx]
-    has_layout = ~np.isnan(pg)
-    if not has_layout.any():
-        return idx  # already offset-sorted
-
-    # x→column clustering per page (gap > COLUMN_GAP starts a new column):
-    # sorted unique x's, column id = running count of gaps > COLUMN_GAP
-    lay = idx[has_layout]
-    col = np.zeros(len(lay), dtype=np.int64)
-    for p in np.unique(pg[has_layout]):
-        sel = page[lay] == p
-        x_sel = xpos[lay][sel]
-        xs = np.unique(x_sel)
-        col_ids = np.zeros(len(xs), dtype=np.int64)
-        np.cumsum(np.diff(xs) > COLUMN_GAP, out=col_ids[1:])
-        col[sel] = col_ids[np.searchsorted(xs, x_sel)]
-
-    order = np.lexsort((lay, ypos[lay], col, page[lay]))
-    ordered = np.concatenate([lay[order], idx[~has_layout]])
-
-    # repeated-line boilerplate strip — plain dicts: a doc has tens of spans,
-    # so per-doc pandas objects (Series/groupby) cost more than they save
-    # (profiled: 2.1 s → 0.3 s per 4k docs switching back to dicts)
-    lay_text = lay[kind[lay] == "text"]
-    n_pages = max(len(np.unique(pg[has_layout])), 1)
-    key_pages: dict[str, set] = {}
-    for i in lay_text:
-        key_pages.setdefault(bp_key[i], set()).add(page[i])
-    threshold = max(2, BOILERPLATE_PAGE_FRACTION * n_pages)
-    drop = {k for k, pgs in key_pages.items() if len(pgs) >= threshold}
-    if drop:
-        droppable = (kind[ordered] == "text") & ~np.isnan(page[ordered])
-        in_drop = np.fromiter(
-            (bp_key[i] in drop for i in ordered), dtype=bool, count=len(ordered)
-        )
-        return ordered[~(in_drop & droppable)]
-    return ordered
 
 
 def _extract_batch_arrow(batch, partition_id: int):
