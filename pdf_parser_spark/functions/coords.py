@@ -8,11 +8,14 @@ Semantics match the reference:
 - ``parse_coordinates`` — reference `_parser.py:815-840`: 'lat, lon' → tuple,
   (None, None) on failure.
 - ``bb_centroid``       — reference `_parser.py:765-813` used geographiclib's
-  WGS84 geodesic midpoint; geographiclib is not in this container, so we
-  compute the great-circle midpoint on a sphere (deterministic, pure NumPy).
-  Centroids are analytics-view-only — deliberately kept OUT of the golden
-  span-equality surface (SURVEY.md §7 watch-list), so the spherical/geodesic
-  difference (<0.2% of arc) never touches the correctness gate.
+  WGS84 geodesic midpoint. The engine has BOTH forms: this module's
+  spherical great-circle midpoint (SQL-expressible, so the `bb_centroid`
+  query keeps a full DuckDB oracle) and the true WGS84 ellipsoidal midpoint
+  (`functions/geodesic.py`: vectorized Vincenty inverse+direct, exposed as
+  `operators/geo.wgs84_midpoints`; verified against a published Vincenty
+  test line + analytic symmetries in `tests/test_geodesic.py`). Centroids
+  are analytics-view-only — deliberately kept OUT of the golden
+  span-equality surface (SURVEY.md §7 watch-list).
 """
 
 from __future__ import annotations

@@ -85,3 +85,69 @@ def general_fallback(
             F.coalesce(F.col("state"), F.lit(general_state if has_general else None)),
         )
     )
+
+
+def wgs84_midpoints(
+    df: DataFrame,
+    lat1_col: str = "lat1",
+    lon1_col: str = "lon1",
+    lat2_col: str = "lat2",
+    lon2_col: str = "lon2",
+) -> DataFrame:
+    """Append WGS84 geodesic midpoint columns (lat_mid, lon_mid, geodesic_ok).
+
+    The ellipsoidal twin of the Catalyst spherical midpoint (reference
+    `_parser.py:765-813` uses geographiclib's WGS84 InverseLine): coordinate
+    PARSING stays JVM-side (regexp_extract upstream), only the fixed-
+    iteration Vincenty math runs in NumPy over whole Arrow batches
+    (functions/geodesic.py) — array-at-a-time, no per-row Python. Rows where
+    Vincenty's inverse does not converge (nearly-antipodal — impossible for
+    bounding-box corners) fall back to the spherical midpoint with
+    geodesic_ok=false.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pdf_parser_spark.functions import geodesic
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("lat_mid", T.DoubleType(), True),
+            T.StructField("lon_mid", T.DoubleType(), True),
+            T.StructField("geodesic_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            la1 = pdf[lat1_col].to_numpy(dtype=np.float64)
+            lo1 = pdf[lon1_col].to_numpy(dtype=np.float64)
+            la2 = pdf[lat2_col].to_numpy(dtype=np.float64)
+            lo2 = pdf[lon2_col].to_numpy(dtype=np.float64)
+            lat_m, lon_m, ok = geodesic.midpoint(la1, lo1, la2, lo2)
+            if not ok.all():  # spherical fallback for non-converged rows
+                p1, p2 = np.radians(la1), np.radians(la2)
+                dl = np.radians(lo2 - lo1)
+                bx = np.cos(p2) * np.cos(dl)
+                by = np.cos(p2) * np.sin(dl)
+                slat = np.degrees(
+                    np.arctan2(
+                        np.sin(p1) + np.sin(p2),
+                        np.sqrt((np.cos(p1) + bx) ** 2 + by**2),
+                    )
+                )
+                slon = lo1 + np.degrees(np.arctan2(by, np.cos(p1) + bx))
+                lat_m = np.where(ok, lat_m, slat)
+                lon_m = np.where(ok, lon_m, (slon + 180.0) % 360.0 - 180.0)
+            out = pdf.copy()
+            out["lat_mid"] = lat_m
+            out["lon_mid"] = lon_m
+            out["geodesic_ok"] = ok
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,108 @@
+"""WGS84 geodesic midpoint (functions/geodesic.py + geo.wgs84_midpoints).
+
+The reference computes bounding-box centroids as the half-distance point of
+a geographiclib WGS84 geodesic (`_parser.py:765-813`). geographiclib is not
+in this container, so correctness is established without it:
+
+1. a published Vincenty test line (Flinders Peak → Buninyong, from the
+   Geocentric Datum of Australia technical manual) to sub-millimeter,
+2. analytic symmetry cases (equatorial and meridian-symmetric pairs have
+   exactly known midpoints on the ellipsoid),
+3. self-consistency: the midpoint is equidistant from both endpoints by the
+   same inverse solver (independent of the direct step that placed it),
+4. a divergence bound vs the spherical midpoint (the engine's analytic
+   fallback): must stay small but NONZERO — proving the ellipsoidal path is
+   actually different math, not the spherical one relabeled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark.functions import geodesic as g
+
+FLINDERS = (-(37 + 57 / 60 + 3.72030 / 3600), 144 + 25 / 60 + 29.52440 / 3600)
+BUNINYONG = (-(37 + 39 / 60 + 10.15610 / 3600), 143 + 55 / 60 + 35.38390 / 3600)
+
+
+def test_vincenty_published_line():
+    s, _, ok = g.inverse(*FLINDERS, *BUNINYONG)
+    assert bool(ok)
+    assert abs(float(s) - 54972.271) < 1e-3  # GDA manual value, meters
+
+
+def test_midpoint_analytic_symmetries():
+    # along the equator the geodesic IS the equator
+    lat, lon, ok = g.midpoint(0.0, 10.0, 0.0, 50.0)
+    assert bool(ok) and abs(float(lat)) < 1e-12 and abs(float(lon) - 30.0) < 1e-9
+    # meridian-symmetric endpoints → midpoint on the equator crossing
+    lat, lon, ok = g.midpoint(30.0, 40.0, -30.0, 40.0)
+    assert bool(ok) and abs(float(lat)) < 1e-9 and abs(float(lon) - 40.0) < 1e-9
+
+
+def test_midpoint_equidistant_self_consistency():
+    rng = np.random.RandomState(7)
+    la1 = rng.uniform(-60, 60, 300)
+    lo1 = rng.uniform(-170, 170, 300)
+    la2 = np.clip(la1 + rng.uniform(-25, 25, 300), -89, 89)
+    lo2 = lo1 + rng.uniform(-25, 25, 300)
+    lm, om, ok = g.midpoint(la1, lo1, la2, lo2)
+    assert bool(ok.all())
+    d1, _, _ = g.inverse(la1, lo1, lm, om)
+    d2, _, _ = g.inverse(lm, om, la2, lo2)
+    assert float(np.max(np.abs(d1 - d2))) < 1e-6  # meters
+
+
+def _spherical_mid(la1, lo1, la2, lo2):
+    p1, p2 = np.radians(la1), np.radians(la2)
+    dl = np.radians(lo2 - lo1)
+    bx = np.cos(p2) * np.cos(dl)
+    by = np.cos(p2) * np.sin(dl)
+    lat = np.degrees(
+        np.arctan2(np.sin(p1) + np.sin(p2), np.sqrt((np.cos(p1) + bx) ** 2 + by**2))
+    )
+    lon = lo1 + np.degrees(np.arctan2(by, np.cos(p1) + bx))
+    return lat, lon
+
+
+def test_geodesic_vs_spherical_divergence_band():
+    rng = np.random.RandomState(11)
+    la1 = rng.uniform(-60, 60, 200)
+    lo1 = rng.uniform(-170, 170, 200)
+    la2 = np.clip(la1 + rng.uniform(-10, 10, 200), -89, 89)
+    lo2 = lo1 + rng.uniform(-10, 10, 200)
+    gm_lat, gm_lon, ok = g.midpoint(la1, lo1, la2, lo2)
+    sm_lat, sm_lon = _spherical_mid(la1, lo1, la2, lo2)
+    assert bool(ok.all())
+    # angular offset between the two midpoints, degrees
+    off = np.hypot(gm_lat - sm_lat, (gm_lon - sm_lon) * np.cos(np.radians(gm_lat)))
+    assert float(off.max()) < 0.05  # documented <0.2%-of-arc band
+    assert float(off.max()) > 1e-6  # and it is NOT the same math
+
+
+def test_wgs84_midpoints_operator(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.geo import wgs84_midpoints
+
+    df = spark.range(200).select(
+        F.col("id").cast("long").alias("id"),
+        ((F.col("id") % 60) - 30.0).cast("double").alias("lat1"),
+        ((F.col("id") % 150) - 75.0).cast("double").alias("lon1"),
+        ((F.col("id") % 60) - 25.0).cast("double").alias("lat2"),
+        ((F.col("id") % 150) - 70.0).cast("double").alias("lon2"),
+    )
+    out = wgs84_midpoints(df).orderBy("id").collect()
+    assert len(out) == 200 and all(r.geodesic_ok for r in out)
+    rows = out[:50]
+    la1 = np.array([r.lat1 for r in rows])
+    lo1 = np.array([r.lon1 for r in rows])
+    la2 = np.array([r.lat2 for r in rows])
+    lo2 = np.array([r.lon2 for r in rows])
+    want_lat, want_lon, _ = g.midpoint(la1, lo1, la2, lo2)
+    np.testing.assert_allclose([r.lat_mid for r in rows], want_lat, atol=1e-12)
+    np.testing.assert_allclose([r.lon_mid for r in rows], want_lon, atol=1e-12)
+    # no per-row Python in the plan beyond the single mapInPandas stage
+    plan = out is not None and wgs84_midpoints(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
