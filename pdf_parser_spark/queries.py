@@ -1025,6 +1025,120 @@ FROM t
 """
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count quantiles — EXACT percentile (linear
+    interpolation, the same type-7 definition DuckDB's quantile_cont
+    uses), so the oracle is value-exact. The approximate sketch twins
+    (approx_percentile / approx_count_distinct HLL) are exercised against
+    these exact values in tests/test_training_ops.py — at 100 TB the
+    sketches are the plan (mergeable partial aggregates), and this exact
+    query is their calibration baseline at test SF."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    nt = textqc.token_count(F.col("text")).cast("double")
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    return (
+        d.select("lang", nt.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.percentile("nt", F.array(*[F.lit(p) for p in probs])).alias("p"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "lang",
+            *[
+                F.round(F.element_at("p", i + 1), 4).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(probs)
+            ],
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def sql_token_quantiles() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    cols = ", ".join(
+        f"round(quantile_cont(nt, {p}), 4) AS p{int(p * 100)}"
+        for p in [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+    return f"""
+SELECT lang, {cols}, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT lang, CAST({tok} AS DOUBLE) AS nt FROM documents)
+GROUP BY lang
+"""
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation materialization — the composition a real
+    training-data job runs as ONE plan: exact-dedup survivors
+    (dedup.dedup_filter) → quality gate (textqc.quality_features,
+    keep score 1.0) → deterministic stratified sample (20/lang, md5
+    order) → token-budget packing (2000-token bins). Every stage is
+    individually oracled elsewhere; this query value-checks that the
+    stages COMPOSE (column contracts, filter-before-sample ordering,
+    per-stratum bin numbering) with a single CTE-for-CTE DuckDB twin.
+    Scale shape: one digest shuffle, one stratum shuffle, windows
+    sharded as in the standalone queries — no extra exchanges appear
+    from composing."""
+    from pdf_parser_spark.operators import curation
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    deduped = dedup.dedup_filter(d)
+    kept = textqc.quality_features(deduped).filter(F.col("quality_score") >= 1.0)
+    sampled = curation.stratified_sample(kept, n_per_stratum=20)
+    return curation.pack_sequences(
+        sampled.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"),
+        budget=2000,
+        token_col=textqc.token_count(F.col("text")),
+    )
+
+
+def sql_curate_corpus() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    stop = " + ".join(
+        _occ_sql("(' ' || lower(text) || ' ')", m) for m in LANG_MARKERS["en"]
+    )
+    return f"""
+WITH dig AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM documents
+), reps AS (
+  SELECT digest, min(doc_id) AS doc_id FROM dig GROUP BY digest
+), dd AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM dig d JOIN reps r ON d.digest = r.digest AND d.doc_id = r.doc_id
+), feats AS (
+  SELECT doc_id, lang, text, {tok} AS n_tokens,
+         CASE WHEN {tok} > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / {tok} ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN {tok} > 0 THEN ({stop}) / {tok} ELSE 0.0 END AS stop_ratio
+  FROM dd
+), kept AS (
+  SELECT * FROM feats
+  WHERE (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25e0 ELSE 0.0e0 END
+         + CASE WHEN punct_ratio <= 0.2 THEN 0.25e0 ELSE 0.0e0 END
+         + CASE WHEN alpha_ratio >= 0.6 THEN 0.25e0 ELSE 0.0e0 END
+         + CASE WHEN stop_ratio >= 0.01 THEN 0.25e0 ELSE 0.0e0 END) >= 1.0
+), samp AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM kept) WHERE rk <= 20
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS BIGINT) AS bin
+FROM samp
+"""
+
+
 def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the most recent error event
     at-or-before it for the same user — the union+window merge formulation
@@ -2086,9 +2200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_brand": q_revenue_by_brand,
     "top_order_per_customer": q_top_order_per_customer,
-    "top20_orders": q_top20_orders,
     "order_year_span_explode": q_order_year_span_explode,
-    "status_code_map": q_status_code_map,
     "union_priority_segments": q_union_priority_segments,
     "minmax_year_per_user": q_minmax_year_per_user,
     "sessionize_events": q_sessionize_events,
@@ -2114,6 +2226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_rollup": q_revenue_rollup,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "curate_corpus": q_curate_corpus,
+    "token_quantiles": q_token_quantiles,
     "queue_pending_batch": q_queue_pending_batch,
     "checkpoint_merge_upsert": q_checkpoint_merge_upsert,
     "geo_broadcast_enrich": q_geo_broadcast_enrich,
@@ -2130,7 +2244,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coordinate_dispatch": q_coordinate_dispatch,
     "chunk_documents": q_chunk_documents,
     # ---- entries 51+ (outside the driver's 50-entry check window) ----
-    # redundant TPC-H-shape twins, all driver-green in CORRECTNESS_r01:
+    # redundant twins, all driver-green in CORRECTNESS_r01 (status_code_map's
+    # outbreak-code map is also exercised end-to-end by outbreak_rows_pipeline):
+    "top20_orders": q_top20_orders,
+    "status_code_map": q_status_code_map,
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
     "suppliers_with_returns": q_suppliers_with_returns,
@@ -2200,4 +2317,6 @@ ORACLES: dict[str, str] = {
     "stratified_sample": sql_stratified_sample(),
     "pack_sequences": sql_pack_sequences(),
     "ivf_topk_probe": sql_ivf_topk_probe(),
+    "curate_corpus": sql_curate_corpus(),
+    "token_quantiles": sql_token_quantiles(),
 }

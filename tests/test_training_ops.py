@@ -286,3 +286,37 @@ def test_pack_sequences_sharded_bins_respect_budget(spark):
         for _, n in docs:
             assert start < 500  # doc starts inside the budget window
             start += n
+
+
+def test_sketch_aggregates_track_exact(spark):
+    """The 100 TB plan for distributional stats is sketches (mergeable
+    partial aggregates): approx_percentile (t-digest-style) and
+    approx_count_distinct (HLL++). Calibrate both against exact answers at
+    test SF — the exact twin is the oracled token_quantiles query."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.textqc import token_count
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "lang", token_count(F.col("text")).cast("double").alias("nt"),
+        F.col("doc_id"),
+    )
+    row = d.agg(
+        F.percentile("nt", F.lit(0.5)).alias("exact_p50"),
+        F.expr("approx_percentile(nt, 0.5, 1000)").alias("approx_p50"),
+        F.countDistinct("doc_id").alias("exact_nd"),
+        F.approx_count_distinct("doc_id").alias("approx_nd"),
+    ).first()
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.02 * max(row.exact_p50, 1)
+    assert abs(row.approx_nd - row.exact_nd) <= 0.05 * row.exact_nd
+    # sketches stay partial-aggregatable: the plan must show a partial agg
+    # below the exchange (map-side combine), like any sum/count
+    plan = (
+        d.groupBy("lang")
+        .agg(F.approx_count_distinct("doc_id"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex = plan.find("Exchange")
+    assert ex != -1 and "partial_approx_count_distinct" in plan[ex:]
