@@ -114,10 +114,24 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
     )
-    sig_aggs = [
-        F.min(seeded_hash(F.col("shingle"), k, portable)).alias(f"_h{k}")
-        for k in range(num_hashes)
-    ]
+    if portable:
+        # one md5 digest yields TWO independent 60-bit hashes (hex chars
+        # 1-15 and 16-30), halving the dominant per-shingle md5 work of the
+        # portable variant; codegen's common-subexpression elimination
+        # computes each shared digest once. The DuckDB oracle mirrors the
+        # same (seed k//2, half k%2) derivation.
+        def ph(k: int):
+            d = F.md5(F.concat(F.col("shingle"), F.lit(f"#{k // 2}")))
+            return F.conv(
+                F.substring(d, 1 if k % 2 == 0 else 16, 15), 16, 10
+            ).cast("long")
+
+        sig_aggs = [F.min(ph(k)).alias(f"_h{k}") for k in range(num_hashes)]
+    else:
+        sig_aggs = [
+            F.min(seeded_hash(F.col("shingle"), k)).alias(f"_h{k}")
+            for k in range(num_hashes)
+        ]
     agged = ex.groupBy(id_col).agg(*sig_aggs)
     return agged.select(
         F.col(id_col),

@@ -1777,7 +1777,7 @@ def sql_minhash_near_dups() -> str:
     k, bands = 32, 8
     r = k // bands
     mins = ", ".join(
-        f"min(('0x' || substr(md5(shingle || '#{i}'), 1, 15))::BIGINT) AS h{i}"
+        f"min(('0x' || substr(md5(shingle || '#{i // 2}'), {1 if i % 2 == 0 else 16}, 15))::BIGINT) AS h{i}"
         for i in range(k)
     )
     band_rows = "\n  UNION ALL ".join(
