@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "stratified_sample",
     "pack_sequences",
+    "curate_corpus",
+    "token_quantiles",
+    "ivf_topk_probe",
 ]
 
 

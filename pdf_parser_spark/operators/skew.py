@@ -1,0 +1,67 @@
+"""Explicit skew-defeating joins: salt the skewed side, replicate the other.
+
+AQE's skew-join split only helps sort-merge joins whose skew is visible in
+shuffle statistics, and it cannot split a single hot KEY finer than its
+map-side blocks. When one join key dominates outright (Zipfian event types,
+default/null-like foreign keys — the shape a web-scale corpus always has),
+pre-salting bounds the largest reducer deterministically: the hot key's
+rows scatter across ``salt`` sub-keys, and the small side is replicated
+``salt``× (tiny, it broadcasts or stays small) so every sub-key still finds
+its match. Join results are IDENTICAL to the unsalted join — the salt is a
+synthetic extra equi-key that both sides agree on by construction.
+
+At 100 TB: use for fact⋈dim joins where the dim is too big to broadcast but
+the fact's key histogram is heavy-tailed; pair with AQE (still on) for the
+residual moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` (skewed side) to ``dim`` on ``on`` with ``salt``-way
+    key splitting.
+
+    The fact side gets a pseudo-random salt in [0, salt) per ROW (xxhash64
+    of the partition-local row id — cheap, no extra scan of data columns);
+    the dim side is exploded across the full salt range. Equi-join on
+    (keys..., salt) then drops the salt. Supports inner and left joins
+    (right/full would need the salt on the other side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (salt rides the fact side)")
+    keys = [on] if isinstance(on, str) else list(on)
+    fact_s = fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    dim_s = dim.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return fact_s.join(dim_s, on=keys + [SALT_COL], how=how).drop(SALT_COL)
+
+
+def salted_group_count(
+    df: DataFrame, key_cols: list[str], salt: int = 16
+) -> DataFrame:
+    """Two-phase count for a skewed groupBy key: partial count on
+    (keys, salt) — ``salt``-way parallel even for one dominant key — then
+    re-aggregate on the keys. Identical result to a direct groupBy().count()
+    (which Spark's partial aggregation usually handles; this form is for
+    aggregates that do NOT combine map-side, e.g. collect_list bounded ops,
+    or when a single reducer's combined hot-key stream still dominates)."""
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    partial = salted.groupBy(*key_cols, SALT_COL).agg(F.count("*").alias("_c"))
+    return partial.groupBy(*key_cols).agg(F.sum("_c").cast("long").alias("n"))

@@ -320,3 +320,56 @@ def test_sketch_aggregates_track_exact(spark):
     )
     ex = plan.find("Exchange")
     assert ex != -1 and "partial_approx_count_distinct" in plan[ex:]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Hot-key defense: the salted fact⋈dim join must return EXACTLY the
+    plain join's rows (salt is a synthetic equi-key both sides agree on),
+    while the physical join key includes the salt — so one dominant key
+    scatters across `salt` reducers instead of one."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.skew import salted_join
+
+    # Zipfian fact: one key carries ~90% of rows
+    fact = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(50)], "k string, d int"
+    )
+    got = salted_join(fact, dim, "k", salt=8)
+    want = fact.join(dim, "k")
+    assert sorted((r.k, r.v, r.d) for r in got.collect()) == sorted(
+        (r.k, r.v, r.d) for r in want.collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the join really keys on (k, _salt)
+    # left join keeps unmatched fact rows exactly once
+    fact2 = fact.union(spark.createDataFrame([("orphan", -1)], "k string, v long"))
+    got_l = salted_join(fact2, dim, "k", salt=8, how="left")
+    want_l = fact2.join(dim, "k", "left")
+    assert sorted((r.k, r.v, r.d) for r in got_l.collect()) == sorted(
+        (r.k, r.v, r.d) for r in want_l.collect()
+    )
+
+
+def test_salted_group_count_matches_direct(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.skew import salted_group_count
+
+    df = spark.range(30000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot")).otherwise(
+            (F.col("id") % 7).cast("string")
+        ).alias("k")
+    )
+    got = {(r.k, r.n) for r in salted_group_count(df, ["k"], salt=8).collect()}
+    want = {
+        (r.k, r.n)
+        for r in df.groupBy("k").agg(F.count("*").cast("long").alias("n")).collect()
+    }
+    assert got == want
