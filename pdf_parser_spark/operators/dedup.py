@@ -233,10 +233,16 @@ def ngram_jaccard_pairs(
     on the raw key:
 
     1. explode shingles once (sets — ``word_shingles`` is distinct),
-    2. ONE groupBy(shingle) collects the sorted posting list,
-    3. posting lists longer than ``df_max`` are dropped (standard
-       document-frequency / suffix filtering — ubiquitous shingles carry no
-       similarity signal and are exactly the keys that blow up),
+    2. count document frequency per shingle (plain partial-aggregated
+       count — bounded state even for a shingle in 10^10 docs) and keep
+       only shingles with 2 ≤ df ≤ ``df_max`` (standard document-frequency
+       / suffix filtering — ubiquitous shingles carry no similarity signal
+       and are exactly the keys that blow up),
+    3. semi-join the exploded rows against the kept shingles BEFORE any
+       posting list is materialized — ``collect_set`` therefore only ever
+       sees df-bounded groups (a collect buffer cannot spill within one
+       group, so collecting first and filtering after would OOM on a
+       stop-word shingle at corpus scale),
     4. pairs are generated MAP-SIDE inside each bounded list
        (≤ df_max²/2 structs per shingle, no shuffle),
     5. one groupBy (a, b) counts common shingles.
@@ -255,10 +261,16 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("_id", F.size("sh").cast("long").alias("n_sh"))
     ex = sh.select("_id", F.explode("sh").alias("shingle"))
-    posting = (
+    kept = (
         ex.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= df_max))
+        .select("shingle")
+    )
+    posting = (
+        ex.join(kept, "shingle", "left_semi")
+        .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_max))
     )
     pair_structs = F.flatten(
         F.transform(

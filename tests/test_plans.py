@@ -124,13 +124,18 @@ def test_embedding_near_dup_bucket_join_not_cartesian(spark):
 
 def test_ngram_jaccard_no_shingle_self_join(spark):
     """The all-pairs Jaccard must use the df-bounded posting-list shape:
-    ONE groupBy(shingle) (collect_set below the Exchange), map-side pair
-    generation, and NO join keyed on the raw shingle — the skewed-key
-    self-join is the plan that degrades super-linearly at 100×."""
+    document-frequency prefilter as a SEMI-join (so collect_set only ever
+    sees df-bounded groups — a collect buffer cannot spill within one
+    group), map-side pair generation, and NO INNER self-join on the raw
+    shingle — the skewed-key self-join degrades super-linearly at 100×."""
+    import re
+
     df = QUERIES["ngram_jaccard_pairs"](spark, SF_DIR)
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
-    assert "Join [shingle" not in plan  # no self-join on the hot key
+    # the only join keyed on shingle is the row-preserving df prefilter
+    shingle_joins = re.findall(r"Join \[shingle#\d+\][^\n]*", plan)
+    assert shingle_joins and all("LeftSemi" in j for j in shingle_joins)
     assert "partial_collect_set" in plan  # posting list built map-side first
     # pair structs generated inside the bounded list, not via join fan-out
     assert "explode(flatten(transform" in plan
