@@ -72,12 +72,27 @@ def main() -> int:
         try:
             rel = con.sql(sql)
             dcols = [c for c in rel.columns]
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
         problems = []
+        # The driver's value hash is type-sensitive where this harness's
+        # %.6g canonicalizer is not: an uncast DuckDB sum() returns HUGEINT
+        # and hashes differently from Spark's BIGINT even though the values
+        # print the same (the round-1 json_props_stats/token_stats_by_lang
+        # failure class). Fail loudly on the risky oracle types.
+        risky = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if any(k in t.upper() for k in ("HUGEINT", "INT128", "DECIMAL"))
+        ]
+        if risky:
+            problems.append(
+                f"oracle type risk (cast to BIGINT/DOUBLE): {risky}"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {scols} vs {dcols}")
         if len(srows) != len(drows):
