@@ -1,3 +1,4 @@
+from pdf_parser_spark.streaming.dedup import stream_dedup, unique_docs
 from pdf_parser_spark.streaming.ingest import stream_extract
 from pdf_parser_spark.streaming.sessionize import latest_totals, stream_sessionize
 from pdf_parser_spark.streaming.windowed import latest_counts, stream_windowed_counts
@@ -8,4 +9,6 @@ __all__ = [
     "latest_totals",
     "stream_windowed_counts",
     "latest_counts",
+    "stream_dedup",
+    "unique_docs",
 ]

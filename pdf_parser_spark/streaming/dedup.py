@@ -1,0 +1,72 @@
+"""Streaming exact deduplication — the dedup family's streaming surface.
+
+A continuous document feed re-delivers content (re-crawls, source overlap,
+at-least-once upstream queues). ``dropDuplicates`` on the content digest
+inside the stream keeps only each digest's FIRST arrival across
+micro-batches AND restarts: the dedup state lives in the checkpointed state
+store, so a re-run resumes with the same seen-set. State is what must stay
+finite at 10^12 docs: ``dropDuplicatesWithinWatermark`` bounds it to the
+watermark horizon (an exact global seen-set is a batch job — see
+``operators/dedup.exact_dedup``; the streaming form deduplicates the
+re-delivery window, which is where streaming duplicates actually occur).
+
+Same digest as the batch operator (md5 of lowercased, whitespace-collapsed
+text — ``dedup.content_digest``), so a batch backfill and the streaming
+tail agree on identity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.dedup import content_digest
+
+DOCS_FEED_SCHEMA = "doc_id string, text string, event_ts timestamp"
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    watermark: str = "1 hour",
+    exact: bool = False,
+) -> None:
+    """Drain available document files, emitting only first-seen digests.
+
+    ``exact=True`` keeps the unbounded global seen-set (exact semantics,
+    state grows with distinct digests — fine for bounded backfills);
+    the default bounds state to the ``watermark`` re-delivery horizon via
+    ``dropDuplicatesWithinWatermark`` (the 10^12-doc shape).
+    """
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "unique_docs")
+    docs = spark.readStream.schema(DOCS_FEED_SCHEMA).parquet(input_path)
+    withd = docs.withColumn("digest", content_digest(F.col("text")))
+    if exact:
+        unique = withd.dropDuplicates(["digest"])
+    else:
+        unique = withd.withWatermark(
+            "event_ts", watermark
+        ).dropDuplicatesWithinWatermark(["digest"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch-id sink (see streaming/ingest.py): replay of
+        # a micro-batch overwrites its own directory instead of duplicating
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
+
+    q = (
+        unique.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def unique_docs(spark: SparkSession, output_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_root, "unique_docs"))

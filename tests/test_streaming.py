@@ -125,3 +125,67 @@ def test_windowed_counts_with_watermark_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """Streaming exact dedup: only each digest's FIRST arrival survives,
+    across micro-batches AND a second drain (state store persistence); the
+    surviving set equals the batch exact-dedup representatives."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.dedup import content_digest
+    from pdf_parser_spark.streaming import stream_dedup, unique_docs
+
+    inbox = str(tmp_path / "feed")
+    root = str(tmp_path / "out")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, t, datetime.timedelta(minutes=m) + t0) for i, t, m in rows],
+            "doc_id string, text string, event_ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    write([("a", "hello  world", 0), ("b", "HELLO world", 1), ("c", "other", 2)])
+    stream_dedup(spark, inbox, root, exact=True)
+    got = {r.doc_id for r in unique_docs(spark, root).collect()}
+    assert len(got) == 2 and "c" in got  # a/b collapse (same normalized digest)
+
+    # second drain with a re-delivery + one new doc: the seen-set persisted
+    write([("a2", "hello world", 3), ("d", "brand new", 4)])
+    stream_dedup(spark, inbox, root, exact=True)
+    out = unique_docs(spark, root)
+    assert {r.doc_id for r in out.collect()} == got | {"d"}
+    # streaming identity == batch identity (same digest expression)
+    batch = (
+        spark.read.parquet(inbox)
+        .withColumn("digest", content_digest(F.col("text")))
+        .groupBy("digest")
+        .agg(F.count("*"))
+    )
+    assert out.count() == batch.count()
+
+
+def test_stream_dedup_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates INSIDE the horizon are
+    suppressed (state stays finite — the 10^12-doc shape)."""
+    import datetime
+
+    from pdf_parser_spark.streaming import stream_dedup, unique_docs
+
+    inbox = str(tmp_path / "feed")
+    root = str(tmp_path / "out")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            ("a", "same text", t0),
+            ("b", "same text", t0 + datetime.timedelta(minutes=5)),
+            ("c", "different", t0 + datetime.timedelta(minutes=6)),
+        ],
+        "doc_id string, text string, event_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    stream_dedup(spark, inbox, root, watermark="1 hour")
+    got = sorted(r.doc_id for r in unique_docs(spark, root).collect())
+    assert got == ["a", "c"]  # in-horizon duplicate b suppressed
