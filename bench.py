@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pack_sequences",
     "curate_corpus",
+    "near_dup_clusters",
     "token_quantiles",
     "ivf_topk_probe",
 ]

@@ -458,3 +458,59 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def pair_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS → (node, cluster) labels.
+
+    Near-dup detection emits pairs; materializing a deduplicated corpus
+    needs CLUSTERS (keep one representative per component — transitive
+    closure, since (a,b) and (b,c) dup-pairs imply {a,b,c} is one group).
+    Min-label propagation: every node starts as its own label; each round a
+    node adopts the smallest label among itself and its neighbors; fixpoint
+    in O(diameter) rounds. Near-dup components are short chains (diameter
+    rarely exceeds a few hops), so the loop is a handful of self-joins.
+
+    Scale shape: each round is one broadcast/shuffle equi-join of the
+    labels table against the (symmetrized) edge list plus a min-groupBy —
+    all map-side-combinable; convergence is checked with a 1-row aggregate
+    (sum of labels is monotonically non-increasing and integral, so equal
+    sums on consecutive rounds == fixpoint; no collect of data rows). This
+    is the simple O(d)-round formulation; for pathological diameters switch
+    the edge list to Hash-to-Min doubling — same join shape, O(log d)
+    rounds.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("x").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == neigh.x, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))

@@ -874,6 +874,68 @@ WHERE round(common / (na + nb - common), 6) >= 0.03
 """
 
 
+_CLUSTER_JACCARD_T = 0.02
+_CLUSTER_DOC_CAP = 150
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → CLUSTERS (connected components): the transitive-
+    closure step a dedup materializer needs ((a,b) and (b,c) dup-pairs ⇒
+    {a,b,c} is one group, keep one representative). Min-label propagation
+    (operators/dedup.pair_clusters) — O(diameter) broadcast-join rounds,
+    convergence checked by a 1-row aggregate. The DuckDB twin replays the
+    pair pipeline AND the closure as a RECURSIVE CTE, so the component
+    labels are value-checked, not just counted."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CLUSTER_DOC_CAP
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        shingle_words=3,
+        threshold=_CLUSTER_JACCARD_T,
+        df_max=_JACCARD_DF_MAX,
+    )
+    return dedup.pair_clusters(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+def sql_near_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < {_CLUSTER_DOC_CAP}
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh
+), kept AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING count(*) BETWEEN 2 AND {_JACCARD_DF_MAX}
+), fex AS (
+  SELECT ex.* FROM ex JOIN kept USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM fex a JOIN fex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT a, b
+  FROM (SELECT pairs.*, sa.n_sh AS na, sb.n_sh AS nb
+        FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+        JOIN sizes sb ON pairs.b = sb.doc_id)
+  WHERE round(common / (na + nb - common), 6) >= {_CLUSTER_JACCARD_T}
+), sym AS (
+  SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
+), reach(node, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+  UNION
+  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -2198,7 +2260,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_interleaved_media": q_extract_interleaved_media,
     "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
     "pricing_summary": q_pricing_summary,
-    "revenue_by_brand": q_revenue_by_brand,
     "top_order_per_customer": q_top_order_per_customer,
     "order_year_span_explode": q_order_year_span_explode,
     "union_priority_segments": q_union_priority_segments,
@@ -2215,6 +2276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_clusters": q_simhash_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
     "rolling_fingerprints": q_rolling_fingerprints,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_batch_topk": q_ann_batch_topk,
@@ -2245,7 +2307,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     # ---- entries 51+ (outside the driver's 50-entry check window) ----
     # redundant twins, all driver-green in CORRECTNESS_r01 (status_code_map's
-    # outbreak-code map is also exercised end-to-end by outbreak_rows_pipeline):
+    # outbreak-code map is also exercised end-to-end by outbreak_rows_pipeline;
+    # revenue_by_brand's broadcast-join shape stays plan-pinned in test_plans):
+    "revenue_by_brand": q_revenue_by_brand,
     "top20_orders": q_top20_orders,
     "status_code_map": q_status_code_map,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2319,4 +2383,5 @@ ORACLES: dict[str, str] = {
     "ivf_topk_probe": sql_ivf_topk_probe(),
     "curate_corpus": sql_curate_corpus(),
     "token_quantiles": sql_token_quantiles(),
+    "near_dup_clusters": sql_near_dup_clusters(),
 }

@@ -373,3 +373,27 @@ def test_salted_group_count_matches_direct(spark):
         for r in df.groupBy("k").agg(F.count("*").cast("long").alias("n")).collect()
     }
     assert got == want
+
+
+def test_pair_clusters_handles_chains_and_cliques(spark):
+    """Connected components over pairs: a 4-node chain, a triangle, and a
+    2-node component must each collapse to their min id — transitivity is
+    the whole point ((a,b),(b,c) ⇒ one cluster even though (a,c) was never
+    emitted as a pair)."""
+    from pdf_parser_spark.operators.dedup import pair_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),       # chain 1-2-3-4
+            (10, 11), (11, 12), (10, 12), # triangle
+            (20, 21),                      # pair
+        ],
+        "a long, b long",
+    )
+    got = {(r.node, r.cluster) for r in pair_clusters(pairs).collect()}
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    assert got == want
