@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "embedding_near_dup_pairs",
     "quality_scores",
     "lang_id_confusion",
+    "trigram_lang_confusion",
     "token_stats_by_lang",
     "ann_cosine_topk",
     "ann_batch_topk",

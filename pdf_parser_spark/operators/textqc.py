@@ -187,3 +187,74 @@ def rolling_fingerprints(
             )
         )
     return docs.select(F.col(id_col), kept.alias("fingerprints"))
+
+
+def char_trigrams(text: Column, distinct: bool = False) -> Column:
+    """Character trigrams of the normalized text (lowercased, whitespace
+    collapsed) as an array column — pure Catalyst sequence/transform."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(3)))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def trigram_lang_profiles(
+    docs: DataFrame, k: int = 200, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Ranked character-trigram profiles per language (Cavnar–Trenkle-style
+    n-gram profiles, public knowledge): count trigram occurrences per
+    (lang, trigram), keep each language's top-``k`` (count desc, trigram
+    asc — fully deterministic), weight = k − rank + 1 (INTEGER, so every
+    downstream score is exact integer arithmetic — no cross-engine float
+    summation risk in the oracle).
+
+    Scale shape: one partial-aggregated shuffle on (lang, trigram); the
+    top-k window runs over per-language aggregates (tiny); the output is
+    |langs| × k rows — always broadcastable.
+    """
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_trigrams(F.col(text_col))).alias("g"),
+    )
+    counts = ex.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "g", (F.lit(k) - F.col("rank") + 1).alias("weight"))
+    )
+
+
+def trigram_lang_id(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify each doc: sum of profile weights over the doc's DISTINCT
+    trigrams per candidate language, argmax (score desc, lang asc).
+
+    Scale shape: trigram explode over the scan, BROADCAST join against the
+    tiny profile table, partial-aggregated (doc, lang) sum, then top-1 per
+    doc via row_number — WindowGroupLimit keeps ≤ |langs| rows per doc
+    ahead of the final shuffle. Integer scores → deterministic everywhere.
+    """
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(char_trigrams(F.col(text_col), distinct=True)).alias("g"),
+    )
+    scored = (
+        ex.join(F.broadcast(profiles.withColumnRenamed("lang", "cand")), "g")
+        .groupBy(id_col, "cand")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("cand").alias("lang_pred"), "score")
+    )

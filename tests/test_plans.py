@@ -198,3 +198,15 @@ def test_batch_ann_group_limit_before_shuffle(spark):
     plan = _spark_plan(df)
     ex = plan.find("Exchange")
     assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
+
+
+def test_trigram_lang_id_broadcast_profiles_and_group_limit(spark):
+    """Trigram lang-ID classification: the profile table (|langs| x K rows)
+    must BROADCAST to the trigram-exploded scan, and the per-doc argmax
+    must take its top-1 map-side (WindowGroupLimit below the Exchange) —
+    the corpus never shuffles against the model."""
+    df = QUERIES["trigram_lang_confusion"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "BroadcastHashJoin [g#" in plan
+    ex = plan.find("Exchange")
+    assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
