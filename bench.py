@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "rolling_fingerprints",
     "embedding_near_dup_pairs",
     "quality_scores",
+    "repetition_stats",
+    "pii_stats",
+    "contamination_overlap",
     "lang_id_confusion",
     "trigram_lang_confusion",
     "token_stats_by_lang",

@@ -282,7 +282,13 @@ def _extract_flat(
         # seen on >= max(2, fraction × doc pages) pages.
         drop_mask = np.zeros(n, dtype=bool)
         if len(lay_rows):
-            key_codes = pd.factorize(bp_np[lay_rows])[0].astype(np.int64)
+            # np.unique, NOT pd.factorize: pandas' string hash table keys on
+            # C strings, so a key containing NUL collides with its prefix
+            # ('\x00' == '' under factorize) and distinct boilerplate keys
+            # merge — hypothesis found exactly that corpus.
+            key_codes = np.unique(bp_np[lay_rows], return_inverse=True)[1].astype(
+                np.int64
+            )
             gk = gid[lay_rows] * (key_codes.max() + 1) + key_codes
             pgl = page[lay_rows].astype(np.int64)
             o2 = np.lexsort((pgl, gk))

@@ -1,0 +1,47 @@
+"""Benchmark decontamination — find training docs that overlap an eval set.
+
+Standard training-data hygiene (n-gram overlap decontamination, as published
+for the big public LM training corpora): a corpus document is contaminated
+if it shares ≥ ``min_shared`` distinct word n-grams with any benchmark
+document. Production settings use long n-grams (8-13 words); the driver
+query uses n=3 / min_shared=2 because the synthetic corpus is short-text.
+
+Scale shape: the benchmark set is small by definition (an eval suite), so
+its exploded n-gram table BROADCASTS; the corpus explodes once and
+equi-joins — the corpus never shuffles against the benchmark, and the
+per-doc hit counting is a partial-aggregated groupBy. At 100 TB this is a
+scan + broadcast join, the cheapest possible shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.dedup import word_shingles
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """(corpus id, benchmark id, n_shared distinct n-grams) pairs with
+    n_shared ≥ min_shared — the rows a decontamination pass would drop
+    or flag."""
+    c = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    b = benchmark.select(
+        F.col(bench_id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        c.join(F.broadcast(b), "g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

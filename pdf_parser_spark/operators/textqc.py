@@ -258,3 +258,51 @@ def trigram_lang_id(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("cand").alias("lang_pred"), "score")
     )
+
+
+# PII detection/redaction — regex families chosen to parse identically under
+# Java regex (Spark) and RE2 (DuckDB oracle): no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+# Redaction order matters and is part of the contract: emails first (their
+# local parts can contain digit runs a phone/ip pattern would eat), then
+# ipv4 (dotted quads would otherwise half-match the phone pattern), then
+# phones. Both engines apply the same order.
+_PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: Column) -> Column:
+    out = text
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition (Gopher-style quality filters): duplicate
+    word fraction and duplicate 2-gram fraction. Pure codegen scan columns."""
+    from pdf_parser_spark.operators.dedup import word_shingles
+
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    total2 = F.greatest(n_words - 1, F.lit(0))
+    distinct2 = F.size(word_shingles(F.col(text_col), 2))
+    dup_word = F.when(n_words > 0, 1.0 - n_distinct / n_words).otherwise(F.lit(0.0))
+    dup_2gram = F.when(total2 > 0, 1.0 - distinct2 / total2).otherwise(F.lit(0.0))
+    return docs.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(dup_2gram, 6).alias("dup_2gram_frac"),
+    )

@@ -732,6 +732,124 @@ GROUP BY lang, lang_pred
 """
 
 
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): corpus docs
+    sharing ≥2 distinct word 3-grams with the held-out 'benchmark' slice
+    (every 97th doc). Production uses 8-13-grams / min_shared=1; the short
+    synthetic texts need n=3 to produce a non-vacuous hit set. Scale shape:
+    benchmark n-grams broadcast, corpus scans once."""
+    from pdf_parser_spark.operators import contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").cast("long").alias("bench_id"), "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return contamination.benchmark_overlap(corpus, bench, n=3, min_shared=2).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+def sql_contamination_overlap() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+), b AS (
+  SELECT doc_id AS bench_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0
+), c AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM c JOIN b USING (g) GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (textqc.PII_PATTERNS / redact_pii): the
+    synthetic corpus carries no PII, so deterministic carrier strings
+    (email/phone/IPv4 keyed on doc_id residues) are appended INSIDE the
+    query — identically on the oracle side — and the per-doc match counts
+    plus the md5 of the redacted text value-check both the detectors and
+    the ordered replacement chain. Regexes are Java/RE2-compatible by
+    construction (no lookarounds/backrefs)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(
+            k % 13 == 0,
+            F.concat(F.lit(" host 10.0.0."), (k % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        k.cast("long").alias("doc_id"),
+        textqc.pii_count(t, "email").cast("long").alias("n_email"),
+        textqc.pii_count(t, "ipv4").cast("long").alias("n_ipv4"),
+        textqc.pii_count(t, "phone").cast("long").alias("n_phone"),
+        F.md5(textqc.redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+def sql_pii_stats() -> str:
+    pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    }
+    aug = (
+        "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END"
+    )
+    redacted = f"({aug})"
+    for kind in ("email", "ipv4", "phone"):
+        redacted = f"regexp_replace({redacted}, '{pats[kind]}', '<{kind.upper()}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({aug}, '{pats[k]}')) AS BIGINT) AS n_{k}"
+        for k in ("email", "ipv4", "phone")
+    )
+    return f"""
+SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+FROM documents
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition features (Gopher-style duplicate-word /
+    duplicate-2-gram fractions) — pure codegen scan columns."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    out = textqc.repetition_features(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    return out.select(
+        "doc_id", "n_words", "n_distinct_words", "dup_word_frac", "dup_2gram_frac"
+    )
+
+
+def sql_repetition_stats() -> str:
+    words = _WORDS_SQL
+    sh2 = _shingles_sql(2)
+    return f"""
+SELECT doc_id,
+       CAST(len({words}) AS BIGINT) AS n_words,
+       CAST(len(list_distinct({words})) AS BIGINT) AS n_distinct_words,
+       round(CASE WHEN len({words}) > 0
+             THEN 1.0 - len(list_distinct({words})) / len({words})
+             ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN len({words}) - 1 > 0
+             THEN 1.0 - len({sh2}) / (len({words}) - 1)
+             ELSE 0.0 END, 6) AS dup_2gram_frac
+FROM documents
+"""
+
+
 _TRIGRAM_K = 200
 
 
@@ -2318,14 +2436,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_order_per_customer": q_top_order_per_customer,
     "order_year_span_explode": q_order_year_span_explode,
     "union_priority_segments": q_union_priority_segments,
-    "minmax_year_per_user": q_minmax_year_per_user,
     "sessionize_events": q_sessionize_events,
-    "first_event_per_user": q_first_event_per_user,
     "json_props_stats": q_json_props_stats,
     "token_stats_by_lang": q_token_stats_by_lang,
     "lang_id_confusion": q_lang_id_confusion,
     "trigram_lang_confusion": q_trigram_lang_confusion,
     "quality_scores": q_quality_scores,
+    "repetition_stats": q_repetition_stats,
+    "pii_stats": q_pii_stats,
+    "contamination_overlap": q_contamination_overlap,
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_corpus": q_dedup_corpus,
     "doc_fingerprints": q_doc_fingerprints,
@@ -2354,7 +2473,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dms_coordinate_parse": q_dms_coordinate_parse,
     "source_whitelist_intersect": q_source_whitelist_intersect,
     "year_gap_fill": q_year_gap_fill,
-    "fuzzy_key_match": q_fuzzy_key_match,
     "bb_centroid": q_bb_centroid,
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
@@ -2367,6 +2485,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # first_long_word's first-match shape is also covered by first_event_per_user):
     "revenue_by_brand": q_revenue_by_brand,
     "first_long_word": q_first_long_word,
+    "minmax_year_per_user": q_minmax_year_per_user,
+    "first_event_per_user": q_first_event_per_user,
+    "fuzzy_key_match": q_fuzzy_key_match,
     "top20_orders": q_top20_orders,
     "status_code_map": q_status_code_map,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2442,4 +2563,7 @@ ORACLES: dict[str, str] = {
     "token_quantiles": sql_token_quantiles(),
     "near_dup_clusters": sql_near_dup_clusters(),
     "trigram_lang_confusion": sql_trigram_lang_confusion(),
+    "repetition_stats": sql_repetition_stats(),
+    "pii_stats": sql_pii_stats(),
+    "contamination_overlap": sql_contamination_overlap(),
 }

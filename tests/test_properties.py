@@ -12,7 +12,7 @@ short texts. No Spark session needed — these run the batch kernels directly.
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pdf_parser_spark import golden, kernel
@@ -136,6 +136,16 @@ def _kernel_rows_arrow(docs):
 
 @settings(max_examples=300, deadline=None)
 @given(corpus_strategy)
+@example(
+    raw_docs=[[{'kind': 'text',
+       'text': '[[p=1;x=10;y=20]]\x00',
+       'media_ref': '',
+       'offset': 0},
+      {'kind': 'text',
+       'text': '[[p=2;x=10;y=5]]',
+       'media_ref': '',
+       'offset': 0}]],
+).via('discovered failure')
 def test_pandas_kernel_matches_golden(raw_docs):
     docs = _normalize(raw_docs)
     assert _kernel_rows_pandas(docs) == _golden_rows(docs)
