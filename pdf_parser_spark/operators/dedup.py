@@ -489,6 +489,10 @@ def pair_clusters(
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
         .distinct()
+        # materialize once: every propagation round joins against edges, and
+        # without this the ENTIRE upstream pair pipeline re-executes per
+        # round (measured ~4x the query time at sf0.1)
+        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("x").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))

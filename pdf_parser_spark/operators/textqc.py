@@ -189,13 +189,24 @@ def rolling_fingerprints(
     return docs.select(F.col(id_col), kept.alias("fingerprints"))
 
 
-def char_trigrams(text: Column, distinct: bool = False) -> Column:
-    """Character trigrams of the normalized text (lowercased, whitespace
-    collapsed) as an array column — pure Catalyst sequence/transform."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+def _trigrams_of_norm(norm: Column, distinct: bool = False) -> Column:
+    """Trigram array of an ALREADY-normalized column. Callers must pass a
+    materialized column, not a nested expression — anything embedded here
+    re-evaluates once per array element inside the lambda."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1)))
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(3)))
     return F.array_distinct(grams) if distinct else grams
+
+
+def char_trigrams(text: Column, distinct: bool = False) -> Column:
+    """Character trigrams of the normalized text (lowercased, whitespace
+    collapsed) as an array column — pure Catalyst sequence/transform.
+
+    NOTE for hot paths: prefer normalizing into a column first and calling
+    ``_trigrams_of_norm`` — the normalization expression below sits inside
+    the transform lambda and is evaluated per element."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return _trigrams_of_norm(norm, distinct)
 
 
 def trigram_lang_profiles(
@@ -214,9 +225,16 @@ def trigram_lang_profiles(
     """
     from pyspark.sql import Window
 
-    ex = docs.select(
+    # materialize the normalized text as a COLUMN first: expressions nested
+    # inside a higher-order-function lambda are evaluated per ELEMENT, so
+    # building trigrams directly over regexp_replace(lower(text)) would run
+    # the regex O(len) times per doc (measured 15 s → ~2 s at sf0.1).
+    norm = docs.select(
         F.col(lang_col).alias("lang"),
-        F.explode(char_trigrams(F.col(text_col))).alias("g"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    )
+    ex = norm.select(
+        "lang", F.explode(_trigrams_of_norm(F.col("_norm"))).alias("g")
     )
     counts = ex.groupBy("lang", "g").agg(F.count("*").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
@@ -243,9 +261,13 @@ def trigram_lang_id(
     """
     from pyspark.sql import Window
 
-    ex = docs.select(
+    norm = docs.select(
         F.col(id_col),
-        F.explode(char_trigrams(F.col(text_col), distinct=True)).alias("g"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    )
+    ex = norm.select(
+        F.col(id_col),
+        F.explode(_trigrams_of_norm(F.col("_norm"), distinct=True)).alias("g"),
     )
     scored = (
         ex.join(F.broadcast(profiles.withColumnRenamed("lang", "cand")), "g")
