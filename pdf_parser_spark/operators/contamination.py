@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_parser_spark.operators.dedup import word_shingles
+from pdf_parser_spark.operators.dedup import shingles_of_words, words_col
 
 
 def benchmark_overlap(
@@ -33,11 +33,13 @@ def benchmark_overlap(
     """(corpus id, benchmark id, n_shared distinct n-grams) pairs with
     n_shared ≥ min_shared — the rows a decontamination pass would drop
     or flag."""
-    c = corpus.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    c = corpus.select(F.col(id_col), words_col(F.col(text_col)).alias("_w")).select(
+        F.col(id_col), F.explode(shingles_of_words(F.col("_w"), n)).alias("g")
     )
     b = benchmark.select(
-        F.col(bench_id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+        F.col(bench_id_col), words_col(F.col(text_col)).alias("_w")
+    ).select(
+        F.col(bench_id_col), F.explode(shingles_of_words(F.col("_w"), n)).alias("g")
     )
     return (
         c.join(F.broadcast(b), "g")

@@ -163,9 +163,12 @@ def rolling_fingerprints(
     md5 hex strings, kept when the first nibble is '0' (≡ digest >> 124 ==
     0, a 1/16 sample) — bit-identical in any engine with md5, which is what
     the DuckDB oracle value-checks. Same winnowing semantics either way."""
-    from pdf_parser_spark.operators.dedup import word_shingles
+    from pdf_parser_spark.operators.dedup import shingles_of_words, words_col
 
-    sh = word_shingles(F.col(text_col), window)
+    docs = docs.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_rfw")
+    )
+    sh = shingles_of_words(F.col("_rfw"), window)
     if portable:
         if keep_mod != 16:
             raise ValueError("portable variant samples on the first md5 nibble (keep_mod=16)")
@@ -310,19 +313,18 @@ def redact_pii(text: Column) -> Column:
 def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition (Gopher-style quality filters): duplicate
     word fraction and duplicate 2-gram fraction. Pure codegen scan columns."""
-    from pdf_parser_spark.operators.dedup import word_shingles
+    from pdf_parser_spark.operators.dedup import shingles_of_words, words_col
 
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-    )
+    staged = docs.select("*", words_col(F.col(text_col)).alias("_w"))
+    words = F.col("_w")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
     total2 = F.greatest(n_words - 1, F.lit(0))
-    distinct2 = F.size(word_shingles(F.col(text_col), 2))
+    distinct2 = F.size(shingles_of_words(words, 2))
     dup_word = F.when(n_words > 0, 1.0 - n_distinct / n_words).otherwise(F.lit(0.0))
     dup_2gram = F.when(total2 > 0, 1.0 - distinct2 / total2).otherwise(F.lit(0.0))
-    return docs.select(
-        "*",
+    return staged.select(
+        *[c for c in docs.columns],
         n_words.cast("long").alias("n_words"),
         n_distinct.cast("long").alias("n_distinct_words"),
         F.round(dup_word, 6).alias("dup_word_frac"),
