@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pii_stats",
     "contamination_overlap",
+    "bm25_search",
     "lang_id_confusion",
     "trigram_lang_confusion",
     "token_stats_by_lang",

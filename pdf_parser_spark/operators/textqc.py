@@ -310,6 +310,56 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a literal query (Robertson/Spärck Jones —
+    public knowledge), entirely in Catalyst: per-(doc, term) term frequency
+    from one explode+filter, document frequency and average doc length as
+    broadcastable aggregates, the classic idf = ln((N − df + 0.5)/(df +
+    0.5) + 1) and tf saturation. One shuffle on (doc, term), one on doc;
+    term/corpus stats are tiny and broadcast. Scores are doubles rounded by
+    the caller; all integer inputs (tf, df, N, Σdl) are exact, so the only
+    float ops are the final idf/saturation arithmetic — stable to well
+    below any sane rounding.
+    """
+    from pdf_parser_spark.operators.dedup import words_col
+
+    w = docs.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+    dl = w.select(F.col(id_col), F.size("_w").cast("long").alias("dl"))
+    tf = (
+        w.select(F.col(id_col), F.explode("_w").alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.count()
+    stats = dl.agg(F.sum("dl").alias("sdl")).first()
+    avgdl = float(stats.sdl) / n_docs
+    df_tbl = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "t")
+        .join(dl, id_col)
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored
+
+
 def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition (Gopher-style quality filters): duplicate
     word fraction and duplicate 2-gram fraction. Pure codegen scan columns."""

@@ -850,6 +850,54 @@ FROM documents
 """
 
 
+_BM25_TERMS = ["spark", "table", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (textqc.bm25_scores) for a literal keyword
+    query: top-20 docs by score. Ordering uses the ROUNDED score (4 dp)
+    with doc_id tie-break, so the cross-engine ranking is deterministic —
+    raw double sums can differ in the last ulp by addition order."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    scored = textqc.bm25_scores(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"), _BM25_TERMS
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def sql_bm25_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+  WHERE t IN ({terms}) GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), contrib AS (
+  SELECT tf.doc_id,
+         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+  FROM tf
+  JOIN (SELECT t, count(*) AS df FROM tf GROUP BY 1) USING (t)
+  JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id
+ORDER BY round(sum(c), 4) DESC, doc_id ASC LIMIT 20
+"""
+
+
 _TRIGRAM_K = 200
 
 
@@ -2445,6 +2493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_stats": q_pii_stats,
     "contamination_overlap": q_contamination_overlap,
+    "bm25_search": q_bm25_search,
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_corpus": q_dedup_corpus,
     "doc_fingerprints": q_doc_fingerprints,
@@ -2472,7 +2521,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "year_normalization": q_year_normalization,
     "dms_coordinate_parse": q_dms_coordinate_parse,
     "source_whitelist_intersect": q_source_whitelist_intersect,
-    "year_gap_fill": q_year_gap_fill,
     "bb_centroid": q_bb_centroid,
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
@@ -2488,6 +2536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_year_per_user": q_minmax_year_per_user,
     "first_event_per_user": q_first_event_per_user,
     "fuzzy_key_match": q_fuzzy_key_match,
+    "year_gap_fill": q_year_gap_fill,
     "top20_orders": q_top20_orders,
     "status_code_map": q_status_code_map,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2566,4 +2615,5 @@ ORACLES: dict[str, str] = {
     "repetition_stats": sql_repetition_stats(),
     "pii_stats": sql_pii_stats(),
     "contamination_overlap": sql_contamination_overlap(),
+    "bm25_search": sql_bm25_search(),
 }
