@@ -1,0 +1,94 @@
+"""spark-submit entry point for the training-data curation job: exact
+dedup → quality gate → (optional) stratified sampling → token-budget
+sequence packing, materialized as parquet.
+
+Usage (local stand-in; on a cluster swap --master / executor confs):
+
+    spark-submit \
+        --master local[32] \
+        --py-files .driver_pyfiles/pdf_parser_spark.zip \
+        jobs/run_curation.py \
+        --input /root/testdata/sf0.1/documents.parquet \
+        --output /tmp/curated_out \
+        [--min-quality 1.0] [--per-stratum 0] [--pack-budget 2000]
+
+Outputs under --output:
+  curated/    the surviving documents + quality features + bin assignment
+  clusters/   exact-dup clusters (digest, representative doc_id, dup_count)
+  stats/      one row per (lang): docs in/out, tokens kept
+
+Deterministic end to end (md5-order sampling, offset packing), so re-runs
+on the same input reproduce identical bins — the resumability property a
+100 TB curation job needs. Prints one JSON line with row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang, ...)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-quality", type=float, default=1.0)
+    p.add_argument("--per-stratum", type=int, default=0,
+                   help="stratified sample size per lang (0 = keep all survivors)")
+    p.add_argument("--pack-budget", type=int, default=2000)
+    args = p.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("pdf_parser_spark.curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    try:
+        from pdf_parser_spark.operators import curation, dedup, textqc
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from pdf_parser_spark.operators import curation, dedup, textqc
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    clusters = dedup.exact_dedup(docs)
+    clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
+
+    deduped = dedup.dedup_filter(docs)
+    kept = textqc.quality_features(deduped).filter(
+        F.col("quality_score") >= args.min_quality
+    )
+    if args.per_stratum > 0:
+        kept = curation.stratified_sample(kept, n_per_stratum=args.per_stratum)
+    packed = curation.pack_sequences(
+        kept.select(F.col("doc_id"), "lang", "text"),
+        budget=args.pack_budget,
+        token_col=textqc.token_count(F.col("text")),
+    )
+    # kept already carries n_tokens (quality_features); take only the bin
+    curated = kept.join(packed.select("doc_id", "bin"), "doc_id")
+    curated.write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
+
+    stats = (
+        curated.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.countDistinct("bin").alias("bins"),
+        )
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
+    n_out = curated.count()
+    print(json.dumps({"docs_in": n_in, "docs_kept": n_out,
+                      "clusters": clusters.count()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
