@@ -338,21 +338,23 @@ def bm25_scores(
         .groupBy(id_col, "t")
         .agg(F.count("*").alias("tf"))
     )
-    n_docs = docs.count()
-    stats = dl.agg(F.sum("dl").alias("sdl")).first()
-    avgdl = float(stats.sdl) / n_docs
-    df_tbl = tf.groupBy("t").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    # corpus stats stay IN the plan (1-row broadcast) — no driver-side
+    # count()/first() actions, so the whole query is a single job
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
+    df_tbl = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     scored = (
         tf.join(F.broadcast(df_tbl), "t")
         .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
             idf
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy(id_col)
         .agg(F.sum("contrib").alias("score"))
