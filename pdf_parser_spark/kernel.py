@@ -201,10 +201,14 @@ def _extract_flat(
         # ---- boilerplate keys, only where layout exists ----
         # (same joined-batch trick: one regex sub over all layout spans;
         # \d never matches the NUL separator)
+        # Keys come from the PRE-cleanup content (golden keys on p[4], the
+        # layout-stripped raw text, and cleans AFTERWARDS): contents that
+        # differ raw but collide after cleanup (' –' vs '-') must stay
+        # distinct keys — hypothesis-caught, example pinned.
         bp_np = np.empty(n, dtype=object)
         bp_np.fill("")
         if has_layout.any():
-            lay_texts = list(cleaned_np[has_layout])
+            lay_texts = list(content_np[has_layout])
             parts = _DIGITS_RE.sub("#", _SEP.join(lay_texts)).lower().split(_SEP)
             if len(parts) != len(lay_texts):
                 parts = [

@@ -434,6 +434,68 @@ def simhash_dedup(
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    blocks: int = 4,
+    max_distance: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance ``max_distance``
+    (Charikar / pigeonhole block trick, public knowledge): split each
+    fingerprint into ``blocks`` equal bit-blocks; any pair within distance
+    d < blocks must agree on at least one whole block, so candidates come
+    from an EQUI-join on (block index, block value) — never an all-pairs
+    XOR scan — and the exact distance check (bit_count of the XOR) runs
+    only on bucket collisions.
+
+    Scale shape: the block explode is ×blocks, the join is a bucketed
+    equi-join exactly like MinHash banding, distinct() bounds duplicate
+    candidates, and the verify is one codegen'd bit_count per candidate.
+    Requires max_distance < blocks for completeness (pigeonhole).
+    """
+    if max_distance >= blocks:
+        raise ValueError("pigeonhole needs max_distance < blocks")
+    if bits % blocks:
+        raise ValueError("bits must divide evenly into blocks")
+    width = bits // blocks
+    fps = simhash_agg(docs, id_col, text_col, bits, portable)
+    mask = (1 << width) - 1
+    block_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("fingerprint"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"b{b}")
+            for b in range(blocks)
+        ]
+    )
+    banded = fps.select(
+        F.col(id_col),
+        F.col("fingerprint"),
+        F.posexplode(block_vals).alias("blk", "blk_val"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("fingerprint").alias("fp_a"), "blk", "blk_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("fingerprint").alias("fp_b"), "blk", "blk_val"
+    )
+    cand = (
+        left.join(right, ["blk", "blk_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fp_a", "fp_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("a", "b", "hamming")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

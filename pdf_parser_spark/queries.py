@@ -2129,6 +2129,51 @@ FROM fp GROUP BY fingerprint
 """
 
 
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance 3 via the pigeonhole
+    block equi-join (dedup.simhash_hamming_pairs): 4 blocks of the 32-bit
+    portable fingerprint, candidates only from whole-block agreement, exact
+    bit_count(xor) verify on collisions. The DuckDB twin recomputes the
+    fingerprints AND the block join AND the distance check."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_hamming_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        bits=32,
+        blocks=4,
+        max_distance=3,
+        portable=True,
+    )
+
+
+def sql_simhash_hamming_pairs() -> str:
+    bits = 32
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+), v AS (
+  SELECT doc_id, {votes} FROM tok GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS fingerprint FROM v
+), banded AS (
+  SELECT doc_id, fingerprint, blk, (fingerprint >> (blk * 8)) & 255 AS blk_val
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS blk)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.fingerprint AS fa, r.fingerprint AS fb
+  FROM banded l JOIN banded r
+    ON l.blk = r.blk AND l.blk_val = r.blk_val AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + nprobe search) ANN. Rows-only check: the
     4-iteration Lloyd's loop is genuinely iterative (each pass re-joins
@@ -2499,6 +2544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_clusters": q_simhash_clusters,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -2520,7 +2566,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_resolve_misses": q_geo_resolve_misses,
     "year_normalization": q_year_normalization,
     "dms_coordinate_parse": q_dms_coordinate_parse,
-    "source_whitelist_intersect": q_source_whitelist_intersect,
     "bb_centroid": q_bb_centroid,
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
@@ -2537,6 +2582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_event_per_user": q_first_event_per_user,
     "fuzzy_key_match": q_fuzzy_key_match,
     "year_gap_fill": q_year_gap_fill,
+    "source_whitelist_intersect": q_source_whitelist_intersect,
     "top20_orders": q_top20_orders,
     "status_code_map": q_status_code_map,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -2616,4 +2662,5 @@ ORACLES: dict[str, str] = {
     "pii_stats": sql_pii_stats(),
     "contamination_overlap": sql_contamination_overlap(),
     "bm25_search": sql_bm25_search(),
+    "simhash_hamming_pairs": sql_simhash_hamming_pairs(),
 }

@@ -153,6 +153,16 @@ def test_pandas_kernel_matches_golden(raw_docs):
 
 @settings(max_examples=300, deadline=None)
 @given(corpus_strategy)
+@example(
+    raw_docs=[[{'kind': 'text',
+       'text': '[[p=1;x=10;y=20]]-',
+       'media_ref': '',
+       'offset': 0},
+      {'kind': 'text',
+       'text': '[[p=2;x=10;y=5]] –',
+       'media_ref': '',
+       'offset': 0}]],
+).via('discovered failure')
 def test_arrow_kernel_matches_golden(raw_docs):
     docs = _normalize(raw_docs)
     assert _kernel_rows_arrow(docs) == _golden_rows(docs)
