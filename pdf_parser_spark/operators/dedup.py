@@ -156,12 +156,29 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(banded: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Drop rows whose bucket exceeds ``cap`` members — the count-first /
+    semi-join pattern (count is a plain partial aggregate; no bucket is
+    ever materialized). A bucket of m docs emits m²/2 candidate pairs by
+    construction, so mega-buckets (near-identical content — stop-word-only
+    bands, all-zero fingerprint blocks) are exactly where a banded join
+    degrades quadratically; that content belongs to exact dedup upstream."""
+    kept = (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .select(*key_cols)
+    )
+    return banded.join(kept, key_cols, "left_semi")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     num_hashes: int | None = None,
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash).
 
@@ -169,6 +186,12 @@ def lsh_candidate_pairs(
     bands × docs, so the shuffle is linear in corpus size; only true bucket
     collisions pair up. Portable mode keys buckets on the md5 hex of the
     joined band (string key, engine-reproducible) instead of xxhash64.
+
+    ``bucket_cap`` (set it at corpus scale) drops buckets larger than the
+    cap BEFORE the self-join via ``_cap_buckets`` — bounding the largest
+    join task at cap² instead of the hottest bucket². Capped semantics are
+    documented-approximate (dropped buckets are near-identical content,
+    the exact-dedup family's job); the oracled query runs uncapped.
     """
     n = num_hashes or sigs.select(F.size("sig")).first()[0]
     rows_per_band = n // bands
@@ -189,6 +212,8 @@ def lsh_candidate_pairs(
             "band", "band_hash"
         ),
     )
+    if bucket_cap is not None:
+        banded = _cap_buckets(banded, ["band", "band_hash"], bucket_cap)
     left = banded.select(
         F.col(id_col).alias("a"), "band", "band_hash"
     )
@@ -442,6 +467,7 @@ def simhash_hamming_pairs(
     blocks: int = 4,
     max_distance: int = 3,
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup PAIRS within Hamming distance ``max_distance``
     (Charikar / pigeonhole block trick, public knowledge): split each
@@ -476,6 +502,8 @@ def simhash_hamming_pairs(
         F.col("fingerprint"),
         F.posexplode(block_vals).alias("blk", "blk_val"),
     )
+    if bucket_cap is not None:  # see _cap_buckets — hot-block defense
+        banded = _cap_buckets(banded, ["blk", "blk_val"], bucket_cap)
     left = banded.select(
         F.col(id_col).alias("a"), F.col("fingerprint").alias("fp_a"), "blk", "blk_val"
     )

@@ -397,3 +397,52 @@ def test_pair_clusters_handles_chains_and_cliques(spark):
         (20, 20), (21, 20),
     }
     assert got == want
+
+
+def test_lsh_bucket_cap_drops_only_mega_buckets(spark):
+    """bucket_cap must bound the banded join's hottest key without touching
+    normal buckets: identical docs form a mega-bucket whose pairs vanish
+    under the cap, while pairs from small buckets are unchanged."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import dedup
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 60
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    # 40 clones of one doc -> a mega-bucket in every band
+    clones = base.filter(F.col("doc_id") == 0).crossJoin(
+        spark.range(1000, 1040).select(F.col("id").alias("cid"))
+    ).select(F.col("cid").alias("doc_id"), "text")
+    docs = base.union(clones)
+    sigs = dedup.minhash_signatures(docs, portable=True)
+    uncapped = {
+        (r.a, r.b)
+        for r in dedup.lsh_candidate_pairs(sigs, portable=True).collect()
+    }
+    capped = {
+        (r.a, r.b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, portable=True, bucket_cap=10
+        ).collect()
+    }
+    clone_ids = set(range(1000, 1040)) | {0}
+    assert capped <= uncapped
+    # every clone-clone pair came from the mega-bucket and is gone
+    assert not {p for p in capped if set(p) <= clone_ids}
+    # pairs fully outside the clone set survive untouched
+    outside = {p for p in uncapped if not (set(p) & clone_ids)}
+    assert {p for p in capped if not (set(p) & clone_ids)} == outside
+
+
+def test_simhash_block_cap_bounds_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 100
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    uncapped = dedup.simhash_hamming_pairs(docs, portable=True).count()
+    capped = dedup.simhash_hamming_pairs(docs, portable=True, bucket_cap=5).count()
+    assert capped <= uncapped
