@@ -1,0 +1,53 @@
+"""Bucketed range join — equi-join machinery for time-window predicates.
+
+A naive join on ``l.key = r.key AND |l.ts − r.ts| <= w`` gives Spark only
+an equality on ``key``; when one key dominates (or with no key at all) the
+range predicate degenerates to a nested-loop over the key group. The
+standard fix (public knowledge — the "bin/bucket range join" every SQL
+engine's docs describe): quantize both sides' timestamps to ``w``-wide
+bins; any in-window pair's bins differ by at most 1, so joining on
+(key, bin) with the right side exploded to {bin−1, bin, bin+1} is an
+EQUI-join whose buckets are time-local, and the exact range filter runs
+only on those candidates. Cost: 3× replication of the (smaller) right
+side, in exchange for hash-join locality instead of a per-key quadratic.
+
+At 100 TB both sides shuffle once on (key, bin) — sort-merge friendly,
+AQE-splittable — where the naive form ships one key's whole history to a
+single task and scans it per probe row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window: int,
+) -> DataFrame:
+    """Pairs (left row, right row) with the same ``key`` and
+    ``|left_ts − right_ts| <= window`` (timestamps in the same integer
+    unit, e.g. microseconds). Columns of both inputs are preserved;
+    callers project/aggregate on top."""
+    lbin = F.floor(F.col(left_ts) / F.lit(window))
+    rbin = F.floor(F.col(right_ts) / F.lit(window))
+    l = left.withColumn("_bin", lbin.cast("long"))
+    r = right.withColumn("_rbin", rbin.cast("long")).withColumn(
+        "_bin",
+        F.explode(
+            F.array(F.col("_rbin") - 1, F.col("_rbin"), F.col("_rbin") + 1)
+        ),
+    )
+    return (
+        l.join(r, [key, "_bin"])
+        .filter(
+            (F.col(left_ts) - F.col(right_ts) <= window)
+            & (F.col(right_ts) - F.col(left_ts) <= window)
+        )
+        .drop("_bin", "_rbin")
+    )

@@ -1454,6 +1454,43 @@ FROM c ASOF LEFT JOIN er ON c.user_id = er.user_id AND c.ts_us >= er.ts_us
 """
 
 
+def q_events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (|Δt| ≤ 5 min) via the bin-bucketed equi-join
+    (operators/rangejoin.py): timestamps quantize to window-wide bins, the
+    error side explodes to {bin−1, bin, bin+1}, the join is a plain hash
+    join on (user, bin) and the exact range filter touches only time-local
+    candidates — never a per-key nested loop. Counts near-in-time errors
+    per click event; the oracle is DuckDB's native inequality join."""
+    from pdf_parser_spark.operators import rangejoin
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", ts_us.alias("err_us")
+    )
+    joined = rangejoin.bucketed_range_join(
+        clicks, errors, key="user_id", left_ts="ts_us", right_ts="err_us",
+        window=300_000_000,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_near_errors")
+    )
+
+
+def sql_events_near_errors() -> str:
+    return """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+er AS (SELECT user_id, ts_us AS err_us FROM ev WHERE event_type = 'error')
+SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_near_errors
+FROM c JOIN er ON c.user_id = er.user_id AND abs(c.ts_us - er.err_us) <= 300000000
+GROUP BY 1
+"""
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (brand → grand total) — hierarchical subtotals in
     one pass; Catalyst expands grouping sets with partial aggregation."""
@@ -2555,6 +2592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_features": q_media_features,
     "asof_last_error": q_asof_last_error,
+    "events_near_errors": q_events_near_errors,
     "revenue_rollup": q_revenue_rollup,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
@@ -2565,7 +2603,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_broadcast_enrich": q_geo_broadcast_enrich,
     "geo_resolve_misses": q_geo_resolve_misses,
     "year_normalization": q_year_normalization,
-    "dms_coordinate_parse": q_dms_coordinate_parse,
     "bb_centroid": q_bb_centroid,
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
@@ -2578,6 +2615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # first_long_word's first-match shape is also covered by first_event_per_user):
     "revenue_by_brand": q_revenue_by_brand,
     "first_long_word": q_first_long_word,
+    "dms_coordinate_parse": q_dms_coordinate_parse,
     "minmax_year_per_user": q_minmax_year_per_user,
     "first_event_per_user": q_first_event_per_user,
     "fuzzy_key_match": q_fuzzy_key_match,
@@ -2663,4 +2701,5 @@ ORACLES: dict[str, str] = {
     "contamination_overlap": sql_contamination_overlap(),
     "bm25_search": sql_bm25_search(),
     "simhash_hamming_pairs": sql_simhash_hamming_pairs(),
+    "events_near_errors": sql_events_near_errors(),
 }

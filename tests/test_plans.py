@@ -210,3 +210,32 @@ def test_trigram_lang_id_broadcast_profiles_and_group_limit(spark):
     assert "BroadcastHashJoin [g#" in plan
     ex = plan.find("Exchange")
     assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The ±window range join must plan as a HASH equi-join on (key, bin)
+    with the range predicate as a post-join filter — a BroadcastNestedLoop
+    (what a naive inequality join degenerates to) ships one key's whole
+    history to one task. Values must equal the naive inequality join."""
+    import pyspark.sql.functions as F
+
+    df = QUERIES["events_near_errors"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join [user_id" in plan and "_bin" in plan
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us.alias("ts_us"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u2"), ts_us.alias("err_us"))
+    naive = (
+        c.join(e, (F.col("user_id") == F.col("u2"))
+               & (F.abs(F.col("ts_us") - F.col("err_us")) <= 300_000_000))
+        .groupBy("event_id").agg(F.count("*").alias("n"))
+    )
+    assert {(r.event_id, r.n_near_errors) for r in df.collect()} == {
+        (r.event_id, r.n) for r in naive.collect()
+    }
