@@ -1491,6 +1491,99 @@ GROUP BY 1
 """
 
 
+def q_brand_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by brand × order-year as wide columns (Catalyst
+    pivot with explicit value list → a single pass of conditional
+    aggregates; the oracle is the same conditional aggregation in SQL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    years = [1995, 1996, 1997]
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(years))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    out = (
+        j.groupBy("p_brand")
+        .pivot("yr", years)
+        .agg(F.round(rev, 2))
+    )
+    return out.select(
+        "p_brand",
+        *[F.col(str(y)).alias(f"rev_{y}") for y in years],
+    )
+
+
+def sql_brand_year_pivot() -> str:
+    cols = ", ".join(
+        f"round(sum(CASE WHEN year(o_orderdate) = {y} "
+        f"THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_{y}"
+        for y in [1995, 1996, 1997]
+    )
+    return f"""
+SELECT p_brand, {cols}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(o_orderdate) IN (1995, 1996, 1997)
+GROUP BY p_brand
+"""
+
+
+def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window FRAME (rows between 2 preceding and current): 3-event
+    moving average of event value per user — the frame-spec twin of the
+    cumulative window pack_sequences exercises."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg3"),
+    )
+
+
+def sql_moving_avg_value() -> str:
+    return """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+FROM events
+"""
+
+
+def q_buyers_without_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): customers who placed orders minus customers
+    who ever received a returned line — exceptAll-free distinct set op."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    buyers = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return buyers.exceptAll(returned)
+
+
+def sql_buyers_without_returns() -> str:
+    return """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+"""
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (brand → grand total) — hierarchical subtotals in
     one pass; Catalyst expands grouping sets with partial aggregation."""
@@ -2630,6 +2723,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_customer_rollup": q_region_customer_rollup,
     "inactive_customers_by_segment": q_inactive_customers_by_segment,
     "orders_with_discounted_items": q_orders_with_discounted_items,
+    # round-2 tail additions: oracled + validated by the LOCAL gate at three
+    # SFs (no free window slot — every in-window entry is unique coverage):
+    "brand_year_pivot": q_brand_year_pivot,
+    "moving_avg_value": q_moving_avg_value,
+    "buyers_without_returns": q_buyers_without_returns,
     # rows-only k-means trainer (probe path value-checked by ivf_topk_probe):
     "ivf_topk": q_ivf_topk,
 }
@@ -2702,4 +2800,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": sql_bm25_search(),
     "simhash_hamming_pairs": sql_simhash_hamming_pairs(),
     "events_near_errors": sql_events_near_errors(),
+    "brand_year_pivot": sql_brand_year_pivot(),
+    "moving_avg_value": sql_moving_avg_value(),
+    "buyers_without_returns": sql_buyers_without_returns(),
 }
