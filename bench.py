@@ -175,9 +175,13 @@ def run_suite() -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: extraction throughput (docs/sec) on the skewed corpus
+    # headline: extraction throughput (docs/sec) on the skewed corpus —
+    # best-of-2 like every other timing (the host VM has multi-second steal
+    # spikes; a single shot can read 30-50% low)
     warm_sec, _ = run_extraction(spark, corpus)  # warm-up (JIT, python workers)
     sec, n_docs = run_extraction(spark, corpus)
+    sec2, _ = run_extraction(spark, corpus)
+    sec = min(sec, sec2)
     timings["extract_corpus"] = round(sec, 3)
     docs_per_sec = n_docs / sec
 
