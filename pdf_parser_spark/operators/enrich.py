@@ -83,6 +83,69 @@ def make_distinct_enricher(
 fake_geocoder = make_distinct_enricher(fake_geocode_batch, GEO_RESOLVED_SCHEMA)
 
 
+class TransportRateLimit(Exception):
+    """Remote said slow down; message may indicate a hard quota."""
+
+
+class TransportAPIError(Exception):
+    """Generic remote API error — retry immediately."""
+
+
+class TransportTimeout(Exception):
+    """Request timed out — the only error that consumes a retry budget."""
+
+
+class TransportUnavailable(Exception):
+    """Service overloaded — wait and retry."""
+
+
+class QuotaExceeded(Exception):
+    """Hard billing quota — abort the run (reference `end_runtime()`)."""
+
+
+def make_retrying_client(
+    transport: Callable[..., str],
+    max_retries: int = 10,
+    wait_seconds: float = 3.0,
+    sleep: Callable[[float], None] | None = None,
+):
+    """The reference's client retry loop (`_parser.py:104-147`), transport-
+    injected so the CONTRACT is real, tested code (the container has no
+    network, so tests drive it with fake transports raising the taxonomy):
+
+    - rate-limit mentioning a quota        → raise QuotaExceeded (abort run)
+    - rate-limit otherwise                 → wait, retry (budget NOT consumed)
+    - generic API error                    → retry immediately (NOT consumed)
+    - timeout                              → wait, retry, budget consumed —
+      the reference's quirk: ONLY timeouts increment ``retries``
+    - service unavailable                  → wait, retry (NOT consumed)
+    - budget exhausted                     → return None (caller skips row)
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def call(*args, **kwargs):
+        retries = 0
+        while retries < max_retries:
+            try:
+                return transport(*args, **kwargs)
+            except TransportRateLimit as err:
+                if "quota" in str(err).lower():
+                    raise QuotaExceeded(str(err)) from err
+                do_sleep(wait_seconds)
+            except TransportAPIError:
+                pass  # immediate retry
+            except TransportTimeout:
+                retries += 1
+                do_sleep(wait_seconds)
+            except TransportUnavailable:
+                do_sleep(wait_seconds)
+        return None
+
+    return call
+
+
 def make_routed_enricher(
     small_fn: Callable[[pd.DataFrame], pd.DataFrame],
     large_fn: Callable[[pd.DataFrame], pd.DataFrame],

@@ -196,3 +196,55 @@ def test_year_scaffold(spark):
         (1948, 0),
         (1949, 1),
     ]
+
+
+def test_retrying_client_reference_taxonomy():
+    """The client loop must reproduce the reference's error handling
+    exactly: only timeouts consume the retry budget; rate-limit/API/
+    unavailable errors retry without consuming it; a quota-flavored
+    rate limit aborts; exhaustion returns None."""
+    import pytest
+
+    from pdf_parser_spark.operators.enrich import (
+        QuotaExceeded,
+        TransportAPIError,
+        TransportRateLimit,
+        TransportTimeout,
+        TransportUnavailable,
+        make_retrying_client,
+    )
+
+    sleeps: list[float] = []
+
+    def mk(script):
+        calls = {"n": 0}
+
+        def transport():
+            i = calls["n"]
+            calls["n"] += 1
+            ev = script[min(i, len(script) - 1)]
+            if isinstance(ev, Exception):
+                raise ev
+            return ev
+
+        return transport, calls
+
+    # mixed non-consuming errors then success: all retried, no budget spent
+    t, calls = mk([TransportRateLimit("busy"), TransportAPIError("oops"),
+                   TransportUnavailable("overloaded"), "answer"])
+    client = make_retrying_client(t, max_retries=2, sleep=sleeps.append)
+    assert client() == "answer"
+    assert calls["n"] == 4  # errors never hit the budget (max_retries=2)
+    assert len(sleeps) == 2  # rate-limit + unavailable wait; API error doesn't
+
+    # only timeouts consume the budget → exhaustion returns None
+    t, calls = mk([TransportTimeout("slow")])
+    client = make_retrying_client(t, max_retries=3, sleep=sleeps.append)
+    assert client() is None
+    assert calls["n"] == 3
+
+    # quota-flavored rate limit aborts the run
+    t, _ = mk([TransportRateLimit("You exceeded your current quota")])
+    client = make_retrying_client(t, max_retries=3, sleep=sleeps.append)
+    with pytest.raises(QuotaExceeded):
+        client()
