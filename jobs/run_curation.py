@@ -2,10 +2,12 @@
 dedup → quality gate → (optional) stratified sampling → token-budget
 sequence packing, materialized as parquet.
 
-Usage (local stand-in; on a cluster swap --master / executor confs):
+Usage (local stand-in; on a cluster swap --master / executor confs).
+NOTE: in local mode executors share the driver JVM — size
+--driver-memory for the whole job (the 1g default OOMs at ~100k docs):
 
     spark-submit \
-        --master local[32] \
+        --master local[32] --driver-memory 16g \
         --py-files .driver_pyfiles/pdf_parser_spark.zip \
         jobs/run_curation.py \
         --input /root/testdata/sf0.1/documents.parquet \

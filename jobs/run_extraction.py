@@ -1,11 +1,13 @@
 """spark-submit entry point for the resumable extraction job (north rule:
 "run via spark-submit --py-files on a multi-executor cluster").
 
-Usage (local stand-in; on a cluster swap --master / executor confs):
+Usage (local stand-in; on a cluster swap --master / executor confs).
+NOTE: in local mode executors share the driver JVM — size
+--driver-memory for the whole job (the 1g default OOMs at ~100k docs):
 
     python -c "import __spark_entry__"   # or: python bench.py --help (builds the zip)
     spark-submit \
-        --master local[32] \
+        --master local[32] --driver-memory 16g \
         --py-files .driver_pyfiles/pdf_parser_spark.zip \
         jobs/run_extraction.py \
         --input .bench_cache/docs_12000 \
