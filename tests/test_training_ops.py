@@ -446,3 +446,52 @@ def test_simhash_block_cap_bounds_candidates(spark):
     uncapped = dedup.simhash_hamming_pairs(docs, portable=True).count()
     capped = dedup.simhash_hamming_pairs(docs, portable=True, bucket_cap=5).count()
     assert capped <= uncapped
+
+
+def test_text_ops_on_pathological_docs(spark):
+    """Degenerate inputs (empty, whitespace-only, single char, NUL,
+    unicode, no-letter) must flow through every text operator without
+    nulls-where-not-allowed, division errors, or dropped rows."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import textqc
+    from pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, "x"),
+            (3, "a\x00b"),
+            (4, "的 是 了"),
+            (5, "..."),
+            (6, "the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = textqc.repetition_features(docs).collect()
+    assert len(rep) == 7
+    by_id = {r.doc_id: r for r in rep}
+    assert by_id[6].dup_word_frac == 0.75  # 4x'the' -> 1 distinct of 4
+    assert by_id[0].n_words in (0, 1)  # split('') engine convention, no crash
+    assert all(r.dup_2gram_frac is not None for r in rep)
+
+    pii = docs.select(
+        "doc_id",
+        textqc.pii_count(F.col("text"), "email").alias("e"),
+        F.md5(textqc.redact_pii(F.col("text"))).alias("h"),
+    ).collect()
+    assert len(pii) == 7 and all(r.e == 0 for r in pii)
+
+    profiles = textqc.trigram_lang_profiles(
+        docs.withColumn("lang", F.lit("xx")), k=10
+    )
+    pred = textqc.trigram_lang_id(docs, profiles).collect()
+    assert all(r.lang_pred == "xx" for r in pred)  # only one candidate lang
+
+    bm = textqc.bm25_scores(docs, ["zzz-not-present"]).collect()
+    assert bm == []  # no term hits -> empty, not an error
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.01, df_max=10).collect()
+    # doc 6 and others share no trigram shingles of length>=... just no crash
+    assert isinstance(pairs, list)
