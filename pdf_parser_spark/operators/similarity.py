@@ -275,3 +275,34 @@ def signlsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mean_pool(
+    vecs: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of vectors per group (chunk embeddings → one
+    document embedding — the standard pooling step between a chunk-level
+    embedder and doc-level retrieval).
+
+    Shape: posexplode to (group, dim, value) rows, ONE partial-aggregated
+    groupBy (group, dim), then reassemble the array with sort_array over
+    (dim, mean) structs — every stage map-side combinable, no vector ever
+    held whole in an aggregation buffer, so 100k-dim vectors and million-
+    chunk groups both stay bounded. (The tempting alternative — aggregate()
+    over collect_list of whole vectors — buffers a group's every vector.)
+    """
+    ex = vecs.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+    )
+    per_dim = ex.groupBy(group_col, "dim").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias(vec_col)
+        )
+    )

@@ -2304,6 +2304,32 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 3
 """
 
 
+def q_label_mean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embeddings per label (similarity.mean_pool — the chunk→
+    doc pooling step), emitted as per-(label, dim) scalar rows so the value
+    hash compares floats, not array renderings. The pooling runs through
+    the operator's dimension-exploded shape (posexplode → partial-agg
+    groupBy → sort_array reassembly) and is then re-exploded for output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pooled = similarity.mean_pool(emb, group_col="label")
+    return pooled.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("label", "dim", F.round("v", 6).alias("v"))
+
+
+def sql_label_mean_embeddings() -> str:
+    return """
+SELECT label, u.dim AS dim, round(avg(u.v), 6) AS v
+FROM (
+  SELECT label,
+         unnest(list_transform(embedding::DOUBLE[],
+                               (x, i) -> {'dim': CAST(i - 1 AS INT), 'v': x})) AS u
+  FROM embeddings)
+GROUP BY label, u.dim
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + nprobe search) ANN. Rows-only check: the
     4-iteration Lloyd's loop is genuinely iterative (each pass re-joins
@@ -2728,6 +2754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_year_pivot": q_brand_year_pivot,
     "moving_avg_value": q_moving_avg_value,
     "buyers_without_returns": q_buyers_without_returns,
+    "label_mean_embeddings": q_label_mean_embeddings,
     # rows-only k-means trainer (probe path value-checked by ivf_topk_probe):
     "ivf_topk": q_ivf_topk,
 }
@@ -2803,4 +2830,5 @@ ORACLES: dict[str, str] = {
     "brand_year_pivot": sql_brand_year_pivot(),
     "moving_avg_value": sql_moving_avg_value(),
     "buyers_without_returns": sql_buyers_without_returns(),
+    "label_mean_embeddings": sql_label_mean_embeddings(),
 }

@@ -495,3 +495,19 @@ def test_text_ops_on_pathological_docs(spark):
     pairs = ngram_jaccard_pairs(docs, threshold=0.01, df_max=10).collect()
     # doc 6 and others share no trigram shingles of length>=... just no crash
     assert isinstance(pairs, list)
+
+
+def test_mean_pool_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.similarity import mean_pool
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {r.label: r.embedding for r in mean_pool(emb, group_col="label").collect()}
+    rows = emb.select("label", F.col("embedding").cast("array<double>").alias("e")).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.e)
+    for lbl, vs in by_label.items():
+        np.testing.assert_allclose(got[lbl], np.mean(np.array(vs), axis=0), rtol=1e-9)
