@@ -511,3 +511,10 @@ def test_mean_pool_matches_numpy(spark):
         by_label.setdefault(r.label, []).append(r.e)
     for lbl, vs in by_label.items():
         np.testing.assert_allclose(got[lbl], np.mean(np.array(vs), axis=0), rtol=1e-9)
+
+
+def test_pair_clusters_empty_input(spark):
+    from pdf_parser_spark.operators.dedup import pair_clusters
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert pair_clusters(pairs).collect() == []
