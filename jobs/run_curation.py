@@ -86,9 +86,13 @@ def main() -> None:
         )
     )
     stats.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
-    n_out = curated.count()
+    # count the WRITTEN parquet, not the logical plans — re-counting the
+    # unpersisted DataFrames would re-execute the whole curation and dedup
+    # pipelines a second time just to print this line
+    n_out = spark.read.parquet(os.path.join(args.output, "curated")).count()
+    n_clusters = spark.read.parquet(os.path.join(args.output, "clusters")).count()
     print(json.dumps({"docs_in": n_in, "docs_kept": n_out,
-                      "clusters": clusters.count()}))
+                      "clusters": n_clusters}))
     spark.stop()
 
 

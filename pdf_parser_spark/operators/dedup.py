@@ -607,6 +607,7 @@ def pair_clusters(
     nodes = edges.select(F.col("x").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.y == labels.node)
@@ -624,7 +625,17 @@ def pair_clusters(
             .localCheckpoint(eager=True)  # truncate the iterative lineage
         )
         cur = labels.agg(F.sum("label")).first()[0]
-        if prev_sum is not None and cur == prev_sum:
+        # cur is None only for an empty graph — converged by definition
+        if cur is None or (prev_sum is not None and cur == prev_sum):
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # a silent exit here would report one component as several clusters
+        # (and a dedup materializer would keep duplicate representatives)
+        raise RuntimeError(
+            f"pair_clusters did not converge within max_iters={max_iters}; "
+            "a component's diameter exceeds the round budget — raise "
+            "max_iters (rounds needed ≈ graph diameter)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))

