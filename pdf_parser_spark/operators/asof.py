@@ -34,10 +34,16 @@ def asof_join_latest(
     determinism). Left columns pass through unchanged.
     """
     lcols = left.columns
+    # _rv is a one-field STRUCT, not the bare value: last(ignorenulls) must
+    # skip the left rows' sentinel (a NULL struct) but NOT a right row whose
+    # value is genuinely NULL — DuckDB's ASOF JOIN matches that row and
+    # returns NULL, so a bare-value carry would wrongly surface an older
+    # non-null value instead.
+    vtype = right.schema[right_value_col].dataType.simpleString()
     l = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[right_value_col].dataType).alias("_rv"),
+        F.lit(None).cast(f"struct<v:{vtype}>").alias("_rv"),
     )
     r = right.select(
         *[
@@ -47,7 +53,7 @@ def asof_join_latest(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        F.col(right_value_col).alias("_rv"),
+        F.struct(F.col(right_value_col).alias("v")).alias("_rv"),
     )
     u = l.unionByName(r)
     w = (
@@ -56,7 +62,7 @@ def asof_join_latest(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        u.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        u.withColumn("_carried", F.last("_rv", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .select(*lcols, out_col)
+        .select(*lcols, F.col("_carried")["v"].alias(out_col))
     )

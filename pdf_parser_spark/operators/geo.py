@@ -21,13 +21,26 @@ def enrich_with_coordinates(rows: DataFrame, geo_cache: DataFrame) -> DataFrame:
     route them to a live geocoder (operators/enrich.py) or to a general
     fallback coordinate, mirroring `_parser.py:625-632`.
     """
-    cache = geo_cache.select(
-        F.lower(F.trim("location")).alias("location"),
-        "latitude",
-        "longitude",
-        "state",
+    # normalize BOTH sides of the key (rows keep their original column) and
+    # collapse the cache to one row per key — a duplicate key (case
+    # variants, or a memoized-failure entry next to a resolved one) would
+    # fan out every matching fact row
+    cache = (
+        geo_cache.select(
+            F.lower(F.trim("location")).alias("_loc_key"),
+            "latitude",
+            "longitude",
+            "state",
+        )
+        .groupBy("_loc_key")
+        .agg(F.max(F.struct("latitude", "longitude", "state")).alias("_g"))
+        .select("_loc_key", "_g.latitude", "_g.longitude", "_g.state")
     )
-    return rows.join(F.broadcast(cache), "location", "left")
+    return (
+        rows.withColumn("_loc_key", F.lower(F.trim(F.col("location"))))
+        .join(F.broadcast(cache), "_loc_key", "left")
+        .drop("_loc_key")
+    )
 
 
 def resolve_misses(
@@ -43,14 +56,20 @@ def resolve_misses(
     sees each distinct missing location exactly once — the reference's
     memoization (`_parser.py:494`) generalized to set semantics.
     """
-    joined = enrich_with_coordinates(rows, geo_cache)
+    # memoized-FAILURE cache entries (null coords, mirroring the reference's
+    # cached geocode misses) must not shadow the resolver's answer: keep
+    # only usable cache rows, so their keys fall through to the resolver
+    usable = geo_cache.filter(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    )
+    joined = enrich_with_coordinates(rows, usable)
     misses = (
         joined.filter(F.col("latitude").isNull())
         .select("location")
         .distinct()
     )
     resolved = resolver(misses)
-    full_cache = geo_cache.select(
+    full_cache = usable.select(
         "location", "latitude", "longitude", "state"
     ).unionByName(resolved)
     return enrich_with_coordinates(rows, full_cache)

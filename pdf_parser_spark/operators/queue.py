@@ -35,7 +35,21 @@ def merge_checkpoint_updates(checkpoints: DataFrame, updates: DataFrame) -> Data
     Last-writer-wins per doc_id with updates taking precedence — the
     relational form of the reference's in-place row assignment
     (`_parser.py:1744-1749`). At deploy time this is an Iceberg MERGE.
+
+    If ``updates`` carries multiple rows for one doc_id, they are first
+    collapsed DETERMINISTICALLY to the max (processed, relevant, ...)
+    combination — the reference applied CSV updates sequentially (last
+    wins), but a DataFrame has no arrival order, and breaking the tie by
+    partition order would make the merged checkpoint non-reproducible.
+    Progress columns are monotonic (processed 0→1, relevant gets set), so
+    the max is the final state.
     """
+    non_key = [c for c in checkpoints.columns if c != "doc_id"]
+    updates = (
+        updates.groupBy("doc_id")
+        .agg(F.max(F.struct(*non_key)).alias("_u"))
+        .select("doc_id", *[F.col(f"_u.{c}").alias(c) for c in non_key])
+    )
     tagged_old = checkpoints.withColumn("_pri", F.lit(0))
     tagged_new = updates.withColumn("_pri", F.lit(1))
     cols = [c for c in checkpoints.columns]

@@ -46,9 +46,14 @@ def with_size_bucket(docs_df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> 
     return (
         docs_df.withColumn(
             "byte_count",
+            # 64-bit accumulator: a long zero makes every addition long —
+            # with a 32-bit zero, a >2 GiB document overflows INT inside the
+            # aggregate and ANSI mode raises instead of wrapping
             F.aggregate(
-                "spans", F.lit(0), lambda acc, s: acc + F.length(s["text"])
-            ).cast("long"),
+                "spans",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(s["text"]).cast("long"),
+            ),
         )
         .withColumn(
             "size_class",
@@ -127,7 +132,7 @@ class SnapshotLog:
             if name.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     m = json.load(f)
-                if "n_buckets" in m:
+                if m.get("n_buckets") is not None:  # key may exist as null
                     return int(m["n_buckets"])
         return None
 
@@ -180,23 +185,21 @@ def run_with_resume(
             f"resuming with n_buckets={n_buckets} would reinterpret committed "
             f"bucket IDs and duplicate/skip documents. Pass n_buckets={logged_n}."
         )
-    committed = list(log.committed_buckets())
+    committed = set(log.committed_buckets())
 
-    bucketed = with_size_bucket(docs_df, n_buckets)
-    if committed:
-        committed_df = spark.createDataFrame(
-            [(int(b),) for b in committed], "bucket_id int"
-        )
-        bucketed = bucketed.join(F.broadcast(committed_df), "bucket_id", "left_anti")
-
-    pending = [
-        r.bucket_id for r in bucketed.select("bucket_id").distinct().collect()
-    ]
+    # pending comes from the MANIFEST, not a data scan: the bucket space is
+    # known (range(n_buckets)), so deriving it from the corpus would pay a
+    # full extra pass over the source per resume just to learn ≤ n_buckets
+    # ids. Committing a bucket that happens to contain zero docs is harmless
+    # and stops it being rescanned forever.
+    pending = sorted(set(range(n_buckets)) - committed)
     if limit_buckets is not None:
-        pending = sorted(pending)[:limit_buckets]
-        bucketed = bucketed.filter(F.col("bucket_id").isin(pending))
+        pending = pending[:limit_buckets]
     if not pending:
         return {"committed": [], "snapshot_id": None, "docs": 0}
+    bucketed = with_size_bucket(docs_df, n_buckets).filter(
+        F.col("bucket_id").isin(pending)
+    )
 
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -216,9 +219,24 @@ def run_with_resume(
     committed_kout = spark.read.parquet(spans_path).filter(
         F.col("bucket_id").isin([int(b) for b in pending])
     )
-    lineage = kernel.lineage_from_kernel(committed_kout)
-    lineage.write.mode("append").parquet(os.path.join(output_root, "lineage"))
-    kernel.metrics_from_lineage(lineage).write.mode("append").parquet(
+    # lineage/metrics are bucket-partitioned dynamic OVERWRITES like
+    # spans_out: a crash between these writes and the manifest commit makes
+    # the rerun REPLACE the same buckets' rows — an append would duplicate
+    # them and break sum(metrics.span_count) == count(spans_out)
+    bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    lineage = kernel.lineage_from_kernel(committed_kout).withColumn(
+        "bucket_id", bucket_of
+    )
+    lineage.write.mode("overwrite").partitionBy("bucket_id").parquet(
+        os.path.join(output_root, "lineage")
+    )
+    metrics = lineage.groupBy("bucket_id", "partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("span_count").alias("span_count"),
+        F.sum("byte_count").alias("byte_count"),
+        F.max("wall_ms").alias("wall_ms"),
+    )
+    metrics.write.mode("overwrite").partitionBy("bucket_id").parquet(
         os.path.join(output_root, "metrics")
     )
 

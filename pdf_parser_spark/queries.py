@@ -1584,6 +1584,32 @@ WHERE l_returnflag = 'R'
 """
 
 
+def q_wgs84_bb_midpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 geodesic midpoints (geo.wgs84_midpoints — vectorized Vincenty)
+    over the same synthetic bounding boxes bb_centroid uses. Rows-only at
+    the gate: Vincenty's iterations are not single-statement-SQL-expressible
+    (like the IVF trainer); the VALUE checks live in tests/test_geodesic.py
+    (published test line, analytic symmetries, equidistance) and the
+    spherical twin bb_centroid carries the full SQL oracle."""
+    from pdf_parser_spark.operators.geo import wgs84_midpoints
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    corners = c.select(
+        k.cast("long").alias("custkey"),
+        (k % 60).cast("double").alias("lat1"),
+        (k % 150).cast("double").alias("lon1"),
+        ((k % 60) + (k % 7) + 1).cast("double").alias("lat2"),
+        ((k % 150) + (k % 11) + 1).cast("double").alias("lon2"),
+    )
+    return wgs84_midpoints(corners).select(
+        "custkey",
+        F.round("lat_mid", 6).alias("lat_mid"),
+        F.round("lon_mid", 6).alias("lon_mid"),
+        "geodesic_ok",
+    )
+
+
 def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-key salted join (operators/skew.py) value-checked against an
     independent engine: fact orders salted per row, customer dim replicated
@@ -2801,6 +2827,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_mean_embeddings": q_label_mean_embeddings,
     "salted_segment_revenue": q_salted_segment_revenue,
     "salted_event_counts": q_salted_event_counts,
+    # rows-only: Vincenty iterations (value checks in tests/test_geodesic.py)
+    "wgs84_bb_midpoints": q_wgs84_bb_midpoints,
     # rows-only k-means trainer (probe path value-checked by ivf_topk_probe):
     "ivf_topk": q_ivf_topk,
 }

@@ -50,9 +50,13 @@ def _sessionize_group(
     last_epoch, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # applyInPandasWithState delivers ONE group as MULTIPLE Arrow chunks
+    # (session.py caps batches at 1024 rows) in shuffle order, not time
+    # order — concatenate first and sort ONCE, or a >1024-event user's
+    # chunk-local sorts would fabricate negative/spurious gaps.
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         epochs = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64) // 10**9
         prev = np.empty_like(epochs)

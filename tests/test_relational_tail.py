@@ -248,3 +248,66 @@ def test_retrying_client_reference_taxonomy():
     client = make_retrying_client(t, max_retries=3, sleep=sleeps.append)
     with pytest.raises(QuotaExceeded):
         client()
+
+
+def test_asof_join_returns_matched_null_value(spark):
+    """A right row whose VALUE is genuinely NULL must win over an older
+    non-null row — DuckDB ASOF JOIN semantics (the struct-sentinel carry;
+    a bare-value last(ignorenulls) would skip it)."""
+    from pdf_parser_spark.operators.asof import asof_join_latest
+
+    left = spark.createDataFrame([("k", 3), ("k", 1)], "key string, t int")
+    right = spark.createDataFrame(
+        [("k", 0, 5), ("k", 2, None)], "key string, t int, v int"
+    )
+    got = {
+        r.t: r.asof_value
+        for r in asof_join_latest(left, right, "key", "t", "v").collect()
+    }
+    assert got == {1: 5, 3: None}  # t=3 matches the t=2 row with NULL value
+
+
+def test_geo_cache_null_entry_is_resolved_not_duplicated(spark):
+    """A memoized-failure cache row (null coords) must fall through to the
+    resolver and NOT fan out fact rows via a duplicate cache key; mixed-case
+    row locations must still match the cache."""
+    from pdf_parser_spark.operators.enrich import fake_geocoder
+    from pdf_parser_spark.operators.geo import enrich_with_coordinates, resolve_misses
+
+    rows = spark.createDataFrame(
+        [("Quebec",), ("quebec",), ("boston",)], "location string"
+    )
+    cache = spark.createDataFrame(
+        [("quebec", None, None, None), ("Boston", 42.36, -71.06, "ma")],
+        "location string, latitude double, longitude double, state string",
+    )
+    out = resolve_misses(rows, cache, fake_geocoder).collect()
+    assert len(out) == 3  # no fan-out from the duplicate-key union
+    by_loc = {}
+    for r in out:
+        by_loc.setdefault(r.location.lower(), []).append((r.latitude, r.longitude))
+    assert by_loc["boston"][0] == (42.36, -71.06)  # case-insensitive cache hit
+    assert all(lat is not None for lat, _ in by_loc["quebec"])  # resolver won
+    # plain enrich: a duplicate-key cache must not duplicate fact rows
+    dup_cache = cache.union(
+        spark.createDataFrame([("QUEBEC", 46.8, -71.2, "qc")], cache.schema)
+    )
+    assert enrich_with_coordinates(rows, dup_cache).count() == 3
+
+
+def test_merge_checkpoint_duplicate_updates_deterministic(spark):
+    from pdf_parser_spark.operators.queue import merge_checkpoint_updates
+
+    ckpt = spark.createDataFrame(
+        [(0, "doc-1", 0, 0, None)],
+        "bucket_id int, doc_id string, processed int, relevant int, snapshot_id long",
+    )
+    updates = spark.createDataFrame(
+        [(0, "doc-1", 1, 0, 5), (0, "doc-1", 1, 1, 7)],
+        "bucket_id int, doc_id string, processed int, relevant int, snapshot_id long",
+    )
+    for _ in range(3):
+        merged = merge_checkpoint_updates(ckpt, updates).collect()
+        assert len(merged) == 1
+        r = merged[0]
+        assert (r.processed, r.relevant, r.snapshot_id) == (1, 1, 7)

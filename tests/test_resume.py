@@ -79,6 +79,23 @@ def test_rerun_bucket_is_idempotent(spark, tmp_path):
     lost = set(range(4)) - set(log.committed_buckets())
     assert lost
 
+    lineage_before = spark.read.parquet(os.path.join(root, "lineage")).count()
+    metrics_spans_before = sum(
+        r.span_count
+        for r in spark.read.parquet(os.path.join(root, "metrics")).collect()
+    )
+
     pipeline.run_with_resume(spark, df, root, n_buckets=4, num_partitions=2)
     total_after = spark.read.parquet(os.path.join(root, "spans_out")).count()
     assert total_after == total_before  # overwrite, not append-duplicate
+    # lineage/metrics must be bucket-overwritten too, not appended — the
+    # crash-replay path previously duplicated their rows silently
+    assert spark.read.parquet(os.path.join(root, "lineage")).count() == lineage_before
+    assert (
+        sum(
+            r.span_count
+            for r in spark.read.parquet(os.path.join(root, "metrics")).collect()
+        )
+        == metrics_spans_before
+        == total_after
+    )
