@@ -23,6 +23,9 @@ sys.path.insert(0, REPO)  # driver process may invoke from elsewhere
 def _ship_package(spark: SparkSession) -> None:
     """Make pdf_parser_spark importable on executor Python workers.
 
+    KEEP IN SYNC with bench._pkg_zip (same artifact/path; this file stays
+    import-standalone for the driver).
+
     The driver's sys.path does NOT propagate to the executors' workers; at
     deploy time this is `spark-submit --py-files pdf_parser_spark.zip`
     (north rule). Here we build that zip once and addPyFile it.

@@ -4,9 +4,13 @@ Default: runs the headline suite at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
---scaling: runs the SAME extraction job at local[8] and local[32] on the
+--scaling: runs the SAME extraction job at two parallelism points on the
 same input (sandbox stand-in for N vs 4N executors, per BASELINE.md) and
-writes docs/sec at both + scaling efficiency to BENCH/BASELINE.md.
+writes docs/sec at both + scaling efficiency to BENCH/BASELINE.md. The
+default points are local[2] vs local[8] (SPARK_GRAFT_SCALE_POINTS to
+override) — NOT local[32]: beyond ~8 busy vCPUs this host VM serializes
+the JVM↔Python socket path and timings are garbage (see CLAUDE.md and
+BENCH/BASELINE.md for the measured diagnosis).
 
 The extraction corpus is the synthetic interleaved text+media corpus
 (pdf_parser_spark.synth), materialized once to parquet in .bench_cache/ so
@@ -129,7 +133,11 @@ def ensure_corpus(n_docs: int | None = None) -> str:
 
 
 def _pkg_zip() -> str:
-    """Zip the package for executor python workers (same as __spark_entry__)."""
+    """Zip the package for executor python workers.
+
+    KEEP IN SYNC with __spark_entry__._ship_package — both build the same
+    artifact at the same path (the driver contract file stays standalone
+    on purpose, so the ~15 lines are deliberately twinned)."""
     import zipfile
 
     pkg = os.path.join(REPO, "pdf_parser_spark")
@@ -172,6 +180,9 @@ def run_suite() -> dict:
 
     corpus = ensure_corpus()
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+    # executor python workers import by module name; ship the package zip so
+    # the suite also runs when invoked from outside the repo root
+    spark.sparkContext.addPyFile(_pkg_zip())
 
     timings: dict[str, float] = {}
 
@@ -217,6 +228,7 @@ def measure_extraction_only() -> dict:
 
     corpus = ensure_corpus(SCALING_DOCS)
     spark = get_spark(master=f"local[{CPUS}]", app_name=f"bench_scale_{CPUS}")
+    spark.sparkContext.addPyFile(_pkg_zip())  # cwd-independent worker imports
     _w, _ = run_extraction(spark, corpus)  # warm-up
     best = None
     for _ in range(3):  # best-of-3: host steal spikes poison single shots

@@ -132,13 +132,3 @@ def yes_or_no(response: str) -> bool:
     return "yes" in response.lower()
 
 
-def looks_multi_location(location: str) -> bool:
-    """Deterministic stand-in for the reference's LLM multi-location judge
-    (`_parser.py:1504-1515`): a location naming >1 region is flagged.
-
-    Heuristic: two or more comma/'and'-separated segments that each look like
-    a place word. The LLM judge remains pluggable (operators/enrich.py).
-    """
-    low = location.lower()
-    parts = [p.strip() for p in low.replace(" and ", ",").split(",") if p.strip()]
-    return len(parts) > 2

@@ -51,6 +51,13 @@ def build_chunk_group(
     while i < len(text):
         multiplier = float(base_multiplier)
         user_message_length = int(max_token_length * multiplier) - system_message_length
+        if user_message_length <= 0:
+            # i would never advance — same misconfiguration as below
+            raise ValueError(
+                "system/end message alone exceeds the token budget "
+                f"(budget={max_token_length}, fixed overhead="
+                f"{system_message_length} chars)"
+            )
         message = system_message + text[i : i + user_message_length] + end_message
         token_length = estimate_tokens(message)
         while token_length > int(max_token_length * safety_multiplier):
@@ -58,6 +65,19 @@ def build_chunk_group(
             user_message_length = (
                 int(max_token_length * multiplier) - system_message_length
             )
+            if user_message_length <= 0:
+                # the system+end message ALONE exceeds the shrunken budget:
+                # the message can never change again, so the reference's
+                # shrink loop would spin forever (and `i` would stop
+                # advancing). Fail loudly — this is a misconfiguration, not
+                # a chunkable input. (Deliberate divergence from the
+                # reference, which hangs here.)
+                raise ValueError(
+                    "system/end message alone exceeds the token budget "
+                    f"(budget={max_token_length}, fixed overhead="
+                    f"{system_message_length} chars) — raise "
+                    "max_context_length or shorten the system message"
+                )
             message = system_message + text[i : i + user_message_length] + end_message
             token_length = estimate_tokens(message)
         chunk_group.append(

@@ -78,11 +78,13 @@ def _explode_spans(pdf: pd.DataFrame) -> pd.DataFrame:
             {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
         )
     # malformed spans coerce rather than kill the task: null kind → 'text',
-    # null offset → 0 (same rule as the Arrow path's fill_null)
+    # null offset → 0 (same rule as the Arrow path's fill_null — which
+    # replaces only NULLs, so an EMPTY-STRING kind must pass through here
+    # too, not be rewritten to 'text')
     return pd.DataFrame(
         {
             "doc_id": doc_ids,
-            "kind": [s["kind"] or "text" for s in flat_spans],
+            "kind": [s["kind"] if s["kind"] is not None else "text" for s in flat_spans],
             "text": pd.Series([s["text"] or "" for s in flat_spans], dtype="object"),
             "media_ref": [s["media_ref"] or "" for s in flat_spans],
             "offset": np.fromiter(
@@ -196,6 +198,14 @@ def _extract_flat(
             low_list = [t.lower() for t in cleaned_list]
         marker_rpos = np.fromiter(
             (t.rfind(WINDOW_MARKER) for t in low_list), dtype=np.int64, count=n
+        )
+        # case folding can CHANGE string length ('İ'.lower() is 2 chars);
+        # golden's window cut rfinds in LOWERED global coordinates but maps
+        # the cut back through ORIGINAL-length spans, so docs containing
+        # such characters need the exact (slow) emulation below
+        fold_shift = (
+            np.fromiter((len(t) for t in low_list), dtype=np.int64, count=n)
+            != np.fromiter((len(t) for t in cleaned_list), dtype=np.int64, count=n)
         )
 
         # ---- boilerplate keys, only where layout exists ----
@@ -331,11 +341,48 @@ def _extract_flat(
             seg_id2 = np.cumsum(segb) - 1
             pos_in = np.arange(len(ordered)) - seg_start[seg_id2]
             hitp = np.where(marker_hit[ordered], pos_in, -1)
+            raw_last = np.maximum.reduceat(hitp, seg_start)
+            # docs whose kept text spans include a fold-shifting char AND a
+            # marker hit take the exact golden path (global lowered rfind,
+            # original-coordinate mapping) — the per-span fast path below
+            # assumes lower() preserves lengths
+            mism_txt = (fold_shift & is_text)[ordered]
+            special_seg = (
+                np.add.reduceat(mism_txt.astype(np.int64), seg_start) > 0
+            ) & (raw_last >= 0)
+            hitp = np.where(special_seg[seg_id2], -1, hitp)
             last_r = np.maximum.reduceat(hitp, seg_start)[seg_id2]
             is_cut = (pos_in == last_r) & (last_r >= 0)
             trunc_rows = ordered[is_cut]
             trunc_cut[trunc_rows] = marker_rpos[trunc_rows] + len(WINDOW_MARKER)
-            ordered = ordered[(last_r < 0) | (pos_in <= last_r)]
+            keep = (last_r < 0) | (pos_in <= last_r)
+            if special_seg.any():
+                n_segs = len(seg_start)
+                for si in np.nonzero(special_seg)[0]:
+                    lo = seg_start[si]
+                    hi = seg_start[si + 1] if si + 1 < n_segs else len(ordered)
+                    rows = ordered[lo:hi]
+                    tpos = [p for p in range(len(rows)) if is_text[rows[p]]]
+                    texts = [cleaned_np[rows[p]] for p in tpos]
+                    joined = "\n".join(texts)
+                    idx = joined.lower().rfind(WINDOW_MARKER)
+                    if idx < 0:
+                        continue
+                    cut = idx + len(WINDOW_MARKER)
+                    posn = 0
+                    found = None
+                    for p, t in zip(tpos, texts):
+                        s0, e0 = posn, posn + len(t)
+                        if s0 <= cut <= e0:
+                            found = (p, cut - s0)
+                            break
+                        posn = e0 + 1
+                    if found is None:  # cut fell past original coords: no cut
+                        continue
+                    p, off = found
+                    keep[lo + p + 1 : hi] = False
+                    trunc_cut[rows[p]] = off
+            ordered = ordered[keep]
         code_no = med_np[ordered].astype(np.int8)
 
         # OCR docs, all at once: each media span emits a (recovered text,

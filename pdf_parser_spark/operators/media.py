@@ -47,6 +47,12 @@ FEATURES_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _num(x) -> int:
+    """Null-safe int: nullable Arrow ints reach pandas as NaN/pd.NA, which
+    are TRUTHY — `x or 0` does not guard them and int(nan) raises."""
+    return 0 if x is None or pd.isna(x) else int(x)
+
+
 def _fake_decode(src: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic fake: features derived from sha256 of the input BYTES
     (the payload — so the fake path exercises the payload-bytes contract of
@@ -94,7 +100,7 @@ def extract_media_features(
             else:  # pragma: no cover — deploy path
                 feats = [decode_image(p).tolist() for p in pdf["payload"]]
             n_frames = [
-                max(1, int((d or 0) // (frame_stride * 1000)) + 1)
+                max(1, int(_num(d) // (frame_stride * 1000)) + 1)
                 if t == "video"
                 else 1
                 for d, t in zip(pdf["duration_ms"], pdf["media_type"])
@@ -145,8 +151,8 @@ def resize_media(
                 continue
             ws, hs, sn, sd = [], [], [], []
             for w, h, t in zip(pdf["width"], pdf["height"], pdf["media_type"]):
-                w = int(w or 0)
-                h = int(h or 0)
+                w = _num(w)
+                h = _num(h)
                 if t == "audio" or w <= 0 or h <= 0:
                     ws.append(w), hs.append(h), sn.append(1), sd.append(1)
                     continue

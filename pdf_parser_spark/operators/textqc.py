@@ -24,12 +24,6 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def _occurrences(text: Column, needle: str) -> Column:
-    return (
-        F.length(text) - F.length(F.regexp_replace(text, F.lit(needle).cast("string"), F.lit("")))
-    ) / F.lit(len(needle))
-
-
 def _occurrences_literal(text: Column, needle: str) -> Column:
     # literal replace (no regex metachars in our markers)
     return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(

@@ -47,6 +47,8 @@ FRAGMENTS = [
     "Header 12",
     "Header 34",
     "\x00",
+    "İ",  # lower() is 2 chars — exercises the fold-shift window path
+    "İİ references",
     "long body text that pushes a document over the scanned threshold " * 2,
 ]
 
