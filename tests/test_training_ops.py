@@ -518,3 +518,24 @@ def test_pair_clusters_empty_input(spark):
 
     pairs = spark.createDataFrame([], "a long, b long")
     assert pair_clusters(pairs).collect() == []
+
+
+def test_media_kernels_tolerate_null_metadata(spark):
+    """Nullable metadata arrives in pandas as NaN (truthy!) — the decode and
+    resize kernels must coerce it, not crash on int(nan)."""
+    from pdf_parser_spark.operators.media import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        resize_media,
+    )
+
+    rows = [
+        ("m-1", "d1", "video", None, None, None, None),
+        ("m-2", "d1", "image", b"xx", None, 300, 5000),
+        ("m-3", "d1", "audio", None, 100, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_ref: r.n_frames for r in extract_media_features(media).collect()}
+    assert feats["m-1"] == 1  # null duration video -> 1 frame, no crash
+    sizes = {r.media_ref: (r.out_width, r.out_height) for r in resize_media(media).collect()}
+    assert sizes["m-1"] == (0, 0) and sizes["m-3"] == (100, 0)
