@@ -252,6 +252,16 @@ def _extract_flat(
             refixed[:] = _cleanup_batch(list(text_np[fix]))
             cleaned_np[fix] = refixed
 
+        # malformed-kind contract (golden parity): on the non-OCR path a
+        # span whose kind is neither 'text' nor 'media' is emitted as a
+        # text row with its RAW text — golden's cleanup guards on
+        # kind=='text' (golden.py:117), while the OCR path cleans every
+        # span. The batch cleanup above ran over all rows; restore raw
+        # text for the odd-kind non-OCR rows.
+        odd = ~ocr_rows & ~is_text & ~(kind_np == "media")
+        if odd.any():
+            cleaned_np[odd] = text_np[odd]
+
         # ---- batch-level layout pass: reading order, boilerplate strip and
         # window cut for ALL non-OCR docs in a handful of global sorts — no
         # per-doc Python loop (was ~20% of kernel time at 2667 layout docs

@@ -193,13 +193,17 @@ def lsh_candidate_pairs(
     documented-approximate (dropped buckets are near-identical content,
     the exact-dedup family's job); the oracled query runs uncapped.
     """
-    n = num_hashes or sigs.select(F.size("sig")).first()[0]
-    rows_per_band = n // bands
+    if num_hashes is not None:
+        rows_per_band = F.lit(num_hashes // bands)
+    else:
+        # infer in-plan from the array length — no extra Spark job for
+        # ad-hoc callers (F.slice takes Column start/length since 3.1)
+        rows_per_band = F.floor(F.size("sig") / bands).cast("int")
 
     def band_key(b: int):
         joined = F.array_join(
             F.transform(
-                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                F.slice(F.col("sig"), F.lit(b) * rows_per_band + 1, rows_per_band),
                 lambda x: x.cast("string"),
             ),
             ",",

@@ -108,6 +108,7 @@ def make_retrying_client(
     max_retries: int = 10,
     wait_seconds: float = 3.0,
     sleep: Callable[[float], None] | None = None,
+    max_attempts: int | None = None,
 ):
     """The reference's client retry loop (`_parser.py:104-147`), transport-
     injected so the CONTRACT is real, tested code (the container has no
@@ -120,14 +121,24 @@ def make_retrying_client(
       the reference's quirk: ONLY timeouts increment ``retries``
     - service unavailable                  → wait, retry (NOT consumed)
     - budget exhausted                     → return None (caller skips row)
+
+    ``max_attempts`` (default ``10 × max_retries``) caps TOTAL transport
+    calls regardless of error class. The reference's budget counts only
+    timeouts, so a persistently rate-limited / erroring / unavailable
+    endpoint would loop forever — inside a Spark task that hangs the stage
+    indefinitely. The cap preserves the per-class semantics below it and,
+    like budget exhaustion, returns None on trip.
     """
     import time as _time
 
     do_sleep = sleep if sleep is not None else _time.sleep
+    attempt_cap = max_attempts if max_attempts is not None else 10 * max_retries
 
     def call(*args, **kwargs):
         retries = 0
-        while retries < max_retries:
+        attempts = 0
+        while retries < max_retries and attempts < attempt_cap:
+            attempts += 1
             try:
                 return transport(*args, **kwargs)
             except TransportRateLimit as err:

@@ -29,7 +29,9 @@ def pending_docs(docs: DataFrame, checkpoints: DataFrame, n: int | None = None) 
     return out
 
 
-def merge_checkpoint_updates(checkpoints: DataFrame, updates: DataFrame) -> DataFrame:
+def merge_checkpoint_updates(
+    checkpoints: DataFrame, updates: DataFrame, seq_col: str | None = None
+) -> DataFrame:
     """Upsert updates(doc_id, processed, relevant) into the queue.
 
     Last-writer-wins per doc_id with updates taking precedence — the
@@ -37,19 +39,38 @@ def merge_checkpoint_updates(checkpoints: DataFrame, updates: DataFrame) -> Data
     (`_parser.py:1744-1749`). At deploy time this is an Iceberg MERGE.
 
     If ``updates`` carries multiple rows for one doc_id, they are first
-    collapsed DETERMINISTICALLY to the max (processed, relevant, ...)
-    combination — the reference applied CSV updates sequentially (last
-    wins), but a DataFrame has no arrival order, and breaking the tie by
-    partition order would make the merged checkpoint non-reproducible.
-    Progress columns are monotonic (processed 0→1, relevant gets set), so
-    the max is the final state.
+    collapsed DETERMINISTICALLY. Two contracts:
+
+    - ``seq_col`` given: ``updates`` carries an explicit precedence column
+      (batch id, commit timestamp, update sequence number); the row with
+      the highest sequence wins outright — this is the contract to use
+      when updates can legitimately REGRESS a column (e.g. clearing a
+      processed/relevant flag to force reprocessing).
+    - ``seq_col`` None: collapse to max(struct(non_key)). This REQUIRES
+      every progress column to be monotonic (processed 0→1, relevant gets
+      set, never cleared) and ranks fields in checkpoint column order; a
+      regressing update would be silently discarded. The reference applied
+      CSV updates sequentially (last wins), but a DataFrame has no arrival
+      order, and breaking ties by partition order would make the merged
+      checkpoint non-reproducible — monotonic-max is the deterministic
+      equivalent for the reference's (monotonic) columns.
     """
     non_key = [c for c in checkpoints.columns if c != "doc_id"]
-    updates = (
-        updates.groupBy("doc_id")
-        .agg(F.max(F.struct(*non_key)).alias("_u"))
-        .select("doc_id", *[F.col(f"_u.{c}").alias(c) for c in non_key])
-    )
+    if seq_col is not None:
+        uw = Window.partitionBy("doc_id").orderBy(
+            F.desc(seq_col), F.desc(F.struct(*non_key))
+        )
+        updates = (
+            updates.withColumn("_urn", F.row_number().over(uw))
+            .filter(F.col("_urn") == 1)
+            .select("doc_id", *non_key)
+        )
+    else:
+        updates = (
+            updates.groupBy("doc_id")
+            .agg(F.max(F.struct(*non_key)).alias("_u"))
+            .select("doc_id", *[F.col(f"_u.{c}").alias(c) for c in non_key])
+        )
     tagged_old = checkpoints.withColumn("_pri", F.lit(0))
     tagged_new = updates.withColumn("_pri", F.lit(1))
     cols = [c for c in checkpoints.columns]

@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _floor_bin(ts: str, window: int):
+    """floor(ts / window) in EXACT int64 arithmetic. ``F.floor(col/lit)``
+    divides longs as doubles, so |ts| beyond ~2^53·window can round a
+    boundary timestamp into the wrong bin and miss an edge pair. DIV
+    truncates toward zero; subtract 1 when the remainder is negative to
+    get true floor semantics for any int64 (`%` follows the dividend's
+    sign in Spark SQL)."""
+    q = F.expr(f"`{ts}` DIV {window}")
+    r = F.expr(f"`{ts}` % {window}")
+    return F.when(r < 0, q - 1).otherwise(q)
+
+
 def bucketed_range_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,8 +46,8 @@ def bucketed_range_join(
     ``|left_ts − right_ts| <= window`` (timestamps in the same integer
     unit, e.g. microseconds). Columns of both inputs are preserved;
     callers project/aggregate on top."""
-    lbin = F.floor(F.col(left_ts) / F.lit(window))
-    rbin = F.floor(F.col(right_ts) / F.lit(window))
+    lbin = _floor_bin(left_ts, window)
+    rbin = _floor_bin(right_ts, window)
     l = left.withColumn("_bin", lbin.cast("long"))
     r = right.withColumn("_rbin", rbin.cast("long")).withColumn(
         "_bin",

@@ -2740,68 +2740,18 @@ FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 100
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
-# the FIRST 50 entries. Window policy: fixed/changed oracles and every
-# distinct operator FAMILY's representative go in-window, displacing
-# redundant TPC-H-shape twins. Once the window saturated with unique
-# coverage (round 2), further additions land in the tail and rely on the
-# LOCAL gate (tools/validate_oracles.py, same comparison, run at three
-# SFs). See COVERAGE.md "driver-visible vs local-only".
+# the FIRST 50 entries. Round-3 window policy (VERDICT r02 "Next round" #1):
+# ROTATE — the 25 entries that were tail in rounds 1-2 (driver never saw
+# them) now lead the window so the UNION of CORRECTNESS_r01/r02/r03 has a
+# driver row for every registered query. The window's back half holds
+# round-1/2-green entries whose code is touched this round (media decode,
+# range-join binning, queue upsert, IVF trainer) plus new round-3 queries.
+# Entries demoted to the tail are all driver-green in CORRECTNESS_r01 or
+# _r02 and stay value-checked by the LOCAL gate (tools/validate_oracles.py,
+# same count+schema+value-hash comparison, run at three SFs). The
+# round-by-round manifest lives in COVERAGE.md "driver-green manifest".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "extract_kernel_spans": q_extract_kernel_spans,
-    "extract_main_content": q_extract_main_content,
-    "extract_interleaved_media": q_extract_interleaved_media,
-    "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
-    "pricing_summary": q_pricing_summary,
-    "top_order_per_customer": q_top_order_per_customer,
-    "order_year_span_explode": q_order_year_span_explode,
-    "union_priority_segments": q_union_priority_segments,
-    "sessionize_events": q_sessionize_events,
-    "json_props_stats": q_json_props_stats,
-    "token_stats_by_lang": q_token_stats_by_lang,
-    "lang_id_confusion": q_lang_id_confusion,
-    "trigram_lang_confusion": q_trigram_lang_confusion,
-    "quality_scores": q_quality_scores,
-    "repetition_stats": q_repetition_stats,
-    "pii_stats": q_pii_stats,
-    "contamination_overlap": q_contamination_overlap,
-    "bm25_search": q_bm25_search,
-    "exact_dedup_docs": q_exact_dedup_docs,
-    "dedup_corpus": q_dedup_corpus,
-    "doc_fingerprints": q_doc_fingerprints,
-    "minhash_near_dups": q_minhash_near_dups,
-    "simhash_clusters": q_simhash_clusters,
-    "simhash_hamming_pairs": q_simhash_hamming_pairs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "near_dup_clusters": q_near_dup_clusters,
-    "rolling_fingerprints": q_rolling_fingerprints,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_batch_topk": q_ann_batch_topk,
-    "ivf_topk_probe": q_ivf_topk_probe,
-    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
-    "media_resize": q_media_resize,
-    "media_features": q_media_features,
-    "asof_last_error": q_asof_last_error,
-    "events_near_errors": q_events_near_errors,
-    "revenue_rollup": q_revenue_rollup,
-    "stratified_sample": q_stratified_sample,
-    "pack_sequences": q_pack_sequences,
-    "curate_corpus": q_curate_corpus,
-    "token_quantiles": q_token_quantiles,
-    "queue_pending_batch": q_queue_pending_batch,
-    "checkpoint_merge_upsert": q_checkpoint_merge_upsert,
-    "geo_broadcast_enrich": q_geo_broadcast_enrich,
-    "geo_resolve_misses": q_geo_resolve_misses,
-    "year_normalization": q_year_normalization,
-    "bb_centroid": q_bb_centroid,
-    "extract_lineage": q_extract_lineage,
-    "extract_from_span_rows": q_extract_from_span_rows,
-    "coordinate_dispatch": q_coordinate_dispatch,
-    "chunk_documents": q_chunk_documents,
-    # ---- entries 51+ (outside the driver's 50-entry check window) ----
-    # redundant twins, all driver-green in CORRECTNESS_r01 (status_code_map's
-    # outbreak-code map is also exercised end-to-end by outbreak_rows_pipeline;
-    # revenue_by_brand's broadcast-join shape stays plan-pinned in test_plans;
-    # first_long_word's first-match shape is also covered by first_event_per_user):
+    # -- rotation block: tail of rounds 1-2, first driver check this round --
     "revenue_by_brand": q_revenue_by_brand,
     "first_long_word": q_first_long_word,
     "dms_coordinate_parse": q_dms_coordinate_parse,
@@ -2819,8 +2769,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_customer_rollup": q_region_customer_rollup,
     "inactive_customers_by_segment": q_inactive_customers_by_segment,
     "orders_with_discounted_items": q_orders_with_discounted_items,
-    # round-2 tail additions: oracled + validated by the LOCAL gate at three
-    # SFs (no free window slot — every in-window entry is unique coverage):
     "brand_year_pivot": q_brand_year_pivot,
     "moving_avg_value": q_moving_avg_value,
     "buyers_without_returns": q_buyers_without_returns,
@@ -2829,8 +2777,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_event_counts": q_salted_event_counts,
     # rows-only: Vincenty iterations (value checks in tests/test_geodesic.py)
     "wgs84_bb_midpoints": q_wgs84_bb_midpoints,
-    # rows-only k-means trainer (probe path value-checked by ivf_topk_probe):
+    # rows-only k-means trainer (probe path value-checked by ivf_topk_probe;
+    # centroids value-pinned by tests/test_training_ops.py golden):
     "ivf_topk": q_ivf_topk,
+    # -- round-1/2-green entries kept in-window (code touched this round
+    #    or flagship families worth continuous driver coverage) --
+    "extract_kernel_spans": q_extract_kernel_spans,
+    "extract_interleaved_media": q_extract_interleaved_media,
+    "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
+    "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "events_near_errors": q_events_near_errors,
+    "queue_pending_batch": q_queue_pending_batch,
+    "checkpoint_merge_upsert": q_checkpoint_merge_upsert,
+    "minhash_near_dups": q_minhash_near_dups,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "trigram_lang_confusion": q_trigram_lang_confusion,
+    "bm25_search": q_bm25_search,
+    "curate_corpus": q_curate_corpus,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "token_quantiles": q_token_quantiles,
+    "asof_last_error": q_asof_last_error,
+    "chunk_documents": q_chunk_documents,
+    "pricing_summary": q_pricing_summary,
+    "extract_main_content": q_extract_main_content,
+    # ---- entries 51+ (outside the driver's 50-entry check window) ----
+    # all driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
+    # still value-checked by the local gate at sf0.001/0.01/0.1:
+    "top_order_per_customer": q_top_order_per_customer,
+    "order_year_span_explode": q_order_year_span_explode,
+    "union_priority_segments": q_union_priority_segments,
+    "sessionize_events": q_sessionize_events,
+    "json_props_stats": q_json_props_stats,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "lang_id_confusion": q_lang_id_confusion,
+    "quality_scores": q_quality_scores,
+    "repetition_stats": q_repetition_stats,
+    "pii_stats": q_pii_stats,
+    "contamination_overlap": q_contamination_overlap,
+    "dedup_corpus": q_dedup_corpus,
+    "doc_fingerprints": q_doc_fingerprints,
+    "simhash_clusters": q_simhash_clusters,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "ann_batch_topk": q_ann_batch_topk,
+    "ivf_topk_probe": q_ivf_topk_probe,
+    "revenue_rollup": q_revenue_rollup,
+    "geo_broadcast_enrich": q_geo_broadcast_enrich,
+    "geo_resolve_misses": q_geo_resolve_misses,
+    "year_normalization": q_year_normalization,
+    "bb_centroid": q_bb_centroid,
+    "extract_lineage": q_extract_lineage,
+    "extract_from_span_rows": q_extract_from_span_rows,
+    "coordinate_dispatch": q_coordinate_dispatch,
 }
 
 ORACLES: dict[str, str] = {

@@ -58,7 +58,10 @@ text_strategy = st.lists(
 
 span_strategy = st.fixed_dictionaries(
     {
-        "kind": st.sampled_from(["text", "text", "text", "media"]),
+        # '' exercises the malformed-kind contract: neither text nor media —
+        # emitted as a text row, raw (uncleaned) on the layout path, cleaned
+        # on the OCR path (golden.py cleanup guards on kind=='text')
+        "kind": st.sampled_from(["text", "text", "text", "media", ""]),
         "text": text_strategy,
         "media_ref": st.sampled_from(["", "m1", "m2"]),
         "offset": st.integers(min_value=0, max_value=5),  # dup offsets likely

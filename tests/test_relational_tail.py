@@ -311,3 +311,83 @@ def test_merge_checkpoint_duplicate_updates_deterministic(spark):
         assert len(merged) == 1
         r = merged[0]
         assert (r.processed, r.relevant, r.snapshot_id) == (1, 1, 7)
+
+
+def test_retrying_client_attempt_cap_stops_persistent_nonconsuming_errors():
+    """The reference budget counts only timeouts, so a persistently
+    rate-limited endpoint would loop forever inside a Spark task; the
+    overall attempt cap must trip and return None (ADVICE r02)."""
+    from pdf_parser_spark.operators.enrich import (
+        TransportRateLimit,
+        make_retrying_client,
+    )
+
+    calls = {"n": 0}
+
+    def transport():
+        calls["n"] += 1
+        raise TransportRateLimit("busy forever")
+
+    client = make_retrying_client(
+        transport, max_retries=3, sleep=lambda _t: None, max_attempts=7
+    )
+    assert client() is None
+    assert calls["n"] == 7
+
+    # default cap = 10 x max_retries, still bounded
+    calls["n"] = 0
+    client = make_retrying_client(transport, max_retries=2, sleep=lambda _t: None)
+    assert client() is None
+    assert calls["n"] == 20
+
+
+def test_merge_checkpoint_seq_col_allows_regressing_update(spark):
+    """With an explicit precedence column, a later update that CLEARS a
+    flag (reprocessing) must win; the monotonic-max default would silently
+    discard it (ADVICE r02)."""
+    from pdf_parser_spark.operators.queue import merge_checkpoint_updates
+
+    ckpt = spark.createDataFrame(
+        [(0, "doc-1", 1, 1, None)],
+        "bucket_id int, doc_id string, processed int, relevant int, snapshot_id long",
+    )
+    updates = spark.createDataFrame(
+        [(0, "doc-1", 1, 1, 5, 1), (0, "doc-1", 0, 0, 9, 2)],
+        "bucket_id int, doc_id string, processed int, relevant int,"
+        " snapshot_id long, seq int",
+    )
+    merged = merge_checkpoint_updates(ckpt, updates, seq_col="seq").collect()
+    assert len(merged) == 1
+    r = merged[0]
+    assert (r.processed, r.relevant, r.snapshot_id) == (0, 0, 9)
+    assert "seq" not in merged[0].asDict()
+
+
+def test_bucketed_range_join_exact_binning_at_int64_extremes(spark):
+    """Binning must be exact integer arithmetic: at |ts| >> 2^53 the old
+    double-division floor could bin a boundary timestamp into the wrong
+    bucket and miss an edge pair; negative timestamps must floor (not
+    truncate) so adjacent-bin pairs still meet (ADVICE r02)."""
+    from pdf_parser_spark.operators.rangejoin import bucketed_range_join
+
+    w = 300
+    base = (1 << 60) + 7  # not representable exactly as a double
+    rows = [
+        ("k", base, base + w),          # exactly at the window edge
+        ("k", -base, -base - w),        # negative side, edge pair
+        ("k", -150, 149),               # bins -1 and 0 straddle zero
+    ]
+    left = spark.createDataFrame(
+        [(k, lt) for k, lt, _ in rows], "key string, lt long"
+    )
+    right = spark.createDataFrame(
+        [(k, rt) for k, _, rt in rows], "key string, rt long"
+    )
+    got = {
+        (r.lt, r.rt)
+        for r in bucketed_range_join(left, right, "key", "lt", "rt", w).collect()
+    }
+    for _, lt, rt in rows:
+        assert (lt, rt) in got, (lt, rt)
+    # and nothing outside the window sneaks in
+    assert all(abs(lt - rt) <= w for lt, rt in got)
