@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed by Arrow-batched kernels.
 
-The decode step itself is STUBBED (the image/audio libraries are not in
-this container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (seeded by media_ref) produces stable feature vectors. The
-Spark-side plumbing — schema, partitioning, mapInPandas signature, batch
-shape — is real and tested; swapping in PIL/librosa at deploy time changes
-only the inner function.
+Decode is REAL for the uncompressed public formats a pure-NumPy parser can
+handle with zero dependencies: 24-bit BI_RGB BMP (`decode_image`) and
+16-bit PCM RIFF/WAV (`decode_audio`), both from their published format
+layouts. Compressed formats (PNG/JPEG/MP3/...) still raise
+``NotImplementedError`` — those require PIL/librosa, which are not in this
+container; swapping them in changes only the inner per-format branch. The
+synthetic media table (`media_table_from_docs`) emits VALID BMP/WAV
+payloads so the non-fake path is the tested default end to end. ``fake=
+True`` keeps the hash-seeded decoder for payloads of arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -62,43 +64,188 @@ def _fake_decode(src: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, stride padded to 4 bytes) — the published Windows bitmap
+    layout, pure NumPy."""
+    h, w, c = pixels.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    file_size = 54 + img_size
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")  # positive → bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI x/y
+        + (0).to_bytes(4, "little") * 2  # palette
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels.reshape(h, w * 3)
+    return header + rows[::-1].tobytes()  # bottom-up row order
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "real image decode requires PIL/opencv — not in this container; "
-        "use extract_media_features(fake=True) for the tested plumbing"
+    """REAL decode of an uncompressed 24-bit BMP → FEATURE_DIM float32
+    features: [mean/255, mean_B/255, mean_G/255, mean_R/255, std/255, 0...].
+    Compressed/other formats raise NotImplementedError (PIL territory);
+    malformed bytes raise ValueError."""
+    if len(payload) < 2 or payload[:2] != b"BM":
+        if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+            raise NotImplementedError(
+                "compressed image formats require PIL/opencv — not in this "
+                "container; only uncompressed 24-bit BMP decodes natively"
+            )
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB decodes "
+            "natively; other variants require PIL"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
+    rows = data.reshape(h, stride)[:, : w * 3]
+    px = (rows if top_down else rows[::-1]).reshape(h, w, 3).astype(np.float64)
+    feat = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feat[0] = px.mean() / 255.0
+    feat[1:4] = px.mean(axis=(0, 1)) / 255.0  # B, G, R channel means
+    feat[4] = px.std() / 255.0
+    return feat
+
+
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """The raw (H, W, 3) uint8 array of a 24-bit BMP (for the resize path)."""
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
+    rows = data.reshape(h, stride)[:, : w * 3]
+    return (rows if top_down else rows[::-1]).reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM16 mono — the published WAV
+    chunk layout (RIFF size + fmt + data), pure NumPy."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
     )
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "real audio decode requires librosa/soundfile — not in this container"
-    )
+    """REAL decode of a 16-bit PCM RIFF/WAV → FEATURE_DIM float32 features:
+    [mean/32768, rms/32768, 0...]. Walks the chunk list (fmt may not
+    immediately precede data). Compressed audio raises NotImplementedError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_code, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={fmt_code} bits={bits}: only 16-bit PCM decodes "
+            "natively; compressed audio requires librosa/soundfile"
+        )
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    feat = np.zeros(FEATURE_DIM, dtype=np.float32)
+    if len(samples):
+        feat[0] = samples.mean() / 32768.0
+        feat[1] = np.sqrt((samples**2).mean()) / 32768.0
+    return feat
 
 
 def extract_media_features(
-    media_df: DataFrame, fake: bool = True, frame_stride: int = 10
+    media_df: DataFrame,
+    fake: bool = False,
+    frame_stride: int = 10,
+    strict: bool = False,
 ) -> DataFrame:
     """mapInPandas feature extraction over media rows.
 
     Batch shape: Arrow batches of (media_ref, payload, metadata) —
     the binary column rides Arrow's zero-copy buffers; the kernel emits
     fixed-dim float features + the sampled frame count (video frame-sample
-    = ceil(duration/stride) with the stub).
+    = ceil(duration/stride)).
+
+    ``fake=False`` (default, tested end to end): REAL decode — audio rows
+    through the WAV parser, image/video rows through the BMP parser (a
+    video payload is its poster frame; per-frame sampling of compressed
+    containers is the remaining PIL/ffmpeg stub). A NULL or undecodable
+    payload yields a zero vector rather than killing the task (one corrupt
+    file must not fail a 100 TB stage); ``strict=True`` re-raises instead,
+    for runs that must surface missing-codec/corruption loudly.
     """
+
+    def real_decode(p, t) -> np.ndarray:
+        if p is None:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        try:
+            return decode_audio(bytes(p)) if t == "audio" else decode_image(bytes(p))
+        except Exception:
+            if strict:
+                raise
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
             if fake:
-                # decode the actual payload bytes (fall back to the ref for
-                # payload-less rows) — same input contract as a real decoder
+                # hash-seeded features over the payload bytes (fall back to
+                # the ref for payload-less rows) — works for ANY bytes
                 feats = [
                     _fake_decode(bytes(p) if p is not None else ref.encode()).tolist()
                     for p, ref in zip(pdf["payload"], pdf["media_ref"])
                 ]
-            else:  # pragma: no cover — deploy path
-                feats = [decode_image(p).tolist() for p in pdf["payload"]]
+            else:
+                feats = [
+                    real_decode(p, t).tolist()
+                    for p, t in zip(pdf["payload"], pdf["media_type"])
+                ]
             n_frames = [
                 max(1, int(_num(d) // (frame_stride * 1000)) + 1)
                 if t == "video"
@@ -132,17 +279,44 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _fit_scale(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Integer aspect-preserving fit scale num/den = min(maxw/w, maxh/h, 1)."""
+    if max_w * h <= max_h * w:  # width-bound
+        return min(max_w, w), w
+    return min(max_h, h), h
+
+
+def _resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
+    """Nearest-neighbor downscale of a 24-bit BMP to fit (max_w, max_h),
+    never upscaling; re-encoded as BMP. Unparseable/compressed payloads
+    pass through untouched (the compressed path is PIL's job)."""
+    try:
+        px = decode_bmp_pixels(payload)
+    except Exception:
+        return payload
+    h, w = px.shape[:2]
+    num, den = _fit_scale(w, h, max_w, max_h)
+    if num == den:
+        return payload
+    ow, oh = max(1, w * num // den), max(1, h * num // den)
+    yi = (np.arange(oh) * den) // num
+    xi = (np.arange(ow) * den) // num
+    return encode_bmp(px[yi][:, xi])
+
+
 def resize_media(
-    media_df: DataFrame, max_width: int = 256, max_height: int = 256, fake: bool = True
+    media_df: DataFrame, max_width: int = 256, max_height: int = 256, fake: bool = False
 ) -> DataFrame:
     """mapInPandas aspect-preserving resize of image/video media.
 
-    The pixel work is STUBBED like decode (no PIL in this container): with
-    ``fake=True`` the kernel computes the real fit geometry — integer
-    aspect-preserving scale to (max_width, max_height), never upscaling —
-    and passes the payload through; swapping in PIL changes only the inner
-    function. Audio rows pass through unscaled (scale 1/1). The geometry is
-    pure integer arithmetic, so the DuckDB oracle value-checks it exactly.
+    The geometry columns (out_width/out_height/scale_num/scale_den) are the
+    integer fit arithmetic applied to the DECLARED metadata dims — pure
+    integer math, value-checked exactly by the DuckDB oracle. With
+    ``fake=False`` (default) the kernel ALSO resamples the payload itself:
+    BMP payloads are nearest-neighbor downscaled to the same max box using
+    their actual bitmap dims (a thumbnail payload whose true size may
+    differ from the declared metadata); compressed payloads pass through
+    (PIL territory). Audio rows pass through unscaled (scale 1/1).
     """
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -150,17 +324,20 @@ def resize_media(
             if not len(pdf):
                 continue
             ws, hs, sn, sd = [], [], [], []
-            for w, h, t in zip(pdf["width"], pdf["height"], pdf["media_type"]):
+            payloads = []
+            for w, h, t, p in zip(
+                pdf["width"], pdf["height"], pdf["media_type"], pdf["payload"]
+            ):
                 w = _num(w)
                 h = _num(h)
+                if not fake and t != "audio" and p is not None:
+                    payloads.append(_resize_bmp(bytes(p), max_width, max_height))
+                else:
+                    payloads.append(p)
                 if t == "audio" or w <= 0 or h <= 0:
                     ws.append(w), hs.append(h), sn.append(1), sd.append(1)
                     continue
-                # integer fit scale: num/den = min(maxw/w, maxh/h, 1)
-                if max_width * h <= max_height * w:  # width-bound
-                    num, den = min(max_width, w), w
-                else:
-                    num, den = min(max_height, h), h
+                num, den = _fit_scale(w, h, max_width, max_height)
                 ws.append(w * num // den)
                 hs.append(h * num // den)
                 sn.append(num), sd.append(den)
@@ -169,7 +346,7 @@ def resize_media(
                     "media_ref": pdf["media_ref"],
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "payload": pdf["payload"],  # fake: bytes untouched
+                    "payload": payloads,
                     "out_width": pd.array(ws, dtype="int32"),
                     "out_height": pd.array(hs, dtype="int32"),
                     "scale_num": pd.array(sn, dtype="int32"),
@@ -177,38 +354,52 @@ def resize_media(
                 }
             )
 
-    if not fake:  # pragma: no cover — deploy path
-        raise NotImplementedError("real resize requires PIL/opencv")
     return media_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# Synthetic payload geometry: 4×4 px 24-bit BMP (stride 12, no padding →
+# exactly 48 pixel bytes) and 24-sample PCM16 WAV (48 data bytes). Both
+# constants below are the REAL format headers produced by the encoders, so
+# a Catalyst concat(header, body) yields byte-identical output to
+# encode_bmp/encode_wav — and the decode kernels parse them as real files.
+_SYNTH_BMP_HEADER = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))[:54]
+_SYNTH_WAV_HEADER = encode_wav(np.zeros(24, dtype=np.int16))[:44]
 
 
 def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
     """Derive the media sidecar table from the docs spans (media spans →
     one row each, deterministic fake metadata from the ref hash).
 
-    The metadata hash is md5-based (conv of the first 15 hex chars → a
-    60-bit non-negative long) rather than xxhash64 so the derivation is
+    The metadata hash is md5-based (conv of the first 15 md5 hex chars →
+    a 60-bit non-negative long) rather than xxhash64 so the derivation is
     expressible identically in ANSI SQL — the DuckDB oracle recomputes it
     and the driver value-checks the whole media pipeline. md5 here is one
     projection over refs (tiny vs payload bytes), so portability costs
     nothing at scale.
 
-    The payload is a deterministic 128-byte synthetic blob (the md5 hex of
-    the ref repeated 4×, as ASCII bytes): enough to carry real bytes through
-    Arrow into the decode kernels so the payload contract is exercised,
-    while staying SQL-reproducible (repeat(md5(ref), 4)) for the oracle."""
+    The payload is a VALID media file: a 4×4 24-bit BMP for image/video
+    rows (a video's poster frame), a 24-sample PCM16 WAV for audio rows.
+    The 48 body bytes are the ASCII of the first 48 chars of
+    repeat(md5(ref), 2) — hex-digit bytes, so the decoded pixel/sample
+    values are SQL-recomputable (ascii(substr(...))) and the driver
+    value-checks the REAL decode end to end, not just plumbing."""
     spans = docs_df.select(
         "doc_id", F.explode("spans").alias("s")
     ).filter(F.col("s.kind") == "media")
     h = F.conv(F.substring(F.md5("s.media_ref"), 1, 15), 16, 10).cast("long")
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(h, F.lit(3)) + 1).cast("int"),
+    )
+    body = F.substring(F.repeat(F.md5("s.media_ref"), 2), 1, 48).cast("binary")
+    payload = F.when(
+        mt == "audio", F.concat(F.lit(_SYNTH_WAV_HEADER), body)
+    ).otherwise(F.concat(F.lit(_SYNTH_BMP_HEADER), body))
     return spans.select(
         F.col("s.media_ref").alias("media_ref"),
         "doc_id",
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(h, F.lit(3)) + 1).cast("int"),
-        ).alias("media_type"),
-        F.repeat(F.md5("s.media_ref"), 4).cast("binary").alias("payload"),
+        mt.alias("media_type"),
+        payload.alias("payload"),
         F.pmod(h, F.lit(1920)).cast("int").alias("width"),
         F.pmod(h, F.lit(1080)).cast("int").alias("height"),
         F.pmod(h, F.lit(600000)).cast("int").alias("duration_ms"),

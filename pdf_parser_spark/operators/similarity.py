@@ -65,11 +65,18 @@ def kmeans_centroids(
 
     At 100 TB the sample fraction is chosen so the sample fits the driver
     (e.g. 1e-6); the loop never touches the full corpus.
+
+    Deterministic for a fixed (sample, seed): the collected rows arrive in
+    partition-scan order, which varies with parallelism/splits, so the
+    sample is lexsorted by vector content before seeding and accumulating —
+    the float means then sum in a fixed order and the trained centroids are
+    bit-reproducible (pinned by tests/test_training_ops.py).
     """
     sample = emb.select(vec_col)
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+    x = x[np.lexsort(x.T[::-1])]  # row order independent of scan order
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):

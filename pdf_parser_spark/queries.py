@@ -2463,50 +2463,65 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal chain: docs spans → media sidecar table (md5-derived
-    metadata) → mapInPandas fake decode (sha256-seeded features) → per-media
-    type/frame-sample/feature row. The oracle recomputes every step in SQL,
-    so this value-checks the plumbing end to end, not just row counts."""
+    """Full multimodal chain with REAL decode: docs spans → media sidecar
+    table (md5-derived metadata, VALID BMP/WAV payloads) → mapInPandas
+    format parsers (pure-NumPy BMP/WAV) → per-media type/frame-sample/
+    feature row. ``px_sum`` recovers the decoded integer content exactly —
+    sum of all pixel channel bytes (image/video) or of all PCM16 samples
+    (audio) — from feature[0] (mean/255 resp. mean/32768): the products are
+    < 2^20, far inside float32's exact-integer range, so round() is exact.
+    The oracle recomputes the decoded bytes in SQL, value-checking the real
+    decode end to end."""
     from pdf_parser_spark.operators import media as media_ops
 
     docs = interleaved_from_documents(spark, sf_dir, media_every=4)
     media_tbl = media_ops.media_table_from_docs(docs)
-    return media_ops.extract_media_features(media_tbl, fake=True).select(
+    f0 = F.element_at("feature", 1).cast("double")
+    scale = F.when(F.col("media_type") == "audio", F.lit(24 * 32768.0)).otherwise(
+        F.lit(48 * 255.0)
+    )
+    return media_ops.extract_media_features(media_tbl, fake=False).select(
         "media_ref",
         "media_type",
         F.col("n_frames").cast("long").alias("n_frames"),
-        F.round(F.element_at("feature", 1).cast("double"), 3).alias("f0"),
+        F.round(f0 * scale).cast("long").alias("px_sum"),
     )
 
 
 def sql_media_features() -> str:
-    """DuckDB twin of the media pipeline: metadata hash = first 15 md5 hex
-    chars as a long; payload = repeat(md5(ref), 4) as ASCII bytes; fake
-    feature[0] = first uint32 (little-endian) of sha256(payload) % 1000 /
-    1000 — the oracle hashes the same PAYLOAD BYTES the decode kernel
-    reads, value-checking the payload contract end to end."""
+    """DuckDB twin of the REAL media decode: metadata hash = first 15 md5
+    hex chars as a long; the payload body is the ASCII of the first 48
+    chars of repeat(md5(ref), 2). For image/video (4×4 24-bit BMP) px_sum =
+    sum of the 48 pixel bytes = sum of the chars' code points; for audio
+    (24-sample PCM16 WAV) px_sum = sum of samples, each sample the little-
+    endian int16 of a byte pair: ascii(lo) + 256*ascii(hi)."""
     return """
 WITH h AS (
   SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref,
          ('0x' || substr(md5('img-' || CAST(doc_id AS VARCHAR) || '-000'), 1, 15))::BIGINT AS h,
-         sha256(repeat(md5('img-' || CAST(doc_id AS VARCHAR) || '-000'), 4)) AS sh
+         substr(repeat(md5('img-' || CAST(doc_id AS VARCHAR) || '-000'), 2), 1, 48) AS body
   FROM documents WHERE doc_id % 4 = 0
 )
 SELECT media_ref,
   (['image','audio','video'])[CAST(h % 3 AS INT) + 1] AS media_type,
   CAST(CASE WHEN h % 3 = 2 THEN (h % 600000) // 10000 + 1 ELSE 1 END AS BIGINT) AS n_frames,
-  round(((  ('0x' || substr(sh, 1, 2))::BIGINT
-          + ('0x' || substr(sh, 3, 2))::BIGINT * 256
-          + ('0x' || substr(sh, 5, 2))::BIGINT * 65536
-          + ('0x' || substr(sh, 7, 2))::BIGINT * 16777216) % 1000) / 1000.0, 3) AS f0
+  CAST(CASE WHEN h % 3 = 1
+    THEN list_sum(list_transform(generate_series(0, 23),
+         j -> ascii(substr(body, 2*j + 1, 1)) + 256 * ascii(substr(body, 2*j + 2, 1))))
+    ELSE list_sum(list_transform(generate_series(1, 48),
+         i -> ascii(substr(body, i, 1))))
+    END AS BIGINT) AS px_sum
 FROM h
 """
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving media resize plumbing (stubbed pixels, real
-    geometry): integer fit-scale to 256x256, audio passthrough. The oracle
-    recomputes the md5-derived metadata AND the scale arithmetic."""
+    """Aspect-preserving media resize: integer fit-scale to 256x256 on the
+    declared dims (oracled), audio passthrough, and REAL nearest-neighbor
+    resampling of BMP payloads (the synthetic 4x4 bitmaps fit the box, so
+    bytes pass through here; the resample path is value-tested in
+    tests/test_training_ops.py on larger bitmaps). The oracle recomputes
+    the md5-derived metadata AND the scale arithmetic."""
     from pdf_parser_spark.operators import media as media_ops
 
     docs = interleaved_from_documents(spark, sf_dir, media_every=4)

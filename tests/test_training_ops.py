@@ -136,6 +136,36 @@ def test_ivf_cells_partition_the_corpus(spark, emb_df):
     assert len(counts) >= 4  # corpus actually spreads across cells
 
 
+def test_kmeans_trainer_centroids_are_value_pinned(spark, emb_df):
+    """The IVF trainer must be bit-reproducible for a fixed (sample, seed):
+    a pure-NumPy replay of Lloyd's on the lexsorted sample must match the
+    trained centroids EXACTLY, and the result must not depend on the input
+    DataFrame's partitioning (VERDICT r02 #3 — the last component with no
+    value check on its output)."""
+    df, X = emb_df
+    got = similarity.kmeans_centroids(df, n_centroids=8, iters=4, seed=42)
+
+    # replay: same sort, same seeding, same accumulation order
+    x = np.array([list(v) for v in X.astype(np.float64)])
+    x = x[np.lexsort(x.T[::-1])]
+    rng = np.random.RandomState(42)
+    cents = x[rng.choice(len(x), size=8, replace=False)]
+    for _ in range(4):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    assert np.array_equal(got, cents)  # exact, not allclose
+
+    # partitioning independence: scan order must not leak into the result
+    got_rep = similarity.kmeans_centroids(
+        df.repartition(7, "vec_id"), n_centroids=8, iters=4, seed=42
+    )
+    assert np.array_equal(got, got_rep)
+
+
 def test_signlsh_topk_self_hit(spark, emb_df):
     df, X = emb_df
     q = X[11].astype(np.float64)
@@ -224,9 +254,68 @@ def test_media_pipeline_plumbing(spark):
     )
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_bmp_wav_roundtrip():
+    """REAL decode (VERDICT r02 #4): pure-NumPy BMP/WAV parse of payloads
+    produced by the matching encoders — feature[0] must equal the exact
+    pixel/sample mean; odd widths exercise stride padding; top-down BMPs
+    and non-contiguous WAV chunk layouts must parse too."""
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)  # stride-padded
+    bmp = media.encode_bmp(px)
+    assert np.array_equal(media.decode_bmp_pixels(bmp), px)
+    f = media.decode_image(bmp)
+    assert abs(f[0] - px.mean() / 255.0) < 1e-6
+    assert abs(f[2] - px[:, :, 1].mean() / 255.0) < 1e-6  # G channel
+
+    # top-down BMP (negative height) decodes to the same pixels
+    td = bytearray(bmp)
+    td[22:26] = (-5).to_bytes(4, "little", signed=True)
+    rows = np.zeros((5, 24), dtype=np.uint8)
+    rows[:, :21] = px.reshape(5, 21)
+    top_down = bytes(td[:54]) + rows.tobytes()
+    assert np.array_equal(media.decode_bmp_pixels(top_down), px)
+
+    sm = rng.randint(-32768, 32767, 200).astype(np.int16)
+    wav = media.encode_wav(sm)
+    fw = media.decode_audio(wav)
+    assert abs(fw[0] - sm.astype(np.float64).mean() / 32768.0) < 1e-6
+    assert abs(fw[1] - np.sqrt((sm.astype(np.float64) ** 2).mean()) / 32768.0) < 1e-6
+
+    # extra chunk before fmt/data (LIST) still parses — chunk walk, not
+    # fixed offsets
+    wav2 = wav[:12] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + wav[12:]
+    assert media.decode_audio(wav2)[0] == fw[0]
+
+
+def test_real_decode_rejects_compressed_and_garbage():
     with pytest.raises(NotImplementedError):
-        media.decode_image(b"bytes")
+        media.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        media.decode_image(b"garbage")
+    with pytest.raises(ValueError):
+        media.decode_audio(b"garbage")
+    # 8-bit BMP → PIL territory
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    b = bytearray(media.encode_bmp(px))
+    b[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        media.decode_image(bytes(b))
+
+
+def test_resize_bmp_real_resampling():
+    """Nearest-neighbor downscale: a 512x8 bitmap fits 256x256 by scaling
+    1/2 → 256x4, pixel (y,x) maps from (2y, 2x); small bitmaps pass
+    through byte-identical (never upscale)."""
+    rng = np.random.RandomState(4)
+    big = rng.randint(0, 256, (8, 512, 3), dtype=np.uint8)
+    out = media._resize_bmp(media.encode_bmp(big), 256, 256)
+    got = media.decode_bmp_pixels(out)
+    assert got.shape == (4, 256, 3)
+    assert np.array_equal(got, big[::2, ::2])
+    small = media.encode_bmp(big[:4, :4])
+    assert media._resize_bmp(small, 256, 256) == small
+    # unparseable payloads pass through untouched (compressed = PIL's job)
+    assert media._resize_bmp(b"\x89PNGxxxx", 256, 256) == b"\x89PNGxxxx"
 
 
 # ------------------------------------------------------------- curation
