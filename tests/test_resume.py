@@ -99,3 +99,71 @@ def test_rerun_bucket_is_idempotent(spark, tmp_path):
         == metrics_spans_before
         == total_after
     )
+
+
+def test_torn_commit_between_writes_and_manifest(spark, tmp_path, monkeypatch):
+    """The nastiest crash points (VERDICT r02 #5): (a) after the spans_out
+    parquet write but BEFORE lineage/metrics are derived, (b) after ALL
+    data writes but before the SnapshotLog manifest commit. In both cases
+    the rerun must neither duplicate nor drop spans: no manifest was
+    written, so every bucket replays under dynamic partition overwrite."""
+    import pytest as _pytest
+
+    docs = synth.make_docs(40, seed=19)
+    df = spark.createDataFrame(synth.docs_to_spark_rows(docs), schema=DOCS_SCHEMA)
+    want = sorted(golden.golden_spans(docs))
+
+    # (a) crash between spans_out write and the lineage derivation
+    root_a = str(tmp_path / "torn_a")
+    real_lineage = pipeline.kernel.lineage_from_kernel
+
+    def boom_lineage(kout):
+        raise RuntimeError("injected crash: after spans write, before lineage")
+
+    monkeypatch.setattr(pipeline.kernel, "lineage_from_kernel", boom_lineage)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.run_with_resume(spark, df, root_a, n_buckets=4, num_partitions=2)
+    monkeypatch.setattr(pipeline.kernel, "lineage_from_kernel", real_lineage)
+    # spans_out exists from the torn run, but NOTHING is committed
+    assert os.path.isdir(os.path.join(root_a, "spans_out"))
+    assert pipeline.SnapshotLog(root_a).committed_buckets() == {}
+
+    r = pipeline.run_with_resume(spark, df, root_a, n_buckets=4, num_partitions=2)
+    assert sorted(r["committed"]) == list(range(4))
+    out = spark.read.parquet(os.path.join(root_a, "spans_out"))
+    got = sorted(
+        (x.doc_id, x.kind, x.text, x.media_ref, x["order"])
+        for x in out.select("doc_id", "kind", "text", "media_ref", "order").collect()
+    )
+    assert got == want  # exactly once: no dups, no drops
+    metrics = spark.read.parquet(os.path.join(root_a, "metrics"))
+    assert sum(x.span_count for x in metrics.collect()) == out.count()
+
+    # (b) crash after all writes, just before the manifest commit
+    root_b = str(tmp_path / "torn_b")
+    real_commit = pipeline.SnapshotLog.commit
+
+    def boom_commit(self, *a, **k):
+        raise RuntimeError("injected crash: before manifest commit")
+
+    monkeypatch.setattr(pipeline.SnapshotLog, "commit", boom_commit)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.run_with_resume(spark, df, root_b, n_buckets=4, num_partitions=2)
+    monkeypatch.setattr(pipeline.SnapshotLog, "commit", real_commit)
+    # all three tables written, zero buckets committed → full replay
+    for t in ("spans_out", "lineage", "metrics"):
+        assert os.path.isdir(os.path.join(root_b, t))
+    assert pipeline.SnapshotLog(root_b).committed_buckets() == {}
+
+    r = pipeline.run_with_resume(spark, df, root_b, n_buckets=4, num_partitions=2)
+    assert sorted(r["committed"]) == list(range(4))
+    out_b = spark.read.parquet(os.path.join(root_b, "spans_out"))
+    got_b = sorted(
+        (x.doc_id, x.kind, x.text, x.media_ref, x["order"])
+        for x in out_b.select("doc_id", "kind", "text", "media_ref", "order").collect()
+    )
+    assert got_b == want
+    lineage_b = spark.read.parquet(os.path.join(root_b, "lineage"))
+    assert lineage_b.select("doc_id").distinct().count() == len(docs)
+    metrics_b = spark.read.parquet(os.path.join(root_b, "metrics"))
+    assert sum(x.span_count for x in metrics_b.collect()) == out_b.count()
