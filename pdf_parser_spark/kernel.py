@@ -258,7 +258,7 @@ def _extract_flat(
         # kind=='text' (golden.py:117), while the OCR path cleans every
         # span. The batch cleanup above ran over all rows; restore raw
         # text for the odd-kind non-OCR rows.
-        odd = ~ocr_rows & ~is_text & ~(kind_np == "media")
+        odd = ~ocr_rows & ~is_text & ~med_np
         if odd.any():
             cleaned_np[odd] = text_np[odd]
 

@@ -194,11 +194,23 @@ def lsh_candidate_pairs(
     the exact-dedup family's job); the oracled query runs uncapped.
     """
     if num_hashes is not None:
+        if num_hashes < bands:
+            # rows_per_band 0 would key EVERY band of EVERY doc on the hash
+            # of an empty slice — one global mega-bucket, an all-pairs join
+            raise ValueError(
+                f"num_hashes={num_hashes} < bands={bands}: each band needs "
+                "at least one signature row"
+            )
         rows_per_band = F.lit(num_hashes // bands)
     else:
         # infer in-plan from the array length — no extra Spark job for
-        # ad-hoc callers (F.slice takes Column start/length since 3.1)
-        rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+        # ad-hoc callers (F.slice takes Column start/length since 3.1).
+        # greatest(1): a signature shorter than `bands` degrades to 1-row
+        # bands rather than degenerate empty-slice keys (see ValueError
+        # above — at plan time we cannot raise on data).
+        rows_per_band = F.greatest(
+            F.floor(F.size("sig") / bands).cast("int"), F.lit(1)
+        )
 
     def band_key(b: int):
         joined = F.array_join(

@@ -93,13 +93,13 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + rows[::-1].tobytes()  # bottom-up row order
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """REAL decode of an uncompressed 24-bit BMP → FEATURE_DIM float32
-    features: [mean/255, mean_B/255, mean_G/255, mean_R/255, std/255, 0...].
-    Compressed/other formats raise NotImplementedError (PIL territory);
-    malformed bytes raise ValueError."""
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Fully-validated decode of an uncompressed 24-bit BI_RGB BMP → raw
+    (H, W, 3) uint8 array. Compressed/other-depth variants raise
+    NotImplementedError (PIL territory); malformed bytes raise ValueError."""
     if len(payload) < 2 or payload[:2] != b"BM":
-        if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+        if payload[:4] == b"\x89PNG" or payload[:3] == b"\xff\xd8\xff":
+            # PNG, or any JPEG variant (JFIF \xe0, EXIF \xe1, raw \xdb, ...)
             raise NotImplementedError(
                 "compressed image formats require PIL/opencv — not in this "
                 "container; only uncompressed 24-bit BMP decodes natively"
@@ -122,27 +122,24 @@ def decode_image(payload: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError("degenerate BMP dimensions")
     stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
     data = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
     rows = data.reshape(h, stride)[:, : w * 3]
-    px = (rows if top_down else rows[::-1]).reshape(h, w, 3).astype(np.float64)
+    return (rows if top_down else rows[::-1]).reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL decode of an uncompressed 24-bit BMP → FEATURE_DIM float32
+    features: [mean/255, mean_B/255, mean_G/255, mean_R/255, std/255, 0...].
+    Validation (and the compressed-format NotImplementedError) lives in
+    decode_bmp_pixels so the feature and resize paths agree on what parses."""
+    px = decode_bmp_pixels(payload).astype(np.float64)
     feat = np.zeros(FEATURE_DIM, dtype=np.float32)
     feat[0] = px.mean() / 255.0
     feat[1:4] = px.mean(axis=(0, 1)) / 255.0  # B, G, R channel means
     feat[4] = px.std() / 255.0
     return feat
-
-
-def decode_bmp_pixels(payload: bytes) -> np.ndarray:
-    """The raw (H, W, 3) uint8 array of a 24-bit BMP (for the resize path)."""
-    off = int.from_bytes(payload[10:14], "little")
-    w = int.from_bytes(payload[18:22], "little", signed=True)
-    h = int.from_bytes(payload[22:26], "little", signed=True)
-    top_down = h < 0
-    h = abs(h)
-    stride = (w * 3 + 3) & ~3
-    data = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
-    rows = data.reshape(h, stride)[:, : w * 3]
-    return (rows if top_down else rows[::-1]).reshape(h, w, 3).copy()
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

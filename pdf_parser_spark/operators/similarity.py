@@ -66,15 +66,25 @@ def kmeans_centroids(
     At 100 TB the sample fraction is chosen so the sample fits the driver
     (e.g. 1e-6); the loop never touches the full corpus.
 
-    Deterministic for a fixed (sample, seed): the collected rows arrive in
-    partition-scan order, which varies with parallelism/splits, so the
-    sample is lexsorted by vector content before seeding and accumulating —
-    the float means then sum in a fixed order and the trained centroids are
-    bit-reproducible (pinned by tests/test_training_ops.py).
+    Deterministic for a fixed (input, fraction, seed) REGARDLESS of
+    partitioning: the sample membership is a content-hash threshold
+    (xxhash64 of the vector bytes), not df.sample — Spark's Bernoulli
+    sampler seeds per PARTITION, so repartitioning would change which rows
+    are sampled — and the collected rows are lexsorted by vector content
+    before seeding and accumulating, so the float means sum in a fixed
+    order and the trained centroids are bit-reproducible (pinned by
+    tests/test_training_ops.py).
     """
     sample = emb.select(vec_col)
     if sample_fraction < 1.0:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
+        gate = int(sample_fraction * 1_000_000)
+        sample = sample.filter(
+            F.pmod(
+                F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)),
+                F.lit(1_000_000),
+            )
+            < gate
+        )
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
     x = x[np.lexsort(x.T[::-1])]  # row order independent of scan order
     rng = np.random.RandomState(seed)

@@ -165,6 +165,17 @@ def test_kmeans_trainer_centroids_are_value_pinned(spark, emb_df):
     )
     assert np.array_equal(got, got_rep)
 
+    # ...including the sampled-SET membership when sample_fraction < 1
+    # (df.sample seeds per partition; the trainer uses a content-hash gate)
+    s1 = similarity.kmeans_centroids(
+        df, n_centroids=4, iters=3, seed=42, sample_fraction=0.5
+    )
+    s2 = similarity.kmeans_centroids(
+        df.repartition(11, "vec_id"), n_centroids=4, iters=3, seed=42,
+        sample_fraction=0.5,
+    )
+    assert np.array_equal(s1, s2)
+
 
 def test_signlsh_topk_self_hit(spark, emb_df):
     df, X = emb_df
@@ -290,6 +301,11 @@ def test_real_decode_bmp_wav_roundtrip():
 def test_real_decode_rejects_compressed_and_garbage():
     with pytest.raises(NotImplementedError):
         media.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # ANY JPEG variant (JFIF e0, EXIF e1, raw db) is missing-codec, not
+    # corruption — strict mode must report it as NotImplementedError
+    for marker in (b"\xe0", b"\xe1", b"\xdb"):
+        with pytest.raises(NotImplementedError):
+            media.decode_image(b"\xff\xd8\xff" + marker + b"\x00" * 64)
     with pytest.raises(ValueError):
         media.decode_image(b"garbage")
     with pytest.raises(ValueError):
@@ -300,6 +316,10 @@ def test_real_decode_rejects_compressed_and_garbage():
     b[28:30] = (8).to_bytes(2, "little")
     with pytest.raises(NotImplementedError):
         media.decode_image(bytes(b))
+    # truncated pixel data must not silently read short
+    good = media.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        media.decode_image(good[:-5])
 
 
 def test_resize_bmp_real_resampling():
@@ -316,6 +336,19 @@ def test_resize_bmp_real_resampling():
     assert media._resize_bmp(small, 256, 256) == small
     # unparseable payloads pass through untouched (compressed = PIL's job)
     assert media._resize_bmp(b"\x89PNGxxxx", 256, 256) == b"\x89PNGxxxx"
+    # a 32-bpp BMP must pass through too — NOT be read with a 24-bpp
+    # stride and re-encoded scrambled (decode_bmp_pixels validates bpp)
+    b32 = bytearray(media.encode_bmp(big))
+    b32[28:30] = (32).to_bytes(2, "little")
+    assert media._resize_bmp(bytes(b32), 256, 256) == bytes(b32)
+
+
+def test_lsh_rejects_bands_exceeding_hashes(spark):
+    from pdf_parser_spark.operators import dedup
+
+    sigs = spark.createDataFrame([(1, [1, 2])], "doc_id int, sig array<long>")
+    with pytest.raises(ValueError, match="at least one signature row"):
+        dedup.lsh_candidate_pairs(sigs, bands=8, num_hashes=4)
 
 
 # ------------------------------------------------------------- curation
