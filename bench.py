@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "token_quantiles",
     "ivf_topk_probe",
+    "lang_token_budget",
+    "vocab_topk_coverage",
+    "leakage_safe_split",
 ]
 
 

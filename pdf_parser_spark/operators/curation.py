@@ -101,3 +101,82 @@ def pack_sequences(
         toks.alias("n_tokens"),
         bin_col,
     )
+
+
+def token_budget_cap(
+    docs: DataFrame,
+    budget: int,
+    token_col,
+    priority_col,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token budget: keep the highest-priority docs whose RUNNING
+    token total still fits ``budget`` (the per-language/per-source cap every
+    data-mixture recipe needs — cap low-resource upsampling, bound a domain's
+    share). Deterministic: order is (priority DESC, id), so re-runs and
+    engines agree on the kept set.
+
+    One window cumsum per group — the same sequential-prefix caveat as
+    pack_sequences: group cardinality is typically tiny (languages,
+    sources), so per-group serialization at 100 TB is bounded by the
+    largest group; if that group is the corpus, pre-aggregate per (group,
+    shard), prefix-sum the ~``shards`` partial totals on the driver, and
+    broadcast the per-shard offsets — contents stay identical. Docs that
+    overflow the budget are cut mid-boundary-doc EXCLUSIVE (a doc is kept
+    only if its whole token count fits).
+    """
+    toks = token_col.cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(priority_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            toks.alias("n_tokens"),
+            cum.alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/validation split: near-duplicate docs must land in
+    the SAME split (hash-splitting raw doc ids leaks one copy of a dup pair
+    into validation and inflates eval). Pairs → connected components
+    (dedup.pair_clusters, O(diameter) label-propagation rounds); every doc
+    not in any pair is its own singleton cluster; the split is a hash of
+    the CLUSTER representative, so whole dup-groups move together.
+
+    The hash is the portable md5→60-bit-long (same as the sketch oracles),
+    so the assignment is engine-reproducible and the DuckDB twin
+    value-checks it. Scale: one broadcast-join round per component-diameter
+    step plus one left join — no all-pairs anywhere.
+    """
+    from pdf_parser_spark.operators.dedup import pair_clusters
+
+    clusters = pair_clusters(pairs)  # (node, cluster)
+    joined = docs.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    rep = F.coalesce(F.col("cluster"), F.col(id_col).cast("long"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(rep.cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    return joined.select(
+        F.col(id_col),
+        rep.alias("cluster"),
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )

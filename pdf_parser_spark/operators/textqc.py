@@ -376,3 +376,42 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(dup_word, 6).alias("dup_word_frac"),
         F.round(dup_2gram, 6).alias("dup_2gram_frac"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: top-k whitespace tokens by frequency with
+    cumulative corpus coverage — the first step of tokenizer/vocab
+    construction and of stopword-driven quality heuristics.
+
+    Shape at 100 TB: explode → ONE groupBy(word) count with map-side
+    partial aggregation (the only full shuffle, linear in corpus tokens);
+    top-k is TakeOrderedAndProject (per-partition heads, no global sort);
+    the total-token denominator rides along as a 1-row aggregate
+    cross-joined in-plan (broadcast, no driver action), and the k-row
+    cumulative share is a window over k rows. Ties break by word so the
+    ranking is total and engine-reproducible."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+            .cast("long")
+            .alias("rank"),
+            "word",
+            "cnt",
+            F.round(F.sum("cnt").over(w) / F.col("_total"), 6).alias("cum_share"),
+        )
+    )

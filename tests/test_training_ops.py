@@ -661,3 +661,50 @@ def test_media_kernels_tolerate_null_metadata(spark):
     assert feats["m-1"] == 1  # null duration video -> 1 frame, no crash
     sizes = {r.media_ref: (r.out_width, r.out_height) for r in resize_media(media).collect()}
     assert sizes["m-1"] == (0, 0) and sizes["m-3"] == (100, 0)
+
+
+def test_token_budget_cap_boundary_and_order(spark):
+    """Budget cut is exclusive of the overflowing doc; priority order is
+    (priority DESC, id) so the kept set is deterministic."""
+    from pdf_parser_spark.operators.curation import token_budget_cap
+
+    rows = [("d1", "en", 10, 5), ("d2", "en", 10, 4), ("d3", "en", 10, 3),
+            ("d4", "fr", 100, 9)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, tok int, pri int")
+    out = token_budget_cap(
+        df, budget=25, token_col=F.col("tok"), priority_col=F.col("pri"),
+        group_col="lang",
+    ).collect()
+    got = {(r.doc_id): r.cum_tokens for r in out}
+    # en: d1(10) + d2(20) fit; d3 would make 30 > 25 -> cut (whole-doc)
+    # fr: d4 alone is 100 > 25 -> nothing kept
+    assert got == {"d1": 10, "d2": 20}
+
+
+def test_split_by_cluster_keeps_dup_groups_together(spark):
+    from pdf_parser_spark.operators.curation import split_by_cluster
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 7), (4, 5)], "a long, b long")
+    out = {r.doc_id: (r.cluster, r.split) for r in
+           split_by_cluster(docs, pairs, val_pct=50).collect()}
+    assert len(out) == 10
+    # transitive group {1,2,7} shares one cluster AND one split
+    assert out[1] == out[2] == out[7]
+    assert out[4] == out[5]
+    # singletons are their own cluster
+    assert out[0][0] == 0 and out[3][0] == 3
+    # both splits occur at val_pct=50 over 10 docs (portable-hash spread)
+    assert {s for _, s in out.values()} == {"train", "val"}
+
+
+def test_vocab_topk_ranks_and_coverage(spark):
+    from pdf_parser_spark.operators.textqc import vocab_topk
+
+    df = spark.createDataFrame(
+        [("d1", "a a a b b c"), ("d2", "a b   z")], "doc_id string, text string"
+    )
+    out = vocab_topk(df, k=2).collect()
+    assert [(r.rank, r.word, r.cnt) for r in out] == [(1, "a", 4), (2, "b", 3)]
+    assert abs(out[0].cum_share - round(4 / 9, 6)) < 1e-9
+    assert abs(out[1].cum_share - round(7 / 9, 6)) < 1e-9
