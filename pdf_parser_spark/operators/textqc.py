@@ -388,8 +388,10 @@ def vocab_topk(
     Shape at 100 TB: explode → ONE groupBy(word) count with map-side
     partial aggregation (the only full shuffle, linear in corpus tokens);
     top-k is TakeOrderedAndProject (per-partition heads, no global sort);
-    the total-token denominator rides along as a 1-row aggregate
-    cross-joined in-plan (broadcast, no driver action), and the k-row
+    the total-token denominator is a PER-DOC token-count sum (equal to the
+    vocab-count sum since split(trim, \\s+) emits no empty tokens) — a
+    shuffle-free partial aggregate, NOT a second pass over the word
+    aggregation — cross-joined in-plan as a 1-row broadcast; the k-row
     cumulative share is a window over k rows. Ties break by word so the
     ranking is total and engine-reproducible."""
     from pyspark.sql import Window
@@ -398,7 +400,9 @@ def vocab_topk(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("_total"))
+    total = docs.agg(
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("_total")
+    )
     top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("word")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

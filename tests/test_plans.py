@@ -239,3 +239,30 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert {(r.event_id, r.n_near_errors) for r in df.collect()} == {
         (r.event_id, r.n) for r in naive.collect()
     }
+
+
+def test_vocab_topk_take_ordered_single_word_shuffle(spark):
+    """Vocabulary head: top-k must plan as TakeOrderedAndProject (per-
+    partition heads, no global sort) over ONE word-count shuffle; the
+    coverage denominator must be a shuffle-free per-doc aggregate, not a
+    second pass over the word aggregation."""
+    df = QUERIES["vocab_topk_coverage"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lang_token_budget_single_group_shuffle(spark):
+    """Per-group token budget: exactly one exchange (on the group key)
+    feeding the window cumsum; the scan must prune to the 4 needed columns."""
+    df = QUERIES["lang_token_budget"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "doc_id" in plan.split("FileScan")[1][:300]
+
+
+def test_leakage_safe_split_no_cartesian(spark):
+    df = QUERIES["leakage_safe_split"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
