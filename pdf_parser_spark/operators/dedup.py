@@ -202,15 +202,21 @@ def lsh_candidate_pairs(
                 "at least one signature row"
             )
         rows_per_band = F.lit(num_hashes // bands)
+        guarded = False
     else:
         # infer in-plan from the array length — no extra Spark job for
         # ad-hoc callers (F.slice takes Column start/length since 3.1).
         # greatest(1): a signature shorter than `bands` degrades to 1-row
         # bands rather than degenerate empty-slice keys (see ValueError
-        # above — at plan time we cannot raise on data).
+        # above — at plan time we cannot raise on data). Bands whose slice
+        # start falls past the array end get a NULL key below (a null
+        # band_hash never matches in the equi-join and is filtered before
+        # the shuffle) — without it every short-sig doc would key those
+        # bands on hash('') and form one global mega-bucket.
         rows_per_band = F.greatest(
             F.floor(F.size("sig") / bands).cast("int"), F.lit(1)
         )
+        guarded = True
 
     def band_key(b: int):
         joined = F.array_join(
@@ -220,7 +226,10 @@ def lsh_candidate_pairs(
             ),
             ",",
         )
-        return F.md5(joined) if portable else F.xxhash64(joined).cast("string")
+        key = F.md5(joined) if portable else F.xxhash64(joined).cast("string")
+        if guarded:
+            key = F.when(F.lit(b) * rows_per_band < F.size("sig"), key)
+        return key
 
     banded = sigs.select(
         F.col(id_col),
@@ -228,6 +237,8 @@ def lsh_candidate_pairs(
             "band", "band_hash"
         ),
     )
+    if guarded:
+        banded = banded.filter(F.col("band_hash").isNotNull())
     if bucket_cap is not None:
         banded = _cap_buckets(banded, ["band", "band_hash"], bucket_cap)
     left = banded.select(

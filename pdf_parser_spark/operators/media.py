@@ -98,8 +98,11 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     (H, W, 3) uint8 array. Compressed/other-depth variants raise
     NotImplementedError (PIL territory); malformed bytes raise ValueError."""
     if len(payload) < 2 or payload[:2] != b"BM":
-        if payload[:4] == b"\x89PNG" or payload[:3] == b"\xff\xd8\xff":
-            # PNG, or any JPEG variant (JFIF \xe0, EXIF \xe1, raw \xdb, ...)
+        if (
+            payload[:4] == b"\x89PNG"
+            or payload[:3] == b"\xff\xd8\xff"  # any JPEG (JFIF/EXIF/raw)
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
+        ):
             raise NotImplementedError(
                 "compressed image formats require PIL/opencv — not in this "
                 "container; only uncompressed 24-bit BMP decodes natively"

@@ -77,15 +77,25 @@ def kmeans_centroids(
     """
     sample = emb.select(vec_col)
     if sample_fraction < 1.0:
-        gate = int(sample_fraction * 1_000_000)
+        gate = int(sample_fraction * 1_000_000_000)
+        if gate == 0:
+            raise ValueError(
+                f"sample_fraction={sample_fraction} is below the 1e-9 hash-"
+                "gate resolution — the sample would be deterministically "
+                "empty; pass a larger fraction"
+            )
         sample = sample.filter(
             F.pmod(
                 F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)),
-                F.lit(1_000_000),
+                F.lit(1_000_000_000),
             )
             < gate
         )
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError(
+            "k-means sample is empty (corpus too small for sample_fraction)"
+        )
     x = x[np.lexsort(x.T[::-1])]  # row order independent of scan order
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

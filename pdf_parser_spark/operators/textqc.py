@@ -388,21 +388,26 @@ def vocab_topk(
     Shape at 100 TB: explode → ONE groupBy(word) count with map-side
     partial aggregation (the only full shuffle, linear in corpus tokens);
     top-k is TakeOrderedAndProject (per-partition heads, no global sort);
-    the total-token denominator is a PER-DOC token-count sum (equal to the
-    vocab-count sum since split(trim, \\s+) emits no empty tokens) — a
-    shuffle-free partial aggregate, NOT a second pass over the word
-    aggregation — cross-joined in-plan as a 1-row broadcast; the k-row
-    cumulative share is a window over k rows. Ties break by word so the
-    ranking is total and engine-reproducible."""
+    the total-token denominator is a PER-DOC count of NON-EMPTY tokens —
+    the same token definition as the numerator (F.trim strips only ASCII
+    spaces, so a tab/newline at the text edge makes split emit an empty
+    token; counting it would skew cum_share) — a shuffle-free partial
+    aggregate, NOT a second pass over the word aggregation, cross-joined
+    in-plan as a 1-row broadcast; the k-row cumulative share is a window
+    over k rows. Ties break by word so the ranking is total and
+    engine-reproducible."""
     from pyspark.sql import Window
 
     words = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
-    total = docs.agg(
-        F.sum(token_count(F.col(text_col)).cast("long")).alias("_total")
+    nonempty = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+        )
     )
+    total = docs.agg(F.sum(nonempty.cast("long")).alias("_total"))
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("word")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

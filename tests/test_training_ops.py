@@ -708,3 +708,61 @@ def test_vocab_topk_ranks_and_coverage(spark):
     assert [(r.rank, r.word, r.cnt) for r in out] == [(1, "a", 4), (2, "b", 3)]
     assert abs(out[0].cum_share - round(4 / 9, 6)) < 1e-9
     assert abs(out[1].cum_share - round(7 / 9, 6)) < 1e-9
+
+
+def test_vocab_topk_denominator_ignores_phantom_empty_tokens(spark):
+    """F.trim strips only ASCII spaces: a trailing newline makes split emit
+    an empty token; the coverage denominator must use the same non-empty
+    token definition as the numerator (review r03 finding)."""
+    from pdf_parser_spark.operators.textqc import vocab_topk
+
+    df = spark.createDataFrame(
+        [("d1", "hello\n"), ("d2", "\thello world")], "doc_id string, text string"
+    )
+    out = {r.word: (r.cnt, r.cum_share) for r in vocab_topk(df, k=5).collect()}
+    assert out["hello"][0] == 2
+    # 3 real tokens total: hello x2 + world; no phantom '' in the denominator
+    assert abs(out["hello"][1] - round(2 / 3, 6)) < 1e-9
+    assert abs(out["world"][1] - 1.0) < 1e-9
+
+
+def test_lsh_inferred_bands_never_key_on_empty_slice(spark):
+    """num_hashes=None with signatures SHORTER than bands: the out-of-range
+    bands must yield NULL keys (dropped before the shuffle), not hash('')
+    for every doc — which would form one global mega-bucket and an
+    all-pairs join (review r03 finding)."""
+    from pdf_parser_spark.operators import dedup
+
+    # sigs of length 4, bands=8: docs share NO band values → no pairs
+    rows = [(i, [i * 10 + j for j in range(4)]) for i in range(6)]
+    sigs = spark.createDataFrame(rows, "doc_id int, sig array<long>")
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=8).collect()
+    assert pairs == []
+    # identical sigs still pair through the real (non-empty) bands
+    dup = spark.createDataFrame(
+        [(1, [7, 8, 9, 10]), (2, [7, 8, 9, 10])], "doc_id int, sig array<long>"
+    )
+    assert {(r.a, r.b) for r in dedup.lsh_candidate_pairs(dup, bands=8).collect()} == {
+        (1, 2)
+    }
+
+
+def test_kmeans_sample_gate_edges(spark, emb_df):
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="1e-9"):
+        similarity.kmeans_centroids(df, sample_fraction=1e-10)
+    with pytest.raises(ValueError, match="empty"):
+        # fraction passes the gate check but selects nothing from 200 rows
+        similarity.kmeans_centroids(df, sample_fraction=1e-8)
+
+
+def test_decode_image_classifies_webp_as_missing_codec():
+    from pdf_parser_spark.operators import media
+
+    webp = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 16
+    with pytest.raises(NotImplementedError):
+        media.decode_image(webp)
+    # a non-WebP RIFF (e.g. a WAV mislabeled as image) is NOT a codec gap
+    wav = media.encode_wav(np.zeros(4, dtype=np.int16))
+    with pytest.raises(ValueError):
+        media.decode_image(wav)
