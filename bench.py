@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "lang_token_budget",
     "vocab_topk_coverage",
     "leakage_safe_split",
+    "domain_mixture_weights",
+    "shard_manifest",
+    "semantic_dedup_docs",
+    "gopher_filter_cascade",
+    "unigram_surprisal",
 ]
 
 

@@ -180,3 +180,93 @@ def split_by_cluster(
             "split"
         ),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    token_col,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed domain mixture weights (the DoReMi/multilingual-
+    sampling recipe step, public: Arivazhagan et al. 2019 temperature
+    sampling): per domain, weight ∝ share^alpha renormalized. alpha < 1
+    upsamples small domains; alpha = 1 is proportional sampling.
+
+    Output per domain: n_docs, n_tokens, ``share`` (fraction of corpus
+    tokens), ``weight`` (the target mixture probability), and
+    ``sample_factor`` = weight/share (the per-domain over/under-sampling
+    rate a sampler applies).
+
+    Shape at 100 TB: ONE map-side-combined groupBy on the domain key
+    reduces the corpus to |domains| rows; the token total and the
+    normalizer Σ share^alpha are 1-row aggregates OF THAT TINY FRAME,
+    cross-joined back as broadcasts — nothing after the first shuffle
+    touches corpus-sized data."""
+    per = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_col.cast("long")).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    shared = per.crossJoin(F.broadcast(total)).withColumn(
+        "_share", F.col("n_tokens") / F.col("_t")
+    )
+    z = shared.agg(F.sum(F.pow(F.col("_share"), F.lit(alpha))).alias("_z"))
+    weight = F.pow(F.col("_share"), F.lit(alpha)) / F.col("_z")
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            F.col(group_col),
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("_share"), 6).alias("share"),
+            F.round(weight, 6).alias("weight"),
+            F.round(weight / F.col("_share"), 6).alias("sample_factor"),
+        )
+    )
+
+
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    size_col=None,
+) -> DataFrame:
+    """Deterministic training-shard manifest: every doc gets a shard (hash
+    of its id), a within-shard sequence number, and the byte offset where
+    it starts — the exact layout a shard-writer needs to emit N stable
+    training files, and what makes re-runs resumable (the manifest is a
+    pure function of the data, not of partitioning or RNG).
+
+    The hash is the portable md5→60-bit long (engine-reproducible — the
+    DuckDB twin value-checks the full manifest); within-shard order is
+    (md5 hex, id), i.e. a deterministic pseudo-random shuffle, which is
+    what training wants (no source/time clustering inside a shard).
+
+    Shape at 100 TB: one hash-partitioned shuffle on ``shard`` and one
+    window pass per shard — ``n_shards``-way parallel; each shard's
+    sequential prefix-sum is the unavoidable serial part and is bounded
+    by corpus_bytes / n_shards (pick n_shards accordingly, e.g. 10k+)."""
+    if size_col is None:
+        size_col = F.octet_length("text")
+    hex_ = F.md5(F.col(id_col).cast("string"))
+    h = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long")
+    staged = docs.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        hex_.alias("_hex"),
+        size_col.cast("long").alias("n_bytes"),
+    )
+    w = Window.partitionBy("shard").orderBy("_hex", id_col)
+    cum = (
+        F.sum("n_bytes")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    return staged.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("long").alias("seq"),
+        (cum - F.col("n_bytes")).alias("byte_offset"),
+        "n_bytes",
+    )

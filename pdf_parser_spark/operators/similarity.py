@@ -333,3 +333,55 @@ def mean_pool(
             ).alias(vec_col)
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings by nearest centroid, then inside each cluster mark
+    as duplicates the vectors whose cosine to ANY lower-id cluster-mate
+    reaches ``threshold``. Output: (id, cell, keep).
+
+    Keep rule: a vector is dropped iff a SMALLER-id neighbor above the
+    threshold exists in its cell — the parallel-friendly "dominated by any
+    smaller id" relaxation of the paper's sequential greedy sweep (the
+    greedy chain is an iterative closure; when that exact semantics is
+    needed, feed the pairs to dedup.pair_clusters and keep each cluster's
+    min, as curate_corpus does for MinHash).
+
+    Shape at 100 TB: centroid assignment is pure codegen (argmin over a
+    literal centroid array — no join, no shuffle); candidate pairs come
+    from a cell-keyed EQUI-join (shuffle on cell, never all-pairs;
+    plan-pinned CartesianProduct-free in tests/test_plans.py); the drop
+    set is a distinct + left_anti join on id. Cluster sizes bound the
+    join fan-out — size C so clusters stay ~N/C, and cap pathological
+    cells upstream with dedup._cap_buckets if the embedding space is
+    degenerate (all-zero vectors etc.)."""
+    cells = assign_ivf_cells(emb, centroids, vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    sides = cells.select(F.col(id_col).alias("_id"), "cell", v.alias("_v"))
+    a = sides.select(
+        F.col("_id").alias("_a"), "cell", F.col("_v").alias("_va")
+    )
+    b = sides.select(
+        F.col("_id").alias("_b"), "cell", F.col("_v").alias("_vb")
+    )
+    pairs = a.join(b, on="cell").filter(F.col("_a") < F.col("_b"))
+    drops = (
+        pairs.filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        cells.join(drops.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

@@ -424,3 +424,130 @@ def vocab_topk(
             F.round(F.sum("cnt").over(w) / F.col("_total"), 6).alias("cum_share"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "a", "in", "that"]
+
+
+def filter_cascade(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic filter battery with per-document fail reason.
+
+    Re-expresses the published Gopher quality rules (Rae et al. 2021,
+    App. A — public paper) as an ORDERED cascade: every doc gets the rule
+    features, a ``pass`` flag, and the FIRST failing rule's name in
+    ``fail_reason`` (NULL when it passes) — the removal-accounting shape a
+    production curation pipeline reports on. Complements
+    ``quality_features`` (soft score) with the hard gate + audit trail.
+
+    Rules, in cascade order:
+      n_words       — word count in [min_words, max_words]
+      mean_word_len — mean characters per word in [min, max]
+      alpha_words   — fraction of words containing a letter >= threshold
+      stopwords     — at least ``min_stopwords`` DISTINCT stopwords from
+                      the 8-word Gopher list appear
+
+    Shape at 100 TB: pure codegen scan expressions — zero shuffles, zero
+    Python; the words array is materialized ONCE as a real column before
+    any higher-order lambda touches it (HOF bodies re-evaluate embedded
+    expressions per element — see CLAUDE.md)."""
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = docs.select(
+        "*", F.filter(raw, lambda w: w != "").alias("_w")
+    )
+    words = F.col("_w")
+    n_words = F.size(words)
+    char_sum = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    reason = (
+        F.when(
+            (n_words < min_words) | (n_words > max_words), F.lit("n_words")
+        )
+        .when(
+            (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+            F.lit("mean_word_len"),
+        )
+        .when(alpha_frac < min_alpha_word_frac, F.lit("alpha_words"))
+        .when(n_stop < min_stopwords, F.lit("stopwords"))
+    )
+    return staged.select(
+        *[c for c in docs.columns],
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        reason.alias("fail_reason"),
+        reason.isNull().alias("pass"),
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the CCNet-style LM quality
+    score (Wenzek et al. 2020, public), with the corpus's own unigram
+    counts standing in for the external KenLM model this container can't
+    ship. Low surprisal = common boilerplate-ish tokens; high = rare/noisy.
+
+    The LM is the top-``vocab_size`` tokens by corpus frequency (ties by
+    word, so the vocabulary is deterministic); out-of-vocabulary tokens
+    score at the floor count 1. Per doc: ``mean_surprisal`` =
+    avg over tokens of ln(total_tokens / count(token)).
+
+    Shape at 100 TB: ONE groupBy(word) shuffle builds the LM (map-side
+    partial agg); top-V is TakeOrderedAndProject; the V-row model is then
+    BROADCAST back against the exploded token stream — no second big
+    shuffle and no skewed big-big join on hot stopwords (the classic
+    failure of joining tokens to counts on the token itself). The token
+    total is a PER-DOC non-empty token-count aggregate over the docs scan
+    (shuffle-free partials, NOT a second pass over the word aggregation —
+    same trick as ``vocab_topk``) riding a 1-row broadcast. The only other
+    shuffle is the per-doc aggregation on ``id_col``."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    nonempty = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    )
+    total = docs.agg(F.sum(nonempty.cast("long")).alias("_total"))
+    lm = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    top = lm.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_size)
+    scored = (
+        words.join(F.broadcast(top), "word", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                F.log(F.col("_total").cast("double"))
+                - F.log(F.coalesce(F.col("cnt"), F.lit(1)).cast("double"))
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("_s"), 6).alias("mean_surprisal"),
+    )

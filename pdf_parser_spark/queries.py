@@ -2882,6 +2882,195 @@ FROM assigned
 """
 
 
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixture weights (alpha=0.5) over the
+    per-language token counts — the data-mixture recipe step
+    (operators/curation.mixture_weights). One tiny groupBy; everything
+    downstream of the first shuffle is |domains|-sized."""
+    from pdf_parser_spark.operators.curation import mixture_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_weights(
+        d, token_col=textqc.token_count(F.col("text")), group_col="lang", alpha=0.5
+    )
+
+
+def sql_domain_mixture_weights() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return f"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({tok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS _t FROM per),
+s AS (SELECT per.*, n_tokens / _t AS _share FROM per, t),
+z AS (SELECT sum(pow(_share, 0.5)) AS _z FROM s)
+SELECT lang, n_docs, n_tokens, round(_share, 6) AS share,
+       round(pow(_share, 0.5) / _z, 6) AS weight,
+       round(pow(_share, 0.5) / _z / _share, 6) AS sample_factor
+FROM s, z
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: shard = portable 60-bit
+    md5(doc_id) mod 8, within-shard order = (md5 hex, doc_id) — a
+    data-derived pseudo-random shuffle — plus seq and byte offsets
+    (operators/curation.assign_shards)."""
+    from pdf_parser_spark.operators.curation import assign_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return assign_shards(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"), n_shards=8
+    )
+
+
+def sql_shard_manifest() -> str:
+    return """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hex,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hex, 1, 15))::BIGINT % 8 AS INT) AS shard,
+         hex, n_bytes
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(sum(n_bytes) OVER (w ROWS UNBOUNDED PRECEDING) - n_bytes AS BIGINT)
+         AS byte_offset,
+       n_bytes
+FROM s WINDOW w AS (PARTITION BY shard ORDER BY hex, doc_id)
+"""
+
+
+def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with FIXED centroids (embeddings of
+    vec_id 0..3) so every stage — Catalyst argmin cell assignment, in-cell
+    cosine pair join, smaller-id dominance drop — is value-checked.
+    The iterative k-means trainer that would produce the centroids at
+    scale stays under ivf_topk (operators/similarity.semantic_dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    return similarity.semantic_dedup(emb, cents, threshold=0.3).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "cell", "keep"
+    )
+
+
+def sql_semantic_dedup_docs() -> str:
+    return """
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cell ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.3
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
+def q_gopher_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule heuristic filter battery with first-failing-rule audit
+    column (operators/textqc.filter_cascade). Pure codegen scan — the
+    removal-accounting shape a production curation pipeline reports on.
+    ``pass`` is aliased to ``passed`` for the SQL twin (reserved word)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.filter_cascade(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "n_stopwords",
+        "fail_reason",
+        F.col("pass").alias("passed"),
+    )
+
+
+def sql_gopher_filter_cascade() -> str:
+    return """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(w) > 0
+              THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w)
+              ELSE 0.0 END AS af,
+         CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+              ['the','be','to','of','and','a','in','that'])) AS BIGINT) AS ns
+  FROM w
+), reasons AS (
+  SELECT doc_id, n_words, mwl, af, ns,
+         CASE WHEN n_words < 20 OR n_words > 100000 THEN 'n_words'
+              WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len'
+              WHEN af < 0.8 THEN 'alpha_words'
+              WHEN ns < 2 THEN 'stopwords' END AS fail_reason
+  FROM feat
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+       round(af, 6) AS alpha_word_frac, ns AS n_stopwords,
+       fail_reason, fail_reason IS NULL AS passed
+FROM reasons
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal vs the corpus's own top-200
+    unigram LM (operators/textqc.unigram_surprisal): one groupBy(word)
+    shuffle builds the LM, the V-row model broadcasts back against the
+    token stream — never a big-big join on hot stopwords."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.unigram_surprisal(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"), vocab_size=200
+    )
+
+
+def sql_unigram_surprisal() -> str:
+    return """
+WITH words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), lm AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm),
+top AS (SELECT word, cnt FROM lm ORDER BY cnt DESC, word LIMIT 200)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((SELECT t FROM total)) - ln(coalesce(cnt, 1))), 6)
+         AS mean_surprisal
+FROM words LEFT JOIN top USING (word)
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2895,8 +3084,11 @@ FROM assigned
 # range-join binning, queue upsert, IVF trainer) plus new round-3 queries.
 # Entries demoted to the tail are all driver-green in CORRECTNESS_r01 or
 # _r02 and stay value-checked by the LOCAL gate (tools/validate_oracles.py,
-# same count+schema+value-hash comparison, run at three SFs). The
-# round-by-round manifest lives in COVERAGE.md "driver-green manifest".
+# same count+schema+value-hash comparison, run at three SFs). Five new
+# round-3 queries (mixture weights, shard manifest, semantic dedup, Gopher
+# cascade, surprisal) displaced five DOUBLE-green (r01 AND r02) entries
+# whose operator code is untouched this round. The round-by-round manifest
+# lives in COVERAGE.md "driver-green manifest".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotation block: tail of rounds 1-2, first driver check this round --
     "revenue_by_brand": q_revenue_by_brand,
@@ -2931,15 +3123,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    or flagship families worth continuous driver coverage) --
     "extract_kernel_spans": q_extract_kernel_spans,
     "extract_interleaved_media": q_extract_interleaved_media,
-    "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "events_near_errors": q_events_near_errors,
     "queue_pending_batch": q_queue_pending_batch,
     "checkpoint_merge_upsert": q_checkpoint_merge_upsert,
     "minhash_near_dups": q_minhash_near_dups,
-    "exact_dedup_docs": q_exact_dedup_docs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
@@ -2948,17 +3137,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "curate_corpus": q_curate_corpus,
     "stratified_sample": q_stratified_sample,
-    "pack_sequences": q_pack_sequences,
     "token_quantiles": q_token_quantiles,
-    "asof_last_error": q_asof_last_error,
     # -- new round-3 operators (first driver check this round) --
     "lang_token_budget": q_lang_token_budget,
     "vocab_topk_coverage": q_vocab_topk_coverage,
     "leakage_safe_split": q_leakage_safe_split,
+    "domain_mixture_weights": q_domain_mixture_weights,
+    "shard_manifest": q_shard_manifest,
+    "semantic_dedup_docs": q_semantic_dedup_docs,
+    "gopher_filter_cascade": q_gopher_filter_cascade,
+    "unigram_surprisal": q_unigram_surprisal,
     # ---- entries 51+ (outside the driver's 50-entry check window) ----
     # all driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "chunk_documents": q_chunk_documents,
+    "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "pack_sequences": q_pack_sequences,
+    "asof_last_error": q_asof_last_error,
     "pricing_summary": q_pricing_summary,
     "extract_main_content": q_extract_main_content,
     "top_order_per_customer": q_top_order_per_customer,
@@ -3065,4 +3262,9 @@ ORACLES: dict[str, str] = {
     "lang_token_budget": sql_lang_token_budget(),
     "vocab_topk_coverage": sql_vocab_topk_coverage(),
     "leakage_safe_split": sql_leakage_safe_split(),
+    "domain_mixture_weights": sql_domain_mixture_weights(),
+    "shard_manifest": sql_shard_manifest(),
+    "semantic_dedup_docs": sql_semantic_dedup_docs(),
+    "gopher_filter_cascade": sql_gopher_filter_cascade(),
+    "unigram_surprisal": sql_unigram_surprisal(),
 }

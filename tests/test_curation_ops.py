@@ -1,0 +1,149 @@
+"""Round-3 curation operators: mixture weights, shard manifests, semantic
+dedup, the Gopher filter cascade, and unigram surprisal — semantics pinned
+on tiny in-memory frames (the DuckDB oracles value-check them at SF)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import textqc
+from pdf_parser_spark.operators.curation import assign_shards, mixture_weights
+from pdf_parser_spark.operators.similarity import semantic_dedup
+from pdf_parser_spark.operators.textqc import filter_cascade, unigram_surprisal
+
+
+@pytest.fixture(scope="module")
+def mix_df(spark):
+    rows = [
+        (1, "en", "a b c d"),          # 4 tokens
+        (2, "en", "a b c d e f g h"),  # 8 tokens
+        (3, "de", "x y z w"),          # 4 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_mixture_weights_alpha_upsamples_small_domains(spark, mix_df):
+    out = mixture_weights(
+        mix_df, token_col=textqc.token_count(F.col("text")), group_col="lang",
+        alpha=0.5,
+    )
+    got = {r.lang: r for r in out.collect()}
+    assert got["en"].n_tokens == 12 and got["de"].n_tokens == 4
+    # shares: 0.75 / 0.25; alpha=0.5 weights ∝ sqrt(share)
+    z = math.sqrt(0.75) + math.sqrt(0.25)
+    assert got["en"].weight == pytest.approx(math.sqrt(0.75) / z, abs=1e-6)
+    assert got["de"].weight == pytest.approx(math.sqrt(0.25) / z, abs=1e-6)
+    # weights sum to 1; the small domain is upsampled, the big one down
+    assert got["en"].weight + got["de"].weight == pytest.approx(1.0, abs=2e-6)
+    assert got["de"].sample_factor > 1.0 > got["en"].sample_factor
+
+
+def test_mixture_weights_alpha_one_is_proportional(spark, mix_df):
+    out = mixture_weights(
+        mix_df, token_col=textqc.token_count(F.col("text")), group_col="lang",
+        alpha=1.0,
+    )
+    for r in out.collect():
+        assert r.weight == pytest.approx(r.share, abs=1e-6)
+        assert r.sample_factor == pytest.approx(1.0, abs=1e-5)
+
+
+def test_assign_shards_manifest_is_exact_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "x" * (i + 1)) for i in range(20)], "doc_id long, text string"
+    )
+    out = assign_shards(docs, n_shards=4).collect()
+    assert len(out) == 20
+    assert {r.shard for r in out} <= set(range(4))
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.seq)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        # seq is 1..n dense; offsets are the exact running byte layout
+        assert [r.seq for r in rows] == list(range(1, len(rows) + 1))
+        off = 0
+        for r in rows:
+            assert r.byte_offset == off
+            assert r.n_bytes == r.doc_id + 1  # octet_length of 'x'*(id+1)
+            off += r.n_bytes
+    # pure function of the data: a re-run (different partitioning) matches
+    again = assign_shards(docs.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_semantic_dedup_drops_only_dominated_vectors(spark):
+    # two well-separated cells on the unit circle; c is a near-dup of b,
+    # d is its exact dup; e lives alone in the second cell
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.97, 0.24]),   # cos to 0 ≈ 0.97
+        (2, [1.0, 0.001]),   # near-dup of 0
+        (10, [0.0, 1.0]),
+        (11, [-0.01, 1.0]),  # near-dup of 10
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = {r.vec_id: r for r in semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert {v.cell for k, v in out.items() if k < 10} == {0}
+    assert {v.cell for k, v in out.items() if k >= 10} == {1}
+    # smallest id per dup-group survives; cos(0,1)≈0.97 < 0.99 so 1 survives
+    assert out[0].keep and out[1].keep and out[10].keep
+    assert not out[2].keep and not out[11].keep
+
+
+def test_filter_cascade_reports_first_failing_rule(spark):
+    passing = (
+        "the cat and the dog be good to all of them in that big house and "
+        "they play all day long in the warm sun"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, passing),
+            (2, "too short"),
+            (3, " ".join(["supercalifragilistic"] * 30)),  # long words
+            (4, " ".join(["1234"] * 30)),                  # no alpha words
+            (5, " ".join(["zebra"] * 30)),                 # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in filter_cascade(docs).collect()}
+    assert out[1]["pass"] and out[1].fail_reason is None
+    assert out[2].fail_reason == "n_words"
+    assert out[3].fail_reason == "mean_word_len"
+    assert out[4].fail_reason == "alpha_words"
+    assert out[5].fail_reason == "stopwords"
+    assert not any(out[i]["pass"] for i in (2, 3, 4, 5))
+    # feature columns are exact
+    assert out[2].n_words == 2
+    assert out[4].alpha_word_frac == 0.0
+    assert out[5].n_stopwords == 0
+
+
+def test_filter_cascade_empty_text_fails_wordcount(spark):
+    docs = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    for r in filter_cascade(docs).collect():
+        assert r.n_words == 0 and r.fail_reason == "n_words"
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),       # all head tokens
+            (2, "qzx wvu rly plk"),       # all singletons
+            (3, "the the qzx the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(docs, vocab_size=1).collect()}
+    total = 12.0
+    # vocab = {'the': 7}; OOV floors at count 1 → surprisal ln(12)
+    assert out[1].n_tokens == 4
+    assert out[1].mean_surprisal == pytest.approx(math.log(total / 7), abs=1e-6)
+    assert out[2].mean_surprisal == pytest.approx(math.log(total), abs=1e-6)
+    assert out[3].mean_surprisal == pytest.approx(
+        (3 * math.log(total / 7) + math.log(total)) / 4, abs=1e-6
+    )
+    assert out[1].mean_surprisal < out[3].mean_surprisal < out[2].mean_surprisal

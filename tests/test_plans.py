@@ -266,3 +266,35 @@ def test_leakage_safe_split_no_cartesian(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_cell_equi_join_not_cartesian(spark):
+    """Semantic-dedup candidate pairs must come from the cell-keyed
+    EQUI-join (shuffle or broadcast on cell) — never an all-pairs product;
+    centroid assignment must stay in the scan stage (no join against a
+    centroid table)."""
+    df = QUERIES["semantic_dedup_docs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join [cell" in plan or "Join cell" in plan
+
+
+def test_unigram_surprisal_broadcasts_model_single_word_shuffle(spark):
+    """The V-row LM must broadcast back against the token stream (a big-big
+    join shuffling every token on the word key would put the entire corpus
+    behind one skewed stopword partition); exactly two exchanges touch
+    token-sized data: the LM groupBy(word) and the per-doc aggregation."""
+    df = QUERIES["unigram_surprisal"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "BroadcastHashJoin [word" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total rides a broadcast
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_gopher_filter_cascade_no_shuffle(spark):
+    """The filter cascade is a pure scan: zero exchanges, zero Python."""
+    df = QUERIES["gopher_filter_cascade"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
