@@ -208,11 +208,19 @@ def mixture_weights(
         F.sum(token_col.cast("long")).cast("long").alias("n_tokens"),
     )
     total = per.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    # a zero-token domain (all-blank docs) has share 0 and weight 0; its
+    # sample_factor 0/0 is undefined → NULL, not an ANSI DIVIDE_BY_ZERO
+    # that kills the job (same for an entirely empty corpus, _t = 0)
     shared = per.crossJoin(F.broadcast(total)).withColumn(
-        "_share", F.col("n_tokens") / F.col("_t")
+        "_share",
+        F.when(F.col("_t") > 0, F.col("n_tokens") / F.col("_t")).otherwise(
+            F.lit(0.0)
+        ),
     )
     z = shared.agg(F.sum(F.pow(F.col("_share"), F.lit(alpha))).alias("_z"))
-    weight = F.pow(F.col("_share"), F.lit(alpha)) / F.col("_z")
+    weight = F.when(
+        F.col("_z") > 0, F.pow(F.col("_share"), F.lit(alpha)) / F.col("_z")
+    ).otherwise(F.lit(0.0))
     return (
         shared.crossJoin(F.broadcast(z))
         .select(
@@ -221,7 +229,9 @@ def mixture_weights(
             "n_tokens",
             F.round(F.col("_share"), 6).alias("share"),
             F.round(weight, 6).alias("weight"),
-            F.round(weight / F.col("_share"), 6).alias("sample_factor"),
+            F.round(
+                F.when(F.col("_share") > 0, weight / F.col("_share")), 6
+            ).alias("sample_factor"),
         )
     )
 
@@ -251,11 +261,13 @@ def assign_shards(
         size_col = F.octet_length("text")
     hex_ = F.md5(F.col(id_col).cast("string"))
     h = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long")
+    # NULL text occupies 0 bytes — a NULL size would poison every
+    # byte_offset after it in the shard and break the writer contract
     staged = docs.select(
         F.col(id_col),
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
         hex_.alias("_hex"),
-        size_col.cast("long").alias("n_bytes"),
+        F.coalesce(size_col.cast("long"), F.lit(0)).alias("n_bytes"),
     )
     w = Window.partitionBy("shard").orderBy("_hex", id_col)
     cum = (

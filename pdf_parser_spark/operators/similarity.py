@@ -372,8 +372,17 @@ def semantic_dedup(
         F.col("_id").alias("_b"), "cell", F.col("_v").alias("_vb")
     )
     pairs = a.join(b, on="cell").filter(F.col("_a") < F.col("_b"))
+    # zero-norm vectors (degenerate embedder output) define no cosine:
+    # they never dominate and are never dominated — and under Spark 4
+    # ANSI an unguarded norm-product denominator would throw DIVIDE_BY_ZERO
+    # and kill the job on one bad row
+    na, nb = _norm(F.col("_va")), _norm(F.col("_vb"))
     drops = (
-        pairs.filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        pairs.filter(
+            (na > 0.0)
+            & (nb > 0.0)
+            & (_dot(F.col("_va"), F.col("_vb")) / (na * nb) >= threshold)
+        )
         .select(F.col("_b").alias(id_col))
         .distinct()
     )

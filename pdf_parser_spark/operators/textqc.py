@@ -459,7 +459,10 @@ def filter_cascade(
     Python; the words array is materialized ONCE as a real column before
     any higher-order lambda touches it (HOF bodies re-evaluate embedded
     expressions per element — see CLAUDE.md)."""
-    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text counts as empty (0 words → fails n_words), not as a NULL
+    # that three-valued-logics its way past the first rule and misreports
+    # the fail_reason
+    raw = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     staged = docs.select(
         "*", F.filter(raw, lambda w: w != "").alias("_w")
     )

@@ -2906,11 +2906,16 @@ WITH per AS (
          CAST(sum({tok}) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
 ), t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS _t FROM per),
-s AS (SELECT per.*, n_tokens / _t AS _share FROM per, t),
+s AS (SELECT per.*,
+             CASE WHEN _t > 0 THEN n_tokens / _t ELSE 0.0 END AS _share
+      FROM per, t),
 z AS (SELECT sum(pow(_share, 0.5)) AS _z FROM s)
 SELECT lang, n_docs, n_tokens, round(_share, 6) AS share,
-       round(pow(_share, 0.5) / _z, 6) AS weight,
-       round(pow(_share, 0.5) / _z / _share, 6) AS sample_factor
+       round(CASE WHEN _z > 0 THEN pow(_share, 0.5) / _z ELSE 0.0 END, 6)
+         AS weight,
+       round(CASE WHEN _share > 0
+                  THEN CASE WHEN _z > 0 THEN pow(_share, 0.5) / _z
+                            ELSE 0.0 END / _share END, 6) AS sample_factor
 FROM s, z
 """
 
@@ -2933,7 +2938,7 @@ def sql_shard_manifest() -> str:
 WITH h AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          md5(CAST(doc_id AS VARCHAR)) AS hex,
-         CAST(strlen(text) AS BIGINT) AS n_bytes
+         CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -2982,7 +2987,8 @@ WITH cents AS (
 ), drops AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v)
+  WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+    AND list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         >= 0.3
 )
@@ -3014,7 +3020,8 @@ def sql_gopher_filter_cascade() -> str:
     return """
 WITH w AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS w
   FROM documents
 ), feat AS (
   SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,

@@ -147,3 +147,51 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
         (3 * math.log(total / 7) + math.log(total)) / 4, abs=1e-6
     )
     assert out[1].mean_surprisal < out[3].mean_surprisal < out[2].mean_surprisal
+
+
+def test_mixture_weights_zero_token_domain_does_not_throw(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "xx", "   ")], "doc_id long, lang string, text string"
+    )
+    out = {r.lang: r for r in mixture_weights(
+        docs, token_col=textqc.token_count(F.col("text")), group_col="lang",
+        alpha=0.5,
+    ).collect()}
+    assert out["xx"].n_tokens == 0 and out["xx"].share == 0.0
+    assert out["xx"].weight == 0.0 and out["xx"].sample_factor is None
+    assert out["en"].weight == 1.0
+
+
+def test_assign_shards_null_text_is_zero_bytes(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "abcd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in assign_shards(docs, n_shards=1).collect()}
+    assert out[1].n_bytes == 0
+    # the NULL-text doc still holds a seq slot and a valid offset; the doc
+    # after it in shard order starts where the previous one ended
+    offs = sorted((r.seq, r.byte_offset, r.n_bytes) for r in out.values())
+    assert offs[0][1] == 0 and offs[1][1] == offs[0][2]
+
+
+def test_semantic_dedup_zero_norm_vector_survives(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = {r.vec_id: r for r in semantic_dedup(emb, cents, threshold=0.9).collect()}
+    # ANSI mode: no DIVIDE_BY_ZERO; the zero vector defines no cosine so it
+    # neither dominates nor is dominated
+    assert out[1].keep
+    assert out[0].keep and not out[2].keep
+
+
+def test_filter_cascade_null_text_fails_wordcount(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in filter_cascade(docs).collect()}
+    # NULL text = empty: n_words 0, first rule fires (not a NULL that
+    # slides past the n_words comparison into 'mean_word_len')
+    assert out[1].n_words == 0 and out[1].fail_reason == "n_words"
