@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "semantic_dedup_docs",
     "gopher_filter_cascade",
     "unigram_surprisal",
+    "line_dedup_docs",
+    "exact_substring_spans",
+    "domain_doc_caps",
+    "quality_logit_scores",
 ]
 
 

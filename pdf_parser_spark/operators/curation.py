@@ -282,3 +282,29 @@ def assign_shards(
         (cum - F.col("n_bytes")).alias("byte_offset"),
         "n_bytes",
     )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int = 10,
+    domain_col: str = "source",
+    order_by=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the web-curation step that stops one
+    crawler-friendly domain from dominating the corpus — C4/RefinedWeb
+    both cap URL-host contributions, public). Keeps the top ``cap``
+    documents per domain by a deterministic priority (default: longest
+    first, id as tie-break) and reports each kept doc's rank.
+
+    Shape at 100 TB: row_number + rank filter plans as WindowGroupLimit —
+    every map task keeps only its local top-``cap`` per domain BEFORE the
+    exchange, so the shuffle carries at most cap rows per (task, domain),
+    not the domain's full document set (plan-pinned in test_plans.py)."""
+    if order_by is None:
+        order_by = [F.col("n_chars").desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(domain_col).orderBy(*order_by)
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+    )

@@ -20,7 +20,7 @@ codegen'd; no Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -666,3 +666,164 @@ def pair_clusters(
             "max_iters (rounds needed ≈ graph diameter)"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def fixed_word_segments(words, k: int = 3):
+    """Non-overlapping k-word windows of an ALREADY-MATERIALIZED words
+    column, each joined with single spaces — the pluggable segmenter
+    ``line_dedup`` uses on corpora without natural line breaks (the
+    synthetic test corpus is newline-free word soup; real web text passes
+    ``segments=F.split(text, '\\n')`` instead)."""
+    n_seg = F.ceil(F.size(words) / k).cast("int")
+    return F.when(
+        F.size(words) <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_seg),
+            lambda i: F.array_join(F.slice(words, (i - 1) * k + 1, k), " "),
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    segments=None,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rejoin_sep: str = " ",
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020,
+    public: drop any line that occurs verbatim in ``min_docs`` or more
+    documents — boilerplate headers, cookie banners, navigation chrome).
+    Output: (id, clean_text, n_removed) — the document with boilerplate
+    segments removed, in original order.
+
+    ``segments`` is the segmenter expression (array<string> per doc);
+    default splits on newline. Reference analogue: the boilerplate strip
+    inside the extraction kernel (_parser.py:901-937) works per-document;
+    this is the corpus-global form a training pipeline needs.
+
+    Shape at 100 TB: ONE partial-aggregated groupBy on the segment string
+    computes distinct-doc counts; the boilerplate set (lines seen in >=
+    min_docs docs) is by construction tiny relative to the corpus and
+    BROADCASTS back against the exploded segments (left join + null test,
+    never a shuffle of the corpus on segment); reassembly is one groupBy
+    on the doc id with collect_list of (pos, seg) structs — collect_list
+    skips NULLs, so kept-segment selection rides the same aggregate and
+    buffers are bounded by document size."""
+    if segments is None:
+        segments = F.split(F.col(text_col), "\n")
+    ex = docs.select(
+        F.col(id_col), F.posexplode(segments).alias("pos", "seg")
+    )
+    boiler = (
+        ex.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("seg", F.lit(True).alias("_b"))
+    )
+    marked = ex.join(F.broadcast(boiler), "seg", "left")
+    re = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_b").isNull(), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            rejoin_sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    return (
+        docs.select(id_col)
+        .join(re, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate spans (the relational form of Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better",
+    public — their suffix array finds repeated >=k-token substrings; the
+    sliding-window-hash form finds the same duplicated regions without a
+    global suffix sort, which does not distribute). Every ``window``-word
+    sliding window (stride 1) is hashed; windows whose hash occurs >=
+    ``min_count`` times corpus-wide mark their word-index range
+    duplicated, and overlapping ranges merge per document. Output:
+    (id, span_start, span_end, n_windows) — 1-based inclusive word
+    indices of each maximal duplicated region.
+
+    Shape at 100 TB: window hashes partial-aggregate on the hash key (one
+    shuffle, count per hash — never a posting list); the duplicated-hash
+    set joins back LEFT SEMI on the hash; island merging is one window
+    pass partitioned by doc (running max of span ends over preceding
+    rows), so per-task state is one row. md5 keys keep the oracle
+    bit-portable; swap seeded_hash's xxhash64 for the scale path."""
+    words = words_col(F.col(text_col))
+    staged = docs.select(F.col(id_col), words.alias("_w"), F.size(words).alias("_n"))
+    starts = F.when(
+        F.col("_n") >= window, F.sequence(F.lit(1), F.col("_n") - (window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = staged.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("_i", "start"),
+        F.col("_w"),
+    ).select(
+        F.col(id_col),
+        "start",
+        F.md5(F.array_join(F.slice(F.col("_w"), F.col("start"), window), " ")).alias(
+            "_h"
+        ),
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    spans = wins.join(dup, "_h", "left_semi").select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("start"),
+        (F.col("start") + (window - 1)).cast("long").alias("end"),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    prev_max = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        F.col(id_col),
+        "start",
+        "end",
+        F.when(prev_max.isNull() | (F.col("start") > prev_max), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    island = F.sum("_new").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("_island", island)
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("_island")
+    )

@@ -554,3 +554,34 @@ def unigram_surprisal(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("_s"), 6).alias("mean_surprisal"),
     )
+
+
+def quality_logit(
+    docs: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear quality classifier over the engineered text features — the
+    relational twin of the fastText-style quality filters the published
+    pipelines run (CCNet/LLaMA use a linear model over doc features,
+    public). ``weights`` maps quality_features column names to
+    coefficients; output adds logit, prob (sigmoid), and a keep label at
+    the 0.5 boundary.
+
+    The dot product uses the ROUNDED feature columns (6 dp) so the score
+    is bit-reproducible across engines, and the whole scorer is pure
+    codegen arithmetic on scan columns — zero shuffles, zero Python; at
+    100 TB this is a free rider on whatever scan already reads the text.
+    Swap in externally-trained coefficients without touching the plan."""
+    feats = quality_features(docs, text_col=text_col)
+    z = F.lit(float(bias))
+    for name, coef in sorted(weights.items()):
+        z = z + F.lit(float(coef)) * F.col(name)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "*",
+        F.round(z, 6).alias("logit"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )

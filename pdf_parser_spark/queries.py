@@ -3078,6 +3078,181 @@ GROUP BY doc_id
 """
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup (operators/dedup.line_dedup):
+    drop every 3-word segment that occurs verbatim in >= 2 documents,
+    reassemble the survivors in order. One partial-agg shuffle on the
+    segment builds the (tiny) boilerplate set, which broadcasts back; the
+    synthetic corpus is newline-free so the segmenter is fixed word
+    windows (real web text passes split(text, '\\n'))."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        dedup.words_col(F.col("text")).alias("_w"),
+    )
+    return dedup.line_dedup(
+        staged, segments=dedup.fixed_word_segments(F.col("_w"), k=3), min_docs=2
+    )
+
+
+def sql_line_dedup_docs() -> str:
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS w FROM documents
+), segs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, CAST(ceil(len(w) / 3.0) AS INT)),
+                        i -> array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ')) AS s
+  FROM w
+), ex AS (
+  SELECT doc_id, unnest(s) AS seg, generate_subscripts(s, 1) AS pos FROM segs
+), boiler AS (
+  SELECT seg FROM ex GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT e.doc_id, e.pos, e.seg, b.seg IS NOT NULL AS is_b
+  FROM ex e LEFT JOIN boiler b USING (seg)
+), re AS (
+  SELECT doc_id,
+         string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT is_b) AS clean_text,
+         CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+       coalesce(re.n_removed, 0) AS n_removed
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+LEFT JOIN re USING (doc_id)
+"""
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate regions, Lee-et-al-style
+    (operators/dedup.exact_substring_spans): 8-word sliding windows
+    hashed, hashes occurring >= 2x corpus-wide mark their range, ranges
+    merge per doc via one running-max window pass. Partial-agg shuffle on
+    the hash; LEFT SEMI join back; no posting lists, no suffix sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        window=8,
+        min_count=2,
+    )
+
+
+def sql_exact_substring_spans() -> str:
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS w FROM documents
+), st AS (
+  SELECT doc_id, w, len(w) AS n FROM w
+), wins AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(n - 7, 0))) AS start
+  FROM st
+), h AS (
+  SELECT doc_id, start, md5(array_to_string(w[start:start+7], ' ')) AS h
+  FROM wins
+), dup AS (
+  SELECT h FROM h GROUP BY h HAVING count(*) >= 2
+), spans AS (
+  SELECT doc_id, CAST(start AS BIGINT) AS start,
+         CAST(start + 7 AS BIGINT) AS e
+  FROM h SEMI JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER pw IS NULL OR start > max(e) OVER pw
+              THEN 1 ELSE 0 END AS newi
+  FROM spans
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT doc_id, start, e,
+         sum(newi) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+)
+SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/curation.cap_per_domain): keep
+    the 5 longest docs per source, deterministic tie-break on id. Plans as
+    WindowGroupLimit — map tasks pre-trim to their local top-5 per domain
+    before the exchange (plan-pinned)."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.cap_per_domain(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        ),
+        cap=5,
+    ).select("doc_id", "source", "n_chars", F.col("rank").cast("long").alias("rank"))
+
+
+def sql_domain_doc_caps() -> str:
+    return """
+SELECT doc_id, source, n_chars, "rank" FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS BIGINT) AS "rank"
+  FROM documents)
+WHERE "rank" <= 5
+"""
+
+
+def q_quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (operators/textqc.quality_logit) with
+    fixed published-recipe-style coefficients over the engineered
+    features — pure codegen arithmetic on scan columns, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.quality_logit(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        weights={
+            "alpha_ratio": 2.5,
+            "mean_word_len": 0.35,
+            "punct_ratio": -4.0,
+            "stop_ratio": 3.0,
+        },
+        bias=-2.0,
+    ).select("doc_id", "logit", "prob", "keep")
+
+
+def sql_quality_logit_scores() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    stop = " + ".join(
+        _occ_sql("(' ' || lower(text) || ' ')", m) for m in LANG_MARKERS["en"]
+    )
+    # z accumulates in the SAME order as the Spark side (weights sorted by
+    # feature name) so float addition associates identically
+    return f"""
+WITH feat AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         round(CASE WHEN {tok} > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / {tok} ELSE 0.0 END, 6) AS mwl,
+         round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS pr,
+         round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS ar,
+         round(CASE WHEN {tok} > 0 THEN ({stop}) / {tok} ELSE 0.0 END, 6) AS sr
+  FROM documents
+), z AS (
+  SELECT doc_id, -2.0 + 2.5 * ar + 0.35 * mwl + (-4.0) * pr + 3.0 * sr AS z
+  FROM feat
+)
+SELECT doc_id, round(z, 6) AS logit,
+       round(1.0 / (1.0 + exp(-z)), 6) AS prob,
+       1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+FROM z
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3190,6 +3365,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
     "coordinate_dispatch": q_coordinate_dispatch,
+    # -- new round-3 tail additions (local gate this round; window
+    #    rotation gives them driver rows next round) --
+    "line_dedup_docs": q_line_dedup_docs,
+    "exact_substring_spans": q_exact_substring_spans,
+    "domain_doc_caps": q_domain_doc_caps,
+    "quality_logit_scores": q_quality_logit_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -3274,4 +3455,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup_docs": sql_semantic_dedup_docs(),
     "gopher_filter_cascade": sql_gopher_filter_cascade(),
     "unigram_surprisal": sql_unigram_surprisal(),
+    "line_dedup_docs": sql_line_dedup_docs(),
+    "exact_substring_spans": sql_exact_substring_spans(),
+    "domain_doc_caps": sql_domain_doc_caps(),
+    "quality_logit_scores": sql_quality_logit_scores(),
 }

@@ -298,3 +298,36 @@ def test_gopher_filter_cascade_no_shuffle(spark):
     plan = _spark_plan(df)
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_domain_caps_window_group_limit(spark):
+    df = QUERIES["domain_doc_caps"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # map tasks pre-trim to their local top-cap per domain BEFORE the
+    # exchange; exactly one shuffle (on the domain key)
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+
+
+def test_quality_logit_zero_shuffle_codegen(spark):
+    df = QUERIES["quality_logit_scores"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # pure scan-side arithmetic: no exchange, no python stage
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
+
+
+def test_line_dedup_boilerplate_broadcasts_no_cartesian(spark):
+    df = QUERIES["line_dedup_docs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # the boilerplate set rides a broadcast — the exploded corpus is never
+    # shuffled on the segment string for the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_substring_spans_semi_join_no_cartesian(spark):
+    df = QUERIES["exact_substring_spans"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan

@@ -1,0 +1,131 @@
+"""Value tests for the corpus-text dedup/curation operators added in
+round 3: C4-style line dedup, exact-substring duplicate spans, per-domain
+caps, and the linear quality classifier."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import curation, dedup, textqc
+
+
+def test_line_dedup_removes_cross_doc_lines_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\ncookie banner\nbody one\nfooter"),
+            (2, "cookie banner\nbody two\nfooter"),
+            (3, "solo document\nno boilerplate here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(docs, min_docs=2, rejoin_sep="\n").collect()
+    }
+    # 'cookie banner' and 'footer' appear in 2 docs -> removed everywhere;
+    # unique lines survive in original order
+    assert out[1].clean_text == "intro\nbody one" and out[1].n_removed == 2
+    assert out[2].clean_text == "body two" and out[2].n_removed == 2
+    assert out[3].clean_text == "solo document\nno boilerplate here"
+    assert out[3].n_removed == 0
+
+
+def test_line_dedup_within_doc_repeat_does_not_count(spark):
+    # the SAME line twice in ONE doc is 1 distinct doc — below min_docs=2
+    docs = spark.createDataFrame(
+        [(1, "echo\necho\nunique")], "doc_id long, text string"
+    )
+    out = dedup.line_dedup(docs, min_docs=2, rejoin_sep="\n").collect()[0]
+    assert out.clean_text == "echo\necho\nunique" and out.n_removed == 0
+
+
+def test_line_dedup_all_boilerplate_doc_yields_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "dup"), (2, "dup"), (3, "fresh")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, min_docs=2).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 1
+    assert out[2].clean_text == "" and out[2].n_removed == 1
+    assert out[3].clean_text == "fresh"
+
+
+def test_fixed_word_segments_windows_and_remainder(spark):
+    df = spark.createDataFrame([("a b c d e",), ("",)], "text string")
+    segs = df.select(
+        dedup.fixed_word_segments(dedup.words_col(F.col("text")), k=2).alias("s")
+    ).collect()
+    assert segs[0].s == ["a b", "c d", "e"]
+    # blank text -> words_col gives [''] -> one empty segment (same as the
+    # DuckDB twin); NOT a crash and NOT a descending-sequence artifact
+    assert segs[1].s == [""]
+
+
+def test_exact_substring_spans_finds_and_merges_shared_run(spark):
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail words here completely unique alpha beta"),
+            (2, f"prefix bits {shared} closing distinct gamma delta"),
+            (3, "nothing shared in this document at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_substring_spans(docs, window=8, min_count=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    # the 10-word shared run = 3 overlapping 8-word windows -> ONE merged span
+    assert rows[1].span_start == 1 and rows[1].span_end == 10
+    assert rows[1].n_windows == 3
+    # doc 2's copy starts after its 2-word prefix
+    assert rows[2].span_start == 3 and rows[2].span_end == 12
+    assert 3 not in rows
+
+
+def test_exact_substring_spans_separate_regions_stay_separate(spark):
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run_a} gap1 gap2 gap3 {run_b}"),
+            (2, f"{run_a} other filler words {run_b}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = (
+        dedup.exact_substring_spans(docs, window=8, min_count=2)
+        .filter(F.col("doc_id") == 1)
+        .orderBy("span_start")
+        .collect()
+    )
+    assert [(s.span_start, s.span_end) for s in spans] == [(1, 8), (12, 19)]
+
+
+def test_cap_per_domain_rank_and_tie_break(spark):
+    docs = spark.createDataFrame(
+        [(i, "d1" if i < 5 else "d2", 100 - (i % 3)) for i in range(8)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = curation.cap_per_domain(docs, cap=2)
+    rows = [(r.source, r.doc_id, r.rank) for r in out.orderBy("source", "rank").collect()]
+    # d1: n_chars (100,99,98,100,99) for ids 0..4 -> top2 = id0(100), id3(100)
+    # (tie on 100 broken by smaller id first)
+    assert rows == [("d1", 0, 1), ("d1", 3, 2), ("d2", 6, 1), ("d2", 7, 2)]
+
+
+def test_quality_logit_matches_hand_sigmoid(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog sat on the mat, happily.")],
+        "doc_id long, text string",
+    )
+    r = textqc.quality_logit(
+        docs,
+        weights={"alpha_ratio": 2.5, "mean_word_len": 0.35,
+                 "punct_ratio": -4.0, "stop_ratio": 3.0},
+        bias=-2.0,
+    ).collect()[0]
+    z = (-2.0 + 2.5 * r.alpha_ratio + 0.35 * r.mean_word_len
+         - 4.0 * r.punct_ratio + 3.0 * r.stop_ratio)
+    assert r.logit == round(z, 6)
+    assert r.prob == round(1.0 / (1.0 + math.exp(-z)), 6)
+    assert r.keep == (1.0 / (1.0 + math.exp(-z)) >= 0.5)
