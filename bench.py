@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "exact_substring_spans",
     "domain_doc_caps",
     "quality_logit_scores",
+    "mixture_resample_docs",
+    "bpe_pair_counts",
 ]
 
 

@@ -308,3 +308,45 @@ def cap_per_domain(
         docs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cap)
     )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    weights: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    factor_col: str = "sample_factor",
+) -> DataFrame:
+    """Execute a mixture plan: replicate/drop documents so each domain's
+    share matches ``mixture_weights``' target (the sampling step DoReMi /
+    LLaMA-style mixtures actually run, public). A doc with sample_factor
+    f contributes floor(f) copies plus one more with probability
+    frac(f), decided by a DETERMINISTIC per-doc md5 draw — rerunning the
+    job reproduces the exact corpus, and no RNG state crosses executors.
+    Output: one row per kept COPY, (id, group, copy).
+
+    Shape at 100 TB: the weights frame is |domains| rows and BROADCASTS;
+    copies explode from a sequence literal — no shuffle at all beyond
+    whatever built ``weights`` (plan: scan → broadcast join → explode,
+    all codegen)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(16**15))
+    )
+    f = F.col(factor_col)
+    copies = (
+        F.floor(f).cast("int")
+        + F.when(u < (f - F.floor(f)), 1).otherwise(0)
+    )
+    w = F.broadcast(weights.select(group_col, factor_col))
+    return (
+        docs.join(w, group_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("copy"),
+        )
+    )

@@ -585,3 +585,45 @@ def quality_logit(
         F.round(prob, 6).alias("prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts — the inner kernel of BPE
+    tokenizer training (Sennrich et al. 2016, public: each merge round
+    picks the most frequent adjacent pair). This is round 1 at character
+    level; a trainer loops it with a growing merge table driver-side.
+    Output: the ``top_k`` most frequent within-word character pairs,
+    deterministic order (count desc, pair asc).
+
+    Shape at 100 TB: words materialize ONCE (HOF bodies re-evaluate
+    embedded expressions per element — CLAUDE.md), pairs flatten per doc
+    BEFORE the explode so the shuffle input is one array per doc, the
+    pair count partial-aggregates map-side, and top-k is
+    TakeOrderedAndProject — per-partition heads, never a global sort."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    staged = docs.select(words.alias("_w"))
+    pairs_per_word = F.flatten(
+        F.transform(
+            F.col("_w"),
+            lambda w: F.when(
+                F.length(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    ex = staged.select(F.explode(pairs_per_word).alias("pair"))
+    return (
+        ex.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )

@@ -3253,6 +3253,82 @@ FROM z
 """
 
 
+def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mixture plan end-to-end (operators/curation
+    .mixture_resample): mixture_weights' |domains|-row output broadcasts
+    against the corpus and each doc explodes into floor(f) copies plus a
+    deterministic-md5-draw extra — the whole thing is ONE plan with the
+    weights' single groupBy as its only corpus shuffle."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    w = curation.mixture_weights(
+        staged,
+        token_col=textqc.token_count(F.col("text")),
+        group_col="lang",
+        alpha=0.5,
+    )
+    return curation.mixture_resample(staged, w, group_col="lang").select(
+        "doc_id", "lang", F.col("copy").cast("long").alias("copy")
+    )
+
+
+def sql_mixture_resample_docs() -> str:
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return f"""
+WITH per AS (
+  SELECT lang, CAST(sum({tok}) AS BIGINT) AS n_tokens FROM documents GROUP BY lang
+), t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS _t FROM per),
+s AS (SELECT per.*,
+             CASE WHEN _t > 0 THEN n_tokens / _t ELSE 0.0 END AS _share
+      FROM per, t),
+z AS (SELECT sum(pow(_share, 0.5)) AS _z FROM s),
+w AS (SELECT lang,
+             round(CASE WHEN _share > 0
+                        THEN CASE WHEN _z > 0 THEN pow(_share, 0.5) / _z
+                                  ELSE 0.0 END / _share END, 6) AS f
+      FROM s, z),
+d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents),
+c AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(f) AS INT)
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                     / 1152921504606846976.0 < f - floor(f)
+                THEN 1 ELSE 0 END AS copies
+  FROM d JOIN w USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+FROM c WHERE copies >= 1
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training inner kernel (operators/textqc.bpe_pair_counts):
+    corpus-wide adjacent character-pair counts, top-50 — pairs flatten
+    per doc before the explode, one partial-agg shuffle on the pair,
+    TakeOrderedAndProject top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.bpe_pair_counts(d.select("text"), top_k=50)
+
+
+def sql_bpe_pair_counts() -> str:
+    return f"""
+WITH w AS (SELECT {_WORDS_SQL} AS w FROM documents),
+ex AS (SELECT unnest(w) AS word FROM w),
+idx AS (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+        FROM ex WHERE length(word) >= 2),
+p AS (SELECT substr(word, i, 2) AS pair FROM idx)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3371,6 +3447,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_spans": q_exact_substring_spans,
     "domain_doc_caps": q_domain_doc_caps,
     "quality_logit_scores": q_quality_logit_scores,
+    "mixture_resample_docs": q_mixture_resample_docs,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3459,4 +3537,6 @@ ORACLES: dict[str, str] = {
     "exact_substring_spans": sql_exact_substring_spans(),
     "domain_doc_caps": sql_domain_doc_caps(),
     "quality_logit_scores": sql_quality_logit_scores(),
+    "mixture_resample_docs": sql_mixture_resample_docs(),
+    "bpe_pair_counts": sql_bpe_pair_counts(),
 }

@@ -331,3 +331,21 @@ def test_exact_substring_spans_semi_join_no_cartesian(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_bpe_pair_counts_single_shuffle_take_ordered(spark):
+    df = QUERIES["bpe_pair_counts"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # one partial-aggregated shuffle on the pair; top-k never global-sorts
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_resample_corpus_rides_broadcast(spark):
+    df = QUERIES["mixture_resample_docs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # the weights join must broadcast — the corpus is never shuffled on
+    # the domain key for it (the exchanges in this plan all sit on the
+    # tiny per-domain aggregate frames)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

@@ -129,3 +129,54 @@ def test_quality_logit_matches_hand_sigmoid(spark):
     assert r.logit == round(z, 6)
     assert r.prob == round(1.0 / (1.0 + math.exp(-z)), 6)
     assert r.keep == (1.0 / (1.0 + math.exp(-z)) >= 0.5)
+
+
+def test_mixture_resample_deterministic_copies(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "up", "x") for i in range(20)] + [(100 + i, "down", "x") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    weights = spark.createDataFrame(
+        [("up", 2.5), ("down", 0.5)], "lang string, sample_factor double"
+    )
+    out = curation.mixture_resample(docs, weights, group_col="lang").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.copy)
+
+    def draw(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) / float(16**15)
+
+    for i in range(20):
+        expected = 2 + (1 if draw(i) < 0.5 else 0)
+        assert sorted(got[i]) == list(range(1, expected + 1)), i
+    for i in range(100, 120):
+        if draw(i) < 0.5:
+            assert got[i] == [1]
+        else:
+            assert i not in got
+    # rerun reproduces the exact corpus — no RNG state anywhere
+    again = curation.mixture_resample(docs, weights, group_col="lang").collect()
+    assert sorted((r.doc_id, r.copy) for r in again) == sorted(
+        (r.doc_id, r.copy) for r in out
+    )
+
+
+def test_mixture_resample_null_factor_drops(spark):
+    docs = spark.createDataFrame([(1, "zz", "x")], "doc_id long, lang string, text string")
+    weights = spark.createDataFrame(
+        [("zz", None)], "lang string, sample_factor double"
+    )
+    assert curation.mixture_resample(docs, weights, group_col="lang").count() == 0
+
+
+def test_bpe_pair_counts_hand_counted(spark):
+    docs = spark.createDataFrame([("aab ab",), ("ba a",)], "text string")
+    out = {r.pair: r.cnt for r in textqc.bpe_pair_counts(docs, top_k=10).collect()}
+    # aab -> aa, ab; ab -> ab; ba -> ba; 'a' too short
+    assert out == {"ab": 2, "aa": 1, "ba": 1}
+    top = textqc.bpe_pair_counts(docs, top_k=2).collect()
+    # deterministic order: cnt desc then pair asc
+    assert [(r.pair, r.cnt) for r in top] == [("ab", 2), ("aa", 1)]
