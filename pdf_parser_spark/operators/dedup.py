@@ -691,7 +691,7 @@ def line_dedup(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    rejoin_sep: str = " ",
+    rejoin_sep: str | None = None,
 ) -> DataFrame:
     """C4-style cross-document line deduplication (Raffel et al. 2020,
     public: drop any line that occurs verbatim in ``min_docs`` or more
@@ -712,6 +712,12 @@ def line_dedup(
     on the doc id with collect_list of (pos, seg) structs — collect_list
     skips NULLs, so kept-segment selection rides the same aggregate and
     buffers are bounded by document size."""
+    if rejoin_sep is None:
+        # match the segmenter: the default newline split must reassemble
+        # with newlines (a space default would silently rewrite every
+        # untouched document's line structure); custom segmenters join
+        # with spaces unless told otherwise
+        rejoin_sep = "\n" if segments is None else " "
     if segments is None:
         segments = F.split(F.col(text_col), "\n")
     ex = docs.select(
@@ -757,6 +763,7 @@ def exact_substring_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate spans (the relational form of Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better",
@@ -773,24 +780,22 @@ def exact_substring_spans(
     shuffle, count per hash — never a posting list); the duplicated-hash
     set joins back LEFT SEMI on the hash; island merging is one window
     pass partitioned by doc (running max of span ends over preceding
-    rows), so per-task state is one row. md5 keys keep the oracle
-    bit-portable; swap seeded_hash's xxhash64 for the scale path."""
+    rows), so per-task state is one row. Default hashing is JVM
+    xxhash64 (the scale path, per the engine's hash convention);
+    ``portable=True`` switches to md5 so the DuckDB oracle can replay
+    the window keys bit-for-bit."""
     words = words_col(F.col(text_col))
     staged = docs.select(F.col(id_col), words.alias("_w"), F.size(words).alias("_n"))
     starts = F.when(
         F.col("_n") >= window, F.sequence(F.lit(1), F.col("_n") - (window - 1))
     ).otherwise(F.array().cast("array<int>"))
+    joined = F.array_join(F.slice(F.col("_w"), F.col("start"), window), " ")
+    h = F.md5(joined) if portable else F.xxhash64(joined)
     wins = staged.select(
         F.col(id_col),
         F.posexplode(starts).alias("_i", "start"),
         F.col("_w"),
-    ).select(
-        F.col(id_col),
-        "start",
-        F.md5(F.array_join(F.slice(F.col("_w"), F.col("start"), window), " ")).alias(
-            "_h"
-        ),
-    )
+    ).select(F.col(id_col), "start", h.alias("_h"))
     dup = (
         wins.groupBy("_h")
         .agg(F.count("*").alias("_c"))

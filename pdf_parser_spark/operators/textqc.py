@@ -604,10 +604,9 @@ def bpe_pair_counts(
     BEFORE the explode so the shuffle input is one array per doc, the
     pair count partial-aggregates map-side, and top-k is
     TakeOrderedAndProject — per-partition heads, never a global sort."""
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-    )
-    staged = docs.select(words.alias("_w"))
+    from pdf_parser_spark.operators.dedup import words_col
+
+    staged = docs.select(words_col(F.col(text_col)).alias("_w"))
     pairs_per_word = F.flatten(
         F.transform(
             F.col("_w"),

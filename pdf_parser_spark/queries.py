@@ -81,6 +81,30 @@ def _occ_sql(padded: str, needle: str) -> str:
     return f"(length({padded}) - length(replace({padded}, '{n}', ''))) / {len(needle)}"
 
 
+# whitespace token count — textual twin of textqc.token_count; ONE copy,
+# every oracle that counts tokens interpolates this
+_TOK_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+def _quality_feature_sql() -> dict[str, str]:
+    """DuckDB twins of textqc.quality_features' ratio expressions — ONE
+    copy; the quality-score, curate-corpus, and quality-logit oracles all
+    compose these so the feature contract cannot silently fork."""
+    stop = " + ".join(
+        _occ_sql("(' ' || lower(text) || ' ')", m) for m in LANG_MARKERS["en"]
+    )
+    return {
+        "tok": _TOK_SQL,
+        "mwl": f"CASE WHEN {_TOK_SQL} > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / {_TOK_SQL} ELSE 0.0 END",
+        "pr": "CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) ELSE 0.0 END",
+        "ar": "CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) ELSE 0.0 END",
+        "sr": f"CASE WHEN {_TOK_SQL} > 0 THEN ({stop}) / {_TOK_SQL} ELSE 0.0 END",
+    }
+
+
 def _lang_scores_sql() -> tuple[str, str]:
     """(CTE column list, predictor CASE) for the marker-count language ID."""
     padded = "(' ' || lower(text) || ' ')"
@@ -701,10 +725,7 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_token_stats_by_lang() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
+    tok = _TOK_SQL
     return f"""
 SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 4) AS avg_tokens,
@@ -967,13 +988,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_quality_scores() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
-    stop = " + ".join(
-        _occ_sql("(' ' || lower(text) || ' ')", m) for m in LANG_MARKERS["en"]
-    )
+    qf = _quality_feature_sql()
     return f"""
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(mean_word_len, 6) AS mean_word_len,
@@ -984,11 +999,11 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         + CASE WHEN alpha_ratio >= 0.6 THEN 0.25e0 ELSE 0.0e0 END
         + CASE WHEN stop_ratio >= 0.01 THEN 0.25e0 ELSE 0.0e0 END) AS quality_score
 FROM (
-  SELECT doc_id, {tok} AS n_tokens,
-         CASE WHEN {tok} > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / {tok} ELSE 0.0 END AS mean_word_len,
-         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) ELSE 0.0 END AS punct_ratio,
-         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) ELSE 0.0 END AS alpha_ratio,
-         CASE WHEN {tok} > 0 THEN ({stop}) / {tok} ELSE 0.0 END AS stop_ratio
+  SELECT doc_id, {qf["tok"]} AS n_tokens,
+         {qf["mwl"]} AS mean_word_len,
+         {qf["pr"]} AS punct_ratio,
+         {qf["ar"]} AS alpha_ratio,
+         {qf["sr"]} AS stop_ratio
   FROM documents)
 """
 
@@ -1292,10 +1307,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_pack_sequences() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
+    tok = _TOK_SQL
     return f"""
 WITH t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens
@@ -1338,10 +1350,7 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_token_quantiles() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
+    tok = _TOK_SQL
     cols = ", ".join(
         f"round(quantile_cont(nt, {p}), 4) AS p{int(p * 100)}"
         for p in [0.25, 0.5, 0.75, 0.9, 0.99]
@@ -1379,13 +1388,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_curate_corpus() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
-    stop = " + ".join(
-        _occ_sql("(' ' || lower(text) || ' ')", m) for m in LANG_MARKERS["en"]
-    )
+    qf = _quality_feature_sql()
     return f"""
 WITH dig AS (
   SELECT doc_id, lang, text,
@@ -1397,11 +1400,11 @@ WITH dig AS (
   SELECT d.doc_id, d.lang, d.text
   FROM dig d JOIN reps r ON d.digest = r.digest AND d.doc_id = r.doc_id
 ), feats AS (
-  SELECT doc_id, lang, text, {tok} AS n_tokens,
-         CASE WHEN {tok} > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / {tok} ELSE 0.0 END AS mean_word_len,
-         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) ELSE 0.0 END AS punct_ratio,
-         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) ELSE 0.0 END AS alpha_ratio,
-         CASE WHEN {tok} > 0 THEN ({stop}) / {tok} ELSE 0.0 END AS stop_ratio
+  SELECT doc_id, lang, text, {qf["tok"]} AS n_tokens,
+         {qf["mwl"]} AS mean_word_len,
+         {qf["pr"]} AS punct_ratio,
+         {qf["ar"]} AS alpha_ratio,
+         {qf["sr"]} AS stop_ratio
   FROM dd
 ), kept AS (
   SELECT * FROM feats
@@ -2774,10 +2777,7 @@ def q_lang_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_lang_token_budget() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
+    tok = _TOK_SQL
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_tokens, cum_tokens FROM (
   SELECT doc_id, lang, n_tokens,
@@ -2896,10 +2896,7 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_domain_mixture_weights() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
+    tok = _TOK_SQL
     return f"""
 WITH per AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3135,6 +3132,7 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
         window=8,
         min_count=2,
+        portable=True,  # md5 window keys so the DuckDB twin replays them
     )
 
 
@@ -3225,22 +3223,16 @@ def q_quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_quality_logit_scores() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
-    stop = " + ".join(
-        _occ_sql("(' ' || lower(text) || ' ')", m) for m in LANG_MARKERS["en"]
-    )
+    qf = _quality_feature_sql()
     # z accumulates in the SAME order as the Spark side (weights sorted by
     # feature name) so float addition associates identically
     return f"""
 WITH feat AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         round(CASE WHEN {tok} > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / {tok} ELSE 0.0 END, 6) AS mwl,
-         round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS pr,
-         round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS ar,
-         round(CASE WHEN {tok} > 0 THEN ({stop}) / {tok} ELSE 0.0 END, 6) AS sr
+         round({qf["mwl"]}, 6) AS mwl,
+         round({qf["pr"]}, 6) AS pr,
+         round({qf["ar"]}, 6) AS ar,
+         round({qf["sr"]}, 6) AS sr
   FROM documents
 ), z AS (
   SELECT doc_id, -2.0 + 2.5 * ar + 0.35 * mwl + (-4.0) * pr + 3.0 * sr AS z
@@ -3277,10 +3269,7 @@ def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_mixture_resample_docs() -> str:
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-    )
+    tok = _TOK_SQL
     return f"""
 WITH per AS (
   SELECT lang, CAST(sum({tok}) AS BIGINT) AS n_tokens FROM documents GROUP BY lang

@@ -180,3 +180,26 @@ def test_bpe_pair_counts_hand_counted(spark):
     top = textqc.bpe_pair_counts(docs, top_k=2).collect()
     # deterministic order: cnt desc then pair asc
     assert [(r.pair, r.cnt) for r in top] == [("ab", 2), ("aa", 1)]
+
+
+def test_line_dedup_default_rejoin_preserves_newlines(spark):
+    # default segmenter = newline split -> default rejoin must be newline
+    # too (not a silent whitespace rewrite of untouched documents)
+    docs = spark.createDataFrame(
+        [(1, "keep one\nkeep two\nkeep three"), (2, "other\nlines")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, min_docs=2).collect()}
+    assert out[1].clean_text == "keep one\nkeep two\nkeep three"
+    assert out[1].n_removed == 0
+
+
+def test_exact_substring_spans_default_hash_matches_portable(spark):
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} unique alpha beta"), (2, f"pre fix {shared} post")],
+        "doc_id long, text string",
+    )
+    fast = dedup.exact_substring_spans(docs, window=8, min_count=2)
+    slow = dedup.exact_substring_spans(docs, window=8, min_count=2, portable=True)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
