@@ -832,3 +832,71 @@ def exact_substring_spans(
         )
         .drop("_island")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ``exact_substring_spans`` output: cut the duplicated word
+    ranges out of each document (the action step of Lee et al. 2022 —
+    their pipeline removes the repeated substring from all but one
+    occurrence; this relational form removes every marked range, the
+    conservative variant that needs no cross-doc coordination). Output:
+    (id, clean_text, n_removed_words).
+
+    Shape at 100 TB: spans aggregate per doc (bounded — merged spans
+    cannot overlap, so there are at most n_words/window of them), join
+    back on the doc id, and the cut is a codegen filter-with-index over
+    the words array — no explode, no second shuffle of the corpus
+    beyond the span join."""
+    s = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    w = words_col(F.col(text_col))
+    staged = docs.join(s, id_col, "left").select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.coalesce(F.col("_spans"), F.array()).alias("_s"),
+    )
+    kept = F.filter(
+        F.col("_w"),
+        lambda x, i: ~F.exists(
+            F.col("_s"),
+            lambda sp: (i + 1 >= sp["span_start"]) & (i + 1 <= sp["span_end"]),
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed_words"),
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production-shaped incremental dedup: admit only the documents of a
+    NEW crawl batch whose content digest is neither in the existing
+    corpus index nor claimed by a smaller-id batch-mate. Output: the
+    admitted rows (all original columns + digest) — union the digests
+    into the index afterwards and the next batch repeats the cycle (the
+    same incremental contract as the reference's resumable work queue,
+    _parser.py:1547-1587, lifted from files to content digests).
+
+    Shape at 100 TB: the index probe is an anti-join on digest — the
+    index side ships ONLY its digest column, and a batch is tiny
+    relative to the accumulated index, so the batch (not the index)
+    shuffles; in-batch dedup is the one partial-agg groupBy of
+    exact_dedup on the already-filtered batch."""
+    digested = new_docs.withColumn("digest", content_digest(F.col(text_col)))
+    fresh = digested.join(
+        seen_digests.select("digest"), "digest", "left_anti"
+    )
+    reps = fresh.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    return fresh.join(reps, ["digest", id_col])

@@ -3318,6 +3318,109 @@ FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
 """
 
 
+def q_dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-then-cut substring dedup in ONE plan (operators/dedup
+    .exact_substring_spans + .remove_duplicate_spans): duplicated 8-word
+    regions are detected corpus-wide and cut out of the normalized word
+    stream with a codegen filter-with-index — the corpus shuffles once
+    for the hash count and once for the span join-back."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    spans = dedup.exact_substring_spans(d, window=8, min_count=2, portable=True)
+    return dedup.remove_duplicate_spans(d, spans)
+
+
+def sql_dedup_substring_corpus() -> str:
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS w FROM documents
+), st AS (
+  SELECT doc_id, w, len(w) AS n FROM w
+), wins AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(n - 7, 0))) AS start
+  FROM st
+), h AS (
+  SELECT doc_id, start, md5(array_to_string(w[start:start+7], ' ')) AS h
+  FROM wins
+), dup AS (
+  SELECT h FROM h GROUP BY h HAVING count(*) >= 2
+), spans AS (
+  SELECT doc_id, CAST(start AS BIGINT) AS start,
+         CAST(start + 7 AS BIGINT) AS e
+  FROM h SEMI JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER pw IS NULL OR start > max(e) OVER pw
+              THEN 1 ELSE 0 END AS newi
+  FROM spans
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT doc_id, start, e,
+         sum(newi) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), m AS (
+  SELECT doc_id, min(start) AS s, max(e) AS t FROM isl GROUP BY doc_id, island
+), wx AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM w
+), kept AS (
+  SELECT wx.doc_id, wx.word, wx.pos FROM wx
+  WHERE NOT EXISTS (SELECT 1 FROM m
+                    WHERE m.doc_id = wx.doc_id AND wx.pos BETWEEN m.s AND m.t)
+), agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_words
+FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-batch admission (operators/dedup
+    .incremental_exact_dedup): docs with id % 5 == 0 play the NEW batch,
+    the rest's digests play the accumulated corpus index; the batch
+    anti-joins the index on digest (index ships only digests) then
+    dedups in-batch with one partial-agg groupBy."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    seen = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(dedup.content_digest(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    return dedup.incremental_exact_dedup(new, seen).select(
+        "doc_id", "lang", "digest"
+    )
+
+
+def sql_incremental_dedup_batch() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM documents
+), new_batch AS (
+  SELECT * FROM d WHERE doc_id % 5 = 0
+), seen AS (
+  SELECT DISTINCT digest FROM d WHERE doc_id % 5 <> 0
+), fresh AS (
+  SELECT * FROM new_batch ANTI JOIN seen USING (digest)
+), reps AS (
+  SELECT digest, min(doc_id) AS doc_id FROM fresh GROUP BY digest
+)
+SELECT f.doc_id, f.lang, f.digest
+FROM fresh f JOIN reps USING (digest, doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3438,6 +3541,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_logit_scores": q_quality_logit_scores,
     "mixture_resample_docs": q_mixture_resample_docs,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "dedup_substring_corpus": q_dedup_substring_corpus,
+    "incremental_dedup_batch": q_incremental_dedup_batch,
 }
 
 ORACLES: dict[str, str] = {
@@ -3528,4 +3633,6 @@ ORACLES: dict[str, str] = {
     "quality_logit_scores": sql_quality_logit_scores(),
     "mixture_resample_docs": sql_mixture_resample_docs(),
     "bpe_pair_counts": sql_bpe_pair_counts(),
+    "dedup_substring_corpus": sql_dedup_substring_corpus(),
+    "incremental_dedup_batch": sql_incremental_dedup_batch(),
 }

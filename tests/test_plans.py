@@ -349,3 +349,20 @@ def test_mixture_resample_corpus_rides_broadcast(spark):
     # tiny per-domain aggregate frames)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_index_ships_only_digests(spark):
+    df = QUERIES["incremental_dedup_batch"](spark, SF_DIR)
+    fmt = _formatted(df)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # the anti-join probes the index on digest; the index side's scan is
+    # pruned to the digest input column (text), never the full row
+    assert "LeftAnti" in plan
+
+
+def test_dedup_substring_corpus_no_cartesian_single_span_join(spark):
+    df = QUERIES["dedup_substring_corpus"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # dup-hash probe

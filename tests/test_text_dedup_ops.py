@@ -203,3 +203,53 @@ def test_exact_substring_spans_default_hash_matches_portable(spark):
     fast = dedup.exact_substring_spans(docs, window=8, min_count=2)
     slow = dedup.exact_substring_spans(docs, window=8, min_count=2, portable=True)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_remove_duplicate_spans_cuts_exact_ranges(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "only unique words")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4)], "doc_id long, span_start long, span_end long"
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs, spans).collect()}
+    assert out[1].clean_text == "w1 w5 w6" and out[1].n_removed_words == 3
+    assert out[2].clean_text == "only unique words" and out[2].n_removed_words == 0
+
+
+def test_remove_duplicate_spans_roundtrip_with_detector(spark):
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} keep1 keep2"), (2, f"lead {shared} tail")],
+        "doc_id long, text string",
+    )
+    spans = dedup.exact_substring_spans(docs, window=8, min_count=2)
+    out = {
+        r.doc_id: r for r in dedup.remove_duplicate_spans(docs, spans).collect()
+    }
+    assert out[1].clean_text == "keep1 keep2" and out[1].n_removed_words == 8
+    assert out[2].clean_text == "lead tail" and out[2].n_removed_words == 8
+
+
+def test_incremental_exact_dedup_admission_rules(spark):
+    new = spark.createDataFrame(
+        [
+            (10, "already in corpus"),
+            (11, "novel content a"),
+            (12, "batch twin"),
+            (13, "batch twin"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("x",)], "digest string"
+    ).select(
+        dedup.content_digest(F.lit("already in corpus")).alias("digest")
+    )
+    out = sorted(
+        r.doc_id
+        for r in dedup.incremental_exact_dedup(new, seen).collect()
+    )
+    # corpus dup dropped; novel kept; in-batch twins keep min id only
+    assert out == [11, 12]
