@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "quality_logit_scores",
     "mixture_resample_docs",
     "bpe_pair_counts",
+    "dedup_substring_corpus",
+    "incremental_dedup_batch",
+    "tfidf_keywords",
+    "cluster_dedup_corpus",
 ]
 
 

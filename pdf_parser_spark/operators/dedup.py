@@ -900,3 +900,32 @@ def incremental_exact_dedup(
     )
     reps = fresh.groupBy("digest").agg(F.min(id_col).alias(id_col))
     return fresh.join(reps, ["digest", id_col])
+
+
+def cluster_dedup_filter(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Materialize the near-dup-DEDUPLICATED corpus from detected pairs:
+    close the pairs into components (pair_clusters), keep the min-id
+    representative of each component, and anti-join the losers out of
+    the corpus. This turns any pair detector (MinHash LSH, SimHash,
+    n-gram Jaccard, embedding sign-LSH) into an actual corpus rewrite —
+    the keep-one-per-cluster pass the public web-corpus pipelines
+    (C4/RefinedWeb) run after LSH; the reference's admission analogue is
+    the work-queue filter (_parser.py:1547-1587).
+
+    Shape at 100 TB: label propagation is O(diameter) bounded joins
+    (pair_clusters); the loser set is (size−1)/size of the dup mass —
+    potentially billions of rows — so the final anti-join is a plain
+    shuffled LeftAnti on the id (NOT a forced broadcast); AQE downgrades
+    it to broadcast when the loser set is actually small."""
+    labels = pair_clusters(pairs, a_col=a_col, b_col=b_col, max_iters=max_iters)
+    losers = labels.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -626,3 +626,52 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (Salton's term weighting —
+    public knowledge) with the smooth idf = ln((1+N)/(1+df)) + 1
+    convention, so a term present in every document still scores > 0 and
+    there is no division by zero. Ranking uses the ROUNDED score (6 dp)
+    with a term tie-break, so the cross-engine ordering is deterministic
+    — raw doubles can differ in the last ulp between engines.
+
+    Shape at 100 TB: one explode feeds ONE partial-agg shuffle on
+    (doc, term); document frequency is a second partial agg on term
+    joined back (vocabulary ≪ corpus — AQE broadcasts it when small, and
+    the join key is already the shuffle key when it is not); corpus size
+    N stays IN the plan as a 1-row broadcast (no driver actions); the
+    per-doc top-k is a row_number window that plans as WindowGroupLimit
+    — per-task heads before the doc shuffle, never a global sort."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.operators.dedup import words_col
+
+    w = docs.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+    tf = (
+        w.select(F.col(id_col), F.explode("_w").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = w.agg(F.count("*").cast("double").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

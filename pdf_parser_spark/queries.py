@@ -1137,8 +1137,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_near_dup_clusters() -> str:
-    return f"""
+# shared by sql_near_dup_clusters and sql_cluster_dedup_corpus: the n-gram
+# Jaccard pair pipeline + connected-components closure as a RECURSIVE CTE
+_CLUSTER_REACH_CTE = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < {_CLUSTER_DOC_CAP}
 ), ex AS (
@@ -1166,9 +1167,47 @@ WITH RECURSIVE sh AS (
   SELECT x, x FROM (SELECT DISTINCT x FROM sym)
   UNION
   SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
-)
+)"""
+
+
+def sql_near_dup_clusters() -> str:
+    return f"""{_CLUSTER_REACH_CTE}
 SELECT CAST(node AS BIGINT) AS node, CAST(min(label) AS BIGINT) AS cluster
 FROM reach GROUP BY node
+"""
+
+
+def q_cluster_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → corpus REWRITE: keep the
+    min-id representative of every component plus all unclustered docs
+    (operators/dedup.cluster_dedup_filter). Same pair pipeline and doc cap
+    as near_dup_clusters, so the two oracles share the RECURSIVE-CTE
+    closure; the digest column value-checks that exactly the right
+    documents survive."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CLUSTER_DOC_CAP)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        d,
+        shingle_words=3,
+        threshold=_CLUSTER_JACCARD_T,
+        df_max=_JACCARD_DF_MAX,
+    )
+    kept = dedup.cluster_dedup_filter(d, pairs)
+    return kept.select("doc_id", F.md5(F.col("text")).alias("digest"))
+
+
+def sql_cluster_dedup_corpus() -> str:
+    return f"""{_CLUSTER_REACH_CTE},
+labels AS (
+  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS digest
+FROM documents
+WHERE doc_id < {_CLUSTER_DOC_CAP}
+  AND doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster)
 """
 
 
@@ -3421,6 +3460,47 @@ FROM fresh f JOIN reps USING (digest, doc_id)
 """
 
 
+_TFIDF_K = 5
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keywords by smooth TF-IDF
+    (textqc.tfidf_keywords): the keyword-extraction / doc-representation
+    primitive of a curation stack. Ranking on the rounded score with a
+    term tie-break keeps the cross-engine ordering deterministic."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return textqc.tfidf_keywords(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        k=_TFIDF_K,
+    )
+
+
+def sql_tfidf_keywords() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), tf AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+  WHERE t <> '' GROUP BY 1, 2
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM w
+), dfq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((1 + n) / (1 + df)) + 1), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TFIDF_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3543,6 +3623,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "dedup_substring_corpus": q_dedup_substring_corpus,
     "incremental_dedup_batch": q_incremental_dedup_batch,
+    "tfidf_keywords": q_tfidf_keywords,
+    "cluster_dedup_corpus": q_cluster_dedup_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -3635,4 +3717,6 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": sql_bpe_pair_counts(),
     "dedup_substring_corpus": sql_dedup_substring_corpus(),
     "incremental_dedup_batch": sql_incremental_dedup_batch(),
+    "tfidf_keywords": sql_tfidf_keywords(),
+    "cluster_dedup_corpus": sql_cluster_dedup_corpus(),
 }

@@ -366,3 +366,13 @@ def test_dedup_substring_corpus_no_cartesian_single_span_join(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan  # dup-hash probe
+
+
+def test_tfidf_keywords_windowgrouplimit_no_cartesian(spark):
+    df = QUERIES["tfidf_keywords"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # the 1-row corpus-size crossJoin must plan as a broadcast nested loop
+    # (1 row x N), never a shuffled cartesian; per-doc top-k must be taken
+    # map-side before the doc shuffle
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan

@@ -253,3 +253,60 @@ def test_incremental_exact_dedup_admission_rules(spark):
     )
     # corpus dup dropped; novel kept; in-batch twins keep min id only
     assert out == [11, 12]
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textqc.tfidf_keywords(docs, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in out}
+    n = 3.0
+
+    def idf(df):
+        return math.log((1 + n) / (1 + df)) + 1
+
+    # doc 1: apple tf=2 df=2 -> 2*idf(2); banana tf=1 df=2 -> idf(2)
+    assert got[(1, 1)] == ("apple", round(2 * idf(2), 6))
+    assert got[(1, 2)] == ("banana", round(idf(2), 6))
+    # doc 2: banana and cherry both tf=1 df=2 -> tie broken by term asc
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    # doc 3: cherry tf=2 df=2 beats date tf=1 df=1 (idf(1) > idf(2) but tf=2 wins)
+    assert got[(3, 1)] == ("cherry", round(2 * idf(2), 6))
+    assert got[(3, 2)] == ("date", round(idf(1), 6))
+    assert len(out) == 6
+
+
+def test_tfidf_keywords_empty_text_yields_no_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")], "doc_id long, text string"
+    )
+    out = textqc.tfidf_keywords(docs, k=3).collect()
+    # empty/whitespace docs contribute no terms but DO count toward N
+    assert [(r.doc_id, r.term) for r in out] == [(3, "word")]
+    assert out[0].tfidf == round(math.log(4 / 2) + 1, 6)
+
+
+def test_cluster_dedup_filter_keeps_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (4, 5)], "a long, b long")
+    kept = sorted(
+        r.doc_id for r in dedup.cluster_dedup_filter(docs, pairs).collect()
+    )
+    # component {1,2,3} keeps 1; component {4,5} keeps 4
+    assert kept == [1, 4]
+
+
+def test_cluster_dedup_filter_no_pairs_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert dedup.cluster_dedup_filter(docs, pairs).count() == 2
