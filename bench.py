@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "incremental_dedup_batch",
     "tfidf_keywords",
     "cluster_dedup_corpus",
+    "incremental_minhash_admission",
 ]
 
 

@@ -172,7 +172,7 @@ def _cap_buckets(banded: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     return banded.join(kept, key_cols, "left_semi")
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
@@ -180,19 +180,16 @@ def lsh_candidate_pairs(
     portable: bool = False,
     bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash).
-
-    Returns distinct (a, b) with a < b. The join key cardinality is
-    bands × docs, so the shuffle is linear in corpus size; only true bucket
-    collisions pair up. Portable mode keys buckets on the md5 hex of the
-    joined band (string key, engine-reproducible) instead of xxhash64.
-
-    ``bucket_cap`` (set it at corpus scale) drops buckets larger than the
-    cap BEFORE the self-join via ``_cap_buckets`` — bounding the largest
-    join task at cap² instead of the hottest bucket². Capped semantics are
-    documented-approximate (dropped buckets are near-identical content,
-    the exact-dedup family's job); the oracled query runs uncapped.
-    """
+    """(id, band, band_hash) LSH bucket keys of minhash signatures — the
+    banding stage shared by the self-join pair generator
+    (lsh_candidate_pairs) and the incremental batch-vs-index probe
+    (incremental_minhash_admission). This table is also what a production
+    pipeline MATERIALIZES as its near-dup index (write it bucketed on
+    (band, band_hash) — sources/bucketed.py — and every later probe is a
+    shuffle-free equi-join on the index side). Portable mode keys buckets
+    on the md5 hex of the joined band (string key, engine-reproducible)
+    instead of xxhash64; ``bucket_cap`` drops mega-buckets via
+    ``_cap_buckets`` before any join."""
     if num_hashes is not None:
         if num_hashes < bands:
             # rows_per_band 0 would key EVERY band of EVERY doc on the hash
@@ -241,6 +238,30 @@ def lsh_candidate_pairs(
         banded = banded.filter(F.col("band_hash").isNotNull())
     if bucket_cap is not None:
         banded = _cap_buckets(banded, ["band", "band_hash"], bucket_cap)
+    return banded
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    num_hashes: int | None = None,
+    portable: bool = False,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Band the signatures (lsh_bands) and self-join on (band, band_hash).
+
+    Returns distinct (a, b) with a < b. The join key cardinality is
+    bands × docs, so the shuffle is linear in corpus size; only true bucket
+    collisions pair up.
+
+    ``bucket_cap`` (set it at corpus scale) drops buckets larger than the
+    cap BEFORE the self-join — bounding the largest join task at cap²
+    instead of the hottest bucket². Capped semantics are
+    documented-approximate (dropped buckets are near-identical content,
+    the exact-dedup family's job); the oracled query runs uncapped.
+    """
+    banded = lsh_bands(sigs, id_col, bands, num_hashes, portable, bucket_cap)
     left = banded.select(
         F.col(id_col).alias("a"), "band", "band_hash"
     )
@@ -929,3 +950,82 @@ def cluster_dedup_filter(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def incremental_minhash_admission(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+    portable: bool = False,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup ADMISSION of a new crawl batch against an accumulated
+    corpus — the incremental form of minhash_near_dups, and the near-dup
+    analogue of incremental_exact_dedup (reference admission analogue:
+    the resumable work-queue filter, _parser.py:1547-1587). A batch
+    document is admitted iff
+
+      1. no INDEX document among its LSH band collisions verifies as a
+         near-dup (exact n-gram Jaccard >= threshold), and
+      2. no smaller-id batch-mate verifies as a near-dup (min-id-wins
+         over ALL in-batch dup pairs — order-independent, so the result
+         is deterministic and engine-reproducible).
+
+    Ids must be unique ACROSS batch and index. Returns the admitted batch
+    rows (all original columns).
+
+    Shape at 100 TB: the index side of the probe is the banded
+    (id, band, band_hash) table (lsh_bands) — a production pipeline
+    materializes it ONCE, bucketed on the band key (sources/bucketed.py),
+    so each batch probe shuffles only the tiny batch side; here it is
+    derived from index text in-plan to keep the operator self-contained
+    and the oracle exact. Jaccard verification explodes shingles ONLY for
+    colliding candidates; both reject sets are distinct id lists, so the
+    final anti-joins are bounded by the batch size."""
+    batch_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_words, portable
+    )
+    index_sigs = minhash_signatures(
+        index_docs, id_col, text_col, num_hashes, shingle_words, portable
+    )
+    batch_bands = lsh_bands(
+        batch_sigs, id_col, bands, num_hashes, portable, bucket_cap
+    )
+    index_bands = lsh_bands(
+        index_sigs, id_col, bands, num_hashes, portable, bucket_cap
+    )
+    cross = (
+        batch_bands.select(F.col(id_col).alias("a"), "band", "band_hash")
+        .join(
+            index_bands.select(F.col(id_col).alias("b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    both = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        index_docs.select(F.col(id_col), F.col(text_col))
+    )
+    index_hits = (
+        jaccard_verify(both, cross, id_col, text_col, shingle_words, threshold)
+        .select(F.col("a").alias(id_col))
+        .distinct()
+    )
+    in_batch = lsh_candidate_pairs(
+        batch_sigs, id_col, bands, num_hashes, portable, bucket_cap
+    )
+    mate_hits = (
+        jaccard_verify(
+            new_docs, in_batch, id_col, text_col, shingle_words, threshold
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(index_hits, id_col, "left_anti").join(
+        mate_hits, id_col, "left_anti"
+    )

@@ -3460,6 +3460,80 @@ FROM fresh f JOIN reps USING (digest, doc_id)
 """
 
 
+def q_incremental_minhash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-DUP admission (dedup.incremental_minhash_admission):
+    a new crawl batch (doc_id % 5 == 0) probed against the accumulated
+    corpus via banded MinHash LSH + exact-Jaccard verify, min-id-wins
+    within the batch. Portable-hash variant, so the DuckDB oracle replays
+    signatures, band keys, BOTH probe joins and the verify — every stage
+    of the incremental pipeline is value-checked."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    index = d.filter(F.col("doc_id") % 5 != 0)
+    admitted = dedup.incremental_minhash_admission(
+        batch, index, threshold=0.2, portable=True
+    )
+    return admitted.select("doc_id", F.md5(F.col("text")).alias("digest"))
+
+
+def sql_incremental_minhash_admission() -> str:
+    k, bands = 32, 8
+    r = k // bands
+    mins = ", ".join(
+        f"min(('0x' || substr(md5(shingle || '#{i // 2}'), {1 if i % 2 == 0 else 16}, 15))::BIGINT) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({joined}) AS bh FROM sig".format(
+            b=b,
+            joined=" || ',' || ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 200
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), bb AS (
+  SELECT * FROM banded WHERE doc_id % 5 = 0
+), ib AS (
+  SELECT * FROM banded WHERE doc_id % 5 <> 0
+), cross_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bb x JOIN ib y ON x.band = y.band AND x.bh = y.bh
+), batch_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bb x JOIN bb y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), idx_hits AS (
+  SELECT DISTINCT p.a AS doc_id
+  FROM cross_pairs p JOIN sh sa ON p.a = sa.doc_id JOIN sh sb ON p.b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2
+), mate_hits AS (
+  SELECT DISTINCT p.b AS doc_id
+  FROM batch_pairs p JOIN sh sa ON p.a = sa.doc_id JOIN sh sb ON p.b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS digest
+FROM documents
+WHERE doc_id < 200 AND doc_id % 5 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM idx_hits)
+  AND doc_id NOT IN (SELECT doc_id FROM mate_hits)
+"""
+
+
 _TFIDF_K = 5
 
 
@@ -3625,6 +3699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_batch": q_incremental_dedup_batch,
     "tfidf_keywords": q_tfidf_keywords,
     "cluster_dedup_corpus": q_cluster_dedup_corpus,
+    "incremental_minhash_admission": q_incremental_minhash_admission,
 }
 
 ORACLES: dict[str, str] = {
@@ -3719,4 +3794,5 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_batch": sql_incremental_dedup_batch(),
     "tfidf_keywords": sql_tfidf_keywords(),
     "cluster_dedup_corpus": sql_cluster_dedup_corpus(),
+    "incremental_minhash_admission": sql_incremental_minhash_admission(),
 }

@@ -310,3 +310,47 @@ def test_cluster_dedup_filter_no_pairs_is_identity(spark):
     )
     pairs = spark.createDataFrame([], "a long, b long")
     assert dedup.cluster_dedup_filter(docs, pairs).count() == 2
+
+
+def test_incremental_minhash_admission_rejects_index_and_mate_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    uniq = ("completely different content about spark physical plans "
+            "and shuffle partitioning strategies for large clusters")
+    other = ("a third body of text describing benchmark methodology "
+             "with best of three timing and raw triplets recorded")
+    index = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra tail"),   # near-dup of index doc 1
+            (11, uniq),                   # clean
+            (12, uniq + " small tail"),   # near-dup of batch-mate 11
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup.incremental_minhash_admission(
+            batch, index, threshold=0.5
+        ).collect()
+    )
+    # 10 rejected by the index probe, 12 by min-id-wins vs 11
+    assert got == [11]
+
+
+def test_incremental_minhash_admission_empty_index_is_in_batch_dedup(spark):
+    txt = ("identical words repeated across batch mates to force a "
+           "signature collision in every band of the minhash table")
+    batch = spark.createDataFrame(
+        [(5, txt), (6, txt)], "doc_id long, text string"
+    )
+    index = spark.createDataFrame([], "doc_id long, text string")
+    got = sorted(
+        r.doc_id
+        for r in dedup.incremental_minhash_admission(
+            batch, index, threshold=0.5
+        ).collect()
+    )
+    assert got == [5]
