@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "cluster_dedup_corpus",
     "incremental_minhash_admission",
+    "bigram_surprisal",
 ]
 
 

@@ -675,3 +675,89 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    bigram_vocab: int = 400,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean BIGRAM surprisal with Stupid Backoff (Brants et
+    al. 2007, public: score = count(w_{i-1} w_i)/count(w_{i-1}) when the
+    bigram is in the model, else alpha * unigram score) — the two-gram
+    upgrade of unigram_surprisal, with the corpus's own counts standing
+    in for the external KenLM model this container can't ship. The model
+    is the top-``bigram_vocab`` bigrams and top-``vocab_size`` unigrams by
+    corpus frequency (ties by key, so both vocabularies are
+    deterministic); out-of-vocabulary unigrams floor at count 1. Documents
+    with fewer than 2 tokens have no bigram positions and emit no row.
+
+    Shape at 100 TB: tokens materialize ONCE per doc (HOF bodies
+    re-evaluate embedded expressions per element); bigram and unigram
+    counts are each ONE partial-agg shuffle; both top-K model tables are
+    TakeOrderedAndProject and BROADCAST back against the exploded bigram
+    stream — never a big-big join on hot stopword pairs; the token total
+    rides a 1-row broadcast; the only other shuffle is the per-doc
+    aggregation."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    staged = docs.select(F.col(id_col), toks.alias("_w"))
+    grams = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_w", i).alias("ctx"),
+                        F.element_at("_w", i + 1).alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<ctx:string,w:string>>"))
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
+    words = staged.select(F.explode("_w").alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").alias("ucnt"))
+    total = staged.agg(F.sum(F.size("_w")).cast("double").alias("_total"))
+    top_uni = uni.orderBy(F.desc("ucnt"), F.asc("word")).limit(vocab_size)
+    big = grams.groupBy("ctx", "w").agg(F.count("*").alias("bcnt"))
+    top_big = big.orderBy(
+        F.desc("bcnt"), F.asc("ctx"), F.asc("w")
+    ).limit(bigram_vocab)
+    # context counts only for the model's rows: V-row side broadcasts
+    # against the unigram aggregate, result stays V rows
+    model = top_big.join(
+        uni.select(F.col("word").alias("ctx"), F.col("ucnt").alias("ctx_cnt")),
+        "ctx",
+    )
+    scored = (
+        grams.join(F.broadcast(model), ["ctx", "w"], "left")
+        .join(
+            F.broadcast(top_uni.select(F.col("word").alias("w"), "ucnt")),
+            "w",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    F.coalesce(
+                        F.col("bcnt").cast("double") / F.col("ctx_cnt"),
+                        F.lit(alpha)
+                        * F.coalesce(F.col("ucnt"), F.lit(1)).cast("double")
+                        / F.col("_total"),
+                    )
+                )
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("_s"), 6).alias("mean_surprisal"),
+    )

@@ -3460,6 +3460,55 @@ FROM fresh f JOIN reps USING (digest, doc_id)
 """
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal with Stupid Backoff
+    (textqc.bigram_surprisal): top-400 bigram / top-200 unigram corpus
+    LM, alpha=0.4 backoff — both model tables broadcast against the
+    exploded bigram stream, never a big-big join on stopword pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.bigram_surprisal(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        vocab_size=200,
+        bigram_vocab=400,
+    )
+
+
+def sql_bigram_surprisal() -> str:
+    return """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS ctx, w[i + 1] AS wd
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM t WHERE len(w) >= 2)
+), uni AS (
+  SELECT word, count(*) AS ucnt
+  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word
+), total AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS tt FROM uni),
+big AS (SELECT ctx, wd, count(*) AS bcnt FROM grams GROUP BY ctx, wd),
+top_big AS (SELECT * FROM big ORDER BY bcnt DESC, ctx, wd LIMIT 400),
+model AS (
+  SELECT tb.ctx, tb.wd, tb.bcnt, u.ucnt AS ctx_cnt
+  FROM top_big tb JOIN uni u ON tb.ctx = u.word
+), top_uni AS (SELECT word, ucnt FROM uni ORDER BY ucnt DESC, word LIMIT 200),
+scored AS (
+  SELECT g.doc_id,
+         -ln(coalesce(CAST(m.bcnt AS DOUBLE) / m.ctx_cnt,
+                      0.4 * coalesce(tu.ucnt, 1) / (SELECT tt FROM total)))
+           AS s
+  FROM grams g
+  LEFT JOIN model m ON g.ctx = m.ctx AND g.wd = m.wd
+  LEFT JOIN top_uni tu ON g.wd = tu.word
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(s), 6) AS mean_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_incremental_minhash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-DUP admission (dedup.incremental_minhash_admission):
     a new crawl batch (doc_id % 5 == 0) probed against the accumulated
@@ -3700,6 +3749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "cluster_dedup_corpus": q_cluster_dedup_corpus,
     "incremental_minhash_admission": q_incremental_minhash_admission,
+    "bigram_surprisal": q_bigram_surprisal,
 }
 
 ORACLES: dict[str, str] = {
@@ -3795,4 +3845,5 @@ ORACLES: dict[str, str] = {
     "tfidf_keywords": sql_tfidf_keywords(),
     "cluster_dedup_corpus": sql_cluster_dedup_corpus(),
     "incremental_minhash_admission": sql_incremental_minhash_admission(),
+    "bigram_surprisal": sql_bigram_surprisal(),
 }

@@ -354,3 +354,25 @@ def test_incremental_minhash_admission_empty_index_is_in_batch_dedup(spark):
         ).collect()
     )
     assert got == [5]
+
+
+def test_bigram_surprisal_stupid_backoff_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textqc.bigram_surprisal(
+            docs, vocab_size=2, bigram_vocab=2
+        ).collect()
+    }
+    # uni: a=3 b=3 c=1 solo=1, total=8; top-2 uni = {a,b} (ties word asc)
+    # bigrams: (a,b)=3 (b,a)=1 (b,c)=1; top-2 = (a,b) then (b,a) (wd asc)
+    # doc1: (a,b)->3/3, (b,a)->1/3, (a,b)->1, (b,c)->backoff 0.4*1/8 (c OOV)
+    exp1 = (0.0 + math.log(3) + 0.0 + -math.log(0.4 * 1 / 8)) / 4
+    assert out[1].n_bigrams == 4
+    assert out[1].mean_surprisal == round(exp1, 6)
+    assert out[2].n_bigrams == 1 and out[2].mean_surprisal == 0.0
+    # single-token doc has no bigram positions -> no row
+    assert 3 not in out
