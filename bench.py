@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "cluster_dedup_corpus",
     "incremental_minhash_admission",
     "bigram_surprisal",
+    "ivf_batch_topk",
+    "calibrated_quality_keep",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

@@ -62,3 +62,120 @@ def year_scaffold(outbreaks: DataFrame) -> DataFrame:
     return all_years.join(facts, ["doc_id", "area", "year"], "left").withColumn(
         "outbreak_code", F.coalesce("outbreak_code", F.lit(0))
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reach each step, where a
+    step counts only STRICTLY AFTER the user's earliest completion of the
+    previous step (the classic product-analytics funnel). Output one row
+    per step: step_idx, step, n_users, conv_rate (vs the previous step,
+    6 dp; step 1 rate = 1).
+
+    Shape at 100 TB: each step is a partial-agg min(ts) over events
+    pre-filtered to that step's type (filter reaches the scan), joined to
+    the previous step's per-user timestamps on the user key — the user
+    set SHRINKS every step, so later joins broadcast; no windows, no
+    per-user arrays, no skew on hot users (min() partial-aggregates
+    map-side). K steps = K bounded shuffles, each smaller than the last."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached = []  # per-step DataFrame of (user, _t)
+    prev = None
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(prev, "_u")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        reached.append(
+            cur.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i + 1).cast("int").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur.select("_u", "_t")
+    out = reached[0]
+    for r in reached[1:]:
+        out = out.unionByName(r)
+    w = Window.orderBy("step_idx")
+    return out.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.when(
+                F.lag("n_users").over(w).isNotNull(),
+                F.col("n_users") / F.lag("n_users").over(w),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("conv_rate"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their FIRST
+    event; for each (cohort_week, week offset 0..max_weeks) the number of
+    cohort users active that week and the retention rate vs cohort size.
+
+    Shape at 100 TB: the first-event table is one partial-agg min(ts) per
+    user; it joins back to the event stream on the user key (shuffle on
+    user — the join key equals the aggregation key, so AQE reuses the
+    partitioning); the (cohort, offset) count is a distinct-user
+    aggregate whose partial dedup happens map-side. No windows over the
+    raw stream, no per-user arrays."""
+    firsts = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(ts_col).alias("_first")
+    )
+    cohorted = (
+        events.select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+        .join(firsts, "_u")
+        .select(
+            F.col("_u"),
+            F.date_trunc("week", "_first").alias("cohort_week"),
+            # integer-microsecond arithmetic keeps sub-second precision
+            # exactly (unix_timestamp truncates to seconds; NTZ timestamps
+            # can't cast to double under ANSI) — the NTZ→LTZ cast is a
+            # wall-clock reinterpretation in the UTC session
+            F.floor(
+                (
+                    F.unix_micros(F.col("_ts").cast("timestamp"))
+                    - F.unix_micros(
+                        F.date_trunc("week", "_first").cast("timestamp")
+                    )
+                )
+                / F.lit(7 * 86400 * 1_000_000)
+            ).cast("int").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+    )
+    counts = cohorted.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("_u").cast("long").alias("n_active")
+    )
+    sizes = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("_size")
+    )
+    return counts.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
+    )

@@ -350,3 +350,45 @@ def mixture_resample(
             F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("copy"),
         )
     )
+
+
+def calibrate_per_group(
+    docs: DataFrame,
+    score_col: str,
+    keep_frac: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile calibration of a quality score: keep each
+    group's top ``keep_frac`` fraction by score, instead of one global
+    threshold. Quality classifiers are domain-biased — a single global
+    cut empties low-scoring-but-valuable sources while letting high-
+    scoring domains flood through; the public curation recipes
+    (CCNet's per-language perplexity buckets, the DataComp/FineWeb
+    per-source ablations) calibrate the cut per group for exactly this
+    reason.
+
+    Adds q_rank (1 = best in group), group_n, and keep =
+    q_rank <= ceil(keep_frac * group_n). Ordering is fully deterministic
+    (score desc, id asc) and the keep rule is integer arithmetic on the
+    rank — exact cross-engine.
+
+    Shape at 100 TB: rank and group count come from ONE window pass over
+    a single shuffle on the group key (a rank-quantile inherently needs
+    the group count, so no WindowGroupLimit shortcut exists — but the
+    shuffle moves each row once and both functions share the frame)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "group_n",
+            F.count("*").over(Window.partitionBy(group_col)).cast("long"),
+        )
+        .withColumn(
+            "keep",
+            F.col("q_rank")
+            <= F.ceil(F.lit(float(keep_frac)) * F.col("group_n")),
+        )
+    )

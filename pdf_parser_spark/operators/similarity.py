@@ -403,3 +403,71 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+def ivf_topk_batch(
+    emb_with_cells: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """ANN JOIN: top-k per query for a BATCH of query vectors through the
+    IVF index — the scale path of cosine_topk_batch, which scores every
+    (query, vector) pair. Each query probes only its ``nprobe`` nearest
+    cells, so the scored fraction is ~nprobe/C of the corpus.
+
+    Plan shape: the per-query probe list is computed IN CATALYST (the
+    same zip_with/aggregate squared distance as assign_ivf_cells, sorted
+    as (dist, cell) structs — array_sort's lexicographic struct order
+    makes the tie-break deterministic — and sliced to nprobe), exploded
+    to (qid, cell) rows, and BROADCAST (a request batch × nprobe is
+    tiny); the join to the cell-assigned corpus is an EQUI-join on cell —
+    over a corpus materialized with write_ivf_index the scan partition-
+    prunes to the union of probed cells. Scoring is codegen cosine;
+    per-query top-k is a WindowGroupLimit, so the exchange carries ≤ k
+    rows per (task, query)."""
+    from pyspark.sql import Window
+
+    qv = F.col(qvec_col).cast("array<double>")
+    dist_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            qv,
+                            F.array(*[F.lit(float(c)) for c in cent]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    ).alias("dist"),
+                    F.lit(i).cast("int").alias("cell"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+    )
+    probes = queries.select(
+        F.col(qid_col),
+        qv.alias("_qv"),
+        F.explode(F.slice(dist_cells, 1, nprobe).getField("cell")).alias("cell"),
+    )
+    scored = F.broadcast(probes).join(emb_with_cells, "cell").select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -28,7 +28,16 @@ from pyspark.sql import functions as F
 
 from pdf_parser_spark import pipeline
 from pdf_parser_spark.functions.text import CLEANUP_REPLACEMENTS
-from pdf_parser_spark.operators import dedup, explode, gates, geo, queue, similarity, textqc
+from pdf_parser_spark.operators import (
+    analytics,
+    dedup,
+    explode,
+    gates,
+    geo,
+    queue,
+    similarity,
+    textqc,
+)
 from pdf_parser_spark.operators.textqc import LANG_MARKERS
 from pdf_parser_spark.sources.corpus import interleaved_from_documents, load_table
 
@@ -3460,6 +3469,194 @@ FROM fresh f JOIN reps USING (digest, doc_id)
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event stream (analytics.funnel_conversion):
+    view → click → purchase, each step counted strictly after the user's
+    earliest completion of the previous step. Each step is a partial-agg
+    min(ts) over scan-filtered events joined on the shrinking user set."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.funnel_conversion(e, ["view", "click", "purchase"])
+
+
+def sql_funnel_conversion() -> str:
+    return """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+), c AS (
+  SELECT 1 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
+       round(coalesce(CAST(n_users AS DOUBLE)
+                        / lag(n_users) OVER (ORDER BY step_idx), 1.0), 6)
+         AS conv_rate
+FROM c
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (analytics.retention_cohorts): users
+    grouped by first-event week, distinct-active counts per week offset,
+    retention vs cohort size."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.retention_cohorts(e, max_weeks=8)
+
+
+def sql_retention_cohorts() -> str:
+    return """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id,
+         date_trunc('week', f.first_ts) AS cw,
+         CAST(floor((epoch_us(e.ts) - epoch_us(date_trunc('week', f.first_ts)))
+                    / 604800000000) AS INT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+), cf AS (
+  SELECT * FROM c WHERE week_offset <= 8
+), counts AS (
+  SELECT cw, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM cf GROUP BY 1, 2
+), sizes AS (
+  SELECT cw, n_active AS sz FROM counts WHERE week_offset = 0
+)
+SELECT CAST(counts.cw AS DATE) AS cohort_week, week_offset, n_active,
+       round(CAST(n_active AS DOUBLE) / sz, 6) AS retention
+FROM counts JOIN sizes USING (cw)
+"""
+
+
+def q_calibrated_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile calibration of the linear quality score
+    (curation.calibrate_per_group over textqc.quality_logit): keep each
+    source's top half by prob instead of one global threshold — the
+    per-source calibration step of the public curation recipes. Rank and
+    group count come from one window pass over a single shuffle on
+    source; the keep rule is integer rank arithmetic."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = textqc.quality_logit(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "source", "text"),
+        weights={
+            "alpha_ratio": 2.5,
+            "mean_word_len": 0.35,
+            "punct_ratio": -4.0,
+            "stop_ratio": 3.0,
+        },
+        bias=-2.0,
+    ).select("doc_id", "source", "prob")
+    return curation.calibrate_per_group(
+        scored, score_col="prob", keep_frac=0.5, group_col="source"
+    ).select("doc_id", "source", "prob", "q_rank", "group_n", "keep")
+
+
+def sql_calibrated_quality_keep() -> str:
+    qf = _quality_feature_sql()
+    return f"""
+WITH feat AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         round({qf["mwl"]}, 6) AS mwl,
+         round({qf["pr"]}, 6) AS pr,
+         round({qf["ar"]}, 6) AS ar,
+         round({qf["sr"]}, 6) AS sr
+  FROM documents
+), z AS (
+  SELECT doc_id, source,
+         -2.0 + 2.5 * ar + 0.35 * mwl + (-4.0) * pr + 3.0 * sr AS z
+  FROM feat
+), p AS (
+  SELECT doc_id, source, round(1.0 / (1.0 + exp(-z)), 6) AS prob FROM z
+), r AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY prob DESC, doc_id ASC) AS BIGINT)
+           AS q_rank,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS group_n
+  FROM p
+)
+SELECT doc_id, source, prob, q_rank, group_n,
+       q_rank <= ceil(0.5 * group_n) AS keep
+FROM r
+"""
+
+
+def q_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN JOIN through the IVF index (similarity.ivf_topk_batch):
+    4 query vectors, each probing its 3 nearest of 8 fixed centroid
+    cells (the embeddings of vec_id 0..7, as in ivf_topk_probe), scored
+    only inside probed cells, per-query top-5. The DuckDB twin replays
+    the Catalyst cell assignment, the per-query probe selection AND the
+    windowed top-k, value-checking the whole ANN join."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    with_cells = similarity.assign_ivf_cells(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("long").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk_batch(
+        with_cells, cents, queries, k=5, nprobe=3
+    ).select("qid", F.col("vec_id").cast("long").alias("vec_id"), "cosine", "rank")
+
+
+def sql_ivf_batch_topk() -> str:
+    return """
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 4
+), probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_distance(q.qv, c.cv) ASC, c.cell ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 3
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cell ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), scored AS (
+  SELECT p.qid, a.vec_id,
+         round(list_dot_product(a.v, p.qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram surprisal with Stupid Backoff
     (textqc.bigram_surprisal): top-400 bigram / top-200 unigram corpus
@@ -3750,6 +3947,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_dedup_corpus": q_cluster_dedup_corpus,
     "incremental_minhash_admission": q_incremental_minhash_admission,
     "bigram_surprisal": q_bigram_surprisal,
+    "ivf_batch_topk": q_ivf_batch_topk,
+    "calibrated_quality_keep": q_calibrated_quality_keep,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3846,4 +4047,8 @@ ORACLES: dict[str, str] = {
     "cluster_dedup_corpus": sql_cluster_dedup_corpus(),
     "incremental_minhash_admission": sql_incremental_minhash_admission(),
     "bigram_surprisal": sql_bigram_surprisal(),
+    "ivf_batch_topk": sql_ivf_batch_topk(),
+    "calibrated_quality_keep": sql_calibrated_quality_keep(),
+    "funnel_conversion": sql_funnel_conversion(),
+    "retention_cohorts": sql_retention_cohorts(),
 }

@@ -1,4 +1,9 @@
-from pdf_parser_spark.streaming.dedup import stream_dedup, unique_docs
+from pdf_parser_spark.streaming.dedup import (
+    admitted_docs,
+    stream_dedup,
+    stream_neardup_admission,
+    unique_docs,
+)
 from pdf_parser_spark.streaming.ingest import stream_extract
 from pdf_parser_spark.streaming.sessionize import latest_totals, stream_sessionize
 from pdf_parser_spark.streaming.windowed import latest_counts, stream_windowed_counts
@@ -9,6 +14,8 @@ __all__ = [
     "latest_totals",
     "stream_windowed_counts",
     "latest_counts",
+    "admitted_docs",
     "stream_dedup",
+    "stream_neardup_admission",
     "unique_docs",
 ]

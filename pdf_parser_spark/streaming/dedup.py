@@ -70,3 +70,71 @@ def stream_dedup(
 
 def unique_docs(spark: SparkSession, output_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_root, "unique_docs"))
+
+
+def stream_neardup_admission(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Streaming NEAR-dup admission: each micro-batch is probed against
+    the accumulated admitted corpus with the batch operator
+    (operators/dedup.incremental_minhash_admission — LSH band equi-join
+    probes + exact-Jaccard verify, min-id-wins within the batch), then
+    the admitted docs join the index. The streaming twin of that batch
+    operator, the near-dup upgrade of stream_dedup's exact digests.
+
+    State: the admitted-docs table itself is the dedup state, persisted
+    as the sink output (per-batch-id directories, idempotent on replay —
+    a replayed micro-batch re-probes the SAME prior-batch index and
+    overwrites its own directory, so at-least-once delivery cannot
+    double-admit). At 10^12 docs the re-read of prior admissions is the
+    banded signature index a production pipeline materializes bucketed
+    on (band, band_hash) — see lsh_bands — rather than raw text; the
+    probe shape is identical."""
+    from pdf_parser_spark.operators.dedup import incremental_minhash_admission
+
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "admitted_docs")
+    docs = spark.readStream.schema(DOCS_FEED_SCHEMA).parquet(input_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            index = (
+                batch_df.sparkSession.read.parquet(out_path)
+                # exclude this batch's own (possibly partial) replay output
+                .filter(F.col("batch_id") != batch_id)
+                .select("doc_id", "text")
+            )
+        except AnalysisException:  # first batch: no index yet
+            index = batch.limit(0)
+        admitted = incremental_minhash_admission(
+            batch,
+            index,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def admitted_docs(spark: SparkSession, output_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_root, "admitted_docs"))

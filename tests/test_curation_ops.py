@@ -195,3 +195,28 @@ def test_filter_cascade_null_text_fails_wordcount(spark):
     # NULL text = empty: n_words 0, first rule fires (not a NULL that
     # slides past the n_words comparison into 'mean_word_len')
     assert out[1].n_words == 0 and out[1].fail_reason == "n_words"
+
+
+def test_calibrate_per_group_keeps_top_fraction_per_group(spark):
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            # group a: scores 0.9 .. 0.5 for ids 1..5 -> ceil(0.5*5)=3 kept
+            (1, "a", 0.9), (2, "a", 0.8), (3, "a", 0.7),
+            (4, "a", 0.6), (5, "a", 0.5),
+            # group b: tie on 0.4 broken by id asc -> id 6 ranks 1;
+            # ceil(0.5*2)=1 kept
+            (6, "b", 0.4), (7, "b", 0.4),
+        ],
+        "doc_id long, source string, prob double",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.calibrate_per_group(
+            docs, score_col="prob", keep_frac=0.5
+        ).collect()
+    }
+    assert [out[i].keep for i in (1, 2, 3, 4, 5)] == [True, True, True, False, False]
+    assert out[6].keep is True and out[7].keep is False
+    assert out[6].q_rank == 1 and out[6].group_n == 2

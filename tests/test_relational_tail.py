@@ -391,3 +391,64 @@ def test_bucketed_range_join_exact_binning_at_int64_extremes(spark):
         assert (lt, rt) in got, (lt, rt)
     # and nothing outside the window sneaks in
     assert all(abs(lt - rt) <= w for lt, rt in got)
+
+
+def test_funnel_conversion_strictly_after_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [
+            # user 1 completes the whole funnel in order
+            (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+            # user 2 clicks BEFORE viewing -> click doesn't count; no purchase
+            (2, ts(0), "click"), (2, ts(1), "view"),
+            # user 3 views only
+            (3, ts(0), "view"),
+            # user 4 purchase at the SAME ts as click -> strictly-after fails
+            (4, ts(0), "view"), (4, ts(1), "click"), (4, ts(1), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        r.step: r
+        for r in analytics.funnel_conversion(
+            events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out["view"].n_users == 4
+    assert out["click"].n_users == 2  # users 1 and 4
+    assert out["purchase"].n_users == 1  # user 1 only
+    assert out["view"].conv_rate == 1.0
+    assert out["click"].conv_rate == 0.5
+    assert out["purchase"].conv_rate == 0.5
+
+
+def test_retention_cohorts_offsets_and_rates(spark):
+    import datetime as dt
+
+    # Monday 2024-01-01 anchors week truncation
+    mon = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, mon, "view"),                          # cohort w0
+            (1, mon + dt.timedelta(days=7), "view"),    # active w1
+            (2, mon + dt.timedelta(days=1), "view"),    # cohort w0 only
+            (3, mon + dt.timedelta(days=8), "view"),    # cohort w1
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        (str(r.cohort_week), r.week_offset): r
+        for r in analytics.retention_cohorts(events).collect()
+    }
+    assert rows[("2024-01-01", 0)].n_active == 2
+    assert rows[("2024-01-01", 0)].retention == 1.0
+    assert rows[("2024-01-01", 1)].n_active == 1
+    assert rows[("2024-01-01", 1)].retention == 0.5
+    assert rows[("2024-01-08", 0)].n_active == 1
+    assert len(rows) == 3

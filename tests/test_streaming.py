@@ -189,3 +189,40 @@ def test_stream_dedup_watermark_bounded_state(spark, tmp_path):
     stream_dedup(spark, inbox, root, watermark="1 hour")
     got = sorted(r.doc_id for r in unique_docs(spark, root).collect())
     assert got == ["a", "c"]  # in-horizon duplicate b suppressed
+
+
+def test_stream_neardup_admission_matches_batch_operator(spark, tmp_path):
+    """Streaming near-dup admission: each drain probes the accumulated
+    admitted corpus; a later re-crawl of near-identical content is
+    rejected, and the final admitted set equals replaying the batch
+    operator over the same two batches."""
+    import datetime
+
+    from pdf_parser_spark.streaming import admitted_docs, stream_neardup_admission
+
+    inbox = str(tmp_path / "feed")
+    root = str(tmp_path / "out")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    uniq = ("completely different content about spark physical plans and "
+            "shuffle partitioning strategies for large clusters")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(str(i), t, t0 + datetime.timedelta(minutes=m)) for i, t, m in rows],
+            "doc_id string, text string, event_ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    # batch 1: 1 admitted, 2 is 1's near-dup (min-id-wins in batch)
+    write([(1, base, 0), (2, base + " extra tail", 1)])
+    stream_neardup_admission(spark, inbox, root, threshold=0.5)
+    got1 = {r.doc_id for r in admitted_docs(spark, root).collect()}
+    assert got1 == {1}
+
+    # batch 2: 3 is a re-crawl near-dup of admitted 1 -> rejected;
+    # 4 is genuinely new -> admitted
+    write([(3, base + " tiny suffix", 2), (4, uniq, 3)])
+    stream_neardup_admission(spark, inbox, root, threshold=0.5)
+    got2 = {r.doc_id for r in admitted_docs(spark, root).collect()}
+    assert got2 == {1, 4}
