@@ -286,7 +286,8 @@ def jaccard_verify(
 
     At scale the pairs table is tiny relative to the corpus (only LSH
     collisions), so the shingle explode is bounded by candidates, and the
-    joins hash on doc ids.
+    joins hash on doc ids. Extra columns on ``pairs`` (e.g. a provenance
+    tag) pass through to the output between ``b`` and ``jaccard``.
     """
     sh = docs.select(
         F.col(id_col), words_col(F.col(text_col)).alias("_w")
@@ -304,7 +305,12 @@ def jaccard_verify(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "a",
+            "b",
+            *[c for c in pairs.columns if c not in ("a", "b")],
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
 
 
@@ -985,8 +991,10 @@ def incremental_minhash_admission(
     so each batch probe shuffles only the tiny batch side; here it is
     derived from index text in-plan to keep the operator self-contained
     and the oracle exact. Jaccard verification explodes shingles ONLY for
-    colliding candidates; both reject sets are distinct id lists, so the
-    final anti-joins are bounded by the batch size."""
+    colliding candidates and runs ONCE over the tagged union of the
+    cross-index and in-batch candidate pairs (one shingle pipeline); the
+    merged reject set is a distinct id list, so the final anti-join is
+    bounded by the batch size."""
     batch_sigs = minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_words, portable
     )
@@ -1011,21 +1019,20 @@ def incremental_minhash_admission(
     both = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
         index_docs.select(F.col(id_col), F.col(text_col))
     )
-    index_hits = (
-        jaccard_verify(both, cross, id_col, text_col, shingle_words, threshold)
-        .select(F.col("a").alias(id_col))
-        .distinct()
-    )
     in_batch = lsh_candidate_pairs(
         batch_sigs, id_col, bands, num_hashes, portable, bucket_cap
     )
-    mate_hits = (
-        jaccard_verify(
-            new_docs, in_batch, id_col, text_col, shingle_words, threshold
-        )
-        .select(F.col("b").alias(id_col))
-        .distinct()
+    # ONE verify pass over the tagged union of both candidate sets: the
+    # shingle pipeline is built once, and the reject column is a (the
+    # batch doc) for cross hits vs b (the larger id) for in-batch hits —
+    # the union of the two reject sets feeds a single anti-join.
+    cand = cross.withColumn("_vs_index", F.lit(True)).unionByName(
+        in_batch.select("a", "b").withColumn("_vs_index", F.lit(False))
     )
-    return new_docs.join(index_hits, id_col, "left_anti").join(
-        mate_hits, id_col, "left_anti"
-    )
+    hits = jaccard_verify(both, cand, id_col, text_col, shingle_words, threshold)
+    rejected = hits.select(
+        F.when(F.col("_vs_index"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias(id_col)
+    ).distinct()
+    return new_docs.join(rejected, id_col, "left_anti")

@@ -146,6 +146,31 @@ def _shingles_sql(n: int) -> str:
 _SHINGLES_SQL = _shingles_sql(3)
 
 
+def _portable_minhash_sql(k: int, bands: int) -> tuple[str, str]:
+    """(signature aggregate list, banding UNION ALL) for the DuckDB replay
+    of the portable minhash pipeline — the single textual twin of
+    dedup.minhash_signatures + dedup.lsh_bands (portable=True): each md5
+    digest yields TWO 60-bit lanes (seed k//2; substr offsets 1 and 16,
+    length 15), and each band key is the md5 of the comma-joined row
+    slice. Every minhash oracle derives from here so the hash derivation
+    is pinned in exactly one place."""
+    r = k // bands
+    mins = ", ".join(
+        f"min(('0x' || substr(md5(shingle || '#{i // 2}'), {1 if i % 2 == 0 else 16}, 15))::BIGINT) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({joined}) AS bh FROM sig".format(
+            b=b,
+            joined=" || ',' || ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return mins, band_rows
+
+
 # --------------------------------------------------------------------------
 # queries — extraction engine
 # --------------------------------------------------------------------------
@@ -2306,21 +2331,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_minhash_near_dups() -> str:
-    k, bands = 32, 8
-    r = k // bands
-    mins = ", ".join(
-        f"min(('0x' || substr(md5(shingle || '#{i // 2}'), {1 if i % 2 == 0 else 16}, 15))::BIGINT) AS h{i}"
-        for i in range(k)
-    )
-    band_rows = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({joined}) AS bh FROM sig".format(
-            b=b,
-            joined=" || ',' || ".join(
-                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
-            ),
-        )
-        for b in range(bands)
-    )
+    mins, band_rows = _portable_minhash_sql(32, 8)
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 200
@@ -3423,7 +3434,9 @@ WITH w AS (
          count(*) AS n_kept
   FROM kept GROUP BY doc_id
 )
-SELECT w.doc_id, coalesce(a.clean_text, '') AS clean_text,
+SELECT w.doc_id,
+       CASE WHEN w.w IS NULL THEN NULL
+            ELSE coalesce(a.clean_text, '') END AS clean_text,
        CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_words
 FROM w LEFT JOIN agg a USING (doc_id)
 """
@@ -3727,21 +3740,7 @@ def q_incremental_minhash_admission(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def sql_incremental_minhash_admission() -> str:
-    k, bands = 32, 8
-    r = k // bands
-    mins = ", ".join(
-        f"min(('0x' || substr(md5(shingle || '#{i // 2}'), {1 if i % 2 == 0 else 16}, 15))::BIGINT) AS h{i}"
-        for i in range(k)
-    )
-    band_rows = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({joined}) AS bh FROM sig".format(
-            b=b,
-            joined=" || ',' || ".join(
-                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
-            ),
-        )
-        for b in range(bands)
-    )
+    mins, band_rows = _portable_minhash_sql(32, 8)
     return f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 200

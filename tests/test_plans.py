@@ -357,8 +357,11 @@ def test_incremental_dedup_index_ships_only_digests(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     # the anti-join probes the index on digest; the index side's scan is
-    # pruned to the digest input column (text), never the full row
+    # pruned to the digest input column (text) + the id the split filter
+    # needs — never the full row (only the batch side reads lang)
     assert "LeftAnti" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in fmt
+    assert fmt.count("ReadSchema: struct<doc_id:bigint,text:string,lang:string>") <= 1
 
 
 def test_dedup_substring_corpus_no_cartesian_single_span_join(spark):

@@ -218,6 +218,36 @@ def test_remove_duplicate_spans_cuts_exact_ranges(spark):
     assert out[2].clean_text == "only unique words" and out[2].n_removed_words == 0
 
 
+def test_remove_duplicate_spans_null_text_matches_oracle(spark, tmp_path):
+    # NULL text propagates (NULL clean_text / NULL n_removed_words) on BOTH
+    # engines — the oracle's CASE WHEN w IS NULL twin is pinned here because
+    # the driver testdata has no NULL-text rows to exercise it
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long"
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs, spans).collect()}
+    assert out[1].clean_text == "a b c" and out[1].n_removed_words == 0
+    assert out[2].clean_text is None and out[2].n_removed_words is None
+
+    import duckdb
+
+    from pdf_parser_spark.queries import QUERIES, sql_dedup_substring_corpus
+
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    spark_rows = sorted(
+        map(tuple, QUERIES["dedup_substring_corpus"](spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle_rows = sorted(map(tuple, con.execute(sql_dedup_substring_corpus()).fetchall()))
+    assert spark_rows == oracle_rows
+
+
 def test_remove_duplicate_spans_roundtrip_with_detector(spark):
     shared = "s1 s2 s3 s4 s5 s6 s7 s8"
     docs = spark.createDataFrame(
