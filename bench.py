@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "calibrated_quality_keep",
     "funnel_conversion",
     "retention_cohorts",
+    "fuzzy_decontamination",
+    "source_triage",
 ]
 
 

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_parser_spark.operators.dedup import shingles_of_words, words_col
+from pdf_parser_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_bands,
+    minhash_signatures,
+    shingles_of_words,
+    words_col,
+)
 
 
 def benchmark_overlap(
@@ -46,4 +52,70 @@ def benchmark_overlap(
         .groupBy(id_col, bench_id_col)
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def fuzzy_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """FUZZY decontamination: flag corpus docs that are near-duplicates of
+    a benchmark doc (MinHash/LSH candidate generation + exact n-gram
+    Jaccard verify) — catches the paraphrased / lightly-edited eval leaks
+    that exact n-gram overlap (``benchmark_overlap``) misses, the fuzzy
+    hygiene pass the public corpus pipelines run alongside the exact one.
+    Ids must be unique ACROSS corpus and benchmark. Output:
+    (id, bench id, jaccard) for every verified pair — distinct ids of the
+    left column are what a decontamination pass drops.
+
+    Shape at 100 TB: the benchmark side is an eval suite (tiny), so its
+    banded signature table broadcasts into the band equi-join; the corpus
+    is signed in one explode→K-min groupBy pass and never self-joins.
+    Jaccard verification explodes shingles only for colliding candidates."""
+    c_bands = lsh_bands(
+        minhash_signatures(
+            corpus, id_col, text_col, num_hashes, shingle_words, portable
+        ),
+        id_col,
+        bands,
+        num_hashes,
+        portable,
+    )
+    b_bands = lsh_bands(
+        minhash_signatures(
+            benchmark, bench_id_col, text_col, num_hashes, shingle_words, portable
+        ),
+        bench_id_col,
+        bands,
+        num_hashes,
+        portable,
+    )
+    cand = (
+        c_bands.select(F.col(id_col).alias("a"), "band", "band_hash")
+        .join(
+            F.broadcast(
+                b_bands.select(F.col(bench_id_col).alias("b"), "band", "band_hash")
+            ),
+            ["band", "band_hash"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    both = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        benchmark.select(
+            F.col(bench_id_col).alias(id_col), F.col(text_col)
+        )
+    )
+    return jaccard_verify(
+        both, cand, id_col, text_col, shingle_words, threshold
+    ).select(
+        F.col("a").alias(id_col), F.col("b").alias(bench_id_col), "jaccard"
     )

@@ -392,3 +392,61 @@ def calibrate_per_group(
             <= F.ceil(F.lit(float(keep_frac)) * F.col("group_n")),
         )
     )
+
+
+def source_triage(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_dup_rate: float = 0.05,
+    min_alpha_ratio: float = 0.55,
+) -> DataFrame:
+    """Host-level spam triage (the source-governance pass of the public
+    web pipelines — C4's blocklist, RefinedWeb/FineWeb per-host audits):
+    aggregate per-source hygiene signals and flag the sources a curation
+    run should drop or review WHOLESALE, because spam concentrates by
+    host — a source whose documents are mostly mutual duplicates, or
+    mostly non-alphabetic noise, is bad at the source level even when
+    individual docs pass per-doc gates. Output per source: doc count,
+    distinct-content count, dup_rate (1 − distinct/docs), mean alphabetic
+    ratio, and the flag.
+
+    Shape at 100 TB: the digest and the alpha ratio are codegen scan
+    columns; the whole operator is ONE partial-aggregated shuffle on the
+    source key (count-distinct rides the same groupBy), and the output is
+    |sources| rows — a broadcast-sized governance table to anti-join the
+    corpus against."""
+    from pdf_parser_spark.operators.dedup import content_digest
+
+    alpha = F.when(
+        F.length(text_col) > 0,
+        F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+        / F.length(text_col),
+    ).otherwise(F.lit(0.0))
+    per_source = (
+        docs.select(
+            F.col(source_col),
+            content_digest(F.col(text_col)).alias("_digest"),
+            alpha.alias("_alpha"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct(F.col("_digest")).cast("long").alias("n_unique"),
+            F.round(F.avg("_alpha"), 6).alias("mean_alpha"),
+        )
+    )
+    dup_rate = F.round(
+        (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+    )
+    return per_source.select(
+        source_col,
+        "n_docs",
+        "n_unique",
+        dup_rate.alias("dup_rate"),
+        "mean_alpha",
+        (
+            (dup_rate > F.lit(float(max_dup_rate)))
+            | (F.col("mean_alpha") < F.lit(float(min_alpha_ratio)))
+        ).alias("flagged"),
+    )

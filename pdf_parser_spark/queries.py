@@ -3820,6 +3820,96 @@ FROM (
 """
 
 
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (operators/contamination
+    .fuzzy_overlap): docs with doc_id % 3 == 1 play the eval benchmark,
+    the rest the training corpus (doc_id < 500 keeps the portable-md5
+    oracle cheap); a corpus doc is flagged when MinHash/LSH banding finds
+    a benchmark collision AND exact 3-gram Jaccard >= 0.2 verifies it —
+    the near-dup leaks the exact-overlap pass (contamination_overlap)
+    misses. The oracle replays signatures, banding, the bucket join AND
+    the verify, so every stage is value-checked."""
+    from pdf_parser_spark.operators import contamination
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    bench = d.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 3 != 1)
+    return contamination.fuzzy_overlap(
+        corpus, bench, threshold=0.2, portable=True
+    )
+
+
+def sql_fuzzy_decontamination() -> str:
+    mins, band_rows = _portable_minhash_sql(32, 8)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 500
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cb AS (
+  SELECT * FROM banded WHERE doc_id % 3 <> 1
+), bb AS (
+  SELECT * FROM banded WHERE doc_id % 3 = 1
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM cb x JOIN bb y ON x.band = y.band AND x.bh = y.bh
+)
+SELECT p.a AS doc_id, p.b AS bench_id,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+         AS jaccard
+FROM cand p JOIN sh sa ON p.a = sa.doc_id JOIN sh sb ON p.b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2
+"""
+
+
+def q_source_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level spam triage (operators/curation.source_triage): per-source
+    doc counts, exact-dup rate and mean alphabetic ratio, flagging sources
+    whose corpus-wide hygiene fails (dup_rate > 2% or mean alpha < 0.7) —
+    the source-governance table a curation run anti-joins against."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return curation.source_triage(d, max_dup_rate=0.02, min_alpha_ratio=0.7)
+
+
+def sql_source_triage() -> str:
+    return """
+WITH per_doc AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / length(text)
+              ELSE 0.0 END AS alpha
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+         round(avg(alpha), 6) AS mean_alpha
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+       round((n_docs - n_unique) / n_docs, 6) AS dup_rate,
+       mean_alpha,
+       (round((n_docs - n_unique) / n_docs, 6) > 0.02
+        OR mean_alpha < 0.7) AS flagged
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3950,6 +4040,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibrated_quality_keep": q_calibrated_quality_keep,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
+    "fuzzy_decontamination": q_fuzzy_decontamination,
+    "source_triage": q_source_triage,
 }
 
 ORACLES: dict[str, str] = {
@@ -4050,4 +4142,6 @@ ORACLES: dict[str, str] = {
     "calibrated_quality_keep": sql_calibrated_quality_keep(),
     "funnel_conversion": sql_funnel_conversion(),
     "retention_cohorts": sql_retention_cohorts(),
+    "fuzzy_decontamination": sql_fuzzy_decontamination(),
+    "source_triage": sql_source_triage(),
 }

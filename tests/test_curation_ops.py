@@ -220,3 +220,30 @@ def test_calibrate_per_group_keeps_top_fraction_per_group(spark):
     assert [out[i].keep for i in (1, 2, 3, 4, 5)] == [True, True, True, False, False]
     assert out[6].keep is True and out[7].keep is False
     assert out[6].q_rank == 1 and out[6].group_n == 2
+
+
+def test_source_triage_flags_dup_heavy_and_low_alpha_sources(spark):
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            # 'spam': 2 of 3 docs normalize to the same digest -> dup_rate 1/3
+            (1, "spam", "Buy now please"),
+            (2, "spam", "buy  now please "),
+            (3, "spam", "other text here"),
+            # 'noise': no letters at all -> mean_alpha 0.0
+            (4, "noise", "123 456 789"),
+            # 'ok': distinct, alphabetic
+            (5, "ok", "hello world"),
+            (6, "ok", "clean text"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.source: r
+        for r in curation.source_triage(docs.select("source", "text")).collect()
+    }
+    assert out["spam"].n_docs == 3 and out["spam"].n_unique == 2
+    assert out["spam"].dup_rate == round(1 / 3, 6) and out["spam"].flagged
+    assert out["noise"].mean_alpha == 0.0 and out["noise"].flagged
+    assert out["ok"].dup_rate == 0.0 and not out["ok"].flagged

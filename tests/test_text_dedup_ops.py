@@ -406,3 +406,29 @@ def test_bigram_surprisal_stupid_backoff_hand_computed(spark):
     assert out[2].n_bigrams == 1 and out[2].mean_surprisal == 0.0
     # single-token doc has no bigram positions -> no row
     assert 3 not in out
+
+
+def test_fuzzy_overlap_flags_verbatim_leak_not_unrelated(spark):
+    from pdf_parser_spark.operators import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # doc 1 is a verbatim copy of the benchmark item -> identical
+            # minhash signature, guaranteed band collision, jaccard 1.0
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # doc 2 shares no 3-gram shingles with the benchmark
+            (2, "completely different material about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.bench_id): r.jaccard
+        for r in contamination.fuzzy_overlap(
+            corpus, bench, threshold=0.2
+        ).collect()
+    }
+    assert out == {(1, 100): 1.0}
