@@ -412,10 +412,11 @@ def source_triage(
     ratio, and the flag.
 
     Shape at 100 TB: the digest and the alpha ratio are codegen scan
-    columns; the whole operator is ONE partial-aggregated shuffle on the
-    source key (count-distinct rides the same groupBy), and the output is
-    |sources| rows — a broadcast-sized governance table to anti-join the
-    corpus against."""
+    columns; the count-distinct expands to the standard two-phase plan
+    (partial-agged dedup shuffle on (source, digest), then the final
+    source-key shuffle — plan-pinned in tests/test_plans.py), and the
+    output is |sources| rows — a broadcast-sized governance table to
+    anti-join the corpus against."""
     from pdf_parser_spark.operators.dedup import content_digest
 
     alpha = F.when(

@@ -379,3 +379,24 @@ def test_tfidf_keywords_windowgrouplimit_no_cartesian(spark):
     # map-side before the doc shuffle
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_decontamination_broadcast_bench_no_cartesian(spark):
+    df = QUERIES["fuzzy_decontamination"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # the benchmark side is eval-suite-sized: its banded signatures
+    # broadcast into the band equi-join; candidates never cross-join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_triage_two_phase_distinct_agg(spark):
+    df = QUERIES["source_triage"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # the standard scalable distinct-agg expansion: dedup shuffle on
+    # (source, digest) then the final shuffle on source — exactly two
+    # exchanges, each fed by a map-side partial aggregate
+    assert plan.count("Exchange") == 2
+    assert 0 < plan.find("Exchange") < plan.find("partial_count")
+    # digest/alpha computed once at the scan; only (text, source) read
+    assert "ReadSchema: struct<text:string,source:string>" in _formatted(df)
