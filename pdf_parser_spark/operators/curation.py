@@ -451,3 +451,59 @@ def source_triage(
             | (F.col("mean_alpha") < F.lit(float(min_alpha_ratio)))
         ).alias("flagged"),
     )
+
+
+def perplexity_tiers(
+    scored: DataFrame,
+    score_col: str = "mean_surprisal",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tiers: int = 3,
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style per-language quality tiering (Wenzek et al. 2020,
+    public): within each group, cut the score distribution into ``tiers``
+    equal-count buckets — tier 1 = lowest score (for an LM-surprisal
+    score that is the fluent "head" CCNet keeps, tier ``tiers`` the noisy
+    tail it drops). Adds ``tier`` (1-based int). Ordering is fully
+    deterministic (score asc, id asc), so tier assignment is exact and
+    rerun-reproducible.
+
+    Two physical strategies:
+
+    - ``approx=False`` (default, oracle-exact): standard NTILE window —
+      one shuffle on the group key, one window pass. The whole group
+      lands in one partition, so a dominant language serializes; right
+      for per-group sizes up to ~100M rows, and bit-exact vs SQL NTILE.
+    - ``approx=True`` (the 100 TB path): per-group cutpoints from
+      ``approx_percentile`` (one partial-agg shuffle reducing to
+      |groups| rows, broadcast back), tier = how many cutpoints the
+      score exceeds — fully parallel regardless of group skew, at the
+      cost of ±epsilon bucket balance at the boundaries. Same output
+      schema; value-pinned by pytest rather than the SQL oracle.
+    """
+    if not approx:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(score_col).asc(), F.col(id_col).asc()
+        )
+        return scored.withColumn("tier", F.ntile(tiers).over(w))
+    qs = [i / tiers for i in range(1, tiers)]
+    cuts = scored.groupBy(group_col).agg(
+        F.percentile_approx(score_col, qs, 10_000).alias("_cuts")
+    )
+    return (
+        scored.join(F.broadcast(cuts), group_col)
+        .withColumn(
+            "tier",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "_cuts",
+                    F.lit(0),
+                    lambda acc, c: acc
+                    + F.when(F.col(score_col) > c, 1).otherwise(0),
+                )
+            ).cast("int"),
+        )
+        .drop("_cuts")
+    )

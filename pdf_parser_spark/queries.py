@@ -3910,6 +3910,54 @@ FROM agg
 """
 
 
+def q_ccnet_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality tiers (operators/curation
+    .perplexity_tiers): score every doc by mean unigram surprisal vs the
+    corpus top-200 LM (the CCNet perplexity stand-in), then NTILE the
+    per-language distributions into head/middle/tail thirds — tier 1 is
+    the fluent head a CCNet run keeps. The exact window path is used here
+    (oracle parity via SQL NTILE); the skew-proof approx-cutpoint path is
+    pytest-pinned."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = textqc.unigram_surprisal(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        vocab_size=200,
+    )
+    langs = d.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    return curation.perplexity_tiers(
+        scored.join(langs, "doc_id").select(
+            "doc_id", "lang", "mean_surprisal"
+        )
+    )
+
+
+def sql_ccnet_quality_tiers() -> str:
+    return """
+WITH words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), lm AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm),
+top AS (SELECT word, cnt FROM lm ORDER BY cnt DESC, word LIMIT 200),
+scored AS (
+  SELECT doc_id,
+         round(avg(ln((SELECT t FROM total)) - ln(coalesce(cnt, 1))), 6)
+           AS mean_surprisal
+  FROM words LEFT JOIN top USING (word)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, d.lang, s.mean_surprisal,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.mean_surprisal ASC, s.doc_id ASC)
+            AS INT) AS tier
+FROM scored s JOIN documents d ON s.doc_id = CAST(d.doc_id AS BIGINT)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4042,6 +4090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "source_triage": q_source_triage,
+    "ccnet_quality_tiers": q_ccnet_quality_tiers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4144,4 +4193,5 @@ ORACLES: dict[str, str] = {
     "retention_cohorts": sql_retention_cohorts(),
     "fuzzy_decontamination": sql_fuzzy_decontamination(),
     "source_triage": sql_source_triage(),
+    "ccnet_quality_tiers": sql_ccnet_quality_tiers(),
 }

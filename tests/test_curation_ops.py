@@ -247,3 +247,35 @@ def test_source_triage_flags_dup_heavy_and_low_alpha_sources(spark):
     assert out["spam"].dup_rate == round(1 / 3, 6) and out["spam"].flagged
     assert out["noise"].mean_alpha == 0.0 and out["noise"].flagged
     assert out["ok"].dup_rate == 0.0 and not out["ok"].flagged
+
+
+def test_perplexity_tiers_exact_and_approx_agree(spark):
+    from pdf_parser_spark.operators import curation
+
+    # two groups, 9 docs each with distinct scores -> tiers of exactly 3
+    rows = [
+        (gi * 100 + i, g, float(i))
+        for gi, g in enumerate(["en", "de"])
+        for i in range(9)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, mean_surprisal double"
+    )
+    exact = {
+        r.doc_id: r.tier
+        for r in curation.perplexity_tiers(docs).collect()
+    }
+    approx = {
+        r.doc_id: r.tier
+        for r in curation.perplexity_tiers(docs, approx=True).collect()
+    }
+    # scores 0..8 -> tier 1 = {0,1,2}, 2 = {3,4,5}, 3 = {6,7,8}, per group
+    for gi in (0, 100):
+        for i in range(9):
+            assert exact[gi + i] == i // 3 + 1
+    # approx path must agree away from cutpoints; allow +-1 tier at the
+    # exact boundary scores (2,3,5,6 -> boundary of percentile interp)
+    for doc_id, t in exact.items():
+        assert abs(approx[doc_id] - t) <= (
+            1 if doc_id % 100 in (2, 3, 5, 6) else 0
+        )
