@@ -1,0 +1,66 @@
+"""URL canonicalization — the web-crawl governance scalar every public
+corpus pipeline runs before URL-level dedup (C4, RefinedWeb, FineWeb all
+dedup by canonical URL first, because the same page arrives under
+scheme/case/tracking-param/fragment variants).
+
+Pure Catalyst expressions (regexp + higher-order array functions) so the
+whole pass is whole-stage codegen over the scan — no Python, no shuffle;
+the paired DuckDB SQL in queries.py value-checks every rule. Reference
+analogue: the reference's source-validity projection (_parser.py:1291-1296)
+normalizes its source strings before matching; this is the web-scale twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# query parameters that never identify content (tracking/campaign ids)
+TRACKING_PARAMS = ("fbclid", "gclid", "ref")
+TRACKING_PREFIX = "utm_"
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL, applying the standard normalizations:
+
+    - trim; drop the ``#fragment``
+    - lowercase the scheme and the host; strip a leading ``www.``
+    - strip explicit default ports (``:80`` for http, ``:443`` for https)
+    - collapse trailing ``/`` on the path; empty path becomes ``/``
+    - drop tracking query params (``utm_*``, fbclid, gclid, ref), SORT the
+      survivors (param order never identifies content), drop a left-over
+      bare ``?``
+
+    Malformed input (no ``scheme://``) passes through trimmed-lowercased —
+    garbage in, stable garbage out, never NULL (so dedup keys stay total).
+    """
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", ""),
+    ).otherwise(host)
+    path_and_q = F.regexp_extract(rest, r"^[^/?]*(.*)$", 1)
+    path = F.regexp_extract(path_and_q, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(path_and_q, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.element_at(F.split(p, "="), 1).startswith(TRACKING_PREFIX)
+        & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAMS),
+    )
+    qstr = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", F.lower(F.trim(url))
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qstr))

@@ -3958,6 +3958,130 @@ FROM scored s JOIN documents d ON s.doc_id = CAST(d.doc_id AS BIGINT)
 """
 
 
+def _synthetic_url(doc_id, host, page):
+    """Deterministic URL variants for the canonicalization tests: ten
+    surface forms per page (scheme/host case, www, default ports,
+    fragments, tracking params, param order, surrounding whitespace, and
+    one malformed scheme-less form), synthesized from (doc_id, source)
+    so Spark and the DuckDB oracle build byte-identical inputs."""
+    v = doc_id % 10
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), host, page))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(host), page, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), page, F.lit("#sec")))
+        .when(v == 3, F.concat(F.lit("https://"), host, page, F.lit("?utm_source=a&utm_campaign=b")))
+        .when(v == 4, F.concat(F.lit("https://"), host, page, F.lit("?b=2&a=1")))
+        .when(v == 5, F.concat(F.lit("https://"), host, page, F.lit("?a=1&b=2&fbclid=xyz")))
+        .when(v == 6, F.concat(F.lit("http://"), host, F.lit(":80"), page))
+        .when(v == 7, F.concat(F.lit("http://www."), host, page))
+        .when(v == 8, F.concat(F.lit("  https://"), host, page, F.lit("  ")))
+        .otherwise(F.concat(host, page))
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the first pass of every public web pipeline (C4 /
+    RefinedWeb / FineWeb): canonicalize each crawl URL
+    (functions/urls.canonical_url — pure Catalyst regex + array ops,
+    whole-stage codegen, no Python) and keep one doc per canonical form.
+    One groupBy shuffle on the canonical key; at 100 TB the canonical
+    column is a scan-side projection and the dedup is the same map-side
+    partial-agg digest groupBy as exact_dedup_docs. Reference analogue:
+    the source-validity projection `_parser.py:1291-1296` normalizes
+    source strings before matching."""
+    from pdf_parser_spark.functions import urls
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    pg = F.floor(F.col("doc_id") / 5).cast("long")
+    host = F.concat(
+        F.lit("site"), (pg % 7).cast("string"), F.lit(".example.com")
+    )
+    page = F.concat(F.lit("/p/"), pg.cast("string"))
+    return (
+        d.withColumn("url", _synthetic_url(F.col("doc_id"), host, page))
+        .withColumn("canonical_url", urls.canonical_url(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def sql_url_dedup() -> str:
+    return """
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'site' || CAST(CAST(floor(doc_id / 5) AS BIGINT) % 7 AS VARCHAR)
+           || '.example.com' AS host,
+         '/p/' || CAST(CAST(floor(doc_id / 5) AS BIGINT) AS VARCHAR) AS page,
+         CAST(doc_id AS BIGINT) % 10 AS v
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://' || host || page
+      WHEN 1 THEN 'HTTPS://WWW.' || upper(host) || page || '/'
+      WHEN 2 THEN 'https://' || host || ':443' || page || '#sec'
+      WHEN 3 THEN 'https://' || host || page || '?utm_source=a&utm_campaign=b'
+      WHEN 4 THEN 'https://' || host || page || '?b=2&a=1'
+      WHEN 5 THEN 'https://' || host || page || '?a=1&b=2&fbclid=xyz'
+      WHEN 6 THEN 'http://' || host || ':80' || page
+      WHEN 7 THEN 'http://www.' || host || page
+      WHEN 8 THEN '  https://' || host || page || '  '
+      ELSE host || page
+    END AS url
+  FROM docs
+), defrag AS (
+  SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM raw
+), split1 AS (
+  SELECT *,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM defrag
+), split2 AS (
+  SELECT *,
+    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                   '^www\\.', '') AS host0,
+    regexp_extract(rest, '^[^/?]*(.*)$', 1) AS pq
+  FROM split1
+), split3 AS (
+  SELECT *,
+    CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+           THEN regexp_replace(host0, ':80$', '')
+         WHEN scheme = 'https' AND host0 LIKE '%:443'
+           THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS chost,
+    regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$', '') AS path0,
+    regexp_extract(pq, '\\?(.*)$', 1) AS query
+  FROM split2
+), split4 AS (
+  SELECT *,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS cpath,
+    list_sort(list_filter(string_split(query, '&'),
+      x -> x <> ''
+           AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+           AND string_split(x, '=')[1] NOT IN ('fbclid', 'gclid', 'ref')))
+      AS params
+  FROM split3
+), canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN lower(trim(url))
+         ELSE scheme || '://' || chost || cpath ||
+              CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&')
+                   ELSE '' END
+    END AS canonical_url
+  FROM split4
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keep_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4091,6 +4215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "source_triage": q_source_triage,
     "ccnet_quality_tiers": q_ccnet_quality_tiers,
+    "url_dedup": q_url_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4194,4 +4319,5 @@ ORACLES: dict[str, str] = {
     "fuzzy_decontamination": sql_fuzzy_decontamination(),
     "source_triage": sql_source_triage(),
     "ccnet_quality_tiers": sql_ccnet_quality_tiers(),
+    "url_dedup": sql_url_dedup(),
 }

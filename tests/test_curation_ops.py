@@ -279,3 +279,27 @@ def test_perplexity_tiers_exact_and_approx_agree(spark):
         assert abs(approx[doc_id] - t) <= (
             1 if doc_id % 100 in (2, 3, 5, 6) else 0
         )
+
+
+def test_canonical_url_rules(spark):
+    from pdf_parser_spark.functions.urls import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("https://Example.com/a", "https://example.com/a"),
+        ("HTTPS://WWW.EXAMPLE.COM/a/", "https://example.com/a"),
+        ("https://example.com:443/a#frag", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        # :443 is NOT default for http -> kept
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
+        ("https://example.com/a?b=2&a=1&fbclid=z", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?ref=tw&gclid=1&q=spark", "https://example.com/a?q=spark"),
+        ("  https://example.com/a//  ", "https://example.com/a"),
+        # malformed: no scheme -> lowercased trim passthrough, never NULL
+        ("Example.com/A?utm_x=1", "example.com/a?utm_x=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
