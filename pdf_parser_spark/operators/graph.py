@@ -1,0 +1,98 @@
+"""Host-graph link analysis — PageRank over the (src_host, dst_host)
+link multigraph, the quality prior every public web corpus derives from
+crawl structure (Common Crawl publishes exactly this host-level ranking;
+OpenWebText/RefinedWeb weight admission by link-based authority).
+
+Spark-first shape (the standard distributed formulation, as in Spark's
+own PageRank example but DataFrame-native): ranks live in a (v, outdeg,
+pr) frame; each iteration is ONE shuffle — join ranks→edges on the src
+key, groupBy dst with a map-side partial SUM — plus two 1-row in-plan
+aggregates (vertex count, dangling mass) broadcast back, so the driver
+never collects anything. Multi-edges are weights (outdeg counts edges);
+self-loops are the caller's choice to keep or pre-filter. Dangling mass
+(vertices with no out-links) is redistributed uniformly each iteration,
+so ``sum(pr) == 1`` holds exactly at every step.
+
+At 100 TB: edges are the big table — they shuffle once per iteration on
+``src``; pre-partitioning edges by ``src`` (or bucketing the edge store)
+makes every iteration's join co-located, and the per-iteration rank
+frame is |hosts| rows (millions, not billions) so it hash-joins cheaply.
+Each iteration references the previous rank frame TWICE (contrib join +
+dangling aggregate), so the unchecked logical plan DOUBLES per iteration
+— ``checkpoint_every`` (default 4, ≤16 subtree copies between cuts)
+truncates lineage with localCheckpoint the same way near-dup connected
+components does (operators/dedup.py); pass ``None`` only for few-iter
+pure-plan runs (e.g. oracle replays).
+
+Reference analogue: the reference has no graph pass (its quality gates
+are per-document, `_parser.py:1256-1296`); this is the web-scale signal
+that replaces hand-curated source whitelists
+(`_parser.py:1291-1296`) when the corpus is an open crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+    checkpoint_every: int | None = 4,
+) -> DataFrame:
+    """PageRank over a directed multigraph given as an edge list.
+
+    Returns ``(v, pr)`` with ``sum(pr) == 1``. Vertex set = every value
+    appearing as ``src`` or ``dst``. Deterministic up to float summation
+    order; query-layer twins round to 6 decimals for oracle parity.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    verts = (
+        e.select(F.col("_src").alias("v"))
+        .union(e.select(F.col("_dst").alias("v")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("_src").alias("v")).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    vd = verts.join(deg, "v", "left").select(
+        "v", F.coalesce("outdeg", F.lit(0.0)).alias("outdeg")
+    )
+    # 1-row vertex count, kept in-plan (broadcast nested-loop, no action)
+    nv = vd.agg(F.count("*").cast("double").alias("_n"))
+    ranks = vd.crossJoin(F.broadcast(nv)).select(
+        "v", "outdeg", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    for i in range(iters):
+        contrib = (
+            ranks.join(e, ranks["v"] == e["_src"])
+            .groupBy(F.col("_dst").alias("v"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("_contrib"))
+        )
+        dangling = ranks.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dangling")
+        )
+        ranks = (
+            vd.join(contrib, "v", "left")
+            .crossJoin(F.broadcast(nv))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v",
+                "outdeg",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        F.coalesce("_contrib", F.lit(0.0))
+                        + F.col("_dangling") / F.col("_n")
+                    )
+                ).alias("pr"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("v", "pr")

@@ -4082,6 +4082,72 @@ FROM canon GROUP BY canonical_url
 """
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (operators/graph.pagerank): the link-authority
+    prior a web corpus uses to weight admission (Common Crawl publishes
+    exactly this host-level ranking). The link multigraph is synthesized
+    deterministically from doc_ids (src = doc's host, dst = a fixed
+    affine map of it), then 5 damped iterations run as one
+    join+partial-agg shuffle each, with vertex count and dangling mass
+    kept as 1-row in-plan broadcasts. The oracle replays all 5
+    iterations as chained CTEs."""
+    from pdf_parser_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    e = d.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("site"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return graph.pagerank(e, damping=0.85, iters=5).select(
+        F.col("v").alias("host"), F.round("pr", 6).alias("pr")
+    )
+
+
+def sql_host_pagerank() -> str:
+    d = 0.85
+    sql = """
+WITH edges AS (
+  SELECT 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+         'site' || CAST((CAST(doc_id AS BIGINT) * 7 + 3) % 20 AS VARCHAR)
+           AS dst
+  FROM documents
+  WHERE 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+        <> 'site' || CAST((CAST(doc_id AS BIGINT) * 7 + 3) % 20 AS VARCHAR)
+), verts AS (
+  SELECT DISTINCT v
+  FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+), deg AS (
+  SELECT src AS v, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+), vd AS (
+  SELECT verts.v, coalesce(deg.outdeg, 0.0) AS outdeg
+  FROM verts LEFT JOIN deg USING (v)
+), nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vd),
+r0 AS (SELECT v, outdeg, 1.0 / (SELECT n FROM nv) AS pr FROM vd)"""
+    for k in range(1, 6):
+        p = k - 1
+        sql += f""",
+r{k} AS (
+  SELECT vd.v, vd.outdeg,
+         (1 - {d}) / (SELECT n FROM nv)
+         + {d} * (coalesce(c.contrib, 0)
+                  + (SELECT coalesce(sum(pr), 0) FROM r{p} WHERE outdeg = 0)
+                    / (SELECT n FROM nv)) AS pr
+  FROM vd LEFT JOIN (
+    SELECT e.dst AS v, sum(r.pr / r.outdeg) AS contrib
+    FROM r{p} r JOIN edges e ON r.v = e.src
+    GROUP BY e.dst
+  ) c ON vd.v = c.v
+)"""
+    sql += "\nSELECT v AS host, round(pr, 6) AS pr FROM r5\n"
+    return sql
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4216,6 +4282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_triage": q_source_triage,
     "ccnet_quality_tiers": q_ccnet_quality_tiers,
     "url_dedup": q_url_dedup,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4320,4 +4387,5 @@ ORACLES: dict[str, str] = {
     "source_triage": sql_source_triage(),
     "ccnet_quality_tiers": sql_ccnet_quality_tiers(),
     "url_dedup": sql_url_dedup(),
+    "host_pagerank": sql_host_pagerank(),
 }

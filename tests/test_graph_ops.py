@@ -1,0 +1,68 @@
+"""Host-graph PageRank semantics on tiny known graphs (the SF-scale
+query `host_pagerank` is value-checked by its unrolled-CTE DuckDB
+oracle; these pin the operator's math directly)."""
+
+import pytest
+
+from pdf_parser_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r.v: r.pr for r in df.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    pr = _ranks(pagerank(e, iters=7))
+    for v in "abc":
+        assert pr[v] == pytest.approx(1 / 3, abs=1e-12)
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_is_redistributed(spark):
+    # a -> b, b has no out-links: its mass must spread uniformly, so the
+    # total stays exactly 1 and b (the sink) outranks a.
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    pr = _ranks(pagerank(e, iters=1))
+    # after one iteration from (.5, .5): a = .15/2 + .85*(.5/2) = .2875
+    assert pr["a"] == pytest.approx(0.2875, abs=1e-12)
+    assert pr["b"] == pytest.approx(0.7125, abs=1e-12)
+    pr5 = _ranks(pagerank(e, iters=5))
+    assert sum(pr5.values()) == pytest.approx(1.0, abs=1e-9)
+    assert pr5["b"] > pr5["a"]
+
+
+def test_pagerank_multi_edges_are_weights(spark):
+    # a links to b twice and c once -> b receives 2/3 of a's share
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")],
+        "src string, dst string",
+    )
+    pr = _ranks(pagerank(e, iters=20))
+    assert pr["b"] > pr["c"]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    # pure-Python replay of the same damped iteration, exact agreement
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")]
+    deg = {"a": 3, "b": 1, "c": 1}
+    r = {v: 1 / 3 for v in "abc"}
+    for _ in range(20):
+        contrib = {v: 0.0 for v in "abc"}
+        for s, d in edges:
+            contrib[d] += r[s] / deg[s]
+        r = {v: 0.15 / 3 + 0.85 * contrib[v] for v in "abc"}
+    for v in "abc":
+        assert pr[v] == pytest.approx(r[v], abs=1e-12)
+
+
+def test_pagerank_checkpoint_every_matches_plain(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    plain = _ranks(pagerank(e, iters=6, checkpoint_every=None))
+    ckpt = _ranks(pagerank(e, iters=6, checkpoint_every=2))
+    assert plain.keys() == ckpt.keys()
+    for v in plain:
+        assert plain[v] == pytest.approx(ckpt[v], abs=1e-12)
