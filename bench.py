@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "fuzzy_decontamination",
     "source_triage",
+    "ccnet_quality_tiers",
+    "url_dedup",
+    "host_pagerank",
 ]
 
 
