@@ -20,7 +20,7 @@ TRACKING_PARAMS = ("fbclid", "gclid", "ref")
 TRACKING_PREFIX = "utm_"
 
 
-def canonical_url(url) -> Column:
+def canonical_url(url, fallback: Column | None = None) -> Column:
     """Canonical form of a URL, applying the standard normalizations:
 
     - trim; drop the ``#fragment``
@@ -32,8 +32,15 @@ def canonical_url(url) -> Column:
       bare ``?``
 
     Malformed input (no ``scheme://``) passes through trimmed-lowercased —
-    garbage in, stable garbage out, never NULL (so dedup keys stay total).
+    garbage in, stable garbage out, never NULL (so dedup keys stay total):
+    a NULL url maps to ``''``. Since every missing URL shares that one
+    key, dedup callers on crawl data with NULL urls should pass
+    ``fallback=`` (e.g. the doc id) — NULL urls then map to a per-row
+    ``nourl:<fallback>`` key so distinct no-URL documents never collapse
+    into a single groupBy bucket.
     """
+    if isinstance(url, str):
+        url = F.col(url)
     u = F.regexp_replace(F.trim(url), "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -61,6 +68,12 @@ def canonical_url(url) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
     ).otherwise(F.lit(""))
-    return F.when(
+    out = F.when(
         scheme == "", F.lower(F.trim(url))
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qstr))
+    missing = (
+        F.concat(F.lit("nourl:"), fallback.cast("string"))
+        if fallback is not None
+        else F.lit("")
+    )
+    return F.when(url.isNull(), missing).otherwise(out)

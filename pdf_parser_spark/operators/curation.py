@@ -480,30 +480,31 @@ def perplexity_tiers(
       |groups| rows, broadcast back), tier = how many cutpoints the
       score exceeds — fully parallel regardless of group skew, at the
       cost of ±epsilon bucket balance at the boundaries. Same output
-      schema; value-pinned by pytest rather than the SQL oracle.
+      schema and column order as the exact path (NULL groups tier too —
+      the cutpoint join is null-safe); value-pinned by pytest rather
+      than the SQL oracle.
     """
     if not approx:
         w = Window.partitionBy(group_col).orderBy(
             F.col(score_col).asc(), F.col(id_col).asc()
         )
         return scored.withColumn("tier", F.ntile(tiers).over(w))
+    if tiers <= 1:
+        return scored.withColumn("tier", F.lit(1))
     qs = [i / tiers for i in range(1, tiers)]
     cuts = scored.groupBy(group_col).agg(
         F.percentile_approx(score_col, qs, 10_000).alias("_cuts")
     )
-    return (
-        scored.join(F.broadcast(cuts), group_col)
-        .withColumn(
-            "tier",
-            (
-                F.lit(1)
-                + F.aggregate(
-                    "_cuts",
-                    F.lit(0),
-                    lambda acc, c: acc
-                    + F.when(F.col(score_col) > c, 1).otherwise(0),
-                )
-            ).cast("int"),
+    s, c = scored.alias("_s"), F.broadcast(cuts).alias("_c")
+    tier = (
+        F.lit(1)
+        + F.aggregate(
+            "_cuts",
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(f"_s.{score_col}") > cut, 1).otherwise(0),
         )
-        .drop("_cuts")
-    )
+    ).cast("int")
+    return s.join(
+        c, F.col(f"_s.{group_col}").eqNullSafe(F.col(f"_c.{group_col}"))
+    ).select(*[F.col(f"_s.{x}") for x in scored.columns], tier.alias("tier"))

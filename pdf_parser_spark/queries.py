@@ -135,6 +135,19 @@ def _lang_scores_sql() -> tuple[str, str]:
 # textual twin of dedup.word_shingles (same greatest(…,1) short-doc clamp)
 _WORDS_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
+# the unigram-surprisal LM as SQL CTEs (textual twin of
+# textqc.unigram_surprisal with vocab_size=200): tokenize, count, total
+# mass, top-200 vocab by (cnt DESC, word). Shared by every oracle that
+# scores docs by surprisal so LM semantics can never drift between them.
+_SURPRISAL_CTES = """words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), lm AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm),
+top AS (SELECT word, cnt FROM lm ORDER BY cnt DESC, word LIMIT 200)"""
+
 
 def _shingles_sql(n: int) -> str:
     return (
@@ -3117,15 +3130,8 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_unigram_surprisal() -> str:
-    return """
-WITH words AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                            x -> x <> '')) AS word
-  FROM documents
-), lm AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
-total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm),
-top AS (SELECT word, cnt FROM lm ORDER BY cnt DESC, word LIMIT 200)
+    return f"""
+WITH {_SURPRISAL_CTES}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(ln((SELECT t FROM total)) - ln(coalesce(cnt, 1))), 6)
          AS mean_surprisal
@@ -3934,15 +3940,8 @@ def q_ccnet_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_ccnet_quality_tiers() -> str:
-    return """
-WITH words AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                            x -> x <> '')) AS word
-  FROM documents
-), lm AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
-total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm),
-top AS (SELECT word, cnt FROM lm ORDER BY cnt DESC, word LIMIT 200),
+    return f"""
+WITH {_SURPRISAL_CTES},
 scored AS (
   SELECT doc_id,
          round(avg(ln((SELECT t FROM total)) - ln(coalesce(cnt, 1))), 6)
@@ -4104,9 +4103,11 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("site"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
         ).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    return graph.pagerank(e, damping=0.85, iters=5).select(
-        F.col("v").alias("host"), F.round("pr", 6).alias("pr")
-    )
+    # checkpoint_every=None: 5 iterations is pure-plan territory, and a
+    # registered query must stay a lazy plan builder (no job at build time)
+    return graph.pagerank(
+        e, damping=0.85, iters=5, checkpoint_every=None
+    ).select(F.col("v").alias("host"), F.round("pr", 6).alias("pr"))
 
 
 def sql_host_pagerank() -> str:

@@ -279,6 +279,45 @@ def test_perplexity_tiers_exact_and_approx_agree(spark):
         assert abs(approx[doc_id] - t) <= (
             1 if doc_id % 100 in (2, 3, 5, 6) else 0
         )
+    # column order identical between strategies (positional consumers)
+    assert (
+        curation.perplexity_tiers(docs).columns
+        == curation.perplexity_tiers(docs, approx=True).columns
+    )
+
+
+def test_perplexity_tiers_null_group_and_single_tier(spark):
+    from pdf_parser_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 6 else None, float(i)) for i in range(9)],
+        "doc_id long, lang string, mean_surprisal double",
+    )
+    # NULL-lang docs must survive BOTH strategies (null-safe cutpoint join)
+    for approx in (False, True):
+        out = curation.perplexity_tiers(docs, approx=approx).collect()
+        assert len(out) == 9
+        assert all(r.tier is not None for r in out)
+    # tiers=1 -> everything is tier 1 on both paths, never NULL
+    for approx in (False, True):
+        out = curation.perplexity_tiers(docs, tiers=1, approx=approx)
+        assert [r.tier for r in out.collect()] == [1] * 9
+
+
+def test_canonical_url_null_totality(spark):
+    from pdf_parser_spark.functions.urls import canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example/x"), (2, None), (3, None)],
+        "doc_id long, url string",
+    )
+    plain = df.select(canonical_url("url").alias("c")).collect()
+    assert [r.c for r in plain] == ["https://a.example/x", "", ""]
+    # with a fallback key, distinct no-URL docs get distinct dedup keys
+    keyed = df.select(
+        canonical_url("url", fallback=F.col("doc_id")).alias("c")
+    ).collect()
+    assert [r.c for r in keyed] == ["https://a.example/x", "nourl:2", "nourl:3"]
 
 
 def test_canonical_url_rules(spark):
