@@ -1,0 +1,130 @@
+"""Crawl-snapshot governance — the operators a recurring web crawl runs
+between fetch and curation: snapshot-over-snapshot change detection
+(what did this crawl add/remove/change vs the last one), robots-style
+longest-prefix path exclusion, and per-host anchor-text aggregation
+(the classic link-context relevance signal).
+
+Spark-first shapes:
+
+- ``snapshot_delta`` is ONE full-outer equi-join on the page key over
+  (key, digest) projections — at 100 TB both snapshot stores are
+  bucketed/partitioned by the key, so the sort-merge join is co-located
+  and the scan reads two columns (column pruning leaves text/payload
+  on disk).
+- ``path_exclusion`` compiles the (small, config-sized) rule list into
+  a single Catalyst expression — matching and the RFC 9309
+  longest-match/allow-wins-tie argmax run as ``filter`` + ``array_max``
+  over a literal struct array, pure whole-stage codegen: zero joins,
+  zero shuffles, no Python.
+- ``anchor_topk`` is a map-side-combined count on (host, term) followed
+  by a rank window on host; Spark 4's WindowGroupLimit pushes the
+  ``rank <= k`` cut below the shuffle so only k rows per host travel.
+
+Reference analogue: the reference governs sources with a hand-curated
+whitelist projection (`_parser.py:1291-1296`) and re-checks its work
+queue for already-processed files (`_parser.py:1581`); these are the
+web-scale twins of those two moves (rule-driven admission, and
+change detection against the previous run's output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    digest: str = "digest",
+) -> DataFrame:
+    """Classify pages across two crawl snapshots.
+
+    Returns ``(key, old_digest, new_digest, status)`` where status is
+    ``added`` (key only in ``new``), ``removed`` (only in ``old``),
+    ``changed`` (both, digest differs) or ``unchanged``. Each snapshot
+    must be key-unique (run URL dedup first — the same contract every
+    CDC pass assumes); duplicate keys would fan out in the join.
+    """
+    o = old.select(F.col(key).alias(key), F.col(digest).alias("old_digest"))
+    n = new.select(F.col(key).alias(key), F.col(digest).alias("new_digest"))
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, key, "full_outer").select(
+        key, "old_digest", "new_digest", status.alias("status")
+    )
+
+
+def path_decision(
+    path: Column, rules: list[tuple[str, bool]]
+) -> tuple[Column, Column]:
+    """(allowed, matched_prefix) columns for a path under robots-style
+    rules — ``rules`` is the small config list of ``(prefix, allow)``.
+
+    RFC 9309 semantics: the longest matching prefix wins; on an exact
+    length tie, allow beats disallow; no match at all means allowed.
+    The rule list is compiled into ONE literal struct array, so the
+    whole decision is a codegen scalar — no join, no shuffle.
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(len(p)).alias("l"),
+                F.lit(1 if allow else 0).alias("a"),
+                F.lit(p).alias("p"),
+            )
+            for p, allow in rules
+        ]
+    )
+    matches = F.filter(entries, lambda e: path.startswith(e["p"]))
+    best = F.array_max(matches)  # struct order: length, then allow, then prefix
+    allowed = F.when(F.size(matches) == 0, F.lit(True)).otherwise(
+        best["a"] == 1
+    )
+    prefix = F.when(F.size(matches) == 0, F.lit("")).otherwise(best["p"])
+    return allowed, prefix
+
+
+def path_exclusion(
+    docs: DataFrame,
+    rules: list[tuple[str, bool]],
+    path_col: str = "path",
+) -> DataFrame:
+    """Annotate every doc with its robots-style admission decision:
+    adds ``allowed`` (boolean) and ``matched_prefix`` columns. Filter
+    on ``allowed`` afterwards — keeping the audit columns is what a
+    governance pass wants (and what the paired oracle value-checks).
+    """
+    allowed, prefix = path_decision(F.col(path_col), rules)
+    return docs.withColumn("allowed", allowed).withColumn(
+        "matched_prefix", prefix
+    )
+
+
+def anchor_topk(
+    links: DataFrame,
+    host_col: str = "dst",
+    term_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k anchor-text terms per target host, by in-link count.
+
+    Returns ``(host_col, term_col, cnt, rank)``. Ties break on the term
+    string so the result is deterministic. One partial-agg shuffle on
+    (host, term), then the rank window on host — WindowGroupLimit keeps
+    only k rows per host below the second shuffle.
+    """
+    counts = links.groupBy(host_col, term_col).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("cnt").desc(), F.col(term_col).asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -4149,6 +4149,155 @@ r{k} AS (
     return sql
 
 
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot CDC (operators/crawl.snapshot_delta): two
+    crawl snapshots are synthesized deterministically from documents
+    (old drops doc_id%11==3 -> those come back 'added'; new drops
+    doc_id%13==7 -> 'removed'; doc_id%5==0 re-digests -> 'changed') and
+    classified with ONE full-outer join on the page key over
+    (key, digest) projections. At 100 TB both snapshot stores are
+    bucketed by the key so the join is co-located; text never leaves
+    the scan (digest-only projection)."""
+    from pdf_parser_spark.operators import crawl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    key = F.concat(F.lit("page"), F.col("doc_id").cast("string"))
+    old = d.where(F.col("doc_id") % 11 != 3).select(
+        key.alias("url"), F.md5("text").alias("digest")
+    )
+    new = d.where(F.col("doc_id") % 13 != 7).select(
+        key.alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("digest"),
+    )
+    return crawl.snapshot_delta(old, new, key="url", digest="digest")
+
+
+def sql_crawl_snapshot_delta() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, coalesce(text, '') AS text
+  FROM documents
+), old AS (
+  SELECT 'page' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS old_digest
+  FROM d WHERE doc_id % 11 <> 3
+), new AS (
+  SELECT 'page' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2')
+              ELSE md5(text) END AS new_digest
+  FROM d WHERE doc_id % 13 <> 7
+)
+SELECT url, old_digest, new_digest,
+  CASE WHEN old_digest IS NULL THEN 'added'
+       WHEN new_digest IS NULL THEN 'removed'
+       WHEN old_digest <> new_digest THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new USING (url)
+"""
+
+
+def q_robots_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style path admission (operators/crawl.path_exclusion):
+    RFC 9309 longest-prefix-match with allow-beats-disallow ties,
+    compiled into ONE literal struct array so the whole decision is a
+    codegen scalar over the scan — zero joins, zero shuffles. The rule
+    set exercises the tie rules: /private/ denied but /private/pub/
+    re-allowed (longer match wins), /tmp denied, everything else
+    default-allowed."""
+    from pdf_parser_spark.operators import crawl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    sid = F.col("doc_id").cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/public/p"), sid))
+        .when(v == 1, F.concat(F.lit("/private/p"), sid))
+        .when(v == 2, F.concat(F.lit("/private/pub/p"), sid))
+        .otherwise(F.concat(F.lit("/tmp/p"), sid))
+    )
+    rules = [("/private/", False), ("/private/pub/", True), ("/tmp", False)]
+    return crawl.path_exclusion(d.withColumn("path", path), rules)
+
+
+def sql_robots_path_filter() -> str:
+    return """
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE CAST(CAST(doc_id AS BIGINT) % 4 AS INT)
+      WHEN 0 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/private/pub/p' || CAST(doc_id AS VARCHAR)
+      ELSE '/tmp/p' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+), rules(prefix, allow) AS (
+  VALUES ('/private/', false), ('/private/pub/', true), ('/tmp', false)
+), m AS (
+  SELECT doc_id, path, prefix, allow,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY len(prefix) DESC, allow DESC,
+                                     prefix DESC) AS rn
+  FROM docs LEFT JOIN rules ON starts_with(path, prefix)
+)
+SELECT doc_id, path,
+       CASE WHEN prefix IS NULL THEN true ELSE allow END AS allowed,
+       coalesce(prefix, '') AS matched_prefix
+FROM m WHERE rn = 1
+"""
+
+
+def q_anchor_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host anchor-text aggregation (operators/crawl.anchor_topk):
+    the link-context signal (what do in-links CALL this host) every
+    web-relevance stack aggregates. Links reuse the pagerank graph's
+    deterministic dst synthesis with anchor terms keyed off doc_id; one
+    map-side-combined count on (host, term) then a rank window whose
+    k-cut runs below the shuffle (WindowGroupLimit, plan-pinned)."""
+    from pdf_parser_spark.operators import crawl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    links = d.select(
+        F.concat(
+            F.lit("site"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+        F.concat(F.lit("term"), (F.col("doc_id") % 11).cast("string")).alias(
+            "anchor"
+        ),
+    )
+    return crawl.anchor_topk(links, k=3)
+
+
+def sql_anchor_topk_per_host() -> str:
+    return """
+WITH links AS (
+  SELECT 'site' || CAST((CAST(doc_id AS BIGINT) * 7 + 3) % 20 AS VARCHAR)
+           AS dst,
+         'term' || CAST(CAST(doc_id AS BIGINT) % 11 AS VARCHAR) AS anchor
+  FROM documents
+), c AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM links GROUP BY dst, anchor
+), r AS (
+  SELECT dst, anchor, cnt,
+         CAST(row_number() OVER (PARTITION BY dst
+                                 ORDER BY cnt DESC, anchor ASC) AS INT)
+           AS rank
+  FROM c
+)
+SELECT dst, anchor, cnt, rank FROM r WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4284,6 +4433,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_quality_tiers": q_ccnet_quality_tiers,
     "url_dedup": q_url_dedup,
     "host_pagerank": q_host_pagerank,
+    "crawl_snapshot_delta": q_crawl_snapshot_delta,
+    "robots_path_filter": q_robots_path_filter,
+    "anchor_topk_per_host": q_anchor_topk_per_host,
 }
 
 ORACLES: dict[str, str] = {
@@ -4389,4 +4541,7 @@ ORACLES: dict[str, str] = {
     "ccnet_quality_tiers": sql_ccnet_quality_tiers(),
     "url_dedup": sql_url_dedup(),
     "host_pagerank": sql_host_pagerank(),
+    "crawl_snapshot_delta": sql_crawl_snapshot_delta(),
+    "robots_path_filter": sql_robots_path_filter(),
+    "anchor_topk_per_host": sql_anchor_topk_per_host(),
 }

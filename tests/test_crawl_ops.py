@@ -1,0 +1,71 @@
+"""Unit tests for the crawl-governance operators (operators/crawl.py):
+snapshot CDC classification, robots-style longest-prefix admission, and
+per-host anchor-text top-k. Value semantics here; the sf-scale value
+checks live in the paired DuckDB oracles (queries.py), and the plan
+shapes are pinned in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import crawl
+
+
+def test_snapshot_delta_classes(spark):
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("b", "h2"), ("c", "hX"), ("d", "h4")], "url string, digest string"
+    )
+    out = {r.url: r for r in crawl.snapshot_delta(old, new).collect()}
+    assert out["a"].status == "removed" and out["a"].new_digest is None
+    assert out["b"].status == "unchanged"
+    assert out["c"].status == "changed" and out["c"].old_digest == "h3"
+    assert out["d"].status == "added" and out["d"].old_digest is None
+    assert len(out) == 4
+
+
+def test_path_exclusion_rfc9309_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "/docs/x"),  # no match -> default allow
+            (2, "/private/x"),  # denied
+            (3, "/private/pub/x"),  # longer allow overrides
+            (4, "/p"),  # tie length: allow beats disallow
+        ],
+        "doc_id long, path string",
+    )
+    rules = [
+        ("/private/", False),
+        ("/private/pub/", True),
+        ("/p", False),
+        ("/p", True),
+    ]
+    out = {r.doc_id: r for r in crawl.path_exclusion(docs, rules).collect()}
+    assert out[1].allowed and out[1].matched_prefix == ""
+    assert not out[2].allowed and out[2].matched_prefix == "/private/"
+    assert out[3].allowed and out[3].matched_prefix == "/private/pub/"
+    assert out[4].allowed  # allow wins the equal-length tie
+    # decision is a pure scalar: no join, no shuffle in the plan
+    plan = crawl.path_exclusion(
+        docs, rules
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_anchor_topk_ties_and_cut(spark):
+    links = spark.createDataFrame(
+        [("h1", t) for t in ["a", "a", "b", "b", "c", "d"]]
+        + [("h2", "z")],
+        "dst string, anchor string",
+    )
+    out = crawl.anchor_topk(links, k=3).collect()
+    h1 = sorted(
+        [(r.anchor, r.cnt, r.rank) for r in out if r.dst == "h1"],
+        key=lambda x: x[2],
+    )
+    # cnt desc, term asc: a(2) then b(2) then c (tie c/d broken by term)
+    assert h1 == [("a", 2, 1), ("b", 2, 2), ("c", 1, 3)]
+    assert [(r.anchor, r.rank) for r in out if r.dst == "h2"] == [("z", 1)]

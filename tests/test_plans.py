@@ -200,6 +200,19 @@ def test_batch_ann_group_limit_before_shuffle(spark):
     assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
 
 
+def test_anchor_topk_group_limit_below_window_shuffle(spark):
+    """Per-host anchor top-k: the rank <= k cut must run map-side
+    (WindowGroupLimit below the window's Exchange) so only k rows per
+    host cross the wire — the full (host, term) count table never
+    shuffles into single-host window partitions."""
+    df = QUERIES["anchor_topk_per_host"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    ex = plan.find("Exchange")
+    assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
+    # and the count below it is a partial agg (map-side combine)
+    assert "partial_count" in plan
+
+
 def test_trigram_lang_id_broadcast_profiles_and_group_limit(spark):
     """Trigram lang-ID classification: the profile table (|langs| x K rows)
     must BROADCAST to the trigram-exploded scan, and the per-doc argmax
