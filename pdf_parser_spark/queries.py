@@ -4085,41 +4085,56 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (operators/graph.pagerank): the link-authority
     prior a web corpus uses to weight admission (Common Crawl publishes
     exactly this host-level ranking). The link multigraph is synthesized
-    deterministically from doc_ids (src = doc's host, dst = a fixed
-    affine map of it), then 5 damped iterations run as one
-    join+partial-agg shuffle each, with vertex count and dangling mass
-    kept as 1-row in-plan broadcasts. The oracle replays all 5
-    iterations as chained CTEs."""
+    deterministically from doc_ids (see _host_edges; skewed in-degrees
+    and dst-only dangling hosts, so ranks are NON-uniform and the
+    dangling-mass redistribution is live in the checked values), then 5
+    damped iterations run as one join+partial-agg shuffle each, with
+    vertex count and dangling mass kept as 1-row in-plan broadcasts.
+    The oracle replays all 5 iterations as chained CTEs."""
     from pdf_parser_spark.operators import graph
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
-    e = d.select(
+    # checkpoint_every=None: 5 iterations is pure-plan territory, and a
+    # registered query must stay a lazy plan builder (no job at build time)
+    return graph.pagerank(
+        _host_edges(d), damping=0.85, iters=5, checkpoint_every=None
+    ).select(F.col("v").alias("host"), F.round("pr", 6).alias("pr"))
+
+
+def _host_edges(d: DataFrame) -> DataFrame:
+    """Deterministic link multigraph for the graph queries: src = the
+    doc's host (20 hosts), dst = a QUADRATIC map into 25 host slots.
+    Quadratic residues are non-uniform mod 25, so in-degrees are skewed
+    (6 distinct rank values at sf0.01) and two dst-only hosts are
+    DANGLING — a regular/affine map would make every rank 1/n and leave
+    the dangling-mass redistribution dead in the checked values, so a
+    broken contribution join could pass the oracle."""
+    return d.select(
         F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string")).alias(
             "src"
         ),
         F.concat(
-            F.lit("site"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+            F.lit("site"),
+            ((F.col("doc_id") * F.col("doc_id") + 3) % 25).cast("string"),
         ).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    # checkpoint_every=None: 5 iterations is pure-plan territory, and a
-    # registered query must stay a lazy plan builder (no job at build time)
-    return graph.pagerank(
-        e, damping=0.85, iters=5, checkpoint_every=None
-    ).select(F.col("v").alias("host"), F.round("pr", 6).alias("pr"))
 
 
-def sql_host_pagerank() -> str:
+def _pagerank_sql_ctes() -> str:
+    """Chained-CTE replay of the 5 damped PageRank iterations over the
+    synthetic host graph — shared by the host_pagerank and
+    recrawl_priority oracles so iteration semantics can never drift."""
     d = 0.85
-    sql = """
-WITH edges AS (
+    sql = """edges AS (
   SELECT 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
-         'site' || CAST((CAST(doc_id AS BIGINT) * 7 + 3) % 20 AS VARCHAR)
-           AS dst
+         'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                        % 25 AS VARCHAR) AS dst
   FROM documents
   WHERE 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
-        <> 'site' || CAST((CAST(doc_id AS BIGINT) * 7 + 3) % 20 AS VARCHAR)
+        <> 'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT)
+                           + 3) % 25 AS VARCHAR)
 ), verts AS (
   SELECT DISTINCT v
   FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
@@ -4145,21 +4160,24 @@ r{k} AS (
     GROUP BY e.dst
   ) c ON vd.v = c.v
 )"""
-    sql += "\nSELECT v AS host, round(pr, 6) AS pr FROM r5\n"
     return sql
 
 
-def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot-over-snapshot CDC (operators/crawl.snapshot_delta): two
-    crawl snapshots are synthesized deterministically from documents
-    (old drops doc_id%11==3 -> those come back 'added'; new drops
-    doc_id%13==7 -> 'removed'; doc_id%5==0 re-digests -> 'changed') and
-    classified with ONE full-outer join on the page key over
-    (key, digest) projections. At 100 TB both snapshot stores are
-    bucketed by the key so the join is co-located; text never leaves
-    the scan (digest-only projection)."""
-    from pdf_parser_spark.operators import crawl
+def sql_host_pagerank() -> str:
+    return (
+        "WITH "
+        + _pagerank_sql_ctes()
+        + "\nSELECT v AS host, round(pr, 6) AS pr FROM r5\n"
+    )
 
+
+def _snapshot_pair(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic crawl snapshots synthesized from documents
+    (shared by crawl_snapshot_delta and recrawl_priority): old drops
+    doc_id%11==3 -> those come back 'added'; new drops doc_id%13==7 ->
+    'removed'; doc_id%5==0 re-digests -> 'changed'."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.coalesce("text", F.lit("")).alias("text"),
@@ -4177,12 +4195,13 @@ def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5("text"))
         .alias("digest"),
     )
-    return crawl.snapshot_delta(old, new, key="url", digest="digest")
+    return old, new
 
 
-def sql_crawl_snapshot_delta() -> str:
-    return """
-WITH d AS (
+# SQL twin of _snapshot_pair + crawl.snapshot_delta's full-outer merge
+# (status column left to each oracle so recrawl_priority can aggregate
+# the raw digests instead)
+_SNAPSHOT_CTES = """d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, coalesce(text, '') AS text
   FROM documents
 ), old AS (
@@ -4193,13 +4212,34 @@ WITH d AS (
          CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2')
               ELSE md5(text) END AS new_digest
   FROM d WHERE doc_id % 13 <> 7
-)
+), delta AS (
+  SELECT url, old_digest, new_digest
+  FROM old FULL OUTER JOIN new USING (url)
+)"""
+
+
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot CDC (operators/crawl.snapshot_delta): two
+    crawl snapshots are synthesized deterministically from documents
+    (see _snapshot_pair) and classified with ONE full-outer join on the
+    page key over (key, digest) projections. At 100 TB both snapshot
+    stores are bucketed by the key so the join is co-located; text
+    never leaves the scan (digest-only projection)."""
+    from pdf_parser_spark.operators import crawl
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return crawl.snapshot_delta(old, new, key="url", digest="digest")
+
+
+def sql_crawl_snapshot_delta() -> str:
+    return f"""
+WITH {_SNAPSHOT_CTES}
 SELECT url, old_digest, new_digest,
   CASE WHEN old_digest IS NULL THEN 'added'
        WHEN new_digest IS NULL THEN 'removed'
        WHEN old_digest <> new_digest THEN 'changed'
        ELSE 'unchanged' END AS status
-FROM old FULL OUTER JOIN new USING (url)
+FROM delta
 """
 
 
@@ -4252,6 +4292,88 @@ SELECT doc_id, path,
        coalesce(prefix, '') AS matched_prefix
 FROM m WHERE rn = 1
 """
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling signal — the composition a recurring crawl
+    actually runs: host authority (graph.pagerank over the link graph)
+    x observed change rate (crawl.snapshot_delta between the last two
+    snapshots), priority = pr * (0.5 + change_rate). Both inputs reduce
+    to |hosts| rows before the final join, so composing them adds one
+    broadcast-sized hash join to the two operator plans — the corpus is
+    scanned once per snapshot and once for edges, never re-shuffled."""
+    from pdf_parser_spark.operators import crawl, graph
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    pr = graph.pagerank(
+        _host_edges(d), damping=0.85, iters=5, checkpoint_every=None
+    )
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    delta = crawl.snapshot_delta(old, new, key="url", digest="digest")
+    # the crawl store only has the url at this point: recover the page id
+    # from the key, map it to its host (same synthesis as the edges)
+    page_id = F.expr("CAST(substring(url, 5) AS BIGINT)")
+    changed = (
+        F.col("old_digest").isNull()
+        | (
+            F.col("new_digest").isNotNull()
+            & (F.col("old_digest") != F.col("new_digest"))
+        )
+    ).cast("int")
+    rates = (
+        delta.select(
+            F.concat(F.lit("site"), (page_id % 20).cast("string")).alias(
+                "host"
+            ),
+            changed.alias("is_ch"),
+            F.col("new_digest").isNotNull().cast("int").alias("in_new"),
+        )
+        .groupBy("host")
+        .agg(
+            (
+                F.sum("is_ch") / F.greatest(F.sum("in_new"), F.lit(1))
+            ).alias("change_rate")
+        )
+    )
+    cr = F.coalesce("change_rate", F.lit(0.0))
+    return pr.join(rates, pr["v"] == rates["host"], "left").select(
+        F.col("v").alias("host"),
+        F.round("pr", 6).alias("pr"),
+        F.round(cr, 6).alias("change_rate"),
+        F.round(F.col("pr") * (F.lit(0.5) + cr), 6).alias("priority"),
+    )
+
+
+def sql_recrawl_priority() -> str:
+    return (
+        "WITH "
+        + _pagerank_sql_ctes()
+        + ",\n"
+        + _SNAPSHOT_CTES.replace("d AS (", "d2 AS (", 1).replace(
+            "FROM d WHERE", "FROM d2 WHERE"
+        )
+        + """,
+rates AS (
+  SELECT 'site' || CAST(CAST(substring(url, 5) AS BIGINT) % 20 AS VARCHAR)
+           AS host,
+         CAST(sum(CASE WHEN old_digest IS NULL
+                         OR (new_digest IS NOT NULL
+                             AND old_digest <> new_digest)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+         / greatest(CAST(sum(CASE WHEN new_digest IS NOT NULL
+                                  THEN 1 ELSE 0 END) AS BIGINT), 1)
+           AS change_rate
+  FROM delta GROUP BY 1
+)
+SELECT r5.v AS host, round(r5.pr, 6) AS pr,
+       round(coalesce(rates.change_rate, 0), 6) AS change_rate,
+       round(r5.pr * (0.5 + coalesce(rates.change_rate, 0)), 6) AS priority
+FROM r5 LEFT JOIN rates ON r5.v = rates.host
+"""
+    )
 
 
 def q_anchor_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4436,6 +4558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_snapshot_delta": q_crawl_snapshot_delta,
     "robots_path_filter": q_robots_path_filter,
     "anchor_topk_per_host": q_anchor_topk_per_host,
+    "recrawl_priority": q_recrawl_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -4544,4 +4667,5 @@ ORACLES: dict[str, str] = {
     "crawl_snapshot_delta": sql_crawl_snapshot_delta(),
     "robots_path_filter": sql_robots_path_filter(),
     "anchor_topk_per_host": sql_anchor_topk_per_host(),
+    "recrawl_priority": sql_recrawl_priority(),
 }
