@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "ccnet_quality_tiers",
     "url_dedup",
     "host_pagerank",
+    "html_extract_main",
+    "html_link_hosts",
+    "warc_extract_records",
 ]
 
 

@@ -1,0 +1,254 @@
+"""HTML main-content extraction: tokenizer → block segmentation →
+boilerplate classification (structural jusText-style subset).
+
+North-rule surface: "HTML boilerplate strip … DOM heuristics". The
+reference strips PDF boilerplate and cuts the main-content window
+(`_parser.py:901-937`, repeated-line header/footer detection in the
+kernel); this module is the HTML twin for web corpora: a
+dependency-free tag tokenizer with a DOM-lite open-tag stack, block
+segmentation at block-level tag boundaries, per-block link-density
+accounting, and a deterministic keep/drop classifier (boilerplate-tag
+ancestry + link density + length, the structural subset of
+jusText/Boilerpipe — the stopword-density axis plugs in via
+operators/textqc.py when a language lexicon is wanted).
+
+Everything here is per-document and pure (no I/O, no state), so the
+Spark operator (operators/webextract.py) maps it over Arrow batches
+with ZERO shuffles — the 100 TB path is embarrassingly parallel.
+
+Determinism contract (the DuckDB oracles replay these rules exactly):
+- comments, script/style/noscript/template bodies, and <title> text are
+  dropped before block scanning; an unterminated skip region drops to
+  end-of-input (a truncated page yields a truncated parse, never a
+  crash);
+- a block flushes at every open OR close of a block-level tag, BEFORE
+  the tag's ancestry effect applies (text inside <nav>…</nav> is
+  flushed while the nav ancestry still holds);
+- block text = whitespace-collapsed concatenation of its raw text
+  fragments; link_chars = collapsed length of the fragments that lie
+  inside an <a> ancestry;
+- entities: the named set below plus numeric &#NN;/&#xHH; (others pass
+  through verbatim — a web-scale corpus is full of broken entities and
+  silently guessing is worse than keeping bytes);
+- classify: empty blocks vanish; boilerplate ancestry ⇒ boiler;
+  3*link_chars > n_chars ⇒ boiler (integer arithmetic, SQL-exact);
+  else content iff n_chars >= min_len or the block is a heading.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+# -- tag taxonomies ---------------------------------------------------------
+
+BLOCK_TAGS = frozenset(
+    """html head body main article section div p h1 h2 h3 h4 h5 h6 ul ol li
+    table thead tbody tr td th blockquote pre br hr nav header footer aside
+    form fieldset figure figcaption dl dt dd address""".split()
+)
+BOILER_TAGS = frozenset("nav header footer aside form".split())
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+SKIP_TAGS = frozenset("script style noscript template title".split())
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+    "copy": "©",
+    "mdash": "—",
+    "ndash": "–",
+    "hellip": "…",
+    "lsquo": "‘",
+    "rsquo": "’",
+    "ldquo": "“",
+    "rdquo": "”",
+}
+
+_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z]{1,10});")
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|\Z)", re.S)
+_TOKEN_RE = re.compile(r"(<[^>]*>)")
+_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+_WS_RE = re.compile(r"\s+")
+_HREF_RE = re.compile(r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def decode_entities(s: str) -> str:
+    """Decode the documented named set + numeric character references."""
+
+    def _sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                return chr(int(body[2:], 16))
+            except (ValueError, OverflowError):
+                return m.group(0)
+        if body.startswith("#"):
+            try:
+                return chr(int(body[1:]))
+            except (ValueError, OverflowError):
+                return m.group(0)
+        return NAMED_ENTITIES.get(body, m.group(0))
+
+    return _ENTITY_RE.sub(_sub, s)
+
+
+def _collapse(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+def _strip_skip_regions(html: str) -> str:
+    """Remove comments and script/style/noscript/template/title bodies.
+
+    Unterminated regions drop to end-of-input. Case-insensitive; tolerant
+    of attributes on the opening tag.
+    """
+    html = _COMMENT_RE.sub(" ", html)
+    pat = re.compile(
+        r"<(script|style|noscript|template|title)\b[^>]*>.*?(?:</\1\s*>|\Z)",
+        re.S | re.I,
+    )
+    return pat.sub(" ", html)
+
+
+class Block(NamedTuple):
+    order: int
+    tag: str
+    text: str
+    n_chars: int
+    link_chars: int
+    kind: str  # 'content' | 'boiler'
+
+
+class Link(NamedTuple):
+    order: int
+    href: str
+    anchor: str
+    in_boiler: bool
+
+
+def parse_blocks(
+    html: str, min_len: int = 15, max_link_num: int = 1, max_link_den: int = 3
+) -> tuple[list[Block], list[Link]]:
+    """Tokenize → segment → classify. Returns (blocks, links).
+
+    ``max_link_num/max_link_den`` is the link-density cut as an exact
+    rational: boiler iff link_chars * max_link_den > n_chars * max_link_num
+    — integer arithmetic so any SQL engine replays it bit-for-bit.
+    """
+    if not html:
+        return [], []
+    stripped = _strip_skip_regions(html)
+
+    blocks: list[Block] = []
+    links: list[Link] = []
+    frags: list[str] = []
+    link_frags: list[str] = []
+    anchor_frags: list[str] = []
+    boiler_depth = 0
+    a_depth = 0
+    cur_href: str | None = None
+    block_tag = "body"
+    tag_stack: list[str] = []
+
+    def flush() -> None:
+        nonlocal frags, link_frags
+        text = _collapse("".join(frags))
+        if text:
+            n = len(text)
+            lc = len(_collapse("".join(link_frags)))
+            if boiler_depth > 0:
+                kind = "boiler"
+            elif lc * max_link_den > n * max_link_num:
+                kind = "boiler"
+            elif n >= min_len or block_tag in HEADING_TAGS:
+                kind = "content"
+            else:
+                kind = "boiler"
+            blocks.append(Block(len(blocks), block_tag, text, n, lc, kind))
+        frags = []
+        link_frags = []
+
+    for tok in _TOKEN_RE.split(stripped):
+        if not tok:
+            continue
+        if tok[0] != "<":
+            dec = decode_entities(tok)
+            frags.append(dec)
+            if a_depth > 0:
+                link_frags.append(dec)
+                anchor_frags.append(dec)
+            continue
+        if tok.startswith("<!") or tok.startswith("<?"):
+            continue  # doctype / declaration / processing instruction
+        m = _TAG_NAME_RE.match(tok)
+        if not m:
+            # '<' soup that never formed a tag name ('< 3', '<>') — treat as text
+            dec = decode_entities(tok)
+            frags.append(dec)
+            if a_depth > 0:
+                link_frags.append(dec)
+                anchor_frags.append(dec)
+            continue
+        name = m.group(1).lower()
+        closing = tok.startswith("</")
+        self_closing = tok.rstrip().endswith("/>") or name in VOID_TAGS
+        if name in BLOCK_TAGS:
+            flush()  # before the tag's ancestry/segment effect applies
+            if not closing and not self_closing:
+                tag_stack.append(name)
+                block_tag = name
+                if name in BOILER_TAGS:
+                    boiler_depth += 1
+            elif closing:
+                # pop to the nearest matching open tag (tolerates misnesting)
+                if name in tag_stack:
+                    while tag_stack:
+                        top = tag_stack.pop()
+                        if top in BOILER_TAGS:
+                            boiler_depth = max(0, boiler_depth - 1)
+                        if top == name:
+                            break
+                block_tag = tag_stack[-1] if tag_stack else "body"
+        elif name == "a":
+            if not closing and not self_closing:
+                if a_depth == 0:
+                    hm = _HREF_RE.search(tok)
+                    cur_href = (
+                        (hm.group(1) or hm.group(2) or hm.group(3)) if hm else None
+                    )
+                    anchor_frags = []
+                a_depth += 1
+            elif closing and a_depth > 0:
+                a_depth -= 1
+                if a_depth == 0:
+                    if cur_href:
+                        links.append(
+                            Link(
+                                len(links),
+                                cur_href,
+                                _collapse("".join(anchor_frags)),
+                                boiler_depth > 0,
+                            )
+                        )
+                    cur_href = None
+                    anchor_frags = []
+        # inline tags (span, b, i, …) neither flush nor change ancestry
+    flush()
+    if a_depth > 0 and cur_href:  # unterminated anchor at EOF still counts
+        links.append(
+            Link(len(links), cur_href, _collapse("".join(anchor_frags)), boiler_depth > 0)
+        )
+    return blocks, links
+
+
+def extract_main(html: str, min_len: int = 15) -> str:
+    """Main content = newline-joined text of the content blocks."""
+    blocks, _ = parse_blocks(html, min_len=min_len)
+    return "\n".join(b.text for b in blocks if b.kind == "content")

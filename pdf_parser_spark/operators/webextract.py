@@ -1,0 +1,180 @@
+"""Web-document extraction operators: HTML main-content + link graph.
+
+The north rule's extraction tier names "HTML boilerplate strip … DOM
+heuristics" alongside the PDF/layout parse (reference main-content cut:
+`_parser.py:901-937`). This module is the HTML side:
+
+- ``web_pages_from_documents``: deterministic page synthesis from the
+  ``documents`` testdata table — pure Catalyst (one projection, no
+  Python, no shuffle), so the DuckDB oracles can rebuild the exact same
+  page strings and value-check the real parser end-to-end (same recipe
+  as the BMP/WAV payloads in operators/media.py).
+- ``html_blocks`` / ``html_links``: mapInPandas over Arrow batches
+  running functions/htmlparse.py per document. ZERO shuffles — the
+  100 TB path is embarrassingly parallel; the caller owns partitioning
+  (pipeline.salted_repartition defuses giant-page skew exactly as it
+  does for PDFs).
+
+Scale notes: pages never leave the executor; per-block rows are emitted
+exploded so downstream aggregations get map-side partial aggregation.
+No driver-side actions anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.functions.htmlparse import parse_blocks
+
+_BLOCK_SCHEMA = (
+    "doc_id string, block_order int, tag string, kind string, "
+    "text string, n_chars int, link_chars int"
+)
+_LINK_SCHEMA = "doc_id string, link_order int, href string, anchor string, in_boiler boolean"
+
+
+def _host(did, salt: str):
+    """Deterministic per-doc host: 'h' + 2 md5 hex chars + '.example'."""
+    return F.concat(
+        F.lit("h"),
+        F.substring(F.md5(F.concat(did, F.lit(salt))), 1, 2),
+        F.lit(".example"),
+    )
+
+
+def web_pages_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, source, …) → (doc_id string, html string).
+
+    The page exercises every classifier axis: a nav with 2 + doc_id%3
+    link items (boilerplate ancestry + pure-link density), a repeated
+    header/footer, an aside promo, and a <main><article> with a heading,
+    two paragraphs (the doc's words split in half), an inline content
+    link, and named + numeric entities (&amp;, &#8212;, &copy;) the
+    parser must decode. ASCII throughout, so byte offsets == char
+    offsets for the WARC framing built on top.
+    """
+    did = F.col("doc_id").cast("string")
+    h1, h2, h3 = _host(did, "-1"), _host(did, "-2"), _host(did, "-3")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    k = ((n + 1) / 2).cast("int")  # ceil(n/2), ints in → exact
+    para1 = F.array_join(F.slice(words, F.lit(1), k), " ")
+    para2 = F.array_join(F.slice(words, k + 1, n - k), " ")
+    n_extra = (F.col("doc_id") % 3).cast("int")
+    extra_items = F.when(n_extra > 0, F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_extra),
+            lambda j: F.concat(
+                F.lit('<li><a href="https://'), h2, F.lit("/p"),
+                j.cast("string"), F.lit('">More '), j.cast("string"),
+                F.lit("</a></li>"),
+            ),
+        ),
+        "",
+    )).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "), did,
+        F.lit('</title><meta charset="utf-8"></head><body>'),
+        F.lit('<nav><ul><li><a href="https://'), h1,
+        F.lit('/home">Home</a></li><li><a href="https://'), h2,
+        F.lit('/about">About &amp; Info</a></li>'), extra_items,
+        F.lit("</ul></nav>"),
+        F.lit("<header><h1>Portal "), F.col("source"), F.lit("</h1></header>"),
+        F.lit("<main><article><h2>Document "), did,
+        F.lit(" &amp; notes</h2><p>"), para1,
+        F.lit("</p><p>"), para2,
+        F.lit(' See <a href="https://'), h3, F.lit("/ref/"), did,
+        F.lit('">reference</a>&#8212;end.</p></article></main>'),
+        F.lit('<aside><p><a href="https://'), h1,
+        F.lit('/promo">Sponsored</a> links</p></aside>'),
+        F.lit("<footer><p>&copy; 2024 "), F.col("source"),
+        F.lit(" portal</p></footer></body></html>"),
+    )
+    return docs.select(did.alias("doc_id"), html.alias("html"))
+
+
+def html_blocks(pages: DataFrame, min_len: int = 15) -> DataFrame:
+    """(doc_id, html) → one row per non-empty block, classified.
+
+    mapInPandas over Arrow batches; the per-document parse is pure
+    Python over in-memory strings (same budget class as the chunker —
+    regex tokenization, no I/O). No shuffle is introduced.
+    """
+    import pandas as pd
+
+    def run(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "block_order": [], "tag": [], "kind": [],
+                "text": [], "n_chars": [], "link_chars": [],
+            }
+            for did, html in zip(pdf["doc_id"], pdf["html"]):
+                blocks, _ = parse_blocks(html or "", min_len=min_len)
+                for b in blocks:
+                    out["doc_id"].append(did)
+                    out["block_order"].append(b.order)
+                    out["tag"].append(b.tag)
+                    out["kind"].append(b.kind)
+                    out["text"].append(b.text)
+                    out["n_chars"].append(b.n_chars)
+                    out["link_chars"].append(b.link_chars)
+            yield pd.DataFrame(out)
+
+    return pages.select("doc_id", "html").mapInPandas(run, schema=_BLOCK_SCHEMA)
+
+
+def html_links(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) → one row per extracted anchor (href + text +
+    whether it sits under boilerplate ancestry). Zero shuffles."""
+    import pandas as pd
+
+    def run(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "link_order": [], "href": [],
+                "anchor": [], "in_boiler": [],
+            }
+            for did, html in zip(pdf["doc_id"], pdf["html"]):
+                _, links = parse_blocks(html or "")
+                for lk in links:
+                    out["doc_id"].append(did)
+                    out["link_order"].append(lk.order)
+                    out["href"].append(lk.href)
+                    out["anchor"].append(lk.anchor)
+                    out["in_boiler"].append(lk.in_boiler)
+            yield pd.DataFrame(out)
+
+    return pages.select("doc_id", "html").mapInPandas(run, schema=_LINK_SCHEMA)
+
+
+def main_content(pages: DataFrame, min_len: int = 15) -> DataFrame:
+    """Per-doc main text + block tallies — one mapInPandas, one in-plan
+    per-doc reduction done INSIDE the kernel (no groupBy: blocks of a
+    document never leave their row's batch)."""
+    import pandas as pd
+
+    def run(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "n_blocks": [], "n_content": [], "n_boiler": [],
+                "content_chars": [], "main_text": [],
+            }
+            for did, html in zip(pdf["doc_id"], pdf["html"]):
+                blocks, _ = parse_blocks(html or "", min_len=min_len)
+                content = [b for b in blocks if b.kind == "content"]
+                out["doc_id"].append(did)
+                out["n_blocks"].append(len(blocks))
+                out["n_content"].append(len(content))
+                out["n_boiler"].append(len(blocks) - len(content))
+                out["content_chars"].append(sum(b.n_chars for b in content))
+                out["main_text"].append("\n".join(b.text for b in content))
+            yield pd.DataFrame(out)
+
+    return pages.select("doc_id", "html").mapInPandas(
+        run,
+        schema=(
+            "doc_id string, n_blocks int, n_content int, n_boiler int, "
+            "content_chars int, main_text string"
+        ),
+    )

@@ -4420,6 +4420,185 @@ SELECT dst, anchor, cnt, rank FROM r WHERE rank <= 3
 """
 
 
+_HTML_PARA_CTE = """
+w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), paras AS (
+  SELECT doc_id, source,
+    array_to_string(ws[1:CAST(ceil(len(ws)/2.0) AS INT)], ' ') AS para1,
+    array_to_string(ws[CAST(ceil(len(ws)/2.0) AS INT)+1:len(ws)], ' ')
+      AS para2
+  FROM w
+)"""
+
+
+def q_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction — the north rule's 'HTML boilerplate
+    strip … DOM heuristics' axis. Deterministic pages synthesized from
+    ``documents`` in pure Catalyst (nav/header/aside/footer boilerplate,
+    2 + doc_id%3 nav links, entity-encoded text), then the REAL parser
+    (functions/htmlparse.py: tag tokenizer, DOM-lite stack, block
+    segmentation, link-density + ancestry + length classifier) runs as
+    one zero-shuffle mapInPandas. The oracle recomputes every expected
+    block tally AND md5 of the extracted main text (heading + both
+    paragraphs + decoded &amp;/&#8212; entities) straight from the
+    documents columns — the parse is value-checked end to end."""
+    from pdf_parser_spark.operators import webextract
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    out = webextract.main_content(pages)
+    return out.select(
+        "doc_id",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_content").cast("long").alias("n_content"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.col("content_chars").cast("long").alias("content_chars"),
+        F.md5("main_text").alias("main_md5"),
+    )
+
+
+def sql_html_extract_main() -> str:
+    return f"""
+WITH {_HTML_PARA_CTE}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(8 + doc_id % 3 AS BIGINT) AS n_blocks,
+  CAST(3 AS BIGINT) AS n_content,
+  CAST(5 + doc_id % 3 AS BIGINT) AS n_boiler,
+  CAST(length('Document ' || CAST(doc_id AS VARCHAR) || ' & notes')
+       + length(para1)
+       + length(para2 || ' See reference' || chr(8212) || 'end.')
+       AS BIGINT) AS content_chars,
+  md5('Document ' || CAST(doc_id AS VARCHAR) || ' & notes' || chr(10)
+      || para1 || chr(10)
+      || para2 || ' See reference' || chr(8212) || 'end.') AS main_md5
+FROM paras
+"""
+
+
+def q_html_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction for the web graph: the parser records every anchor
+    (href, text, boilerplate ancestry); hosts come out via one Catalyst
+    regex and feed the crawl stack (graph.pagerank / crawl.anchor_topk
+    take exactly this shape). One map-side-combined groupBy on host; the
+    oracle rebuilds the synthesized link set (2 fixed nav + doc_id%3
+    extra + 1 content + 1 promo per doc) from md5 arithmetic."""
+    from pdf_parser_spark.operators import webextract
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    links = webextract.html_links(pages)
+    return (
+        links.select(
+            "doc_id",
+            F.regexp_extract("href", r"^https://([^/]+)", 1).alias("host"),
+            (~F.col("in_boiler")).cast("int").alias("is_content"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("is_content").cast("long").alias("n_content_links"),
+        )
+    )
+
+
+def sql_html_link_hosts() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-1'), 1, 2) || '.example'
+      AS h1,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-2'), 1, 2) || '.example'
+      AS h2,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-3'), 1, 2) || '.example'
+      AS h3
+  FROM documents
+), links AS (
+  SELECT doc_id, h1 AS host, 0 AS is_content FROM d
+  UNION ALL SELECT doc_id, h2, 0 FROM d
+  UNION ALL SELECT doc_id, h2, 0
+    FROM d, UNNEST(generate_series(1, doc_id % 3)) AS u(j)
+  UNION ALL SELECT doc_id, h3, 1 FROM d
+  UNION ALL SELECT doc_id, h1, 0 FROM d
+)
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(sum(is_content) AS BIGINT) AS n_content_links
+FROM links GROUP BY host
+"""
+
+
+def q_warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive ingestion (sources/warc.py): pages are framed into
+    WARC/1.0 response records (Content-Length-governed payloads, CRLF
+    separators) packed ~50 per blob, then the REAL reader walks each
+    blob by offset and recovers every record. The oracle rebuilds the
+    full page string in SQL — record id, target URI, byte length, and
+    payload md5 are all value-checked, so a one-byte framing error
+    anywhere fails the gate."""
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources import warc
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    recs = warc.parse_warc_blobs(warc.warc_blobs_from_pages(pages, group=50))
+    return recs.select(
+        "record_id",
+        "target_uri",
+        F.col("content_length").cast("long").alias("content_length"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def sql_warc_extract_records() -> str:
+    # rebuilds the exact page string web_pages_from_documents emits
+    # (textually adjacent for audit — keep the two templates in sync)
+    return f"""
+WITH {_HTML_PARA_CTE}, hosts AS (
+  SELECT p.*,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-1'), 1, 2) || '.example'
+      AS h1,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-2'), 1, 2) || '.example'
+      AS h2,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-3'), 1, 2) || '.example'
+      AS h3
+  FROM paras p
+), page AS (
+  SELECT doc_id, h1,
+    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><meta charset="utf-8"></head><body>'
+    || '<nav><ul><li><a href="https://' || h1
+    || '/home">Home</a></li><li><a href="https://' || h2
+    || '/about">About &amp; Info</a></li>'
+    || coalesce(array_to_string(list_transform(
+         generate_series(1, doc_id % 3),
+         j -> '<li><a href="https://' || h2 || '/p' || CAST(j AS VARCHAR)
+              || '">More ' || CAST(j AS VARCHAR) || '</a></li>'), ''), '')
+    || '</ul></nav>'
+    || '<header><h1>Portal ' || source || '</h1></header>'
+    || '<main><article><h2>Document ' || CAST(doc_id AS VARCHAR)
+    || ' &amp; notes</h2><p>' || para1 || '</p><p>' || para2
+    || ' See <a href="https://' || h3 || '/ref/' || CAST(doc_id AS VARCHAR)
+    || '">reference</a>&#8212;end.</p></article></main>'
+    || '<aside><p><a href="https://' || h1
+    || '/promo">Sponsored</a> links</p></aside>'
+    || '<footer><p>&copy; 2024 ' || source
+    || ' portal</p></footer></body></html>' AS html
+  FROM hosts
+)
+SELECT 'urn:md5:' || md5('warc-' || CAST(doc_id AS VARCHAR)) AS record_id,
+  'https://' || h1 || '/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+  CAST(length(html) AS BIGINT) AS content_length,
+  md5(html) AS payload_md5
+FROM page
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4559,6 +4738,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_path_filter": q_robots_path_filter,
     "anchor_topk_per_host": q_anchor_topk_per_host,
     "recrawl_priority": q_recrawl_priority,
+    "html_extract_main": q_html_extract_main,
+    "html_link_hosts": q_html_link_hosts,
+    "warc_extract_records": q_warc_extract_records,
 }
 
 ORACLES: dict[str, str] = {
@@ -4668,4 +4850,7 @@ ORACLES: dict[str, str] = {
     "robots_path_filter": sql_robots_path_filter(),
     "anchor_topk_per_host": sql_anchor_topk_per_host(),
     "recrawl_priority": sql_recrawl_priority(),
+    "html_extract_main": sql_html_extract_main(),
+    "html_link_hosts": sql_html_link_hosts(),
+    "warc_extract_records": sql_warc_extract_records(),
 }

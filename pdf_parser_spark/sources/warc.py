@@ -1,0 +1,122 @@
+"""WARC-style web-archive source: record framing + payload recovery.
+
+The reference ingests a directory of PDFs (`_parser.py:1589-1597`); the
+web-scale twin ingests WARC archives (the Common-Crawl interchange
+format). This module implements the two halves with no external data:
+
+- ``warc_blobs_from_pages``: deterministic archive synthesis — each
+  (doc_id, html) page becomes one ``WARC/1.0`` response record
+  (version line, named headers, ``Content-Length``-framed payload,
+  ``\\r\\n\\r\\n`` record separator), and records are packed ~group per
+  blob in doc_id order. Pure Catalyst except the one packing shuffle
+  (synthesis/test-only; real archives arrive pre-packed on disk).
+- ``parse_warc_blobs``: the REAL reader — a mapInPandas scanner that
+  walks each blob by byte offset: parse the header block, read exactly
+  ``Content-Length`` payload chars, skip the separator, resync to the
+  next ``WARC/1.0`` magic on malformed input instead of crashing.
+  ZERO shuffles; blobs are independent, so the 100 TB path is one
+  embarrassingly parallel pass over archive files.
+
+Pages are ASCII by construction (entities stay encoded in the raw
+HTML), so char offsets == byte offsets and the DuckDB oracle can
+recompute ``Content-Length`` with ``length()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAGIC = "WARC/1.0"
+_REC_SCHEMA = (
+    "blob_id long, record_id string, target_uri string, "
+    "content_length long, payload string"
+)
+
+
+def warc_record_expr(did, html):
+    """One WARC response record as a Catalyst string expression."""
+    return F.concat(
+        F.lit(_MAGIC + "\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(F.lit("warc-"), did)),
+        F.lit(">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: https://h"),
+        F.substring(F.md5(F.concat(did, F.lit("-1"))), 1, 2),
+        F.lit(".example/doc/"),
+        did,
+        F.lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.length(html).cast("string"),
+        F.lit("\r\n\r\n"),
+        html,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def warc_blobs_from_pages(pages: DataFrame, group: int = 50) -> DataFrame:
+    """(doc_id, html) → (blob_id long, blob string), ~group records each,
+    packed in doc_id order so the synthesis is bit-deterministic."""
+    did_l = F.col("doc_id").cast("long")
+    recs = pages.select(
+        # integer DIV, not floor(double-divide): exact for any int64 id
+        F.expr(f"CAST(doc_id AS BIGINT) DIV {int(group)}").alias("blob_id"),
+        F.struct(did_l.alias("did"), warc_record_expr(F.col("doc_id"), F.col("html")).alias("rec")).alias("r"),
+    )
+    return recs.groupBy("blob_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("r")), lambda r: r["rec"]), ""
+        ).alias("blob")
+    )
+
+
+def _scan_blob(blob: str):
+    """Yield (record_id, target_uri, content_length, payload) per record."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if not blob.startswith(_MAGIC, pos):
+            nxt = blob.find(_MAGIC, pos)  # resync on malformed bytes
+            if nxt < 0:
+                return
+            pos = nxt
+        hdr_end = blob.find("\r\n\r\n", pos)
+        if hdr_end < 0:
+            return  # truncated header → truncated archive, not a crash
+        fields: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split("\r\n")[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue  # unframed record: skip its header, resync on magic
+        payload = blob[hdr_end + 4 : hdr_end + 4 + clen]
+        rid = fields.get("warc-record-id", "")
+        if rid.startswith("<") and rid.endswith(">"):
+            rid = rid[1:-1]
+        yield rid, fields.get("warc-target-uri", ""), len(payload), payload
+        pos = hdr_end + 4 + clen
+        if blob.startswith("\r\n\r\n", pos):
+            pos += 4
+
+
+def parse_warc_blobs(blobs: DataFrame) -> DataFrame:
+    """(blob_id, blob) → one row per well-framed record. Zero shuffles."""
+    import pandas as pd
+
+    def run(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "blob_id": [], "record_id": [], "target_uri": [],
+                "content_length": [], "payload": [],
+            }
+            for bid, blob in zip(pdf["blob_id"], pdf["blob"]):
+                for rid, uri, clen, payload in _scan_blob(blob or ""):
+                    out["blob_id"].append(bid)
+                    out["record_id"].append(rid)
+                    out["target_uri"].append(uri)
+                    out["content_length"].append(clen)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "blob").mapInPandas(run, schema=_REC_SCHEMA)

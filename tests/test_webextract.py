@@ -1,0 +1,254 @@
+"""HTML main-content extraction + WARC framing tests.
+
+Covers the north rule's "HTML boilerplate strip … DOM heuristics" axis:
+- classifier rules (ancestry / link density / length / headings);
+- tokenizer robustness on malformed tag soup (hypothesis fuzz with a
+  char-conservation invariant);
+- WARC record framing edge cases, including the nasty one — the magic
+  string INSIDE a framed payload;
+- Spark parity vs the pure-Python parser and zero-shuffle plan pins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_spark.functions.htmlparse import (
+    decode_entities,
+    extract_main,
+    parse_blocks,
+)
+from pdf_parser_spark.sources.warc import _scan_blob
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- pure-Python twin of operators/webextract.web_pages_from_documents ----
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _page(doc_id: int, text: str, source: str) -> str:
+    h = lambda s: "h" + _md5(f"{doc_id}{s}")[:2] + ".example"  # noqa: E731
+    ws = text.split(" ")
+    k = (len(ws) + 1) // 2
+    p1, p2 = " ".join(ws[:k]), " ".join(ws[k:])
+    extra = "".join(
+        f'<li><a href="https://{h("-2")}/p{j}">More {j}</a></li>'
+        for j in range(1, doc_id % 3 + 1)
+    )
+    return (
+        f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title>"
+        f'<meta charset="utf-8"></head><body>'
+        f'<nav><ul><li><a href="https://{h("-1")}/home">Home</a></li>'
+        f'<li><a href="https://{h("-2")}/about">About &amp; Info</a></li>'
+        f"{extra}</ul></nav>"
+        f"<header><h1>Portal {source}</h1></header>"
+        f"<main><article><h2>Document {doc_id} &amp; notes</h2>"
+        f"<p>{p1}</p><p>{p2} See "
+        f'<a href="https://{h("-3")}/ref/{doc_id}">reference</a>'
+        f"&#8212;end.</p></article></main>"
+        f'<aside><p><a href="https://{h("-1")}/promo">Sponsored</a>'
+        f" links</p></aside>"
+        f"<footer><p>&copy; 2024 {source} portal</p></footer></body></html>"
+    )
+
+
+# -- classifier rules ------------------------------------------------------
+
+
+def test_template_block_contract():
+    for did in (0, 1, 2, 5, 7):
+        pg = _page(did, "alpha beta gamma delta epsilon zeta eta theta iota kappa", f"src{did}")
+        blocks, links = parse_blocks(pg)
+        assert len(blocks) == 8 + did % 3
+        assert sum(b.kind == "content" for b in blocks) == 3
+        assert len(links) == 4 + did % 3
+        main = extract_main(pg)
+        assert main.startswith(f"Document {did} & notes\n")  # entity decoded
+        assert main.endswith(" See reference—end.")  # &#8212; decoded
+
+
+def test_boiler_ancestry_wins_over_length():
+    b, _ = parse_blocks("<nav><p>this navigation text is long enough to keep</p></nav>")
+    assert [x.kind for x in b] == ["boiler"]
+
+
+def test_link_density_boundary_is_exact_rational():
+    # 3*link_chars > n_chars is the cut: 10 link chars in 30 total == keep,
+    # 11 in 30 == drop (integer arithmetic — no float equality surprises)
+    keep = "<p><a href=x>aaaaaaaaaa</a>bbbbbbbbbbbbbbbbbbbb</p>"  # 10/30
+    drop = "<p><a href=x>aaaaaaaaaaa</a>bbbbbbbbbbbbbbbbbbb</p>"  # 11/30
+    (kb,), _ = parse_blocks(keep)
+    (db,), _ = parse_blocks(drop)
+    assert (kb.n_chars, kb.link_chars, kb.kind) == (30, 10, "content")
+    assert (db.n_chars, db.link_chars, db.kind) == (30, 11, "boiler")
+
+
+def test_short_blocks_drop_but_headings_survive():
+    b, _ = parse_blocks("<p>tiny</p><h3>tiny</h3>")
+    assert [(x.tag, x.kind) for x in b] == [("p", "boiler"), ("h3", "content")]
+
+
+def test_skip_regions_and_entities():
+    html = (
+        "<script>while(1){ignore me}</script><style>p{color:red}</style>"
+        "<title>nope</title><!-- comment --><p>kept &lt;tag&gt; &amp; "
+        "&#65;&#x42; &nbsp;text&bogus;</p>"
+    )
+    b, _ = parse_blocks(html)
+    assert len(b) == 1
+    assert b[0].text == "kept <tag> & AB text&bogus;"
+    assert decode_entities("&#x27;&#39;") == "''"
+
+
+def test_misnested_close_pops_through_boiler():
+    # </div> closes past the unclosed <nav>: ancestry must unwind so the
+    # following long paragraph is NOT classified as boilerplate
+    b, _ = parse_blocks(
+        "<div><nav>menu</nav-typo></div>"
+        "<p>real article content that is plenty long enough</p>"
+    )
+    assert b[-1].kind == "content"
+
+
+def test_unterminated_anchor_still_yields_link():
+    _, links = parse_blocks('<p>x <a href="https://a.example/z">tail')
+    assert [(l.href, l.anchor) for l in links] == [("https://a.example/z", "tail")]
+
+
+_SOUP_TOKENS = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>", "<a href=x>",
+             "</a>", "<br>", "<li/>", "<b>", "</b>", "<script>", "</script>",
+             "<!-- c -->", "&amp;", "&#65;", "&bad;", "< 3>", "<", ">"]
+        ),
+        st.text(alphabet="abc XY.", min_size=1, max_size=8),
+    ),
+    max_size=40,
+)
+
+
+@given(_SOUP_TOKENS)
+@settings(max_examples=200, deadline=None)
+def test_parse_never_crashes_and_is_deterministic(tokens):
+    html = "".join(tokens)
+    b1, l1 = parse_blocks(html)
+    b2, l2 = parse_blocks(html)
+    assert b1 == b2 and l1 == l2
+    for blk in b1:
+        assert blk.text == blk.text.strip()
+        assert 0 <= blk.link_chars <= blk.n_chars
+        assert blk.kind in ("content", "boiler")
+
+
+@given(st.text(alphabet="ab c.&;#x12", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_tagless_text_survives_collapsed(text):
+    # with no tags at all, the parse is exactly collapse(decode(text))
+    import re
+
+    b, _ = parse_blocks(text)
+    expected = re.sub(r"\s+", " ", decode_entities(text)).strip()
+    got = b[0].text if b else ""
+    assert got == expected
+
+
+# -- WARC framing ----------------------------------------------------------
+
+
+def _rec(rid: str, uri: str, payload: str) -> str:
+    return (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\nContent-Length: {len(payload)}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+
+
+def test_warc_scan_roundtrip_and_magic_inside_payload():
+    # payload CONTAINS the record magic — Content-Length framing must win
+    evil = "WARC/1.0\r\nContent-Length: 0\r\n\r\n fake inner record"
+    blob = _rec("id1", "https://a/1", "hello") + _rec("id2", "https://a/2", evil)
+    recs = list(_scan_blob(blob))
+    assert [(r[0], r[1], r[2]) for r in recs] == [
+        ("id1", "https://a/1", 5),
+        ("id2", "https://a/2", len(evil)),
+    ]
+    assert recs[1][3] == evil
+
+
+def test_warc_scan_resyncs_after_garbage_and_truncation():
+    blob = (
+        "garbage bytes here"
+        + _rec("id1", "https://a/1", "p1")
+        + "WARC/1.0\r\nContent-Length: notanumber\r\n\r\n"
+        + _rec("id2", "https://a/2", "p2")
+        + "WARC/1.0\r\nWARC-Record-ID: <id3>\r\nContent-Length: 99"  # truncated
+    )
+    got = [r[0] for r in _scan_blob(blob)]
+    assert got == ["id1", "id2"]
+
+
+def test_warc_scan_truncated_payload_keeps_partial():
+    blob = "WARC/1.0\r\nWARC-Record-ID: <t>\r\nContent-Length: 10\r\n\r\nabc"
+    (r,) = list(_scan_blob(blob))
+    assert r[2] == 3 and r[3] == "abc"  # content_length reports actual bytes
+
+
+# -- Spark parity + plan pins ----------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_main_content_matches_pure_python(spark):
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources.corpus import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    pages = webextract.web_pages_from_documents(docs)
+    got = {
+        r["doc_id"]: r
+        for r in webextract.main_content(pages).collect()
+    }
+    for row in docs.collect():
+        pg = _page(int(row["doc_id"]), row["text"], row["source"])
+        blocks, _ = parse_blocks(pg)
+        content = [b for b in blocks if b.kind == "content"]
+        g = got[str(row["doc_id"])]
+        assert g["n_blocks"] == len(blocks)
+        assert g["main_text"] == "\n".join(b.text for b in content)
+        assert g["content_chars"] == sum(b.n_chars for b in content)
+
+
+def test_html_blocks_and_links_zero_shuffle(spark):
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources.corpus import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pages = webextract.web_pages_from_documents(docs)
+    for df in (webextract.html_blocks(pages), webextract.html_links(pages)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # embarrassingly parallel at 100 TB
+        assert "MapInPandas" in plan
+
+
+def test_warc_parse_zero_shuffle_after_blobs(spark):
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources import warc
+    from pdf_parser_spark.sources.corpus import load_table
+
+    pages = webextract.web_pages_from_documents(
+        load_table(spark, SF_DIR, "documents")
+    )
+    recs = warc.parse_warc_blobs(warc.warc_blobs_from_pages(pages, group=50))
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE shuffle — the synthesis packing groupBy; the reader adds none
+    assert plan.count("Exchange") == 1
+    n = recs.count()
+    assert n == pages.count()
