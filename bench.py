@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "html_extract_main",
     "html_link_hosts",
     "warc_extract_records",
+    "bpe_train_merges",
 ]
 
 

@@ -628,6 +628,86 @@ def bpe_pair_counts(
     )
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BPE tokenizer-training loop (Sennrich et al. 2016): K merge
+    rounds over the corpus, returning the learned merge table
+    (merge_round, pair, merged, cnt) — ``bpe_pair_counts`` is round 1 of
+    this; here the loop actually runs.
+
+    Distributed shape (the classic trick that makes BPE tractable at
+    corpus scale): the corpus reduces ONCE to a (word, freq) vocabulary
+    — merges act on |V| vocabulary entries weighted by frequency, never
+    on raw text again. Each round is then one map-side-combined partial
+    agg over |V| rows for the pair counts, ONE bounded 1-row driver
+    action for the argmax (count DESC, pair ASC — deterministic
+    tie-break), and one literal string replace to apply the merge. The
+    vocabulary is cached once; K rounds cost K tiny jobs over |V| rows,
+    not K passes over the corpus.
+
+    Merge semantics are pinned to be SQL-replayable: symbols live as a
+    space-delimited string with sentinel spaces (' a b c '), and a merge
+    of pair (a, b) is the plain string replace of ' a b ' with ' ab ' —
+    left-to-right, non-overlapping, the semantics Spark, DuckDB, and
+    Python `str.replace` all share (so ' a a a ' merges to ' aa a ',
+    the greedy-left BPE behavior). The oracle replays every round as a
+    chained CTE; a run that diverges in ANY round's argmax or
+    application fails the value hash.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # ' a b c ' — sentinel spaces make every symbol boundary explicit so a
+    # literal replace can never match inside a multi-char symbol
+    sym0 = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("word"), "(?!^)"), " "), F.lit(" ")
+    )
+    vocab = words.select(sym0.alias("sym"), "freq").cache()
+
+    arr = F.split(F.trim(F.col("sym")), " ")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(
+                F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        top = (
+            vocab.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged — nothing adjacent remains
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merged = pair.replace(" ", "")
+        merges.append((k, pair, merged, cnt))
+        vocab = vocab.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "merge_round bigint, pair string, merged string, cnt bigint"
+    )
+
+
 def tfidf_keywords(
     docs: DataFrame,
     k: int = 5,

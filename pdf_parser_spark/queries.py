@@ -4599,6 +4599,57 @@ FROM page
 """
 
 
+_BPE_ROUNDS = 8
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop (textqc.bpe_train): 8 merge
+    rounds over the documents corpus, each round = pair-count partial
+    agg over the (word, freq) vocabulary + deterministic argmax +
+    literal-replace merge application. The oracle replays all 8 rounds
+    as chained CTEs (pair explode → argmax with the same count-DESC /
+    pair-ASC tie-break → sentinel-space replace), so a divergence in
+    ANY round — selection or application — fails the value hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.bpe_train(d, n_merges=_BPE_ROUNDS)
+
+
+def sql_bpe_train_merges(n_merges: int = _BPE_ROUNDS) -> str:
+    ctes = ["""w0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0 GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(f"""p{k} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> syms[i] || ' ' || syms[i + 1])) AS pair
+    FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w{p})
+  ) GROUP BY pair
+), m{k} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+), w{k} AS (
+  SELECT freq,
+         replace(sym,
+                 ' ' || coalesce((SELECT pair FROM m{k}), chr(1)) || ' ',
+                 ' ' || coalesce((SELECT merged FROM m{k}), chr(1)) || ' ')
+           AS sym
+  FROM w{p}
+)""")
+        # the coalesce(chr(1)) sentinel keeps w{k} intact when a round
+        # finds no pair left to merge (m{k} empty → Spark loop breaks)
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_round, pair, merged, cnt FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4741,6 +4792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract_main": q_html_extract_main,
     "html_link_hosts": q_html_link_hosts,
     "warc_extract_records": q_warc_extract_records,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 ORACLES: dict[str, str] = {
@@ -4853,4 +4905,5 @@ ORACLES: dict[str, str] = {
     "html_extract_main": sql_html_extract_main(),
     "html_link_hosts": sql_html_link_hosts(),
     "warc_extract_records": sql_warc_extract_records(),
+    "bpe_train_merges": sql_bpe_train_merges(),
 }

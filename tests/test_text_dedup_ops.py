@@ -182,6 +182,57 @@ def test_bpe_pair_counts_hand_counted(spark):
     assert [(r.pair, r.cnt) for r in top] == [("ab", 2), ("aa", 1)]
 
 
+def _bpe_reference(texts: list[str], n_merges: int):
+    """Slow, obviously-correct BPE twin: dict-of-words, greedy-left merge
+    by literal replace on sentinel-spaced symbol strings (the pinned
+    engine semantics)."""
+    from collections import Counter
+
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {" " + " ".join(w) + " ": f for w, f in freq.items()}
+    merges = []
+    for k in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for sym, f in vocab.items():
+            syms = sym.strip().split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a} {b}"] += f
+        if not pairs:
+            break
+        # count desc, pair asc — the engine's deterministic tie-break
+        pair = min(pairs, key=lambda p: (-pairs[p], p))
+        merged = pair.replace(" ", "")
+        merges.append((k, pair, merged, pairs[pair]))
+        vocab = {
+            s.replace(f" {pair} ", f" {merged} "): f
+            for s, f in ((s2, f2) for s2, f2 in vocab.items())
+        }
+    return merges
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    texts = ["low lower lowest low", "new newer newest new low", "aaa aa a"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_round, r.pair, r.merged, r.cnt)
+        for r in textqc.bpe_train(docs, n_merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _bpe_reference(texts, 6)
+    # greedy-left overlap semantics: ' a a a ' -> ' aa a ', never ' a aa '
+    aaa = spark.createDataFrame([("aaa aaa",)], "text string")
+    m = textqc.bpe_train(aaa, n_merges=2).orderBy("merge_round").collect()
+    assert [(r.pair, r.cnt) for r in m] == [("a a", 4), ("aa a", 2)]
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    out = textqc.bpe_train(docs, n_merges=10).collect()
+    assert len(out) == 1  # one merge exhausts the vocabulary
+    assert out[0].pair == "a b" and out[0].merged == "ab"
+
+
 def test_line_dedup_default_rejoin_preserves_newlines(spark):
     # default segmenter = newline split -> default rejoin must be newline
     # too (not a silent whitespace rewrite of untouched documents)
