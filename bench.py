@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "html_link_hosts",
     "warc_extract_records",
     "bpe_train_merges",
+    "warc_html_pipeline",
+    "frontier_schedule",
 ]
 
 

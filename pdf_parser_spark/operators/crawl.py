@@ -1,8 +1,9 @@
 """Crawl-snapshot governance — the operators a recurring web crawl runs
 between fetch and curation: snapshot-over-snapshot change detection
 (what did this crawl add/remove/change vs the last one), robots-style
-longest-prefix path exclusion, and per-host anchor-text aggregation
-(the classic link-context relevance signal).
+longest-prefix path exclusion, per-host anchor-text aggregation
+(the classic link-context relevance signal), and politeness-aware
+frontier scheduling (per-host fetch slots with a crawl delay).
 
 Spark-first shapes:
 
@@ -127,4 +128,44 @@ def anchor_topk(
     )
     return counts.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    delay_s: int = 5,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Politeness-aware fetch scheduling for a crawl frontier.
+
+    Every polite crawler serializes fetches PER HOST with a minimum
+    inter-request delay while letting hosts proceed in parallel (RFC
+    9309 crawl-delay semantics; the scheme in Heritrix/Nutch-style
+    frontiers). Given (host, url, priority), emit each URL's per-host
+    fetch slot and its earliest fetch offset in seconds:
+
+    - ``slot``: row_number over the host partition, priority DESC then
+      url ASC (deterministic) — the position in the host's queue;
+    - ``fetch_offset_s``: (slot − 1) × delay_s — when the URL may go
+      out relative to the host's first request.
+
+    Shape at 100 TB: ONE hash shuffle on host feeding one window pass —
+    the same WindowGroupLimit-friendly shape as ``anchor_topk`` when a
+    per-host cap is layered on (``.where(slot <= cap)``). A skewed mega
+    host does not slow other hosts' tasks: the window is per-partition
+    and a frontier row is ~100 bytes, so even a 10^8-URL host fits one
+    task; cap first when it does not.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    slot = F.row_number().over(w)
+    return frontier.select(
+        host_col,
+        url_col,
+        priority_col,
+        slot.alias("slot"),
+        ((slot - 1).cast("long") * delay_s).alias("fetch_offset_s"),
     )

@@ -4599,6 +4599,83 @@ FROM page
 """
 
 
+def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END web ingestion: documents → synthesized pages → WARC
+    archive blobs → the REAL record scanner recovers each payload → the
+    REAL HTML parser extracts main content from the recovered bytes.
+    Output schema intentionally equals ``html_extract_main``'s, and the
+    oracle IS that query's oracle: the chain is correct iff archive
+    framing + payload recovery + parse compose to the identity on the
+    content. One plan, ONE shuffle total (the archive packing groupBy —
+    which real on-disk archives don't pay); doc_id is recovered from the
+    WARC-Target-URI, exactly as a real crawl pipeline keys pages."""
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources import warc
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    recs = warc.parse_warc_blobs(warc.warc_blobs_from_pages(pages, group=50))
+    recovered = recs.select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1).alias("doc_id"),
+        F.col("payload").alias("html"),
+    )
+    out = webextract.main_content(recovered)
+    return out.select(
+        "doc_id",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_content").cast("long").alias("n_content"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.col("content_chars").cast("long").alias("content_chars"),
+        F.md5("main_text").alias("main_md5"),
+    )
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling (crawl.frontier_schedule):
+    per-host fetch slots (priority DESC, url ASC) and earliest fetch
+    offsets at a 5 s crawl delay — one hash shuffle on host, one window
+    pass. Frontier synthesized from documents on the same site keys the
+    other crawl queries use."""
+    from pdf_parser_spark.operators import crawl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    frontier = d.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        ((F.col("doc_id") * 7) % 13).alias("priority"),
+    )
+    return crawl.frontier_schedule(frontier, delay_s=5)
+
+
+def sql_frontier_schedule() -> str:
+    return """
+WITH f AS (
+  SELECT 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS host,
+         'https://site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+           || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST((CAST(doc_id AS BIGINT) * 7) % 13 AS BIGINT) AS priority
+  FROM documents
+)
+SELECT host, url, priority,
+  CAST(row_number() OVER (PARTITION BY host
+                          ORDER BY priority DESC, url ASC) AS INT) AS slot,
+  CAST((row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, url ASC) - 1) * 5
+       AS BIGINT) AS fetch_offset_s
+FROM f
+"""
+
+
 _BPE_ROUNDS = 8
 
 
@@ -4793,6 +4870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_link_hosts": q_html_link_hosts,
     "warc_extract_records": q_warc_extract_records,
     "bpe_train_merges": q_bpe_train_merges,
+    "warc_html_pipeline": q_warc_html_pipeline,
+    "frontier_schedule": q_frontier_schedule,
 }
 
 ORACLES: dict[str, str] = {
@@ -4906,4 +4985,7 @@ ORACLES: dict[str, str] = {
     "html_link_hosts": sql_html_link_hosts(),
     "warc_extract_records": sql_warc_extract_records(),
     "bpe_train_merges": sql_bpe_train_merges(),
+    # the pipeline must reproduce html_extract_main exactly — same oracle
+    "warc_html_pipeline": sql_html_extract_main(),
+    "frontier_schedule": sql_frontier_schedule(),
 }

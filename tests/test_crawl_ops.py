@@ -69,3 +69,27 @@ def test_anchor_topk_ties_and_cut(spark):
     # cnt desc, term asc: a(2) then b(2) then c (tie c/d broken by term)
     assert h1 == [("a", 2, 1), ("b", 2, 2), ("c", 1, 3)]
     assert [(r.anchor, r.rank) for r in out if r.dst == "h2"] == [("z", 1)]
+
+
+def test_frontier_schedule_slots_and_offsets(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("h1", "https://h1/b", 5),
+            ("h1", "https://h1/a", 5),  # priority tie → url ASC
+            ("h1", "https://h1/c", 9),
+            ("h2", "https://h2/x", 1),
+        ],
+        "host string, url string, priority long",
+    )
+    out = {r.url: r for r in crawl.frontier_schedule(frontier, delay_s=5).collect()}
+    # h1 queue: c (prio 9) first, then a, b on the tie-break
+    assert (out["https://h1/c"].slot, out["https://h1/c"].fetch_offset_s) == (1, 0)
+    assert (out["https://h1/a"].slot, out["https://h1/a"].fetch_offset_s) == (2, 5)
+    assert (out["https://h1/b"].slot, out["https://h1/b"].fetch_offset_s) == (3, 10)
+    # hosts are independent queues
+    assert (out["https://h2/x"].slot, out["https://h2/x"].fetch_offset_s) == (1, 0)
+    # one hash shuffle on host feeding one window pass — nothing else
+    plan = crawl.frontier_schedule(
+        frontier
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan

@@ -238,6 +238,24 @@ def test_html_blocks_and_links_zero_shuffle(spark):
         assert "MapInPandas" in plan
 
 
+def test_warc_html_pipeline_single_shuffle_and_identity(spark):
+    # archive framing + payload recovery + parse must compose to the
+    # identity on the content: the pipeline equals the direct path
+    from pdf_parser_spark.queries import QUERIES
+
+    direct = QUERIES["html_extract_main"](spark, SF_DIR)
+    via_warc = QUERIES["warc_html_pipeline"](spark, SF_DIR)
+    # read the plan BEFORE any action: a finalized AQE plan prints both
+    # its initial and final sections and double-counts every Exchange
+    plan = via_warc._jdf.queryExecution().executedPlan().toString()
+    # the packing groupBy is the ONLY exchange in the whole chain
+    # (_spread adds one test-only repartition of the single-split scan)
+    assert plan.count("Exchange") <= 2
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_warc.collect())
+    )
+
+
 def test_warc_parse_zero_shuffle_after_blobs(spark):
     from pdf_parser_spark.operators import webextract
     from pdf_parser_spark.sources import warc
