@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 5,
     checkpoint_every: int | None = 4,
+    cache_iterates: bool = False,
 ) -> DataFrame:
     """PageRank over a directed multigraph given as an edge list.
 
@@ -51,6 +52,8 @@ def pagerank(
     order; query-layer twins round to 6 decimals for oracle parity.
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if cache_iterates:
+        e = e.cache()
     verts = (
         e.select(F.col("_src").alias("v"))
         .union(e.select(F.col("_dst").alias("v")))
@@ -59,9 +62,20 @@ def pagerank(
     deg = e.groupBy(F.col("_src").alias("v")).agg(
         F.count("*").cast("double").alias("outdeg")
     )
+    # cache_iterates=True persists e/vd/each iterate lazily (no job at
+    # build time) — each round references `ranks` three times
+    # (contribution join, dangling aggregate, next-round base), so the
+    # uncached recompute tree grows ~3^iters. At |V| scale on a cluster
+    # that recompute is fatal and persisting iterates is what a real
+    # pagerank job does (MEMORY_AND_DISK); at bench SF the tiny frames
+    # make the extra materialization stages SLOWER than the recompute
+    # (measured — see BENCH/NOISE.md), so the default stays False and
+    # checkpoint_every handles lineage depth instead.
     vd = verts.join(deg, "v", "left").select(
         "v", F.coalesce("outdeg", F.lit(0.0)).alias("outdeg")
     )
+    if cache_iterates:
+        vd = vd.cache()
     # 1-row vertex count, kept in-plan (broadcast nested-loop, no action)
     nv = vd.agg(F.count("*").cast("double").alias("_n"))
     ranks = vd.crossJoin(F.broadcast(nv)).select(
@@ -93,6 +107,8 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        if cache_iterates:
+            ranks = ranks.cache()
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("v", "pr")

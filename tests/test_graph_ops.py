@@ -66,3 +66,18 @@ def test_pagerank_checkpoint_every_matches_plain(spark):
     assert plain.keys() == ckpt.keys()
     for v in plain:
         assert plain[v] == pytest.approx(ckpt[v], abs=1e-12)
+
+
+def test_pagerank_cache_iterates_matches_plain(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    plain = _ranks(pagerank(e, iters=5, checkpoint_every=None))
+    cached = _ranks(
+        pagerank(e, iters=5, checkpoint_every=None, cache_iterates=True)
+    )
+    spark.catalog.clearCache()
+    assert plain.keys() == cached.keys()
+    for v in plain:
+        assert plain[v] == pytest.approx(cached[v], abs=1e-12)
