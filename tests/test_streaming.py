@@ -226,3 +226,54 @@ def test_stream_neardup_admission_matches_batch_operator(spark, tmp_path):
     stream_neardup_admission(spark, inbox, root, threshold=0.5)
     got2 = {r.doc_id for r in admitted_docs(spark, root).collect()}
     assert got2 == {1, 4}
+
+
+def test_stream_web_ingest_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """Streaming WARC->HTML ingest: drained content equals the batch
+    chain; a second drain appends nothing; late archives are picked up."""
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources import warc as warc_src
+    from pdf_parser_spark.sources.corpus import load_table
+    from pdf_parser_spark.streaming.webingest import stream_web_ingest
+
+    sf_dir = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "warc_inbox")
+    root = str(tmp_path / "web_out")
+
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.filter("doc_id < 60")
+    pages1 = webextract.web_pages_from_documents(first)
+    warc_src.warc_blobs_from_pages(pages1, group=20).write.mode(
+        "append"
+    ).parquet(inbox)
+
+    def content(root_):
+        df = spark.read.parquet(f"{root_}/content_out")
+        return sorted(
+            (r.doc_id, r.n_blocks, r.main_text) for r in df.collect()
+        )
+
+    def batch_expected(pages_df):
+        return sorted(
+            (r.doc_id, r.n_blocks, r.main_text)
+            for r in webextract.main_content(pages_df).collect()
+        )
+
+    assert stream_web_ingest(spark, inbox, root) >= 1
+    assert content(root) == batch_expected(pages1)
+
+    # drain again with nothing new: no duplicates
+    stream_web_ingest(spark, inbox, root)
+    assert content(root) == batch_expected(pages1)
+
+    # a late archive lands -> only it is processed, union is complete
+    late = docs.filter("doc_id >= 60 and doc_id < 90")
+    pages2 = webextract.web_pages_from_documents(late)
+    warc_src.warc_blobs_from_pages(pages2, group=20).write.mode(
+        "append"
+    ).parquet(inbox)
+    stream_web_ingest(spark, inbox, root)
+    both = webextract.web_pages_from_documents(
+        docs.filter("doc_id < 90")
+    )
+    assert content(root) == batch_expected(both)
