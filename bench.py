@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "warc_html_pipeline",
     "frontier_schedule",
+    "profile_documents",
 ]
 
 

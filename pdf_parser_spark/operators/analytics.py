@@ -179,3 +179,42 @@ def retention_cohorts(
         "n_active",
         F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_val, max_val, avg_len) — the observability pass every ingest runs
+    before trusting a new table (the reference eyeballs its CSVs by hand;
+    this is the 10^12-row version of that look).
+
+    Values are compared/emitted as strings so one schema serves every
+    column type; avg_len is the mean string length of non-null values
+    (rounded 6 dp). ONE pass over the table: all per-column aggregates
+    ride a single agg (the multi-count-distinct plans as one Expand +
+    one shuffle — rows multiply by n_columns map-side, which is the
+    standard price of exact distincts; swap in approx_count_distinct
+    when a sketch is acceptable), then the 1-row result unpivots to one
+    row per column with a stack projection — no second scan.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"_rows_{c}"),
+            F.count(s).alias(f"_nonnull_{c}"),
+            F.countDistinct(s).alias(f"_dist_{c}"),
+            F.min(s).alias(f"_min_{c}"),
+            F.max(s).alias(f"_max_{c}"),
+            F.round(F.avg(F.length(s)), 6).alias(f"_len_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _rows_{c}, _rows_{c} - _nonnull_{c}, _dist_{c}, "
+        f"_min_{c}, _max_{c}, _len_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, avg_len)"
+    )

@@ -4676,6 +4676,33 @@ FROM f
 """
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the documents table
+    (analytics.profile_table): null counts, exact distincts, min/max as
+    strings, mean value length — one pass, one Expand+shuffle for the
+    multi-column exact distincts, then a stack unpivot of the 1-row
+    aggregate. The oracle recomputes each column's profile as a UNION
+    ALL of scalar aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.profile_table(
+        d, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def sql_profile_documents() -> str:
+    parts = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        parts.append(f"""SELECT '{c}' AS col_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(CAST({c} AS VARCHAR)) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct,
+  min(CAST({c} AS VARCHAR)) AS min_val,
+  max(CAST({c} AS VARCHAR)) AS max_val,
+  round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
 _BPE_ROUNDS = 8
 
 
@@ -4872,6 +4899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_train_merges,
     "warc_html_pipeline": q_warc_html_pipeline,
     "frontier_schedule": q_frontier_schedule,
+    "profile_documents": q_profile_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -4988,4 +5016,5 @@ ORACLES: dict[str, str] = {
     # the pipeline must reproduce html_extract_main exactly — same oracle
     "warc_html_pipeline": sql_html_extract_main(),
     "frontier_schedule": sql_frontier_schedule(),
+    "profile_documents": sql_profile_documents(),
 }

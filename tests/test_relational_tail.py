@@ -452,3 +452,20 @@ def test_retention_cohorts_offsets_and_rates(spark):
     assert rows[("2024-01-01", 1)].retention == 0.5
     assert rows[("2024-01-08", 0)].n_active == 1
     assert len(rows) == 3
+
+
+def test_profile_table_null_accounting_and_single_pass(spark):
+    from pdf_parser_spark.operators.analytics import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, "bbb"), (None, "aa")],
+        "k long, v string",
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    assert (out["k"].n_rows, out["k"].n_nulls, out["k"].n_distinct) == (4, 1, 3)
+    assert (out["v"].n_nulls, out["v"].n_distinct) == (1, 2)
+    assert out["v"].min_val == "aa" and out["v"].max_val == "bbb"
+    assert out["v"].avg_len == round((2 + 3 + 2) / 3, 6)  # emitted pre-rounded
+    # one scan, one Expand for the exact distincts, no join
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Expand") == 1
