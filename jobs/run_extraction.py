@@ -5,7 +5,7 @@ Usage (local stand-in; on a cluster swap --master / executor confs).
 NOTE: in local mode executors share the driver JVM — size
 --driver-memory for the whole job (the 1g default OOMs at ~100k docs):
 
-    python -c "import __spark_entry__"   # or: python bench.py --help (builds the zip)
+    python -c "import bench; bench._pkg_zip()"   # (re)builds the --py-files zip
     spark-submit \
         --master local[32] --driver-memory 16g \
         --py-files .driver_pyfiles/pdf_parser_spark.zip \

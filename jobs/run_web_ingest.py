@@ -1,0 +1,64 @@
+"""spark-submit entry point for the incremental web-archive ingest job:
+WARC blob files → record scan → HTML main-content extraction → content
+store, resumable via the Structured Streaming file-source checkpoint.
+
+Usage (local stand-in; on a cluster swap --master / executor confs):
+
+    python -c "import bench; bench._pkg_zip()"   # (re)builds .driver_pyfiles/pdf_parser_spark.zip
+    spark-submit \
+        --master local[32] --driver-memory 8g \
+        --py-files .driver_pyfiles/pdf_parser_spark.zip \
+        jobs/run_web_ingest.py \
+        --input /data/warc_blobs \
+        --output /tmp/web_out \
+        [--max-files-per-trigger N] [--min-len 15]
+
+Each invocation drains only archive files not yet in the checkpointed
+file log (Trigger.AvailableNow) — the continuous-crawl contract where
+fetchers keep dropping WARC files and ingest runs on a schedule. The
+sink overwrites one batch_id=<id> partition directory per micro-batch,
+so a replayed batch rewrites identical content instead of duplicating
+(streaming/webingest.py). Prints one JSON line with the drain result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="WARC blob parquet dir (blob_id, blob)")
+    p.add_argument("--output", required=True, help="output root (content_out/_stream_checkpoint)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--min-len", type=int, default=15)
+    args = p.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("pdf_parser_spark.web_ingest")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    try:
+        from pdf_parser_spark.streaming.webingest import stream_web_ingest
+
+        n = stream_web_ingest(
+            spark,
+            args.input,
+            args.output,
+            max_files_per_trigger=args.max_files_per_trigger,
+            min_len=args.min_len,
+        )
+        rows = spark.read.parquet(f"{args.output}/content_out").count()
+        print(json.dumps({"micro_batches": n, "content_rows": rows}))
+    finally:
+        spark.stop()
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
