@@ -79,6 +79,19 @@ _WS_RE = re.compile(r"\s+")
 _HREF_RE = re.compile(r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)(?:</title\s*>|\Z)", re.S | re.I)
+
+
+def extract_title(html: str) -> str:
+    """First <title> content, entity-decoded and collapsed ('' if none).
+
+    Title text is page METADATA, not content — the block scanner drops it
+    (a title repeated into the body would double-count content chars);
+    this companion recovers it for the metadata columns."""
+    m = _TITLE_RE.search(html or "")
+    return _collapse(decode_entities(m.group(1))) if m else ""
+
+
 def decode_entities(s: str) -> str:
     """Decode the documented named set + numeric character references."""
 

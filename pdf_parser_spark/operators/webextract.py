@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_parser_spark.functions.htmlparse import parse_blocks
+from pdf_parser_spark.functions.htmlparse import extract_title, parse_blocks
 
 _BLOCK_SCHEMA = (
     "doc_id string, block_order int, tag string, kind string, "
@@ -157,13 +157,14 @@ def main_content(pages: DataFrame, min_len: int = 15) -> DataFrame:
     def run(it):
         for pdf in it:
             out: dict[str, list] = {
-                "doc_id": [], "n_blocks": [], "n_content": [], "n_boiler": [],
-                "content_chars": [], "main_text": [],
+                "doc_id": [], "title": [], "n_blocks": [], "n_content": [],
+                "n_boiler": [], "content_chars": [], "main_text": [],
             }
             for did, html in zip(pdf["doc_id"], pdf["html"]):
                 blocks, _ = parse_blocks(html or "", min_len=min_len)
                 content = [b for b in blocks if b.kind == "content"]
                 out["doc_id"].append(did)
+                out["title"].append(extract_title(html or ""))
                 out["n_blocks"].append(len(blocks))
                 out["n_content"].append(len(content))
                 out["n_boiler"].append(len(blocks) - len(content))
@@ -174,7 +175,7 @@ def main_content(pages: DataFrame, min_len: int = 15) -> DataFrame:
     return pages.select("doc_id", "html").mapInPandas(
         run,
         schema=(
-            "doc_id string, n_blocks int, n_content int, n_boiler int, "
-            "content_chars int, main_text string"
+            "doc_id string, title string, n_blocks int, n_content int, "
+            "n_boiler int, content_chars int, main_text string"
         ),
     )

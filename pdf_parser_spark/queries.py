@@ -4451,6 +4451,7 @@ def q_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = webextract.main_content(pages)
     return out.select(
         "doc_id",
+        "title",
         F.col("n_blocks").cast("long").alias("n_blocks"),
         F.col("n_content").cast("long").alias("n_content"),
         F.col("n_boiler").cast("long").alias("n_boiler"),
@@ -4463,6 +4464,7 @@ def sql_html_extract_main() -> str:
     return f"""
 WITH {_HTML_PARA_CTE}
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
   CAST(8 + doc_id % 3 AS BIGINT) AS n_blocks,
   CAST(3 AS BIGINT) AS n_content,
   CAST(5 + doc_id % 3 AS BIGINT) AS n_boiler,
@@ -4623,6 +4625,7 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = webextract.main_content(recovered)
     return out.select(
         "doc_id",
+        "title",
         F.col("n_blocks").cast("long").alias("n_blocks"),
         F.col("n_content").cast("long").alias("n_content"),
         F.col("n_boiler").cast("long").alias("n_boiler"),

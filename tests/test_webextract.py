@@ -20,6 +20,7 @@ from hypothesis import strategies as st
 from pdf_parser_spark.functions.htmlparse import (
     decode_entities,
     extract_main,
+    extract_title,
     parse_blocks,
 )
 from pdf_parser_spark.sources.warc import _scan_blob
@@ -106,6 +107,17 @@ def test_skip_regions_and_entities():
     assert len(b) == 1
     assert b[0].text == "kept <tag> & AB text&bogus;"
     assert decode_entities("&#x27;&#39;") == "''"
+
+
+def test_extract_title_metadata():
+    assert extract_title("<title> A &amp;  B </title><p>x</p>") == "A & B"
+    assert extract_title('<TITLE lang="en">up</TITLE>') == "up"
+    assert extract_title("<title>trunca") == "trunca"  # unterminated
+    assert extract_title("<p>no title</p>") == ""
+    assert extract_title("") == ""
+    # title text never leaks into blocks (metadata, not content)
+    b, _ = parse_blocks("<title>meta</title><p>body text that is long</p>")
+    assert [x.text for x in b] == ["body text that is long"]
 
 
 def test_misnested_close_pops_through_boiler():
