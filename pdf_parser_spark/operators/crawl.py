@@ -169,3 +169,55 @@ def frontier_schedule(
         slot.alias("slot"),
         ((slot - 1).cast("long") * delay_s).alias("fetch_offset_s"),
     )
+
+
+def parse_robots(robots_txt: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse a robots.txt body into the ``(prefix, allow)`` rule list
+    ``path_decision``/``path_exclusion`` consume — the RFC 9309 file
+    grammar, driver-side (robots bodies are config-sized; the SCALE part
+    is applying the compiled rules to 10^12 paths, which the codegen
+    path operators own).
+
+    Grammar handled per RFC 9309 §2.2:
+    - groups start with one or more ``User-agent:`` lines; rules bind to
+      the nearest preceding group;
+    - the most specific matching group wins: an exact (case-insensitive)
+      product-token match beats ``*``; only that one group's rules apply;
+    - ``Allow``/``Disallow`` with an empty path are no-ops;
+    - ``#`` starts a comment; unknown directives (Crawl-delay, Sitemap,
+      …) are ignored inside groups, as the RFC requires;
+    - line endings and stray whitespace are tolerated (web robots files
+      are famously dirty).
+    """
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_agent_run = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(val.lower())
+            in_agent_run = True
+        elif key in ("allow", "disallow"):
+            in_agent_run = False
+            if cur_agents and val:
+                cur_rules.append((val, key == "allow"))
+        else:
+            in_agent_run = False  # Crawl-delay etc. end an agent run
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    exact = [r for agents, r in groups if agent_l in agents]
+    if exact:
+        return [rule for r in exact for rule in r]
+    return [rule for agents, r in groups if "*" in agents for rule in r]

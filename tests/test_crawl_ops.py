@@ -93,3 +93,61 @@ def test_frontier_schedule_slots_and_offsets(spark):
         frontier
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_parse_robots_groups_and_specificity():
+    txt = """
+# global policy
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+
+User-agent: goodbot
+User-agent: GoodBot-Mini
+Disallow: /tmp/
+Crawl-delay: 10
+Allow: /tmp/ok/
+
+User-agent: otherbot
+Disallow: /
+"""
+    # exact product token beats *, and ONLY that group's rules apply
+    assert crawl.parse_robots(txt, "goodbot") == [
+        ("/tmp/", False),
+        ("/tmp/ok/", True),
+    ]
+    # multi-agent run binds both tokens to the same group
+    assert crawl.parse_robots(txt, "goodbot-mini") == crawl.parse_robots(
+        txt, "goodbot"
+    )
+    # unknown agent falls back to the * group
+    assert crawl.parse_robots(txt, "nobody") == [
+        ("/private/", False),
+        ("/private/pub/", True),
+    ]
+
+
+def test_parse_robots_dirty_input():
+    txt = (
+        "User-Agent :  *  # spaced key\r\n"
+        "Disallow: /a # trailing comment\r\n"
+        "Disallow:\r\n"  # empty path = no-op
+        "Sitemap: https://x/sitemap.xml\r\n"
+        "noise line without colon\r\n"
+        "Allow: /a/b\r\n"
+    )
+    assert crawl.parse_robots(txt) == [("/a", False), ("/a/b", True)]
+    assert crawl.parse_robots("", "any") == []
+    assert crawl.parse_robots("Disallow: /orphan\n") == []  # rule before any group
+
+
+def test_parse_robots_feeds_path_exclusion(spark):
+    rules = crawl.parse_robots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+    )
+    docs = spark.createDataFrame(
+        [(1, "/open"), (2, "/private/x"), (3, "/private/pub/y")],
+        "doc_id long, path string",
+    )
+    out = {r.doc_id: r.allowed for r in crawl.path_exclusion(docs, rules).collect()}
+    assert out == {1: True, 2: False, 3: True}
