@@ -469,3 +469,31 @@ def test_profile_table_null_accounting_and_single_pass(spark):
     # one scan, one Expand for the exact distincts, no join
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and plan.count("Expand") == 1
+
+
+def test_write_clustered_ranges_are_disjoint_and_prunable(spark, tmp_path):
+    from pdf_parser_spark.sources.corpus import load_table
+    from pdf_parser_spark.sources.layout import file_key_ranges, write_clustered
+
+    out = str(tmp_path / "clustered")
+    df = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_clustered(df, out, "o_orderkey", n_ranges=6)
+
+    ranges = file_key_ranges(spark, out, "o_orderkey")
+    assert len(ranges) >= 2
+    # pairwise disjoint file ranges: sort by lo, every hi < next lo
+    ranges.sort(key=lambda r: r[1])
+    for (_, _, hi), (_, lo2, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2
+    # nothing lost in the re-layout
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert back.agg({"o_totalprice": "sum"}).first()[0] == pytest.approx(
+        df.agg({"o_totalprice": "sum"}).first()[0]
+    )
+    # a point predicate now prunes: only ONE file's range can contain it
+    probe = ranges[0][2]  # first file's max key
+    containing = [r for r in ranges if r[1] <= probe <= r[2]]
+    assert len(containing) == 1
