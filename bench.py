@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "warc_html_pipeline",
     "frontier_schedule",
     "profile_documents",
+    "html_anchor_topk",
 ]
 
 

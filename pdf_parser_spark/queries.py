@@ -4679,6 +4679,58 @@ FROM f
 """
 
 
+def q_html_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text top-k over REAL parsed links: the HTML parser's
+    (href, anchor) output feeds crawl.anchor_topk unchanged — the
+    composition a crawl stack actually runs (extract → aggregate link
+    context), not a synthetic edge list. Host comes out of the href via
+    one Catalyst regex; k=2 keeps ties live (every host has at least
+    Home/About/Sponsored/reference anchors to rank). The oracle rebuilds
+    the full per-doc link set from the md5 host arithmetic."""
+    from pdf_parser_spark.operators import crawl, webextract
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    links = webextract.html_links(pages).select(
+        F.regexp_extract("href", r"^https://([^/]+)", 1).alias("dst"),
+        F.col("anchor"),
+    )
+    return crawl.anchor_topk(links, k=2)
+
+
+def sql_html_anchor_topk() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-1'), 1, 2) || '.example'
+      AS h1,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-2'), 1, 2) || '.example'
+      AS h2,
+    'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-3'), 1, 2) || '.example'
+      AS h3
+  FROM documents
+), links AS (
+  SELECT h1 AS dst, 'Home' AS anchor FROM d
+  UNION ALL SELECT h2, 'About & Info' FROM d
+  UNION ALL SELECT h2, 'More ' || CAST(j AS VARCHAR)
+    FROM d, UNNEST(generate_series(1, doc_id % 3)) AS u(j)
+  UNION ALL SELECT h3, 'reference' FROM d
+  UNION ALL SELECT h1, 'Sponsored' FROM d
+), c AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM links GROUP BY dst, anchor
+), r AS (
+  SELECT dst, anchor, cnt,
+         CAST(row_number() OVER (PARTITION BY dst
+                                 ORDER BY cnt DESC, anchor ASC) AS INT)
+           AS rank
+  FROM c
+)
+SELECT dst, anchor, cnt, rank FROM r WHERE rank <= 2
+"""
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of the documents table
     (analytics.profile_table): null counts, exact distincts, min/max as
@@ -4903,6 +4955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_html_pipeline": q_warc_html_pipeline,
     "frontier_schedule": q_frontier_schedule,
     "profile_documents": q_profile_documents,
+    "html_anchor_topk": q_html_anchor_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5020,4 +5073,5 @@ ORACLES: dict[str, str] = {
     "warc_html_pipeline": sql_html_extract_main(),
     "frontier_schedule": sql_frontier_schedule(),
     "profile_documents": sql_profile_documents(),
+    "html_anchor_topk": sql_html_anchor_topk(),
 }
