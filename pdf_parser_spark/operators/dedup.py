@@ -20,6 +20,8 @@ codegen'd; no Python in any hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -925,6 +927,100 @@ def incremental_exact_dedup(
     fresh = digested.join(
         seen_digests.select("digest"), "digest", "left_anti"
     )
+    reps = fresh.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    return fresh.join(reps, ["digest", id_col])
+
+
+def bloom_admission(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+    exact_confirm: bool = True,
+) -> DataFrame:
+    """Sketch-gated incremental dedup: probe a Bloom filter of the corpus
+    digest index BEFORE touching the index itself. At 10^12 docs the
+    exact anti-join of ``incremental_exact_dedup`` still shuffles the
+    batch against a petabyte-scale index; a Bloom filter of the index
+    digests is a few GB broadcast once, and (by the filter's one-sided
+    error) every TRUE negative — the overwhelming majority of a fresh
+    crawl — is admitted with ZERO index I/O. Only bloom-positive rows
+    (real dups + fpp false alarms) continue to the exact anti-join when
+    ``exact_confirm`` is set; with it off you get the pure-sketch mode
+    public pipelines use when a (bounded) false-drop rate is acceptable.
+
+    The filter is built and probed entirely IN Catalyst (Spark's JVM
+    BloomFilterAggregate is not SQL-registered and its Scala sketch
+    cannot be probed from Python executors): k xxhash64(digest, i) bit
+    positions per index entry, OR-folded into 64-bit words with ONE
+    map-side-combined ``bit_or`` groupBy, packed into a single-row
+    word_idx→word map (sparse — ≤ n·k entries), broadcast, and probed
+    with a codegen ``forall`` bit test. No driver actions, no internal
+    APIs; at a 10^12-entry index you shard the filter by digest prefix
+    and probe the matching shard. Output matches
+    ``incremental_exact_dedup`` (admitted rows + digest), in-batch
+    min-id dedup included; with ``exact_confirm=True`` results are
+    IDENTICAL to the exact operator (pinned by test) — the sketch only
+    removes work.
+    """
+    # optimal bits m = -n ln p / ln(2)^2 ; hashes k = -log2(p)
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, int(round(-math.log2(fpp))))
+
+    def positions(col):
+        return F.array(
+            *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(1, k + 1)]
+        )
+
+    digested = new_docs.withColumn("digest", content_digest(F.col(text_col)))
+    pos = seen_digests.select(
+        F.explode(positions(F.col("digest"))).alias("pos")
+    )
+    words = pos.select(
+        F.expr("pos DIV 64").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            "bit"
+        ),
+    ).groupBy("word_idx").agg(F.expr("bit_or(bit)").alias("word"))
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("bf")
+    )
+    probed = digested.join(F.broadcast(bloom)).withColumn(
+        "_maybe_seen",
+        F.forall(
+            positions(F.col("digest")),
+            # python shiftleft/shiftright take only literal ints —
+            # call_function routes Column shift amounts to the SQL fns
+            lambda p: (
+                F.call_function(
+                    "shiftright",
+                    F.coalesce(
+                        # word_idx = p >> 6 (== p DIV 64 for nonneg pmod)
+                        F.try_element_at(
+                            F.col("bf"),
+                            F.call_function("shiftright", p, F.lit(6)),
+                        ),
+                        F.lit(0).cast("long"),
+                    ),
+                    (p % 64).cast("int"),
+                ).bitwiseAND(1)
+                == 1
+            ),
+        ),
+    )
+    clear = probed.filter(~F.col("_maybe_seen")).drop("bf", "_maybe_seen")
+    suspect = probed.filter(F.col("_maybe_seen")).drop("bf", "_maybe_seen")
+    if exact_confirm:
+        confirmed_fresh = suspect.join(
+            seen_digests.select("digest"), "digest", "left_anti"
+        )
+        fresh = clear.unionByName(confirmed_fresh)
+    else:
+        fresh = clear
     reps = fresh.groupBy("digest").agg(F.min(id_col).alias(id_col))
     return fresh.join(reps, ["digest", id_col])
 

@@ -483,3 +483,45 @@ def test_fuzzy_overlap_flags_verbatim_leak_not_unrelated(spark):
         ).collect()
     }
     assert out == {(1, 100): 1.0}
+
+
+def test_bloom_admission_matches_exact_and_never_false_drops(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc body number {i % 40}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    # index holds the first 25 distinct contents
+    seen = (
+        docs.filter("doc_id < 25")
+        .select(dedup.content_digest(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    exact = {
+        r.doc_id
+        for r in dedup.incremental_exact_dedup(docs, seen).collect()
+    }
+    # confirm mode: sketch is a pure work filter — results identical
+    bloomed = {
+        r.doc_id
+        for r in dedup.bloom_admission(
+            docs, seen, expected_items=1000, fpp=0.01
+        ).collect()
+    }
+    assert bloomed == exact
+    # pure-sketch mode can only drop MORE (false positives), never admit
+    # a known duplicate (Bloom has no false negatives)
+    sketch_only = {
+        r.doc_id
+        for r in dedup.bloom_admission(
+            docs, seen, expected_items=1000, fpp=0.01, exact_confirm=False
+        ).collect()
+    }
+    assert sketch_only <= exact
+    seen_set = {r.digest for r in seen.collect()}
+    admitted_digests = {
+        r.digest
+        for r in dedup.bloom_admission(
+            docs, seen, expected_items=1000, fpp=0.01, exact_confirm=False
+        ).collect()
+    }
+    assert not (admitted_digests & seen_set)
