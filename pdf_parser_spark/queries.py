@@ -4870,12 +4870,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
-    "ann_cosine_topk": q_ann_cosine_topk,
     "trigram_lang_confusion": q_trigram_lang_confusion,
     "bm25_search": q_bm25_search,
     "curate_corpus": q_curate_corpus,
-    "stratified_sample": q_stratified_sample,
-    "token_quantiles": q_token_quantiles,
+    # -- round-3 flagships swapped INTO the window (displacing
+    #    stratified_sample / token_quantiles / ann_cosine_topk — all
+    #    double-green in r01/r02 and untouched this round) --
+    "html_extract_main": q_html_extract_main,
+    "warc_extract_records": q_warc_extract_records,
+    "bpe_train_merges": q_bpe_train_merges,
     # -- new round-3 operators (first driver check this round) --
     "lang_token_budget": q_lang_token_budget,
     "vocab_topk_coverage": q_vocab_topk_coverage,
@@ -4888,6 +4891,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 51+ (outside the driver's 50-entry check window) ----
     # all driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "stratified_sample": q_stratified_sample,
+    "token_quantiles": q_token_quantiles,
     "chunk_documents": q_chunk_documents,
     "outbreak_rows_pipeline": q_outbreak_rows_pipeline,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -4948,10 +4954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_path_filter": q_robots_path_filter,
     "anchor_topk_per_host": q_anchor_topk_per_host,
     "recrawl_priority": q_recrawl_priority,
-    "html_extract_main": q_html_extract_main,
     "html_link_hosts": q_html_link_hosts,
-    "warc_extract_records": q_warc_extract_records,
-    "bpe_train_merges": q_bpe_train_merges,
     "warc_html_pipeline": q_warc_html_pipeline,
     "frontier_schedule": q_frontier_schedule,
     "profile_documents": q_profile_documents,
