@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "frontier_schedule",
     "profile_documents",
     "html_anchor_topk",
+    "web_quality_scores",
 ]
 
 

@@ -4731,6 +4731,61 @@ SELECT dst, anchor, cnt, rank FROM r WHERE rank <= 2
 """
 
 
+def q_web_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction → curation integration: quality features computed ON
+    the HTML-extracted main content (not the raw documents column) — the
+    handoff every web pipeline makes between its extract and filter
+    stages, in ONE plan (parse kernel → codegen features, no shuffle).
+    The oracle rebuilds the expected main text from the documents columns
+    and applies the SAME feature SQL the quality_scores oracle uses, so
+    the extractor and the feature contract are checked jointly."""
+    from pdf_parser_spark.operators import webextract
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    content = webextract.main_content(pages).select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    out = textqc.quality_features(content)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "punct_ratio",
+        "alpha_ratio",
+        "quality_score",
+    )
+
+
+def sql_web_quality_scores() -> str:
+    qf = _quality_feature_sql()
+    return f"""
+WITH {_HTML_PARA_CTE}, web AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    'Document ' || CAST(doc_id AS VARCHAR) || ' & notes' || chr(10)
+      || para1 || chr(10)
+      || para2 || ' See reference' || chr(8212) || 'end.' AS text
+  FROM paras
+), f AS (
+  SELECT doc_id, {qf["tok"]} AS n_tokens, {qf["mwl"]} AS mean_word_len,
+         {qf["pr"]} AS punct_ratio, {qf["ar"]} AS alpha_ratio,
+         {qf["sr"]} AS stop_ratio
+  FROM web
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25e0 ELSE 0.0e0 END
+        + CASE WHEN punct_ratio <= 0.2 THEN 0.25e0 ELSE 0.0e0 END
+        + CASE WHEN alpha_ratio >= 0.6 THEN 0.25e0 ELSE 0.0e0 END
+        + CASE WHEN stop_ratio >= 0.01 THEN 0.25e0 ELSE 0.0e0 END)
+         AS quality_score
+FROM f
+"""
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of the documents table
     (analytics.profile_table): null counts, exact distincts, min/max as
@@ -4959,6 +5014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": q_frontier_schedule,
     "profile_documents": q_profile_documents,
     "html_anchor_topk": q_html_anchor_topk,
+    "web_quality_scores": q_web_quality_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -5077,4 +5133,5 @@ ORACLES: dict[str, str] = {
     "frontier_schedule": sql_frontier_schedule(),
     "profile_documents": sql_profile_documents(),
     "html_anchor_topk": sql_html_anchor_topk(),
+    "web_quality_scores": sql_web_quality_scores(),
 }
