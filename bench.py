@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "profile_documents",
     "html_anchor_topk",
     "web_quality_scores",
+    "pack_interleaved_spans",
 ]
 
 

@@ -103,6 +103,101 @@ def pack_sequences(
     )
 
 
+def pack_interleaved(
+    spans: DataFrame,
+    budget: int,
+    text_cost,
+    media_cost: int = 64,
+    stratum=None,
+    doc_col: str = "doc_id",
+    ord_col: str = "ord",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Span-level sequence packing for INTERLEAVED text+media corpora —
+    the multimodal generalization of ``pack_sequences`` (reference
+    analogue: the text chunk builder `_parser.py:656-716`; media spans
+    come from the kernel's media path, `_parser.py:1156-1177`).
+
+    Spans are laid out in (doc, ord) order per stratum and cut into
+    fixed ``budget``-token sequences. Text streams; images are atomic:
+
+    - a TEXT span's sequence is the bin where it STARTS
+      (floor(tokens_before / budget)); one that straddles a boundary is
+      split by the trainer — ``spill_tokens`` counts the tokens falling
+      past the first boundary;
+    - a MEDIA span (cost ``media_cost`` placeholder tokens) can't be
+      split across samples: one that would straddle moves WHOLE into the
+      bin where it ends (``bumped=1``), leaving the gap as padding.
+      Later spans keep their global offsets, so every assignment stays a
+      pure function of the prefix sum — no sequential re-flow, and
+      sequence ids are nondecreasing in span order.
+
+    ONE shuffle at any scale: the prefix sum, the sequence id, and the
+    position-in-sequence all come from the SAME stratum-partitioned sort
+    — ``pos`` is the running row number minus its value at the last
+    sequence change (seq is nondecreasing, so this equals a row_number
+    per (stratum, seq) without the second repartition). ``stratum``
+    shards the packing at 100 TB exactly like pack_sequences' shards:
+    sequence ids become (stratum, bin) pairs encoded stratum·2^40 + bin.
+    Bin arithmetic is exact int64 (DIV, not double floor — same edge as
+    rangejoin._floor_bin); costs are non-negative so DIV == floor.
+    """
+    is_media = F.col(kind_col) == F.lit("media")
+    cost = (
+        F.when(is_media, F.lit(media_cost)).otherwise(text_cost).cast("long")
+    )
+    strat = (stratum if stratum is not None else F.lit(0)).cast("long")
+    df = spans.withColumn("cost", cost).withColumn("_strat", strat)
+    run = (
+        Window.partitionBy("_strat")
+        .orderBy(doc_col, ord_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_ord = Window.partitionBy("_strat").orderBy(doc_col, ord_col)
+    df = df.withColumn("_cum", F.sum("cost").over(run))
+    before = F.col("_cum") - F.col("cost")
+    df = df.withColumn("_before", before).withColumn(
+        "_last", before + F.greatest(F.col("cost"), F.lit(1)) - 1
+    )
+    start_bin = F.expr(f"`_before` DIV {budget}")
+    end_bin = F.expr(f"`_last` DIV {budget}")
+    straddle = end_bin > start_bin
+    is_media = F.col(kind_col) == F.lit("media")
+    df = (
+        df.withColumn(
+            "_seq_local",
+            F.when(is_media & straddle, end_bin).otherwise(start_bin),
+        )
+        .withColumn("bumped", (is_media & straddle).cast("int"))
+        .withColumn(
+            "spill_tokens",
+            F.when(
+                (~is_media) & straddle,
+                F.col("_cum") - (start_bin + 1) * F.lit(budget),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    rn = F.row_number().over(seq_ord)
+    df = df.withColumn("_rn", rn).withColumn(
+        "_new", F.coalesce(F.col("_seq_local") != F.lag("_seq_local").over(seq_ord), F.lit(True))
+    )
+    seq_start_rn = F.max(F.when(F.col("_new"), F.col("_rn"))).over(run)
+    return df.select(
+        F.col(doc_col),
+        F.col(ord_col),
+        F.col(kind_col),
+        F.col("cost"),
+        (F.col("_strat") * F.lit(2**40) + F.col("_seq_local"))
+        .cast("long")
+        .alias("seq"),
+        F.col("bumped"),
+        F.col("spill_tokens"),
+        (F.col("_rn") - seq_start_rn + 1).cast("long").alias("pos"),
+    )
+
+
 def token_budget_cap(
     docs: DataFrame,
     budget: int,

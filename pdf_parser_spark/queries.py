@@ -1406,6 +1406,91 @@ FROM t
 """
 
 
+def q_pack_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing on the REAL kernel output:
+    extract (text + media spans, OCR fallback, window cut) → span-level
+    packing where text spans may split across sequence boundaries
+    (spill_tokens) but media spans are atomic (bumped whole into the
+    next sequence) — the batch layout a multimodal pretraining loader
+    needs. One mapInPandas kernel + ONE shuffle (all window math shares
+    the stratum sort). The oracle rebuilds every span's token cost from
+    the documents columns (same span-structure algebra as the driver-
+    green extract_interleaved_media oracle) and replays the bin/bump/
+    spill/pos arithmetic relationally."""
+    from pdf_parser_spark.operators import curation
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    spans, _, _ = pipeline.extract(docs)
+    spans = spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("order").cast("long").alias("ord"),
+        "kind",
+        "text",
+    )
+    return curation.pack_interleaved(
+        spans,
+        budget=256,
+        text_cost=textqc.token_count(F.col("text")),
+        media_cost=64,
+        stratum=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+
+
+def sql_pack_interleaved_spans() -> str:
+    clean = _clean_sql("text")
+    windowed = _window_sql(clean)
+    return f"""
+WITH s0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS ord,
+         'text' AS kind, {windowed} AS text
+  FROM documents WHERE NOT (doc_id % 4 = 0 AND length(text) < 100)
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 0, 'text', {clean}
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 1, 'text', ''
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 2, 'media', ''
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 1, 'media', ''
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 100
+    AND NOT contains(lower(text), 'references')
+), s AS (
+  SELECT doc_id, ord, kind,
+         CAST(CASE WHEN kind = 'media' THEN 64 ELSE {_TOK_SQL} END AS BIGINT)
+           AS cost,
+         doc_id % 8 AS strat
+  FROM s0
+), c AS (
+  SELECT *, sum(cost) OVER (PARTITION BY strat ORDER BY doc_id, ord
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+), b AS (
+  SELECT *, (cum - cost) // 256 AS start_bin,
+         (cum - cost + greatest(cost, 1) - 1) // 256 AS end_bin
+  FROM c
+), a AS (
+  SELECT doc_id, ord, kind, cost, strat, cum,
+    CASE WHEN kind = 'media' AND end_bin > start_bin THEN end_bin
+         ELSE start_bin END AS seq_local,
+    CASE WHEN kind = 'media' AND end_bin > start_bin THEN 1 ELSE 0 END
+      AS bumped,
+    CASE WHEN kind <> 'media' AND end_bin > start_bin
+         THEN cum - (start_bin + 1) * 256 ELSE 0 END AS spill_tokens
+  FROM b
+)
+SELECT doc_id, ord, kind, cost,
+       CAST(strat * 1099511627776 + seq_local AS BIGINT) AS seq,
+       CAST(bumped AS INT) AS bumped,
+       CAST(spill_tokens AS BIGINT) AS spill_tokens,
+       CAST(row_number() OVER (PARTITION BY strat, seq_local
+                               ORDER BY doc_id, ord) AS BIGINT) AS pos
+FROM a
+"""
+
+
 def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count quantiles — EXACT percentile (linear
     interpolation, the same type-7 definition DuckDB's quantile_cont
@@ -5015,6 +5100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_documents": q_profile_documents,
     "html_anchor_topk": q_html_anchor_topk,
     "web_quality_scores": q_web_quality_scores,
+    "pack_interleaved_spans": q_pack_interleaved_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -5134,4 +5220,5 @@ ORACLES: dict[str, str] = {
     "profile_documents": sql_profile_documents(),
     "html_anchor_topk": sql_html_anchor_topk(),
     "web_quality_scores": sql_web_quality_scores(),
+    "pack_interleaved_spans": sql_pack_interleaved_spans(),
 }

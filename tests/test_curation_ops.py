@@ -342,3 +342,85 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+# ---------------------------------------------------------------------------
+# pack_interleaved — span-level multimodal packing semantics
+# ---------------------------------------------------------------------------
+
+
+def test_pack_interleaved_bump_spill_pos(spark):
+    """Hand-built layout at budget=10, media_cost=4:
+
+    doc 1: text 8t  -> seq 0 (fills [0,8))
+           media 4t -> starts at 8, would straddle 10 -> BUMPED to seq 1
+    doc 2: text 7t  -> starts at 12 (global offsets keep counting: the
+           bump leaves padding, it does not re-flow), ends 19: seq 1
+           media 4t -> starts at 19, ends 23 -> bumped to seq 2
+    doc 3: text 15t -> starts at 23, seq 2, crosses 30 -> spill 38-30=8
+    """
+    from pdf_parser_spark.operators.curation import pack_interleaved
+
+    rows = [
+        (1, 0, "text", "w " * 8),
+        (1, 1, "media", ""),
+        (2, 0, "text", "w " * 7),
+        (2, 1, "media", ""),
+        (3, 0, "text", "w " * 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ord long, kind string, text string"
+    )
+    out = pack_interleaved(
+        df,
+        budget=10,
+        text_cost=textqc.token_count(F.col("text")),
+        media_cost=4,
+    )
+    got = {
+        (r.doc_id, r.ord): (r.cost, r.seq, r.bumped, r.spill_tokens, r.pos)
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == (8, 0, 0, 0, 1)
+    assert got[(1, 1)] == (4, 1, 1, 0, 1)   # media at 8..12 bumped into bin 1
+    assert got[(2, 0)] == (7, 1, 0, 0, 2)   # starts 12, ends 19: inside bin 1
+    assert got[(2, 1)] == (4, 2, 1, 0, 1)   # media at 19..23 bumped into bin 2
+    assert got[(3, 0)] == (15, 2, 0, 8, 2)  # starts 23: bin 2, spills 8 past 30
+
+
+def test_pack_interleaved_invariants(spark):
+    """No media span ever spills; seq is nondecreasing in (doc, ord) order
+    per stratum; pos is dense 1..k per seq; strata pack independently."""
+    from pdf_parser_spark.operators.curation import pack_interleaved
+
+    rows = []
+    for d in range(40):
+        rows.append((d, 0, "text", "tok " * (3 + d % 9)))
+        if d % 3 == 0:
+            rows.append((d, 1, "media", ""))
+    df = spark.createDataFrame(
+        rows, "doc_id long, ord long, kind string, text string"
+    )
+    out = pack_interleaved(
+        df,
+        budget=16,
+        text_cost=textqc.token_count(F.col("text")),
+        media_cost=5,
+        stratum=F.pmod(F.col("doc_id"), F.lit(2)),
+    ).collect()
+    assert all(r.spill_tokens == 0 for r in out if r.kind == "media")
+    assert any(r.bumped == 1 for r in out)
+    assert any(r.spill_tokens > 0 for r in out if r.kind == "text")
+    by_strat = {}
+    for r in sorted(out, key=lambda r: (r.doc_id % 2, r.doc_id, r.ord)):
+        prev = by_strat.get(r.doc_id % 2)
+        if prev is not None:
+            assert r.seq >= prev, "seq must be nondecreasing in span order"
+        by_strat[r.doc_id % 2] = r.seq
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.seq, []).append(r.pos)
+    for seq, poss in seqs.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # strata numbered disjointly: encoded seq // 2^40 == stratum
+    assert {r.seq // 2**40 for r in out} == {0, 1}
