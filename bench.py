@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "html_anchor_topk",
     "web_quality_scores",
     "pack_interleaved_spans",
+    "bpe_encode_docs",
 ]
 
 

@@ -708,6 +708,62 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a FIXED, ordered BPE merge table to a corpus — tokenizer
+    APPLICATION, the deployment twin of ``bpe_train``: at 100 TB the
+    tokenizer is a published artifact and encoding is map-only, zero
+    shuffle, whole-stage codegen (K chained literal replaces, no Python,
+    no HOF re-evaluation of the stream).
+
+    Each document becomes ONE sentinel-spaced symbol stream
+    (`' h i <RS> t h e '` — chr(30) is the word boundary, so a merge
+    pattern of space-delimited symbols can never span words); each merge
+    (a, b) is the literal replace of ``' a b '`` with ``' ab '``,
+    left-to-right non-overlapping — the greedy-left semantics bpe_train
+    pinned across Spark, DuckDB, and Python. Encoding a word inside the
+    doc stream therefore equals encoding it alone: local context (space
+    on both sides) is identical and no pattern crosses the boundary.
+
+    Returns (id, n_tokens, enc_md5): the post-merge symbol count and a
+    digest of the FULL encoded stream, so a twin value-checks the whole
+    encoding, not just its length.
+    """
+    rs = "\x1e"
+    # split(w, '(?!^)') keeps a trailing '' (the lookahead also matches at
+    # end-of-string) — harmless where the stream gets trimmed (bpe_train),
+    # fatal where it is hashed; drop empties so the rep is exactly 'a b c'
+    word_rep = lambda w: F.array_join(  # noqa: E731
+        F.filter(F.split(w, "(?!^)"), lambda c: F.length(c) > 0), " "
+    )
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
+    )
+    stream = F.concat(
+        F.lit(" "),
+        F.array_join(F.transform(words, word_rep), f" {rs} "),
+        F.lit(" "),
+    )
+    enc = stream
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(enc), " "),
+            lambda x: (x != F.lit(rs)) & (x != F.lit("")),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        toks.cast("long").alias("n_tokens"),
+        F.md5(enc).alias("enc_md5"),
+    )
+
+
 def tfidf_keywords(
     docs: DataFrame,
     k: int = 5,

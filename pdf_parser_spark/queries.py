@@ -4949,6 +4949,59 @@ def sql_bpe_train_merges(n_merges: int = _BPE_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+# published-artifact merge table for tokenizer APPLICATION (bpe_encode):
+# the first merges any English BPE learns — order matters, later merges
+# build on earlier ones ("t h"→"th" before "th e"→"the")
+_BPE_APPLY_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("an", "d"),
+]
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (textqc.bpe_encode): encode the corpus with
+    a fixed 8-merge BPE table — map-only, zero shuffle, the whole merge
+    chain is codegen literal replaces over one sentinel-spaced symbol
+    stream per doc. The oracle rebuilds the stream and replays the same
+    replace chain, value-checking the FULL encoded string (md5) plus the
+    post-merge token count for every document."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return textqc.bpe_encode(
+        d.select("doc_id", "text"), merges=_BPE_APPLY_MERGES
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_tokens", "enc_md5"
+    )
+
+
+def sql_bpe_encode_docs() -> str:
+    enc = "s"
+    for a, b in _BPE_APPLY_MERGES:
+        enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    ' ' || array_to_string(list_transform(
+        list_filter(string_split(text, ' '), x -> length(x) > 0),
+        w -> array_to_string(string_split(w, ''), ' ')),
+      ' ' || chr(30) || ' ') || ' ' AS s
+  FROM documents
+), e AS (
+  SELECT doc_id, {enc} AS enc FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(list_filter(string_split(trim(enc), ' '),
+       x -> x <> chr(30) AND x <> '')) AS BIGINT) AS n_tokens,
+  md5(enc) AS enc_md5
+FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5101,6 +5154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_anchor_topk": q_html_anchor_topk,
     "web_quality_scores": q_web_quality_scores,
     "pack_interleaved_spans": q_pack_interleaved_spans,
+    "bpe_encode_docs": q_bpe_encode_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5221,4 +5275,5 @@ ORACLES: dict[str, str] = {
     "html_anchor_topk": sql_html_anchor_topk(),
     "web_quality_scores": sql_web_quality_scores(),
     "pack_interleaved_spans": sql_pack_interleaved_spans(),
+    "bpe_encode_docs": sql_bpe_encode_docs(),
 }

@@ -525,3 +525,45 @@ def test_bloom_admission_matches_exact_and_never_false_drops(spark):
         ).collect()
     }
     assert not (admitted_digests & seen_set)
+
+
+def _bpe_encode_reference(text: str, merges: list[tuple[str, str]]):
+    """Per-word greedy-left replace chain — the pinned engine semantics."""
+    out_syms = []
+    for w in (x for x in text.split(" ") if x):
+        s = " " + " ".join(w) + " "
+        for a, b in merges:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        out_syms.extend(s.split())
+    return out_syms
+
+
+def test_bpe_encode_matches_per_word_reference(spark):
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("l", "o"), ("lo", "w")]
+    texts = ["the thermal lower low", "other than the the", "a lo low lows"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_tokens
+        for r in textqc.bpe_encode(docs, merges=merges).collect()
+    }
+    want = {i: len(_bpe_encode_reference(t, merges)) for i, t in enumerate(texts)}
+    assert got == want
+    # merges COMPOSE in order: 't h'->'th' must happen before 'th e'->'the',
+    # so 'the' is ONE token; reversing the order leaves it as two
+    one = spark.createDataFrame([(0, "the")], "doc_id long, text string")
+    assert textqc.bpe_encode(one, merges=merges).first().n_tokens == 1
+    rev = textqc.bpe_encode(one, merges=list(reversed(merges))).first()
+    assert rev.n_tokens == 2  # 'th e' never matches before 't h' runs
+
+
+def test_bpe_encode_boundary_never_merges_across_words(spark):
+    # 'a b' inside one word merges; the same pair split across two words
+    # must NOT (the chr(30) word boundary blocks the pattern)
+    docs = spark.createDataFrame(
+        [(0, "ab"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_tokens for r in
+           textqc.bpe_encode(docs, merges=[("a", "b")]).collect()}
+    assert got == {0: 1, 1: 2}
