@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "web_quality_scores",
     "pack_interleaved_spans",
     "bpe_encode_docs",
+    "nfc_normalized_digests",
 ]
 
 

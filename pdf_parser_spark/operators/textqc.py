@@ -708,6 +708,52 @@ def bpe_train(
     )
 
 
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization of a text column — the canonicalization
+    pass every web-extraction pipeline runs before hashing/dedup (the
+    same content arrives both precomposed and decomposed across sites;
+    un-normalized, exact dedup misses byte-different equal strings).
+
+    Zero shuffle, ONE C call per batch, not per row: mapInArrow with the
+    kernel's NUL-join trick (kernel._cleanup_batch) — the whole batch
+    joins on '\\x00' and normalizes in a single ``unicodedata.normalize``
+    (CPython's C implementation). NUL is safe as a separator: it has
+    combining class 0 and composes with nothing, so it is a
+    normalization boundary — normalize(join) == join(normalize each) —
+    and NFC never inserts or removes it. (pyarrow's utf8_normalize is
+    NOT used: as shipped here it fails to compose e+U+0301 → é.) A text
+    that itself contains NUL falls back to per-row normalize for that
+    batch. Cross-engine exact: DuckDB's ``nfc_normalize`` and Python's
+    ``unicodedata`` produce identical bytes (asserted by the oracle's
+    md5 over every document).
+    """
+
+    def batches(it):
+        import unicodedata
+
+        import pyarrow as pa
+
+        for b in it:
+            idx = b.schema.get_field_index(text_col)
+            texts = b.column(idx).to_pylist()
+            safe = [t or "" for t in texts]
+            if any("\x00" in t for t in safe):
+                norm = [unicodedata.normalize("NFC", t) for t in safe]
+            elif safe:
+                norm = unicodedata.normalize("NFC", "\x00".join(safe)).split(
+                    "\x00"
+                )
+            else:
+                norm = []
+            arr = pa.array(
+                [None if t is None else n for t, n in zip(texts, norm)],
+                type=pa.string(),
+            )
+            yield b.set_column(idx, b.schema.field(idx), arr)
+
+    return docs.mapInArrow(batches, docs.schema)
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],

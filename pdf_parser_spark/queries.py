@@ -5002,6 +5002,47 @@ FROM e
 """
 
 
+def q_nfc_normalized_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (textqc.nfc_normalize): decomposed
+    combining sequences are synthesized onto every document in pure
+    Catalyst (e + U+0301, o + U+0308 — the forms crawled HTML actually
+    mixes), then the Arrow-vectorized normalizer composes them. The
+    oracle applies DuckDB's nfc_normalize to the same construction and
+    md5-compares the full normalized string — three independent ICU/UTF8
+    implementations must agree byte-for-byte. n_chars shrinks by exactly
+    the two composed marks per doc, which the oracle also checks."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    decomposed = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" Cafe\u0301 No"),  # e + COMBINING ACUTE (decomposed)
+            F.lit("e\u0308"),  # e + COMBINING DIAERESIS (decomposed)
+            F.lit("l"),
+        ).alias("text"),
+    )
+    out = textqc.nfc_normalize(decomposed)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("nfc_md5"),
+    )
+
+
+def sql_nfc_normalized_digests() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         nfc_normalize(text || ' Cafe' || chr(769) || ' No'
+                       || 'e' || chr(776) || 'l') AS text
+  FROM documents
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS nfc_md5
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5155,6 +5196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_quality_scores": q_web_quality_scores,
     "pack_interleaved_spans": q_pack_interleaved_spans,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "nfc_normalized_digests": q_nfc_normalized_digests,
 }
 
 ORACLES: dict[str, str] = {
@@ -5276,4 +5318,5 @@ ORACLES: dict[str, str] = {
     "web_quality_scores": sql_web_quality_scores(),
     "pack_interleaved_spans": sql_pack_interleaved_spans(),
     "bpe_encode_docs": sql_bpe_encode_docs(),
+    "nfc_normalized_digests": sql_nfc_normalized_digests(),
 }

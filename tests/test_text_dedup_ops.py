@@ -567,3 +567,24 @@ def test_bpe_encode_boundary_never_merges_across_words(spark):
     got = {r.doc_id: r.n_tokens for r in
            textqc.bpe_encode(docs, merges=[("a", "b")]).collect()}
     assert got == {0: 1, 1: 2}
+
+
+def test_nfc_normalize_composes_and_is_boundary_safe(spark):
+    import unicodedata
+
+    rows = [
+        (0, "Cafe\u0301"),  # decomposed; must compose to 4 chars
+        (1, "Caf\u00e9"),  # already composed - unchanged
+        (2, None),                    # null passes through as null
+        (3, "a\x00b e\u0301"),  # embedded NUL -> per-row fallback
+        (4, "No" + "e\u0308" + "l"),  # decomposed diaeresis
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in textqc.nfc_normalize(docs).collect()}
+    assert got[0] == "Caf\u00e9" and len(got[0]) == 4
+    assert got[1] == "Caf\u00e9"
+    assert got[2] is None
+    assert got[3] == unicodedata.normalize("NFC", "a\x00b e\u0301")
+    assert got[4] == "No\u00ebl"
+    # the dedup motivation: byte-different equal content now hash-equal
+    assert got[0] == got[1]
