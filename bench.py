@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "pack_interleaved_spans",
     "bpe_encode_docs",
     "nfc_normalized_digests",
+    "web_curate_pipeline",
 ]
 
 

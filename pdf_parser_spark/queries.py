@@ -5043,6 +5043,107 @@ FROM d
 """
 
 
+def q_web_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end 100 TB web curation job, ONE plan: WARC archive →
+    record scan → payload recovery → HTML main-content extraction →
+    quality gate (strict tier: all four feature criteria) → exact dedup
+    → token-budget sequence packing. The crawl contains a MIRROR of
+    every page (same content re-hosted under a new doc id on a new host
+    — the commonest real-web duplication), archived as its own records:
+    ONE archive, ONE scan, ONE parse over originals+mirrors. The dedup
+    stage must drop every mirror and keep the original; the pack must
+    bin exactly the surviving originals. Shuffle budget: the archive
+    packing groupBy (synthesis-only; real archives arrive packed) + ONE
+    digest window for dedup (min-id-over-window, not a reps self-join —
+    the join form would recompute the parse lineage twice) + the pack
+    stratum window; parse and quality stay map-side."""
+    from pdf_parser_spark.operators import curation, webextract
+    from pdf_parser_spark.sources import warc
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    mirrored = pages.unionByName(
+        pages.select(
+            (F.col("doc_id").cast("long") + 100000)
+            .cast("string")
+            .alias("doc_id"),
+            "html",
+        )
+    )
+    recs = warc.parse_warc_blobs(warc.warc_blobs_from_pages(mirrored, group=50))
+    content = webextract.main_content(
+        recs.select(
+            F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1).alias("doc_id"),
+            F.col("payload").alias("html"),
+        )
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("main_text").alias("text"),
+    )
+    scored = textqc.quality_features(content)
+    kept = scored.filter(F.col("quality_score") >= 1.0).select(
+        "doc_id", "text", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(dedup.content_digest(F.col("text")))
+    )
+    unique = (
+        kept.withColumn("_keeper", keeper)
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper", "text")
+        .withColumn("stratum", F.pmod(F.col("doc_id"), F.lit(8)))
+    )
+    packed = curation.pack_sequences(
+        unique, budget=512, token_col=F.col("n_tokens"), stratum_col="stratum"
+    )
+    return packed.select(
+        "doc_id",
+        F.col("stratum").cast("long").alias("stratum"),
+        "n_tokens",
+        "bin",
+    )
+
+
+def sql_web_curate_pipeline() -> str:
+    qf = _quality_feature_sql()
+    return f"""
+WITH {_HTML_PARA_CTE}, base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    'Document ' || CAST(doc_id AS VARCHAR) || ' & notes' || chr(10)
+      || para1 || chr(10)
+      || para2 || ' See reference' || chr(8212) || 'end.' AS text
+  FROM paras
+), crawl AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000, text FROM base
+), f AS (
+  SELECT doc_id, text, CAST({qf["tok"]} AS BIGINT) AS n_tokens,
+         {qf["mwl"]} AS mean_word_len, {qf["pr"]} AS punct_ratio,
+         {qf["ar"]} AS alpha_ratio, {qf["sr"]} AS stop_ratio
+  FROM crawl
+), kept AS (
+  SELECT doc_id, text, n_tokens FROM f
+  WHERE (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25e0 ELSE 0.0e0 END
+       + CASE WHEN punct_ratio <= 0.2 THEN 0.25e0 ELSE 0.0e0 END
+       + CASE WHEN alpha_ratio >= 0.6 THEN 0.25e0 ELSE 0.0e0 END
+       + CASE WHEN stop_ratio >= 0.01 THEN 0.25e0 ELSE 0.0e0 END) >= 1.0
+), uniq AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+      min(doc_id) OVER (PARTITION BY
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS keeper
+    FROM kept
+  ) WHERE doc_id = keeper
+)
+SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS stratum, n_tokens,
+  CAST((sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+FROM uniq
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5197,6 +5298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_interleaved_spans": q_pack_interleaved_spans,
     "bpe_encode_docs": q_bpe_encode_docs,
     "nfc_normalized_digests": q_nfc_normalized_digests,
+    "web_curate_pipeline": q_web_curate_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -5319,4 +5421,5 @@ ORACLES: dict[str, str] = {
     "pack_interleaved_spans": sql_pack_interleaved_spans(),
     "bpe_encode_docs": sql_bpe_encode_docs(),
     "nfc_normalized_digests": sql_nfc_normalized_digests(),
+    "web_curate_pipeline": sql_web_curate_pipeline(),
 }
