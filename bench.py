@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "bpe_encode_docs",
     "nfc_normalized_digests",
     "web_curate_pipeline",
+    "media_phash_dedup",
 ]
 
 

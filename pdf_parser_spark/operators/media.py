@@ -265,6 +265,72 @@ def extract_media_features(
     return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("ahash", T.LongType(), True),  # null = undecodable
+    ]
+)
+
+
+def media_ahash(
+    media_df: DataFrame, grid: int = 8, strict: bool = False
+) -> DataFrame:
+    """Perceptual average-hash (aHash — the classic public pHash-family
+    recipe) over image/video payloads: REAL BMP decode → nearest-neighbor
+    resample to ``grid``×``grid`` → channel-sum grayscale → threshold at
+    the mean → one bit per cell. Re-encodes and exact copies of an image
+    collide; visually different images don't — the candidate generator
+    for image-level dedup that a multimodal crawl needs (same role
+    MinHash plays for text).
+
+    EXACT integer arithmetic end to end so any engine can replay it:
+    grayscale is the plain B+G+R sum (no luma weights, no division), the
+    threshold is ``s·grid² > Σs`` (strict, integer), and bit i of the
+    hash — row-major over the decoded top-down grid — contributes 2^i.
+    Undecodable payloads yield NULL (``strict=True`` re-raises). Zero
+    shuffle: one mapInPandas; group the hash downstream.
+    """
+
+    def one(p) -> int | None:
+        px = decode_bmp_pixels(bytes(p)).astype(np.int64)
+        h, w = px.shape[:2]
+        yi = (np.arange(grid) * h) // grid
+        xi = (np.arange(grid) * w) // grid
+        s = px[yi][:, xi].sum(axis=2)  # grid×grid channel sums
+        total = int(s.sum())
+        bits = (s * (grid * grid) > total).flatten()
+        return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            hashes: list[int | None] = []
+            for p in pdf["payload"]:
+                if p is None:
+                    hashes.append(None)
+                    continue
+                try:
+                    hashes.append(one(p))
+                except Exception:
+                    if strict:
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),

@@ -5144,6 +5144,75 @@ FROM uniq
 """
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the REAL BMP decode path
+    (media.media_ahash): the media sidecar plus a re-crawl copy of every
+    8th image (same payload bytes, new media_ref — a re-hosted image);
+    aHash must collide copies with their originals and the window
+    grouping must elect the original (min ref) as keeper. The oracle
+    rebuilds every pixel from the md5-derived payload bytes and replays
+    the integer aHash (channel-sum grayscale, s·16 > Σs threshold,
+    row-major bit order over the decoded top-down grid) — the hash, the
+    group sizes, and the keepers are all value-checked. ONE shuffle (the
+    ahash window)."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    media_tbl = media_ops.media_table_from_docs(docs)
+    imgs = media_tbl.filter(F.col("media_type") != "audio")
+    copies = imgs.filter(
+        F.col("doc_id").cast("long") % 8 == 0
+    ).withColumn("media_ref", F.concat(F.col("media_ref"), F.lit("-copy")))
+    hashed = media_ops.media_ahash(imgs.unionByName(copies), grid=4)
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "media_ref",
+        F.col("ahash").cast("long").alias("ahash"),
+        F.count("*").over(w).cast("long").alias("group_size"),
+        F.min("media_ref").over(w).alias("keeper"),
+    )
+
+
+def sql_media_phash_dedup() -> str:
+    return """
+WITH media AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref, doc_id
+  FROM documents WHERE doc_id % 4 = 0
+), typed AS (
+  SELECT media_ref, doc_id,
+         CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 3 AS INT)
+           AS tcode,
+         substr(repeat(md5(media_ref), 2), 1, 48) AS body
+  FROM media
+), imgs AS (
+  SELECT media_ref, body FROM typed WHERE tcode <> 1
+  UNION ALL
+  SELECT media_ref || '-copy', body FROM typed
+  WHERE tcode <> 1 AND doc_id % 8 = 0
+), px AS (
+  SELECT media_ref, r, c,
+         ascii(substr(body, (3 - r) * 12 + c * 3 + 1, 1))
+       + ascii(substr(body, (3 - r) * 12 + c * 3 + 2, 1))
+       + ascii(substr(body, (3 - r) * 12 + c * 3 + 3, 1)) AS s
+  FROM imgs, range(0, 4) t1(r), range(0, 4) t2(c)
+), hb AS (
+  SELECT media_ref, r, c, s,
+         sum(s) OVER (PARTITION BY media_ref) AS total
+  FROM px
+), hsh AS (
+  SELECT media_ref,
+         CAST(sum(CASE WHEN s * 16 > total
+                       THEN CAST(1 AS BIGINT) << (r * 4 + c)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM hb GROUP BY media_ref
+)
+SELECT media_ref, ahash,
+       CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size,
+       min(media_ref) OVER (PARTITION BY ahash) AS keeper
+FROM hsh
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5299,6 +5368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "nfc_normalized_digests": q_nfc_normalized_digests,
     "web_curate_pipeline": q_web_curate_pipeline,
+    "media_phash_dedup": q_media_phash_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5422,4 +5492,5 @@ ORACLES: dict[str, str] = {
     "bpe_encode_docs": sql_bpe_encode_docs(),
     "nfc_normalized_digests": sql_nfc_normalized_digests(),
     "web_curate_pipeline": sql_web_curate_pipeline(),
+    "media_phash_dedup": sql_media_phash_dedup(),
 }

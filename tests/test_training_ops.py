@@ -766,3 +766,32 @@ def test_decode_image_classifies_webp_as_missing_codec():
     wav = media.encode_wav(np.zeros(4, dtype=np.int16))
     with pytest.raises(ValueError):
         media.decode_image(wav)
+
+
+def test_media_ahash_collides_copies_not_distinct_images(spark):
+    import numpy as np
+
+    from pdf_parser_spark.operators.media import encode_bmp, media_ahash
+
+    dark = np.zeros((8, 8, 3), dtype=np.uint8)
+    dark[:4] = 200  # top half bright -> distinctive bit pattern
+    bright = np.full((8, 8, 3), 255, dtype=np.uint8)
+    bright[::2, ::2] = 0  # checker -> different pattern
+    rows = [
+        ("a", "1", "image", bytearray(encode_bmp(dark))),
+        ("a-copy", "1", "image", bytearray(encode_bmp(dark))),
+        ("b", "2", "image", bytearray(encode_bmp(bright))),
+        ("junk", "3", "image", bytearray(b"not a bmp")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, doc_id string, media_type string, payload binary"
+    )
+    got = {r.media_ref: r.ahash for r in media_ahash(df, grid=4).collect()}
+    assert got["a"] == got["a-copy"]          # exact copy collides
+    assert got["a"] != got["b"]               # different content does not
+    assert got["junk"] is None                # undecodable -> NULL, not crash
+    # NumPy reference replay of the pinned integer recipe at grid=4
+    yi = (np.arange(4) * 8) // 4
+    s = dark.astype(np.int64)[yi][:, yi].sum(axis=2)
+    bits = (s * 16 > s.sum()).flatten()
+    assert got["a"] == sum(1 << i for i, b in enumerate(bits) if b)
