@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "nfc_normalized_digests",
     "web_curate_pipeline",
     "media_phash_dedup",
+    "shipping_priority",
 ]
 
 

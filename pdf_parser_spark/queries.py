@@ -5213,6 +5213,52 @@ FROM hsh
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the selective 3-table star join (customer filter
+    → orders date filter → lineitem date filter), group on the order,
+    top-10 by revenue. Plan: both date filters push to the parquet
+    scans; the filtered customer key set broadcasts (never shuffles the
+    fact side); the big join shuffles on orderkey once; the top-10 is
+    TakeOrderedAndProject, not a global sort."""
+    cutoff = F.to_timestamp(F.lit("1998-03-15"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def sql_shipping_priority() -> str:
+    return """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5369,6 +5415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalized_digests": q_nfc_normalized_digests,
     "web_curate_pipeline": q_web_curate_pipeline,
     "media_phash_dedup": q_media_phash_dedup,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -5493,4 +5540,5 @@ ORACLES: dict[str, str] = {
     "nfc_normalized_digests": sql_nfc_normalized_digests(),
     "web_curate_pipeline": sql_web_curate_pipeline(),
     "media_phash_dedup": sql_media_phash_dedup(),
+    "shipping_priority": sql_shipping_priority(),
 }
