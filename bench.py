@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "web_curate_pipeline",
     "media_phash_dedup",
     "shipping_priority",
+    "audio_frame_stats",
 ]
 
 

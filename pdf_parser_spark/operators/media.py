@@ -166,10 +166,10 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     )
 
 
-def decode_audio(payload: bytes) -> np.ndarray:
-    """REAL decode of a 16-bit PCM RIFF/WAV → FEATURE_DIM float32 features:
-    [mean/32768, rms/32768, 0...]. Walks the chunk list (fmt may not
-    immediately precede data). Compressed audio raises NotImplementedError."""
+def decode_wav_samples(payload: bytes) -> np.ndarray:
+    """Fully-validated decode of a 16-bit PCM RIFF/WAV → int64 sample
+    array. Walks the chunk list (fmt may not immediately precede data).
+    Compressed audio raises NotImplementedError; malformed, ValueError."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt_code, bits, data = 12, None, None, None
@@ -190,7 +190,13 @@ def decode_audio(payload: bytes) -> np.ndarray:
             f"WAV format={fmt_code} bits={bits}: only 16-bit PCM decodes "
             "natively; compressed audio requires librosa/soundfile"
         )
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """REAL decode of a 16-bit PCM RIFF/WAV → FEATURE_DIM float32 features:
+    [mean/32768, rms/32768, 0...] (validation lives in decode_wav_samples)."""
+    samples = decode_wav_samples(payload).astype(np.float64)
     feat = np.zeros(FEATURE_DIM, dtype=np.float32)
     if len(samples):
         feat[0] = samples.mean() / 32768.0
@@ -263,6 +269,75 @@ def extract_media_features(
             )
 
     return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("s_sum", T.LongType(), False),  # signed sample sum
+        T.StructField("sq_sum", T.LongType(), False),  # Σ s² (energy)
+        T.StructField("peak", T.LongType(), False),  # max |s|
+    ]
+)
+
+
+def media_audio_frames(
+    media_df: DataFrame, frame: int = 400, strict: bool = False
+) -> DataFrame:
+    """Frame-level audio statistics over the REAL WAV decode — the
+    corpus-prep primitive audio pipelines run per window, not per file
+    (VAD gating, silence trimming, loudness normalization all consume
+    exactly these): fixed ``frame``-sample windows, each emitting the
+    signed sample sum, the energy Σs², and the peak |s| as EXACT
+    integers (PCM16 → every stat is int64-exact, so any engine can
+    replay it bit-for-bit; the last window may be short — ``n_samples``
+    says so). One row per (media_ref, frame_idx); zero shuffle — the
+    explode happens inside the kernel. Undecodable rows vanish
+    (``strict=True`` re-raises), matching the features kernel's
+    one-corrupt-file-must-not-kill-the-stage contract.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {k.name: [] for k in AUDIO_FRAMES_SCHEMA}
+            for ref, did, p in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["payload"]
+            ):
+                if p is None:
+                    continue
+                try:
+                    s = decode_wav_samples(bytes(p))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for i in range(0, len(s), frame):
+                    w = s[i : i + frame]
+                    out["media_ref"].append(ref)
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i // frame)
+                    out["n_samples"].append(len(w))
+                    out["s_sum"].append(int(w.sum()))
+                    out["sq_sum"].append(int((w * w).sum()))
+                    out["peak"].append(int(np.abs(w).max()) if len(w) else 0)
+            yield pd.DataFrame(
+                {
+                    "media_ref": out["media_ref"],
+                    "doc_id": out["doc_id"],
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="int32"),
+                    "s_sum": pd.array(out["s_sum"], dtype="int64"),
+                    "sq_sum": pd.array(out["sq_sum"], dtype="int64"),
+                    "peak": pd.array(out["peak"], dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)
 
 
 AHASH_SCHEMA = T.StructType(

@@ -5259,6 +5259,62 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 """
 
 
+def q_audio_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio statistics over the REAL WAV decode
+    (media.media_audio_frames): the audio rows of the media sidecar
+    split into 8-sample windows, each emitting exact-integer s_sum /
+    energy / peak. The oracle rebuilds every PCM16 sample from the
+    md5-derived payload bytes (little-endian pair + signed fold) and
+    replays the per-frame aggregation — the decode, framing, and stats
+    are all value-checked."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    media_tbl = media_ops.media_table_from_docs(docs)
+    audio = media_tbl.filter(F.col("media_type") == "audio")
+    return media_ops.media_audio_frames(audio, frame=8).select(
+        "media_ref",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "s_sum",
+        "sq_sum",
+        "peak",
+    )
+
+
+def sql_audio_frame_stats() -> str:
+    return """
+WITH media AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref
+  FROM documents WHERE doc_id % 4 = 0
+), typed AS (
+  SELECT media_ref,
+         CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 3 AS INT)
+           AS tcode,
+         substr(repeat(md5(media_ref), 2), 1, 48) AS body
+  FROM media
+), samples AS (
+  SELECT media_ref, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+  FROM (
+    SELECT media_ref, i,
+           ascii(substr(body, 2 * i + 1, 1))
+           + 256 * ascii(substr(body, 2 * i + 2, 1)) AS raw
+    FROM typed, range(0, 24) t(i)
+    WHERE tcode = 1
+  )
+)
+SELECT media_ref,
+       CAST(i // 8 AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS s_sum,
+       CAST(sum(s * s) AS BIGINT) AS sq_sum,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM samples
+GROUP BY media_ref, i // 8
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5416,6 +5472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_curate_pipeline": q_web_curate_pipeline,
     "media_phash_dedup": q_media_phash_dedup,
     "shipping_priority": q_shipping_priority,
+    "audio_frame_stats": q_audio_frame_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -5541,4 +5598,5 @@ ORACLES: dict[str, str] = {
     "web_curate_pipeline": sql_web_curate_pipeline(),
     "media_phash_dedup": sql_media_phash_dedup(),
     "shipping_priority": sql_shipping_priority(),
+    "audio_frame_stats": sql_audio_frame_stats(),
 }

@@ -795,3 +795,26 @@ def test_media_ahash_collides_copies_not_distinct_images(spark):
     s = dark.astype(np.int64)[yi][:, yi].sum(axis=2)
     bits = (s * 16 > s.sum()).flatten()
     assert got["a"] == sum(1 << i for i, b in enumerate(bits) if b)
+
+
+def test_media_audio_frames_exact_integer_stats(spark):
+    import numpy as np
+
+    from pdf_parser_spark.operators.media import encode_wav, media_audio_frames
+
+    samples = np.array([100, -200, 300, -400, 7], dtype=np.int16)  # 5 samples
+    rows = [
+        ("w", "1", "audio", bytearray(encode_wav(samples))),
+        ("bad", "2", "audio", bytearray(b"RIFFxxxx")),  # malformed -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, doc_id string, media_type string, payload binary"
+    )
+    got = {
+        (r.media_ref, r.frame_idx): (r.n_samples, r.s_sum, r.sq_sum, r.peak)
+        for r in media_audio_frames(df, frame=4).collect()
+    }
+    # frame 0: [100,-200,300,-400]; frame 1 (short tail): [7]
+    assert got[("w", 0)] == (4, -200, 100**2 + 200**2 + 300**2 + 400**2, 400)
+    assert got[("w", 1)] == (1, 7, 49, 7)
+    assert not any(ref == "bad" for ref, _ in got)
