@@ -538,16 +538,42 @@ def simhash_hamming_pairs(
     candidates, and the verify is one codegen'd bit_count per candidate.
     Requires max_distance < blocks for completeness (pigeonhole).
     """
+    fps = simhash_agg(docs, id_col, text_col, bits, portable)
+    return fingerprint_hamming_pairs(
+        fps,
+        id_col=id_col,
+        fp_col="fingerprint",
+        bits=bits,
+        blocks=blocks,
+        max_distance=max_distance,
+        bucket_cap=bucket_cap,
+    )
+
+
+def fingerprint_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    bits: int = 64,
+    blocks: int = 4,
+    max_distance: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Generic Hamming-distance pair generator over ANY integer
+    fingerprint column (SimHash text sketches, perceptual image aHashes,
+    audio chromaprints alike) — the pigeonhole block equi-join
+    simhash_hamming_pairs always used, factored so every fingerprint
+    modality shares one candidate generator. Complete for
+    max_distance < blocks; exact bit_count verify on collisions only."""
     if max_distance >= blocks:
         raise ValueError("pigeonhole needs max_distance < blocks")
     if bits % blocks:
         raise ValueError("bits must divide evenly into blocks")
     width = bits // blocks
-    fps = simhash_agg(docs, id_col, text_col, bits, portable)
     mask = (1 << width) - 1
     block_vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("fingerprint"), b * width)
+            F.shiftrightunsigned(F.col(fp_col), b * width)
             .bitwiseAND(F.lit(mask))
             .alias(f"b{b}")
             for b in range(blocks)
@@ -555,16 +581,16 @@ def simhash_hamming_pairs(
     )
     banded = fps.select(
         F.col(id_col),
-        F.col("fingerprint"),
+        F.col(fp_col).alias("_fp"),
         F.posexplode(block_vals).alias("blk", "blk_val"),
     )
     if bucket_cap is not None:  # see _cap_buckets — hot-block defense
         banded = _cap_buckets(banded, ["blk", "blk_val"], bucket_cap)
     left = banded.select(
-        F.col(id_col).alias("a"), F.col("fingerprint").alias("fp_a"), "blk", "blk_val"
+        F.col(id_col).alias("a"), F.col("_fp").alias("fp_a"), "blk", "blk_val"
     )
     right = banded.select(
-        F.col(id_col).alias("b"), F.col("fingerprint").alias("fp_b"), "blk", "blk_val"
+        F.col(id_col).alias("b"), F.col("_fp").alias("fp_b"), "blk", "blk_val"
     )
     cand = (
         left.join(right, ["blk", "blk_val"])

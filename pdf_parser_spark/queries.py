@@ -5315,6 +5315,95 @@ GROUP BY media_ref, i // 8
 """
 
 
+def q_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs: every 8th image gets a one-byte-perturbed
+    re-encode (a lossy re-save — pixels shift slightly), then aHash +
+    the generic pigeonhole Hamming join (dedup.fingerprint_hamming_pairs
+    — the same candidate generator SimHash text near-dup uses, shared
+    across modalities) pairs each noisy copy with its original at
+    distance ≤ 3. The perturbation is pure Catalyst on the payload
+    bytes (header is ASCII-safe so a string round-trip is lossless);
+    the oracle recomputes both hashes pixel-by-pixel and takes the
+    ground-truth all-pairs join — identical by the pigeonhole
+    completeness theorem (d < blocks). grid=4 (16-bit hash) fits the
+    4×4 synthetic bitmaps; real corpora use grid=8 → 64-bit hashes,
+    where coincidental collisions vanish and the same block join
+    carries 10^12 images (it IS the SimHash text path's shape)."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    media_tbl = media_ops.media_table_from_docs(docs)
+    imgs = media_tbl.filter(F.col("media_type") != "audio")
+    ps = F.col("payload").cast("string")
+    c1 = F.substring(ps, 55, 1)  # first body byte (54-byte BMP header)
+    flipped = F.when(c1 == "0", F.lit("1")).otherwise(F.lit("0"))
+    noisy = imgs.filter(F.col("doc_id").cast("long") % 8 == 0).select(
+        F.concat(F.col("media_ref"), F.lit("-noisy")).alias("media_ref"),
+        "doc_id",
+        "media_type",
+        F.concat(F.substring(ps, 1, 54), flipped, F.substring(ps, 56, 48))
+        .cast("binary")
+        .alias("payload"),
+        "width",
+        "height",
+        "duration_ms",
+    )
+    hashed = media_ops.media_ahash(imgs.unionByName(noisy), grid=4)
+    pairs = dedup.fingerprint_hamming_pairs(
+        hashed.select(F.col("media_ref"), F.col("ahash")),
+        id_col="media_ref",
+        fp_col="ahash",
+        bits=16,
+        blocks=4,
+        max_distance=3,
+    )
+    return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def sql_media_near_dup_pairs() -> str:
+    # shared pixel→hash algebra with sql_media_phash_dedup; the noisy body
+    # flips the first hex char ('0'→'1', else →'0')
+    return """
+WITH media AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref, doc_id
+  FROM documents WHERE doc_id % 4 = 0
+), typed AS (
+  SELECT media_ref, doc_id,
+         CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 3 AS INT)
+           AS tcode,
+         substr(repeat(md5(media_ref), 2), 1, 48) AS body
+  FROM media
+), imgs AS (
+  SELECT media_ref, body FROM typed WHERE tcode <> 1
+  UNION ALL
+  SELECT media_ref || '-noisy',
+         (CASE WHEN substr(body, 1, 1) = '0' THEN '1' ELSE '0' END)
+           || substr(body, 2, 47) AS body
+  FROM typed WHERE tcode <> 1 AND doc_id % 8 = 0
+), px AS (
+  SELECT media_ref, r, c,
+         ascii(substr(body, (3 - r) * 12 + c * 3 + 1, 1))
+       + ascii(substr(body, (3 - r) * 12 + c * 3 + 2, 1))
+       + ascii(substr(body, (3 - r) * 12 + c * 3 + 3, 1)) AS s
+  FROM imgs, range(0, 4) t1(r), range(0, 4) t2(c)
+), hb AS (
+  SELECT media_ref, r, c, s,
+         sum(s) OVER (PARTITION BY media_ref) AS total
+  FROM px
+), hsh AS (
+  SELECT media_ref,
+         CAST(sum(CASE WHEN s * 16 > total
+                       THEN CAST(1 AS BIGINT) << (r * 4 + c)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM hb GROUP BY media_ref
+)
+SELECT x.media_ref AS a, y.media_ref AS b,
+       CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+FROM hsh x JOIN hsh y ON x.media_ref < y.media_ref
+WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5473,6 +5562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_dedup": q_media_phash_dedup,
     "shipping_priority": q_shipping_priority,
     "audio_frame_stats": q_audio_frame_stats,
+    "media_near_dup_pairs": q_media_near_dup_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5599,4 +5689,5 @@ ORACLES: dict[str, str] = {
     "media_phash_dedup": sql_media_phash_dedup(),
     "shipping_priority": sql_shipping_priority(),
     "audio_frame_stats": sql_audio_frame_stats(),
+    "media_near_dup_pairs": sql_media_near_dup_pairs(),
 }

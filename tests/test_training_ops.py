@@ -570,6 +570,37 @@ def test_simhash_block_cap_bounds_candidates(spark):
     assert capped <= uncapped
 
 
+def test_fingerprint_hamming_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness of the GENERIC fingerprint pair generator
+    (the factored core simhash_hamming_pairs and media aHash dedup both
+    ride): for max_distance < blocks the block equi-join must return
+    EXACTLY the brute-force all-pairs set — seeded-random 16-bit
+    fingerprints, several block counts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import dedup
+
+    rng = random.Random(42)
+    rows = [(i, rng.getrandbits(16)) for i in range(48)]
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+    for blocks, max_d in [(4, 3), (8, 3), (8, 7), (2, 1)]:
+        want = {
+            (a, b, bin(fa ^ fb).count("1"))
+            for a, fa in rows
+            for b, fb in rows
+            if a < b and bin(fa ^ fb).count("1") <= max_d
+        }
+        got = {
+            (r.a, r.b, r.hamming)
+            for r in dedup.fingerprint_hamming_pairs(
+                fps, fp_col="fp", bits=16, blocks=blocks, max_distance=max_d
+            ).collect()
+        }
+        assert got == want, f"blocks={blocks} max_d={max_d}"
+
+
 def test_text_ops_on_pathological_docs(spark):
     """Degenerate inputs (empty, whitespace-only, single char, NUL,
     unicode, no-letter) must flow through every text operator without
