@@ -812,6 +812,90 @@ def line_dedup(
     )
 
 
+def host_template_strip(
+    docs: DataFrame,
+    segments=None,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_share: float = 0.5,
+    min_docs: int = 2,
+    rejoin_sep: str | None = None,
+) -> DataFrame:
+    """HOST-scoped cross-document template removal: a segment is
+    boilerplate for host H iff it occurs in >= ``min_docs`` distinct
+    documents of H AND in >= ceil(``min_share`` * |docs(H)|) of them —
+    the per-site template detection production web pipelines use
+    (trafilatura/CCNet-style), vs ``line_dedup``'s corpus-GLOBAL
+    ``min_docs``. The scoping matters at 10^12 documents: a global
+    occurrence floor eventually strips legitimately common sentences
+    from unrelated sites, while a share-of-host threshold only fires on
+    actual site chrome (nav, cookie banners, footers) however large the
+    corpus grows. Reference analogue: the per-document repeated-line
+    boilerplate strip in the extraction kernel (_parser.py:901-937);
+    this is its cross-document, per-site form.
+
+    Output: (id, host, clean_text, n_removed), original segment order.
+
+    Shape at 100 TB: one partial-aggregated distinct-count on
+    (host, segment), one tiny per-host doc count joined against it; the
+    template set is site chrome — small by construction — and
+    BROADCASTS back against the exploded segments; reassembly is one
+    groupBy on the doc id (collect_list skips NULLs, so kept-segment
+    selection rides the aggregate; buffers bounded by document size).
+    NULL hosts join nothing and pass through unstripped."""
+    if rejoin_sep is None:
+        rejoin_sep = "\n" if segments is None else " "
+    if segments is None:
+        segments = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        F.col(id_col), F.col(host_col), segments.alias("_segs")
+    )
+    ex = base.select(
+        id_col, host_col, F.posexplode("_segs").alias("pos", "seg")
+    )
+    host_docs = base.groupBy(host_col).agg(
+        F.count_distinct(F.col(id_col)).alias("_hd")
+    )
+    template = (
+        ex.groupBy(host_col, "seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .join(host_docs, host_col)
+        .filter(
+            (F.col("_nd") >= min_docs)
+            & (F.col("_nd") >= F.ceil(F.lit(min_share) * F.col("_hd")))
+        )
+        .select(host_col, "seg", F.lit(True).alias("_b"))
+    )
+    marked = ex.join(F.broadcast(template), [host_col, "seg"], "left")
+    re = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_b").isNull(), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            rejoin_sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    return (
+        base.select(id_col, host_col)
+        .join(re, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def exact_substring_spans(
     docs: DataFrame,
     window: int = 8,

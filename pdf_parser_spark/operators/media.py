@@ -2,9 +2,10 @@
 metadata, processed by Arrow-batched kernels.
 
 Decode is REAL for the uncompressed public formats a pure-NumPy parser can
-handle with zero dependencies: 24-bit BI_RGB BMP (`decode_image`) and
-16-bit PCM RIFF/WAV (`decode_audio`), both from their published format
-layouts. Compressed formats (PNG/JPEG/MP3/...) still raise
+handle with zero dependencies: 24-bit BI_RGB BMP (`decode_image`),
+16-bit PCM RIFF/WAV (`decode_audio`), and multi-frame RIFF/AVI with
+uncompressed 'DIB ' video frames (`decode_avi_frames`), all from their
+published format layouts. Compressed formats (PNG/JPEG/MP3/...) still raise
 ``NotImplementedError`` — those require PIL/librosa, which are not in this
 container; swapping them in changes only the inner per-format branch. The
 synthetic media table (`media_table_from_docs`) emits VALID BMP/WAV
@@ -130,6 +131,126 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     data = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
     rows = data.reshape(h, stride)[:, : w * 3]
     return (rows if top_down else rows[::-1]).reshape(h, w, 3).copy()
+
+
+def _u32(n: int) -> bytes:
+    return int(n).to_bytes(4, "little")
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI writer: uncompressed 24-bit 'DIB ' video frames —
+    the published AVI chunk layout (hdrl LIST with avih + strl, movi LIST
+    of 00db frame chunks), pure NumPy. Frame pixel data uses the same
+    bottom-up, 4-byte-stride-padded row layout as BMP."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def dib(px: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = px.reshape(h, w * 3)
+        return rows[::-1].tobytes()
+
+    avih = (
+        _u32(1_000_000 // fps)  # dwMicroSecPerFrame
+        + _u32(frame_size * fps)  # dwMaxBytesPerSec
+        + _u32(0)  # dwPaddingGranularity
+        + _u32(0)  # dwFlags
+        + _u32(n)  # dwTotalFrames
+        + _u32(0)  # dwInitialFrames
+        + _u32(1)  # dwStreams
+        + _u32(frame_size)  # dwSuggestedBufferSize
+        + _u32(w)
+        + _u32(h)
+        + _u32(0) * 4  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + _u32(0)  # dwFlags
+        + _u32(0)  # wPriority + wLanguage
+        + _u32(0)  # dwInitialFrames
+        + _u32(1)  # dwScale
+        + _u32(fps)  # dwRate
+        + _u32(0)  # dwStart
+        + _u32(n)  # dwLength (frames)
+        + _u32(frame_size)  # dwSuggestedBufferSize
+        + _u32(0)  # dwQuality
+        + _u32(0)  # dwSampleSize
+        + _u32(0) * 2  # rcFrame
+    )
+    strf = (  # BITMAPINFOHEADER, positive height → bottom-up rows
+        _u32(40) + _u32(w) + _u32(h)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + _u32(0)  # BI_RGB
+        + _u32(frame_size) + _u32(2835) * 2 + _u32(0) * 2
+    )
+    strl = b"LIST" + _u32(4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + _u32(len(strh)) + strh + b"strf" + _u32(len(strf)) + strf
+    hdrl = b"LIST" + _u32(4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + _u32(len(avih)) + avih + strl
+    movi_body = b"".join(b"00db" + _u32(frame_size) + dib(f) for f in frames)
+    movi = b"LIST" + _u32(4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _u32(len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> np.ndarray:
+    """Fully-validated decode of an uncompressed 24-bit 'DIB ' RIFF/AVI →
+    (n_frames, H, W, 3) uint8 array. Walks the RIFF chunk tree (hdrl for
+    the BITMAPINFOHEADER, movi for 00db/00dc frame chunks). Compressed
+    codecs raise NotImplementedError (ffmpeg territory); malformed bytes
+    raise ValueError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = bpp = comp = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, bpp, comp
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list type
+            elif cid == b"strf":
+                b = payload[body_start : body_start + size]
+                if len(b) < 40:
+                    raise ValueError("truncated BITMAPINFOHEADER")
+                w = int.from_bytes(b[4:8], "little", signed=True)
+                h = int.from_bytes(b[8:12], "little", signed=True)
+                bpp = int.from_bytes(b[14:16], "little")
+                comp = int.from_bytes(b[16:20], "little")
+            elif cid in (b"00db", b"00dc"):
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, 12 + int.from_bytes(payload[4:8], "little") - 4)
+    if w is None or comp is None:
+        raise ValueError("AVI missing strf header")
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"AVI compression={comp} bpp={bpp}: only uncompressed 24-bit "
+            "'DIB ' frames decode natively; codecs require ffmpeg/opencv"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0 or not frames:
+        raise ValueError("degenerate AVI dimensions or no frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) < stride * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(fb, dtype=np.uint8, count=stride * h).reshape(
+            h, stride
+        )[:, : w * 3]
+        out[i] = (rows if top_down else rows[::-1]).reshape(h, w, 3)
+    return out
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -340,6 +461,23 @@ def media_audio_frames(
     return media_df.mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)
 
 
+def ahash_from_pixels(px: np.ndarray, grid: int = 8) -> int:
+    """The EXACT-integer aHash recipe over raw (H, W, 3) pixels —
+    nearest-neighbor resample to grid×grid, channel-sum grayscale,
+    strict integer threshold s·grid² > Σs, bit i = row-major cell i.
+    Shared by the BMP still-image path (media_ahash) and the per-frame
+    video path (media_video_frames) so one fingerprint space covers both
+    modalities."""
+    px = px.astype(np.int64)
+    h, w = px.shape[:2]
+    yi = (np.arange(grid) * h) // grid
+    xi = (np.arange(grid) * w) // grid
+    s = px[yi][:, xi].sum(axis=2)  # grid×grid channel sums
+    total = int(s.sum())
+    bits = (s * (grid * grid) > total).flatten()
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),
@@ -370,14 +508,7 @@ def media_ahash(
     """
 
     def one(p) -> int | None:
-        px = decode_bmp_pixels(bytes(p)).astype(np.int64)
-        h, w = px.shape[:2]
-        yi = (np.arange(grid) * h) // grid
-        xi = (np.arange(grid) * w) // grid
-        s = px[yi][:, xi].sum(axis=2)  # grid×grid channel sums
-        total = int(s.sum())
-        bits = (s * (grid * grid) > total).flatten()
-        return int(sum(1 << i for i, b in enumerate(bits) if b))
+        return ahash_from_pixels(decode_bmp_pixels(bytes(p)), grid)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -545,3 +676,106 @@ def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
         F.pmod(h, F.lit(1080)).cast("int").alias("height"),
         F.pmod(h, F.lit(600000)).cast("int").alias("duration_ms"),
     )
+
+
+def video_table_from_docs(media_df: DataFrame, scene_len: int = 3) -> DataFrame:
+    """Upgrade the media table's VIDEO rows from poster-frame BMPs to
+    REAL multi-frame RIFF/AVI payloads (encode_avi round-trip — the
+    builder runs the actual encoder, so a synthesis bug cannot hide from
+    the decoder). Deterministic content: video v has 4 + (h60 % 5)
+    frames of 4×4 px; frame f's 48 pixel bytes are the ASCII of
+    repeat(md5(ref || '-s' || f//scene_len), 2)[:48] in TOP-DOWN row-major
+    order — frames within a scene are identical, scenes differ, so scene
+    boundaries are ground truth any engine can recompute from md5 (the
+    DuckDB oracle replays pixels, hashes, and cuts bit-for-bit).
+    Zero shuffle: one mapInPandas over the video rows."""
+    import hashlib as _hl
+
+    vids = media_df.filter(F.col("media_type") == "video")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = []
+            for ref in pdf["media_ref"]:
+                h60 = int(_hl.md5(ref.encode()).hexdigest()[:15], 16)
+                n = 4 + h60 % 5
+                frames = np.empty((n, 4, 4, 3), dtype=np.uint8)
+                for f in range(n):
+                    hx = _hl.md5(
+                        f"{ref}-s{f // scene_len}".encode()
+                    ).hexdigest()
+                    body = (hx * 2)[:48].encode("ascii")
+                    frames[f] = np.frombuffer(body, dtype=np.uint8).reshape(
+                        4, 4, 3
+                    )
+                payloads.append(encode_avi(frames, fps=10))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return vids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),  # total in file
+        T.StructField("px_sum", T.LongType(), False),  # Σ all channel bytes
+        T.StructField("ahash", T.LongType(), False),  # per-frame aHash
+    ]
+)
+
+
+def media_video_frames(
+    media_df: DataFrame, stride: int = 1, grid: int = 8, strict: bool = False
+) -> DataFrame:
+    """Video frame-sampling over the REAL AVI decode: every ``stride``-th
+    frame of each payload is decoded and fingerprinted — the per-frame
+    primitive keyframe extraction, scene-cut detection, and frame-level
+    near-dup all consume. One row per (media_ref, sampled frame): the
+    exact-integer pixel sum and the frame's aHash (ahash_from_pixels —
+    the SAME fingerprint space as still images, so cross-modal dedup via
+    fingerprint_hamming_pairs works on video frames too). Zero shuffle:
+    the frame explode happens inside the kernel; undecodable rows vanish
+    (``strict=True`` re-raises) per the one-corrupt-file contract."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {k.name: [] for k in VIDEO_FRAMES_SCHEMA}
+            for ref, did, p in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["payload"]
+            ):
+                if p is None:
+                    continue
+                try:
+                    frames = decode_avi_frames(bytes(p))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for f in range(0, len(frames), stride):
+                    px = frames[f].astype(np.int64)
+                    out["media_ref"].append(ref)
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(len(frames))
+                    out["px_sum"].append(int(px.sum()))
+                    out["ahash"].append(ahash_from_pixels(px, grid))
+            yield pd.DataFrame(
+                {
+                    "media_ref": out["media_ref"],
+                    "doc_id": out["doc_id"],
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="int32"),
+                    "px_sum": pd.array(out["px_sum"], dtype="int64"),
+                    "ahash": pd.array(out["ahash"], dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)

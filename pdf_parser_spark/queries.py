@@ -5404,6 +5404,172 @@ WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
 """
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling + scene-cut detection over REAL RIFF/AVI
+    decode (media.video_table_from_docs → media.media_video_frames):
+    every 2nd frame of each uncompressed-DIB video is decoded and
+    aHash-fingerprinted in one zero-shuffle kernel; a cut fires where a
+    sampled frame's hash differs from the previous sample's (one window
+    pass — the only shuffle). Frames within a synthetic scene are
+    identical, so cuts are ground truth; the oracle rebuilds every
+    frame's pixels from md5 bytes and replays hash, lag, and cut."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    vids = media_ops.video_table_from_docs(
+        media_ops.media_table_from_docs(docs)
+    )
+    frames = media_ops.media_video_frames(vids, stride=2, grid=4)
+    w = Window.partitionBy("media_ref").orderBy("frame_idx")
+    prev = F.lag("ahash").over(w)
+    ham = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.bit_count(prev.bitwiseXOR(F.col("ahash")))
+    )
+    return frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "px_sum",
+        ham.cast("long").alias("hamming_prev"),
+        F.when(prev.isNull(), F.lit(None)).otherwise(ham > 0).alias("is_cut"),
+    )
+
+
+def sql_video_scene_cuts() -> str:
+    # same typed-media CTE family as sql_media_phash_dedup; tcode=2 selects
+    # the video rows; frame f's body = repeat(md5(ref || '-s' || f//3), 2)[:48]
+    return """
+WITH media AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref, doc_id
+  FROM documents WHERE doc_id % 4 = 0
+), typed AS (
+  SELECT media_ref,
+         CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 3 AS INT)
+           AS tcode,
+         CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 5 AS INT)
+           AS nf_off
+  FROM media
+), vids AS (
+  SELECT media_ref, 4 + nf_off AS nf FROM typed WHERE tcode = 2
+), fr AS (
+  SELECT media_ref, nf, unnest(range(0, nf)) AS f FROM vids
+), sampled AS (
+  SELECT media_ref, nf, f,
+         substr(repeat(md5(media_ref || '-s'
+                           || CAST(f // 3 AS VARCHAR)), 2), 1, 48) AS b
+  FROM fr WHERE f % 2 = 0
+), px AS (
+  SELECT media_ref, nf, f, r, c,
+         ascii(substr(b, r * 12 + c * 3 + 1, 1))
+       + ascii(substr(b, r * 12 + c * 3 + 2, 1))
+       + ascii(substr(b, r * 12 + c * 3 + 3, 1)) AS s
+  FROM sampled, range(0, 4) t1(r), range(0, 4) t2(c)
+), hb AS (
+  SELECT media_ref, nf, f, r, c, s,
+         sum(s) OVER (PARTITION BY media_ref, f) AS total
+  FROM px
+), hsh AS (
+  SELECT media_ref, nf, f,
+         CAST(sum(CASE WHEN s * 16 > total
+                       THEN CAST(1 AS BIGINT) << (r * 4 + c)
+                       ELSE 0 END) AS BIGINT) AS ahash,
+         CAST(sum(s) AS BIGINT) AS px_sum
+  FROM hb GROUP BY media_ref, nf, f
+), lagd AS (
+  SELECT media_ref, f, nf, px_sum, ahash,
+         lag(ahash) OVER (PARTITION BY media_ref ORDER BY f) AS prev
+  FROM hsh
+)
+SELECT media_ref, CAST(f AS BIGINT) AS frame_idx, CAST(nf AS BIGINT) AS n_frames,
+       px_sum,
+       CAST(bit_count(xor(prev, ahash)) AS BIGINT) AS hamming_prev,
+       CASE WHEN prev IS NULL THEN NULL
+            ELSE bit_count(xor(prev, ahash)) > 0 END AS is_cut
+FROM lagd
+"""
+
+
+def q_host_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST template removal (dedup.host_template_strip): each doc
+    gets a deterministic host plus that host's chrome — a PORTAL header
+    and Copyright footer on every page (share 1.0 → stripped), a
+    Subscribe promo on ~1/3 of pages (share < 0.5 → KEPT — the share
+    threshold is the point; line_dedup's global min_docs=2 would nuke
+    it), and the doc's own 6-word segments (unique → kept). Two
+    partial-agg shuffles build the per-host template set, which
+    broadcasts back; reassembly is one groupBy on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    host = F.concat(
+        F.lit("h"),
+        F.substring(F.md5(F.concat(did.cast("string"), F.lit("-t"))), 1, 1),
+        F.lit(".example"),
+    )
+    segs = dedup.fixed_word_segments(dedup.words_col(F.col("text")), k=6)
+    lines = F.concat(
+        F.array(F.concat(F.lit("PORTAL "), host)),
+        F.when(
+            did % 3 == 0,
+            F.array(F.concat(F.lit("Subscribe to "), host, F.lit(" news"))),
+        ).otherwise(F.array().cast("array<string>")),
+        segs,
+        F.array(F.concat(F.lit("Copyright 2024 "), host)),
+    )
+    staged = d.select(
+        did.alias("doc_id"), host.alias("host"), lines.alias("_lines")
+    )
+    out = dedup.host_template_strip(
+        staged,
+        segments=F.col("_lines"),
+        min_share=0.5,
+        min_docs=2,
+        rejoin_sep="\n",
+    )
+    return out.select(
+        "doc_id", "host", F.md5(F.col("clean_text")).alias("clean_md5"), "n_removed"
+    )
+
+
+def sql_host_template_strip() -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'h' || substr(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '-t'), 1, 1)
+             || '.example' AS host,
+         {_WORDS_SQL} AS w,
+         CAST(doc_id AS BIGINT) % 3 = 0 AS promo
+  FROM documents
+), lines AS (
+  SELECT doc_id, host,
+    ['PORTAL ' || host]
+      || (CASE WHEN promo THEN ['Subscribe to ' || host || ' news']
+               ELSE [] END)
+      || list_transform(generate_series(1, CAST(ceil(len(w) / 6.0) AS INT)),
+                        i -> array_to_string(w[(i-1)*6+1:(i-1)*6+6], ' '))
+      || ['Copyright 2024 ' || host] AS s
+  FROM base
+), ex AS (
+  SELECT doc_id, host, unnest(s) AS seg, generate_subscripts(s, 1) AS pos
+  FROM lines
+), hd AS (
+  SELECT host, count(DISTINCT doc_id) AS nhd FROM lines GROUP BY host
+), tmpl AS (
+  SELECT host, seg FROM ex JOIN hd USING (host)
+  GROUP BY host, seg, nhd
+  HAVING count(DISTINCT doc_id) >= 2
+     AND count(DISTINCT doc_id) >= ceil(0.5 * nhd)
+), marked AS (
+  SELECT e.doc_id, e.host, e.pos, e.seg, t.seg IS NOT NULL AS is_b
+  FROM ex e LEFT JOIN tmpl t ON e.host = t.host AND e.seg = t.seg
+)
+SELECT doc_id, host,
+       md5(coalesce(string_agg(seg, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT is_b), '')) AS clean_md5,
+       CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id, host
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5563,6 +5729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "audio_frame_stats": q_audio_frame_stats,
     "media_near_dup_pairs": q_media_near_dup_pairs,
+    "host_template_strip": q_host_template_strip,
+    "video_scene_cuts": q_video_scene_cuts,
 }
 
 ORACLES: dict[str, str] = {
@@ -5690,4 +5858,6 @@ ORACLES: dict[str, str] = {
     "shipping_priority": sql_shipping_priority(),
     "audio_frame_stats": sql_audio_frame_stats(),
     "media_near_dup_pairs": sql_media_near_dup_pairs(),
+    "host_template_strip": sql_host_template_strip(),
+    "video_scene_cuts": sql_video_scene_cuts(),
 }

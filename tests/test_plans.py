@@ -413,3 +413,22 @@ def test_source_triage_two_phase_distinct_agg(spark):
     assert 0 < plan.find("Exchange") < plan.find("partial_count")
     # digest/alpha computed once at the scan; only (text, source) read
     assert "ReadSchema: struct<text:string,source:string>" in _formatted(df)
+
+
+def test_host_template_strip_broadcast_template_no_cartesian(spark):
+    df = QUERIES["host_template_strip"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # the per-host template set broadcasts back against the exploded
+    # segments — the corpus is never shuffled on (host, segment) to strip
+    assert "BroadcastHashJoin" in plan
+
+
+def test_video_scene_cuts_zero_shuffle_before_window(spark):
+    df = QUERIES["video_scene_cuts"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # decode + frame explode + fingerprint all happen inside ONE
+    # mapInPandas chain; the only exchange feeds the lag window on
+    # media_ref (plus AQE's final result shuffle if any) — no join at all
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("Exchange") <= 2

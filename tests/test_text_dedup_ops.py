@@ -51,6 +51,61 @@ def test_line_dedup_all_boilerplate_doc_yields_empty(spark):
     assert out[3].clean_text == "fresh"
 
 
+def test_host_template_strip_scopes_by_host_and_share(spark):
+    # host A: banner on 4/4 docs (share 1.0 -> stripped), promo on 2/4
+    # (share 0.5 < 0.6 -> KEPT); host B has the SAME banner text in only
+    # 1 doc -> kept there (host scoping, unlike line_dedup's global count)
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", "banner\npromo\nbody one"),
+            (2, "a.com", "banner\nbody two"),
+            (3, "a.com", "banner\npromo\nbody three"),
+            (4, "a.com", "banner\nbody four"),
+            (5, "b.com", "banner\nbody five"),
+            (6, "b.com", "body six"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.host_template_strip(
+            docs, min_share=0.6, min_docs=2
+        ).collect()
+    }
+    assert out[1].clean_text == "promo\nbody one" and out[1].n_removed == 1
+    assert out[2].clean_text == "body two" and out[2].n_removed == 1
+    assert out[5].clean_text == "banner\nbody five" and out[5].n_removed == 0
+    assert out[6].clean_text == "body six" and out[6].n_removed == 0
+    assert all(out[i].host in ("a.com", "b.com") for i in out)
+
+
+def test_host_template_strip_min_docs_floor(spark):
+    # a 1-doc host trivially has share 1.0 for every line; min_docs=2
+    # must stop the whole document from being erased
+    docs = spark.createDataFrame(
+        [(1, "solo.com", "line one\nline two")],
+        "doc_id long, host string, text string",
+    )
+    out = dedup.host_template_strip(docs, min_share=0.5, min_docs=2).collect()[0]
+    assert out.clean_text == "line one\nline two" and out.n_removed == 0
+
+
+def test_host_template_strip_null_host_passthrough(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "dup\nx"), (2, None, "dup\ny")],
+        "doc_id long, host string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.host_template_strip(
+            docs, min_share=0.5, min_docs=2
+        ).collect()
+    }
+    # NULL hosts never aggregate into a template group -> nothing stripped
+    assert out[1].clean_text == "dup\nx" and out[1].n_removed == 0
+    assert out[2].clean_text == "dup\ny" and out[2].n_removed == 0
+
+
 def test_fixed_word_segments_windows_and_remainder(spark):
     df = spark.createDataFrame([("a b c d e",), ("",)], "text string")
     segs = df.select(

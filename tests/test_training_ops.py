@@ -322,6 +322,61 @@ def test_real_decode_rejects_compressed_and_garbage():
         media.decode_image(good[:-5])
 
 
+def test_real_decode_avi_roundtrip_and_rejection():
+    """RIFF/AVI encode→decode round-trip across frame counts and odd
+    geometry (stride padding); compressed codecs and malformed containers
+    are rejected with the right exception class."""
+    rng = np.random.RandomState(7)
+    for n, h, w in [(1, 4, 4), (6, 4, 4), (3, 5, 7), (2, 1, 1)]:
+        fr = rng.randint(0, 256, (n, h, w, 3)).astype(np.uint8)
+        got = media.decode_avi_frames(media.encode_avi(fr))
+        assert got.shape == fr.shape and np.array_equal(got, fr)
+    with pytest.raises(ValueError):
+        media.decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        media.decode_avi_frames(b"garbage")
+    avi = bytearray(media.encode_avi(rng.randint(0, 256, (2, 4, 4, 3)).astype(np.uint8)))
+    i = bytes(avi).find(b"strf") + 8 + 16  # biCompression field
+    avi[i : i + 4] = (1).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        media.decode_avi_frames(bytes(avi))
+    # truncated frame chunk must not silently read short
+    good = media.encode_avi(rng.randint(0, 256, (2, 4, 4, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        media.decode_avi_frames(good[:-5])
+
+
+def test_video_frames_share_fingerprint_space_with_images(spark):
+    """media_video_frames: stride sampling picks exactly frames 0,2,4,…;
+    scene-identical frames hash equal; and a video frame's aHash equals
+    media_ahash of a BMP with the SAME pixels — one fingerprint space
+    across modalities, so fingerprint_hamming_pairs can pair them."""
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    b = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    frames = np.stack([a, a, a, b, b, a])  # scenes: a×3, b×2, a
+    avi = media.encode_avi(frames)
+    vdf = spark.createDataFrame(
+        [("v1", "d1", "video", bytearray(avi), 4, 4, 600)],
+        schema=media.MEDIA_SCHEMA,
+    )
+    rows = {
+        r.frame_idx: r
+        for r in media.media_video_frames(vdf, stride=2, grid=4).collect()
+    }
+    assert sorted(rows) == [0, 2, 4] and all(
+        r.n_frames == 6 for r in rows.values()
+    )
+    assert rows[0].ahash == rows[2].ahash  # same scene
+    assert rows[0].px_sum == int(a.astype(np.int64).sum())
+    idf = spark.createDataFrame(
+        [("i1", "d1", "image", bytearray(media.encode_bmp(b)), 4, 4, 0)],
+        schema=media.MEDIA_SCHEMA,
+    )
+    img_hash = media.media_ahash(idf, grid=4).collect()[0].ahash
+    assert rows[4].ahash == img_hash  # cross-modal fingerprint equality
+
+
 def test_resize_bmp_real_resampling():
     """Nearest-neighbor downscale: a 512x8 bitmap fits 256x256 by scaling
     1/2 → 256x4, pixel (y,x) maps from (2y, 2x); small bitmaps pass
