@@ -471,3 +471,146 @@ def ivf_topk_batch(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index half of IVF-PQ, the
+# standard memory layout for billion-vector ANN (Jégou et al. 2011,
+# public). Vectors are quantized to integers (floor(x·scale)) FIRST so
+# every distance below is exact int64 arithmetic — encode and search are
+# bit-reproducible across engines (the DuckDB oracle replays them), and
+# argmin ties break deterministically on centroid index.
+# ---------------------------------------------------------------------------
+
+
+def quantize_vec(vec_col, scale: int = 1000):
+    """array<float> → array<long> via floor(x·scale): float32→double
+    widening is exact and floor is IEEE-identical everywhere, so the
+    quantized grid is engine-independent (round() would hinge on
+    half-up vs half-even at representable .5 products)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * scale).cast("long"),
+    )
+
+
+def pq_codebook_from_rows(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Fixed codebook: centroid c of subspace j is the quantized j-th
+    subvector of the row with id c — k bounded driver-side rows, the same
+    fixed-quantizer device ivf_topk_probe uses so the SEARCH arithmetic
+    is fully value-checkable. (A production index trains each subspace
+    with k-means instead — kmeans_centroids is that trainer; swapping it
+    in changes only this function.) Returns codebook[j][c] = list of
+    d/m ints."""
+    rows = (
+        emb.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(quantize_vec(vec_col, scale).alias("q"))
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need {k} codebook rows, corpus has {len(rows)}")
+    dim = len(rows[0].q)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[int(v) for v in r.q[j * sub : (j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[int]]],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) → (id, codes array<int>): per subspace, the index of the
+    L2-nearest codebook centroid (exact int64 squared distance, ties to
+    the smallest index). Pure Catalyst — the codebook is m·k literal
+    arrays (small by design: 8×16 here), the corpus is one codegen pass,
+    zero shuffle. At 100 TB the encoded table is dim·scale-independent:
+    m bytes-ish per vector instead of 4·dim — the reason PQ is how
+    billion-vector indexes fit in memory."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    staged = emb.select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("_q")
+    ).select(
+        id_col,
+        *[
+            F.slice("_q", j * sub + 1, sub).alias(f"_s{j}")
+            for j in range(m)
+        ],
+    )
+    def dist_to(j: int, cent: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col(f"_s{j}"),
+                F.array(*[F.lit(int(v)).cast("long") for v in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+
+    codes = []
+    for j in range(m):
+        dists = F.array(*[dist_to(j, c) for c in codebook[j]])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return staged.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation: the query stays EXACT (quantized,
+    not PQ-coded); its distance to every centroid of every subspace is a
+    tiny driver-side table (m·k ints) folded into the plan as literals,
+    so scoring a vector is m array lookups + a sum — no vector math on
+    the corpus at all, which is the entire point of PQ at scale: the
+    scan touches only the m-byte codes column. Returns top-k by ADC
+    distance (asc, id tiebreak)."""
+    import math
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    q = [int(math.floor(float(x) * scale)) for x in query_vec]
+    if len(q) != m * sub:
+        raise ValueError("query dim mismatch with codebook")
+    table = [
+        [
+            sum(
+                (q[j * sub + d] - cent[d]) ** 2
+                for d in range(sub)
+            )
+            for cent in codebook[j]
+        ]
+        for j in range(m)
+    ]
+    adc = None
+    for j in range(m):
+        lut = F.array(*[F.lit(int(v)).cast("long") for v in table[j]])
+        term = F.element_at(lut, F.element_at("codes", j + 1) + 1)
+        adc = term if adc is None else adc + term
+    return (
+        encoded.select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -5404,6 +5404,65 @@ WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
 """
 
 
+def q_pq_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_encode + pq_adc_topk —
+    the compressed-index half of IVF-PQ): vectors quantized to an exact
+    integer grid (floor(x·1000)), coded as 8 subspace argmins against a
+    FIXED 16-centroid codebook (rows 0..15, the ivf_topk_probe device),
+    then searched by asymmetric distance — the query's m·16 LUT folds
+    into the plan as literals and scoring touches ONLY the codes column.
+    All-integer arithmetic end to end, so encode AND search are replayed
+    bit-for-bit by the DuckDB twin. Zero shuffle to encode; the top-k is
+    one TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_from_rows(emb, m=8, k=16, scale=1000)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    enc = similarity.pq_encode(emb, cb, scale=1000)
+    return similarity.pq_adc_topk(enc, cb, qvec, k=20, scale=1000).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "adc_dist"
+    )
+
+
+def sql_pq_topk_probe() -> str:
+    return """
+WITH qi AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, v, unnest(range(1, 65)) AS d FROM qi
+), vals AS (
+  SELECT vec_id, CAST((d - 1) // 8 AS INT) AS j,
+         CAST((d - 1) % 8 AS INT) AS dd, v[CAST(d AS INT)] AS val
+  FROM dims
+), cvals AS (
+  SELECT vec_id AS c, j, dd, val FROM vals WHERE vec_id < 16
+), sdist AS (
+  SELECT e.vec_id, e.j, c.c,
+         sum((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM vals e JOIN cvals c ON e.j = c.j AND e.dd = c.dd
+  GROUP BY e.vec_id, e.j, c.c
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM sdist
+  ) WHERE rn = 1
+), qdist AS (
+  SELECT j, c, dist FROM sdist WHERE vec_id = 0
+)
+SELECT codes.vec_id, CAST(sum(qdist.dist) AS BIGINT) AS adc_dist
+FROM codes JOIN qdist ON codes.j = qdist.j AND codes.c = qdist.c
+GROUP BY codes.vec_id
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 20
+"""
+
+
 def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling + scene-cut detection over REAL RIFF/AVI
     decode (media.video_table_from_docs → media.media_video_frames):
@@ -5731,6 +5790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_near_dup_pairs": q_media_near_dup_pairs,
     "host_template_strip": q_host_template_strip,
     "video_scene_cuts": q_video_scene_cuts,
+    "pq_topk_probe": q_pq_topk_probe,
 }
 
 ORACLES: dict[str, str] = {
@@ -5860,4 +5920,5 @@ ORACLES: dict[str, str] = {
     "media_near_dup_pairs": sql_media_near_dup_pairs(),
     "host_template_strip": sql_host_template_strip(),
     "video_scene_cuts": sql_video_scene_cuts(),
+    "pq_topk_probe": sql_pq_topk_probe(),
 }

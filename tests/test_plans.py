@@ -432,3 +432,14 @@ def test_video_scene_cuts_zero_shuffle_before_window(spark):
     # media_ref (plus AQE's final result shuffle if any) — no join at all
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_pq_probe_zero_shuffle_take_ordered(spark):
+    df = QUERIES["pq_topk_probe"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    # encode is one codegen pass (codebook + ADC LUTs are literals); the
+    # only "shuffle" is the k-row TakeOrderedAndProject — no join, no
+    # exchange of the corpus
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0

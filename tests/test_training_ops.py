@@ -128,6 +128,36 @@ def test_ivf_topk_recall(spark, emb_df):
     assert len(exact & approx) >= 6  # ≥60% recall at nprobe=4/8
 
 
+def test_pq_encode_matches_numpy_and_adc_ranks_query_first(spark, emb_df):
+    """PQ encode: Spark codes equal a NumPy replay of the integer-grid
+    argmin; ADC with query = codebook row 0 gives row 0 distance 0 and
+    rank 1; ADC recall vs exact integer L2 is sane."""
+    df, X = emb_df
+    cb = similarity.pq_codebook_from_rows(df, m=4, k=16, scale=1000)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(df, cb, scale=1000).collect()
+    }
+    Q = np.floor(X.astype(np.float64) * 1000).astype(np.int64)  # quantize
+    C = np.array(cb, dtype=np.int64)  # (m, k, sub)
+    sub = C.shape[2]
+    for i in range(0, 200, 17):
+        want = [
+            int(((Q[i, j * sub : (j + 1) * sub] - C[j]) ** 2).sum(axis=1).argmin())
+            for j in range(4)
+        ]
+        assert codes[i] == want, i
+    enc = similarity.pq_encode(df, cb, scale=1000)
+    top = similarity.pq_adc_topk(
+        enc, cb, X[0].tolist(), k=10, scale=1000
+    ).collect()
+    assert top[0].vec_id == 0 and top[0].adc_dist == 0
+    # ADC approximates exact integer L2: the true 10-NN of the query
+    # should mostly survive quantization+coding
+    exact = np.argsort(((Q - Q[0]) ** 2).sum(axis=1), kind="stable")[:10]
+    assert len({r.vec_id for r in top} & {int(v) for v in exact}) >= 5
+
+
 def test_ivf_cells_partition_the_corpus(spark, emb_df):
     df, _ = emb_df
     cents = similarity.kmeans_centroids(df, n_centroids=8, iters=5)
