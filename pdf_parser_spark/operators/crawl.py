@@ -221,3 +221,52 @@ def parse_robots(robots_txt: str, agent: str = "*") -> list[tuple[str, bool]]:
     if exact:
         return [rule for r in exact for rule in r]
     return [rule for agents, r in groups if "*" in agents for rule in r]
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, xml_col: str = "xml", key_cols: tuple[str, ...] = ("host",)
+) -> DataFrame:
+    """Distributed sitemap-XML parse (sitemaps.org protocol, public):
+    one row per <url> entry of a urlset — (loc, lastmod, changefreq,
+    priority, kind='url') — plus one row per <sitemap> child of a
+    sitemapindex (kind='sitemap'; recursing into children is the
+    frontier's fetch loop, not the parser). Unlike robots.txt (one
+    config-sized rule list, compiled driver-side), a 10^12-page crawl
+    holds millions of sitemap files, so the parse itself must be
+    distributed: pure Catalyst regexp over the XML column, zero Python,
+    zero shuffle — blocks are exploded to rows FIRST and the per-field
+    regexp_extract runs on plain columns (never inside a HOF lambda,
+    which would re-evaluate per element). Optional fields (<lastmod>,
+    <changefreq>, <priority> may each be absent per entry) parse to
+    NULL — this positional-safety is why the parse is per-block regexp
+    and not Spark's xpath() (which requires foldable paths and returns
+    misaligned arrays for optional children).
+
+    Spark's builtin XML reader targets files, not a column of XML
+    strings; entities beyond the five XML predefineds are left to
+    functions/htmlparse. Not a validating parse — crawl-side sitemaps
+    are dirty; unmatched blocks simply yield no rows."""
+
+    def field(tag: str):
+        return F.nullif(
+            F.regexp_extract(F.col("_b"), f"(?s)<{tag}>(.*?)</{tag}>", 1),
+            F.lit(""),
+        )
+
+    def blocks(kind: str):
+        ex = F.expr(
+            f"regexp_extract_all({xml_col}, '(?s)<{kind}>(.*?)</{kind}>', 1)"
+        )
+        return sitemaps.select(
+            *key_cols, F.posexplode(ex).alias("entry_order", "_b")
+        ).select(
+            *key_cols,
+            F.col("entry_order"),
+            F.lit("url" if kind == "url" else "sitemap").alias("kind"),
+            field("loc").alias("loc"),
+            field("lastmod").alias("lastmod"),
+            field("changefreq").alias("changefreq"),
+            field("priority").alias("priority"),
+        )
+
+    return blocks("url").unionByName(blocks("sitemap"))

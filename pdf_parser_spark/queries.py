@@ -5404,6 +5404,137 @@ WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
 """
 
 
+def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion → recrawl triage (crawl.sitemap_entries): each
+    host's urlset XML is synthesized in Catalyst (so the oracle rebuilds
+    it byte-for-byte), parsed back by the distributed regexp parser
+    (one zero-shuffle pass; ~1/5 of entries omit <changefreq> to pin the
+    optional-field NULL contract), then left-joined against the crawl
+    state: unknown URLs are 'new', known ones 'stale' when the sitemap
+    lastmod postdates the last fetch, else 'fresh'. The state side
+    shuffles on url once; at 100 TB both sides are bucketed by url."""
+    from pdf_parser_spark.operators import crawl
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    host = F.concat(
+        F.lit("h"),
+        F.substring(F.md5(F.concat(did.cast("string"), F.lit("-sm"))), 1, 1),
+        F.lit(".example"),
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/doc/"), did.cast("string"))
+    lastmod = F.format_string(
+        "2024-%02d-%02d",
+        (did % 12 + 1).cast("int"),
+        (did % 28 + 1).cast("int"),
+    )
+    freq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (did % 3 + 1).cast("int"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod>"),
+        F.when(
+            did % 5 != 0,
+            F.concat(F.lit("<changefreq>"), freq, F.lit("</changefreq>")),
+        ).otherwise(F.lit("")),
+        F.lit("<priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        d.select(host.alias("host"), did.alias("did"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("did", "e"))),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = crawl.sitemap_entries(sitemaps, xml_col="xml").filter(
+        F.col("kind") == "url"
+    )
+    state = d.filter(did % 4 != 0).select(
+        url.alias("loc"),
+        F.when(did % 2 == 0, F.lit("2024-06-15"))
+        .otherwise(F.lit("2024-03-01"))
+        .alias("last_fetch"),
+    )
+    return parsed.join(state, "loc", "left").select(
+        "host",
+        F.col("loc").alias("url"),
+        "lastmod",
+        "changefreq",
+        "priority",
+        F.when(F.col("last_fetch").isNull(), F.lit("new"))
+        .when(F.col("lastmod") > F.col("last_fetch"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+    )
+
+
+def sql_sitemap_recrawl() -> str:
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         'h' || substr(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '-sm'), 1, 1)
+             || '.example' AS host
+  FROM documents
+), e AS (
+  SELECT did, host,
+         'https://' || host || '/doc/' || CAST(did AS VARCHAR) AS url,
+         printf('2024-%02d-%02d', did % 12 + 1, did % 28 + 1) AS lastmod,
+         ['daily', 'weekly', 'monthly'][CAST(did % 3 + 1 AS INT)] AS freq
+  FROM base
+), entries AS (
+  SELECT did, host,
+         '<url><loc>' || url || '</loc><lastmod>' || lastmod || '</lastmod>'
+         || CASE WHEN did % 5 <> 0
+                 THEN '<changefreq>' || freq || '</changefreq>' ELSE '' END
+         || '<priority>0.' || CAST(did % 10 AS VARCHAR)
+         || '</priority></url>' AS entry
+  FROM e
+), sitemaps AS (
+  SELECT host,
+         '<?xml version="1.0"?><urlset>'
+           || string_agg(entry, '' ORDER BY did) || '</urlset>' AS xml
+  FROM entries GROUP BY host
+), blocks AS (
+  SELECT host, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+  FROM sitemaps
+), parsed AS (
+  SELECT host,
+         nullif(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '') AS loc,
+         nullif(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1), '')
+           AS lastmod,
+         nullif(regexp_extract(b, '(?s)<changefreq>(.*?)</changefreq>', 1), '')
+           AS changefreq,
+         nullif(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1), '')
+           AS priority
+  FROM blocks
+), state AS (
+  SELECT 'https://h' || substr(md5(CAST(did AS VARCHAR) || '-sm'), 1, 1)
+           || '.example/doc/' || CAST(did AS VARCHAR) AS loc,
+         CASE WHEN did % 2 = 0 THEN '2024-06-15' ELSE '2024-03-01' END
+           AS last_fetch
+  FROM base WHERE did % 4 <> 0
+)
+SELECT p.host, p.loc AS url, p.lastmod, p.changefreq, p.priority,
+       CASE WHEN s.last_fetch IS NULL THEN 'new'
+            WHEN p.lastmod > s.last_fetch THEN 'stale'
+            ELSE 'fresh' END AS status
+FROM parsed p LEFT JOIN state s ON p.loc = s.loc
+"""
+
+
 def q_pq_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity.pq_encode + pq_adc_topk —
     the compressed-index half of IVF-PQ): vectors quantized to an exact
@@ -5791,6 +5922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_template_strip": q_host_template_strip,
     "video_scene_cuts": q_video_scene_cuts,
     "pq_topk_probe": q_pq_topk_probe,
+    "sitemap_recrawl": q_sitemap_recrawl,
 }
 
 ORACLES: dict[str, str] = {
@@ -5921,4 +6053,5 @@ ORACLES: dict[str, str] = {
     "host_template_strip": sql_host_template_strip(),
     "video_scene_cuts": sql_video_scene_cuts(),
     "pq_topk_probe": sql_pq_topk_probe(),
+    "sitemap_recrawl": sql_sitemap_recrawl(),
 }

@@ -151,3 +151,44 @@ def test_parse_robots_feeds_path_exclusion(spark):
     )
     out = {r.doc_id: r.allowed for r in crawl.path_exclusion(docs, rules).collect()}
     assert out == {1: True, 2: False, 3: True}
+
+
+def test_sitemap_entries_optional_fields_and_index_kind(spark):
+    """Per-entry optional children parse independently (no positional
+    misalignment — the reason this is regexp-per-block, not xpath);
+    sitemapindex children come back as kind='sitemap'; an unclosed
+    block yields no row instead of an error."""
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a/1</loc><lastmod>2024-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a/2</loc><priority>0.1</priority></url>"
+        "<url><lastmod>2024-05-05</lastmod><loc>https://a/3</loc></url>"
+        "<url><loc>https://a/4</loc>"  # unclosed — dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b/s1.xml</loc>"
+        "<lastmod>2024-02-02</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a", urlset), ("b", index)], "host string, xml string"
+    )
+    rows = crawl.sitemap_entries(df).collect()
+    urls = {r.loc: r for r in rows if r.kind == "url"}
+    assert set(urls) == {"https://a/1", "https://a/2", "https://a/3"}
+    assert urls["https://a/1"].changefreq == "daily"
+    assert urls["https://a/2"].lastmod is None
+    assert urls["https://a/2"].priority == "0.1"
+    assert urls["https://a/3"].lastmod == "2024-05-05"
+    assert urls["https://a/3"].changefreq is None
+    sm = [r for r in rows if r.kind == "sitemap"]
+    assert len(sm) == 1 and sm[0].loc == "https://b/s1.xml"
+    assert sm[0].host == "b" and sm[0].lastmod == "2024-02-02"
+
+
+def test_sitemap_entries_multiline_blocks(spark):
+    xml = "<urlset>\n<url>\n  <loc>https://c/x</loc>\n  <lastmod>2023-12-31</lastmod>\n</url>\n</urlset>"
+    df = spark.createDataFrame([("c", xml)], "host string, xml string")
+    r = crawl.sitemap_entries(df).collect()[0]
+    assert r.loc == "https://c/x" and r.lastmod == "2023-12-31"
