@@ -1,0 +1,203 @@
+"""Streaming per-host token-budget admission: each host gets a token
+horizon; a document is admitted iff the host's running total of tokens
+SEEN before it is still under the budget. This is the streaming twin of
+the batch curation caps (operators/curation.py domain caps / pack
+budgeting): a continuously-arriving crawl is cut at the same horizon a
+batch job would cut it, with the running total held in per-host state
+that survives micro-batch AND restart boundaries.
+
+Two implementations of the same contract:
+
+- ``stream_host_budget`` — ``applyInPandasWithState`` (the API the
+  sessionizer uses; fully tested here).
+- ``stream_host_budget_tws`` + ``HostBudgetProcessor`` —
+  ``transformWithStateInPandas``, Spark 4's typed-state successor
+  (named ValueState variables, optional per-state TTL, timers). Its
+  Python state-server protocol needs ``google.protobuf``, which this
+  container does not ship, so the test is import-gated; the processor
+  is the drop-in upgrade path and shares the vectorized kernel.
+
+Semantics (order matters, so it is pinned): docs are processed in
+(ts, doc_id) order per host; ``admitted`` = tokens-seen-before-this-doc
+< budget; the state advances by EVERY doc's tokens (a horizon over the
+stream, not over admissions — this keeps the rule a pure prefix sum, so
+any engine can replay it relationally; see batch_host_budget). Arrival
+order across micro-batches is the caller's contract, exactly as in
+sessionize.py.
+
+Scale notes: state is ONE long per host (millions of hosts per state-
+store shard); the kernel is a vectorized cumsum over each batch's rows.
+TTL is deliberately NOT enabled for the typed-state variant: a budget
+that silently resets when a host goes quiet is a correctness bug, and
+that contract is worth stating.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DOCS_SCHEMA = "host string, doc_id long, ts timestamp, tokens long"
+OUT_SCHEMA = (
+    "host string, doc_id long, tokens long, seen_before long, admitted boolean"
+)
+STATE_SCHEMA = "seen long"
+
+
+def _decide(host: str, seen: int, frames: list[pd.DataFrame], budget: int):
+    """Shared vectorized kernel: sort the batch once, prefix-sum tokens,
+    admit below the horizon. Returns (new_seen, output frame)."""
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    # one group arrives as multiple Arrow chunks in shuffle order —
+    # concatenate, then sort ONCE (the sessionize.py lesson)
+    pdf = pdf.sort_values(["ts", "doc_id"])
+    toks = pdf["tokens"].to_numpy(np.int64)
+    before = seen + np.concatenate(([0], toks[:-1].cumsum()))
+    out = pd.DataFrame(
+        {
+            "host": np.repeat(host, len(pdf)),
+            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+            "tokens": toks,
+            "seen_before": before,
+            "admitted": before < budget,
+        }
+    )
+    return int(seen + toks.sum()), out
+
+
+def make_budget_fn(budget: int):
+    """applyInPandasWithState group function for the budget gate."""
+
+    def gate(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        seen = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            seen, out = _decide(host, seen, frames, budget)
+            state.update((seen,))
+            yield out
+
+    return gate
+
+
+def stream_host_budget(
+    spark: SparkSession, input_path: str, output_root: str, budget: int
+) -> None:
+    """Drain available doc files through the stateful budget gate.
+
+    Appends per-doc admission decisions to ``<output_root>/admissions``;
+    per-host running totals live in the stream checkpoint's state store,
+    so re-invocations continue the same horizon (exactly-once per input
+    file, like streaming.ingest)."""
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "admissions")
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
+    decisions = docs.groupBy("host").applyInPandasWithState(
+        make_budget_fn(budget),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        decisions.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+try:  # transformWithState needs protobuf for its state-server protocol
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HostBudgetProcessor(StatefulProcessor):
+        """Typed-state twin: one named ValueState long per host."""
+
+        def __init__(self, budget: int):
+            self._budget = int(budget)
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", STATE_SCHEMA)
+
+        def handleInputRows(
+            self,
+            key: tuple[Any, ...],
+            rows: Iterator[pd.DataFrame],
+            timer_values,
+        ) -> Iterator[pd.DataFrame]:
+            (host,) = key
+            prior = self._seen.get()
+            seen = int(prior[0]) if prior is not None else 0
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            seen, out = _decide(host, seen, frames, self._budget)
+            self._seen.update((seen,))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    def stream_host_budget_tws(
+        spark: SparkSession, input_path: str, output_root: str, budget: int
+    ) -> None:
+        """transformWithStateInPandas variant of stream_host_budget —
+        identical contract; requires google.protobuf at runtime."""
+        checkpoint = os.path.join(output_root, "_stream_checkpoint")
+        out_path = os.path.join(output_root, "admissions")
+        docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
+        decisions = docs.groupBy("host").transformWithStateInPandas(
+            statefulProcessor=HostBudgetProcessor(budget),
+            outputStructType=OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        q = (
+            decisions.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+except ImportError:  # pragma: no cover - pyspark always ships the API
+    pass
+
+
+def batch_host_budget(docs: DataFrame, budget: int) -> DataFrame:
+    """Relational twin of the streaming gate: one window cumsum per host
+    in (ts, doc_id) order — the equality target for tests and the shape
+    a batch backfill would run."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ts", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    return docs.select(
+        "host",
+        "doc_id",
+        "tokens",
+        before.alias("seen_before"),
+        (before < budget).alias("admitted"),
+    )
