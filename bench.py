@@ -121,6 +121,12 @@ BENCH_QUERIES = [
     "media_phash_dedup",
     "shipping_priority",
     "audio_frame_stats",
+    "media_near_dup_pairs",
+    "host_template_strip",
+    "video_scene_cuts",
+    "pq_topk_probe",
+    "sitemap_recrawl",
+    "zorder_bucket_counts",
 ]
 
 

@@ -5404,6 +5404,63 @@ WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
 """
 
 
+def q_zorder_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key math pinned end to end (sources/layout.bucket_rank +
+    zorder_interleave — what write_zordered clusters by): per-column
+    bucket boundaries are EXACT in-plan percentiles (type-7, the
+    DuckDB-quantile_cont-equal interpolation token_quantiles proved),
+    kept as a 1-row broadcast so the corpus scans once; ranks fold over
+    the boundary array in codegen; bits interleave into the Morton key;
+    output is the z-histogram. The file-level pruning evidence lives in
+    tests (write_zordered); this query pins the arithmetic any engine
+    must agree on."""
+    from pdf_parser_spark.sources import layout
+
+    o = load_table(spark, sf_dir, "orders")
+    probs = ",".join(repr(i / 16) for i in range(1, 16))
+    stats = o.agg(
+        F.expr(f"percentile(o_custkey, array({probs}))").alias("b1"),
+        F.expr(f"percentile(o_orderkey, array({probs}))").alias("b2"),
+    )
+    j = o.select("o_custkey", "o_orderkey").crossJoin(F.broadcast(stats))
+    z = layout.zorder_interleave(
+        [
+            layout.bucket_rank(F.col("o_custkey"), F.col("b1")),
+            layout.bucket_rank(F.col("o_orderkey"), F.col("b2")),
+        ],
+        bits=4,
+    )
+    return (
+        j.select(z.alias("zkey"))
+        .groupBy("zkey")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def sql_zorder_bucket_counts() -> str:
+    probs = ",".join(repr(i / 16) for i in range(1, 16))
+    return f"""
+WITH b AS (
+  SELECT quantile_cont(o_custkey, [{probs}]) AS b1,
+         quantile_cont(o_orderkey, [{probs}]) AS b2
+  FROM orders
+), r AS (
+  SELECT len(list_filter(b.b1, x -> CAST(o.o_custkey AS DOUBLE) >= x)) AS r1,
+         len(list_filter(b.b2, x -> CAST(o.o_orderkey AS DOUBLE) >= x)) AS r2
+  FROM orders o, b
+), z AS (
+  SELECT CAST(
+           ((r1 >> 0) & 1) * 1 + ((r2 >> 0) & 1) * 2
+         + ((r1 >> 1) & 1) * 4 + ((r2 >> 1) & 1) * 8
+         + ((r1 >> 2) & 1) * 16 + ((r2 >> 2) & 1) * 32
+         + ((r1 >> 3) & 1) * 64 + ((r2 >> 3) & 1) * 128
+         AS BIGINT) AS zkey
+  FROM r
+)
+SELECT zkey, CAST(count(*) AS BIGINT) AS cnt FROM z GROUP BY zkey
+"""
+
+
 def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion → recrawl triage (crawl.sitemap_entries): each
     host's urlset XML is synthesized in Catalyst (so the oracle rebuilds
@@ -5923,6 +5980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_scene_cuts": q_video_scene_cuts,
     "pq_topk_probe": q_pq_topk_probe,
     "sitemap_recrawl": q_sitemap_recrawl,
+    "zorder_bucket_counts": q_zorder_bucket_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -6054,4 +6112,5 @@ ORACLES: dict[str, str] = {
     "video_scene_cuts": sql_video_scene_cuts(),
     "pq_topk_probe": sql_pq_topk_probe(),
     "sitemap_recrawl": sql_sitemap_recrawl(),
+    "zorder_bucket_counts": sql_zorder_bucket_counts(),
 }

@@ -24,7 +24,7 @@ checked via the file-level parquet footers, not trust.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,77 @@ def file_key_ranges(spark, path: str, key: str) -> list[tuple[str, object, objec
         if row.lo is not None:
             out.append((os.path.basename(f), row.lo, row.hi))
     return out
+
+
+def bucket_rank(col, boundaries):
+    """Bucket index of ``col`` against an ascending boundary list —
+    a Python list of literals OR an array Column (e.g. an in-plan
+    percentile aggregate): the count of boundaries <= value
+    (0..len(boundaries)). One bounded codegen fold — no join, no UDF;
+    duplicate boundaries (heavy quantile collisions) degrade gracefully
+    to coarser buckets."""
+    arr = (
+        boundaries
+        if isinstance(boundaries, Column)
+        else F.array(*[F.lit(float(b)) for b in boundaries])
+    )
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda s, b: s + F.when(col.cast("double") >= b, 1).otherwise(0),
+    )
+
+
+def zorder_interleave(ranks: list, bits: int):
+    """Morton/Z-order interleave of per-column bucket ranks (each in
+    [0, 2^bits)): bit b of rank i lands at position b*ncols + i, so a
+    range predicate on ANY column maps to a bounded set of z-ranges —
+    the property that makes one clustered layout prune scans on several
+    columns at once (the public Morton-code construction Delta/Iceberg
+    OPTIMIZE ZORDER uses)."""
+    n = len(ranks)
+    z = F.lit(0).cast("long")
+    for i, r in enumerate(ranks):
+        rl = r.cast("long")
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftrightunsigned(rl, b).bitwiseAND(F.lit(1)),
+                b * n + i,
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-cluster ``df`` on ``cols`` into ``n_files`` files.
+
+    Per-column bucket boundaries come from approxQuantile (sampled, the
+    skew-robust rank map a linear min/max scale is not — a power-law
+    column would dump 99% of rows in one linear bucket); ranks interleave
+    into a Morton key; then the SAME machinery as write_clustered: one
+    range shuffle on the z-key + in-partition sort. Each file owns a
+    z-range = a compact hyperrectangle-ish region of the multi-dim
+    space, so file-level min/max stats prune scans on EVERY z-ordered
+    column, not just the leading one (the write_clustered limitation
+    this exists to fix). Evidence contract: tests prove a narrow
+    predicate on each dimension individually intersects a strict subset
+    of files, vs all files under a single-column range layout."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    ranks = []
+    for c in cols:
+        bnds = df.approxQuantile(c, probs, 0.001)
+        ranks.append(bucket_rank(F.col(c), bnds))
+    with_key = df.withColumn("_zkey", zorder_interleave(ranks, bits))
+    (
+        with_key.repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

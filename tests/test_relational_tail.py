@@ -497,3 +497,39 @@ def test_write_clustered_ranges_are_disjoint_and_prunable(spark, tmp_path):
     probe = ranges[0][2]  # first file's max key
     containing = [r for r in ranges if r[1] <= probe <= r[2]]
     assert len(containing) == 1
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: a narrow predicate on EITHER dimension intersects
+    a strict subset of files; a single-column range layout prunes only
+    its leading column (the y-probe hits every file). Checked against
+    the real parquet footers via file_key_ranges, not trust."""
+    from pdf_parser_spark.sources.layout import (
+        file_key_ranges,
+        write_clustered,
+        write_zordered,
+    )
+
+    grid = spark.range(64 * 64).selectExpr(
+        "cast(id % 64 as long) AS x", "cast(id div 64 as long) AS y"
+    )
+
+    def files_hit(path, key, lo, hi):
+        rs = file_key_ranges(spark, path, key)
+        return len(rs), sum(1 for _, flo, fhi in rs if flo <= hi and fhi >= lo)
+
+    zout = str(tmp_path / "zordered")
+    write_zordered(grid, zout, ["x", "y"], bits=4, n_files=16)
+    n, hit_x = files_hit(zout, "x", 0, 3)
+    _, hit_y = files_hit(zout, "y", 0, 3)
+    assert n == 16
+    assert hit_x <= n // 2 and hit_y <= n // 2  # both dims prune
+    # nothing lost in the re-layout
+    assert spark.read.parquet(zout).count() == 64 * 64
+
+    cout = str(tmp_path / "xclustered")
+    write_clustered(grid, cout, "x", n_ranges=16)
+    nc, c_hit_x = files_hit(cout, "x", 0, 3)
+    _, c_hit_y = files_hit(cout, "y", 0, 3)
+    assert c_hit_x <= 2  # leading column prunes hard...
+    assert c_hit_y == nc  # ...but the second dimension reads EVERYTHING
