@@ -1,4 +1,4 @@
-"""Fuzz pins for the round-3 session-2 operators.
+"""Fuzz pins for the round-3 session-2 and session-3 operators.
 
 - NFC batch trick: hypothesis over adversarial unicode proves the NUL-join
   equivalence the operator relies on (no Spark needed — it is a pure string
@@ -131,3 +131,148 @@ def test_pack_interleaved_seeded_fuzz_matches_reference(spark):
     ).collect():
         by_seq.setdefault(r.seq, []).append(r.pos)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_seq.values())
+
+
+def test_host_template_strip_seeded_fuzz_matches_reference(spark):
+    """Session-3 op: random multi-host corpora (shared line pool so
+    cross-doc repeats actually happen) vs a slow Python replay of the
+    share-threshold template rule — one Spark job."""
+    import random
+
+    from pdf_parser_spark.operators import dedup
+
+    rng = random.Random(303)
+    pool = [f"line {i}" for i in range(12)]
+    rows = []
+    doc_id = 0
+    for h in range(10):
+        host = f"h{h}.x"
+        for _ in range(rng.randint(1, 8)):
+            n = rng.randint(0, 6)
+            lines = [rng.choice(pool) for _ in range(n)]
+            if rng.random() < 0.5:
+                lines.insert(rng.randrange(n + 1), f"unique {doc_id}")
+            rows.append((doc_id, host, "\n".join(lines)))
+            doc_id += 1
+    min_share, min_docs = 0.5, 2
+
+    # slow reference
+    import math
+    from collections import defaultdict
+
+    host_docs: dict[str, set] = defaultdict(set)
+    seg_docs: dict[tuple, set] = defaultdict(set)
+    for did, host, text in rows:
+        host_docs[host].add(did)
+        for seg in text.split("\n"):
+            seg_docs[(host, seg)].add(did)
+    template = {
+        (host, seg)
+        for (host, seg), docs in seg_docs.items()
+        if len(docs) >= min_docs
+        and len(docs) >= math.ceil(min_share * len(host_docs[host]))
+    }
+    want = {}
+    for did, host, text in rows:
+        kept = [s for s in text.split("\n") if (host, s) not in template]
+        removed = len(text.split("\n")) - len(kept)
+        want[did] = (host, "\n".join(kept), removed)
+
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        r.doc_id: (r.host, r.clean_text, r.n_removed)
+        for r in dedup.host_template_strip(
+            df, min_share=min_share, min_docs=min_docs
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sitemap_entries_seeded_fuzz_matches_reference(spark):
+    """Session-3 op: random sitemap XML (fields present/absent, shuffled
+    order inside blocks, random inter-tag whitespace) vs a Python re
+    replay of the same non-greedy block grammar."""
+    import random
+    import re
+
+    rng = random.Random(909)
+    xmls = []
+    for h in range(12):
+        parts = []
+        for i in range(rng.randint(0, 6)):
+            fields = []
+            if rng.random() < 0.9:
+                fields.append(f"<loc>https://h{h}/p{i}</loc>")
+            if rng.random() < 0.6:
+                fields.append(f"<lastmod>2024-0{rng.randint(1, 9)}-10</lastmod>")
+            if rng.random() < 0.4:
+                fields.append("<changefreq>daily</changefreq>")
+            if rng.random() < 0.5:
+                fields.append(f"<priority>0.{rng.randint(0, 9)}</priority>")
+            rng.shuffle(fields)
+            ws = rng.choice(["", "\n", "\n  "])
+            parts.append("<url>" + ws + ws.join(fields) + ws + "</url>")
+        xmls.append((f"host{h}", "<urlset>" + "".join(parts) + "</urlset>"))
+
+    def ref_parse(host, xml):
+        out = []
+        for order, b in enumerate(re.findall(r"(?s)<url>(.*?)</url>", xml)):
+            def f(tag):
+                m = re.search(rf"(?s)<{tag}>(.*?)</{tag}>", b)
+                return m.group(1) if m and m.group(1) != "" else None
+            out.append(
+                (host, order, "url", f("loc"), f("lastmod"),
+                 f("changefreq"), f("priority"))
+            )
+        return out
+
+    want = sorted(e for h, x in xmls for e in ref_parse(h, x))
+    from pdf_parser_spark.operators import crawl
+
+    df = spark.createDataFrame(xmls, "host string, xml string")
+    got = sorted(
+        (r.host, r.entry_order, r.kind, r.loc, r.lastmod, r.changefreq, r.priority)
+        for r in crawl.sitemap_entries(df).collect()
+    )
+    assert got == want
+
+
+def test_zorder_rank_interleave_matches_numpy(spark):
+    """Session-3 op: bucket_rank == np.searchsorted(side='right');
+    zorder_interleave == the textbook Morton code — random values and
+    random (sorted, possibly-duplicated) boundaries, one Spark job."""
+    rng = np.random.RandomState(77)
+    vals_x = rng.randint(0, 1000, 200)
+    vals_y = rng.randint(0, 1000, 200)
+    bnds_x = sorted(float(v) for v in rng.randint(0, 1000, 15))
+    bnds_y = sorted(float(v) for v in rng.choice(500, 15, replace=True))  # dups
+
+    from pdf_parser_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(i, int(vals_x[i]), int(vals_y[i])) for i in range(200)],
+        "i long, x long, y long",
+    )
+    rx = layout.bucket_rank(F.col("x"), bnds_x)
+    ry = layout.bucket_rank(F.col("y"), bnds_y)
+    got = {
+        r.i: (r.rx, r.ry, r.z)
+        for r in df.select(
+            "i",
+            rx.alias("rx"),
+            ry.alias("ry"),
+            layout.zorder_interleave([rx, ry], bits=4).alias("z"),
+        ).collect()
+    }
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for bit in range(4):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    for i in range(200):
+        wx = int(np.searchsorted(bnds_x, vals_x[i], side="right"))
+        wy = int(np.searchsorted(bnds_y, vals_y[i], side="right"))
+        assert got[i] == (wx, wy, morton(wx, wy)), i
