@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "pq_topk_probe",
     "sitemap_recrawl",
     "zorder_bucket_counts",
+    "fix_encoding_triage",
 ]
 
 

@@ -179,3 +179,64 @@ def main_content(pages: DataFrame, min_len: int = 15) -> DataFrame:
             "n_boiler int, content_chars int, main_text string"
         ),
     )
+
+
+ENCODING_SCHEMA = "doc_id string, text string, encoding string, repaired boolean"
+# a UTF-8 two-byte sequence mis-decoded as latin-1 shows up as a lead char
+# in U+00C2..U+00DF followed by a continuation char in U+0080..U+00BF
+_MOJIBAKE = __import__("re").compile("[\u00c2-\u00df][\u0080-\u00bf]")
+
+
+def fix_encoding(
+    pages: DataFrame, bytes_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Charset sniffing + mojibake repair for raw fetched bytes — the
+    step between the WARC payload and every text operator (a crawl
+    yields declared-charset lies; the reference never faced this because
+    its PDFs carry their own encoding, `_parser.py:1140-1154`):
+
+    1. strict UTF-8 decode; on failure fall back to latin-1 (every byte
+       string decodes — cp1252's printable extras differ only in
+       0x80-0x9F, which the synthetic corpus avoids; swapping the
+       fallback charset is one literal);
+    2. if the UTF-8 decode SUCCEEDED but shows the mojibake signature
+       (UTF-8 bytes that were once mis-decoded as latin-1 and
+       re-encoded, e.g. 'cafÃ©' for 'café'), try the
+       inverse round-trip encode(latin-1) -> decode(utf-8) — applied
+       only when the WHOLE round-trip succeeds, so clean text that
+       merely contains 'Ã' is never corrupted (the ftfy heuristic,
+       public).
+
+    Zero shuffle: one mapInPandas; decode is C-level per row. Returns
+    (id, text, encoding in {utf-8, latin-1}, repaired)."""
+    import pandas as pd
+
+    def run(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "text": [], "encoding": [], "repaired": [],
+            }
+            for did, p in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(p) if p is not None else b""
+                repaired = False
+                try:
+                    s, enc = b.decode("utf-8"), "utf-8"
+                    if _MOJIBAKE.search(s):
+                        try:
+                            s, repaired = (
+                                s.encode("latin-1").decode("utf-8"),
+                                True,
+                            )
+                        except (UnicodeEncodeError, UnicodeDecodeError):
+                            pass
+                except UnicodeDecodeError:
+                    s, enc = b.decode("latin-1"), "latin-1"
+                out["doc_id"].append(did)
+                out["text"].append(s)
+                out["encoding"].append(enc)
+                out["repaired"].append(repaired)
+            yield pd.DataFrame(out)
+
+    return pages.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col)
+    ).mapInPandas(run, schema=ENCODING_SCHEMA)

@@ -5404,6 +5404,56 @@ WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
 """
 
 
+def q_fix_encoding_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + mojibake repair (webextract.fix_encoding) over
+    four payload classes synthesized in Catalyst: clean UTF-8, latin-1
+    bytes (invalid UTF-8 → fallback), mojibake (UTF-8 once mis-decoded
+    as latin-1 and re-encoded — the repair round-trip must restore the
+    original), and pure ASCII. The oracle states the fixed point
+    directly from the synthesis rule: whatever the byte mangling,
+    decoded text md5 must equal the ORIGINAL string's, with the right
+    (encoding, repaired) labels — the correctness statement a repair
+    operator owes. Zero shuffle end to end."""
+    from pdf_parser_spark.operators import webextract
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    s = F.concat(F.substring("text", 1, 40), F.lit(" café naïve ü"))
+    s3 = F.substring("text", 1, 40)
+    cls = did % 4
+    payload = (
+        F.when(cls == 0, F.encode(s, "UTF-8"))
+        .when(cls == 1, F.encode(s, "ISO-8859-1"))
+        .when(
+            cls == 2,
+            F.encode(F.decode(F.encode(s, "UTF-8"), "ISO-8859-1"), "UTF-8"),
+        )
+        .otherwise(F.encode(s3, "UTF-8"))
+    )
+    pages = d.select(
+        did.cast("string").alias("doc_id"), payload.alias("payload")
+    )
+    out = webextract.fix_encoding(pages)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "encoding",
+        "repaired",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def sql_fix_encoding_triage() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN CAST(doc_id AS BIGINT) % 4 = 1 THEN 'latin-1'
+            ELSE 'utf-8' END AS encoding,
+       CAST(doc_id AS BIGINT) % 4 = 2 AS repaired,
+       md5(CASE WHEN CAST(doc_id AS BIGINT) % 4 = 3 THEN substr(text, 1, 40)
+                ELSE substr(text, 1, 40) || ' café naïve ü' END) AS text_md5
+FROM documents
+"""
+
+
 def q_zorder_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order key math pinned end to end (sources/layout.bucket_rank +
     zorder_interleave — what write_zordered clusters by): per-column
@@ -5981,6 +6031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk_probe": q_pq_topk_probe,
     "sitemap_recrawl": q_sitemap_recrawl,
     "zorder_bucket_counts": q_zorder_bucket_counts,
+    "fix_encoding_triage": q_fix_encoding_triage,
 }
 
 ORACLES: dict[str, str] = {
@@ -6113,4 +6164,5 @@ ORACLES: dict[str, str] = {
     "pq_topk_probe": sql_pq_topk_probe(),
     "sitemap_recrawl": sql_sitemap_recrawl(),
     "zorder_bucket_counts": sql_zorder_bucket_counts(),
+    "fix_encoding_triage": sql_fix_encoding_triage(),
 }

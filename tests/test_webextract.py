@@ -282,3 +282,43 @@ def test_warc_parse_zero_shuffle_after_blobs(spark):
     assert plan.count("Exchange") == 1
     n = recs.count()
     assert n == pages.count()
+
+
+def test_fix_encoding_classes_and_repair_guards(spark):
+    """Charset triage: clean UTF-8 untouched; invalid UTF-8 falls back to
+    latin-1; mojibake round-trips back to the original; the repair NEVER
+    fires on a lead char followed by a non-continuation char, and backs
+    off when the round-trip cannot succeed (astral char present)."""
+    from pdf_parser_spark.operators import webextract
+
+    orig = "café naïve ü"
+    moji = orig.encode("utf-8").decode("latin-1")  # 'cafÃ©...'
+    rows = [
+        ("clean", bytearray(orig.encode("utf-8"))),
+        ("latin", bytearray(orig.encode("latin-1"))),
+        ("moji", bytearray(moji.encode("utf-8"))),
+        ("ascii", bytearray(b"plain text")),
+        # multiplication sign followed by space: lead-range char but no
+        # continuation char -> signature absent, text kept verbatim
+        ("times", bytearray("cost × profit".encode("utf-8"))),
+        # signature present but an astral char makes encode(latin-1)
+        # impossible -> repair backs off, text kept verbatim
+        ("astral", bytearray((moji + " \U0001f600").encode("utf-8"))),
+        ("empty", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r.doc_id: r for r in webextract.fix_encoding(df).collect()}
+    assert (got["clean"].text, got["clean"].encoding, got["clean"].repaired) == (
+        orig, "utf-8", False,
+    )
+    assert (got["latin"].text, got["latin"].encoding, got["latin"].repaired) == (
+        orig, "latin-1", False,
+    )
+    assert (got["moji"].text, got["moji"].encoding, got["moji"].repaired) == (
+        orig, "utf-8", True,
+    )
+    assert (got["ascii"].text, got["ascii"].repaired) == ("plain text", False)
+    assert (got["times"].text, got["times"].repaired) == ("cost × profit", False)
+    assert got["astral"].text == moji + " \U0001f600"
+    assert got["astral"].repaired is False
+    assert (got["empty"].text, got["empty"].encoding) == ("", "utf-8")
