@@ -137,6 +137,7 @@ def frontier_schedule(
     host_col: str = "host",
     url_col: str = "url",
     priority_col: str = "priority",
+    delay_col: str | None = None,
 ) -> DataFrame:
     """Politeness-aware fetch scheduling for a crawl frontier.
 
@@ -148,8 +149,11 @@ def frontier_schedule(
 
     - ``slot``: row_number over the host partition, priority DESC then
       url ASC (deterministic) — the position in the host's queue;
-    - ``fetch_offset_s``: (slot − 1) × delay_s — when the URL may go
-      out relative to the host's first request.
+    - ``fetch_offset_s``: (slot − 1) × delay — when the URL may go
+      out relative to the host's first request. The delay is the global
+      ``delay_s`` unless ``delay_col`` names a per-host column (each
+      host's own robots Crawl-delay, see ``parse_crawl_delay``; NULL
+      falls back to ``delay_s``).
 
     Shape at 100 TB: ONE hash shuffle on host feeding one window pass —
     the same WindowGroupLimit-friendly shape as ``anchor_topk`` when a
@@ -162,12 +166,17 @@ def frontier_schedule(
         F.col(priority_col).desc(), F.col(url_col).asc()
     )
     slot = F.row_number().over(w)
+    per_host = (
+        F.coalesce(F.col(delay_col).cast("long"), F.lit(int(delay_s)))
+        if delay_col is not None
+        else F.lit(int(delay_s))
+    )
     return frontier.select(
         host_col,
         url_col,
         priority_col,
         slot.alias("slot"),
-        ((slot - 1).cast("long") * delay_s).alias("fetch_offset_s"),
+        ((slot - 1).cast("long") * per_host).alias("fetch_offset_s"),
     )
 
 
@@ -270,3 +279,50 @@ def sitemap_entries(
         )
 
     return blocks("url").unionByName(blocks("sitemap"))
+
+
+def parse_crawl_delay(robots_txt: str, agent: str = "*") -> int | None:
+    """Crawl-delay (seconds) for ``agent`` from a robots.txt body, with
+    the same group-selection rule as ``parse_robots`` (exact
+    product-token group beats ``*``; only the winning groups' values
+    apply; the smallest declared delay wins across them — the
+    conservative read of a nonstandard-but-ubiquitous directive).
+    Returns None when the winning groups declare none. Driver-side like
+    parse_robots: robots bodies are config-sized; the per-host result
+    feeds frontier_schedule's ``delay_col``."""
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[int]]] = []
+    cur_agents: list[str] = []
+    cur_delays: list[int] = []
+    in_agent_run = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run and cur_agents:
+                groups.append((cur_agents, cur_delays))
+                cur_agents, cur_delays = [], []
+            cur_agents.append(val.lower())
+            in_agent_run = True
+        else:
+            in_agent_run = False
+            if key == "crawl-delay" and cur_agents:
+                try:
+                    d = int(float(val))
+                except ValueError:
+                    continue
+                if d >= 0:
+                    cur_delays.append(d)
+    if cur_agents:
+        groups.append((cur_agents, cur_delays))
+    exact = [d for agents, ds in groups if agent_l in agents for d in ds]
+    if any(agent_l in agents for agents, _ in groups):
+        return min(exact) if exact else None
+    star = [d for agents, ds in groups if "*" in agents for d in ds]
+    return min(star) if star else None

@@ -192,3 +192,43 @@ def test_sitemap_entries_multiline_blocks(spark):
     df = spark.createDataFrame([("c", xml)], "host string, xml string")
     r = crawl.sitemap_entries(df).collect()[0]
     assert r.loc == "https://c/x" and r.lastmod == "2023-12-31"
+
+
+def test_parse_crawl_delay_group_selection():
+    txt = (
+        "User-agent: fastbot\nCrawl-delay: 1\n\n"
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+    )
+    assert crawl.parse_crawl_delay(txt, "fastbot") == 1
+    assert crawl.parse_crawl_delay(txt, "other") == 10
+    # exact group WITHOUT a delay shadows the * group's delay
+    txt2 = "User-agent: quiet\nDisallow: /a\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert crawl.parse_crawl_delay(txt2, "quiet") is None
+    assert crawl.parse_crawl_delay(txt2, "anyone") == 7
+    # dirty values: float accepted, junk skipped, min across groups wins
+    txt3 = (
+        "User-agent: *\nCrawl-delay: 2.5\n\n"
+        "User-agent: *\nCrawl-delay: nonsense\nCrawl-delay: 9\n"
+    )
+    assert crawl.parse_crawl_delay(txt3) == 2
+    assert crawl.parse_crawl_delay("") is None
+
+
+def test_frontier_schedule_per_host_delay_column(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("slow.x", "https://slow.x/a", 2, 30),
+            ("slow.x", "https://slow.x/b", 1, 30),
+            ("fast.x", "https://fast.x/a", 1, None),
+        ],
+        "host string, url string, priority int, crawl_delay int",
+    )
+    out = {
+        r.url: (r.slot, r.fetch_offset_s)
+        for r in crawl.frontier_schedule(
+            frontier, delay_s=5, delay_col="crawl_delay"
+        ).collect()
+    }
+    assert out["https://slow.x/a"] == (1, 0)
+    assert out["https://slow.x/b"] == (2, 30)  # per-host robots delay
+    assert out["https://fast.x/a"] == (1, 0)  # NULL falls back to delay_s
