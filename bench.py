@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "sitemap_recrawl",
     "zorder_bucket_counts",
     "fix_encoding_triage",
+    "multimodal_curate",
 ]
 
 

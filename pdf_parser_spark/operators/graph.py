@@ -112,3 +112,73 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("v", "pr")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    checkpoint_every: int | None = 4,
+) -> DataFrame:
+    """Kleinberg's HITS over a directed multigraph edge list: hubs point
+    at good authorities, authorities are pointed at by good hubs — the
+    complementary signal to PageRank for crawl seeding (a hub page is a
+    good FRONTIER source even when its own authority is low).
+
+    Returns ``(v, auth, hub)``. Each half-step is one join + map-side-
+    combined SUM (multi-edges count, as in the adjacency-matrix form),
+    normalized by the MAX score instead of the L2 norm — same fixed-point
+    direction, but the arithmetic stays division-free-of-sqrt so a
+    relational oracle replays it exactly; the max is a 1-row in-plan
+    broadcast (no driver action). Dangling/unreferenced vertices keep
+    score 0. Lineage doubles per iteration exactly as in pagerank, so
+    ``checkpoint_every`` applies; pass None for pure-plan oracle replays.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    verts = (
+        e.select(F.col("_src").alias("v"))
+        .union(e.select(F.col("_dst").alias("v")))
+        .distinct()
+    )
+    hubs = verts.select("v", F.lit(1.0).alias("hub"))
+    auths = verts.select("v", F.lit(0.0).alias("auth"))
+    for i in range(iters):
+        araw = (
+            hubs.join(e, hubs["v"] == e["_src"])
+            .groupBy(F.col("_dst").alias("v"))
+            .agg(F.sum("hub").alias("_ar"))
+        )
+        amax = araw.agg(F.max("_ar").alias("_am"))
+        auths = (
+            verts.join(araw, "v", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "v",
+                (
+                    F.coalesce("_ar", F.lit(0.0))
+                    / F.coalesce("_am", F.lit(1.0))
+                ).alias("auth"),
+            )
+        )
+        hraw = (
+            auths.join(e, auths["v"] == e["_dst"])
+            .groupBy(F.col("_src").alias("v"))
+            .agg(F.sum("auth").alias("_hr"))
+        )
+        hmax = hraw.agg(F.max("_hr").alias("_hm"))
+        hubs = (
+            verts.join(hraw, "v", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "v",
+                (
+                    F.coalesce("_hr", F.lit(0.0))
+                    / F.coalesce("_hm", F.lit(1.0))
+                ).alias("hub"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    return auths.join(hubs, "v")

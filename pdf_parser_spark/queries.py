@@ -5404,6 +5404,222 @@ WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
 """
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same synthetic host multigraph as
+    host_pagerank (skewed in-degrees, dangling hosts) — the crawl-seeding
+    complement to PageRank: a strong hub is a good frontier source even
+    at low authority. 3 max-normalized iterations (division-free-of-sqrt
+    so the oracle replays every half-step as chained CTEs); per
+    half-step one join + map-side-combined SUM + a 1-row max broadcast."""
+    from pdf_parser_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return graph.hits(_host_edges(d), iters=3, checkpoint_every=None).select(
+        F.col("v").alias("host"),
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def sql_host_hits() -> str:
+    ctes = [
+        """e AS (
+  SELECT 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+         'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                        % 25 AS VARCHAR) AS dst
+  FROM documents
+  WHERE CAST(doc_id AS BIGINT) % 20
+        <> (CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3) % 25
+)""",
+        "verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT v, 1.0e0 AS h FROM verts)",
+    ]
+    for k in range(1, 4):
+        p = k - 1
+        ctes += [
+            f"""ar{k} AS (
+  SELECT e.dst AS v, sum(h.h) AS ar FROM e JOIN h{p} h ON e.src = h.v
+  GROUP BY e.dst
+)""",
+            f"am{k} AS (SELECT max(ar) AS m FROM ar{k})",
+            f"""an{k} AS (
+  SELECT verts.v, coalesce(ar, 0e0) / m AS a
+  FROM verts LEFT JOIN ar{k} USING (v) CROSS JOIN am{k}
+)""",
+            f"""hr{k} AS (
+  SELECT e.src AS v, sum(an.a) AS hr FROM e JOIN an{k} an ON e.dst = an.v
+  GROUP BY e.src
+)""",
+            f"hm{k} AS (SELECT max(hr) AS m FROM hr{k})",
+            f"""h{k} AS (
+  SELECT verts.v, coalesce(hr, 0e0) / m AS h
+  FROM verts LEFT JOIN hr{k} USING (v) CROSS JOIN hm{k}
+)""",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT an3.v AS host, round(an3.a, 6) AS auth, round(h3.h, 6) AS hub
+FROM an3 JOIN h3 USING (v)
+"""
+    )
+
+
+def q_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MULTIMODAL curation, one plan — the interleaved-payload
+    flagship composition: kernel extraction (text + media spans, OCR
+    fallback, window cut) → cross-document perceptual image dedup (the
+    aHash non-keepers' media spans are dropped FROM the interleaved
+    stream, not just from a sidecar) → per-doc text-token floor (Gopher-
+    style min length over the extracted spans) → interleaved packing
+    (text spills, media atomic). Each stage is individually oracled
+    elsewhere (extract_interleaved_media / media_phash_dedup /
+    pack_interleaved_spans); this query value-checks that they COMPOSE:
+    the dedup join must hit the stream's media_ref linkage, the gate
+    must count post-dedup spans, and the pack prefix sums must run over
+    exactly the surviving spans. Shape: extract kernel shuffle + one
+    tiny broadcast anti-join (the dup set is collision-sized) + the
+    doc-window and stratum-window shuffles — composing adds no extra
+    exchange over the standalone queries."""
+    from pdf_parser_spark.operators import curation
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    spans, _, _ = pipeline.extract(docs)
+    spans = spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("order").cast("long").alias("ord"),
+        "kind",
+        "text",
+        "media_ref",
+    )
+    imgs = media_ops.media_table_from_docs(docs).filter(
+        F.col("media_type") != "audio"
+    )
+    hashed = media_ops.media_ahash(imgs, grid=4)
+    w = Window.partitionBy("ahash")
+    dups = (
+        hashed.withColumn("keeper", F.min("media_ref").over(w))
+        .filter(F.col("media_ref") != F.col("keeper"))
+        .select("media_ref")
+    )
+    kept = spans.join(F.broadcast(dups), "media_ref", "left_anti")
+    text_tokens = F.when(
+        F.col("kind") == "media", F.lit(0)
+    ).otherwise(textqc.token_count(F.col("text")))
+    dw = Window.partitionBy("doc_id")
+    gated = (
+        kept.withColumn("_tc", F.sum(text_tokens).over(dw))
+        .filter(F.col("_tc") >= 25)
+        .select("doc_id", "ord", "kind", "text")
+    )
+    return curation.pack_interleaved(
+        gated,
+        budget=256,
+        text_cost=textqc.token_count(F.col("text")),
+        media_cost=64,
+        stratum=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+
+
+def sql_multimodal_curate() -> str:
+    clean = _clean_sql("text")
+    windowed = _window_sql(clean)
+    return f"""
+WITH s0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS ord,
+         'text' AS kind, {windowed} AS text, '' AS media_ref
+  FROM documents WHERE NOT (doc_id % 4 = 0 AND length(text) < 100)
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 0, 'text', {clean}, ''
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 1, 'text', '', ''
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 2, 'media', '',
+         'img-' || CAST(doc_id AS VARCHAR) || '-000'
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) < 100
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), 1, 'media', '',
+         'img-' || CAST(doc_id AS VARCHAR) || '-000'
+  FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 100
+    AND NOT contains(lower(text), 'references')
+), media AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref
+  FROM documents WHERE doc_id % 4 = 0
+), typed AS (
+  SELECT media_ref,
+         CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 3 AS INT)
+           AS tcode,
+         substr(repeat(md5(media_ref), 2), 1, 48) AS body
+  FROM media
+), px AS (
+  SELECT media_ref, r, c,
+         ascii(substr(body, (3 - r) * 12 + c * 3 + 1, 1))
+       + ascii(substr(body, (3 - r) * 12 + c * 3 + 2, 1))
+       + ascii(substr(body, (3 - r) * 12 + c * 3 + 3, 1)) AS s
+  FROM (SELECT media_ref, body FROM typed WHERE tcode <> 1),
+       range(0, 4) t1(r), range(0, 4) t2(c)
+), hb AS (
+  SELECT media_ref, r, c, s,
+         sum(s) OVER (PARTITION BY media_ref) AS total
+  FROM px
+), hsh AS (
+  SELECT media_ref,
+         CAST(sum(CASE WHEN s * 16 > total
+                       THEN CAST(1 AS BIGINT) << (r * 4 + c)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM hb GROUP BY media_ref
+), dups AS (
+  SELECT media_ref FROM (
+    SELECT media_ref, min(media_ref) OVER (PARTITION BY ahash) AS k
+    FROM hsh
+  ) WHERE media_ref <> k
+), kept AS (
+  SELECT s0.* FROM s0 LEFT JOIN dups d USING (media_ref)
+  WHERE d.media_ref IS NULL
+), s AS (
+  SELECT doc_id, ord, kind,
+         CAST(CASE WHEN kind = 'media' THEN 64 ELSE {_TOK_SQL} END AS BIGINT)
+           AS cost,
+         CASE WHEN kind = 'media' THEN 0 ELSE {_TOK_SQL} END AS tt,
+         doc_id % 8 AS strat
+  FROM kept
+), g AS (
+  SELECT * FROM (
+    SELECT *, sum(tt) OVER (PARTITION BY doc_id) AS tc FROM s
+  ) WHERE tc >= 25
+), c AS (
+  SELECT *, sum(cost) OVER (PARTITION BY strat ORDER BY doc_id, ord
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), b AS (
+  SELECT *, (cum - cost) // 256 AS start_bin,
+         (cum - cost + greatest(cost, 1) - 1) // 256 AS end_bin
+  FROM c
+), a AS (
+  SELECT doc_id, ord, kind, cost, strat, cum,
+    CASE WHEN kind = 'media' AND end_bin > start_bin THEN end_bin
+         ELSE start_bin END AS seq_local,
+    CASE WHEN kind = 'media' AND end_bin > start_bin THEN 1 ELSE 0 END
+      AS bumped,
+    CASE WHEN kind <> 'media' AND end_bin > start_bin
+         THEN cum - (start_bin + 1) * 256 ELSE 0 END AS spill_tokens
+  FROM b
+)
+SELECT doc_id, ord, kind, cost,
+       CAST(strat * 1099511627776 + seq_local AS BIGINT) AS seq,
+       CAST(bumped AS INT) AS bumped,
+       CAST(spill_tokens AS BIGINT) AS spill_tokens,
+       CAST(row_number() OVER (PARTITION BY strat, seq_local
+                               ORDER BY doc_id, ord) AS BIGINT) AS pos
+FROM a
+"""
+
+
 def q_fix_encoding_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniffing + mojibake repair (webextract.fix_encoding) over
     four payload classes synthesized in Catalyst: clean UTF-8, latin-1
@@ -6032,6 +6248,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_recrawl": q_sitemap_recrawl,
     "zorder_bucket_counts": q_zorder_bucket_counts,
     "fix_encoding_triage": q_fix_encoding_triage,
+    "multimodal_curate": q_multimodal_curate,
+    "host_hits": q_host_hits,
 }
 
 ORACLES: dict[str, str] = {
@@ -6165,4 +6383,6 @@ ORACLES: dict[str, str] = {
     "sitemap_recrawl": sql_sitemap_recrawl(),
     "zorder_bucket_counts": sql_zorder_bucket_counts(),
     "fix_encoding_triage": sql_fix_encoding_triage(),
+    "multimodal_curate": sql_multimodal_curate(),
+    "host_hits": sql_host_hits(),
 }

@@ -4,11 +4,30 @@ oracle; these pin the operator's math directly)."""
 
 import pytest
 
-from pdf_parser_spark.operators.graph import pagerank
+from pdf_parser_spark.operators.graph import hits, pagerank
 
 
 def _ranks(df):
     return {r.v: r.pr for r in df.collect()}
+
+
+def _hits_replay(edges, iters):
+    """Pure-Python max-normalized HITS twin of graph.hits."""
+    verts = sorted({v for e in edges for v in e})
+    h = {v: 1.0 for v in verts}
+    a = {v: 0.0 for v in verts}
+    for _ in range(iters):
+        a = {v: 0.0 for v in verts}
+        for s, d in edges:
+            a[d] += h[s]
+        m = max(a.values()) or 1.0
+        a = {v: x / m for v, x in a.items()}
+        h = {v: 0.0 for v in verts}
+        for s, d in edges:
+            h[s] += a[d]
+        m = max(h.values()) or 1.0
+        h = {v: x / m for v, x in h.items()}
+    return a, h
 
 
 def test_pagerank_cycle_is_uniform(spark):
@@ -81,3 +100,56 @@ def test_pagerank_cache_iterates_matches_plain(spark):
     assert plain.keys() == cached.keys()
     for v in plain:
         assert plain[v] == pytest.approx(cached[v], abs=1e-12)
+
+
+def _scores(df):
+    return {r.v: (r.auth, r.hub) for r in df.collect()}
+
+
+def test_hits_star_hub_and_authority(spark):
+    # h fans out to three leaves: h is the unique max hub (score 1),
+    # leaves are equal max authorities (1 each), leaf hubs are 0 and the
+    # hub's own authority is 0 (nothing points at it).
+    e = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z")], "src string, dst string"
+    )
+    s = _scores(hits(e, iters=3))
+    assert s["h"] == (pytest.approx(0.0), pytest.approx(1.0))
+    for leaf in "xyz":
+        assert s[leaf] == (pytest.approx(1.0), pytest.approx(0.0))
+
+
+def test_hits_matches_pure_python_replay(spark):
+    edges = [
+        ("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+        ("c", "a"), ("d", "a"), ("d", "c"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = _scores(hits(e, iters=4))
+    a, h = _hits_replay(edges, 4)
+    assert s.keys() == a.keys()
+    for v in a:
+        assert s[v][0] == pytest.approx(a[v], abs=1e-12)
+        assert s[v][1] == pytest.approx(h[v], abs=1e-12)
+
+
+def test_hits_multi_edges_count(spark):
+    # a->b twice vs a->c once: b's raw authority doubles c's, and after
+    # max-normalization c sits at exactly 0.5.
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    s = _scores(hits(e, iters=1))
+    assert s["b"][0] == pytest.approx(1.0)
+    assert s["c"][0] == pytest.approx(0.5)
+
+
+def test_hits_checkpoint_every_matches_plain(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "b")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    plain = _scores(hits(e, iters=5, checkpoint_every=None))
+    ckpt = _scores(hits(e, iters=5, checkpoint_every=2))
+    assert plain.keys() == ckpt.keys()
+    for v in plain:
+        assert plain[v][0] == pytest.approx(ckpt[v][0], abs=1e-12)
+        assert plain[v][1] == pytest.approx(ckpt[v][1], abs=1e-12)

@@ -443,3 +443,12 @@ def test_pq_probe_zero_shuffle_take_ordered(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 0
+
+
+def test_multimodal_curate_broadcast_dedup_no_cartesian(spark):
+    df = QUERIES["multimodal_curate"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # the collision-sized dup set broadcasts into the anti-join against
+    # the span stream — the stream never shuffles on media_ref
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
