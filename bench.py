@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "zorder_bucket_counts",
     "fix_encoding_triage",
     "multimodal_curate",
+    "vad_segments",
+    "dsir_scores",
 ]
 
 

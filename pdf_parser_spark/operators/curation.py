@@ -603,3 +603,90 @@ def perplexity_tiers(
     return s.join(
         c, F.col(f"_s.{group_col}").eqNullSafe(F.col(f"_c.{group_col}"))
     ).select(*[F.col(f"_s.{x}") for x in scored.columns], tier.alias("tier"))
+
+
+def dsir_scores(
+    docs: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    ngram: int = 2,
+    seed: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    published): score every NON-target document by how target-like its
+    hashed n-gram bag is, ``log p_target(doc) − log p_raw(doc)`` under
+    bucket-hashed bag-of-ngrams models with Laplace smoothing — the
+    published recipe for skimming the target-domain-like fraction off a
+    web crawl. ``is_target`` is a boolean Column marking the exemplar
+    corpus (e.g. the wiki source); everything else is the raw pool that
+    gets scored. N-grams keep MULTIPLICITY (bag, not set — unlike the
+    dedup shingles), exactly as the paper's feature counts do.
+
+    Plan shape at 100 TB: one pass builds the exploded (doc, bucket)
+    stream; the model is ONE map-side-combined groupBy down to
+    ``buckets`` rows (constant-size regardless of corpus), broadcast
+    back onto the stream; totals are a 1-row aggregate of the model
+    frame; the per-doc score is one more map-side-combined groupBy.
+    Nothing after the explode shuffles corpus-sized data on anything
+    but the doc key. For a multi-job pipeline, materialize the
+    ``buckets``-row model once instead of recomputing the subtree.
+
+    Returns (id_col, n_feats, score) for raw docs only, score rounded
+    to 6 so relational replays hash-match.
+    """
+    from pdf_parser_spark.operators.dedup import seeded_hash, words_col
+
+    w = docs.select(
+        F.col(id_col),
+        is_target.cast("boolean").alias("_tgt"),
+        words_col(F.col(text_col)).alias("_w"),
+    )
+    count = F.greatest(F.size("_w") - (ngram - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice("_w", i + 1, ngram), " ")
+    )
+    ex = w.select(F.col(id_col), "_tgt", F.explode(grams).alias("_g")).select(
+        F.col(id_col),
+        "_tgt",
+        F.pmod(seeded_hash(F.col("_g"), seed, portable), F.lit(buckets)).alias(
+            "_b"
+        ),
+    )
+    stats = ex.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("_ct"),
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("_cr"),
+    )
+    tot = stats.agg(
+        F.sum("_ct").cast("double").alias("_nt"),
+        F.sum("_cr").cast("double").alias("_nr"),
+    )
+    b = float(buckets)
+    return (
+        ex.filter(~F.col("_tgt"))
+        .join(F.broadcast(stats), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum(
+                F.log(F.col("_ct") + F.lit(1.0))
+                - F.log(F.col("_cr") + F.lit(1.0))
+            ).alias("_s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.round(
+                F.col("_s")
+                + F.col("n_feats")
+                * (F.log(F.col("_nr") + b) - F.log(F.col("_nt") + b)),
+                6,
+            ).alias("score"),
+        )
+    )

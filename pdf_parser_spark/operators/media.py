@@ -779,3 +779,67 @@ def media_video_frames(
             )
 
     return media_df.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def vad_segments(
+    frames_df: DataFrame, low: int, high: int
+) -> DataFrame:
+    """Two-threshold (Schmitt-trigger) voice-activity segmentation over
+    `media_audio_frames` output — the gate audio curation runs before
+    transcription/captioning: keep only stretches that actually contain
+    signal. A frame is EXTENDABLE when its mean energy clears ``low``
+    and a SEED when it clears ``high``; a segment is a maximal run of
+    consecutive extendable frames containing at least one seed (the
+    hysteresis keeps low-energy tails attached to real speech while a
+    run of merely-ambient frames with no seed is dropped entirely).
+
+    Pure Catalyst islands-and-gaps: one hash shuffle on media_ref feeds
+    the run-numbering window, the (media_ref, run) groupBy, AND the
+    segment renumbering window — Catalyst satisfies the latter two from
+    the same partitioning, so the whole operator is ONE exchange and at
+    10^12 files each task handles its own refs. Mean-energy comparisons
+    stay exact-integer (``sq_sum >= thr * n_samples`` — never a float
+    division), so any relational engine replays the decision bit-equal;
+    the short tail frame is judged by its own length, not padded.
+
+    Returns (media_ref, seg_idx, start_frame, end_frame, n_frames,
+    n_samples, energy, peak).
+    """
+    from pyspark.sql import Window
+
+    ext = frames_df.filter(
+        F.col("sq_sum")
+        >= F.lit(int(low)).cast("long") * F.col("n_samples").cast("long")
+    )
+    w = Window.partitionBy("media_ref").orderBy("frame_idx")
+    runs = ext.withColumn(
+        "_run", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seed = (
+        F.col("sq_sum")
+        >= F.lit(int(high)).cast("long") * F.col("n_samples").cast("long")
+    ).cast("int")
+    segs = (
+        runs.groupBy("media_ref", "_run")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("sq_sum").alias("energy"),
+            F.max("peak").alias("peak"),
+            F.max(seed).alias("_seed"),
+        )
+        .filter(F.col("_seed") == 1)
+    )
+    sw = Window.partitionBy("media_ref").orderBy("start_frame")
+    return segs.select(
+        "media_ref",
+        (F.row_number().over(sw) - 1).alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "n_samples",
+        "energy",
+        "peak",
+    )

@@ -5315,6 +5315,90 @@ GROUP BY media_ref, i // 8
 """
 
 
+def q_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold VAD segmentation (media.vad_segments) over the REAL
+    WAV decode's frame stats: frames whose mean energy clears the low
+    threshold form runs; a run survives only if some frame clears the
+    high threshold (Schmitt-trigger hysteresis — ambient-only runs are
+    dropped, low-energy tails attached to real signal are kept). All
+    threshold algebra is exact-integer (sq_sum >= thr * n_samples), so
+    the oracle replays decode → framing → islands-and-gaps → seed gate
+    bit-for-bit. ONE exchange end to end: the media_ref shuffle feeds
+    the run window, the run groupBy, and the seg_idx renumbering."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    audio = media_ops.media_table_from_docs(docs).filter(
+        F.col("media_type") == "audio"
+    )
+    frames = media_ops.media_audio_frames(audio, frame=8)
+    segs = media_ops.vad_segments(
+        frames, low=300_000_000, high=400_000_000
+    )
+    return segs.select(
+        "media_ref",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.col("start_frame").cast("long").alias("start_frame"),
+        F.col("end_frame").cast("long").alias("end_frame"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("energy").cast("long").alias("energy"),
+        F.col("peak").cast("long").alias("peak"),
+    )
+
+
+def sql_vad_segments() -> str:
+    # shares the decode/framing CTEs with sql_audio_frame_stats
+    return """
+WITH media AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-000' AS media_ref
+  FROM documents WHERE doc_id % 4 = 0
+), typed AS (
+  SELECT media_ref,
+         CAST(('0x' || substr(md5(media_ref), 1, 15))::BIGINT % 3 AS INT)
+           AS tcode,
+         substr(repeat(md5(media_ref), 2), 1, 48) AS body
+  FROM media
+), samples AS (
+  SELECT media_ref, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+  FROM (
+    SELECT media_ref, i,
+           ascii(substr(body, 2 * i + 1, 1))
+           + 256 * ascii(substr(body, 2 * i + 2, 1)) AS raw
+    FROM typed, range(0, 24) t(i)
+    WHERE tcode = 1
+  )
+), fr AS (
+  SELECT media_ref, i // 8 AS frame_idx,
+         count(*) AS n_samples, CAST(sum(s * s) AS BIGINT) AS sq_sum,
+         max(abs(s)) AS peak
+  FROM samples GROUP BY media_ref, i // 8
+), ext AS (
+  SELECT *, frame_idx
+         - row_number() OVER (PARTITION BY media_ref ORDER BY frame_idx)
+           AS run
+  FROM fr WHERE sq_sum >= 300000000 * n_samples
+), seg AS (
+  SELECT media_ref, run,
+         min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+         count(*) AS n_frames, CAST(sum(n_samples) AS BIGINT) AS n_samples,
+         CAST(sum(sq_sum) AS BIGINT) AS energy, max(peak) AS peak,
+         max(CASE WHEN sq_sum >= 400000000 * n_samples
+                  THEN 1 ELSE 0 END) AS seed
+  FROM ext GROUP BY media_ref, run
+)
+SELECT media_ref,
+       CAST(row_number() OVER (PARTITION BY media_ref ORDER BY start_frame)
+            - 1 AS BIGINT) AS seg_idx,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(end_frame AS BIGINT) AS end_frame,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       n_samples, energy, CAST(peak AS BIGINT) AS peak
+FROM seg WHERE seed = 1
+"""
+
+
 def q_media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image NEAR-dup pairs: every 8th image gets a one-byte-perturbed
     re-encode (a lossy re-save — pixels shift slightly), then aHash +
@@ -5617,6 +5701,61 @@ SELECT doc_id, ord, kind, cost,
        CAST(row_number() OVER (PARTITION BY strat, seq_local
                                ORDER BY doc_id, ord) AS BIGINT) AS pos
 FROM a
+"""
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (curation.dsir_scores — Xie et al. 2023):
+    English docs are the target exemplar corpus; every other doc is
+    scored log p_target − log p_raw under 256-bucket hashed-bigram bag
+    models with Laplace smoothing. The oracle replays the word split,
+    the multiplicity-keeping bigram stream, the portable bucket hash,
+    both smoothed models, and the per-doc log-ratio sum. Model is a
+    256-row broadcast; corpus-sized data shuffles only on doc_id."""
+    from pdf_parser_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_scores(
+        docs,
+        F.col("lang") == "en",
+        buckets=256,
+        ngram=2,
+        portable=True,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_feats", "score"
+    )
+
+
+def sql_dsir_scores() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang = 'en' AS tgt, {_WORDS_SQL} AS ws
+  FROM documents
+), ex AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(array_to_string(ws[i:i+1], ' ') || '#7'),
+                         1, 15))::BIGINT % 256 AS b
+  FROM (
+    SELECT doc_id, tgt, ws,
+           unnest(range(1, greatest(len(ws) - 1, 1) + 1)) AS i
+    FROM w
+  )
+), stats AS (
+  SELECT b,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM ex GROUP BY b
+), tot AS (
+  SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr
+  FROM stats
+)
+SELECT ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       round(sum(ln(ct + 1.0) - ln(cr + 1.0))
+             + count(*) * (ln(nr + 256) - ln(nt + 256)), 6) AS score
+FROM ex JOIN stats USING (b) CROSS JOIN tot
+WHERE NOT tgt
+GROUP BY ex.doc_id, nt, nr
 """
 
 
@@ -6250,6 +6389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fix_encoding_triage": q_fix_encoding_triage,
     "multimodal_curate": q_multimodal_curate,
     "host_hits": q_host_hits,
+    "vad_segments": q_vad_segments,
+    "dsir_scores": q_dsir_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -6385,4 +6526,6 @@ ORACLES: dict[str, str] = {
     "fix_encoding_triage": sql_fix_encoding_triage(),
     "multimodal_curate": sql_multimodal_curate(),
     "host_hits": sql_host_hits(),
+    "vad_segments": sql_vad_segments(),
+    "dsir_scores": sql_dsir_scores(),
 }

@@ -424,3 +424,57 @@ def test_pack_interleaved_invariants(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     # strata numbered disjointly: encoded seq // 2^40 == stratum
     assert {r.seq // 2**40 for r in out} == {0, 1}
+
+
+def test_dsir_scores_match_pure_python_replay(spark):
+    import hashlib
+    import math
+
+    from pdf_parser_spark.operators.curation import dsir_scores
+
+    rows = [
+        ("t1", "the quick brown fox jumps", True),
+        ("t2", "the quick red fox", True),
+        ("r1", "the quick brown fox jumps", False),  # target-like
+        ("r2", "lorem ipsum dolor sit amet", False),  # not target-like
+        ("r3", "fox", False),  # single word -> one unigram feature
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, tgt boolean")
+    got = {
+        r.doc_id: (r.n_feats, r.score)
+        for r in dsir_scores(
+            df, F.col("tgt"), buckets=8, ngram=2, portable=True
+        ).collect()
+    }
+
+    def bucket(g):
+        return int(hashlib.md5((g + "#7").encode()).hexdigest()[:15], 16) % 8
+
+    def grams(text):
+        ws = text.split(" ")
+        n = max(len(ws) - 1, 1)
+        return [" ".join(ws[i : i + 2]) for i in range(n)]
+
+    ct, cr = {}, {}
+    for _, text, tgt in rows:
+        for g in grams(text):
+            b = bucket(g)
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    want = {}
+    for did, text, tgt in rows:
+        if tgt:
+            continue
+        gs = grams(text)
+        s = sum(
+            math.log(ct.get(bucket(g), 0) + 1.0)
+            - math.log(cr.get(bucket(g), 0) + 1.0)
+            for g in gs
+        ) + len(gs) * (math.log(nr + 8) - math.log(nt + 8))
+        want[did] = (len(gs), round(s, 6))
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6)
+    # target-likeness orders as expected: exact target copy > random text
+    assert got["r1"][1] > got["r2"][1]

@@ -934,3 +934,38 @@ def test_media_audio_frames_exact_integer_stats(spark):
     assert got[("w", 0)] == (4, -200, 100**2 + 200**2 + 300**2 + 400**2, 400)
     assert got[("w", 1)] == (1, 7, 49, 7)
     assert not any(ref == "bad" for ref, _ in got)
+
+def test_vad_segments_hysteresis_and_islands(spark):
+    from pdf_parser_spark.operators.media import vad_segments
+
+    # one file, 8 frames of 4 samples; mean-energy thresholds low=100,
+    # high=400 (i.e. sq_sum >= 400 / >= 1600 for full frames)
+    rows = [
+        # run A (frames 0-2): seeds at 1 -> kept, tail frame 2 attached
+        ("a", "d", 0, 4, 0, 500, 20),
+        ("a", "d", 1, 4, 0, 2000, 40),
+        ("a", "d", 2, 4, 0, 450, 15),
+        # frame 3 below low -> gap
+        ("a", "d", 3, 4, 0, 300, 10),
+        # run B (frames 4-5): extendable but NO seed -> dropped whole
+        ("a", "d", 4, 4, 0, 900, 25),
+        ("a", "d", 5, 4, 0, 1599, 30),
+        # gap at 6, then run C: a short tail frame judged by its own
+        # length (2 samples: low bar 200, high bar 800)
+        ("a", "d", 6, 4, 0, 100, 5),
+        ("a", "d", 7, 2, 0, 900, 35),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_ref string, doc_id string, frame_idx int, n_samples int,"
+        " s_sum long, sq_sum long, peak long",
+    )
+    got = {
+        r.seg_idx: (r.start_frame, r.end_frame, r.n_frames, r.n_samples,
+                    r.energy, r.peak)
+        for r in vad_segments(df, low=100, high=400).collect()
+    }
+    assert got == {
+        0: (0, 2, 3, 12, 2950, 40),
+        1: (7, 7, 1, 2, 900, 35),
+    }
