@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "multimodal_curate",
     "vad_segments",
     "dsir_scores",
+    "html_table_cells",
+    "scd2_customer_merge",
+    "resample_user_values",
 ]
 
 

@@ -265,3 +265,130 @@ def extract_main(html: str, min_len: int = 15) -> str:
     """Main content = newline-joined text of the content blocks."""
     blocks, _ = parse_blocks(html, min_len=min_len)
     return "\n".join(b.text for b in blocks if b.kind == "content")
+
+
+class TableCell(NamedTuple):
+    table_idx: int
+    row_idx: int
+    col_idx: int
+    colspan: int
+    is_header: bool
+    text: str
+
+
+_COLSPAN_RE = re.compile(
+    r"""\bcolspan\s*=\s*(?:"(\d{1,4})"|'(\d{1,4})'|(\d{1,4}))""", re.I
+)
+
+
+def parse_tables(html: str) -> list[TableCell]:
+    """<table> → relational cells: (table_idx, row_idx, col_idx, colspan,
+    is_header, text) — the extraction-tier step that turns embedded HTML
+    data tables into rows a pipeline can load.
+
+    Determinism contract (same spirit as parse_blocks, so a relational
+    oracle can replay the synthesized-page fixed point exactly):
+    - skip regions (comments/script/style/noscript/template/title) are
+      stripped first; rows/cells outside any <table> are ignored;
+    - table_idx increments at each <table> open; tables do NOT nest — a
+      nested <table> open closes the current cell and starts a new
+      table (crawl HTML abuses nesting for layout; flattening is the
+      deterministic choice);
+    - row_idx increments at each <tr> open inside a table; a cell open
+      (<td>/<th>) outside any <tr> implies a row open (tolerates
+      tr-less tables);
+    - a cell runs from its open tag to the next cell open, </tr>,
+      </table>, or <table> — an unclosed </td> never eats the next cell;
+    - col_idx is the running column POSITION: it advances by the cell's
+      colspan (default 1, capped at 1000); the cell is emitted once with
+      its colspan, not repeated;
+    - cell text is entity-decoded, inline tags stripped, whitespace
+      collapsed; EMPTY cells are still emitted (a blank cell is data —
+      dropping it would shift columns);
+    - is_header = the cell tag is <th>.
+    """
+    if not html:
+        return []
+    stripped = _strip_skip_regions(html)
+    cells: list[TableCell] = []
+    table_idx = -1
+    in_table = False
+    row_idx = -1
+    col_pos = 0
+    in_row = False
+    cell_open = False
+    cell_is_th = False
+    cell_span = 1
+    frags: list[str] = []
+
+    def close_cell() -> None:
+        nonlocal cell_open, col_pos, frags
+        if not cell_open:
+            return
+        cells.append(
+            TableCell(
+                table_idx,
+                row_idx,
+                col_pos,
+                cell_span,
+                cell_is_th,
+                _collapse("".join(frags)),
+            )
+        )
+        col_pos += cell_span
+        cell_open = False
+        frags = []
+
+    for tok in _TOKEN_RE.split(stripped):
+        if not tok:
+            continue
+        if tok[0] != "<":
+            if cell_open:
+                frags.append(decode_entities(tok))
+            continue
+        m = _TAG_NAME_RE.match(tok)
+        if not m:
+            if cell_open:
+                frags.append(decode_entities(tok))
+            continue
+        name = m.group(1).lower()
+        closing = tok.startswith("</")
+        if name == "table":
+            close_cell()
+            if closing:
+                in_table = False
+                in_row = False
+            else:
+                table_idx += 1
+                in_table = True
+                row_idx = -1
+                in_row = False
+        elif not in_table:
+            continue
+        elif name == "tr":
+            close_cell()
+            if closing:
+                in_row = False
+            else:
+                row_idx += 1
+                col_pos = 0
+                in_row = True
+        elif name in ("td", "th"):
+            close_cell()
+            if not closing:
+                if not in_row:  # tr-less table: implicit row open
+                    row_idx += 1
+                    col_pos = 0
+                    in_row = True
+                cell_open = True
+                cell_is_th = name == "th"
+                sm = _COLSPAN_RE.search(tok)
+                cell_span = (
+                    min(int(sm.group(1) or sm.group(2) or sm.group(3)), 1000)
+                    if sm
+                    else 1
+                )
+                cell_span = max(cell_span, 1)
+        # other tags inside a cell are inline markup: stripped, no flush
+    close_cell()
+    return cells

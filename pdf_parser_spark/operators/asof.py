@@ -66,3 +66,96 @@ def asof_join_latest(
         .filter(F.col("_side") == 1)
         .select(*lcols, F.col("_carried")["v"].alias(out_col))
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step: int,
+) -> DataFrame:
+    """Regular-grid resampling with linear interpolation — the other
+    time-series primitive Spark lacks natively (pandas ``resample().
+    interpolate()`` / QuestDB SAMPLE BY FILL(LINEAR)), needed whenever
+    irregular observations feed window models that assume a fixed rate.
+
+    Per key, grid points are the multiples of ``step`` (epoch seconds)
+    inside [min ts, max ts] — every grid point therefore has both a
+    last-observation-at-or-before and a first-at-or-after, and the value
+    is the exact linear interpolation between them (an observation
+    landing ON a grid point wins outright). Observations sharing an
+    epoch second collapse deterministically to max(value) first.
+
+    Scale shape: ONE hash shuffle on the key serves the bounds groupBy,
+    BOTH as-of window passes (forward carry for prev, backward for
+    next — same partitioning, two sorts), and the final filter; the
+    grid explode is in-plan (sequence), never a driver action. Grid
+    bounds are computed with INTEGER arithmetic (pmod, not float
+    division — a float bin boundary misassigns epoch-scale longs).
+
+    Returns (key_col, grid_ts epoch-seconds long, value double).
+    """
+    # collapse duplicates AFTER truncating to the epoch second:
+    # unix_timestamp drops sub-second precision, so two observations in
+    # the same second must become ONE deterministic row here (collapsing
+    # before truncation would leave equal-_s rows whose carry order the
+    # window could not pin)
+    obs = (
+        df.select(
+            F.col(key_col),
+            F.unix_timestamp(F.col(ts_col)).alias("_s"),
+            F.col(val_col).cast("double").alias("_v"),
+        )
+        .groupBy(key_col, "_s")
+        .agg(F.max("_v").alias("_v"))
+    )
+    st = F.lit(int(step)).cast("long")
+    lo_raw = F.col("_lo") + st - 1
+    bounds = (
+        obs.groupBy(key_col)
+        .agg(F.min("_s").alias("_lo"), F.max("_s").alias("_hi"))
+        .select(
+            F.col(key_col),
+            (lo_raw - F.pmod(lo_raw, st)).alias("_g0"),
+            (F.col("_hi") - F.pmod(F.col("_hi"), st)).alias("_g1"),
+        )
+        .filter(F.col("_g0") <= F.col("_g1"))
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.col("_g0"), F.col("_g1"), st)).alias("_s"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_grid"),
+    )
+    u = grid.unionByName(
+        obs.select(key_col, "_s", "_v", F.lit(0).alias("_grid"))
+    )
+    # obs sorts before grid at equal ts, so an exact-hit observation is
+    # the carried prev (tp == t makes the interpolation collapse to vp)
+    fw = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_s").asc(), F.col("_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bw = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_s").desc(), F.col("_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ov = F.when(F.col("_grid") == 0, F.struct(F.col("_s").alias("t"), F.col("_v").alias("v")))
+    carried = (
+        u.withColumn("_p", F.last(ov, ignorenulls=True).over(fw))
+        .withColumn("_n", F.last(ov, ignorenulls=True).over(bw))
+        .filter(F.col("_grid") == 1)
+    )
+    tp, vp = F.col("_p.t"), F.col("_p.v")
+    tn, vn = F.col("_n.t"), F.col("_n.v")
+    value = F.when(tn == tp, vp).otherwise(
+        vp + (vn - vp) * (F.col("_s") - tp) / (tn - tp)
+    )
+    return carried.select(
+        F.col(key_col),
+        F.col("_s").alias("grid_ts"),
+        F.round(value, 6).alias("value"),
+    )

@@ -83,3 +83,82 @@ def merge_checkpoint_updates(
         .filter(F.col("_rn") == 1)
         .drop("_pri", "_rn")
     )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply a batch of keyed
+    attribute updates to a versioned dimension table, PRESERVING history
+    as validity intervals — the warehouse-grade sibling of
+    ``merge_checkpoint_updates`` (which is type-1: overwrite). This is
+    the contract for reference-style queue/state tables when "why was
+    this doc reprocessed last month" must stay answerable.
+
+    ``dim`` columns: ``key_col``, ``attr_cols``, ``valid_from``,
+    ``valid_to`` (NULL = current version). ``updates``: ``key_col``,
+    ``attr_cols``, ``ts_col``. Returns the merged dimension with the
+    same columns as ``dim``.
+
+    Deterministic rules:
+    - closed history rows (valid_to NOT NULL) pass through untouched;
+    - several updates for one (key, ts) collapse to max(struct(attrs))
+      — same tie contract as merge_checkpoint_updates without seq_col;
+    - per key, the incumbent current row and its updates are ordered by
+      timestamp (incumbent first on a tie) and an update whose attrs
+      equal its predecessor's is DROPPED — a no-change update never
+      opens a version (equal-runs collapse; an A→B→A flip is three
+      legitimate versions);
+    - each surviving row becomes a version: valid_from = its timestamp
+      (the incumbent keeps its original valid_from), valid_to = the
+      next version's timestamp, NULL for the last ⇒ the new current
+      row; brand-new keys insert their chain the same way.
+
+    Shape at scale: ONE shuffle on the key — the lag-dedup window, the
+    lead-interval window, and nothing else; history rows ride a
+    shuffle-free union. At deploy time the same rules compile to an
+    Iceberg MERGE plus this window pass over the touched keys.
+    """
+    attrs = [F.col(c) for c in attr_cols]
+    history = dim.filter(F.col("valid_to").isNotNull())
+    current = dim.filter(F.col("valid_to").isNull())
+
+    upd = (
+        updates.groupBy(key_col, ts_col)
+        .agg(F.max(F.struct(*attrs)).alias("_a"))
+        .select(
+            key_col,
+            *[F.col(f"_a.{c}").alias(c) for c in attr_cols],
+            F.col(ts_col).alias("_ts"),
+            F.lit(0).alias("_inc"),
+        )
+    )
+    inc = current.select(
+        key_col,
+        *attr_cols,
+        F.col("valid_from").alias("_ts"),
+        F.lit(1).alias("_inc"),
+    )
+    merged = inc.unionByName(upd)
+    w = Window.partitionBy(key_col).orderBy("_ts", F.desc("_inc"))
+    prev = F.lag(F.struct(*attrs)).over(w)
+    # eqNullSafe: a NULL attribute value must compare as a value, not
+    # poison the predicate and silently drop the version
+    kept = merged.withColumn("_prev", prev).filter(
+        (F.col("_inc") == 1)
+        | F.col("_prev").isNull()
+        | ~F.col("_prev").eqNullSafe(F.struct(*attrs))
+    )
+    out = kept.select(
+        key_col,
+        *attr_cols,
+        F.col("_ts").alias("valid_from"),
+        F.lead("_ts").over(w).alias("valid_to"),
+    )
+    return history.select(
+        key_col, *attr_cols, "valid_from", "valid_to"
+    ).unionByName(out)

@@ -240,3 +240,40 @@ def fix_encoding(
     return pages.select(
         F.col(id_col).alias(id_col), F.col(bytes_col)
     ).mapInPandas(run, schema=ENCODING_SCHEMA)
+
+
+_TABLE_SCHEMA = (
+    "doc_id string, table_idx int, row_idx int, col_idx int, "
+    "colspan int, is_header boolean, cell string"
+)
+
+
+def html_tables(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) → one row per HTML table cell (functions/htmlparse
+    .parse_tables): the extraction-tier step that turns embedded data
+    tables into relational rows. mapInPandas over Arrow batches, ZERO
+    shuffles — per-page parse, caller owns partitioning exactly as for
+    html_blocks. Empty cells are emitted (blank cells are data; dropping
+    them would shift columns); col_idx advances by colspan."""
+    import pandas as pd
+
+    from pdf_parser_spark.functions.htmlparse import parse_tables
+
+    def run(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "table_idx": [], "row_idx": [],
+                "col_idx": [], "colspan": [], "is_header": [], "cell": [],
+            }
+            for did, html in zip(pdf["doc_id"], pdf["html"]):
+                for c in parse_tables(html or ""):
+                    out["doc_id"].append(did)
+                    out["table_idx"].append(c.table_idx)
+                    out["row_idx"].append(c.row_idx)
+                    out["col_idx"].append(c.col_idx)
+                    out["colspan"].append(c.colspan)
+                    out["is_header"].append(c.is_header)
+                    out["cell"].append(c.text)
+            yield pd.DataFrame(out)
+
+    return pages.select("doc_id", "html").mapInPandas(run, schema=_TABLE_SCHEMA)

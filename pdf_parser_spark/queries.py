@@ -5759,6 +5759,212 @@ GROUP BY ex.doc_id, nt, nr
 """
 
 
+def q_resample_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid time-series resampling with linear interpolation
+    (asof.resample_interpolate): each user's irregular event values are
+    sampled at exact day boundaries inside their observation span. The
+    oracle is a genuinely INDEPENDENT implementation — DuckDB's native
+    ASOF JOIN in both directions + the same interpolation formula —
+    against the engine's union-and-carry window form, so the grid
+    arithmetic (integer pmod bounds), the inclusive tie rule, and the
+    interpolation all cross-check. One key shuffle serves bounds, both
+    carries, and the filter."""
+    from pdf_parser_spark.operators import asof
+
+    events = load_table(spark, sf_dir, "events")
+    return asof.resample_interpolate(
+        events, "user_id", "ts", "value", step=86400
+    )
+
+
+def sql_resample_user_values() -> str:
+    return """
+WITH obs AS (
+  SELECT user_id, s, max(v) AS v
+  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(value AS DOUBLE) AS v FROM events)
+  GROUP BY user_id, s
+), bounds AS (
+  SELECT user_id,
+         (min(s) + 86399) - (min(s) + 86399) % 86400 AS g0,
+         max(s) - max(s) % 86400 AS g1
+  FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(g0, g1 + 1, 86400)) AS s
+  FROM bounds WHERE g0 <= g1
+), prev AS (
+  SELECT g.user_id, g.s, o.s AS tp, o.v AS vp
+  FROM grid g ASOF JOIN obs o ON g.user_id = o.user_id AND g.s >= o.s
+), nxt AS (
+  SELECT g.user_id, g.s, o.s AS tn, o.v AS vn
+  FROM grid g ASOF JOIN obs o ON g.user_id = o.user_id AND g.s <= o.s
+)
+SELECT p.user_id, p.s AS grid_ts,
+       round(CASE WHEN n.tn = p.tp THEN p.vp
+             ELSE p.vp + (n.vn - p.vp) * (p.s - p.tp) / (n.tn - p.tp)
+             END, 6) AS value
+FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.s = n.s
+"""
+
+
+def q_scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (queue.scd2_merge): a versioned customer-segment
+    dimension (every 5th key also carries a closed LEGACY history row)
+    absorbs the orders stream as timestamped segment updates — repeated
+    equal segments collapse (no empty versions), changes open versions
+    with lag/lead validity intervals, the incumbent closes at the first
+    real change, history passes through untouched. The oracle replays
+    the (key, ts) collapse, the lag-dedup, and the lead intervals as the
+    same two windows. ONE shuffle on the key end to end."""
+    from pdf_parser_spark.operators.queue import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    t0 = F.to_timestamp(F.lit("1992-01-01"))
+    dim = (
+        cust.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            t0.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 5 == 0).select(
+                F.col("c_custkey").alias("custkey"),
+                F.lit("LEGACY").alias("segment"),
+                F.to_timestamp(F.lit("1990-01-01")).alias("valid_from"),
+                t0.alias("valid_to"),
+            )
+        )
+    )
+    updates = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return scd2_merge(dim, updates, "custkey", ["segment"], "ts")
+
+
+def sql_scd2_customer_merge() -> str:
+    return """
+WITH history AS (
+  SELECT c_custkey AS custkey, 'LEGACY' AS segment,
+         TIMESTAMP '1990-01-01' AS valid_from,
+         TIMESTAMP '1992-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 5 = 0
+), inc AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         TIMESTAMP '1992-01-01' AS ts, 1 AS inc
+  FROM customer
+), upd AS (
+  SELECT custkey, ts, max(segment) AS segment, 0 AS inc
+  FROM (SELECT o_custkey AS custkey, o_orderpriority AS segment,
+               o_orderdate AS ts FROM orders)
+  GROUP BY custkey, ts
+), merged AS (
+  SELECT custkey, segment, ts, inc FROM inc
+  UNION ALL
+  SELECT custkey, segment, ts, inc FROM upd
+), lagged AS (
+  SELECT *, lag(segment)
+              OVER (PARTITION BY custkey ORDER BY ts, inc DESC) AS prev
+  FROM merged
+), kept AS (
+  SELECT * FROM lagged
+  WHERE inc = 1 OR prev IS NULL OR prev IS DISTINCT FROM segment
+)
+SELECT custkey, segment, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY custkey ORDER BY ts, inc DESC)
+         AS valid_to
+FROM kept
+UNION ALL
+SELECT custkey, segment, valid_from, valid_to FROM history
+"""
+
+
+def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML data-table extraction (webextract.html_tables): per-doc pages
+    with a header row, 1-3 data rows, an entity-bearing header cell, and
+    a colspan=3 footer are synthesized in Catalyst; the REAL state-machine
+    parser turns them back into relational cells, and the oracle states
+    the fixed point — parsed cells equal the source values the synthesis
+    embedded (entity decoded, colspan advancing col_idx). Zero shuffle:
+    one projection synthesizes, one mapInPandas parses."""
+    from pdf_parser_spark.operators import webextract
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    nr = (F.col("doc_id") % 3 + 1).cast("int")
+    rows = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), nr),
+            lambda r: F.concat(
+                F.lit("<tr><td>r"),
+                r.cast("string"),
+                F.lit("</td><td>s-"),
+                F.col("source"),
+                F.lit("</td><td>"),
+                (F.col("doc_id") * r).cast("string"),
+                F.lit("</td></tr>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit(
+            '<p>intro</p><table id="t"><tr><th>k</th>'
+            "<th>v &amp; w</th><th>n</th></tr>"
+        ),
+        rows,
+        F.lit('<tr><td colspan="3">total '),
+        did,
+        F.lit("</td></tr></table>"),
+    )
+    pages = docs.select(did.alias("doc_id"), html.alias("html"))
+    cells = webextract.html_tables(pages)
+    return cells.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        F.col("colspan").cast("long").alias("colspan"),
+        "is_header",
+        "cell",
+    )
+
+
+def sql_html_table_cells() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, source, doc_id % 3 + 1 AS nr FROM documents
+), hdr AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS row_idx, CAST(c AS BIGINT) AS col_idx,
+         CAST(1 AS BIGINT) AS colspan, TRUE AS is_header,
+         CASE c WHEN 0 THEN 'k' WHEN 1 THEN 'v & w' ELSE 'n' END AS cell
+  FROM d, range(0, 3) t(c)
+), dr AS (
+  SELECT doc_id, source, r
+  FROM (SELECT doc_id, source, unnest(range(1, nr + 1)) AS r FROM d)
+), data AS (
+  SELECT doc_id, CAST(r AS BIGINT) AS row_idx, CAST(c AS BIGINT) AS col_idx,
+         CAST(1 AS BIGINT) AS colspan, FALSE AS is_header,
+         CASE c WHEN 0 THEN 'r' || CAST(r AS VARCHAR)
+                WHEN 1 THEN 's-' || source
+                ELSE CAST(doc_id * r AS VARCHAR) END AS cell
+  FROM dr, range(0, 3) t(c)
+), ftr AS (
+  SELECT doc_id, CAST(nr + 1 AS BIGINT) AS row_idx, CAST(0 AS BIGINT)
+           AS col_idx, CAST(3 AS BIGINT) AS colspan, FALSE AS is_header,
+         'total ' || CAST(doc_id AS VARCHAR) AS cell
+  FROM d
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, row_idx, col_idx, colspan,
+       is_header, cell
+FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data
+      UNION ALL SELECT * FROM ftr)
+"""
+
+
 def q_fix_encoding_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniffing + mojibake repair (webextract.fix_encoding) over
     four payload classes synthesized in Catalyst: clean UTF-8, latin-1
@@ -6391,6 +6597,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_hits": q_host_hits,
     "vad_segments": q_vad_segments,
     "dsir_scores": q_dsir_scores,
+    "html_table_cells": q_html_table_cells,
+    "scd2_customer_merge": q_scd2_customer_merge,
+    "resample_user_values": q_resample_user_values,
 }
 
 ORACLES: dict[str, str] = {
@@ -6528,4 +6737,7 @@ ORACLES: dict[str, str] = {
     "host_hits": sql_host_hits(),
     "vad_segments": sql_vad_segments(),
     "dsir_scores": sql_dsir_scores(),
+    "html_table_cells": sql_html_table_cells(),
+    "scd2_customer_merge": sql_scd2_customer_merge(),
+    "resample_user_values": sql_resample_user_values(),
 }

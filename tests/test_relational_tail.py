@@ -533,3 +533,78 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     _, c_hit_y = files_hit(cout, "y", 0, 3)
     assert c_hit_x <= 2  # leading column prunes hard...
     assert c_hit_y == nc  # ...but the second dimension reads EVERYTHING
+
+
+def test_scd2_merge_versions_dedup_and_history(spark):
+    from datetime import datetime
+
+    from pdf_parser_spark.operators.queue import scd2_merge
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            # k1: closed history row + current 'A' since 2020
+            ("k1", "OLD", t("2019-01-01"), t("2020-01-01")),
+            ("k1", "A", t("2020-01-01"), None),
+            # k2: current only, no updates arrive
+            ("k2", "Z", t("2020-01-01"), None),
+        ],
+        "k string, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            ("k1", "A", t("2021-01-01")),  # no-change: must not open a version
+            ("k1", "B", t("2022-01-01")),  # change
+            ("k1", "B", t("2023-01-01")),  # consecutive dup: dropped
+            ("k1", "A", t("2024-01-01")),  # flip back: legitimate version
+            ("k3", "N", t("2022-06-01")),  # brand-new key
+            ("k3", "N", t("2022-06-01")),  # same (key, ts): collapses
+        ],
+        "k string, seg string, ts timestamp",
+    )
+    got = {
+        (r.k, str(r.valid_from)): (r.seg, str(r.valid_to))
+        for r in scd2_merge(dim, updates, "k", ["seg"], "ts").collect()
+    }
+    assert got == {
+        ("k1", "2019-01-01 00:00:00"): ("OLD", "2020-01-01 00:00:00"),
+        ("k1", "2020-01-01 00:00:00"): ("A", "2022-01-01 00:00:00"),
+        ("k1", "2022-01-01 00:00:00"): ("B", "2024-01-01 00:00:00"),
+        ("k1", "2024-01-01 00:00:00"): ("A", "None"),
+        ("k2", "2020-01-01 00:00:00"): ("Z", "None"),
+        ("k3", "2022-06-01 00:00:00"): ("N", "None"),
+    }
+
+
+def test_resample_interpolate_exact_values(spark):
+    from datetime import datetime, timezone
+
+    from pdf_parser_spark.operators.asof import resample_interpolate
+
+    def t(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        # key a: obs at 5, 25 -> grid {10, 20} interpolates linearly
+        ("a", t(5), 10.0),
+        ("a", t(25), 30.0),
+        # key b: obs exactly ON grid points + a same-second duplicate
+        # (max wins) + an off-grid midpoint
+        ("b", t(10), 4.0),
+        ("b", t(10), 6.0),
+        ("b", t(15), 100.0),
+        ("b", t(20), 8.0),
+        # key c: single obs -> empty grid unless it lands on a multiple
+        ("c", t(7), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        (r.k, r.grid_ts): r.value
+        for r in resample_interpolate(df, "k", "ts", "value", step=10).collect()
+    }
+    assert got == {
+        ("a", 10): 15.0,  # 10 + (30-10) * 5/20
+        ("a", 20): 25.0,
+        ("b", 10): 6.0,   # exact hit, same-second dup collapsed to max
+        ("b", 20): 8.0,
+    }

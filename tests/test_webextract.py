@@ -322,3 +322,63 @@ def test_fix_encoding_classes_and_repair_guards(spark):
     assert got["astral"].text == moji + " \U0001f600"
     assert got["astral"].repaired is False
     assert (got["empty"].text, got["empty"].encoding) == ("", "utf-8")
+
+
+class TestParseTables:
+    def _cells(self, html):
+        from pdf_parser_spark.functions.htmlparse import parse_tables
+
+        return [tuple(c) for c in parse_tables(html)]
+
+    def test_basic_grid_with_header_and_entities(self):
+        got = self._cells(
+            '<table><tr><th>A</th><th>B &amp; C</th></tr>'
+            "<tr><td>1</td><td><b>bo</b>ld</td></tr></table>"
+        )
+        assert got == [
+            (0, 0, 0, 1, True, "A"),
+            (0, 0, 1, 1, True, "B & C"),
+            (0, 1, 0, 1, False, "1"),
+            (0, 1, 1, 1, False, "bold"),
+        ]
+
+    def test_colspan_advances_position_and_empty_cells_kept(self):
+        got = self._cells(
+            '<table><tr><td colspan="2">w</td><td></td><td>x</td></tr></table>'
+        )
+        assert got == [
+            (0, 0, 0, 2, False, "w"),
+            (0, 0, 2, 1, False, ""),
+            (0, 0, 3, 1, False, "x"),
+        ]
+
+    def test_unclosed_cells_and_trless_rows(self):
+        # omitted </td> must not eat the next cell; a cell before any <tr>
+        # implies a row open
+        got = self._cells("<table><td>a<td>b<tr><td>c</table>")
+        assert got == [
+            (0, 0, 0, 1, False, "a"),
+            (0, 0, 1, 1, False, "b"),
+            (0, 1, 0, 1, False, "c"),
+        ]
+
+    def test_nested_table_flattens_to_new_table(self):
+        got = self._cells(
+            "<table><tr><td>outer<table><tr><td>inner</td></tr></table>"
+            "</td></tr></table>"
+        )
+        assert got == [
+            (0, 0, 0, 1, False, "outer"),
+            (1, 0, 0, 1, False, "inner"),
+        ]
+
+    def test_text_outside_tables_and_skip_regions_ignored(self):
+        got = self._cells(
+            "<p>no</p><script><table><tr><td>ghost</td></tr></table></script>"
+            "<table><tr><td>real</td></tr></table><td>orphan</td>"
+        )
+        assert got == [(0, 0, 0, 1, False, "real")]
+
+    def test_empty_and_null_safe(self):
+        assert self._cells("") == []
+        assert self._cells("<table></table>") == []
