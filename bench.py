@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "html_table_cells",
     "scd2_customer_merge",
     "resample_user_values",
+    "embedding_int8_codes",
+    "jsonl_ingest_triage",
 ]
 
 

@@ -114,28 +114,32 @@ def assign_ivf_cells(
 ) -> DataFrame:
     """Add a ``cell`` column: index of the nearest centroid (L2).
 
-    Pure Catalyst: squared distance per centroid via zip_with/aggregate,
-    argmin via array_position(array_min). C is small (≤ a few hundred), so
-    the expression tree stays compact and codegen-able.
+    Pure Catalyst: squared distance per centroid via zip_with/aggregate;
+    argmin via array_min over (dist, index) structs — the array_position
+    (array_min) form embeds the whole C-distance array twice (the
+    pq_encode lesson; ties resolve to the smallest index either way). C
+    is small (≤ a few hundred), so the tree stays compact and
+    codegen-able.
     """
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(c)) for c in cent]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            for cent in centroids
-        ]
+    dists = F.transform(
+        F.lit([[float(c) for c in cent] for cent in centroids]).cast(
+            "array<array<double>>"
+        ),
+        lambda cent: F.aggregate(
+            F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
     )
-    return emb.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    best = F.array_min(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(int(len(centroids)) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
     )
+    return emb.withColumn("cell", best["i"].cast("int"))
 
 
 def ivf_topk(
@@ -637,4 +641,68 @@ def pq_adc_topk(
         encoded.select(F.col(id_col), adc.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-vector affine int8 quantization — the serving-side compression
+    step embedding stores run before shipping indexes (float32 → 1 byte/
+    dim + two floats/vector, the standard (scale, zero_point) affine
+    scheme from the quantization literature): code = floor((x − mn) /
+    scale) clipped to [0, levels−1], scale = (mx − mn) / levels.
+
+    floor (truncation quantizer), NOT round: IEEE floor is identical in
+    every engine while round's half-up/half-even split diverges at
+    representable midpoints — same determinism contract as quantize_vec.
+    A constant vector (mx == mn) takes scale 0 and all-zero codes rather
+    than a divide-by-zero kill.
+
+    Pure Catalyst, zero shuffle, one codegen pass: min/max/codes/error
+    all ride array expressions over the materialized double vector.
+    Output: (id, codes array<int>, zero double, scale double,
+    max_abs_err double — the reconstruction-error certificate,
+    max |x − (zero + (code + 0.5)·scale)| with midpoint reconstruction).
+    """
+    v = F.col("_v")
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(float(levels))
+    code = lambda x: F.least(  # noqa: E731
+        F.greatest(F.floor((x - F.col("_zero")) / F.col("_scale")), F.lit(0)),
+        F.lit(levels - 1),
+    ).cast("int")
+    staged = (
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .withColumn("_zero", mn)
+        .withColumn("_scale", scale)
+    )
+    coded = staged.select(
+        id_col,
+        "_v",
+        "_zero",
+        "_scale",
+        F.when(
+            F.col("_scale") > 0, F.transform(v, code)
+        )
+        .otherwise(F.transform(v, lambda _: F.lit(0)))
+        .alias("codes"),
+    )
+    recon = lambda c: F.col("_zero") + (  # noqa: E731
+        c.cast("double") + F.lit(0.5)
+    ) * F.col("_scale")
+    err = F.array_max(
+        F.zip_with(v, F.col("codes"), lambda x, c: F.abs(x - recon(c)))
+    )
+    return coded.select(
+        F.col(id_col),
+        "codes",
+        F.round(F.col("_zero"), 6).alias("zero"),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
     )

@@ -5759,6 +5759,124 @@ GROUP BY ex.doc_id, nt, nr
 """
 
 
+def q_embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization (similarity.
+    quantize_embeddings_int8): the serving-side float32→1-byte/dim
+    compression with a (zero, scale) pair per vector and a midpoint-
+    reconstruction error certificate. floor quantizer (IEEE-identical
+    everywhere), so the oracle replays codes, clipping, the constant-
+    vector guard, and the error max bit-for-bit. Zero shuffle — one
+    codegen pass over the embeddings scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings_int8(emb)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.array_join(F.col("codes"), ",").alias("codes"),
+        "zero",
+        "scale",
+        "max_abs_err",
+    )
+
+
+def sql_embedding_int8_codes() -> str:
+    return """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         (list_max(v) - list_min(v)) / 256.0 AS sc
+  FROM v
+), c AS (
+  SELECT vec_id, v, mn, sc,
+         CASE WHEN sc > 0 THEN
+           list_transform(v, x -> least(greatest(
+             CAST(floor((x - mn) / sc) AS BIGINT), 0), 255))
+         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM s
+)
+SELECT vec_id,
+       array_to_string(codes, ',') AS codes,
+       round(mn, 6) AS zero,
+       round(sc, 6) AS scale,
+       round(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - (mn + (codes[i] + 0.5) * sc)))), 6)
+         AS max_abs_err
+FROM c
+"""
+
+
+def q_jsonl_ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with a corrupt-record policy — the front door of
+    every crawl pipeline (dumps arrive as JSON lines, some truncated).
+    JSON lines are synthesized in Catalyst (every 7th truncated mid-
+    object), parsed back with from_json in PERMISSIVE mode with a
+    corrupt-record column, and triaged. The oracle rebuilds the same
+    lines and replays the parse with DuckDB's independent JSON parser
+    (json_valid + json_extract) — two parsers agreeing on the same
+    byte stream. Zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    line = F.concat(
+        F.lit('{"doc_id":'),
+        did,
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('","n_chars":'),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.substring(line, F.lit(1), F.length(line) - 2),
+    ).otherwise(line)
+    raw = docs.select(
+        F.col("doc_id").cast("long").alias("line_id"), line.alias("line")
+    )
+    parsed = raw.select(
+        "line_id",
+        F.from_json(
+            F.col("line"),
+            "doc_id bigint, lang string, n_chars bigint, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    return parsed.select(
+        "line_id",
+        F.col("p._corrupt").isNull().alias("ok"),
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.lang").alias("lang"),
+        F.col("p.n_chars").alias("n_chars"),
+    )
+
+
+def sql_jsonl_ingest_triage() -> str:
+    return """
+WITH raw AS (
+  SELECT doc_id AS line_id,
+         CASE WHEN doc_id % 7 = 0 THEN substr(line, 1, length(line) - 2)
+              ELSE line END AS line
+  FROM (
+    SELECT doc_id,
+           '{"doc_id":' || CAST(doc_id AS VARCHAR)
+           || ',"lang":"' || lang || '","n_chars":'
+           || CAST(n_chars AS VARCHAR) || '}' AS line
+    FROM documents
+  )
+)
+SELECT line_id,
+       json_valid(line) AS ok,
+       CASE WHEN json_valid(line)
+            THEN CAST(json_extract(line, '$.doc_id') AS BIGINT) END
+         AS doc_id,
+       CASE WHEN json_valid(line)
+            THEN json_extract_string(line, '$.lang') END AS lang,
+       CASE WHEN json_valid(line)
+            THEN CAST(json_extract(line, '$.n_chars') AS BIGINT) END
+         AS n_chars
+FROM raw
+"""
+
+
 def q_resample_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid time-series resampling with linear interpolation
     (asof.resample_interpolate): each user's irregular event values are
@@ -6600,6 +6718,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_table_cells": q_html_table_cells,
     "scd2_customer_merge": q_scd2_customer_merge,
     "resample_user_values": q_resample_user_values,
+    "embedding_int8_codes": q_embedding_int8_codes,
+    "jsonl_ingest_triage": q_jsonl_ingest_triage,
 }
 
 ORACLES: dict[str, str] = {
@@ -6740,4 +6860,6 @@ ORACLES: dict[str, str] = {
     "html_table_cells": sql_html_table_cells(),
     "scd2_customer_merge": sql_scd2_customer_merge(),
     "resample_user_values": sql_resample_user_values(),
+    "embedding_int8_codes": sql_embedding_int8_codes(),
+    "jsonl_ingest_triage": sql_jsonl_ingest_triage(),
 }

@@ -969,3 +969,38 @@ def test_vad_segments_hysteresis_and_islands(spark):
         0: (0, 2, 3, 12, 2950, 40),
         1: (7, 7, 1, 2, 900, 35),
     }
+
+def test_quantize_embeddings_int8_exact_semantics(spark):
+    import math
+
+    from pdf_parser_spark.operators.similarity import quantize_embeddings_int8
+
+    rows = [
+        (1, [0.0, 1.0, 0.5, 0.25]),      # clean range
+        (2, [-2.0, 2.0, 2.0, -2.0]),     # max value must clip to 255
+        (3, [3.5, 3.5, 3.5, 3.5]),       # constant vector -> scale 0 guard
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {
+        r.vec_id: (r.codes, r.zero, r.scale, r.max_abs_err)
+        for r in quantize_embeddings_int8(df).collect()
+    }
+
+    for vid, vec in rows:
+        v = [float(x) for x in vec]
+        mn, mx = min(v), max(v)
+        sc = (mx - mn) / 256.0
+        if sc > 0:
+            codes = [
+                min(max(int(math.floor((x - mn) / sc)), 0), 255) for x in v
+            ]
+        else:
+            codes = [0] * len(v)
+        err = max(abs(x - (mn + (c + 0.5) * sc)) for x, c in zip(v, codes))
+        assert got[vid][0] == codes
+        assert got[vid][1] == round(mn, 6)
+        assert got[vid][2] == round(sc, 6)
+        assert got[vid][3] == pytest.approx(round(err, 6), abs=2e-6)
+    # the max input lands exactly on the top edge and must clip, not wrap
+    assert got[2][0][1] == 255
+    assert got[3][0] == [0, 0, 0, 0] and got[3][2] == 0.0
