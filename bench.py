@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "resample_user_values",
     "embedding_int8_codes",
     "jsonl_ingest_triage",
+    "fuzzy_vocab_match",
 ]
 
 

@@ -1242,3 +1242,65 @@ def incremental_minhash_admission(
         .alias(id_col)
     ).distinct()
     return new_docs.join(rejected, id_col, "left_anti")
+
+
+def deletion_neighborhood(col):
+    """FastSS deletion neighborhood (Bocek et al. 2007, public): the
+    string plus every single-character deletion, as an array column.
+    Two strings are within edit distance 1 iff their neighborhoods
+    intersect — the device that turns a fuzzy join into an equi-join.
+    Pure Catalyst; empty strings get a {''} neighborhood."""
+    n = F.length(col)
+    dels = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1), col.substr(i + 1, n)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(F.array(col), dels))
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str = "a",
+    right_col: str = "b",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Edit-distance-1 string join at scale via FastSS deletion
+    neighborhoods: explode each side's neighborhood, EQUI-join on the
+    variant (candidates are provably complete for d=1 — a substitution
+    meets at the shared deletion, an insert/delete meets at the shorter
+    string), then verify with levenshtein on the distinct candidate
+    pairs. The all-pairs form this replaces is quadratic; this is
+    |strings|·(len+1) rows into a hash join — the same posting-list
+    shape as the n-gram Jaccard candidate generator, and like it an
+    optional ``bucket_cap`` drops variants shared by more than cap
+    strings (hot buckets are short high-df fragments; the trade is
+    documented incompleteness, OFF by default).
+
+    Inputs are single-column DataFrames of DISTINCT strings. Output
+    (left_col, right_col, dist) with dist <= 1; deliberately keeps
+    exact matches (dist 0) — callers filter if they want typos only.
+    """
+    lv = left.select(
+        F.col(left_col), F.explode(deletion_neighborhood(F.col(left_col))).alias("_var")
+    )
+    rv = right.select(
+        F.col(right_col), F.explode(deletion_neighborhood(F.col(right_col))).alias("_var")
+    )
+    if bucket_cap is not None:
+        hot = (
+            rv.groupBy("_var")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select("_var")
+        )
+        lv = lv.join(F.broadcast(hot), "_var", "left_anti")
+        rv = rv.join(F.broadcast(hot), "_var", "left_anti")
+    cand = lv.join(rv, "_var").select(left_col, right_col).distinct()
+    return cand.select(
+        left_col,
+        right_col,
+        F.levenshtein(F.col(left_col), F.col(right_col)).alias("dist"),
+    ).filter(F.col("dist") <= 1)

@@ -5759,6 +5759,61 @@ GROUP BY ex.doc_id, nt, nr
 """
 
 
+def q_fuzzy_vocab_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy join (dedup.fuzzy_string_join — FastSS
+    deletion neighborhoods): each vocabulary word gets a deterministic
+    one-character deletion (typo position = portable hash mod length)
+    and the typo'd queries are joined back against the clean vocabulary
+    through the neighborhood EQUI-join + levenshtein verify. The oracle
+    replays the typo synthesis and takes the ground-truth all-pairs
+    levenshtein join — identical by FastSS d=1 completeness. The plan is
+    the scale shape: |strings|·(len+1) posting rows into a hash join,
+    never a cartesian."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(dedup.words_col(F.col("text"))).alias("w"))
+        .filter((F.length("w") >= 4) & (F.length("w") <= 12))
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    pos = (F.pmod(h, F.length("w")) + 1).cast("int")
+    qs = (
+        words.filter(F.length("w") >= 5)
+        .select(
+            F.concat(
+                F.col("w").substr(F.lit(1), pos - 1),
+                F.col("w").substr(pos + 1, F.length("w")),
+            ).alias("q")
+        )
+        .distinct()
+    )
+    return dedup.fuzzy_string_join(qs, words, "q", "w").select(
+        "q", "w", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def sql_fuzzy_vocab_match() -> str:
+    return f"""
+WITH w0 AS (
+  SELECT DISTINCT unnest({_WORDS_SQL}) AS w FROM documents
+), vocab AS (
+  SELECT w FROM w0 WHERE length(w) BETWEEN 4 AND 12
+), q AS (
+  SELECT DISTINCT substr(w, 1, pos - 1) || substr(w, pos + 1, length(w))
+           AS q
+  FROM (
+    SELECT w,
+           CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % length(w) AS INT)
+             + 1 AS pos
+    FROM vocab WHERE length(w) >= 5
+  )
+)
+SELECT q.q, v.w, CAST(levenshtein(q.q, v.w) AS BIGINT) AS dist
+FROM q, vocab v
+WHERE levenshtein(q.q, v.w) <= 1
+"""
+
+
 def q_embedding_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector affine int8 quantization (similarity.
     quantize_embeddings_int8): the serving-side float32→1-byte/dim
@@ -6720,6 +6775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_user_values": q_resample_user_values,
     "embedding_int8_codes": q_embedding_int8_codes,
     "jsonl_ingest_triage": q_jsonl_ingest_triage,
+    "fuzzy_vocab_match": q_fuzzy_vocab_match,
 }
 
 ORACLES: dict[str, str] = {
@@ -6862,4 +6918,5 @@ ORACLES: dict[str, str] = {
     "resample_user_values": sql_resample_user_values(),
     "embedding_int8_codes": sql_embedding_int8_codes(),
     "jsonl_ingest_triage": sql_jsonl_ingest_triage(),
+    "fuzzy_vocab_match": sql_fuzzy_vocab_match(),
 }

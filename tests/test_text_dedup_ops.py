@@ -643,3 +643,33 @@ def test_nfc_normalize_composes_and_is_boundary_safe(spark):
     assert got[4] == "No\u00ebl"
     # the dedup motivation: byte-different equal content now hash-equal
     assert got[0] == got[1]
+
+
+def test_fuzzy_string_join_fastss_completeness(spark):
+    from pdf_parser_spark.operators.dedup import fuzzy_string_join
+
+    left = spark.createDataFrame(
+        [("cat",), ("hello",), ("wrld",), ("xyz",)], "a string"
+    )
+    right = spark.createDataFrame(
+        [("cat",), ("cut",), ("hallo",), ("helloo",), ("world",),
+         ("zebra",)],
+        "b string",
+    )
+    got = {(r.a, r.b): r.dist for r in fuzzy_string_join(left, right).collect()}
+    assert got == {
+        ("cat", "cat"): 0,     # exact kept
+        ("cat", "cut"): 1,     # substitution
+        ("hello", "hallo"): 1, # substitution
+        ("hello", "helloo"): 1,# insertion on the right
+        ("wrld", "world"): 1,  # deletion on the left
+    }
+
+
+def test_fuzzy_string_join_plan_is_hash_join(spark):
+    from pdf_parser_spark.operators.dedup import fuzzy_string_join
+
+    left = spark.createDataFrame([("abc",)], "a string")
+    right = spark.createDataFrame([("abd",)], "b string")
+    plan = fuzzy_string_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
