@@ -1,0 +1,95 @@
+"""Stream-stream interval join — the sixth streaming surface (after
+stateless ingest, stateful sessionization, watermarked windows, exact
+dedup, and budget admission): two UNBOUNDED streams joined on a key plus
+a time window, the attribution pattern (impression → click within N
+minutes) every event pipeline runs.
+
+Why this shape survives 10^12 events: Spark's stream-stream inner join
+keeps BOTH sides' rows in the state store only until the watermark plus
+the join interval passes them — the watermark on each side together with
+the range condition is what lets the engine prove a row can never match
+again and evict it. Without the time bound the state is infinite; with
+it, state is O(rate × (interval + lateness)). Output mode is append
+(inner joins emit exactly once, when matched).
+
+The batch twin (`batch_interval_join`) is the same join as a plain
+range join over static frames — pytest drains the stream and asserts
+row-set equality against it, the same batch-twin contract the other
+streaming surfaces pin.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IMP_SCHEMA = "imp_id long, user_id long, imp_ts timestamp"
+CLICK_SCHEMA = "click_id long, user_id long, click_ts timestamp"
+
+
+def _join_cond(imp: DataFrame, click: DataFrame, within: str):
+    return (
+        (imp["user_id"] == click["user_id"])
+        & (click["click_ts"] >= imp["imp_ts"])
+        & (click["click_ts"] <= imp["imp_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    imp_path: str,
+    click_path: str,
+    output_root: str,
+    within: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> None:
+    """Drain both inboxes through the stream-stream inner interval join
+    and append attributions to parquet. Re-runs resume from checkpoint
+    (already-joined pairs are not re-emitted)."""
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "attributions")
+    imp = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .parquet(imp_path)
+        .withWatermark("imp_ts", watermark)
+    )
+    click = (
+        spark.readStream.schema(CLICK_SCHEMA)
+        .parquet(click_path)
+        .withWatermark("click_ts", watermark)
+    )
+    joined = imp.join(click, _join_cond(imp, click, within), "inner").select(
+        imp["imp_id"],
+        imp["user_id"],
+        click["click_id"],
+        imp["imp_ts"],
+        click["click_ts"],
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def batch_interval_join(
+    imps: DataFrame, clicks: DataFrame, within: str = "10 minutes"
+) -> DataFrame:
+    """The static twin: same condition over bounded frames."""
+    return imps.join(clicks, _join_cond(imps, clicks, within), "inner").select(
+        imps["imp_id"],
+        imps["user_id"],
+        clicks["click_id"],
+        imps["imp_ts"],
+        clicks["click_ts"],
+    )
+
+
+def read_attributions(spark: SparkSession, output_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_root, "attributions"))

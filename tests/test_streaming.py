@@ -355,3 +355,55 @@ def test_transform_with_state_budget_variant(spark, tmp_path):
         for r in batch_host_budget(docs, budget=200).collect()
     }
     assert got == want
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from pdf_parser_spark.streaming.intervaljoin import (
+        batch_interval_join,
+        read_attributions,
+        stream_interval_join,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    imps = [
+        (1, 100, m(0)),
+        (2, 100, m(30)),
+        (3, 200, m(0)),
+        (4, 300, m(0)),  # user with no click
+    ]
+    clicks = [
+        (10, 100, m(5)),    # matches imp 1 (within 10m)
+        (11, 100, m(35)),   # matches imp 2 only (imp 1 is 35m stale)
+        (12, 200, m(11)),   # outside the 10m window -> no match
+        (13, 999, m(1)),    # unknown user
+    ]
+    imp_path, click_path = str(tmp_path / "imp"), str(tmp_path / "click")
+    root = str(tmp_path / "out")
+    imp_df = spark.createDataFrame(
+        imps, "imp_id long, user_id long, imp_ts timestamp"
+    )
+    click_df = spark.createDataFrame(
+        clicks, "click_id long, user_id long, click_ts timestamp"
+    )
+    # first drain: only the early rows have arrived
+    imp_df.filter("imp_id <= 3").write.mode("append").parquet(imp_path)
+    click_df.filter("click_id <= 10").write.mode("append").parquet(click_path)
+    stream_interval_join(spark, imp_path, click_path, root)
+    got1 = {(r.imp_id, r.click_id) for r in read_attributions(spark, root).collect()}
+    assert got1 == {(1, 10)}
+
+    # late files land; second drain emits ONLY the new matches
+    imp_df.filter("imp_id > 3").write.mode("append").parquet(imp_path)
+    click_df.filter("click_id > 10").write.mode("append").parquet(click_path)
+    stream_interval_join(spark, imp_path, click_path, root)
+    got = {
+        (r.imp_id, r.click_id) for r in read_attributions(spark, root).collect()
+    }
+    want = {
+        (r.imp_id, r.click_id)
+        for r in batch_interval_join(imp_df, click_df).collect()
+    }
+    assert got == want == {(1, 10), (2, 11)}
