@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "embedding_int8_codes",
     "jsonl_ingest_triage",
     "fuzzy_vocab_match",
+    "cm_word_freq",
+    "host_triangles",
+    "customer_order_counts",
 ]
 
 

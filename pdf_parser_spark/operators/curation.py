@@ -690,3 +690,39 @@ def dsir_scores(
             ).alias("score"),
         )
     )
+
+
+def pps_systematic_sample(
+    docs: DataFrame,
+    weight_col: str,
+    step: int,
+    stratum_col: str | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay a grid
+    of multiples of ``step`` over the per-stratum cumulative weight line
+    and keep every row whose weight interval ``(cum − w, cum]`` covers a
+    grid point. Selection probability is exactly ``w/step`` for
+    ``w < step`` (rows with ``w ≥ step`` are taken with certainty) and
+    the expected sample size is ``total_weight/step`` — the survey-
+    sampling classic (Madow 1949) that curation pipelines use to
+    downsample a corpus proportional to a quality/length weight WITHOUT
+    an RNG: the sample is a pure function of the data, so re-runs and
+    engine twins reproduce it bit-for-bit.
+
+    All arithmetic is int64 (cumsum + DIV) — no float boundary can
+    misclassify a row, however large the corpus totals grow (the
+    rangejoin._floor_bin lesson). One hash shuffle on the stratum key
+    serves the single cumsum window. Strata are typically numerous
+    (source/domain); for one giant stratum, pre-shard the way
+    assign_shards does and allocate each shard ``total_shard/step``
+    grid points.
+    """
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(order_col)
+    docs = docs.withColumn(
+        "_cum", F.sum(F.col(weight_col).cast("long")).over(w)
+    )
+    hi = F.expr(f"_cum DIV {step}")
+    lo = F.expr(f"(_cum - CAST(`{weight_col}` AS BIGINT)) DIV {step}")
+    return docs.where(hi > lo).drop("_cum")

@@ -114,6 +114,79 @@ def pagerank(
     return ranks.select("v", "pr")
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over the UNDIRECTED simple graph
+    underlying an edge list (self-loops dropped, multi-edges and
+    reverse duplicates collapsed) — the local-clustering signal link-spam
+    detection and community weighting use on host graphs (spam farms
+    show abnormal triangle density; genuine topical hubs cluster).
+
+    Algorithm: degree-ordered orientation (Chiba–Nishizeki / the
+    standard MapReduce formulation from Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer", WWW 2011). Every edge
+    is oriented toward its endpoint HIGHER in the total order
+    ``(degree, vertex)``; wedges are generated by self-joining oriented
+    edges on their apex and closed by an equi-join against the oriented
+    edge set. Each triangle {p,q,r} with π(p)<π(q)<π(r) is found exactly
+    once, at apex p.
+
+    Why this survives 100 TB: the naive wedge join keys on raw vertices,
+    so one celebrity host with in-degree 10^7 yields 10^14 wedges in a
+    single task — the "last reducer" curse. Orientation bounds every
+    vertex's OUT-degree by O(sqrt(m)) (a vertex keeps only edges toward
+    higher-degree endpoints), so total wedge volume is O(m^1.5) spread
+    evenly and the heaviest task is bounded by the sqrt cap, not the
+    hottest key. All three joins are equi-joins (apex, then the (x,y)
+    pair); nothing is quadratic in any key's frequency.
+
+    Returns ``(v, triangles)`` for vertices in ≥1 triangle; counts are
+    exact integers (hash-stable for cross-engine oracles).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a").join(
+        deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(lo_is_a, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    )
+    wedges = (
+        o.select("u", F.col("w").alias("x"), F.col("dw").alias("dx"))
+        .join(o.select("u", F.col("w").alias("y"), F.col("dw").alias("dy")), "u")
+        .where(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+    )
+    closed = wedges.join(
+        o.select(F.col("u").alias("x"), F.col("w").alias("y")), ["x", "y"]
+    )
+    return (
+        closed.select(F.explode(F.array("u", "x", "y")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

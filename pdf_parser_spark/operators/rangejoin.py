@@ -63,3 +63,56 @@ def bucketed_range_join(
         )
         .drop("_bin", "_rbin")
     )
+
+
+def grid_proximity_join(
+    points: DataFrame,
+    sites: DataFrame,
+    radius: int,
+    px: str = "x",
+    py: str = "y",
+    sx: str = "sx",
+    sy: str = "sy",
+) -> DataFrame:
+    """2-D radius join (all (point, site) pairs with Euclidean distance
+    ≤ ``radius``, integer coordinates): the planar sibling of
+    bucketed_range_join and the shape geo-dedup / store-matching jobs
+    need. Each side buckets into ``radius``-sized grid cells (exact
+    int64 floor via _floor_bin); the SITE side — conventionally the
+    small one — explodes into its 3×3 cell neighborhood, so candidates
+    come from ONE equi-join on (cell_x, cell_y) and the exact
+    ``dx² + dy² ≤ r²`` verify (pure int64) runs only on co-located
+    candidates. Never a cross product: a 10^9-point × 10^6-site join
+    touches ~density·9 candidates per point, and the grid key is the
+    skew defense (a hot city spreads over many cells; a single
+    pathological cell can be salted like any hot equi-join key).
+
+    Output: all point columns + all site columns + ``dist_sq``.
+    Coordinate column names must be distinct across the two sides.
+    """
+    p = points.withColumn("_cx", _floor_bin(px, radius).cast("long")).withColumn(
+        "_cy", _floor_bin(py, radius).cast("long")
+    )
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    s = (
+        sites.withColumn("_o", off)
+        .withColumn("_cx", _floor_bin(sx, radius).cast("long") + F.col("_o.dx"))
+        .withColumn("_cy", _floor_bin(sy, radius).cast("long") + F.col("_o.dy"))
+        .drop("_o")
+    )
+    dx = F.col(px).cast("long") - F.col(sx).cast("long")
+    dy = F.col(py).cast("long") - F.col(sy).cast("long")
+    return (
+        p.join(s, ["_cx", "_cy"])
+        .withColumn("dist_sq", dx * dx + dy * dy)
+        .where(F.col("dist_sq") <= radius * radius)
+        .drop("_cx", "_cy")
+    )

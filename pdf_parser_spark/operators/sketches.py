@@ -1,0 +1,110 @@
+"""Fixed-size frequency sketches — Count-Min (Cormode & Muthukrishnan,
+"An improved data stream summary: the count-min sketch and its
+applications", J. Algorithms 2005) over a key stream.
+
+Why an engine for 100 TB corpora wants this: exact per-term counts of a
+web-scale token stream are a |vocabulary|-sized shuffle (billions of
+keys, hot stopwords), but admission-control and hot-key defenses only
+need APPROXIMATE frequencies with a one-sided error bound. The CM
+sketch is ``depth × width`` int64 cells — a few KB, INDEPENDENT of
+corpus size — built with ONE map-side-combined groupBy (each task
+partial-aggregates its local (row, bucket) counts, so the shuffle
+carries at most depth·width rows per task, not the token stream).
+Estimates never undercount: est(t) ≥ true(t), and with width w, depth d
+the overcount is ≤ e·N/w with probability 1 − e^−d — which is exactly
+the guarantee a "skip the bucket_cap probe unless the sketch says hot"
+fast path needs (operators/dedup.py banded joins).
+
+Spark-first shape: the sketch IS a DataFrame of (row, bucket, cnt) —
+building is explode(d rows) → hash → groupBy; probing broadcasts the
+tiny sketch table into an equi-join and takes min() over the d probes.
+No driver-side state, no UDFs, no custom accumulators.
+
+Hashing follows the engine-wide convention (operators/dedup.py
+seeded_hash): xxhash64(term, row) on the scale path, the md5-fold
+portable variant when a cross-engine oracle must replay the exact
+cells.
+
+Reference analogue: none — the reference counts relevant docs exactly
+(`_parser.py:1717,1747-1752`) at a scale where exact is free; this is
+the bounded-memory replacement those counters need at crawl scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cm_bucket(term: Column, row: Column, width: int, portable: bool) -> Column:
+    """Bucket index for one (term, hash-row) probe: row seeds the hash
+    family. Portable = md5 fold (seeded_hash's convention, seed = the
+    row index) so DuckDB replays cells bit-for-bit; default xxhash64."""
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(term, F.lit("#"), row.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(term, row)
+    return F.pmod(h, F.lit(width))
+
+
+def cm_build(
+    stream: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 512,
+    portable: bool = False,
+) -> DataFrame:
+    """Build a Count-Min sketch over a key stream.
+
+    Returns ``(row, bucket, cnt)`` — at most depth·width rows. ONE
+    shuffle: the explode multiplies the stream by ``depth`` map-side,
+    then the groupBy partial-aggregates before the exchange, so shuffle
+    volume is bounded by depth·width per task regardless of stream size.
+    Zero cells are simply absent (probe with coalesce 0).
+    """
+    t = stream.select(F.col(term_col).alias("_t")).withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    return (
+        t.select(
+            "row", _cm_bucket(F.col("_t"), F.col("row"), width, portable).alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 512,
+    portable: bool = False,
+) -> DataFrame:
+    """Point-estimate frequencies for a set of query terms.
+
+    Returns ``(term_col, cm_est)`` with ``cm_est = min over d probes``
+    of the sketch cell (0 when a cell is empty — a term never seen
+    estimates 0 only if ALL its d cells are empty, preserving the
+    one-sided bound). The sketch is depth·width rows by construction and
+    is broadcast; the join never shuffles the query side.
+    """
+    probes = (
+        terms.select(term_col)
+        .withColumn("row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .withColumn(
+            "bucket", _cm_bucket(F.col(term_col), F.col("row"), width, portable)
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_est"))
+    )

@@ -943,3 +943,61 @@ def bigram_surprisal(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("_s"), 6).alias("mean_surprisal"),
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional phrase matching over an inverted token stream —
+    the IR primitive BM25 (bm25_scores) cannot express: "these words,
+    adjacent, in this order". Used for quote detection, benchmark-string
+    decontamination sharper than n-gram overlap, and boilerplate hunts.
+
+    Spark-first shape — anchor alignment, not a join chain: the phrase
+    table (phrase, offset, term) BROADCASTS against the posexploded
+    token stream; every (token ⋈ term) hit votes for anchor
+    ``pos − offset``, and an anchor with all ``len(phrase)`` DISTINCT
+    offsets present is a match. ONE broadcast join + ONE partial-
+    aggregated groupBy regardless of phrase length — a per-term
+    self-join chain would shuffle the posting lists len(phrase)−1 times
+    and hot terms would skew every hop; here hot terms ride the
+    broadcast side and the groupBy key (doc, anchor) is uniform.
+    Repeated terms inside a phrase are handled by the DISTINCT-offset
+    count ("table table" needs offsets {0,1}, which one token position
+    cannot supply alone).
+
+    Returns ``(id_col, phrase, pos)`` — one row per occurrence, pos =
+    0-based word index of the phrase start.
+    """
+    from pdf_parser_spark.operators.dedup import words_col
+
+    spark = docs.sparkSession
+    rows = [
+        (p, off, term, len(p.split()))
+        for p in phrases
+        for off, term in enumerate(p.split())
+    ]
+    pt = spark.createDataFrame(
+        rows, "phrase string, off int, term string, plen int"
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    return (
+        toks.join(F.broadcast(pt), "term")
+        .select(
+            id_col,
+            "phrase",
+            "plen",
+            (F.col("pos") - F.col("off")).alias("anchor"),
+            "off",
+        )
+        .groupBy(id_col, "phrase", "plen", "anchor")
+        .agg(F.countDistinct("off").alias("_noff"))
+        .where((F.col("_noff") == F.col("plen")) & (F.col("anchor") >= 0))
+        .select(id_col, "phrase", F.col("anchor").cast("long").alias("pos"))
+    )

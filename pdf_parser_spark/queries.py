@@ -6601,6 +6601,190 @@ FROM marked GROUP BY doc_id, host
 """
 
 
+def q_cm_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch word frequencies (operators/sketches.py): build a
+    4×32 sketch over the full token stream (ONE map-side-combined
+    groupBy bounded at depth·width rows), then probe it for the top-30
+    exact words and report estimate vs truth. The one-sided guarantee
+    (cm_est ≥ exact, always) is live in the checked values: with 32
+    buckets over this vocabulary, 3 of the top 30 words carry non-zero
+    overcount. The oracle replays hashing, cells, and min-probes
+    bit-for-bit via the portable md5 fold. At 100 TB the sketch is the
+    same 2,048 cells; only the one partial-aggregated build shuffle
+    scales with the corpus."""
+    from pdf_parser_spark.operators import sketches
+    from pdf_parser_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    sketch = sketches.cm_build(
+        toks, term_col="word", depth=4, width=32, portable=True
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(30)
+    )
+    est = sketches.cm_estimate(
+        sketch, top, term_col="word", depth=4, width=32, portable=True
+    )
+    return top.join(est, "word").select(
+        "word",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+def sql_cm_word_freq() -> str:
+    return f"""
+WITH toks AS (
+  SELECT word FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+  WHERE word <> ''
+), rows AS (SELECT unnest(range(4)) AS row),
+sketch AS (
+  SELECT row,
+         ('0x' || substr(md5(word || '#' || CAST(row AS VARCHAR)), 1, 15))::BIGINT
+           % 32 AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN rows GROUP BY 1, 2
+), top AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 30
+), probes AS (
+  SELECT word, row,
+         ('0x' || substr(md5(word || '#' || CAST(row AS VARCHAR)), 1, 15))::BIGINT
+           % 32 AS bucket
+  FROM top CROSS JOIN rows
+), est AS (
+  SELECT word, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cm_est
+  FROM probes LEFT JOIN sketch USING (row, bucket) GROUP BY word
+)
+SELECT t.word, t.exact_cnt, e.cm_est,
+       CAST(e.cm_est - t.exact_cnt AS BIGINT) AS overcount
+FROM top t JOIN est e USING (word)
+"""
+
+
+def _tri_edges(d: DataFrame) -> DataFrame:
+    """Deterministic dense host multigraph for triangle counting: TWO
+    quadratic edge families per doc (242 distinct undirected edges over
+    25 hosts → 1,336 triangles, 7 distinct per-vertex counts at sf0.01
+    — enough value diversity that a wedge-ordering bug cannot pass).
+    Directed duplicates, reverse duplicates and self-loops are all
+    present in the raw stream, so canonicalization is exercised."""
+    did = F.col("doc_id").cast("long")
+    fam1 = d.select(
+        F.concat(F.lit("site"), (did % 20).cast("string")).alias("src"),
+        F.concat(F.lit("site"), ((did * did + 3) % 25).cast("string")).alias("dst"),
+    )
+    fam2 = d.select(
+        F.concat(F.lit("site"), ((did * did) % 22).cast("string")).alias("src"),
+        F.concat(F.lit("site"), ((did * 7 + 5) % 25).cast("string")).alias("dst"),
+    )
+    return fam1.union(fam2)
+
+
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts (operators/graph.triangle_counts) over a
+    synthetic link graph with raw self-loops/duplicates — the
+    local-clustering signal for link-spam triage. Degree-ordered
+    orientation bounds the heaviest wedge task at O(sqrt(m)) out-degree
+    (Suri–Vassilvitskii); the oracle replays canonicalization,
+    orientation, wedge generation and closure relationally."""
+    from pdf_parser_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return graph.triangle_counts(_tri_edges(d))
+
+
+def sql_host_triangles() -> str:
+    return """
+WITH raw AS (
+  SELECT 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+         'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                        % 25 AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT))
+                        % 22 AS VARCHAR) AS src,
+         'site' || CAST((CAST(doc_id AS BIGINT) * 7 + 5) % 25 AS VARCHAR) AS dst
+  FROM documents
+), e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+), deg AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+), o AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dw
+  FROM (SELECT e.a, e.b, d1.deg AS da, d2.deg AS db
+        FROM e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v)
+), tri AS (
+  SELECT o1.u, o1.w AS x, o2.w AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  AND (o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w))
+  JOIN o o3 ON o3.u = o1.w AND o3.w = o2.w
+)
+SELECT v, CAST(count(*) AS BIGINT) AS triangles
+FROM (SELECT u AS v FROM tri UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri)
+GROUP BY v
+"""
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution (TPC-H Q13 shape): how many customers
+    placed exactly k qualifying orders, INCLUDING the zero bucket. The
+    load-bearing detail is the predicate's position — it lives in the
+    LEFT JOIN condition, not a WHERE (a WHERE would silently drop the
+    never-ordered customers that Q13 exists to count). Two aggregations:
+    per-customer count (shuffle on custkey, map-side combined), then the
+    tiny distribution rollup. At 100 TB AQE picks the join strategy;
+    neither side needs a driver action."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+def sql_customer_order_counts() -> str:
+    return """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6776,6 +6960,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_int8_codes": q_embedding_int8_codes,
     "jsonl_ingest_triage": q_jsonl_ingest_triage,
     "fuzzy_vocab_match": q_fuzzy_vocab_match,
+    "cm_word_freq": q_cm_word_freq,
+    "host_triangles": q_host_triangles,
+    "customer_order_counts": q_customer_order_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -6919,4 +7106,7 @@ ORACLES: dict[str, str] = {
     "embedding_int8_codes": sql_embedding_int8_codes(),
     "jsonl_ingest_triage": sql_jsonl_ingest_triage(),
     "fuzzy_vocab_match": sql_fuzzy_vocab_match(),
+    "cm_word_freq": sql_cm_word_freq(),
+    "host_triangles": sql_host_triangles(),
+    "customer_order_counts": sql_customer_order_counts(),
 }

@@ -153,3 +153,66 @@ def test_hits_checkpoint_every_matches_plain(spark):
     for v in plain:
         assert plain[v][0] == pytest.approx(ckpt[v][0], abs=1e-12)
         assert plain[v][1] == pytest.approx(ckpt[v][1], abs=1e-12)
+
+
+# -- triangle_counts ---------------------------------------------------------
+
+from pdf_parser_spark.operators.graph import triangle_counts
+
+
+def _tris(df):
+    return {r.v: r.triangles for r in df.collect()}
+
+
+def test_triangles_k4_every_vertex_in_three(spark):
+    import itertools
+
+    edges = list(itertools.combinations("abcd", 2))
+    e = spark.createDataFrame(edges, "src string, dst string")
+    assert _tris(triangle_counts(e)) == {v: 3 for v in "abcd"}
+
+
+def test_triangles_path_has_none(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    assert _tris(triangle_counts(e)) == {}
+
+
+def test_triangles_noise_canonicalized(spark):
+    # self-loops, multi-edges and reverse duplicates must collapse to the
+    # simple graph: exactly ONE triangle {a,b,c}, counted once per vertex.
+    e = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("b", "a"),
+            ("a", "b"),
+            ("b", "c"),
+            ("c", "a"),
+            ("a", "a"),
+            ("c", "c"),
+        ],
+        "src string, dst string",
+    )
+    assert _tris(triangle_counts(e)) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_hub_star_counts_only_closed_wedges(spark):
+    # hub h connects to x1..x5; only (x1, x2) closes. The degree-ordered
+    # orientation points every spoke INTO the hub (hub has max degree), so
+    # the hub apexes zero wedges — the skew defense — yet the one true
+    # triangle is still found at apex x1/x2.
+    spokes = [(f"x{i}", "h") for i in range(1, 6)]
+    e = spark.createDataFrame(
+        spokes + [("x1", "x2")], "src string, dst string"
+    )
+    assert _tris(triangle_counts(e)) == {"h": 1, "x1": 1, "x2": 1}
+
+
+def test_triangles_two_overlapping(spark):
+    # {a,b,c} and {b,c,d} share edge (b,c): b and c are in 2 each.
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    assert _tris(triangle_counts(e)) == {"a": 1, "b": 2, "c": 2, "d": 1}

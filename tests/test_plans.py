@@ -452,3 +452,28 @@ def test_multimodal_curate_broadcast_dedup_no_cartesian(spark):
     # the collision-sized dup set broadcasts into the anti-join against
     # the span stream — the stream never shuffles on media_ref
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_host_triangles_all_equi_joins(spark):
+    # degree-ordered triangle counting: three equi-joins (apex self-join +
+    # pair closure), never a cartesian/nested-loop expansion
+    plan = _spark_plan(QUERIES["host_triangles"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cm_sketch_probe_broadcasts(spark):
+    # the sketch is depth*width rows by construction -> the probe join
+    # must broadcast it, and the build groupBy partial-aggregates map-side
+    plan = _spark_plan(QUERIES["cm_word_freq"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_customer_order_counts_partial_agg_no_cartesian(spark):
+    # Q13 shape: outer join with the predicate INSIDE the join condition,
+    # then two aggregations — the per-custkey count partial-aggregates
+    plan = _spark_plan(QUERIES["customer_order_counts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

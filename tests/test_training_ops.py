@@ -1004,3 +1004,49 @@ def test_quantize_embeddings_int8_exact_semantics(spark):
     # the max input lands exactly on the top edge and must clip, not wrap
     assert got[2][0][1] == 255
     assert got[3][0] == [0, 0, 0, 0] and got[3][2] == 0.0
+
+
+# -- count-min sketch --------------------------------------------------------
+
+
+def test_cm_sketch_one_sided_bound(spark):
+    """est >= exact for EVERY term, in both hash variants — the defining
+    Count-Min guarantee (cells only ever overcount)."""
+    from pdf_parser_spark.operators import sketches
+
+    words = (["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 5 + ["delta"])
+    stream = spark.createDataFrame([(w,) for w in words], "term string")
+    exact = {w: words.count(w) for w in set(words)}
+    terms = spark.createDataFrame([(w,) for w in exact], "term string")
+    for portable in (False, True):
+        # width 4 forces collisions so the bound is tested, not vacuous
+        sk = sketches.cm_build(stream, depth=3, width=4, portable=portable)
+        assert sk.count() <= 3 * 4
+        est = {
+            r.term: r.cm_est
+            for r in sketches.cm_estimate(
+                sk, terms, depth=3, width=4, portable=portable
+            ).collect()
+        }
+        for w, c in exact.items():
+            assert est[w] >= c, (portable, w)
+
+
+def test_cm_sketch_wide_is_exact_and_unseen_is_zero(spark):
+    """With width >> vocabulary, no collisions: estimates recover exact
+    counts and a never-seen term probes empty cells -> 0."""
+    from pdf_parser_spark.operators import sketches
+
+    words = ["a"] * 4 + ["b"] * 2 + ["c"]
+    stream = spark.createDataFrame([(w,) for w in words], "term string")
+    sk = sketches.cm_build(stream, depth=4, width=4096, portable=True)
+    terms = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zzz-never",)], "term string"
+    )
+    est = {
+        r.term: r.cm_est
+        for r in sketches.cm_estimate(
+            sk, terms, depth=4, width=4096, portable=True
+        ).collect()
+    }
+    assert est == {"a": 4, "b": 2, "c": 1, "zzz-never": 0}
