@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "cm_word_freq",
     "host_triangles",
     "customer_order_counts",
+    "pps_sample_docs",
+    "phrase_hits",
+    "points_near_sites",
 ]
 
 

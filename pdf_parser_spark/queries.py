@@ -6785,6 +6785,137 @@ GROUP BY c_count
 """
 
 
+def q_pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (curation.pps_systematic_sample): keep
+    docs proportional to n_chars (step 3000) per source stratum — the
+    RNG-free length-weighted downsample a curation job runs before
+    packing. All int64 arithmetic (cumsum + DIV), so the oracle replays
+    the grid exactly; one stratum-key shuffle serves the one window."""
+    from pdf_parser_spark.operators.curation import pps_systematic_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return pps_systematic_sample(
+        d, weight_col="n_chars", step=3000, stratum_col="source"
+    )
+
+
+def sql_pps_sample_docs() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         sum(CAST(n_chars AS BIGINT))
+           OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM c WHERE cum // 3000 > (cum - n_chars) // 3000
+"""
+
+
+_PHRASES = [
+    "table table",
+    "value table part",
+    "big query",
+    "scan slow",
+    "stream window stream",
+]
+
+
+def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (textqc.phrase_search): exact adjacent-
+    word matching via anchor alignment — the phrase table broadcasts
+    against the posexploded token stream, every term hit votes for
+    anchor pos−offset, and anchors with all DISTINCT offsets present are
+    occurrences. ONE broadcast join + ONE groupBy at any phrase length
+    (a join chain would shuffle posting lists per term and skew on hot
+    words). The repeated-term phrases in the set ("table table",
+    "stream window stream") make the distinct-offset rule load-bearing
+    in the checked values."""
+    from pdf_parser_spark.operators.textqc import phrase_search
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return phrase_search(d, _PHRASES)
+
+
+def sql_phrase_hits() -> str:
+    vals = ",\n    ".join(
+        f"('{p}', {off}, '{term}', {len(p.split())})"
+        for p in _PHRASES
+        for off, term in enumerate(p.split())
+    )
+    return f"""
+WITH pt AS (
+  SELECT * FROM (VALUES
+    {vals}) AS t(phrase, off, term, plen)
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, term FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(w) AS term,
+           generate_subscripts(w, 1) AS i
+    FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+  ) WHERE term <> ''
+)
+SELECT doc_id, phrase, CAST(pos - off AS BIGINT) AS pos
+FROM toks JOIN pt USING (term)
+GROUP BY doc_id, phrase, plen, pos - off
+HAVING count(DISTINCT off) = plen AND pos - off >= 0
+"""
+
+
+def q_points_near_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D radius join (rangejoin.grid_proximity_join): deterministic
+    planar points (one per doc) against 20 sites, radius 60 on a
+    1000×1000 grid — the geo-dedup / store-matching shape. Candidates
+    come from a 3×3 grid-cell EQUI-join (exact int64 cell binning);
+    the oracle is a genuinely INDEPENDENT algorithm — DuckDB's brute
+    all-pairs inequality join — so a missed boundary cell or a wrong
+    neighborhood offset cannot agree with it."""
+    from pdf_parser_spark.operators.rangejoin import grid_proximity_join
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    points = d.select(
+        F.col("doc_id").alias("point_id"),
+        ((F.col("doc_id") * 37) % 1000).alias("x"),
+        ((F.col("doc_id") * 91) % 1000).alias("y"),
+    )
+    sites = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("site_id"),
+        ((F.col("doc_id") * 53 + 7) % 1000).alias("sx"),
+        ((F.col("doc_id") * 131 + 11) % 1000).alias("sy"),
+    )
+    return grid_proximity_join(points, sites, radius=60).select(
+        "point_id", "site_id", F.col("dist_sq").cast("long").alias("dist_sq")
+    )
+
+
+def sql_points_near_sites() -> str:
+    return """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS point_id,
+         CAST(doc_id AS BIGINT) * 37 % 1000 AS x,
+         CAST(doc_id AS BIGINT) * 91 % 1000 AS y
+  FROM documents
+), s AS (
+  SELECT CAST(doc_id AS BIGINT) AS site_id,
+         (CAST(doc_id AS BIGINT) * 53 + 7) % 1000 AS sx,
+         (CAST(doc_id AS BIGINT) * 131 + 11) % 1000 AS sy
+  FROM documents WHERE doc_id < 20
+)
+SELECT point_id, site_id,
+       CAST((x - sx) * (x - sx) + (y - sy) * (y - sy) AS BIGINT) AS dist_sq
+FROM p, s
+WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 3600
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6963,6 +7094,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cm_word_freq": q_cm_word_freq,
     "host_triangles": q_host_triangles,
     "customer_order_counts": q_customer_order_counts,
+    "pps_sample_docs": q_pps_sample_docs,
+    "phrase_hits": q_phrase_hits,
+    "points_near_sites": q_points_near_sites,
 }
 
 ORACLES: dict[str, str] = {
@@ -7109,4 +7243,7 @@ ORACLES: dict[str, str] = {
     "cm_word_freq": sql_cm_word_freq(),
     "host_triangles": sql_host_triangles(),
     "customer_order_counts": sql_customer_order_counts(),
+    "pps_sample_docs": sql_pps_sample_docs(),
+    "phrase_hits": sql_phrase_hits(),
+    "points_near_sites": sql_points_near_sites(),
 }

@@ -477,3 +477,28 @@ def test_customer_order_counts_partial_agg_no_cartesian(spark):
     plan = _spark_plan(QUERIES["customer_order_counts"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_phrase_hits_broadcast_anchor_join(spark):
+    # the phrase table broadcasts against the token stream — never a
+    # shuffled join on hot terms, never a per-term join chain
+    plan = _spark_plan(QUERIES["phrase_hits"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_points_near_sites_grid_equi_join(spark):
+    # candidates come from the 3x3 grid-cell EQUI-join, not a cross
+    # product with a distance filter
+    plan = _spark_plan(QUERIES["points_near_sites"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pps_sample_single_stratum_shuffle_no_join(spark):
+    # one hash exchange on the stratum key feeds the one cumsum window
+    plan = _spark_plan(QUERIES["pps_sample_docs"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan

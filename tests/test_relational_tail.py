@@ -608,3 +608,87 @@ def test_resample_interpolate_exact_values(spark):
         ("b", 10): 6.0,   # exact hit, same-second dup collapsed to max
         ("b", 20): 8.0,
     }
+
+
+# -- grid_proximity_join ------------------------------------------------------
+
+
+def test_grid_proximity_exact_boundary_and_neighbors(spark):
+    from pdf_parser_spark.operators.rangejoin import grid_proximity_join
+
+    points = spark.createDataFrame(
+        [(1, 0, 0), (2, 5, 0), (3, 6, 0), (4, 9, 9)],
+        "point_id int, x long, y long",
+    )
+    sites = spark.createDataFrame([(10, 0, 0)], "site_id int, sx long, sy long")
+    got = {
+        (r.point_id, r.site_id): r.dist_sq
+        for r in grid_proximity_join(points, sites, radius=5).collect()
+    }
+    # dist == radius is INCLUDED (<=); 6 > 5 and sqrt(162) > 5 are not
+    assert got == {(1, 10): 0, (2, 10): 25}
+
+
+def test_grid_proximity_negative_coords_floor_binning(spark):
+    from pdf_parser_spark.operators.rangejoin import grid_proximity_join
+
+    # (-1,-1) bins to cell (-1,-1) only under TRUE floor division;
+    # truncate-toward-zero would bin it with (1,1) and a naive offset
+    # could still pair them, so assert both membership AND distance
+    points = spark.createDataFrame([(1, -1, -1)], "point_id int, x long, y long")
+    sites = spark.createDataFrame(
+        [(10, 1, 1), (11, -30, -30)], "site_id int, sx long, sy long"
+    )
+    rows = grid_proximity_join(points, sites, radius=5).collect()
+    assert {(r.point_id, r.site_id, r.dist_sq) for r in rows} == {(1, 10, 8)}
+
+
+# -- pps_systematic_sample ----------------------------------------------------
+
+
+def test_pps_systematic_exact_grid_selection(spark):
+    from pdf_parser_spark.operators.curation import pps_systematic_sample
+
+    # cum: a=3, b=7, c=9, d=19, e=20; grid multiples of 5 -> rows whose
+    # (prev, cum] interval covers 5, 10, 15, or 20
+    rows = [("a", 3), ("b", 4), ("c", 2), ("d", 10), ("e", 1)]
+    df = spark.createDataFrame(rows, "doc_id string, w long")
+    got = sorted(
+        r.doc_id
+        for r in pps_systematic_sample(
+            df, weight_col="w", step=5, order_col="doc_id"
+        ).collect()
+    )
+    # b covers 5; d covers 10 AND 15 (w >= step -> certainty, selected once);
+    # e covers 20; a and c cover no grid point
+    assert got == ["b", "d", "e"]
+
+
+def test_pps_systematic_zero_weight_never_selected(spark):
+    from pdf_parser_spark.operators.curation import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [("a", 5), ("z", 0), ("b", 5)], "doc_id string, w long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in pps_systematic_sample(
+            df, weight_col="w", step=5, order_col="doc_id"
+        ).collect()
+    )
+    assert got == ["a", "b"]
+
+
+def test_pps_systematic_stratified_grids_are_independent(spark):
+    from pdf_parser_spark.operators.curation import pps_systematic_sample
+
+    rows = [("s1", "a", 4), ("s1", "b", 4), ("s2", "c", 4), ("s2", "d", 4)]
+    df = spark.createDataFrame(rows, "src string, doc_id string, w long")
+    got = sorted(
+        r.doc_id
+        for r in pps_systematic_sample(
+            df, weight_col="w", step=5, stratum_col="src", order_col="doc_id"
+        ).collect()
+    )
+    # each stratum's cumsum restarts: b covers 5 in s1, d covers 5 in s2
+    assert got == ["b", "d"]

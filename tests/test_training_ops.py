@@ -1050,3 +1050,52 @@ def test_cm_sketch_wide_is_exact_and_unseen_is_zero(spark):
         ).collect()
     }
     assert est == {"a": 4, "b": 2, "c": 1, "zzz-never": 0}
+
+
+# -- phrase_search -------------------------------------------------------------
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    from pdf_parser_spark.operators.textqc import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat cat cat"),
+            (3, "no felines here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.phrase, r.pos)
+        for r in phrase_search(docs, ["the cat", "cat cat"]).collect()
+    }
+    assert got == {
+        (1, "the cat", 0),
+        (1, "the cat", 4),
+        (2, "cat cat", 0),  # overlapping occurrences both reported
+        (2, "cat cat", 1),
+    }
+
+
+def test_phrase_search_repeated_term_needs_distinct_offsets(spark):
+    from pdf_parser_spark.operators.textqc import phrase_search
+
+    # a single "cat" position votes for BOTH offsets of "cat cat" at two
+    # anchors, but never for two distinct offsets at ONE anchor
+    docs = spark.createDataFrame([(1, "one cat only")], "doc_id long, text string")
+    assert phrase_search(docs, ["cat cat"]).collect() == []
+
+
+def test_phrase_search_anchor_guard_and_normalization(spark):
+    from pdf_parser_spark.operators.textqc import phrase_search
+
+    # "sat" at pos 0 with offset 1 would be anchor -1 -> guarded out;
+    # tokenization lowercases and collapses whitespace like words_col
+    docs = spark.createDataFrame(
+        [(1, "sat the  CAT   sat")], "doc_id long, text string"
+    )
+    got = {
+        (r.phrase, r.pos) for r in phrase_search(docs, ["cat sat"]).collect()
+    }
+    assert got == {("cat sat", 2)}
