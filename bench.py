@@ -143,6 +143,12 @@ BENCH_QUERIES = [
     "pps_sample_docs",
     "phrase_hits",
     "points_near_sites",
+    "min_cost_supplier",
+    "priority_return_orders",
+    "large_quantity_orders",
+    "blame_suppliers",
+    "idle_rich_customers",
+    "activity_islands",
 ]
 
 

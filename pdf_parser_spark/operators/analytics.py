@@ -218,3 +218,34 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, avg_len)"
     )
+
+
+def activity_islands(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    (the classic streak/churn primitive — "active 7 days in a row").
+    Tabibitosan method: within a user, day − row_number(day) is constant
+    exactly over a consecutive run, so one distinct + one window + one
+    groupBy finds every island — no self-join on day+1 (which would
+    shuffle the activity table once per step of the longest streak).
+
+    Shape at 100 TB: the distinct and the window share the user-key
+    hash partitioning (one Exchange, AQE coalesces); the island key is
+    int arithmetic on days-since-epoch, so the grouping is exact — no
+    timestamp/float boundary can split or merge a run."""
+    days = events.select(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    w = Window.partitionBy(user_col).orderBy("day")
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    islands = days.withColumn(
+        "_k", epoch_day - F.row_number().over(w)
+    )
+    return islands.groupBy(user_col, "_k").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").cast("long").alias("n_days"),
+    ).drop("_k")

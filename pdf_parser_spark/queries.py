@@ -6917,6 +6917,299 @@ WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 3600
 
 
 # --------------------------------------------------------------------------
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape: correlated argmin
+    subquery). Per-(part, supplier) min unit cost folds map-side in one
+    partial agg; the per-part argmin is row_number-over-window + rn=1,
+    which plans as WindowGroupLimit — each map task keeps its local best
+    BEFORE the exchange, so the shuffle carries one candidate per
+    (task, part), not every supplier quote. Supplier and part dims
+    broadcast. min() over doubles is order-independent (unlike sum/avg),
+    so the oracle hash is exact without decimal gymnastics."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "cost"
+        ),
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("cost").alias("min_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("min_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = per.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        best.join(F.broadcast(part), best["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            F.round("min_cost", 6).alias("min_cost"),
+        )
+    )
+
+
+def sql_min_cost_supplier() -> str:
+    return """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice * (1.0 - l_discount)) AS min_cost
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey ORDER BY min_cost ASC, l_suppkey ASC) AS rn
+  FROM per
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, s_name,
+       round(min_cost, 6) AS min_cost
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+
+def q_priority_return_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (TPC-H Q4 shape: EXISTS → left-semi join).
+    Orders in a six-month window with at least one returned lineitem,
+    counted per priority. The EXISTS is a LEFT SEMI join — no distinct
+    needed on the lineitem side (semi join deduplicates by construction,
+    and never widens the orders row). The date predicate prunes the
+    orders scan BEFORE the join; the final rollup is five rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    sem = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_semi"
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+def sql_priority_return_orders() -> str:
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+_LARGE_ORDER_QTY = 190
+
+
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape: HAVING subquery → semi join
+    back to the fact). The per-order quantity rollup folds map-side; the
+    HAVING filter runs ON the aggregate (tiny) side, so the join back to
+    orders/customer moves only qualifying keys. l_quantity is integral,
+    so the double sum is exact and the threshold cannot flip on
+    accumulation order — the total is cast to BIGINT for the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > _LARGE_ORDER_QTY)
+        .select(
+            "l_orderkey", F.col("_q").cast("long").alias("total_qty")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(o, qty["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def sql_large_quantity_orders() -> str:
+    return f"""
+WITH qty AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_LARGE_ORDER_QTY}
+)
+SELECT c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM qty JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-blame suppliers (TPC-H Q21 shape: EXISTS + NOT EXISTS double
+    correlation). Suppliers with a returned lineitem in a multi-supplier
+    order where NO other supplier's item in that order was returned —
+    the "who alone caused the problem" audit. The EXISTS is a left-semi
+    with a non-key inequality riding the orderkey equi-join; the NOT
+    EXISTS is the same shape as a left-anti. Both join the (orderkey,
+    suppkey)-distinct projection, so the fact table is scanned once per
+    side and the shuffles carry deduplicated keys only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    any_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    multi = returned.alias("a").join(
+        any_supp.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole = multi.alias("a").join(
+        returned.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    per = sole.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("numwait")
+    )
+    return per.join(
+        F.broadcast(supp), per["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_name", "numwait")
+
+
+def sql_blame_suppliers() -> str:
+    return """
+WITH li AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE l_returnflag = 'R')
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM r a JOIN supplier ON a.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM li b
+              WHERE b.l_orderkey = a.l_orderkey
+                AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM r c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey)
+GROUP BY s_name
+"""
+
+
+_IDLE_CUTOFF = "2000-01-01"
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customers (TPC-H Q22 shape: global scalar
+    threshold + anti join). Customers whose balance beats the average
+    positive balance and who placed no order since the cutoff, rolled up
+    per nation. The global average is a 1-row aggregate broadcast back
+    (scalar subquery); the comparison is cross-multiplied in DECIMAL
+    (bal·n > Σbal) so it is EXACT — an avg-of-doubles threshold could
+    flip a boundary customer on accumulation order and break the oracle
+    hash. The no-recent-orders test is a left-anti on the date-pruned
+    orders projection."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    pos = c.filter(F.col("bal") > 0).agg(
+        F.count("*").alias("_n"), F.sum("bal").alias("_s")
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        F.col("bal") * F.col("_n") > F.col("_s")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_IDLE_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("numcust"),
+        # exact decimal sum, converted to double only at the output edge
+        F.sum("bal").cast("double").alias("totacctbal"),
+    ).select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "numcust",
+        "totacctbal",
+    )
+
+
+def sql_idle_rich_customers() -> str:
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+), p AS (
+  SELECT count(*) AS n, sum(bal) AS s FROM c WHERE bal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal) AS DOUBLE) AS totacctbal
+FROM c, p
+WHERE bal * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_IDLE_CUTOFF}')
+GROUP BY c_nationkey
+"""
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (analytics.activity_islands): maximal consecutive-
+    day activity runs per user via the tabibitosan constant
+    (day − row_number), one window pass — the streak/churn primitive. See
+    the operator docstring for the no-self-join scale argument."""
+    from pdf_parser_spark.operators.analytics import activity_islands
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts"
+    )
+    return activity_islands(e)
+
+
+def sql_activity_islands() -> str:
+    return """
+WITH d AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         CAST(ts AS DATE) AS day
+  FROM events
+), i AS (
+  SELECT user_id, day,
+         (day - DATE '1970-01-01')
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS k
+  FROM d
+)
+SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM i GROUP BY user_id, k
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -7024,6 +7317,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pps_sample_docs": q_pps_sample_docs,
     "phrase_hits": q_phrase_hits,
     "points_near_sites": q_points_near_sites,
+    "min_cost_supplier": q_min_cost_supplier,
+    "priority_return_orders": q_priority_return_orders,
+    "large_quantity_orders": q_large_quantity_orders,
+    "blame_suppliers": q_blame_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "activity_islands": q_activity_islands,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -7242,4 +7541,10 @@ ORACLES: dict[str, str] = {
     "pps_sample_docs": sql_pps_sample_docs(),
     "phrase_hits": sql_phrase_hits(),
     "points_near_sites": sql_points_near_sites(),
+    "min_cost_supplier": sql_min_cost_supplier(),
+    "priority_return_orders": sql_priority_return_orders(),
+    "large_quantity_orders": sql_large_quantity_orders(),
+    "blame_suppliers": sql_blame_suppliers(),
+    "idle_rich_customers": sql_idle_rich_customers(),
+    "activity_islands": sql_activity_islands(),
 }

@@ -502,3 +502,38 @@ def test_pps_sample_single_stratum_shuffle_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_min_cost_supplier_group_limit_and_broadcast_dims(spark):
+    """Q2-shape argmin: the rn=1 cut must run map-side (WindowGroupLimit
+    below the part-key Exchange) so each task ships one candidate per
+    part, and both dimension joins must broadcast — the quote aggregate
+    never shuffles against part/supplier."""
+    df = QUERIES["min_cost_supplier"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    ex = plan.find("Exchange")
+    assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # quote rollup map-side combines
+
+
+def test_blame_suppliers_no_cartesian_and_dedup_before_joins(spark):
+    """Q21-shape double correlation: the EXISTS/NOT-EXISTS sides must
+    plan as hash joins on the orderkey (inequality as a riding
+    condition), never a nested-loop/cartesian, and the fact projections
+    are deduplicated with partial aggregation before any join."""
+    df = QUERIES["blame_suppliers"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_activity_islands_two_exchanges_only(spark):
+    """Gaps-and-islands: one Exchange for the (user, day) distinct and
+    one for the user window — a day+1 self-join formulation would add a
+    join Exchange per streak step."""
+    df = QUERIES["activity_islands"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
