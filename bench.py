@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "blame_suppliers",
     "idle_rich_customers",
     "activity_islands",
+    "user_value_trend",
 ]
 
 

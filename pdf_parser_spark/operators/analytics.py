@@ -249,3 +249,48 @@ def activity_islands(
         F.max("day").alias("end_day"),
         F.count("*").cast("long").alias("n_days"),
     ).drop("_k")
+
+
+def group_ols(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit (slope + intercept) from
+    sufficient statistics — the scalable form of "fit a trend per user /
+    host / segment": ONE map-side-combined groupBy collects (n, Σx, Σx²,
+    Σy, Σxy) and the closed forms do the rest. No per-group iteration, no
+    driver-side model fitting, no UDF.
+
+    Exactness contract (what makes the oracle hash-stable): ``x_col``
+    must be int64 and ``y_col`` DECIMAL — then every sufficient statistic
+    accumulates EXACTLY (order-independent), and the one inexact step is
+    a single double division of two exactly-known operands, which IEEE
+    pins to the same bits in any engine. A float Σxy would hash-flip on
+    partial-aggregation order. Groups with a degenerate x spread
+    (den = 0) return NULL slope/intercept rather than a divide error."""
+    x, y = F.col(x_col), F.col(y_col)
+    agg = df.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast("decimal(20,0)") * y).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope_num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    icept_num = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double")
+    nz = F.when(den != 0.0, den)
+    return agg.select(
+        F.col(key_col),
+        "n",
+        (slope_num / nz).alias("slope"),
+        (icept_num / nz).alias("intercept"),
+    )

@@ -7209,6 +7209,55 @@ FROM i GROUP BY user_id, k
 """
 
 
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (analytics.group_ols): OLS slope/intercept of
+    event value over time from sufficient statistics — one map-side-
+    combined groupBy, closed-form fit, no iteration/UDF/driver model.
+    x = epoch day (int64), y = DECIMAL(10,2), so every Σ accumulates
+    exactly and the only inexact step is one IEEE double division — the
+    oracle replays it bit-for-bit (see the operator docstring)."""
+    from pdf_parser_spark.operators.analytics import group_ols
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.col("value").cast("decimal(10,2)").alias("y"),
+    )
+    fit = group_ols(e, "user_id", "x", "y")
+    return fit.select(
+        "user_id",
+        "n",
+        F.round("slope", 8).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )
+
+
+def sql_user_value_trend() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(value AS DECIMAL(10,2)) AS y
+  FROM events
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(20,0)) * y) AS sxy
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 8) AS slope,
+       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 4) AS intercept
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7323,6 +7372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blame_suppliers": q_blame_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
     "activity_islands": q_activity_islands,
+    "user_value_trend": q_user_value_trend,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -7547,4 +7597,5 @@ ORACLES: dict[str, str] = {
     "blame_suppliers": sql_blame_suppliers(),
     "idle_rich_customers": sql_idle_rich_customers(),
     "activity_islands": sql_activity_islands(),
+    "user_value_trend": sql_user_value_trend(),
 }

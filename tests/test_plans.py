@@ -537,3 +537,39 @@ def test_activity_islands_two_exchanges_only(spark):
     plan = _spark_plan(df)
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """100 TB evidence: a fact table laid out with partitionBy(key) must
+    be pruned AT RUNTIME by a selective dimension filter — the scan's
+    PartitionFilters carries a dynamicpruningexpression fed by the
+    broadcast, so only the dimension's surviving keys' directories are
+    read. A fact scan that reads all partitions for a 2-partition dim
+    filter would be the 100x-scale bug this pins against."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact_part")
+    (
+        spark.range(0, 2000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 10).cast("int").alias("pk"),
+            (F.col("id") * 3).alias("v"),
+        )
+        .write.partitionBy("pk")
+        .parquet(fact_path)
+    )
+    dim = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("d_pk"),
+        F.when(F.col("id") < 2, F.lit("hot")).otherwise("cold").alias("t"),
+    )
+    fact = spark.read.parquet(fact_path)
+    j = fact.join(
+        F.broadcast(dim.filter(F.col("t") == "hot")),
+        fact["pk"] == F.col("d_pk"),
+    ).groupBy("pk").agg(F.sum("v").alias("sv"))
+    plan = _spark_plan(j)
+    assert "dynamicpruningexpression" in plan
+    # and the pruning actually held: only the dim's 2 surviving keys
+    rows = j.collect()
+    assert sorted(r["pk"] for r in rows) == [0, 1]
