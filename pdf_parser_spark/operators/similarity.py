@@ -624,18 +624,21 @@ def pq_adc_topk(
         for j in range(m)
     ]
     # one nested literal + one aggregate over the subspaces keeps the
-    # scoring tree O(1) in m·k (same discipline as pq_encode)
+    # scoring tree O(1) in m·k (same discipline as pq_encode). The codes
+    # column is referenced ONCE, via zip_with — the previous form indexed
+    # `codes` m times inside the fold, and when the caller chains this
+    # directly on pq_encode's projection, projection collapse re-embeds
+    # the ENTIRE encode tree at every reference (m× blowup; measured
+    # 3.9 s → 1.0 s at sf0.1 for encode+score+topk).
     lut = F.lit([[int(v) for v in row] for row in table]).cast(
         "array<array<bigint>>"
     )
     adc = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0).cast("long"),
-        lambda s, j: s
-        + F.element_at(
-            F.element_at(lut, j.cast("int")),
-            F.element_at("codes", j.cast("int")) + 1,
+        F.zip_with(
+            F.col("codes"), lut, lambda c, row: F.element_at(row, c + 1)
         ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
     )
     return (
         encoded.select(F.col(id_col), adc.alias("adc_dist"))
