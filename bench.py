@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "idle_rich_customers",
     "activity_islands",
     "user_value_trend",
+    "packing_efficiency",
 ]
 
 

@@ -7258,6 +7258,49 @@ FROM agg
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over pack_sequences output (same budget/
+    token expression as the pack_sequences query): per (lang, bin) — doc
+    count, used tokens, and fill fraction vs the 2000-token budget. The
+    metric a training-data team watches to tune budget and packing order
+    (chronic under-fill = wasted accelerator steps; >1.0 = the straddling
+    doc that STARTS in the bin, pack_sequences' documented assignment).
+    One extra map-side-combined groupBy on top of the pack window —
+    reporting rides the existing shuffle keys."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = curation.pack_sequences(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"),
+        budget=2000,
+        token_col=textqc.token_count(F.col("text")),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("used_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(2000.0), 6).alias("fill_frac"),
+    )
+
+
+def sql_packing_efficiency() -> str:
+    tok = _TOK_SQL
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS BIGINT) AS bin
+  FROM t
+)
+SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS used_tokens,
+       round(sum(n_tokens) / 2000.0, 6) AS fill_frac
+FROM packed GROUP BY lang, bin
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7373,6 +7416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "activity_islands": q_activity_islands,
     "user_value_trend": q_user_value_trend,
+    "packing_efficiency": q_packing_efficiency,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -7598,4 +7642,5 @@ ORACLES: dict[str, str] = {
     "idle_rich_customers": sql_idle_rich_customers(),
     "activity_islands": sql_activity_islands(),
     "user_value_trend": sql_user_value_trend(),
+    "packing_efficiency": sql_packing_efficiency(),
 }

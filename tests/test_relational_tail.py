@@ -692,3 +692,30 @@ def test_pps_systematic_stratified_grids_are_independent(spark):
     )
     # each stratum's cumsum restarts: b covers 5 in s1, d covers 5 in s2
     assert got == ["b", "d"]
+
+
+def test_group_ols_matches_numpy_and_handles_degenerate_x(spark):
+    """group_ols closed forms equal numpy.polyfit per group; a group with
+    zero x-spread returns NULL slope/intercept instead of dividing by 0."""
+    import numpy as np
+
+    from pdf_parser_spark.operators.analytics import group_ols
+
+    rows = [
+        ("u1", 10, "1.50"), ("u1", 12, "2.75"), ("u1", 15, "4.10"),
+        ("u1", 20, "3.90"),
+        ("u2", 5, "100.00"), ("u2", 6, "90.25"),
+        ("flat", 7, "3.00"), ("flat", 7, "9.00"),  # degenerate x
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, x long, y string"
+    ).select("k", "x", F.col("y").cast("decimal(10,2)").alias("y"))
+    got = {r.k: r for r in group_ols(df, "k", "x", "y").collect()}
+    for key in ("u1", "u2"):
+        xs = np.array([x for k, x, _ in rows if k == key], dtype=float)
+        ys = np.array([float(y) for k, _, y in rows if k == key])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got[key].slope - slope) < 1e-9
+        assert abs(got[key].intercept - intercept) < 1e-9
+    assert got["flat"].slope is None and got["flat"].intercept is None
+    assert got["flat"].n == 2
