@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "activity_islands",
     "user_value_trend",
     "packing_efficiency",
+    "doc_length_outliers",
+    "sliding_chunks",
+    "word_entropy_stats",
 ]
 
 

@@ -294,3 +294,48 @@ def group_ols(
         (slope_num / nz).alias("slope"),
         (icept_num / nz).alias("intercept"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier flags via median/MAD — the Iglewicz–Hoaglin
+    modified z-score 0.6745·(x − median) / MAD with the standard 3.5 cut.
+    Mean/stddev outlier rules break on exactly the data you screen for
+    (one 100 MB crawl artifact drags the mean past itself); median and
+    median-absolute-deviation have a 50% breakdown point, so this is the
+    length/size screen a curation pipeline actually wants.
+
+    Shape at 100 TB: ONE Exchange on ``key_col`` serves both exact
+    medians — median as an unordered window aggregate over the group
+    partition, then MAD as a second window over the SAME partitioning
+    (Catalyst stacks the two Window nodes on one shuffle, no re-Exchange,
+    no self-join of the table against its own aggregate). Groups with
+    MAD = 0 (over half the group at the median) yield NULL z / non-outlier
+    rather than a divide blowup.
+    """
+    wk = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("double")
+    with_med = df.withColumn(
+        "_med", F.percentile(v, F.lit(0.5)).over(wk)
+    )
+    with_mad = with_med.withColumn(
+        "_mad",
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).over(wk),
+    )
+    z = F.when(
+        F.col("_mad") != 0.0,
+        F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"),
+    )
+    return with_mad.select(
+        *df.columns,
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > F.lit(z_cut), F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )

@@ -726,3 +726,54 @@ def pps_systematic_sample(
     hi = F.expr(f"_cum DIV {step}")
     lo = F.expr(f"(_cum - CAST(`{weight_col}` AS BIGINT)) DIV {step}")
     return docs.where(hi > lo).drop("_cum")
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping word-window chunker — the embedding-pipeline
+    splitter (size-``size`` windows every ``stride`` words, final window
+    truncated) as pure Catalyst: materialize the word array ONCE (HOF
+    lambdas re-evaluate embedded expressions per element), compute
+    n_chunks = 1 + ⌈max(len − size, 0) / stride⌉ in INTEGER ``div``
+    arithmetic (float ceil misbins at int64 extremes), explode a
+    0..n_chunks−1 sequence, and slice. Zero shuffles, whole-stage codegen
+    end to end — chunking 100 TB is scan-bound, exactly as it should be.
+
+    Contrast with ``functions.tokens.build_chunk_group`` (the reference's
+    ×0.95 backoff chunker, `_parser.py:656-716`): that one targets a token
+    budget; this one targets overlap for retrieval embeddings.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    from pdf_parser_spark.operators.dedup import words_col
+
+    staged = docs.select(
+        F.col(id_col),
+        words_col(F.col(text_col)).alias("_w"),
+    ).withColumn(
+        "_nc",
+        F.expr(
+            f"1 + ((greatest(size(_w) - {size}, 0) + {stride - 1})"
+            f" div {stride})"
+        ),
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+        "chunk_idx"
+    )
+    chunk = F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, size)
+    return (
+        staged.select(id_col, "_w", idx)
+        .withColumn("_c", chunk)
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_word"),
+            F.size("_c").cast("long").alias("n_words"),
+            F.md5(F.concat_ws(" ", F.col("_c"))).alias("chunk_digest"),
+        )
+    )

@@ -1001,3 +1001,55 @@ def phrase_search(
         .where((F.col("_noff") == F.col("plen")) & (F.col("anchor") >= 0))
         .select(id_col, "phrase", F.col("anchor").cast("long").alias("pos"))
     )
+
+
+def word_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy (base 2) of the word distribution —
+    the vocabulary-diversity signal web-curation stacks use to catch
+    keyword-stuffed / boilerplate / machine-generated pages that pass
+    simple length and punctuation gates (low entropy = few distinct
+    words carrying all the mass).
+
+    All-Catalyst, zero shuffle: sort the materialized word array, find
+    run boundaries with one ``filter`` over index positions, turn the
+    boundary positions into run lengths with an indexed ``transform``,
+    then fold −Σ p·log₂p with ``aggregate``. O(n log n) per doc in the
+    array sort — no explode + groupBy(doc, word) shuffle of the entire
+    token stream, which is what the naive plan costs at 100 TB. The
+    summation order is the sorted-run order, deterministic for the
+    oracle (DuckDB's ``entropy()`` aggregate is the independent twin).
+    """
+    from pdf_parser_spark.operators.dedup import words_col
+
+    staged = (
+        docs.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+        .withColumn("_sw", F.array_sort("_w"))
+        .withColumn(
+            "_bnd",
+            F.expr(
+                "filter(sequence(1, size(_sw)), i -> i = size(_sw)"
+                " OR element_at(_sw, i) <> element_at(_sw, i + 1))"
+            ),
+        )
+        .withColumn(
+            "_lens",
+            F.expr(
+                "transform(_bnd, (b, j) ->"
+                " b - if(j = 0, 0, element_at(_bnd, j)))"
+            ),
+        )
+    )
+    h = F.expr(
+        "aggregate(_lens, cast(0.0 as double), (acc, l) ->"
+        " acc - (l / size(_sw)) * log2(l / size(_sw)))"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_words"),
+        F.size("_bnd").cast("long").alias("n_distinct_words"),
+        h.alias("word_entropy"),
+    )

@@ -7301,6 +7301,131 @@ FROM packed GROUP BY lang, bin
 """
 
 
+def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length outliers (analytics.robust_outliers):
+    Iglewicz-Hoaglin modified z-score 0.6745*(x - median)/MAD with the
+    standard 3.5 cut over character counts. The screen that catches the
+    100 MB crawl artifact WITHOUT the artifact dragging the threshold
+    (mean/stddev rules break on exactly the rows being screened). One
+    Exchange on lang serves both exact-median window passes."""
+    from pdf_parser_spark.operators.analytics import robust_outliers
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return robust_outliers(d, "lang", "n_chars")
+
+
+def sql_doc_length_outliers() -> str:
+    # quantile_cont = Spark's exact `percentile` (type-7 interpolation),
+    # already proven bit-compatible by token_quantiles. NO rounding on
+    # med/mad/z — deliberately: over int64 inputs every intermediate
+    # (integer-or-quarter-grained medians, deviations, the one IEEE
+    # multiply-divide chain in identical operand order) is computed
+    # bit-identically by both engines, while round() is NOT portable here
+    # (0.6745*k/m lands exactly on .xxxxxx5 boundaries where Spark's
+    # BigDecimal HALF_UP and DuckDB's scaled-double round disagree —
+    # observed at sf0.1: -0.5227375 → -0.522738 vs -0.522737).
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, n_chars,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.5)
+           OVER (PARTITION BY lang) AS med
+  FROM d
+), mm AS (
+  SELECT *, quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5)
+              OVER (PARTITION BY lang) AS mad
+  FROM m
+)
+SELECT doc_id, lang, n_chars, med, mad,
+       CASE WHEN mad <> 0.0
+            THEN 0.6745 * (CAST(n_chars AS DOUBLE) - med) / mad END
+         AS robust_z,
+       coalesce(CASE WHEN mad <> 0.0
+                THEN abs(0.6745 * (CAST(n_chars AS DOUBLE) - med) / mad)
+                       > 3.5 END, FALSE) AS is_outlier
+FROM mm
+"""
+
+
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunker (curation.sliding_chunks): 64-word
+    windows every 32 words, final window truncated — the retrieval-
+    embedding splitter. Zero shuffles, whole-stage codegen; integer div
+    arithmetic for the chunk count so no float ceil can misbin. Digest =
+    md5 of the space-joined slice value-checks the exact window content."""
+    from pdf_parser_spark.operators.curation import sliding_chunks
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return sliding_chunks(d, size=64, stride=32)
+
+
+def sql_sliding_chunks() -> str:
+    words = _WORDS_SQL
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS w FROM documents
+), n AS (
+  SELECT doc_id, w,
+         1 + ((greatest(len(w) - 64, 0) + 31) // 32) AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 32 AS BIGINT) AS start_word,
+       CAST(len(w[i * 32 + 1 : i * 32 + 64]) AS BIGINT) AS n_words,
+       md5(array_to_string(w[i * 32 + 1 : i * 32 + 64], ' '))
+         AS chunk_digest
+FROM e
+"""
+
+
+def q_word_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (textqc.word_entropy):
+    the vocabulary-diversity gate that catches keyword-stuffed and
+    boilerplate pages passing simple length screens. Zero shuffle — sorted
+    word-array run-length fold per doc, no explode+groupBy of the token
+    stream. Oracle is DuckDB's INDEPENDENT entropy() aggregate (base 2),
+    agreeing to 6 decimals."""
+    from pdf_parser_spark.operators.textqc import word_entropy
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    we = word_entropy(d)
+    return we.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round("word_entropy", 6).alias("word_entropy"),
+    )
+
+
+def sql_word_entropy_stats() -> str:
+    words = _WORDS_SQL
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({words}) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words,
+       round(entropy(w), 6) AS word_entropy
+FROM t GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7417,6 +7542,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "activity_islands": q_activity_islands,
     "user_value_trend": q_user_value_trend,
     "packing_efficiency": q_packing_efficiency,
+    "doc_length_outliers": q_doc_length_outliers,
+    "sliding_chunks": q_sliding_chunks,
+    "word_entropy_stats": q_word_entropy_stats,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -7643,4 +7771,7 @@ ORACLES: dict[str, str] = {
     "activity_islands": sql_activity_islands(),
     "user_value_trend": sql_user_value_trend(),
     "packing_efficiency": sql_packing_efficiency(),
+    "doc_length_outliers": sql_doc_length_outliers(),
+    "sliding_chunks": sql_sliding_chunks(),
+    "word_entropy_stats": sql_word_entropy_stats(),
 }

@@ -478,3 +478,39 @@ def test_dsir_scores_match_pure_python_replay(spark):
         assert got[did][1] == pytest.approx(want[did][1], abs=2e-6)
     # target-likeness orders as expected: exact target copy > random text
     assert got["r1"][1] > got["r2"][1]
+
+
+def test_sliding_chunks_windows_and_digests(spark):
+    import hashlib
+
+    from pdf_parser_spark.operators.curation import sliding_chunks
+
+    words = [f"w{i}" for i in range(70)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_word, r.n_words, r.chunk_digest)
+        for r in sliding_chunks(df, size=64, stride=32).collect()
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # 70 words -> nc = 1 + ceil(6/32) = 2; final window truncated to 38
+    assert got == [
+        (1, 0, 0, 64, md5(" ".join(words[:64]))),
+        (1, 1, 32, 38, md5(" ".join(words[32:]))),
+        (2, 0, 0, 3, md5("only three words")),
+        # empty text: split yields [''] -> one 1-word chunk of ""
+        (3, 0, 0, 1, md5("")),
+    ]
+
+
+def test_sliding_chunks_exact_multiple_has_no_phantom_window(spark):
+    from pdf_parser_spark.operators.curation import sliding_chunks
+
+    # len == size -> exactly one chunk (greatest(len-size,0)=0)
+    df = spark.createDataFrame(
+        [(1, " ".join(["x"] * 64))], "doc_id long, text string"
+    )
+    rows = sliding_chunks(df, size=64, stride=32).collect()
+    assert len(rows) == 1 and rows[0].n_words == 64

@@ -573,3 +573,32 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # and the pruning actually held: only the dim's 2 surviving keys
     rows = j.collect()
     assert sorted(r["pk"] for r in rows) == [0, 1]
+
+
+def test_robust_outliers_two_windows_share_one_exchange(spark):
+    """Both exact-median window passes (median, then MAD over the same
+    partitioning) must ride ONE hash Exchange on the group key — a second
+    shuffle or a self-join of the table against its own aggregate would
+    double the movement of the full corpus at 100 TB."""
+    df = QUERIES["doc_length_outliers"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 2  # stacked, not re-shuffled
+
+
+def test_sliding_chunks_zero_shuffle(spark):
+    """Chunking is embarrassingly parallel — any Exchange here is a bug."""
+    df = QUERIES["sliding_chunks"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_word_entropy_zero_shuffle(spark):
+    """Entropy folds per-doc over the sorted word array — no explode +
+    groupBy(doc, word) shuffle of the whole token stream."""
+    df = QUERIES["word_entropy_stats"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode of the token stream

@@ -719,3 +719,24 @@ def test_group_ols_matches_numpy_and_handles_degenerate_x(spark):
         assert abs(got[key].intercept - intercept) < 1e-9
     assert got["flat"].slope is None and got["flat"].intercept is None
     assert got["flat"].n == 2
+
+
+def test_robust_outliers_median_mad_and_zero_mad_guard(spark):
+    from pdf_parser_spark.operators.analytics import robust_outliers
+
+    rows = [("g", v) for v in (1, 2, 3, 4, 100)] + [
+        ("z", v) for v in (5, 5, 5, 9)  # MAD = 0 (even-count median of devs)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {(r.k, r.v): r for r in robust_outliers(df, "k", "v").collect()}
+    # g: median 3, deviations sorted [0,1,1,2,97] -> MAD 1
+    assert got[("g", 100)].med == 3.0 and got[("g", 100)].mad == 1.0
+    assert abs(got[("g", 100)].robust_z - 0.6745 * 97) < 1e-9
+    assert got[("g", 100)].is_outlier is True
+    assert got[("g", 1)].is_outlier is False
+    assert abs(got[("g", 1)].robust_z - (-0.6745 * 2)) < 1e-9
+    # z: MAD = 0 -> NULL z, never an outlier (no divide blowup)
+    for v in (5, 9):
+        assert got[("z", v)].mad == 0.0
+        assert got[("z", v)].robust_z is None
+        assert got[("z", v)].is_outlier is False

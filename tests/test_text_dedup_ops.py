@@ -673,3 +673,26 @@ def test_fuzzy_string_join_plan_is_hash_join(spark):
     right = spark.createDataFrame([("abd",)], "b string")
     plan = fuzzy_string_join(left, right)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_word_entropy_known_distributions(spark):
+    import math
+
+    from pdf_parser_spark.operators.textqc import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b b"),          # H = 1
+            (2, "a b c d"),          # H = 2
+            (3, "a a a a"),          # H = 0
+            (4, "A  a b"),           # normalization: [a, a, b]
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in word_entropy(df).collect()}
+    assert got[1].word_entropy == 1.0 and got[1].n_distinct_words == 2
+    assert got[2].word_entropy == 2.0 and got[2].n_words == 4
+    assert got[3].word_entropy == 0.0 and got[3].n_distinct_words == 1
+    expect = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(got[4].word_entropy - expect) < 1e-12
+    assert got[4].n_words == 3 and got[4].n_distinct_words == 2
