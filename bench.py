@@ -154,6 +154,13 @@ BENCH_QUERIES = [
     "doc_length_outliers",
     "sliding_chunks",
     "word_entropy_stats",
+    "regional_local_revenue",
+    "nation_market_share",
+    "returned_revenue_topk",
+    "priority_line_counts",
+    "promo_revenue_ratio",
+    "supplier_part_counts",
+    "brand_quantity_revenue",
 ]
 
 

@@ -7426,6 +7426,338 @@ FROM t GROUP BY doc_id
 """
 
 
+# -- TPC-H shape battery, session 5: the join/agg shapes Q5/Q8/Q10/Q12/
+# Q14/Q16/Q19 exercise distinct optimizer behaviors (join-graph cycle,
+# conditional-sum ratio, top-k over a star join, CASE counts, OR-of-ANDs
+# pushdown, count-distinct + anti-join). Exactness convention for all of
+# them: money sums accumulate in DECIMAL (order-independent, exact), cast
+# to DOUBLE only at the output edge, and NEVER round — the exact decimal
+# structure makes .xx50 round-2 boundaries COMMON, which is precisely
+# where Spark's and DuckDB's round() implementations split (see
+# sql_doc_length_outliers). Identical exact inputs + identical IEEE ops
+# = bit-identical unrounded doubles.
+
+
+def _money(col: str):
+    """Exact 2-decimal money: the parquet doubles carry 2-decimal values."""
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount), exact in DECIMAL."""
+    one = F.lit(1).cast("decimal(3,2)")
+    return _money("l_extendedprice") * (
+        one - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def q_regional_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the join-graph CYCLE: customer→orders→lineitem→
+    supplier, closed by c_nationkey = s_nationkey (local suppliers only),
+    region-filtered. The shape that tests join ORDERING: region/nation/
+    supplier broadcast; the cycle edge rides the lineitem-side join as an
+    equality filter, never a second shuffle of the fact."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _disc_price().alias("vol")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+    )
+
+
+def sql_regional_local_revenue() -> str:
+    return f"""
+SELECT n_name, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — conditional-sum RATIO per group: of all revenue
+    delivered into AMERICA-region customers over two years, the share
+    supplied by NATION_1, by order year. Numerator and denominator fold in
+    the SAME map-side partial aggregate (one pass, one shuffle) — never two
+    scans joined back. Exact DECIMAL sums; one IEEE division at the edge."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _disc_price().alias("vol")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("vol")))
+            .cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+def sql_nation_market_share() -> str:
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                THEN {_DISC_PRICE_SQL} END) AS DOUBLE)
+         / CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-k over a star join: the 20 customers losing
+    the most revenue to returns in one quarter. The LIMIT must compile to
+    TakeOrderedAndProject (per-partition top-20, merge on the driver) — a
+    global sort of the aggregate would shuffle every group for 20 rows."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _disc_price().alias("vol"))
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+def sql_returned_revenue_topk() -> str:
+    return f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — CASE-conditional counts after a fact-fact join:
+    per return flag, how many 1996-shipped lineitems belong to urgent/high
+    vs lower-priority orders. Both counts fold in ONE map-side partial
+    aggregate; the date filter prunes the lineitem scan before the join."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_returnflag")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def sql_priority_line_counts() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — global conditional-revenue ratio: the percentage
+    of one month's revenue from PROMO-type parts. One broadcast join, one
+    1-row aggregate; numerator and denominator share the single pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    ).select("l_partkey", _disc_price().alias("vol"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("vol")))
+                    .cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def sql_promo_revenue_ratio() -> str:
+    return f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN {_DISC_PRICE_SQL} END) AS DOUBLE)
+       / CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — count(DISTINCT) + NOT-IN anti-join: how many
+    distinct suppliers ship each (brand, type, size) slice, excluding one
+    brand and the complaint-list suppliers (negative balance stands in for
+    the LIKE '%Complaints%' list). Supplier-part pairs come from lineitem
+    (this corpus carries no partsupp table); the exclusion list is a
+    broadcast left-anti, never a full NOT IN scan per row."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+def sql_supplier_part_counts() -> str:
+    return """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#15'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs across the join: three disjoint
+    (brand, size-range, quantity-range) conjunctions. Tests that Catalyst
+    still plans a hash equi-join on partkey (the disjunction rides the
+    join as a post-condition / derived constraints — never a nested
+    loop), with the common p_size <= 15 bound pushable to the part scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _disc_price().alias("vol")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#12") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum("vol").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def sql_brand_quantity_revenue() -> str:
+    return f"""
+SELECT CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7545,6 +7877,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_outliers": q_doc_length_outliers,
     "sliding_chunks": q_sliding_chunks,
     "word_entropy_stats": q_word_entropy_stats,
+    "regional_local_revenue": q_regional_local_revenue,
+    "nation_market_share": q_nation_market_share,
+    "returned_revenue_topk": q_returned_revenue_topk,
+    "priority_line_counts": q_priority_line_counts,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "supplier_part_counts": q_supplier_part_counts,
+    "brand_quantity_revenue": q_brand_quantity_revenue,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -7774,4 +8113,11 @@ ORACLES: dict[str, str] = {
     "doc_length_outliers": sql_doc_length_outliers(),
     "sliding_chunks": sql_sliding_chunks(),
     "word_entropy_stats": sql_word_entropy_stats(),
+    "regional_local_revenue": sql_regional_local_revenue(),
+    "nation_market_share": sql_nation_market_share(),
+    "returned_revenue_topk": sql_returned_revenue_topk(),
+    "priority_line_counts": sql_priority_line_counts(),
+    "promo_revenue_ratio": sql_promo_revenue_ratio(),
+    "supplier_part_counts": sql_supplier_part_counts(),
+    "brand_quantity_revenue": sql_brand_quantity_revenue(),
 }

@@ -602,3 +602,39 @@ def test_word_entropy_zero_shuffle(spark):
     plan = _spark_plan(df)
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode of the token stream
+
+
+def test_returned_revenue_topk_is_take_ordered(spark):
+    """Q10 shape: LIMIT 20 over the aggregated star join must compile to
+    TakeOrderedAndProject (per-partition top-k, driver merge) — a global
+    Sort + CollectLimit would order every group to keep 20 rows."""
+    df = QUERIES["returned_revenue_topk"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "nation" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_regional_local_revenue_cycle_is_broadcast_star(spark):
+    """Q5 shape: supplier/nation/region broadcast; the c_nationkey =
+    s_nationkey cycle edge rides the join tree as a filter — the fact
+    table must not shuffle for the dims, and nothing may fall back to a
+    nested loop."""
+    df = QUERIES["regional_local_revenue"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_brand_quantity_revenue_or_of_ands_stays_hash_join(spark):
+    """Q19 shape: the OR-of-ANDs spanning both sides must not demote the
+    partkey equi-join to a nested loop; part-side brand/size constraints
+    must reach the part scan as a pushed filter."""
+    df = QUERIES["brand_quantity_revenue"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    fmt = _formatted(df)
+    # Catalyst decomposes the cross-table OR into per-table residuals and
+    # pushes BOTH to their scans: brand/size disjunction on part, the
+    # quantity-range disjunction on lineitem.
+    assert "EqualTo(p_brand,Brand#11)" in fmt
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in fmt
