@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "promo_revenue_ratio",
     "supplier_part_counts",
     "brand_quantity_revenue",
+    "source_divergence",
 ]
 
 

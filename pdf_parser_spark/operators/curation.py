@@ -777,3 +777,62 @@ def sliding_chunks(
             F.md5(F.concat_ws(" ", F.col("_c"))).alias("chunk_digest"),
         )
     )
+
+
+def js_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    buckets: int = 64,
+    seed: int = 11,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence (base 2) between each group's
+    unigram distribution and the whole corpus's — the drift/anomaly score
+    that flags a spammy or template-dominated source (or a crawl snapshot
+    that shifted) without eyeballing per-source samples. JSD is symmetric,
+    bounded [0, 1], and finite even where KL blows up on zero-probability
+    tokens — the standard corpus-comparison divergence.
+
+    Distributions are bucket-hashed to a FIXED ``buckets`` cells (the DSIR
+    trick, `dsir_scores`): the corpus-sized stream folds through ONE
+    map-side-combined groupBy (group, bucket) whose shuffle is bounded by
+    |groups|·buckets per task at ANY corpus size; the global distribution,
+    group totals, and the dense (group × bucket) grid all derive from that
+    tiny aggregate — the corpus is never rescanned or re-shuffled. Zero-
+    count buckets still contribute their q-side term (p=0 ⇒ the 0.5·q·
+    log2(q/m) term = 0.5·q only when m=q/2), which the dense grid supplies.
+
+    Returns (group_col, n_tokens, js_divergence), JSD rounded to 6 (the
+    bucket-sum order is engine-dependent in the last ulp).
+    """
+    from pdf_parser_spark.operators.dedup import seeded_hash, words_col
+
+    ex = docs.select(
+        F.col(group_col), F.explode(words_col(F.col(text_col))).alias("_w")
+    ).select(
+        group_col,
+        F.pmod(seeded_hash(F.col("_w"), seed, portable), F.lit(buckets)).alias("_b"),
+    )
+    gb = ex.groupBy(group_col, "_b").agg(F.count("*").cast("long").alias("_c"))
+    glob = gb.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cg"))
+    n_s = gb.groupBy(group_col).agg(F.sum("_c").cast("long").alias("_n"))
+    n_tot = glob.agg(F.sum("_cg").cast("long").alias("_nt"))
+    grid = n_s.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(n_tot))
+    full = grid.join(gb, [group_col, "_b"], "left").withColumn(
+        "_c", F.coalesce("_c", F.lit(0))
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    q = F.col("_cg").cast("double") / F.col("_nt").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("_c") > 0, p * F.log2(p / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+        + q * F.log2(q / m) / F.lit(2.0)
+    )
+    return full.groupBy(group_col, "_n").agg(
+        F.round(F.sum(term), 6).alias("js_divergence")
+    ).select(
+        group_col,
+        F.col("_n").alias("n_tokens"),
+        "js_divergence",
+    )

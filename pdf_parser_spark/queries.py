@@ -7758,6 +7758,58 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift (curation.js_divergence): Jensen-Shannon
+    divergence between each source's bucket-hashed unigram distribution
+    and the whole corpus — the anomaly score that flags a template- or
+    spam-dominated source. Corpus folds through ONE bounded groupBy;
+    everything downstream operates on the |sources|×buckets aggregate.
+    Portable md5 bucket hash so the oracle replays bit-for-bit."""
+    from pdf_parser_spark.operators.curation import js_divergence
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    return js_divergence(d, buckets=64, seed=11, portable=True)
+
+
+def sql_source_divergence() -> str:
+    words = _WORDS_SQL
+    return f"""
+WITH ex AS (
+  SELECT source, ('0x' || substr(md5(w || '#11'), 1, 15))::BIGINT % 64 AS b
+  FROM (SELECT source, unnest({words}) AS w FROM documents)
+), gb AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY source, b
+), gall AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS cg FROM gb GROUP BY b
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM gb GROUP BY source
+), nt AS (
+  SELECT CAST(sum(cg) AS BIGINT) AS ntot FROM gall
+), grid AS (
+  SELECT source, n, b, cg, ntot FROM ns CROSS JOIN gall CROSS JOIN nt
+), dense AS (
+  SELECT g.source, g.n, g.cg, g.ntot, coalesce(gb.c, 0) AS c
+  FROM grid g LEFT JOIN gb ON g.source = gb.source AND g.b = gb.b
+)
+SELECT source, n AS n_tokens,
+       round(sum(
+         CASE WHEN c > 0
+              THEN (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * log2((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          / ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                              + CAST(cg AS DOUBLE) / CAST(ntot AS DOUBLE))
+                             / 2.0)) / 2.0
+              ELSE 0.0 END
+         + (CAST(cg AS DOUBLE) / CAST(ntot AS DOUBLE))
+           * log2((CAST(cg AS DOUBLE) / CAST(ntot AS DOUBLE))
+                  / ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                      + CAST(cg AS DOUBLE) / CAST(ntot AS DOUBLE)) / 2.0))
+           / 2.0
+       ), 6) AS js_divergence
+FROM dense GROUP BY source, n
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7884,6 +7936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "supplier_part_counts": q_supplier_part_counts,
     "brand_quantity_revenue": q_brand_quantity_revenue,
+    "source_divergence": q_source_divergence,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -8120,4 +8173,5 @@ ORACLES: dict[str, str] = {
     "promo_revenue_ratio": sql_promo_revenue_ratio(),
     "supplier_part_counts": sql_supplier_part_counts(),
     "brand_quantity_revenue": sql_brand_quantity_revenue(),
+    "source_divergence": sql_source_divergence(),
 }

@@ -514,3 +514,46 @@ def test_sliding_chunks_exact_multiple_has_no_phantom_window(spark):
     )
     rows = sliding_chunks(df, size=64, stride=32).collect()
     assert len(rows) == 1 and rows[0].n_words == 64
+
+
+def test_js_divergence_matches_numpy_and_zero_on_identical(spark):
+    import hashlib
+
+    import numpy as np
+
+    from pdf_parser_spark.operators.curation import js_divergence
+
+    rows = [
+        ("a", "spark join window merge batch"),
+        ("a", "join window group table"),
+        ("b", "stream stream stream watermark state state"),
+        ("same1", "alpha beta gamma"),
+        ("same2", "alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in js_divergence(
+        df, buckets=32, seed=11, portable=True
+    ).collect()}
+
+    def bucket(w):
+        return int(hashlib.md5((w + "#11").encode()).hexdigest()[:15], 16) % 32
+
+    counts: dict[str, np.ndarray] = {}
+    for src, text in rows:
+        c = counts.setdefault(src, np.zeros(32))
+        for w in text.split():
+            c[bucket(w)] += 1
+    tot = sum(counts.values())
+    q = tot / tot.sum()
+    for src, c in counts.items():
+        p = c / c.sum()
+        m = (p + q) / 2.0
+        js = 0.5 * np.sum(np.where(p > 0, p * np.log2(np.where(p > 0, p, 1) / m), 0.0)) \
+            + 0.5 * np.sum(np.where(q > 0, q * np.log2(np.where(q > 0, q, 1) / m), 0.0))
+        assert got[src].js_divergence == pytest.approx(js, abs=2e-6), src
+        assert got[src].n_tokens == int(c.sum())
+        assert 0.0 <= got[src].js_divergence <= 1.0
+    # identical distributions diverge identically from the corpus
+    assert got["same1"].js_divergence == got["same2"].js_divergence
+    # the stream-y source is farther from the corpus than the spark-y one
+    assert got["b"].js_divergence > got["a"].js_divergence
