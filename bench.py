@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "supplier_part_counts",
     "brand_quantity_revenue",
     "source_divergence",
+    "accent_folded_digests",
 ]
 
 

@@ -7810,6 +7810,47 @@ FROM dense GROUP BY source, n
 """
 
 
+def q_accent_folded_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent/diacritic folding (textqc.strip_accents): composed AND
+    decomposed diacritics are synthesized onto every document in pure
+    Catalyst, then the Arrow-vectorized folder strips them (NFD → drop
+    Mn → NFC). The oracle applies DuckDB's INDEPENDENT strip_accents to
+    the same construction and md5-compares the full folded string; both
+    suffixes must collapse to the same ASCII, which n_chars also pins."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    accented = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" café naïve"),  # precomposed é, ï
+            F.lit(" déjà"),  # decomposed e+acute, a+grave
+            F.lit(" ǟÑok"),  # ǟ (a+diaeresis+macron), Ñ
+        ).alias("text"),
+    )
+    out = textqc.strip_accents(accented)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("folded_md5"),
+    )
+
+
+def sql_accent_folded_digests() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text || ' caf' || chr(233) || ' na' || chr(239) || 've'
+              || ' de' || chr(769) || 'ja' || chr(768)
+              || ' ' || chr(479) || chr(209) || 'ok' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(strip_accents(text)) AS BIGINT) AS n_chars,
+       md5(strip_accents(text)) AS folded_md5
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7937,6 +7978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_part_counts": q_supplier_part_counts,
     "brand_quantity_revenue": q_brand_quantity_revenue,
     "source_divergence": q_source_divergence,
+    "accent_folded_digests": q_accent_folded_digests,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -8174,4 +8216,5 @@ ORACLES: dict[str, str] = {
     "supplier_part_counts": sql_supplier_part_counts(),
     "brand_quantity_revenue": sql_brand_quantity_revenue(),
     "source_divergence": sql_source_divergence(),
+    "accent_folded_digests": sql_accent_folded_digests(),
 }

@@ -696,3 +696,27 @@ def test_word_entropy_known_distributions(spark):
     expect = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
     assert abs(got[4].word_entropy - expect) < 1e-12
     assert got[4].n_words == 3 and got[4].n_distinct_words == 2
+
+
+def test_strip_accents_folds_composed_and_decomposed(spark):
+    from pdf_parser_spark.operators.textqc import strip_accents
+
+    df = spark.createDataFrame(
+        [
+            (1, "café naïve"),        # precomposed
+            (2, "déjà vu"),          # decomposed marks
+            (3, "ǟ Ñ ß 中"),  # multi-mark, sharp-s, CJK
+            (4, "plain ascii"),
+            (5, None),
+            (6, "nul\x00ésplit"),          # NUL forces per-row path
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in strip_accents(df).collect()}
+    assert got[1] == "cafe naive"
+    assert got[2] == "deja vu"
+    # marks stripped; sharp-s and CJK (no decomposition) untouched
+    assert got[3] == "a N ß 中"
+    assert got[4] == "plain ascii"
+    assert got[5] is None
+    assert got[6] == "nul\x00esplit"
