@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "brand_quantity_revenue",
     "source_divergence",
     "accent_folded_digests",
+    "chunk_retrieval_topk",
 ]
 
 

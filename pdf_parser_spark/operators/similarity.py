@@ -709,3 +709,30 @@ def quantize_embeddings_int8(
         F.round(F.col("_scale"), 6).alias("scale"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def hash_embedding(col, dims: int = 16, seed: str = "emb"):
+    """Deterministic hash-feature embedding of a string column: dim j =
+    (md5-fold(s + '#<seed><j>') mod 2001 − 1000) / 1000 ∈ [−1, 1]. The
+    drop-in STAND-IN for a learned encoder in pipeline plumbing — pure
+    Catalyst (portable md5, reproducible in any engine), zero Python,
+    so chunk→embed→score compositions stay inside whole-stage codegen.
+    A real encoder replaces this with a mapInPandas batch model call;
+    every operator downstream (quantize, IVF, top-k) is unchanged.
+
+    Returns a LIST of per-dimension Columns (not an array column) so
+    downstream dot products fold in explicit, engine-identical order.
+    """
+    out = []
+    for j in range(dims):
+        h = F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{seed}{j}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        out.append(
+            ((F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)).alias(
+                f"v{j}"
+            )
+        )
+    return out

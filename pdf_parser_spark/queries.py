@@ -7851,6 +7851,81 @@ FROM d
 """
 
 
+def q_chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END retrieval indexing, one plan: sliding 64/32 word chunks
+    (curation.sliding_chunks) → deterministic hash-feature embedding
+    (similarity.hash_embedding, the codegen stand-in a real encoder
+    replaces via mapInPandas) → cosine score against a query vector →
+    global top-20. The scale shape is the point: the ENTIRE pipeline is
+    one shuffle-free codegen stage until the final TakeOrderedAndProject
+    (per-partition top-k, driver merge) — chunk+embed+score over 100 TB
+    is scan-bound. Dot products and norms fold in explicit left-assoc
+    order, so the unrounded score doubles are bit-identical to the
+    oracle's and the top-20 cut cannot flake on ulp ties."""
+    from functools import reduce
+
+    from pdf_parser_spark.operators.curation import sliding_chunks
+    from pdf_parser_spark.operators.similarity import hash_embedding
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    chunks = sliding_chunks(d, size=64, stride=32).select(
+        "doc_id", "chunk_idx", "chunk_digest"
+    )
+    emb = hash_embedding(F.col("chunk_digest"), dims=16)
+    qv = hash_embedding(F.lit("spark window merge"), dims=16)
+    add = lambda a, b: a + b
+    dot = reduce(add, [e * q for e, q in zip(emb, qv)])
+    nv = F.sqrt(reduce(add, [e * e for e in emb]))
+    nq = F.sqrt(reduce(add, [q * q for q in qv]))
+    score = F.when(nv * nq != 0, dot / (nv * nq)).otherwise(F.lit(0.0))
+    return (
+        chunks.select("doc_id", "chunk_idx", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id", "chunk_idx")
+        .limit(20)
+    )
+
+
+def sql_chunk_retrieval_topk() -> str:
+    words = _WORDS_SQL
+
+    def dim(expr: str, j: int) -> str:
+        return (
+            f"((('0x' || substr(md5({expr} || '#emb{j}'), 1, 15))::BIGINT"
+            f" % 2001) - 1000) / 1000.0"
+        )
+
+    vs = " + ".join(f"v{j} * q{j}" for j in range(16))
+    nv = " + ".join(f"v{j} * v{j}" for j in range(16))
+    nq = " + ".join(f"q{j} * q{j}" for j in range(16))
+    vdefs = ", ".join(f"{dim('chunk_digest', j)} AS v{j}" for j in range(16))
+    qdefs = ", ".join(
+        f"{dim(chr(39) + 'spark window merge' + chr(39), j)} AS q{j}"
+        for j in range(16)
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS w FROM documents
+), n AS (
+  SELECT doc_id, w, 1 + ((greatest(len(w) - 64, 0) + 31) // 32) AS nc FROM t
+), e AS (
+  SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n
+), c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         md5(array_to_string(w[i * 32 + 1 : i * 32 + 64], ' ')) AS chunk_digest
+  FROM e
+), v AS (
+  SELECT doc_id, chunk_idx, {vdefs}, {qdefs} FROM c
+)
+SELECT doc_id, chunk_idx,
+       CASE WHEN sqrt({nv}) * sqrt({nq}) <> 0
+            THEN ({vs}) / (sqrt({nv}) * sqrt({nq}))
+            ELSE 0.0 END AS score
+FROM v ORDER BY score DESC, doc_id, chunk_idx LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7979,6 +8054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_quantity_revenue": q_brand_quantity_revenue,
     "source_divergence": q_source_divergence,
     "accent_folded_digests": q_accent_folded_digests,
+    "chunk_retrieval_topk": q_chunk_retrieval_topk,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -8217,4 +8293,5 @@ ORACLES: dict[str, str] = {
     "brand_quantity_revenue": sql_brand_quantity_revenue(),
     "source_divergence": sql_source_divergence(),
     "accent_folded_digests": sql_accent_folded_digests(),
+    "chunk_retrieval_topk": sql_chunk_retrieval_topk(),
 }

@@ -638,3 +638,14 @@ def test_brand_quantity_revenue_or_of_ands_stays_hash_join(spark):
     # quantity-range disjunction on lineitem.
     assert "EqualTo(p_brand,Brand#11)" in fmt
     assert "GreaterThanOrEqual(l_quantity,1.0)" in fmt
+
+
+def test_chunk_retrieval_pipeline_single_stage_until_topk(spark):
+    """The composed chunk→embed→score pipeline must be ONE shuffle-free
+    codegen stage closed by TakeOrderedAndProject — an Exchange anywhere
+    before the top-k means the composition broke the scan-bound shape."""
+    df = QUERIES["chunk_retrieval_topk"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
