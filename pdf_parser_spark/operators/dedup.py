@@ -837,13 +837,17 @@ def host_template_strip(
 
     Output: (id, host, clean_text, n_removed), original segment order.
 
-    Shape at 100 TB: one partial-aggregated distinct-count on
-    (host, segment), one tiny per-host doc count joined against it; the
-    template set is site chrome — small by construction — and
-    BROADCASTS back against the exploded segments; reassembly is one
-    groupBy on the doc id (collect_list skips NULLs, so kept-segment
-    selection rides the aggregate; buffers bounded by document size).
-    NULL hosts join nothing and pass through unstripped."""
+    Shape at 100 TB: the corpus-sized stream shuffles ONCE — the
+    partial-aggregated distinct-count on (host, segment) that detects
+    the template (plus the tiny per-host doc count on its keys). The
+    detected template — site chrome, small by construction — collapses
+    to ONE array per host and BROADCASTS back onto the un-exploded
+    docs, where an order-preserving array filter strips it in place.
+    (The previous form re-exploded every document, groupBy'd on doc id
+    to reassemble, and joined back on id — two additional corpus-sized
+    shuffles that this rewrite deletes; the seeded fuzz twin pins the
+    semantics unchanged.) NULL hosts join nothing and pass through
+    unstripped."""
     if rejoin_sep is None:
         rejoin_sep = "\n" if segments is None else " "
     if segments is None:
@@ -851,9 +855,7 @@ def host_template_strip(
     base = docs.select(
         F.col(id_col), F.col(host_col), segments.alias("_segs")
     )
-    ex = base.select(
-        id_col, host_col, F.posexplode("_segs").alias("pos", "seg")
-    )
+    ex = base.select(id_col, host_col, F.explode("_segs").alias("seg"))
     host_docs = base.groupBy(host_col).agg(
         F.count_distinct(F.col(id_col)).alias("_hd")
     )
@@ -865,34 +867,23 @@ def host_template_strip(
             (F.col("_nd") >= min_docs)
             & (F.col("_nd") >= F.ceil(F.lit(min_share) * F.col("_hd")))
         )
-        .select(host_col, "seg", F.lit(True).alias("_b"))
+        .select(host_col, "seg")
     )
-    marked = ex.join(F.broadcast(template), [host_col, "seg"], "left")
-    re = marked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_b").isNull(), F.struct("pos", "seg"))
-                    )
-                ),
-                lambda s: s["seg"],
-            ),
-            rejoin_sep,
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed"),
+    tmpl = template.groupBy(host_col).agg(F.collect_set("seg").alias("_tmpl"))
+    joined = base.join(F.broadcast(tmpl), host_col, "left").withColumn(
+        "_tmpl", F.coalesce("_tmpl", F.array().cast("array<string>"))
     )
-    return (
-        base.select(id_col, host_col)
-        .join(re, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col(host_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-        )
+    # order-preserving in-place strip; NULL segments are never template
+    # members (coalesce), matching the exploded form's null handling
+    kept = F.filter(
+        "_segs",
+        lambda s: ~F.coalesce(F.array_contains("_tmpl", s), F.lit(False)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.array_join(kept, rejoin_sep).alias("clean_text"),
+        (F.size("_segs") - F.size(kept)).cast("long").alias("n_removed"),
     )
 
 

@@ -419,9 +419,12 @@ def test_host_template_strip_broadcast_template_no_cartesian(spark):
     df = QUERIES["host_template_strip"](spark, SF_DIR)
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
-    # the per-host template set broadcasts back against the exploded
-    # segments — the corpus is never shuffled on (host, segment) to strip
+    # the per-host template ARRAY broadcasts back onto the UN-exploded
+    # docs and strips in place — the corpus-sized stream shuffles only
+    # inside template detection, never on the doc id to reassemble
     assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_video_scene_cuts_zero_shuffle_before_window(spark):
