@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "source_divergence",
     "accent_folded_digests",
     "chunk_retrieval_topk",
+    "sentence_segments",
 ]
 
 

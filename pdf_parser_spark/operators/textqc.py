@@ -1120,3 +1120,30 @@ def strip_accents(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield b.set_column(idx, b.schema.field(idx), arr)
 
     return docs.mapInArrow(batches, docs.schema)
+
+
+def split_sentences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sentence segmentation: a boundary is a run of
+    terminal punctuation ([.!?]+) followed by whitespace. The splitter
+    marks boundaries by inserting U+001E (record separator — never in
+    text) AFTER the punctuation run, splits on the marker, trims, and
+    drops empties INSIDE the array (so sent_idx stays dense without a
+    renumbering window). Zero shuffle, whole-stage codegen; the regex is
+    lookaround-free on purpose — RE2 engines (DuckDB) can replay it
+    bit-for-bit, where a Java-only lookbehind split could not be
+    oracled. Returns (id, sent_idx, sentence) in reading order.
+    """
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]+)\s+", "$1\x1e")
+    cleaned = F.filter(
+        F.transform(F.split(marked, "\x1e"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(cleaned).alias("sent_idx", "sentence")
+    ).select(
+        id_col, F.col("sent_idx").cast("long").alias("sent_idx"), "sentence"
+    )

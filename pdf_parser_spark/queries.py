@@ -7926,6 +7926,64 @@ FROM v ORDER BY score DESC, doc_id, chunk_idx LIMIT 20
 """
 
 
+def q_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (textqc.split_sentences): terminal
+    punctuation is synthesized into every document in pure Catalyst
+    (a period after each ' the ' plus a punctuated tail with !?/
+    multi-mark runs), then the zero-shuffle splitter segments. The
+    oracle replays marker-insert → split → trim → dense-filter with
+    DuckDB's RE2 regex and value-checks every (doc, idx, md5(sentence),
+    n_words) row — segmentation is order-sensitive, so the dense index
+    is part of the contract."""
+    from pdf_parser_spark.operators.textqc import split_sentences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.replace(F.col("text"), F.lit(" the "), F.lit(" the. ")),
+            F.lit(". Tail sentence!  Question? done?!  "),
+        ).alias("text"),
+    )
+    out = split_sentences(d)
+    return out.select(
+        "doc_id",
+        "sent_idx",
+        F.md5("sentence").alias("sent_md5"),
+        F.size(dedup.words_col(F.col("sentence"))).cast("long").alias("n_words"),
+    )
+
+
+def sql_sentence_segments() -> str:
+    words = _WORDS_SQL.replace("text", "sentence")
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         replace(text, ' the ', ' the. ')
+           || '. Tail sentence!  Question? done?!  ' AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split(regexp_replace(text, '([.!?]+)\\s+',
+                                         '\\1' || chr(30), 'g'), chr(30)),
+             s -> trim(s)),
+           s -> s <> '') AS parts
+  FROM d
+), x AS (
+  SELECT doc_id, parts,
+         unnest(generate_series(1, len(parts))) AS i
+  FROM m
+), e AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, parts[i] AS sentence
+  FROM x
+)
+SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
+       CAST(len({words}) AS BIGINT) AS n_words
+FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8055,6 +8113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_divergence": q_source_divergence,
     "accent_folded_digests": q_accent_folded_digests,
     "chunk_retrieval_topk": q_chunk_retrieval_topk,
+    "sentence_segments": q_sentence_segments,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -8294,4 +8353,5 @@ ORACLES: dict[str, str] = {
     "source_divergence": sql_source_divergence(),
     "accent_folded_digests": sql_accent_folded_digests(),
     "chunk_retrieval_topk": sql_chunk_retrieval_topk(),
+    "sentence_segments": sql_sentence_segments(),
 }

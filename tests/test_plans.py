@@ -652,3 +652,12 @@ def test_chunk_retrieval_pipeline_single_stage_until_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_sentence_segments_zero_shuffle(spark):
+    """Segmentation is per-row — marker insert, split, filter, explode
+    all ride the scan; any Exchange is a bug."""
+    df = QUERIES["sentence_segments"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan

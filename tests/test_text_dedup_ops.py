@@ -720,3 +720,34 @@ def test_strip_accents_folds_composed_and_decomposed(spark):
     assert got[4] == "plain ascii"
     assert got[5] is None
     assert got[6] == "nul\x00esplit"
+
+
+def test_split_sentences_boundaries_and_dense_index(spark):
+    from pdf_parser_spark.operators.textqc import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third?! fourth... Fifth"),
+            (2, "no terminal punctuation here"),
+            (3, "trailing stop."),   # no whitespace after -> one sentence
+            (4, "a. b. "),           # trailing boundary leaves no empty
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got: dict[int, list] = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    for v in got.values():
+        v.sort()
+    assert got[1] == [
+        (0, "First one."),
+        (1, "Second!"),
+        (2, "Third?!"),
+        (3, "fourth..."),
+        (4, "Fifth"),
+    ]
+    assert got[2] == [(0, "no terminal punctuation here")]
+    assert got[3] == [(0, "trailing stop.")]
+    assert got[4] == [(0, "a."), (1, "b.")]
+    assert 5 not in got  # empty text yields no rows
