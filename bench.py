@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "accent_folded_digests",
     "chunk_retrieval_topk",
     "sentence_segments",
+    "event_key_skew",
 ]
 
 

@@ -339,3 +339,43 @@ def robust_outliers(
             "is_outlier"
         ),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Skew diagnostics for a prospective shuffle key: the top-``top_k``
+    hottest keys with row count, share of the table, and cumulative
+    share — the report that decides whether a join/agg on ``key_col``
+    needs salting (`operators/skew.py`) or AQE skew handling before the
+    job ships. A key carrying >1/partitions of the rows WILL straggle.
+
+    Shape at 100 TB: ONE map-side-combined groupBy builds the per-key
+    counts; the grand total is a 1-row aggregate of those counts
+    (broadcast back, the table is never rescanned); top-k compiles to
+    TakeOrderedAndProject; the running cum_share window runs over only
+    ``top_k`` rows (bounded single-partition window — deliberate, it
+    sees k rows at any corpus size). The ordered running sum makes
+    cum_share deterministic without rounding: both the engine and any
+    replay accumulate the same doubles in the same (n desc, key) order.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("_tot"))
+    top = (
+        counts.orderBy(F.desc("n"), key_col)
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.desc("n"), key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.col("n").cast("double") / F.col("_tot").cast("double")
+    return top.select(
+        F.col(key_col),
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+        share.alias("share"),
+        F.sum(share).over(w).alias("cum_share"),
+    )

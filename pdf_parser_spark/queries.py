@@ -7984,6 +7984,44 @@ FROM e
 """
 
 
+def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report (analytics.key_skew_report) over the
+    events user_id — the diagnostic run before keying a join/agg, feeding
+    the salting decision (operators/skew.py). One map-side-combined
+    groupBy, 1-row total broadcast back, TakeOrdered top-20, cum_share
+    over only those 20 rows; the ordered running sum is deterministic
+    without rounding (both engines accumulate identical doubles in the
+    same (n desc, key) order)."""
+    from pdf_parser_spark.operators.analytics import key_skew_report
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    return key_skew_report(e, "user_id", top_k=20)
+
+
+def sql_event_key_skew() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot FROM c
+), top AS (
+  SELECT user_id, n, tot FROM c CROSS JOIN t
+  ORDER BY n DESC, user_id LIMIT 20
+)
+SELECT user_id, n,
+       CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rank,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+       sum(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+         OVER (ORDER BY n DESC, user_id
+               ROWS UNBOUNDED PRECEDING) AS cum_share
+FROM top
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8114,6 +8152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "accent_folded_digests": q_accent_folded_digests,
     "chunk_retrieval_topk": q_chunk_retrieval_topk,
     "sentence_segments": q_sentence_segments,
+    "event_key_skew": q_event_key_skew,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -8354,4 +8393,5 @@ ORACLES: dict[str, str] = {
     "accent_folded_digests": sql_accent_folded_digests(),
     "chunk_retrieval_topk": sql_chunk_retrieval_topk(),
     "sentence_segments": sql_sentence_segments(),
+    "event_key_skew": sql_event_key_skew(),
 }

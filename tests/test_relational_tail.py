@@ -740,3 +740,21 @@ def test_robust_outliers_median_mad_and_zero_mad_guard(spark):
         assert got[("z", v)].mad == 0.0
         assert got[("z", v)].robust_z is None
         assert got[("z", v)].is_outlier is False
+
+
+def test_key_skew_report_exact_shares_and_plan(spark):
+    from pdf_parser_spark.operators.analytics import key_skew_report
+
+    rows = [("hot",)] * 5 + [("warm",)] * 3 + [("a",)] + [("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_k=3)
+    got = [(r.k, r.n, r.rank, r.share, r.cum_share) for r in
+           out.orderBy("rank").collect()]
+    assert got[0] == ("hot", 5, 1, 0.5, 0.5)
+    assert got[1] == ("warm", 3, 2, 0.3, 0.5 + 0.3)
+    # ties (a=1, b=1) break on the key: 'a' takes rank 3, 'b' is cut
+    assert got[2][0] == "a" and got[2][1] == 1 and got[2][2] == 3
+    assert len(got) == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # per-key counts combine map-side
