@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "chunk_retrieval_topk",
     "sentence_segments",
     "event_key_skew",
+    "containment_pairs",
 ]
 
 

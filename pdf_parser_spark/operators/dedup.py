@@ -355,6 +355,34 @@ def ngram_jaccard_pairs(
     shingles are all rare, which is the similarity-bearing case). The
     DuckDB oracle replicates the df filter, so the bound is value-checked.
     """
+    common, sizes = _df_bounded_pair_commons(
+        docs, id_col, text_col, shingle_words, df_max
+    )
+    na = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _df_bounded_pair_commons(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int,
+    df_max: int,
+):
+    """Shared core of the all-pairs shingle scorers: df-bounded posting
+    lists with map-side pair generation (see ``ngram_jaccard_pairs`` for
+    the full scale argument). Returns (common, sizes): per-pair shared
+    df-bounded shingle counts (a < b) and per-doc full shingle-set sizes."""
     sh = docs.select(
         F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w")
     ).select(
@@ -387,17 +415,43 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("common"))
     )
+    return common, sizes
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    df_max: int = 50,
+) -> DataFrame:
+    """All-pairs ASYMMETRIC n-gram containment: cont_a = common/|A|,
+    cont_b = common/|B|, keep pairs where either side ≥ ``threshold``.
+    The quote/superset detector Jaccard structurally misses: a short
+    document wholly embedded in a long one (a quoted post, a page
+    wrapping a syndicated article, a doc + its boilerplate-expanded
+    mirror) has containment 1.0 on the small side while its Jaccard
+    ≈ |A|/|B| can sit below any usable symmetric threshold.
+
+    Same df-bounded posting-list plan as ``ngram_jaccard_pairs`` (shared
+    core `_df_bounded_pair_commons`; largest task bounded by df_max², no
+    self-join on the raw shingle), same documented lower-bound semantics:
+    ``common`` counts df-bounded shingles against full set sizes."""
+    common, sizes = _df_bounded_pair_commons(
+        docs, id_col, text_col, shingle_words, df_max
+    )
     na = sizes.select(F.col("_id").alias("a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("_id").alias("b"), F.col("n_sh").alias("nb"))
+    ca = F.round(F.col("common") / F.col("na"), 6)
+    cb = F.round(F.col("common") / F.col("nb"), 6)
     return (
         common.join(na, "a")
         .join(nb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        .select("a", "b", ca.alias("cont_a"), cb.alias("cont_b"))
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
     )
 
 

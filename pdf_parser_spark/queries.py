@@ -8022,6 +8022,67 @@ FROM top
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (dedup.ngram_containment_pairs): the
+    quote/superset detector. A 15-word PREFIX document is synthesized for
+    every 5th doc (its shingles are a strict subset of the parent's), so
+    true containments have cont≈1.0 on the small side while their Jaccard
+    sits near |A|/|B| — below any symmetric threshold; the query must
+    surface exactly these pairs. Same df-bounded posting-list plan as the
+    Jaccard scorer (shared core), so the shape survives hot shingles."""
+    from pdf_parser_spark.operators.dedup import ngram_containment_pairs
+
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 60
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    prefixes = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.slice(dedup.words_col(F.col("text")), 1, 15), " "
+        ).alias("text"),
+    )
+    corpus = base.unionByName(prefixes)
+    return ngram_containment_pairs(corpus, threshold=0.9)
+
+
+def sql_containment_pairs() -> str:
+    words = _WORDS_SQL
+    return f"""
+WITH b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  WHERE doc_id < 60
+), p AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(({words})[1:15], ' ') AS text
+  FROM b WHERE doc_id % 5 = 0
+), corpus AS (
+  SELECT * FROM b UNION ALL SELECT * FROM p
+), sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh
+), kept AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING count(*) BETWEEN 2 AND 50
+), fex AS (
+  SELECT ex.* FROM ex JOIN kept USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM fex a JOIN fex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(common / na, 6) AS cont_a,
+       round(common / nb, 6) AS cont_b
+FROM (SELECT pairs.*, sa.n_sh AS na, sb.n_sh AS nb
+      FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+      JOIN sizes sb ON pairs.b = sb.doc_id)
+WHERE round(common / na, 6) >= 0.9 OR round(common / nb, 6) >= 0.9
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8153,6 +8214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_retrieval_topk": q_chunk_retrieval_topk,
     "sentence_segments": q_sentence_segments,
     "event_key_skew": q_event_key_skew,
+    "containment_pairs": q_containment_pairs,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -8394,4 +8456,5 @@ ORACLES: dict[str, str] = {
     "chunk_retrieval_topk": sql_chunk_retrieval_topk(),
     "sentence_segments": sql_sentence_segments(),
     "event_key_skew": sql_event_key_skew(),
+    "containment_pairs": sql_containment_pairs(),
 }

@@ -751,3 +751,25 @@ def test_split_sentences_boundaries_and_dense_index(spark):
     assert got[3] == [(0, "trailing stop.")]
     assert got[4] == [(0, "a."), (1, "b.")]
     assert 5 not in got  # empty text yields no rows
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    # a 6-word quote embedded verbatim in a much longer host document:
+    # containment on the quote side is 1.0 while Jaccard is tiny
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, host), (2, quote), (3, "entirely different text here words")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): (r.cont_a, r.cont_b)
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    ca, cb = got[(1, 2)]
+    assert cb == 1.0          # the quote is fully contained in the host
+    assert ca < 0.1           # host side barely overlaps
+    # and the symmetric scorer rejects the same pair at any useful cut
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
