@@ -276,3 +276,165 @@ def test_zorder_rank_interleave_matches_numpy(spark):
         wx = int(np.searchsorted(bnds_x, vals_x[i], side="right"))
         wy = int(np.searchsorted(bnds_y, vals_y[i], side="right"))
         assert got[i] == (wx, wy, morton(wx, wy)), i
+
+
+def test_sliding_chunks_seeded_fuzz_matches_python_replay(spark):
+    """Session-5 op: random doc lengths (incl. 0, exact multiples, and
+    below-size docs) × several (size, stride) settings vs a slow Python
+    slicing replay — one Spark job per setting."""
+    import random
+
+    from pdf_parser_spark.operators.curation import sliding_chunks
+
+    rng = random.Random(505)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(40)}" for _ in range(n)))
+        for i, n in enumerate(
+            [0, 1, 63, 64, 65, 96, 97, 128]
+            + [rng.randrange(0, 200) for _ in range(40)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for size, stride in ((64, 32), (10, 10), (7, 3)):
+        got = {
+            (r.doc_id, r.chunk_idx): (r.start_word, r.n_words, r.chunk_digest)
+            for r in sliding_chunks(df, size=size, stride=stride).collect()
+        }
+        want = {}
+        for did, text in rows:
+            words = text.split(" ") if text else [""]
+            # words_col on "" yields [''] — replay the same normalization
+            nc = 1 + max(0, (max(len(words) - size, 0) + stride - 1) // stride)
+            for i in range(nc):
+                w = words[i * stride : i * stride + size]
+                want[(did, i)] = (
+                    i * stride,
+                    len(w),
+                    hashlib.md5(" ".join(w).encode()).hexdigest(),
+                )
+        assert got == want, (size, stride)
+
+
+def test_split_sentences_seeded_fuzz_matches_re_replay(spark):
+    """Session-5 op: random ASCII text with punctuation runs vs a Python
+    re replay of the same marker-insert grammar (alphabet restricted to
+    ASCII space/tab/newline so Java's \\s and Python's agree)."""
+    import random
+    import re
+
+    from pdf_parser_spark.operators.textqc import split_sentences
+
+    rng = random.Random(707)
+    frags = ["word", "two words", ".", "!", "?", "?!", "...", " ", "  ",
+             "\t", "\n", "x.y", "end."]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randrange(0, 25))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {i: [] for i, _ in rows}
+    for r in split_sentences(df).collect():
+        got[r.doc_id].append((r.sent_idx, r.sentence))
+    want = {}
+    for did, text in rows:
+        marked = re.sub(r"([.!?]+)\s+", "\\1\x1e", text)
+        # Spark's (and DuckDB's) trim strips SPACES only — not \t or \n;
+        # the replay must match that contract, not Python's str.strip()
+        parts = [p.strip(" ") for p in marked.split("\x1e")]
+        want[did] = [(i, s) for i, s in enumerate(p for p in parts if p != "")]
+    for did in want:
+        assert sorted(got[did]) == want[did], did
+
+
+def test_robust_outliers_seeded_fuzz_matches_numpy(spark):
+    """Session-5 op: random integer groups (odd/even sizes, ties, heavy
+    outliers, MAD-0 plateaus) vs numpy median/MAD replay."""
+    import random
+
+    from pdf_parser_spark.operators.analytics import robust_outliers
+
+    rng = random.Random(909)
+    rows = []
+    for g in range(12):
+        n = rng.randrange(1, 30)
+        base = rng.randrange(100, 2000)
+        vals = [base + rng.randrange(-5, 6) for _ in range(n)]
+        if rng.random() < 0.5:
+            vals.append(base * 100)  # a hard outlier
+        if rng.random() < 0.3:
+            vals = [base] * n + vals  # force a MAD-0-ish plateau
+        rows += [(f"g{g}", v) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {(r.k, r.v, i): r for i, r in enumerate(
+        robust_outliers(df, "k", "v").collect())}
+    by_group: dict[str, list] = {}
+    for k, v in rows:
+        by_group.setdefault(k, []).append(v)
+    # collect() rows per (k, v) are interchangeable — check per (k, v) value
+    seen = {}
+    for (k, v, _), r in got.items():
+        seen[(k, v)] = r
+    for k, vals in by_group.items():
+        arr = np.array(vals, dtype=float)
+        med = float(np.median(arr))
+        mad = float(np.median(np.abs(arr - med)))
+        for v in set(vals):
+            r = seen[(k, v)]
+            assert r.med == med and r.mad == mad, (k, v)
+            if mad == 0.0:
+                assert r.robust_z is None and r.is_outlier is False
+            else:
+                z = 0.6745 * (v - med) / mad
+                assert abs(r.robust_z - z) < 1e-9
+                assert r.is_outlier == (abs(z) > 3.5)
+
+
+def test_containment_pairs_seeded_fuzz_matches_set_replay(spark):
+    """Session-5 op: random corpora with planted prefix/superset docs vs a
+    Python set replay of the df-bounded containment rule."""
+    import random
+
+    from pdf_parser_spark.operators import dedup
+
+    rng = random.Random(111)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        n = rng.randrange(4, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4 and n >= 8:
+            rows.append((i + 1000, " ".join(words[: rng.randrange(5, n)])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    threshold, df_max = 0.8, 50
+    got = {
+        (r.a, r.b): (r.cont_a, r.cont_b)
+        for r in dedup.ngram_containment_pairs(
+            df, threshold=threshold, df_max=df_max
+        ).collect()
+    }
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) <= 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {did: shingles(t) for did, t in rows}
+    from collections import Counter
+
+    dfc = Counter(s for ss in sets.values() for s in ss)
+    kept = {s for s, c in dfc.items() if 2 <= c <= df_max}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            common = len(sets[a] & sets[b] & kept)
+            if common == 0:
+                continue
+            ca = round(common / len(sets[a]), 6)
+            cb = round(common / len(sets[b]), 6)
+            if ca >= threshold or cb >= threshold:
+                want[(a, b)] = (ca, cb)
+    assert got == want
