@@ -797,14 +797,22 @@ def js_divergence(
     Distributions are bucket-hashed to a FIXED ``buckets`` cells (the DSIR
     trick, `dsir_scores`): the corpus-sized stream folds through ONE
     map-side-combined groupBy (group, bucket) whose shuffle is bounded by
-    |groups|·buckets per task at ANY corpus size; the global distribution,
-    group totals, and the dense (group × bucket) grid all derive from that
-    tiny aggregate — the corpus is never rescanned or re-shuffled. Zero-
-    count buckets still contribute their q-side term (p=0 ⇒ the 0.5·q·
-    log2(q/m) term = 0.5·q only when m=q/2), which the dense grid supplies.
+    |groups|·buckets per task at ANY corpus size. The group totals, the
+    global distribution, and the grand total are all WINDOW sums over
+    that tiny aggregate — one plan branch, so Catalyst evaluates the
+    corpus subtree ONCE (the derive-three-frames-and-join-back form
+    recomputed the explode per consumer: measured 11 exchanges / 2
+    nested-loop crossJoins → this shape; identical results).
+
+    Zero-count buckets owe only their q-side term, and with p=0 that
+    term is 0.5·q·log2(q/(q/2)) = 0.5·q — so the whole missing-bucket
+    mass folds to the closed form 0.5·(1 − Σ_present q), and no dense
+    (group × bucket) grid is needed at all.
 
     Returns (group_col, n_tokens, js_divergence), JSD rounded to 6 (the
-    bucket-sum order is engine-dependent in the last ulp).
+    bucket-sum order — and the closed-form remainder — are engine-
+    dependent in the last ulp; the query's DuckDB oracle replays the
+    independent dense-grid algebra and agrees to 6 decimals).
     """
     from pdf_parser_spark.operators.dedup import seeded_hash, words_col
 
@@ -815,24 +823,25 @@ def js_divergence(
         F.pmod(seeded_hash(F.col("_w"), seed, portable), F.lit(buckets)).alias("_b"),
     )
     gb = ex.groupBy(group_col, "_b").agg(F.count("*").cast("long").alias("_c"))
-    glob = gb.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cg"))
-    n_s = gb.groupBy(group_col).agg(F.sum("_c").cast("long").alias("_n"))
-    n_tot = glob.agg(F.sum("_cg").cast("long").alias("_nt"))
-    grid = n_s.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(n_tot))
-    full = grid.join(gb, [group_col, "_b"], "left").withColumn(
-        "_c", F.coalesce("_c", F.lit(0))
+    enriched = gb.select(
+        group_col,
+        "_c",
+        F.sum("_c").over(Window.partitionBy(group_col)).alias("_n"),
+        F.sum("_c").over(Window.partitionBy("_b")).alias("_cg"),
+        F.sum("_c").over(Window.partitionBy()).alias("_nt"),
     )
     p = F.col("_c").cast("double") / F.col("_n").cast("double")
     q = F.col("_cg").cast("double") / F.col("_nt").cast("double")
     m = (p + q) / F.lit(2.0)
-    term = (
-        F.when(F.col("_c") > 0, p * F.log2(p / m) / F.lit(2.0)).otherwise(F.lit(0.0))
-        + q * F.log2(q / m) / F.lit(2.0)
-    )
-    return full.groupBy(group_col, "_n").agg(
-        F.round(F.sum(term), 6).alias("js_divergence")
+    term = p * F.log2(p / m) / F.lit(2.0) + q * F.log2(q / m) / F.lit(2.0)
+    return enriched.groupBy(group_col, "_n").agg(
+        F.round(
+            F.sum(term)
+            + F.greatest(F.lit(1.0) - F.sum(q), F.lit(0.0)) / F.lit(2.0),
+            6,
+        ).alias("js_divergence")
     ).select(
         group_col,
-        F.col("_n").alias("n_tokens"),
+        F.col("_n").cast("long").alias("n_tokens"),
         "js_divergence",
     )

@@ -661,3 +661,15 @@ def test_sentence_segments_zero_shuffle(spark):
     plan = _spark_plan(df)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_source_divergence_single_corpus_shuffle_no_joins(spark):
+    """JSD must evaluate the corpus subtree ONCE: every total is a window
+    over the tiny (group, bucket) aggregate. The derive-and-join-back
+    form recomputed the explode per consumer (11 exchanges, 2 nested-loop
+    crossJoins) — pin the collapsed shape."""
+    df = QUERIES["source_divergence"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
