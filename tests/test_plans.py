@@ -673,3 +673,73 @@ def test_source_divergence_single_corpus_shuffle_no_joins(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
+
+
+def test_hll_sketches_merge_exactly_and_track_exact_counts(spark):
+    """Mergeable distinct-count sketches (Spark 4 DataSketches HLL): the
+    incremental-analytics contract — per-group sketches unioned later
+    must equal the single-pass global sketch EXACTLY (same binary
+    algorithm), and both must track the exact distinct count. This is
+    what lets a 100 TB pipeline keep per-day/per-shard sketches and
+    answer corpus-wide distinct queries without rescanning history."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 1234).alias("k"), (F.col("id") % 7).alias("g")
+    )
+    per = df.groupBy("g").agg(F.hll_sketch_agg("k").alias("sk"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est")
+    ).collect()[0].est
+    assert merged == direct  # merge-of-parts == single pass, exactly
+    assert abs(merged - 1234) / 1234 < 0.05
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE skew-join evidence: with one key carrying 95% of the fact
+    side, the EXECUTED adaptive plan must mark the join skew=true and
+    read the hot partition through a skew-splitting AQEShuffleRead —
+    the runtime defense the salting operators complement for keys known
+    only at run time. (Executed plan, not the static one: the write/count
+    path owns its own QueryExecution, so assert on the collected frame.)"""
+    import pyspark.sql.functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), F.lit("r").alias("v")
+        )
+        out = left.join(right, "k").groupBy().count()
+        assert out.collect()[0][0] == 190250  # 190000 hot + 250 long-tail
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
