@@ -1,0 +1,74 @@
+"""Stream-static dimension enrichment — the most common streaming join.
+
+The reference enriches rows against lookup caches (location→coordinates,
+`_parser.py:494,617-632`); the batch twin is `operators/geo.py`'s broadcast
+cache join. This module is the *continuous arrival* form: every micro-batch
+of a stream joins a STATIC dimension (policy table, geo cache, host
+metadata) that broadcasts — no stream state, no watermark, because the
+static side is bounded and the join adds no event-time coupling.
+
+Design notes for 10^12-row scale:
+- The dimension is read per micro-batch via an ordinary batch DataFrame, so
+  planner treats it as broadcast-able; stream rows never shuffle for the
+  join (pinned in tests: BroadcastHashJoin inside the micro-batch plan).
+- Unmatched stream rows are KEPT (left join) with NULL enrichment — a
+  missing dimension row must never drop events; the miss count is the
+  operational signal (the reference's cache-miss path resolves misses
+  separately, `operators/geo.py:46`).
+- The sink is the idempotent per-batch-directory pattern shared with
+  `ingest.py`: replays overwrite their own ``batch_id=<id>`` partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    dim: DataFrame,
+    join_key: str,
+    output_root: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Drain available stream files, left-join each micro-batch against the
+    broadcast static ``dim`` on ``join_key``, and append enriched rows to an
+    idempotent per-batch sink. Returns the number of micro-batches.
+
+    The executed micro-batch join is asserted broadcast in the tests — a
+    static dim that silently grows past broadcast size should be caught by
+    the plan pin, not by a production stage OOM.
+    """
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "enriched")
+    reader = spark.readStream.schema(input_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    n_batches = {"n": 0}
+
+    def process(batch_df, batch_id: int) -> None:
+        enriched = batch_df.join(F.broadcast(dim), join_key, "left")
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def read_enriched(spark: SparkSession, output_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_root, "enriched"))

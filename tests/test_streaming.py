@@ -407,3 +407,83 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in batch_interval_join(imp_df, click_df).collect()
     }
     assert got == want == {(1, 10), (2, 11)}
+
+
+def test_stream_static_enrich_matches_batch_and_keeps_misses(spark, tmp_path):
+    """Stream-static broadcast enrichment: micro-batched left join against
+    a static dim equals the one-shot batch join; unmatched rows survive
+    with NULL enrichment; a second drain adds nothing; late files join
+    the SAME dim without touching already-written batches."""
+    from pdf_parser_spark.streaming.enrich import (
+        read_enriched,
+        stream_static_enrich,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    root = str(tmp_path / "out")
+    rows = [(i, f"h{i % 5}.example", i * 10) for i in range(40)]
+    events = spark.createDataFrame(
+        rows, "event_id long, host string, value long"
+    )
+    events.coalesce(2).write.mode("overwrite").parquet(inbox)
+    # dim covers h0..h2 only — h3/h4 rows must pass through with NULLs
+    dim = spark.createDataFrame(
+        [(f"h{i}.example", f"policy{i}") for i in range(3)],
+        "host string, policy string",
+    )
+
+    n = stream_static_enrich(
+        spark, inbox, "event_id long, host string, value long",
+        dim, "host", root,
+    )
+    assert n >= 1
+    got = {
+        r.event_id: r.policy
+        for r in read_enriched(spark, root).collect()
+    }
+    want = {
+        r.event_id: r.policy
+        for r in events.join(dim, "host", "left").collect()
+    }
+    assert got == want
+    assert sum(v is None for v in got.values()) == 16  # h3/h4 misses kept
+
+    # idempotent: nothing new → no growth
+    stream_static_enrich(
+        spark, inbox, "event_id long, host string, value long",
+        dim, "host", root,
+    )
+    assert read_enriched(spark, root).count() == 40
+
+    # late arrivals enrich against the same dim
+    late = spark.createDataFrame(
+        [(100, "h0.example", 7), (101, "h9.example", 8)],
+        "event_id long, host string, value long",
+    )
+    late.coalesce(1).write.mode("append").parquet(inbox)
+    stream_static_enrich(
+        spark, inbox, "event_id long, host string, value long",
+        dim, "host", root,
+    )
+    got2 = {
+        r.event_id: r.policy for r in read_enriched(spark, root).collect()
+    }
+    assert len(got2) == 42
+    assert got2[100] == "policy0" and got2[101] is None
+
+
+def test_stream_static_enrich_joins_broadcast(spark, tmp_path):
+    """The micro-batch join must be a BroadcastHashJoin — stream rows
+    never shuffle for a bounded dimension."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("h0", "p0")], "host string, policy string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "h0"), (2, "h1")], "event_id long, host string"
+    )
+    j = batch.join(F.broadcast(dim), "host", "left")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
