@@ -755,6 +755,12 @@ def sliding_chunks(
     staged = docs.select(
         F.col(id_col),
         words_col(F.col(text_col)).alias("_w"),
+    ).where(
+        # NULL text has no words and emits no chunks. Without this guard
+        # ANSI NULL algebra manufactures a phantom window: size(NULL) is
+        # NULL, but greatest(NULL, 0) = 0 (greatest skips NULLs), so
+        # n_chunks folds to 1 and a NULL-sliced chunk row escapes.
+        F.col("_w").isNotNull()
     ).withColumn(
         "_nc",
         F.expr(

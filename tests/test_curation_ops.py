@@ -557,3 +557,13 @@ def test_js_divergence_matches_numpy_and_zero_on_identical(spark):
     assert got["same1"].js_divergence == got["same2"].js_divergence
     # the stream-y source is farther from the corpus than the spark-y one
     assert got["b"].js_divergence > got["a"].js_divergence
+
+
+def test_sliding_chunks_null_text_emits_no_rows(spark):
+    from pdf_parser_spark.operators.curation import sliding_chunks
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = sliding_chunks(df, size=4, stride=2).collect()
+    assert [r.doc_id for r in rows] == [2]  # NULL doc drops, not crashes

@@ -758,3 +758,15 @@ def test_key_skew_report_exact_shares_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # per-key counts combine map-side
+
+
+def test_robust_outliers_null_values_never_flag(spark):
+    from pdf_parser_spark.operators.analytics import robust_outliers
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", 3), ("g", None)], "k string, v int"
+    )
+    got = {r.v: r for r in robust_outliers(df, "k", "v").collect()}
+    # NULL values are excluded from the medians but their rows survive
+    assert got[2].med == 2.0 and got[2].mad == 1.0
+    assert got[None].robust_z is None and got[None].is_outlier is False
