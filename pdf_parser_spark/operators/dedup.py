@@ -74,7 +74,13 @@ def char_shingles(text, n: int = 3):
 
 
 def words_col(text):
-    """Normalized word array (lowercased, whitespace-collapsed, split)."""
+    """Normalized word array (lowercased, whitespace-collapsed, split).
+
+    NULL text propagates a NULL array ('' yields ['']). Consumers that
+    combine size() with greatest()/sequence() must guard NULL explicitly:
+    greatest SKIPS NULLs (greatest(NULL, 1) = 1), so a NULL array can
+    manufacture one phantom element downstream — see the guard in
+    curation.sliding_chunks for the pattern."""
     return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
 
 
