@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "token_quantiles",
     "ivf_topk_probe",
     "lang_token_budget",
+    "skyline_orders",
+    "event_transitions",
+    "lexical_richness",
     "vocab_topk_coverage",
     "leakage_safe_split",
     "domain_mixture_weights",

@@ -379,3 +379,65 @@ def key_skew_report(
         share.alias("share"),
         F.sum(share).over(w).alias("cum_share"),
     )
+
+
+def pareto_skyline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    coarse=None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows no other row dominates,
+    where "A dominates B" means ``A.ts <= B.ts AND A.value >= B.value``
+    with at least one strict — e.g. the orders for which no earlier (or
+    same-day) order carried at least the same price (skyline of "big AND
+    early"). Classic skyline operator; neither Spark nor the reference
+    has a native one, so it is composed from two window passes.
+
+    Shape at 100 TB — two-phase local/global prune, NEVER a self-join:
+
+    1. local phase partitioned by ``coarse`` (default: month(ts); must be
+       a deterministic function of ``ts_col`` so same-ts rows land in the
+       same group). Within each group, a row survives iff no earlier-ts
+       group row has value >= it (RANGE window excluding the current ts)
+       and no same-ts row strictly beats it. Fully parallel; drops the
+       overwhelming majority of rows.
+    2. global phase: the SAME test over the survivors with an empty
+       partition spec — single-partition BY DESIGN, because the survivor
+       set is frontier-sized (within-group maxima only), not data-sized.
+
+    Exactness: dominance is transitive, so every globally-dominated row
+    is dominated by some UNDOMINATED row; undominated rows always survive
+    phase 1, hence phase 2 over survivors eliminates exactly the
+    dominated set. Equal (ts, value) duplicates do not dominate each
+    other and are all kept — same tie rule both phases.
+    """
+    if coarse is None:
+        coarse = F.date_trunc("month", F.col(ts_col))
+    # RANGE frames need a numeric order key; TIMESTAMP_NTZ refuses a
+    # direct long cast under ANSI, so hop through TIMESTAMP (monotonic —
+    # only the ordering matters, and -1 still excludes exactly the
+    # current instant).
+    ord_key = F.col(ts_col).cast("timestamp").cast("long")
+
+    def keep(sdf: DataFrame, part_cols: list) -> DataFrame:
+        w_earlier = (
+            Window.partitionBy(*part_cols)
+            .orderBy(ord_key)
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_tie = Window.partitionBy(*(part_cols + [F.col(ts_col)]))
+        max_earlier = F.max(value_col).over(w_earlier)
+        max_tie = F.max(value_col).over(w_tie)
+        return (
+            sdf.withColumn("_me", max_earlier)
+            .withColumn("_mt", max_tie)
+            .filter(
+                (F.col("_me").isNull() | (F.col("_me") < F.col(value_col)))
+                & (F.col("_mt") <= F.col(value_col))
+            )
+            .drop("_me", "_mt")
+        )
+
+    local = keep(df.withColumn("_g", coarse), [F.col("_g")])
+    return keep(local, []).drop("_g")

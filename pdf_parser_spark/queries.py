@@ -8084,6 +8084,456 @@ WHERE round(common / na, 6) >= 0.9 OR round(common / nb, 6) >= 0.9
 
 
 # --------------------------------------------------------------------------
+# queries — session-6 battery: remaining TPC-H shapes (Q6/Q7/Q9/Q11/Q20,
+# adapted where the testdata lacks partsupp/l_shipmode, same as the Q12
+# adaptation above) + skyline / audit / corpus-linguistics operators
+# --------------------------------------------------------------------------
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure SCAN query: every predicate (shipdate
+    year, discount band, quantity cap) pushes to the parquet reader, no
+    join, one map-side-combined scalar aggregate. The shape that measures
+    pushdown + whole-stage codegen and nothing else. Revenue delta
+    accumulates in exact DECIMAL (battery convention above); the double
+    literals 0.05/0.07 parse to identical IEEE values in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def sql_forecast_revenue_change() -> str:
+    return """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — selective nation-PAIR trade volume, both
+    directions, by ship year. Plan: the two-name filter pushes into the
+    25-row nation dim and rides broadcast joins into supplier and
+    customer, so each side of the fact keeps only rows touching the two
+    nations BEFORE the orderkey shuffle; the OR-of-pairs cross predicate
+    runs post-join on two tiny string columns. lineitem⋈orders is the
+    single fact-fact shuffle."""
+    pair = ("NATION_20", "NATION_11")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("_sk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("_sk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("_ck"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("_ck"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _disc_price().alias("vol"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+    )
+
+
+def sql_nation_trade_volume() -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and order
+    year, for parts matching a name pattern. The testdata has no partsupp
+    table, so supply cost is proxied by ``p_retailprice × l_quantity``
+    (same query shape: fact − broadcast-dim-derived cost, exact DECIMAL
+    subtraction). Plan: the LIKE-filtered part dim broadcasts; supplier
+    and nation broadcast; lineitem⋈orders shuffles once on orderkey."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount = _disc_price() - _money("p_retailprice") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+def sql_product_profit_by_nation() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_DISC_PRICE_SQL}
+              - CAST(p_retailprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups kept by comparison against a GLOBAL
+    aggregate (parts whose revenue exceeds 1.6× the per-part average; the
+    testdata has no partsupp, so revenue stands in for stock value). The
+    global total/count come from a window over the ALREADY-AGGREGATED
+    per-part relation — never a join-back that would re-evaluate the fact
+    scan (PLANS.md anti-pattern). The empty-frame window is
+    #parts-sized, not data-sized; at extreme part cardinality the same
+    trick runs two-level (per-bucket subtotal, then window).
+
+    Exactness: the keep decision runs in INTEGER units (revenue is an
+    exact DECIMAL(·,4) sum, ×10⁴ → int64 units, fits through sf100:
+    10·units·n_parts ≤ ~5×10¹⁵), so the threshold comparison cannot flap
+    on float noise in either engine; doubles appear only at the output
+    edge (exact bigint→double divisions, identical IEEE both sides)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("rev_dec"))
+    w = Window.partitionBy()
+    out = (
+        rev.withColumn("units", (F.col("rev_dec") * 10000).cast("long"))
+        .withColumn("total_units", F.sum("units").over(w))
+        .withColumn("n_parts", F.count("*").over(w))
+        .filter(
+            F.lit(10) * F.col("units") * F.col("n_parts")
+            >= F.lit(16) * F.col("total_units")
+        )
+    )
+    return out.select(
+        "l_partkey",
+        (F.col("units").cast("double") / 10000).alias("revenue"),
+        (F.col("units").cast("double") / F.col("total_units").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+def sql_part_revenue_concentration() -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum({_DISC_PRICE_SQL}) * 10000 AS BIGINT) AS units
+  FROM lineitem GROUP BY l_partkey
+), w AS (
+  SELECT l_partkey, units,
+         sum(units) OVER () AS total_units,
+         count(*) OVER () AS n_parts
+  FROM rev)
+SELECT l_partkey,
+       CAST(units AS DOUBLE) / 10000 AS revenue,
+       CAST(units AS DOUBLE) / CAST(total_units AS DOUBLE) AS share
+FROM w WHERE 10 * units * n_parts >= 16 * total_units
+"""
+
+
+def q_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the aggregation-DERIVED semi-join: suppliers who
+    shipped more than 50 units of some PROMO part in 1996 (availqty
+    replaced by shipped quantity; no partsupp in the testdata). Plan: the
+    PROMO part keys broadcast into the date-filtered fact; one (supp,
+    part) partial-agg shuffle; the surviving supplier keys semi-join the
+    supplier dim. Quantity sums in DECIMAL so the HAVING threshold is
+    exact in both engines (values are integral anyway)."""
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.join(
+        heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def sql_promotable_suppliers() -> str:
+    return """
+WITH heavy AS (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (analytics.pareto_skyline): the orders no other
+    order dominates on (earlier-or-same date, higher-or-same price, one
+    strict) — "biggest AND earliest". Two-phase local/global window
+    prune, never a self-join. The oracle replays the dominance spec as a
+    single-pass RANGE window (equivalent to the NOT-EXISTS formulation:
+    SELECT * FROM orders a WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE
+    b.o_orderdate <= a.o_orderdate AND b.o_totalprice >= a.o_totalprice
+    AND (b.o_orderdate < a.o_orderdate OR b.o_totalprice >
+    a.o_totalprice)) — stated here, not run, because NOT EXISTS is
+    quadratic at gate SFs)."""
+    o = load_table(spark, sf_dir, "orders")
+    return analytics.pareto_skyline(o, "o_orderdate", "o_totalprice").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def sql_skyline_orders() -> str:
+    return """
+WITH t AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         max(o_totalprice) OVER (ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe,
+         max(o_totalprice) OVER (PARTITION BY o_orderdate) AS maxt
+  FROM orders)
+SELECT o_orderkey, o_orderdate, o_totalprice FROM t
+WHERE (maxe IS NULL OR maxe < o_totalprice) AND maxt <= o_totalprice
+"""
+
+
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals — the
+    Benford's-law fraud/synthetic-data audit a curation pipeline runs on
+    numeric columns. Digit extraction is STRING-side (first [1-9] of the
+    value's shortest-roundtrip repr — identical in both engines for
+    |x| < 1e7, and even scientific notation leads with the first
+    significant digit) so no log10/pow float path is involved. One
+    map-side-combined 9-group aggregate; frequencies are exact
+    bigint/bigint IEEE divisions via a window over the 9-row result."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0).cast(
+        "long"
+    )
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy()
+    return counts.withColumn(
+        "freq", F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    )
+
+
+def sql_benford_digit_audit() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS BIGINT)
+           AS digit
+  FROM orders WHERE o_totalprice > 0)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE)
+         / CAST(sum(count(*)) OVER () AS DOUBLE) AS freq
+FROM d GROUP BY digit
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag(event_type) within (user ORDER BY ts, event_id — unique, so the
+    lag is deterministic), then (prev, next) counts and row-normalized
+    transition probabilities. One shuffle on user_id (window), one
+    map-side-combined shuffle on the pair; the normalizing window runs
+    over the |types|²-row aggregate, not the events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = s.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(wp).cast("double")
+    )
+
+
+def sql_event_transitions() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE)
+         / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per event type: NTILE(10) over a fully
+    deterministic order (value, event_id — unique tiebreak, so bucket
+    assignment is identical in any engine), then per-bucket count and
+    [lo, hi] boundaries — min/max only, order-independent (per-bucket
+    avg of doubles would be summation-order-dependent and is deliberately
+    excluded). One shuffle on event_type for the window, then a
+    map-side-combined 10×|types|-group aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = e.withColumn("decile", F.ntile(10).over(w))
+    return b.groupBy(
+        "event_type", F.col("decile").cast("long").alias("decile")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+def sql_value_deciles() -> str:
+    return """
+WITH b AS (
+  SELECT event_type, value, event_id,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS decile
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
+FROM b GROUP BY event_type, decile
+"""
+
+
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics profile per source: token count, type count
+    (distinct words), hapax legomena, type-token ratio and hapax
+    fraction — the vocabulary-health stats a training-data pipeline
+    tracks per provider (shrinking TTR at constant volume = boilerplate
+    creep). Tokenization is dedup.words_col (the shared normalization).
+    Two map-side-combined shuffles: (source, word) counts, then the
+    per-source rollup; ratios are exact bigint/bigint IEEE divisions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "source", F.explode(dedup.words_col(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+        (F.count("*").cast("double") / F.sum("c").cast("double")).alias("ttr"),
+        (hapax.cast("double") / F.count("*").cast("double")).alias("hapax_frac"),
+    )
+
+
+def sql_lexical_richness() -> str:
+    return """
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+), wc AS (
+  SELECT source, word, count(*) AS c FROM w GROUP BY source, word)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_frac
+FROM wc GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -8215,6 +8665,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_segments": q_sentence_segments,
     "event_key_skew": q_event_key_skew,
     "containment_pairs": q_containment_pairs,
+    # session-6 battery (never driver-checked yet; queued for a later
+    # window rotation; local gate value-checks them this round):
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "nation_trade_volume": q_nation_trade_volume,
+    "product_profit_by_nation": q_product_profit_by_nation,
+    "part_revenue_concentration": q_part_revenue_concentration,
+    "promotable_suppliers": q_promotable_suppliers,
+    "skyline_orders": q_skyline_orders,
+    "benford_digit_audit": q_benford_digit_audit,
+    "event_transitions": q_event_transitions,
+    "value_deciles": q_value_deciles,
+    "lexical_richness": q_lexical_richness,
     # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
     # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
@@ -8457,4 +8919,14 @@ ORACLES: dict[str, str] = {
     "sentence_segments": sql_sentence_segments(),
     "event_key_skew": sql_event_key_skew(),
     "containment_pairs": sql_containment_pairs(),
+    "forecast_revenue_change": sql_forecast_revenue_change(),
+    "nation_trade_volume": sql_nation_trade_volume(),
+    "product_profit_by_nation": sql_product_profit_by_nation(),
+    "part_revenue_concentration": sql_part_revenue_concentration(),
+    "promotable_suppliers": sql_promotable_suppliers(),
+    "skyline_orders": sql_skyline_orders(),
+    "benford_digit_audit": sql_benford_digit_audit(),
+    "event_transitions": sql_event_transitions(),
+    "value_deciles": sql_value_deciles(),
+    "lexical_richness": sql_lexical_richness(),
 }

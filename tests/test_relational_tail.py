@@ -770,3 +770,34 @@ def test_robust_outliers_null_values_never_flag(spark):
     # NULL values are excluded from the medians but their rows survive
     assert got[2].med == 2.0 and got[2].mad == 1.0
     assert got[None].robust_z is None and got[None].is_outlier is False
+
+
+def test_pareto_skyline_matches_bruteforce(spark):
+    """Value pin for analytics.pareto_skyline: the two-phase window prune
+    must equal the O(n^2) dominance spec exactly, including ties (equal
+    ts, equal value, and full duplicates — kept on both sides)."""
+    import datetime
+    import random
+
+    rng = random.Random(42)
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(days=rng.randrange(120)),
+            float(rng.randrange(50)),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    got = {r.id for r in analytics.pareto_skyline(df, "ts", "v").collect()}
+
+    def dominates(b, a):
+        return (
+            b[1] <= a[1]
+            and b[2] >= a[2]
+            and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    expect = {a[0] for a in rows if not any(dominates(b, a) for b in rows)}
+    assert got == expect and got
