@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "skyline_orders",
     "event_transitions",
     "lexical_richness",
+    "heavy_hitter_words",
+    "prefix_jaccard_pairs",
+    "global_sequence_ids",
     "vocab_topk_coverage",
     "leakage_safe_split",
     "domain_mixture_weights",

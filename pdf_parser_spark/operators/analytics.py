@@ -441,3 +441,51 @@ def pareto_skyline(
 
     local = keep(df.withColumn("_g", coarse), [F.col("_g")])
     return keep(local, []).drop("_g")
+
+
+def rank_auc(
+    df: DataFrame, score_col, label_col, n_pos_col: str = "n_pos"
+) -> DataFrame:
+    """Mann–Whitney AUC of a score against a boolean label — THE metric
+    every quality-classifier gate (ccnet_quality_tiers,
+    calibrated_quality_keep) should report before its threshold is
+    trusted: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻).
+
+    The textbook rank formulation (global rank of every row) is a
+    single-partition window over the DATA — the 100 TB cliff. This runs
+    the identity instead: group by DISTINCT score value first (one
+    partial-aggregated shuffle; callers quantize continuous scores — a
+    bucketed score IS the estimator at scale), then every window below
+    runs over the frontier-sized per-score aggregate (the window-totals
+    pattern, PLANS.md "aggregate-and-join-back"):
+
+        AUC = Σ_s p_s·(2·cumq_{<s} + q_s) / (2·P·Q)
+
+    where p_s/q_s are positives/negatives at score s and cumq the
+    negatives strictly below. Numerator and denominator stay exact int64
+    until ONE final double division, so DuckDB value-matches bit-for-bit
+    (no rounding anywhere). NULL labels count as negatives (document or
+    filter upstream); degenerate inputs (P=0 or Q=0) return NULL auc
+    rather than a division error.
+    """
+    lbl = F.when(F.col(label_col) if isinstance(label_col, str) else label_col, 1).otherwise(0)
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    g = df.groupBy(s.alias("_s")).agg(
+        F.sum(lbl).alias("_p"), F.sum(1 - lbl).alias("_q")
+    )
+    w_cum = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    e = g.select(
+        "_p",
+        "_q",
+        F.coalesce(F.sum("_q").over(w_cum), F.lit(0)).alias("_cq"),
+        F.sum("_p").over(w_all).alias("_tp"),
+        F.sum("_q").over(w_all).alias("_tq"),
+    )
+    num = F.sum(F.col("_p") * (2 * F.col("_cq") + F.col("_q")))
+    den = 2 * F.max("_tp") * F.max("_tq")
+    return e.agg(
+        (num.cast("double") / F.when(den > 0, den).cast("double")).alias("auc"),
+        F.max("_tp").cast("long").alias(n_pos_col),
+        F.max("_tq").cast("long").alias("n_neg"),
+    )

@@ -851,3 +851,57 @@ def js_divergence(
         F.col("_n").cast("long").alias("n_tokens"),
         "js_divergence",
     )
+
+
+def global_sequence(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int = 32,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Assign contiguous global sequence numbers 1..N in ``order_cols``
+    order WITHOUT a single-partition window — the DataFrame analogue of
+    RDD ``zipWithIndex``. Every "number my corpus" job needs this (shard
+    manifests, resumable cursors, deterministic train order), and the
+    naive ``row_number() OVER (ORDER BY ...)`` serializes the whole
+    dataset through ONE task — the canonical 100 TB cliff.
+
+    Plan shape:
+    1. ``repartitionByRange`` on the order key: partition p holds a
+       contiguous key range, and ranges are ordered by p — so a global
+       rank decomposes into (rows before partition p) + (rank within p).
+    2. per-partition counts: a partial-aggregated groupBy on
+       ``spark_partition_id()`` — P rows cross the wire, not data.
+    3. offsets: a cumulative sum over those P rows (single-partition
+       window over a P-row aggregate — frontier-sized by design).
+    4. rank within partition: row_number over (pid, order) — one hash
+       shuffle on pid, max task = one range partition; offsets ride a
+       broadcast join.
+
+    Cost model is exactly zipWithIndex's: the counting pass re-evaluates
+    the ranged input (two evaluations total — range partitioner bounds
+    are sample-seeded deterministically, so both evaluations agree on
+    every row's pid). Callers sequencing an expensive upstream should
+    persist it first.
+
+    ``order_cols`` must be a UNIQUE composite key (tie rows would get
+    nondeterministic ranks in any engine); output equals
+    ``row_number() OVER (ORDER BY order_cols)`` exactly.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(seq_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_off", "_rn")
+    )

@@ -1355,3 +1355,133 @@ def fuzzy_string_join(
         right_col,
         F.levenshtein(F.col(left_col), F.col(right_col)).alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    shingle_words: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs shingle-set Jaccard ≥ ``threshold`` via prefix
+    filtering (Bayardo et al. "Scaling Up All Pairs Similarity Search",
+    WWW'07; the PPJoin family) — the third candidate generator next to
+    MinHash-LSH (probabilistic) and the df-bounded posting lists
+    (lower-bound semantics): this one is exact AND complete, no sketch,
+    no df cutoff.
+
+    Principle: order every token set by one GLOBAL order (ascending
+    document frequency, rarest first — ties by token). With prefix
+    length p(x) = |x| − ⌈t·|x|⌉ + 1, any pair with J(A,B) ≥ t must share
+    a token inside BOTH prefixes: J ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, while "no
+    common prefix token" confines A∩B to A's suffix of ⌈t·|A|⌉ − 1
+    elements — contradiction. So an equi-join on PREFIX tokens only is a
+    complete candidate generator, and prefixes hold each doc's RAREST
+    tokens, exactly the ones with short posting lists.
+
+    Plan: explode distinct ``shingle_words``-grams once → df counts
+    (partial-agg) → join
+    df back → one groupBy(id) builds the (df, token)-sorted array →
+    slice the prefix → self-equi-join on prefix token with the length
+    filter t·max(|A|,|B|) ≤ min(|A|,|B|) (J ≥ t bounds the size ratio) →
+    distinct pairs → verify with array_intersect on the full sorted
+    arrays. Float guards: prefix length and the length filter both get a
+    1e-9 slack so IEEE rounding can only LENGTHEN a prefix / loosen the
+    filter, never drop a qualifying pair; the brute-force DuckDB oracle
+    value-checks completeness.
+
+    ``bucket_cap`` (optional, default off = exact) applies the
+    count-first mega-bucket guard to prefix postings — the same escape
+    hatch as the banded joins for adversarial corpora where even rare-
+    token postings explode; with it set, results are a documented subset.
+    """
+    # NULL guard runs on the RAW text column, NOT on the shingle array:
+    # a size(tok) >= 1 filter looks equivalent, but predicate pushdown
+    # inlines the ENTIRE shingle construction (split inside the HOF
+    # lambda, re-evaluated per element) into the parquet DataFilter —
+    # measured 4-5 s of the whole query at bench SF just to evaluate a
+    # filter that is vacuously true. words_col(non-NULL text) is always
+    # a ≥1-element array (greatest(…,1) floor), so text IS NOT NULL is
+    # the exact same predicate, pushed down for free.
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w")
+        )
+        .select(
+            "_id", shingles_of_words(F.col("_w"), shingle_words).alias("tok")
+        )
+    )
+    ex = toks.select("_id", F.explode("tok").alias("w"))
+    dfreq = ex.groupBy("w").agg(F.count("*").alias("_df"))
+    arr = (
+        ex.join(dfreq, "w")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("w")))
+            ).alias("_ord")
+        )
+        .select(
+            "_id",
+            F.transform("_ord", lambda s: s["w"]).alias("toks_ord"),
+            F.size("_ord").cast("long").alias("n_tok"),
+        )
+        # The ordered-token relation IS the All-Pairs index, and FOUR
+        # subtrees consume it (both prefix sides + both verify sides).
+        # Without materialization Catalyst re-evaluates the whole
+        # shingle→df→sort chain per consumer (8 scans of the corpus,
+        # measured 12-17 s vs ~3 s at bench SF) — localCheckpoint pins
+        # it once, same trade as near_dup_clusters' iteration state.
+        # MUST be eager: a lazy checkpoint only materializes AFTER the
+        # first job touching it, so a single-action query would still
+        # recompute the chain per consumer stage. PPJoin systems
+        # materialize this index explicitly for the same reason; at
+        # 100 TB it is a doc-count-sized table, not data².
+        .localCheckpoint(eager=True)
+    )
+    plen = (
+        F.col("n_tok")
+        - F.ceil(F.lit(threshold) * F.col("n_tok") - F.lit(1e-9)).cast("long")
+        + 1
+    )
+    pref = arr.select(
+        "_id", "n_tok", F.explode(F.slice("toks_ord", F.lit(1), plen)).alias("w")
+    )
+    if bucket_cap is not None:
+        pref = _cap_buckets(pref, ["w"], bucket_cap)
+    pa = pref.select(F.col("_id").alias("a"), F.col("n_tok").alias("_na"), "w")
+    pb = pref.select(F.col("_id").alias("b"), F.col("n_tok").alias("_nb"), "w")
+    cand = (
+        pa.join(pb, "w")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("_na", "_nb").cast("double")
+                >= F.greatest("_na", "_nb") * F.lit(threshold) - F.lit(1e-9)
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    fa = arr.select(
+        F.col("_id").alias("a"), F.col("toks_ord").alias("_ta"),
+        F.col("n_tok").alias("na"),
+    )
+    fb = arr.select(
+        F.col("_id").alias("b"), F.col("toks_ord").alias("_tb"),
+        F.col("n_tok").alias("nb"),
+    )
+    common = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(common / (F.col("na") + F.col("nb") - common), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -108,3 +108,121 @@ def cm_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_est"))
     )
+
+
+def _mg_summaries(
+    stream: DataFrame, item_col: str, k: int, cap_mult: int = 4
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries (MG'82 "Finding repeated
+    elements"): each partition keeps at most ``k`` weighted counters and
+    emits them plus ONE sentinel row (item NULL, w = partition non-null
+    row count) so the caller gets candidates AND the exact stream length
+    from a single scan.
+
+    Decrement rule: when the counter table exceeds ``k·cap_mult`` keys,
+    subtract the (k+1)-th largest count from every counter and drop the
+    non-positives. Every prune removes ≥ (k+1)·thresh mass (the top k+1
+    counters each lose exactly thresh), so Σ thresh ≤ n_p/(k+1) — any
+    item with true partition count > n_p/k therefore finishes with a
+    positive counter (classic MG guarantee). Pigeonhole lifts it global:
+    count > n/k overall ⇒ count_p > n_p/k in ≥ 1 partition ⇒ the item is
+    in that partition's summary. The union of summaries is a SUPERSET of
+    the true heavy hitters; no false negative is possible.
+
+    The kernel is Arrow-batched and fully vectorized: per batch one
+    ``value_counts`` (C groupby), per merge one index-aligned add; the
+    only Python-level loop is over Arrow batches. State is O(k·cap_mult)
+    regardless of partition size — the whole point of the sketch.
+    """
+    c = item_col
+
+    def mg(batches):
+        import pandas as pd
+
+        acc = None
+        n = 0
+
+        def prune(s, limit):
+            if len(s) <= limit:
+                return s
+            thresh = s.nlargest(k + 1).iloc[-1]
+            s = s[s > thresh] - thresh
+            return s
+
+        for pdf in batches:
+            vc = pdf[c].value_counts()  # drops nulls — sentinel counts them out
+            n += int(vc.sum())
+            acc = vc if acc is None else acc.add(vc, fill_value=0).astype("int64")
+            acc = prune(acc, k * cap_mult)
+        if acc is None:
+            acc = pd.Series(dtype="int64")
+        acc = prune(acc, k)
+        yield pd.DataFrame(
+            {
+                "item": list(acc.index.astype(str)) + [None],
+                "w": list(acc.values.astype("int64")) + [n],
+            }
+        )
+
+    return stream.select(F.col(c).cast("string").alias(c)).mapInPandas(
+        mg, schema="item string, w long"
+    )
+
+
+def heavy_hitters(
+    stream: DataFrame, item_col: str, k: int = 100, cap_mult: int = 4
+) -> DataFrame:
+    """EXACT φ-heavy hitters — every item with count > n/k, its exact
+    count, and its share — in two bounded passes, never a full-vocabulary
+    shuffle.
+
+    The one-pass form (groupBy item, HAVING count > n/k) shuffles one row
+    per DISTINCT item: at web scale that is billions of keys of which a
+    few hundred qualify — almost all shuffle I/O is spent on keys that
+    cannot win. This operator:
+
+    1. **candidate pass** — per-partition Misra–Gries (`_mg_summaries`):
+       one scan, O(k) state per task, ≤ k·P + P summary rows out. Superset
+       guarantee per the MG math above; the same sentinel rows carry the
+       exact total n, so no separate count job.
+    2. **verify pass** — broadcast left-semi join of the ≤ k·P candidate
+       set into the stream, then an exact groupBy over ONLY the
+       candidates: the shuffle carries ≤ k·P keys, each map-side combined.
+
+    Output is EXACT (counts from pass 2, threshold from the exact n) —
+    the sketch only bounds the candidate set, it never touches the
+    reported numbers, so a plain SQL oracle value-checks the operator
+    bit-for-bit. ``share = cnt/n`` ships unrounded: one IEEE division of
+    two exact int64s is bit-identical in any engine.
+
+    Count-Min (`cm_build`) answers point queries against a FIXED budget
+    with one-sided error; this answers "enumerate everything hot" with
+    no error at all — the two compose (CM to gate, MG+verify to report).
+    """
+    c = item_col
+    summaries = _mg_summaries(stream, c, k, cap_mult)
+    cand = (
+        summaries.filter(F.col("item").isNotNull())
+        .select(F.col("item").alias(c))
+        .distinct()
+    )
+    total = summaries.filter(F.col("item").isNull()).agg(
+        F.sum("w").cast("long").alias("_n")
+    )
+    exact = (
+        stream.select(F.col(c).cast("string").alias(c))
+        .join(F.broadcast(cand), c, "left_semi")
+        .groupBy(c)
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .select(
+            c,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

@@ -8533,6 +8533,150 @@ FROM wc GROUP BY source
 """
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs trigram-shingle Jaccard via prefix filtering
+    (operators/dedup.prefix_filter_jaccard_pairs, PPJoin/All-Pairs
+    family): candidates come from an equi-join on each doc's RAREST
+    shingles only (global df order, prefix length |x| - ceil(t|x|) + 1 —
+    provably complete for J >= t), verified with array_intersect on the
+    full sorted shingle arrays. Complements minhash_near_dups
+    (probabilistic) and ngram_jaccard_pairs (df-bounded lower bound):
+    this one is exact AND complete — the oracle is the brute-force
+    inverted-index join, so completeness is value-checked. Doc window
+    bounded like ngram_jaccard_pairs: the synthetic corpus draws from a
+    deliberately tiny template vocabulary, so even globally-rare shingles
+    are shared by many docs and candidate counts are corpus-adversarial;
+    on real web text the df-ordered prefix is the selective part."""
+    d = _spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.col("doc_id") < 1500)
+        )
+    )
+    return dedup.prefix_filter_jaccard_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        threshold=0.5,
+        shingle_words=3,
+    )
+
+
+def sql_prefix_jaccard_pairs() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS tok FROM documents
+  WHERE text IS NOT NULL AND doc_id < 1500
+), ex AS (
+  SELECT doc_id, unnest(tok) AS t FROM sh
+), sz AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n FROM sh
+), c AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+  FROM ex x JOIN ex y ON x.t = y.t AND x.doc_id < y.doc_id GROUP BY 1, 2
+)
+SELECT a, b, round(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM c JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b
+WHERE round(common / (sa.n + sb.n - common), 6) >= 0.5
+"""
+
+
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy hitters over the corpus word stream
+    (operators/sketches.heavy_hitters): per-partition Misra-Gries
+    candidate pass (O(k) state per task, candidates + exact stream
+    length from ONE scan) then an exact count of only the candidates —
+    never a full-vocabulary shuffle. The sketch bounds the CANDIDATE set
+    only; every reported (word, cnt, share) is exact, so a plain SQL
+    HAVING count*k > n oracle value-checks it bit-for-bit (share is one
+    IEEE division of exact int64s). _spread also gives the MG pass its
+    partition fan-out: P summaries of <= k counters each."""
+    from pdf_parser_spark.operators import sketches
+
+    d = _spread(load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+    stream = d.select(F.explode(dedup.words_col(F.col("text"))).alias("word"))
+    return sketches.heavy_hitters(stream, "word", k=40)
+
+
+def sql_heavy_hitter_words() -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest({_WORDS_SQL}) AS word FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word
+), t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+)
+SELECT word, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
+FROM c, t WHERE cnt * 40 > n
+"""
+
+
+def q_global_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global sequence numbers over events in (ts, event_id)
+    order WITHOUT a single-partition window (operators/curation.
+    global_sequence — the DataFrame zipWithIndex): range-partition on the
+    key, per-partition counts (P rows) -> cumulative offsets -> offset +
+    within-partition row_number. The oracle is the naive global
+    row_number(), which this must equal exactly."""
+    from pdf_parser_spark.operators import curation
+
+    e = load_table(spark, sf_dir, "events")
+    return curation.global_sequence(
+        e.select(F.col("event_id").cast("long").alias("event_id"), "ts"),
+        ["ts", "event_id"],
+        num_partitions=32,
+    ).select("event_id", "seq")
+
+
+def sql_global_sequence_ids() -> str:
+    return """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+"""
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC of the (floor-bucketed) event value against the
+    purchase label (operators/analytics.rank_auc): does magnitude
+    separate purchases from other events? Aggregate-by-distinct-score
+    FIRST, then all rank math runs over the frontier-sized per-score
+    relation — never a global rank over the data. Integer numerator /
+    denominator with ONE final double division, so both engines agree
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        F.floor("value").cast("long").alias("bucket"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return analytics.rank_auc(scored, "bucket", "is_pos")
+
+
+def sql_quality_auc() -> str:
+    return """
+WITH g AS (
+  SELECT CAST(floor(value) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), e AS (
+  SELECT p, q,
+         CAST(coalesce(sum(q) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cq,
+         CAST(sum(p) OVER () AS BIGINT) AS tp,
+         CAST(sum(q) OVER () AS BIGINT) AS tq
+  FROM g
+)
+SELECT CAST(CAST(sum(p * (2 * cq + q)) AS BIGINT) AS DOUBLE)
+         / CAST(2 * max(tp) * max(tq) AS DOUBLE) AS auc,
+       CAST(max(tp) AS BIGINT) AS n_pos,
+       CAST(max(tq) AS BIGINT) AS n_neg
+FROM e
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8746,6 +8890,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
     "coordinate_dispatch": q_coordinate_dispatch,
+    # -- session-6 additions (queued for the round-4 window) --
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "heavy_hitter_words": q_heavy_hitter_words,
+    "global_sequence_ids": q_global_sequence_ids,
+    "quality_auc": q_quality_auc,
 }
 
 ORACLES: dict[str, str] = {
@@ -8929,4 +9078,8 @@ ORACLES: dict[str, str] = {
     "event_transitions": sql_event_transitions(),
     "value_deciles": sql_value_deciles(),
     "lexical_richness": sql_lexical_richness(),
+    "prefix_jaccard_pairs": sql_prefix_jaccard_pairs(),
+    "heavy_hitter_words": sql_heavy_hitter_words(),
+    "global_sequence_ids": sql_global_sequence_ids(),
+    "quality_auc": sql_quality_auc(),
 }

@@ -743,3 +743,56 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q6_pure_pushdown_scan(spark):
+    """forecast_revenue_change is the pure-scan benchmark: every predicate
+    reaches the parquet reader, no join anywhere, and the only exchange is
+    the 1-row final aggregate."""
+    df = QUERIES["forecast_revenue_change"](spark, SF_DIR)
+    fmt = _formatted(df)
+    for f in (
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "LessThan(l_shipdate,1997-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert f in fmt, f
+    plan = _spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1  # the 1-row global agg only
+
+
+def test_skyline_two_window_passes_no_join(spark):
+    """The skyline is two window prunes, NEVER a dominance self-join: one
+    hash exchange for the per-month phase, one SinglePartition exchange
+    for the frontier-sized global phase, zero joins."""
+    df = QUERIES["skyline_orders"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_global_sequence_no_data_sized_single_partition(spark):
+    """global_sequence must range-partition the data and keep the ONLY
+    SinglePartition exchange on the P-row offsets aggregate; offsets ride
+    a broadcast join, never a sort-merge."""
+    df = QUERIES["global_sequence_ids"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_verify_is_broadcast_semi(spark):
+    """The verify pass joins the tiny MG candidate set into the stream as
+    a broadcast LeftSemi — the full-vocabulary shuffle the operator exists
+    to avoid must not reappear."""
+    df = QUERIES["heavy_hitter_words"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 1  # exact-total row only

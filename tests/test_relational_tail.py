@@ -801,3 +801,56 @@ def test_pareto_skyline_matches_bruteforce(spark):
 
     expect = {a[0] for a in rows if not any(dominates(b, a) for b in rows)}
     assert got == expect and got
+
+
+def test_global_sequence_matches_global_row_number(spark):
+    """curation.global_sequence must equal row_number() OVER (ORDER BY ...)
+    exactly — contiguous 1..N, duplicate order values broken by the unique
+    tiebreak column, across range partitions."""
+    import random
+
+    from pdf_parser_spark.operators.curation import global_sequence
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(50)) for i in range(500)]  # heavy value dups
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r.id: r.seq for r in global_sequence(df, ["v", "id"], 7).collect()}
+    exp = {
+        i: rank
+        for rank, (i, _) in enumerate(
+            sorted(rows, key=lambda r: (r[1], r[0])), 1
+        )
+    }
+    assert got == exp
+
+
+def test_global_sequence_more_partitions_than_rows(spark):
+    """Empty range partitions (32 requested, 2 rows) must not break the
+    offset chain."""
+    from pdf_parser_spark.operators.curation import global_sequence
+
+    df = spark.createDataFrame([(1, "b"), (2, "a")], "id long, k string")
+    got = sorted((r.k, r.seq) for r in global_sequence(df, ["k"], 32).collect())
+    assert got == [("a", 1), ("b", 2)]
+
+
+def test_rank_auc_matches_pairwise_definition(spark):
+    """analytics.rank_auc must equal the O(P*Q) Mann-Whitney definition
+    (ties at 0.5) exactly, and return NULL auc on a one-class input."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(10), rng.random() < 0.3) for _ in range(300)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    r = analytics.rank_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    num = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert abs(r.auc - num / (len(pos) * len(neg))) < 1e-12
+
+    one = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
+    d = analytics.rank_auc(one, "s", "y").collect()[0]
+    assert d.auc is None and d.n_pos == 2 and d.n_neg == 0

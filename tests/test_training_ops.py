@@ -1099,3 +1099,90 @@ def test_phrase_search_anchor_guard_and_normalization(spark):
         (r.phrase, r.pos) for r in phrase_search(docs, ["cat sat"]).collect()
     }
     assert got == {("cat sat", 2)}
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    """Value pin for sketches.heavy_hitters: the two-pass MG+verify
+    output must equal the exact one-pass groupBy/HAVING, counts and
+    shares included, across a 16-partition skewed stream."""
+    import random
+    from collections import Counter
+
+    from pdf_parser_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(7)
+    items = []
+    for i in range(1, 60):
+        items += [f"w{i}"] * (1200 // i)
+    rng.shuffle(items)
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(16)
+    rows = heavy_hitters(df, "item", k=20).collect()
+    n = len(items)
+    cnt = Counter(items)
+    exp = {(w, c) for w, c in cnt.items() if c * 20 > n}
+    assert {(r.item, r.cnt) for r in rows} == exp and exp
+    for r in rows:
+        assert r.share == cnt[r.item] / n  # one IEEE division, bit-exact
+
+
+def test_heavy_hitters_prune_pressure_never_drops_a_winner(spark):
+    """Adversarial MG pruning: 500 distinct noise keys against a 6-slot
+    counter table (cap_mult=1) force a prune on nearly every batch; the
+    guarantee says the true heavy hitter still reaches the verify pass.
+    NULL items are excluded from both the stream length and the output."""
+    from pdf_parser_spark.operators.sketches import heavy_hitters
+
+    data = [(f"noise{i}",) for i in range(500)] * 2 + [("hot",)] * 400
+    data += [(None,)] * 50
+    df = spark.createDataFrame(data, "item string").repartition(4)
+    rows = heavy_hitters(df, "item", k=6, cap_mult=1).collect()
+    n = 500 * 2 + 400  # nulls don't count
+    assert [(r.item, r.cnt) for r in rows] == [("hot", 400)]
+    assert rows[0].share == 400 / n
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    """Completeness + exactness pin for dedup.prefix_filter_jaccard_pairs:
+    the prefix-filtered join must return EXACTLY the brute-force all-pairs
+    result (pair set and Jaccard values) on seeded random docs."""
+    import random
+    import re
+
+    rng = random.Random(3)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 30))))
+        for i in range(60)
+    ]
+    # planted near-dups: copies with a few words perturbed, so the expected
+    # set spans exact dups, near-dups above, and mutants near the threshold
+    for i in range(20):
+        base = docs[i][1].split(" ")
+        for _ in range(rng.randrange(0, 3)):
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((100 + i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, threshold=0.25, shingle_words=2
+        ).collect()
+    }
+
+    def shingles(text, n=2):
+        ws = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        m = max(len(ws) - (n - 1), 1)
+        return {" ".join(ws[i : i + n]) for i in range(m)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    exp = {}
+    for i, _ in docs:
+        for j, _ in docs:
+            if i < j:
+                c = len(sets[i] & sets[j])
+                jac = c / (len(sets[i]) + len(sets[j]) - c)
+                if round(jac, 6) >= 0.25:
+                    exp[(i, j)] = jac
+    assert set(got) == set(exp) and exp
+    for k, v in exp.items():
+        assert abs(got[k] - v) < 5e-7
