@@ -8677,6 +8677,69 @@ FROM e
 
 
 
+def q_transition_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event latency profile per event-type transition: for each
+    (prev_type, next_type) pair, exact p50/p90 of the gap and the
+    transition count — the dwell-time companion to event_transitions'
+    Markov matrix (how LONG does view->purchase take, not just how
+    often). One window shuffle on user_id, one partial-agg shuffle on
+    the 25-row pair key. Gaps are computed in exact int64 MICROSECONDS
+    (unix_micros both engines — a double epoch would truncate/round
+    differently), quantiles are type-7 (F.percentile = DuckDB
+    quantile_cont) over int-valued doubles, so interpolation is
+    bit-identical."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            # TIMESTAMP_NTZ refuses unix_micros directly; the cast hop
+            # interprets in the session tz, which cancels in the gap
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+            )
+            .cast("double")
+            .alias("gap_us"),
+        )
+    )
+    return s.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 4).alias("p50_us"),
+        F.round(F.percentile("gap_us", F.lit(0.9)), 4).alias("p90_us"),
+    )
+
+
+def sql_transition_latency_quantiles() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE),
+                           0.5), 4) AS p50_us,
+       round(quantile_cont(CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE),
+                           0.9), 4) AS p90_us
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8895,6 +8958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_words": q_heavy_hitter_words,
     "global_sequence_ids": q_global_sequence_ids,
     "quality_auc": q_quality_auc,
+    "transition_latency_quantiles": q_transition_latency_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -9082,4 +9146,5 @@ ORACLES: dict[str, str] = {
     "heavy_hitter_words": sql_heavy_hitter_words(),
     "global_sequence_ids": sql_global_sequence_ids(),
     "quality_auc": sql_quality_auc(),
+    "transition_latency_quantiles": sql_transition_latency_quantiles(),
 }
