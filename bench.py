@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "sentence_segments",
     "event_key_skew",
     "containment_pairs",
+    "host_error_drift",
+    "gopher_top_ngrams",
 ]
 
 

@@ -489,3 +489,61 @@ def rank_auc(
         F.max("_tp").cast("long").alias(n_pos_col),
         F.max("_tq").cast("long").alias("n_neg"),
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    x,
+    allowance: int,
+    threshold: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One-sided CUSUM change-point screen per key (Page 1954) — the
+    sequential drift detector quality-monitoring runs over per-host error
+    streams: a sustained rate excess accumulates where a single spike
+    decays, so it fires on regime changes that threshold-per-event or
+    global-rate screens miss. Reference analogue: the retry/failure
+    bookkeeping around the enrichment loop (`_parser.py:104-147`) is the
+    per-key error stream this screens at corpus scale.
+
+    The textbook recursion S_i = max(0, S_{i-1} + x_i − k) looks
+    inherently sequential, but has the closed form
+    S_i = c_i − min(0, min_{j≤i} c_j) with c the running sum of (x − k),
+    so the whole detector is window algebra: TWO stacked window passes
+    (running sum, then running min of it) plus row_number over ONE window
+    spec — Catalyst plans a single hash Exchange + one Sort on the key,
+    and the final per-key rollup reuses that partitioning (plan-pinned:
+    exactly one Exchange in the whole query). No UDF, no iteration, no
+    driver loop.
+
+    Integer-exact: pass ``x`` and ``allowance`` pre-scaled to int64
+    (e.g. indicator·1000 and allowed-rate·1000) — nothing accumulates in
+    floats, so an independent window replay is bit-equal.
+
+    Returns per key: n_events, max_cusum (the peak excursion),
+    breach_seq (1-based position of the FIRST sample where S ≥ threshold,
+    NULL if never) and the drifted flag.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        (x.cast("long") - F.lit(int(allowance)).cast("long")).alias("_d"),
+    )
+    staged = staged.withColumn("_c", F.sum("_d").over(run))
+    staged = staged.withColumn(
+        "_s", F.col("_c") - F.least(F.lit(0).cast("long"), F.min("_c").over(run))
+    ).withColumn("_rn", F.row_number().over(w))
+    thr = F.lit(int(threshold)).cast("long")
+    return staged.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("_s").cast("long").alias("max_cusum"),
+        F.min(F.when(F.col("_s") >= thr, F.col("_rn")))
+        .cast("long")
+        .alias("breach_seq"),
+        (F.max("_s") >= thr).alias("drifted"),
+    )

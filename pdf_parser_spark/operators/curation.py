@@ -905,3 +905,41 @@ def global_sequence(
         .withColumn(seq_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_off", "_rn")
     )
+
+
+def hrw_assign(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1996): every (doc, shard) pair gets an independent hash and the doc
+    lives on the argmax shard. The property mod-hash (`assign_shards`)
+    cannot give: growing the fleet N → N+1 relocates EXACTLY the docs the
+    new shard's hash wins — an expected 1/(N+1) of the corpus — and every
+    moved doc moves TO the new shard (the incumbent scores are untouched,
+    so the old argmax can only be beaten by the newcomer). Resharding a
+    100 TB corpus from 9000 to 9001 files rewrites ~11 GB; mod-hash
+    relocates (N−1)/N ≈ everything. Reference analogue: the work-queue
+    batch assignment (`_parser.py:1723-1726`) is the static-N version of
+    this placement decision.
+
+    Zero shuffle, pure Catalyst: the score array is one ``transform`` over
+    ``sequence(0, N−1)`` reduced with ``array_max`` over (score, shard)
+    structs — a tie (p ≈ 2⁻⁶⁰) breaks to the HIGHER shard id identically
+    on any engine that compares structs field-wise. Cost is O(N) md5s per
+    row: right for file/bucket counts (10²–10⁴); for 10⁶+ virtual nodes
+    use two-level HRW (hash to one of √N groups, then within the group).
+    Hash is the repo's portable md5→60-bit fold (`dedup.seeded_hash`
+    format ``<id>#<shard>``) so the DuckDB twin replays bit-for-bit;
+    swap in xxhash64 for the scale path exactly as the sketch family does.
+    """
+    staged = docs.withColumn("_sid", F.col(id_col).cast("string"))
+    scores = F.expr(
+        f"transform(sequence(0, {int(n_shards) - 1}), s -> named_struct("
+        "'score', cast(conv(substring(md5(concat(_sid, '#', cast(s as string)))"
+        ", 1, 15), 16, 10) as bigint), 'shard', s))"
+    )
+    top = F.array_max(scores)
+    return staged.withColumn(out_col, top["shard"].cast("int")).drop("_sid")

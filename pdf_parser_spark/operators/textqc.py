@@ -1147,3 +1147,79 @@ def split_sentences(
     ).select(
         id_col, F.col("sent_idx").cast("long").alias("sent_idx"), "sentence"
     )
+
+
+def top_ngram_fraction(
+    docs: DataFrame,
+    ns: tuple = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher repetition signal (Rae et al. 2021, appendix A1.1) the
+    `repetition_features` duplicate-*distinct* fractions do not capture:
+    the fraction of document characters covered by occurrences of the
+    single MOST FREQUENT word n-gram, per n. A page that loops one SEO
+    phrase has low duplicate-2gram *diversity* loss but a huge top-2gram
+    *mass* — this is the gate that catches it. Occurrences may overlap
+    (as in Gopher), so a degenerate "a a a a" doc can score >1; gates
+    compare against a threshold, so the cap is immaterial and we keep the
+    honest raw value. Reference analogue: the keyword-relevance screens
+    (`_parser.py:1256-1265`) are the single-phrase version of this gate.
+
+    Zero shuffle, all-Catalyst, per-doc O(L log L): words materialize
+    ONCE (HOF-lambda rule — every lambda body re-evaluates per element),
+    each n builds its n-gram array with one ``transform``, sorts it, finds
+    run boundaries with ``filter`` (the `word_entropy` trick), and takes
+    the (count, gram)-max struct — ties break to the lexicographically
+    LAST gram on both engines. No explode + groupBy(doc, gram) shuffle of
+    the token stream, which is what the naive plan costs at 100 TB.
+
+    NULL/short docs: text with fewer than n words (and NULL text) yields
+    top{n}_gram NULL, top{n}_cnt 0, top{n}_char_frac 0.0 — no repetition
+    evidence, same convention as `repetition_features`.
+    """
+    from pdf_parser_spark.operators.dedup import words_col
+
+    staged = docs.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_w")
+    ).withColumn("_chars", F.length(F.array_join("_w", " ")))
+    cols = [F.col(id_col)]
+    for n in ns:
+        g, b = f"_g{n}", f"_b{n}"
+        staged = (
+            staged.withColumn(
+                g,
+                F.expr(
+                    f"if(size(_w) >= {n}, array_sort(transform("
+                    f"sequence(1, size(_w) - {n - 1}), "
+                    f"i -> array_join(slice(_w, i, {n}), ' '))), "
+                    "cast(array() as array<string>))"
+                ),
+            )
+            .withColumn(
+                b,
+                F.expr(
+                    f"if(size({g}) = 0, cast(array() as array<int>), "
+                    f"filter(sequence(1, size({g})), i -> i = size({g})"
+                    f" OR element_at({g}, i) <> element_at({g}, i + 1)))"
+                ),
+            )
+            .withColumn(
+                f"_t{n}",
+                F.expr(
+                    f"array_max(transform({b}, (x, j) -> named_struct("
+                    f"'cnt', x - if(j = 0, 0, element_at({b}, j)), "
+                    f"'gram', element_at({g}, x))))"
+                ),
+            )
+        )
+        t = F.col(f"_t{n}")
+        frac = F.when(t.isNull() | (F.col("_chars") <= 0), F.lit(0.0)).otherwise(
+            F.round(t["cnt"] * F.length(t["gram"]) / F.col("_chars"), 6)
+        )
+        cols += [
+            t["gram"].alias(f"top{n}_gram"),
+            F.coalesce(t["cnt"].cast("long"), F.lit(0)).alias(f"top{n}_cnt"),
+            frac.alias(f"top{n}_char_frac"),
+        ]
+    return staged.select(*cols)

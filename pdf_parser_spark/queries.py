@@ -8742,6 +8742,133 @@ GROUP BY prev_type, event_type
 
 # --------------------------------------------------------------------------
 # registry
+
+def q_host_error_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift screen (analytics.cusum_drift) per user over
+    the error-event stream: x = is_error*1000 against an allowance of
+    250 permille with breach threshold 3000 - sustained rate excess
+    accumulates where single spikes decay. Exact int64 window algebra
+    (closed form c - min(0, running_min(c))), one Exchange end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.col("event_type") == "error").cast("long") * 1000
+    return analytics.cusum_drift(e, x, allowance=250, threshold=3000)
+
+
+def sql_host_error_drift() -> str:
+    return """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(CASE WHEN event_type = 'error' THEN 750 ELSE -250 END AS BIGINT) AS d
+  FROM events
+), c AS (
+  SELECT user_id,
+         sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM d
+), s AS (
+  SELECT user_id, rn,
+         c - least(CAST(0 AS BIGINT),
+                   min(c) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING)) AS s
+  FROM c
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(min(CASE WHEN s >= 3000 THEN rn END) AS BIGINT) AS breach_seq,
+       max(s) >= 3000 AS drifted
+FROM s GROUP BY user_id
+"""
+
+
+def q_hrw_shard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash reshard stability (curation.hrw_assign): assign every
+    doc at N=8 and N=9 shards in ONE plan and roll up the movement matrix.
+    HRW's contract: every off-diagonal cell lands on the NEW shard
+    (shard_b = 8) and the moved mass is ~1/9 of the corpus - mod-hash
+    would relocate ~8/9. Assignment itself is zero-shuffle Catalyst
+    (transform + array_max over (score, shard) structs)."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    b = curation.hrw_assign(
+        curation.hrw_assign(d, 8, out_col="shard_a"), 9, out_col="shard_b"
+    )
+    return (
+        b.groupBy("shard_a", "shard_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn("moved", F.col("shard_a") != F.col("shard_b"))
+    )
+
+
+def sql_hrw_shard_stability() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents, range(0, 9) t(s)
+), a AS (
+  SELECT doc_id, s AS shard_a FROM (
+    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+    FROM g WHERE s < 8) WHERE rn = 1
+), b AS (
+  SELECT doc_id, s AS shard_b FROM (
+    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+    FROM g) WHERE rn = 1
+)
+SELECT CAST(shard_a AS INT) AS shard_a, CAST(shard_b AS INT) AS shard_b,
+       CAST(count(*) AS BIGINT) AS n_docs, shard_a <> shard_b AS moved
+FROM a JOIN b USING (doc_id)
+GROUP BY shard_a, shard_b
+"""
+
+
+def q_gopher_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram mass (textqc.top_ngram_fraction): fraction of doc
+    characters covered by the most frequent word n-gram, n = 2/3/4 - the
+    repetition gate duplicate-DISTINCT fractions miss. Zero shuffle."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return textqc.top_ngram_fraction(d)
+
+
+def sql_gopher_top_ngrams() -> str:
+    w = _WORDS_SQL
+
+    def block(n: int) -> str:
+        return f"""g{n} AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= {n} THEN
+      list_transform(range(1, len(w) - {n} + 2), i -> array_to_string(w[i:i+{n - 1}], ' '))
+      ELSE [] END) AS gram
+  FROM ww
+), t{n} AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+    FROM (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2)) WHERE rn = 1
+)"""
+
+    def out(n: int) -> str:
+        return (
+            f"t{n}.gram AS top{n}_gram, CAST(coalesce(t{n}.cnt, 0) AS BIGINT) AS top{n}_cnt,\n"
+            f"  CASE WHEN t{n}.cnt IS NULL OR ww.chars <= 0 THEN 0.0\n"
+            f"       ELSE round(t{n}.cnt * length(t{n}.gram) / ww.chars, 6) END AS top{n}_char_frac"
+        )
+
+    return f"""
+WITH ww AS (
+  SELECT doc_id, {w} AS w, length(array_to_string({w}, ' ')) AS chars
+  FROM documents
+), {block(2)}, {block(3)}, {block(4)}
+SELECT ww.doc_id,
+  {out(2)},
+  {out(3)},
+  {out(4)}
+FROM ww
+LEFT JOIN t2 ON ww.doc_id = t2.doc_id
+LEFT JOIN t3 ON ww.doc_id = t3.doc_id
+LEFT JOIN t4 ON ww.doc_id = t4.doc_id
+"""
+
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -8959,6 +9086,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_sequence_ids": q_global_sequence_ids,
     "quality_auc": q_quality_auc,
     "transition_latency_quantiles": q_transition_latency_quantiles,
+    "host_error_drift": q_host_error_drift,
+    "hrw_shard_stability": q_hrw_shard_stability,
+    "gopher_top_ngrams": q_gopher_top_ngrams,
 }
 
 ORACLES: dict[str, str] = {
@@ -9147,4 +9277,7 @@ ORACLES: dict[str, str] = {
     "global_sequence_ids": sql_global_sequence_ids(),
     "quality_auc": sql_quality_auc(),
     "transition_latency_quantiles": sql_transition_latency_quantiles(),
+    "host_error_drift": sql_host_error_drift(),
+    "hrw_shard_stability": sql_hrw_shard_stability(),
+    "gopher_top_ngrams": sql_gopher_top_ngrams(),
 }

@@ -1,0 +1,171 @@
+"""Session-7 operators: CUSUM drift detection, rendezvous (HRW) sharding,
+and the Gopher top-n-gram mass gate — semantics pinned on tiny in-memory
+frames against pure-Python replays (the DuckDB oracles value-check them at
+SF), plus the plan shapes PLANS.md documents."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.analytics import cusum_drift
+from pdf_parser_spark.operators.curation import hrw_assign
+from pdf_parser_spark.operators.textqc import top_ngram_fraction
+from pdf_parser_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- CUSUM
+
+
+@pytest.fixture(scope="module")
+def cusum_rows():
+    rows = [("u1", i, 1000 if i in (3, 4, 5, 6) else 0) for i in range(1, 11)]
+    rows += [("u2", i, 0) for i in range(1, 6)]
+    # u3: one error in four (at the 250‰ allowance) — each spike's +750
+    # excess is exactly eaten by the following three −250 steps
+    rows += [("u3", i, 1000 if i % 4 == 0 else 0) for i in range(1, 9)]
+    return rows
+
+
+def _cusum_py(xs, k, h):
+    s = mx = 0
+    breach = None
+    for i, x in enumerate(xs, 1):
+        s = max(0, s + x - k)
+        mx = max(mx, s)
+        if breach is None and s >= h:
+            breach = i
+    return mx, breach
+
+
+def test_cusum_matches_sequential_recursion(spark, cusum_rows):
+    df = spark.createDataFrame(
+        [(u, float(t), t, x) for (u, t, x) in cusum_rows],
+        "user_id string, ts double, event_id long, x long",
+    )
+    out = {r["user_id"]: r for r in cusum_drift(df, F.col("x"), 250, 2000).collect()}
+    series = {}
+    for u, _, x in cusum_rows:
+        series.setdefault(u, []).append(x)
+    for u, xs in series.items():
+        mx, breach = _cusum_py(xs, 250, 2000)
+        assert out[u]["max_cusum"] == mx
+        assert out[u]["breach_seq"] == breach
+        assert out[u]["drifted"] == (mx >= 2000)
+        assert out[u]["n_events"] == len(xs)
+
+
+def test_cusum_spike_decays_but_sustained_excess_breaches(spark, cusum_rows):
+    df = spark.createDataFrame(
+        [(u, float(t), t, x) for (u, t, x) in cusum_rows],
+        "user_id string, ts double, event_id long, x long",
+    )
+    out = {r["user_id"]: r for r in cusum_drift(df, F.col("x"), 250, 2000).collect()}
+    # u1's 4-in-a-row run of +750 excess breaches at the 5th sample
+    assert out["u1"]["drifted"] and out["u1"]["breach_seq"] == 5
+    # u3 sits AT the allowance: spikes decay fully, never accumulates
+    assert not out["u3"]["drifted"] and out["u3"]["breach_seq"] is None
+    assert out["u3"]["max_cusum"] == 750  # a single spike's excess
+
+
+def test_cusum_query_is_one_exchange_end_to_end(spark):
+    """The windows and the per-key rollup share hashpartitioning(user_id):
+    a single Exchange + a single Sort serve the whole detector."""
+    plan = _plan(QUERIES["host_error_drift"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 2  # running sum, then running min of it
+
+
+# ------------------------------------------------------------------ HRW
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _hrw_py(doc_id: int, n: int) -> int:
+    return max(range(n), key=lambda s: (_h60(f"{doc_id}#{s}"), s))
+
+
+def test_hrw_matches_argmax_hash_replay(spark):
+    d = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = {r["doc_id"]: r["shard"] for r in hrw_assign(d, 8).collect()}
+    for i in range(200):
+        assert got[i] == _hrw_py(i, 8)
+
+
+def test_hrw_reshard_moves_minimal_mass_and_only_to_new_shard(spark):
+    n = 500
+    d = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    b = hrw_assign(hrw_assign(d, 8, out_col="a"), 9, out_col="b")
+    rows = b.collect()
+    moved = [r for r in rows if r["a"] != r["b"]]
+    # every moved doc lands on the NEW shard — incumbent scores unchanged
+    assert all(r["b"] == 8 for r in moved)
+    # moved mass ~ 1/9 of the corpus (binomial n=500 p=1/9: mean 55.6)
+    assert 25 <= len(moved) <= 90
+    # mod-hash moves ~8/9; HRW must be nowhere near that
+    assert len(moved) < n // 4
+
+
+def test_hrw_assignment_is_zero_shuffle(spark):
+    d = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = _plan(hrw_assign(d, 8))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+# ------------------------------------------------- Gopher top-n-gram mass
+
+
+@pytest.fixture(scope="module")
+def gopher_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spam phrase spam phrase spam phrase end"),
+            (2, "all distinct words here now"),
+            (3, "a a a a"),
+            (4, None),
+            (5, "one"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_top_ngram_counts_overlapping_occurrences(spark, gopher_df):
+    r = {x["doc_id"]: x for x in top_ngram_fraction(gopher_df).collect()}
+    # doc1: 'spam phrase' x3 of 6 bigrams; chars = len(joined words) = 39
+    assert r[1]["top2_gram"] == "spam phrase" and r[1]["top2_cnt"] == 3
+    assert r[1]["top2_char_frac"] == pytest.approx(round(3 * 11 / 39, 6))
+    # doc3: 'a a' x3 overlapping, chars=7 — coverage honestly exceeds 1
+    assert r[3]["top2_cnt"] == 3
+    assert r[3]["top2_char_frac"] == pytest.approx(round(9 / 7, 6))
+
+
+def test_top_ngram_tie_breaks_to_lexicographically_last(spark, gopher_df):
+    r = {x["doc_id"]: x for x in top_ngram_fraction(gopher_df).collect()}
+    grams = sorted(
+        ["all distinct", "distinct words", "words here", "here now"]
+    )
+    assert r[2]["top2_cnt"] == 1 and r[2]["top2_gram"] == grams[-1]
+
+
+def test_top_ngram_degenerate_docs_score_zero(spark, gopher_df):
+    r = {x["doc_id"]: x for x in top_ngram_fraction(gopher_df).collect()}
+    for doc in (4, 5):  # NULL text; single word (< n for every n)
+        for n in (2, 3, 4):
+            assert r[doc][f"top{n}_gram"] is None
+            assert r[doc][f"top{n}_cnt"] == 0
+            assert r[doc][f"top{n}_char_frac"] == 0.0
+
+
+def test_top_ngram_is_shuffle_free(spark, gopher_df):
+    plan = _plan(top_ngram_fraction(gopher_df))
+    assert "Exchange" not in plan and "Join" not in plan
