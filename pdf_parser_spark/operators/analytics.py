@@ -547,3 +547,97 @@ def cusum_drift(
         .alias("breach_seq"),
         (F.max("_s") >= thr).alias("drifted"),
     )
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two boolean raters/classifiers (Cohen 1960) —
+    the standard check that two quality gates agree beyond chance before
+    swapping one for the other in a curation pipeline.
+
+    ONE map-side-combined aggregate collects the 2x2 confusion counts
+    (exact int64, order-independent); kappa = (po - pe) / (1 - pe) is a
+    handful of double ops on those exact counts, so cross-engine
+    hash-stable after rounding. Returns a single row: the confusion
+    cells, observed/expected agreement, kappa (NULL when pe = 1, the
+    all-one-cell degenerate case)."""
+    a, b = F.col(a_col), F.col(b_col)
+    agg = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((a & b).cast("long")).cast("long").alias("n_both"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("n_a_only"),
+        F.sum((~a & b).cast("long")).cast("long").alias("n_b_only"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("n_neither"),
+    )
+    n = F.col("n_rows").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")) / n
+    pa = (F.col("n_both") + F.col("n_a_only")) / n
+    pb = (F.col("n_both") + F.col("n_b_only")) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return agg.select(
+        "n_rows",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(F.when(pe < 1.0, (po - pe) / (1 - pe)), 6).alias("kappa"),
+    )
+
+
+def decayed_score(
+    events: DataFrame,
+    weight,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_us: int = 7 * 86400 * 1_000_000,
+    max_buckets: int = 40,
+) -> DataFrame:
+    """Half-life-decayed reputation per key: each event contributes
+    weight · 2^(−age/half_life), with age bucketed to WHOLE half-lives so
+    the per-event contribution is an exact dyadic (weight · 2^(K−k) as
+    int64) and the aggregation is pure integer math — order-independent,
+    hash-stable in any engine; the single inexact op is the final /2^K.
+    The reference "now" is the corpus max timestamp, kept IN-PLAN as a
+    1-row broadcast (no driver action).
+
+    Shape at 100 TB: one 1-row aggregate + one map-side-combined groupBy
+    on the key. Integer bucketing caps the scale factor at 2^max_buckets
+    so the int64 sum cannot overflow below ~2^22 events/key at k=0."""
+    # parquet timestamps load as NTZ; unix_micros needs TIMESTAMP (UTC
+    # session tz — same instant semantics as DuckDB's epoch_us)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tmax = events.agg(F.max(ts_us).alias("_tmax_us"))
+    staged = (
+        events.crossJoin(F.broadcast(tmax))
+        .withColumn(
+            "_k",
+            F.least(
+                F.expr(
+                    f"CAST((_tmax_us - unix_micros(CAST({ts_col} AS TIMESTAMP)))"
+                    f" div {half_life_us} AS INT)"
+                ),
+                F.lit(max_buckets),
+            ),
+        )
+        .withColumn("_w", weight.cast("long"))
+    )
+    # shiftleft with a COLUMN bit count needs the SQL form (the pyspark
+    # wrapper only takes a literal int)
+    contrib = F.expr(
+        f"_w * shiftleft(CAST(1 AS BIGINT), {max_buckets} - _k)"
+    ).cast("long")
+    return (
+        staged.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(contrib).cast("long").alias("_scaled"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            F.round(
+                F.col("_scaled").cast("double") / F.lit(float(2**max_buckets)), 6
+            ).alias("reputation"),
+        )
+    )

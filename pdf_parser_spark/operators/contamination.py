@@ -55,6 +55,129 @@ def benchmark_overlap(
     )
 
 
+def _bloom_pos(col, j: int, m_bits: int):
+    """Bit position j for a gram: the portable md5 fold (same derivation
+    family as dedup.seeded_hash portable=True — 60-bit fold of
+    md5(gram || '#bj'), here taken mod m_bits) so the DuckDB oracle can
+    replay membership bit-for-bit."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#b{j}"))), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_bitmap(
+    grams: DataFrame, gram_col: str = "g", m_bits: int = 16384, k_hashes: int = 3
+) -> DataFrame:
+    """Build a Bloom-filter bitmap (ONE row, ``bloom_bits`` array of
+    m_bits/64 packed longs) over a gram set — the classic broadcastable
+    membership pre-filter (Bloom 1970).
+
+    Construction is fully distributed: grams explode to (≤ k·|grams|) bit
+    positions, a map-side-combined groupBy on the 64-bit WORD index
+    bit_or's each word, and only the ≤ m/64 (word, bits) rows reach the
+    final 1-row assembly. Sizing rule: FP rate ≈ (1 − e^(−k·n/m))^k — keep
+    m ≳ 10·n for k=3 (the caller picks m; saturation degrades to
+    pass-everything, never to a false negative)."""
+    n_words = (m_bits + 63) // 64
+    pos = grams.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(gram_col), j, m_bits) for j in range(k_hashes)])
+        ).alias("p")
+    )
+    words = pos.groupBy(F.expr("CAST(p div 64 AS INT)").alias("w")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").alias(
+            "word"
+        )
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("_m"), i.cast("int")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bloom_bits")
+    )
+
+
+def bloom_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination pre-screen with false-positive
+    accounting: probe every corpus n-gram against a Bloom bitmap built
+    from the benchmark's n-grams, then exact-verify the survivors.
+
+    Output per corpus doc: ``n_grams`` (distinct n-grams), ``n_bloom_hits``
+    (grams the bitmap passes), ``n_exact_hits`` (grams truly in the
+    benchmark set), ``n_false_pos`` (= bloom − exact; the filter's cost),
+    ``contaminated`` (exact hits ≥ min_shared). A Bloom filter has NO
+    false negatives, so ``contaminated`` is identical to what the exact
+    pass (`benchmark_overlap`) computes — the point at 100 TB is that the
+    corpus probes an m-bit broadcast bitmap in pure codegen and only the
+    (tiny) bloom-hit fraction continues into the exact-verify join,
+    instead of every corpus gram shuffling against the benchmark set."""
+    bits = bloom_bitmap(
+        benchmark.select(
+            F.explode(
+                shingles_of_words(words_col(F.col(text_col)), n)
+            ).alias("g")
+        ).distinct(),
+        "g",
+        m_bits,
+        k_hashes,
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles_of_words(words_col(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    grams = corpus.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_w")
+    ).select(F.col(id_col), F.explode(shingles_of_words(F.col("_w"), n)).alias("g"))
+    probed = grams.crossJoin(F.broadcast(bits))
+    for j in range(k_hashes):
+        probed = probed.withColumn(f"_p{j}", _bloom_pos(F.col("g"), j, m_bits))
+    bit_tests = [
+        F.expr(
+            f"(shiftright(element_at(bloom_bits, CAST(_p{j} div 64 AS INT) + 1), "
+            f"CAST(_p{j} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
+        )
+        for j in range(k_hashes)
+    ]
+    pass_col = bit_tests[0]
+    for t in bit_tests[1:]:
+        pass_col = pass_col & t
+    flagged = probed.withColumn("_pass", pass_col).join(
+        F.broadcast(bench_grams), "g", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.col("_pass").cast("long")).cast("long").alias("n_bloom_hits"),
+            F.sum((F.col("_pass") & F.coalesce(F.col("_exact"), F.lit(False))).cast("long"))
+            .cast("long")
+            .alias("n_exact_hits"),
+        )
+        .withColumn("n_false_pos", (F.col("n_bloom_hits") - F.col("n_exact_hits")).cast("long"))
+        .withColumn("contaminated", F.col("n_exact_hits") >= min_shared)
+    )
+
+
 def fuzzy_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -736,3 +736,50 @@ def hash_embedding(col, dims: int = 16, seed: str = "emb"):
             )
         )
     return out
+
+
+def topk_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k retrieval against exact truth —
+    the eval loop every ANN deployment runs when tuning nprobe / bucket
+    width. Inputs are two ranked result sets with (qid, id, rank)
+    columns (e.g. ``ivf_topk_batch`` vs ``cosine_topk_batch``).
+
+    Output per query: ``n_true`` (truth rows at rank ≤ k — may be < k on
+    a small corpus), ``n_hit`` (approx results that appear in truth's
+    top-k), ``recall`` = n_hit / n_true, rounded.
+
+    Shape at 100 TB: both inputs are already ≤ k rows per query (their
+    own WindowGroupLimit guarantees that), so this is a join + groupBy
+    over |queries|·k rows — negligible next to the retrieval itself; the
+    expensive parts (exact truth over a sample of queries, the ANN run)
+    each scan the corpus once upstream."""
+    t = truth.filter(F.col("rank") <= k).select(
+        F.col(qid_col), F.col(id_col), F.lit(True).alias("_hit")
+    )
+    a = approx.filter(F.col("rank") <= k).select(F.col(qid_col), F.col(id_col))
+    joined = a.join(t, [qid_col, id_col], "left")
+    hits = joined.groupBy(qid_col).agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_hit")
+    )
+    n_true = t.groupBy(qid_col).agg(F.count("*").cast("long").alias("n_true"))
+    return (
+        n_true.join(hits, qid_col, "left")
+        .select(
+            F.col(qid_col),
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+                / F.col("n_true"),
+                6,
+            ).alias("recall"),
+        )
+    )

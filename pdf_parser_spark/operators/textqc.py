@@ -1223,3 +1223,148 @@ def top_ngram_fraction(
             frac.alias(f"top{n}_char_frac"),
         ]
     return staged.select(*cols)
+
+
+# Unicode-script classes for the script histogram: (name, Java-regex char
+# class). Java regex scripts are `\p{Is<Script>}`; the DuckDB twin uses
+# RE2's `\p{<Script>}` — different spellings of the same public Unicode
+# script property (UTS #24), so counts match exactly.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"\p{IsLatin}"),
+    ("greek", r"\p{IsGreek}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+]
+
+
+def script_histogram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode-script histogram — the first gate of any
+    multilingual web-corpus pipeline (script mix decides which lang-ID
+    model even applies; mixed-script docs are a spam signal).
+
+    Counts characters per script via length-difference of a
+    regexp_replace strip (one pass per script over the codegen'd string,
+    no explode), plus the script-covered total and per-script fractions
+    of it; ``dominant`` breaks ties in SCRIPT_CLASSES order. Zero
+    shuffles — a pure scan stage at any scale."""
+    t = F.col(text_col)
+    counts = {
+        name: (
+            F.length(t) - F.length(F.regexp_replace(t, pat, F.lit("")))
+        ).cast("long")
+        for name, pat in SCRIPT_CLASSES
+    }
+    staged = docs.select(
+        F.col(id_col),
+        *[c.alias(f"{n}_chars") for n, c in counts.items()],
+    ).withColumn(
+        "script_chars",
+        sum([F.col(f"{n}_chars") for n, _ in SCRIPT_CLASSES], F.lit(0).cast("long")).cast("long"),
+    )
+    names = [n for n, _ in SCRIPT_CLASSES]
+    dom = F.when(
+        F.col("script_chars") <= 0, F.lit("none")
+    )
+    for i, n in enumerate(names[:-1]):
+        cond = F.lit(True)
+        for m in names[i + 1 :]:
+            cond = cond & (F.col(f"{n}_chars") >= F.col(f"{m}_chars"))
+        dom = dom.when(cond, F.lit(n))
+    dom = dom.otherwise(F.lit(names[-1]))
+    fracs = [
+        F.round(
+            F.when(
+                F.col("script_chars") > 0,
+                F.col(f"{n}_chars") / F.col("script_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias(f"{n}_frac")
+        for n in names
+    ]
+    return staged.select(
+        id_col,
+        *[f"{n}_chars" for n in names],
+        "script_chars",
+        *fracs,
+        dom.alias("dominant"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    group_col: str = "source",
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit per group: OLS slope/intercept of ln(freq) vs
+    ln(rank) over the group's top_n words — the standard corpus-health
+    screen (natural text sits near slope −1; templated/spam sources
+    flatten or steepen).
+
+    Exactness: ln values are quantized to 1e-6 integers BEFORE the
+    sufficient-statistic sums (analytics.group_ols contract: int64 x,
+    DECIMAL y ⇒ order-independent accumulation); the quantization scale
+    cancels in the slope and divides out of the intercept. Shape at
+    100 TB: one map-side-combined (group, word) count, a WindowGroupLimit
+    top-n per group, then group_ols's single tiny groupBy."""
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.operators.analytics import group_ols
+    from pdf_parser_spark.operators.dedup import words_col
+
+    w = docs.select(F.col(group_col), F.explode(words_col(F.col(text_col))).alias("word"))
+    cnt = w.groupBy(group_col, "word").agg(F.count("*").cast("long").alias("cnt"))
+    rk = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = (
+        cnt.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .withColumn("xq", F.round(F.log(F.col("rank")) * 1e6).cast("long"))
+        .withColumn(
+            "yq", F.round(F.log(F.col("cnt")) * 1e6).cast("decimal(20,0)")
+        )
+    )
+    fit = group_ols(ranked, group_col, "xq", "yq")
+    return fit.select(
+        group_col,
+        "n",
+        F.round("slope", 6).alias("zipf_slope"),
+        F.round(F.col("intercept") / 1e6, 6).alias("ln_c"),
+    )
+
+
+def word_freq_spectrum(
+    docs: DataFrame,
+    group_col: str = "source",
+    max_f: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-of-frequencies spectrum + Good–Turing unseen mass per
+    group (Good 1953): how many words occur exactly 1..max_f times, the
+    vocabulary size, token total, and p0 = N1/N — the probability mass a
+    Good–Turing estimator assigns to unseen words. High p0 = open,
+    growing vocabulary (natural text); near-zero p0 = closed/templated.
+
+    Two map-side-combined groupBys ((group, word) then group), both
+    exact integer aggregation."""
+    from pdf_parser_spark.operators.dedup import words_col
+
+    w = docs.select(F.col(group_col), F.explode(words_col(F.col(text_col))).alias("word"))
+    cnt = w.groupBy(group_col, "word").agg(F.count("*").cast("long").alias("cnt"))
+    aggs = [
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    ] + [
+        F.sum((F.col("cnt") == f).cast("long")).cast("long").alias(f"f{f}")
+        for f in range(1, max_f + 1)
+    ]
+    out = cnt.groupBy(group_col).agg(*aggs)
+    return out.withColumn(
+        "p0_good_turing",
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("f1") / F.col("n_tokens")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+    )

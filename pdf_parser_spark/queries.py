@@ -8869,6 +8869,440 @@ LEFT JOIN t4 ON ww.doc_id = t4.doc_id
 
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen (contamination.bloom_overlap)
+    with false-positive accounting: a 16384-bit / 3-hash bitmap built from
+    the benchmark slice's word 3-grams (every 97th doc, as in
+    contamination_overlap), probed by every corpus gram in pure codegen,
+    exact-verified against the broadcast benchmark gram set. No false
+    negatives by construction — `contaminated` is bit-identical to the
+    exact pass; `n_false_pos` is the price of the m/k sizing."""
+    from pdf_parser_spark.operators import contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    corpus = d.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return contamination.bloom_overlap(
+        corpus, bench, n=3, m_bits=16384, k_hashes=3, min_shared=2
+    )
+
+
+def sql_bloom_decontaminate() -> str:
+    fold = "('0x' || substr(md5(g || '#b' || j), 1, 15))::BIGINT % 16384"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+), bg AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0
+), pos AS (
+  SELECT DISTINCT {fold} AS p FROM bg, range(0, 3) t(j)
+), cg AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0
+), probe AS (
+  SELECT cp.doc_id, cp.g, count(pos.p) = 3 AS pass
+  FROM (SELECT doc_id, g, {fold} AS p FROM cg, range(0, 3) t(j)) cp
+  LEFT JOIN pos ON cp.p = pos.p
+  GROUP BY cp.doc_id, cp.g
+), fl AS (
+  SELECT probe.doc_id, probe.pass, bg.g IS NOT NULL AS ex
+  FROM probe LEFT JOIN bg ON probe.g = bg.g
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+  CAST(sum(CASE WHEN pass AND ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END)
+       - sum(CASE WHEN pass AND ex THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+  sum(CASE WHEN pass AND ex THEN 1 ELSE 0 END) >= 2 AS contaminated
+FROM fl GROUP BY doc_id
+"""
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN join vs exact brute-force truth
+    (similarity.topk_recall): 4 query vectors, 8 fixed centroid cells
+    (embeddings of vec_id 0..7, as in ivf_topk_probe/ivf_batch_topk),
+    nprobe=2 so recall is meaningfully < 1 — the tuning loop a real ANN
+    deployment runs. Both rankings order by ROUNDED cosine with vec_id
+    tie-break, so the cross-engine hit sets are deterministic."""
+    cent_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_cells = similarity.assign_ivf_cells(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("long").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = similarity.ivf_topk_batch(with_cells, cents, queries, k=10, nprobe=2)
+    truth = similarity.cosine_topk_batch(emb, queries, k=10)
+    return similarity.topk_recall(truth, approx, k=10)
+
+
+def sql_ann_recall_eval() -> str:
+    return """
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 4
+), probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_distance(q.qv, c.cv) ASC, c.cell ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cell ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, a.vec_id,
+           row_number() OVER (PARTITION BY p.qid ORDER BY
+             round(list_dot_product(a.v, p.qv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 6) DESC,
+             a.vec_id ASC) AS rank
+    FROM probes p JOIN assigned a USING (cell)
+  ) WHERE rank <= 10
+), truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rank <= 10
+)
+SELECT CAST(t.qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a USING (qid, vec_id)
+GROUP BY t.qid
+"""
+
+
+def q_script_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script histogram (textqc.script_histogram) over a
+    deterministically mixed-script corpus: docs with doc_id%3==1 get
+    their vowels transliterated to Greek, %3==2 to Cyrillic (translate()
+    is engine-portable), then chars are counted per script via Unicode
+    script properties (Java `\\p{IsX}` ≡ RE2 `\\p{X}`, same UTS #24
+    data). Zero shuffles — a pure scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 1, F.translate(F.col("text"), "aeiou", "αειου"))
+        .when(F.col("doc_id") % 3 == 2, F.translate(F.col("text"), "aeiou", "аеіоу"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textqc.script_histogram(mixed)
+
+
+def sql_script_mix_stats() -> str:
+    return r"""
+WITH mixed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeiou', 'αειου')
+              WHEN doc_id % 3 = 2 THEN translate(text, 'aeiou', 'аеіоу')
+              ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS BIGINT) AS latin_chars,
+         CAST(length(text) - length(regexp_replace(text, '\p{Greek}', '', 'g')) AS BIGINT) AS greek_chars,
+         CAST(length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS cyrillic_chars
+  FROM mixed
+)
+SELECT doc_id, latin_chars, greek_chars, cyrillic_chars,
+       CAST(latin_chars + greek_chars + cyrillic_chars AS BIGINT) AS script_chars,
+       round(CASE WHEN latin_chars + greek_chars + cyrillic_chars > 0
+                  THEN latin_chars / CAST(latin_chars + greek_chars + cyrillic_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS latin_frac,
+       round(CASE WHEN latin_chars + greek_chars + cyrillic_chars > 0
+                  THEN greek_chars / CAST(latin_chars + greek_chars + cyrillic_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS greek_frac,
+       round(CASE WHEN latin_chars + greek_chars + cyrillic_chars > 0
+                  THEN cyrillic_chars / CAST(latin_chars + greek_chars + cyrillic_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS cyrillic_frac,
+       CASE WHEN latin_chars + greek_chars + cyrillic_chars <= 0 THEN 'none'
+            WHEN latin_chars >= greek_chars AND latin_chars >= cyrillic_chars THEN 'latin'
+            WHEN greek_chars >= cyrillic_chars THEN 'greek'
+            ELSE 'cyrillic' END AS dominant
+FROM c
+"""
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the BM25 lexical top-20 (textqc.bm25_scores over _BM25_TERMS)
+    with the dense cosine top-20 (query = embedding of vec_id 0;
+    embeddings are doc-aligned by id), rrf = Σ 1/(60 + rank) over the
+    lists a doc appears in; top-10 by fused score. Both input rankings
+    order by ROUNDED score with id tie-break, so ranks are cross-engine
+    deterministic; the fusion itself is exact rational arithmetic rounded
+    once at the end.
+
+    Shape at 100 TB: each ranking is already ≤ 20 rows (WindowGroupLimit
+    on its own retrieval); the fusion joins two tiny frames."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    lex_scored = textqc.bm25_scores(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"), _BM25_TERMS
+    ).select("doc_id", F.round("score", 4).alias("_s"))
+    # TopK via sort+limit (not a global window over every scoring doc:
+    # limit(20) plans as local+global TakeOrdered); ranking the 20
+    # survivors is then a trivial single-partition window.
+    w_lex = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    lex = (
+        lex_scored.orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .select("doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    sem = (
+        similarity.cosine_topk_batch(emb, queries, k=20)
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+def sql_hybrid_rrf_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+  WHERE t IN ({terms}) GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), contrib AS (
+  SELECT tf.doc_id,
+         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+  FROM tf
+  JOIN (SELECT t, count(*) AS df FROM tf GROUP BY 1) USING (t)
+  JOIN dl USING (doc_id) CROSS JOIN stats
+), lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY round(sum(c), 4) DESC, doc_id ASC) AS BIGINT) AS lex_rank
+    FROM contrib GROUP BY doc_id
+  ) WHERE lex_rank <= 20
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT e.vec_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             e.vec_id ASC) AS BIGINT) AS sem_rank
+    FROM embeddings e CROSS JOIN q
+  ) WHERE sem_rank <= 20
+)
+SELECT CAST(coalesce(lex.doc_id, sem.doc_id) AS BIGINT) AS doc_id,
+       lex_rank, sem_rank,
+       round(coalesce(1.0 / (60 + lex_rank), 0.0)
+             + coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, coalesce(lex.doc_id, sem.doc_id) ASC LIMIT 10
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf's-law fit (textqc.zipf_fit): OLS of ln(freq) on
+    ln(rank) over each source's top-100 words, on 1e-6-quantized logs so
+    the sufficient statistics accumulate exactly (group_ols contract).
+    Natural text ⇒ slope ≈ −1; corpus-health screen per source."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.zipf_fit(d, group_col="source", top_n=100)
+
+
+def sql_zipf_fit() -> str:
+    return f"""
+WITH w AS (
+  SELECT source, unnest({_WORDS_SQL}) AS word FROM documents
+), cnt AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2
+), ranked AS (
+  SELECT source, cnt,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank
+  FROM cnt
+), q AS (
+  SELECT source,
+         CAST(round(ln(rank) * 1e6) AS BIGINT) AS xq,
+         CAST(round(ln(cnt) * 1e6) AS BIGINT) AS yq
+  FROM ranked WHERE rank <= 100
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(xq) AS sx, sum(xq * xq) AS sxx, sum(yq) AS sy, sum(xq * yq) AS sxy
+  FROM q GROUP BY source
+)
+SELECT source, n,
+  round(CASE WHEN n * sxx - sx * sx <> 0
+        THEN (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS zipf_slope,
+  round(CASE WHEN n * sxx - sx * sx <> 0
+        THEN ((sy * sxx - sx * sxy) / CAST(n * sxx - sx * sx AS DOUBLE)) / 1e6 END, 6) AS ln_c
+FROM s
+"""
+
+
+def q_word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies + Good–Turing unseen mass per source
+    (textqc.word_freq_spectrum): f1..f5 counts, vocab, token total,
+    p0 = N1/N. Two exact-integer groupBys."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.word_freq_spectrum(d, group_col="source", max_f=5)
+
+
+def sql_word_freq_spectrum() -> str:
+    fs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN cnt = {f} THEN 1 ELSE 0 END) AS BIGINT) AS f{f}"
+        for f in range(1, 6)
+    )
+    return f"""
+WITH w AS (
+  SELECT source, unnest({_WORDS_SQL}) AS word FROM documents
+), cnt AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       {fs},
+       round(CASE WHEN sum(cnt) > 0
+             THEN sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(sum(cnt) AS DOUBLE)
+             ELSE 0.0 END, 6) AS p0_good_turing
+FROM cnt GROUP BY source
+"""
+
+
+def q_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (analytics.cohen_kappa) between two quality gates —
+    the composite quality score at its top value vs the Gopher-style
+    duplicate-word gate — before one gate replaces the other in a
+    curation cascade. Both gates are pure scan columns computed in ONE
+    pass; the kappa aggregate is a single 1-row reduction."""
+    from pdf_parser_spark.operators.analytics import cohen_kappa
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    feats = textqc.quality_features(
+        textqc.repetition_features(
+            d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        )
+    )
+    gated = feats.select(
+        (F.col("quality_score") >= 1.0).alias("gate_quality"),
+        (F.col("dup_word_frac") <= 0.35).alias("gate_dedup"),
+    )
+    return cohen_kappa(gated, "gate_quality", "gate_dedup")
+
+
+def sql_classifier_agreement() -> str:
+    return f"""
+WITH qa AS ({sql_quality_scores()}), rb AS ({sql_repetition_stats()}),
+j AS (
+  SELECT qa.quality_score >= 1.0 AS a, rb.dup_word_frac <= 0.35 AS b
+  FROM qa JOIN rb USING (doc_id)
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+  FROM j
+)
+SELECT n_rows, n_both, n_a_only, n_b_only, n_neither,
+  round((n_both + n_neither) / CAST(n_rows AS DOUBLE), 6) AS p_observed,
+  round(((n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * ((n_both + n_b_only) / CAST(n_rows AS DOUBLE))
+        + (1 - (n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * (1 - (n_both + n_b_only) / CAST(n_rows AS DOUBLE)), 6) AS p_expected,
+  round(CASE WHEN ((n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * ((n_both + n_b_only) / CAST(n_rows AS DOUBLE))
+             + (1 - (n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * (1 - (n_both + n_b_only) / CAST(n_rows AS DOUBLE)) < 1.0
+        THEN ((n_both + n_neither) / CAST(n_rows AS DOUBLE)
+              - (((n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * ((n_both + n_b_only) / CAST(n_rows AS DOUBLE))
+                 + (1 - (n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * (1 - (n_both + n_b_only) / CAST(n_rows AS DOUBLE))))
+             / (1 - (((n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * ((n_both + n_b_only) / CAST(n_rows AS DOUBLE))
+                     + (1 - (n_both + n_a_only) / CAST(n_rows AS DOUBLE)) * (1 - (n_both + n_b_only) / CAST(n_rows AS DOUBLE))))
+        END, 6) AS kappa
+FROM c
+"""
+
+
+def q_host_reputation_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed reputation per user (analytics.decayed_score):
+    errors weigh −5, everything else +1, ages bucketed to whole 7-day
+    half-lives from the in-plan corpus max timestamp — per-event
+    contributions are exact dyadics scaled to int64, so the aggregate is
+    order-independent integer math."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.when(F.col("event_type") == "error", F.lit(-5)).otherwise(F.lit(1))
+    return analytics.decayed_score(e, w, key_col="user_id")
+
+
+def sql_host_reputation_decay() -> str:
+    return """
+WITH t AS (SELECT max(epoch_us(ts)) AS _tmax_us FROM events),
+s AS (
+  SELECT user_id,
+         least(CAST((t._tmax_us - epoch_us(ts)) // 604800000000 AS INT), 40) AS k,
+         CASE WHEN event_type = 'error' THEN -5 ELSE 1 END AS w
+  FROM events CROSS JOIN t
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(w * (CAST(1 AS BIGINT) << (40 - k))) AS DOUBLE)
+             / 1099511627776.0, 6) AS reputation
+FROM s GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -9089,6 +9523,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_error_drift": q_host_error_drift,
     "hrw_shard_stability": q_hrw_shard_stability,
     "gopher_top_ngrams": q_gopher_top_ngrams,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "ann_recall_eval": q_ann_recall_eval,
+    "script_mix_stats": q_script_mix_stats,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "zipf_fit": q_zipf_fit,
+    "word_freq_spectrum": q_word_freq_spectrum,
+    "classifier_agreement": q_classifier_agreement,
+    "host_reputation_decay": q_host_reputation_decay,
 }
 
 ORACLES: dict[str, str] = {
@@ -9280,4 +9722,12 @@ ORACLES: dict[str, str] = {
     "host_error_drift": sql_host_error_drift(),
     "hrw_shard_stability": sql_hrw_shard_stability(),
     "gopher_top_ngrams": sql_gopher_top_ngrams(),
+    "bloom_decontaminate": sql_bloom_decontaminate(),
+    "ann_recall_eval": sql_ann_recall_eval(),
+    "script_mix_stats": sql_script_mix_stats(),
+    "hybrid_rrf_search": sql_hybrid_rrf_search(),
+    "zipf_fit": sql_zipf_fit(),
+    "word_freq_spectrum": sql_word_freq_spectrum(),
+    "classifier_agreement": sql_classifier_agreement(),
+    "host_reputation_decay": sql_host_reputation_decay(),
 }

@@ -1,0 +1,234 @@
+"""Session-8 operators: Bloom decontamination pre-filter, ANN recall@k
+eval, Unicode-script histogram, Cohen's kappa, half-life-decayed
+reputation, Zipf fit, and the Good-Turing frequency spectrum — semantics
+pinned on tiny in-memory frames against pure-Python replays (the DuckDB
+oracles value-check them at SF)."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.analytics import cohen_kappa, decayed_score
+from pdf_parser_spark.operators.contamination import bloom_bitmap, bloom_overlap
+from pdf_parser_spark.operators.similarity import topk_recall
+from pdf_parser_spark.operators.textqc import (
+    script_histogram,
+    word_freq_spectrum,
+    zipf_fit,
+)
+
+# ---------------------------------------------------------------- bloom
+
+
+def _fold(s: str, j: int, m: int) -> int:
+    return int(hashlib.md5(f"{s}#b{j}".encode()).hexdigest()[:15], 16) % m
+
+
+def test_bloom_bitmap_has_no_false_negatives(spark):
+    grams = [f"gram number {i}" for i in range(50)]
+    df = spark.createDataFrame([(g,) for g in grams], "g string")
+    bits = bloom_bitmap(df, "g", m_bits=1024, k_hashes=3).collect()[0]["bloom_bits"]
+    assert len(bits) == 1024 // 64
+    for g in grams:
+        for j in range(3):
+            p = _fold(g, j, 1024)
+            assert (bits[p // 64] >> (p % 64)) & 1 == 1, (g, j, p)
+
+
+def test_bloom_overlap_matches_exact_set_logic(spark):
+    bench_texts = ["alpha beta gamma delta", "epsilon zeta eta theta"]
+    corpus = [
+        (1, "alpha beta gamma delta extra words here"),  # shares 2+ 3-grams
+        (2, "iota kappa lambda mu nu xi"),  # shares none
+        (3, "epsilon zeta eta theta trailing"),  # shares 2
+    ]
+    c = spark.createDataFrame(corpus, "doc_id long, text string")
+    b = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    out = {
+        r["doc_id"]: r
+        for r in bloom_overlap(
+            c, b, n=3, m_bits=4096, k_hashes=3, min_shared=2
+        ).collect()
+    }
+
+    def shingles(t, n=3):
+        w = t.lower().split()
+        if len(w) <= n:
+            return {" ".join(w[:n])} if w else set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bench_set = set()
+    for t in bench_texts:
+        bench_set |= shingles(t)
+    for doc_id, text in corpus:
+        row = out[doc_id]
+        exact = len(shingles(text) & bench_set)
+        assert row["n_exact_hits"] == exact
+        assert row["n_grams"] == len(shingles(text))
+        # Bloom never loses a true hit, and FP accounting is consistent
+        assert row["n_bloom_hits"] >= row["n_exact_hits"]
+        assert row["n_false_pos"] == row["n_bloom_hits"] - row["n_exact_hits"]
+        assert row["contaminated"] == (exact >= 2)
+
+
+# ------------------------------------------------------------- recall@k
+
+
+def test_topk_recall_counts_intersection(spark):
+    truth = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(5)] + [(1, 10 + i, i + 1) for i in range(5)],
+        "qid long, vec_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        # q0: 3 of 5 right; q1: none right
+        [(0, 0, 1), (0, 1, 2), (0, 99, 3), (0, 2, 4), (0, 98, 5)]
+        + [(1, 50 + i, i + 1) for i in range(5)],
+        "qid long, vec_id long, rank long",
+    )
+    out = {r["qid"]: r for r in topk_recall(truth, approx, k=5).collect()}
+    assert out[0]["n_true"] == 5 and out[0]["n_hit"] == 3
+    assert out[0]["recall"] == 0.6
+    assert out[1]["n_hit"] == 0 and out[1]["recall"] == 0.0
+
+
+def test_topk_recall_respects_k_cut(spark):
+    truth = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(10)], "qid long, vec_id long, rank long"
+    )
+    approx = spark.createDataFrame(
+        [(0, 7, 1), (0, 3, 2), (0, 99, 3)], "qid long, vec_id long, rank long"
+    )
+    row = topk_recall(truth, approx, k=3).collect()[0]
+    # truth cut to rank<=3 → {0,1,2}; approx {7,3,99} → 0 hits
+    assert row["n_true"] == 3 and row["n_hit"] == 0
+
+
+# ------------------------------------------------------------- scripts
+
+
+def test_script_histogram_counts_and_dominant(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abc αβγ это"),  # 3 latin, 3 greek, 3 cyrillic → tie → latin
+            (2, "αβγδ ab"),  # greek dominant
+            (3, "123 !!!"),  # no script chars
+            (4, "это поле"),  # cyrillic only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_histogram(df).collect()}
+    assert out[1]["latin_chars"] == 3 and out[1]["greek_chars"] == 3
+    assert out[1]["cyrillic_chars"] == 3 and out[1]["dominant"] == "latin"
+    assert out[2]["dominant"] == "greek" and out[2]["greek_frac"] == round(4 / 6, 6)
+    assert out[3]["script_chars"] == 0 and out[3]["dominant"] == "none"
+    assert out[3]["latin_frac"] == 0.0
+    assert out[4]["dominant"] == "cyrillic" and out[4]["cyrillic_frac"] == 1.0
+
+
+# --------------------------------------------------------------- kappa
+
+
+def test_cohen_kappa_closed_form(spark):
+    # 2x2: both=40, a_only=10, b_only=20, neither=30 → n=100
+    rows = (
+        [(True, True)] * 40
+        + [(True, False)] * 10
+        + [(False, True)] * 20
+        + [(False, False)] * 30
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    po = 0.70
+    pa, pb = 0.50, 0.60
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    assert r["n_both"] == 40 and r["n_neither"] == 30
+    assert r["p_observed"] == round(po, 6)
+    assert r["p_expected"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+
+def test_cohen_kappa_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [(True, True)] * 5 + [(False, False)] * 5, "a boolean, b boolean"
+    )
+    assert cohen_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    # all four cells in one corner: pe = 1 → kappa undefined (NULL)
+    degen = spark.createDataFrame([(True, True)] * 4, "a boolean, b boolean")
+    assert cohen_kappa(degen, "a", "b").collect()[0]["kappa"] is None
+
+
+# --------------------------------------------------------------- decay
+
+
+def test_decayed_score_exact_dyadics(spark):
+    day_us = 86400 * 1_000_000
+    half = 7 * day_us
+    # user u: events at age 0, 1, 2 half-lives (from the max ts), one error
+    rows = [
+        ("u", 14 * day_us, "view"),  # k=2 → +1/4
+        ("u", 21 * day_us, "error"),  # k=1 → -5/2
+        ("u", 28 * day_us, "view"),  # k=0 → +1
+        ("v", 28 * day_us, "view"),  # k=0 → +1
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e) for (u, t, e) in rows], "user_id string, tsus long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("tsus")).alias("ts"),
+        "event_type",
+    )
+    w = F.when(F.col("event_type") == "error", F.lit(-5)).otherwise(F.lit(1))
+    out = {
+        r["user_id"]: r
+        for r in decayed_score(df, w, key_col="user_id", half_life_us=half).collect()
+    }
+    assert out["u"]["n_events"] == 3
+    assert out["u"]["reputation"] == round(0.25 - 2.5 + 1.0, 6)
+    assert out["v"]["reputation"] == 1.0
+
+
+# ----------------------------------------------------------- zipf / GT
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    # counts = round(1000 / rank^0.8) → slope ≈ -0.8 on the lnln fit
+    rows = []
+    for r in range(1, 51):
+        cnt = max(1, round(1000 / r**0.8))
+        rows.extend([("s", f"w{r:03d}")] * cnt)
+    df = spark.createDataFrame(
+        [(s, " ".join(ws),) for s, ws in [("s", [w for _, w in rows])]],
+        "source string, text string",
+    )
+    out = zipf_fit(df, group_col="source", top_n=50).collect()[0]
+    assert out["n"] == 50
+    assert -0.85 < out["zipf_slope"] < -0.75
+    # replay the quantized OLS exactly in Python integers
+    import numpy as np
+
+    cnts = sorted(
+        ([max(1, round(1000 / r**0.8)) for r in range(1, 51)]), reverse=True
+    )
+    xq = [round(math.log(i + 1) * 1e6) for i in range(50)]
+    yq = [round(math.log(c) * 1e6) for c in cnts]
+    n = 50
+    sx, sxx = sum(xq), sum(x * x for x in xq)
+    sy, sxy = sum(yq), sum(x * y for x, y in zip(xq, yq))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx) / 1e6
+    assert out["zipf_slope"] == round(slope, 6)
+    assert out["ln_c"] == round(icept, 6)
+
+
+def test_word_freq_spectrum_good_turing(spark):
+    # a a a b b c d e → f1=3 (c,d,e), f2=1 (b), f3=1 (a), N=8, V=5
+    df = spark.createDataFrame(
+        [("s", "a a a b b c d e")], "source string, text string"
+    )
+    r = word_freq_spectrum(df, group_col="source", max_f=3).collect()[0]
+    assert r["n_tokens"] == 8 and r["vocab"] == 5
+    assert (r["f1"], r["f2"], r["f3"]) == (3, 1, 1)
+    assert r["p0_good_turing"] == round(3 / 8, 6)
