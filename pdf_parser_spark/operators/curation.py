@@ -943,3 +943,48 @@ def hrw_assign(
     )
     top = F.array_max(scores)
     return staged.withColumn(out_col, top["shard"].cast("int")).drop("_sid")
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    k: int = 20,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement per group (Efraimidis &
+    Spirakis 2006): each row draws key = −ln(u)/w and the k SMALLEST keys
+    per group are an exact weighted sample — the distributed form of
+    "sample docs proportional to length/score", with no sequential pass
+    and no rejection loop. u is the portable md5 fold of the id mapped to
+    (0, 1] (u = (fold % m + 1)/m), so the draw is deterministic,
+    engine-replayable, and re-runs identically — the property a sampling
+    MANIFEST needs (same reason stratified_sample md5-orders).
+
+    Shape at 100 TB: key is a codegen scalar; top-k per group is a
+    WindowGroupLimit (≤ k rows per task cross the shuffle). Zero-weight
+    rows are excluded (their key diverges; E-S is defined for w > 0)."""
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(m),
+        )
+        + 1
+    ) / F.lit(float(m))
+    w = Window.partitionBy(group_col).orderBy(F.asc("_key"), F.asc(id_col))
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("_key", -F.log(u) / F.col(weight_col))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round(F.col("_key"), 6).alias("sample_key"),
+            "rk",
+        )
+    )

@@ -1485,3 +1485,60 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every source pair, how many
+    distinct word n-grams they share, each side's distinct-gram total, and
+    the gram Jaccard — the report that decides which sources are mirrors /
+    partial scrapes of each other BEFORE pairwise doc-level dedup runs.
+
+    Shape at 100 TB: the corpus reduces to DISTINCT (source, gram) in one
+    map-side-combined pass; the self-join on gram emits at most
+    |sources|² rows per gram (sources are few — dozens), so the join
+    output is bounded by grams × sources², never docs². Totals are a tiny
+    per-source aggregate broadcast onto the pair rows."""
+    g = (
+        docs.select(
+            F.col(source_col).alias("source"), words_col(F.col(text_col)).alias("_w")
+        )
+        .select("source", F.explode(shingles_of_words(F.col("_w"), n)).alias("g"))
+        .distinct()
+    )
+    totals = g.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "grams_a",
+            "grams_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_shared")),
+                6,
+            ).alias("gram_jaccard"),
+        )
+    )

@@ -783,3 +783,51 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+def label_centroid_cosine(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine between per-group embedding CENTROIDS — the
+    embedding-space drift report (are two sources/clusters semantically
+    converging?) and the sanity check after any clustering step.
+
+    Per-dimension means come from ONE posexplode + map-side-combined
+    (label, dim) groupBy (never a whole-vector aggregation buffer — same
+    scale rule as the mean-pool operator), rounded to 6 dp so downstream
+    arithmetic starts from exactly-representable values; the pairwise
+    cosine then joins the tiny (labels × dims) frame against itself on
+    dim — |labels|²·dims rows, independent of corpus size."""
+    means = (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    a = means.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = means.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("_dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("_na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("_nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")), 6
+            ).alias("centroid_cosine"),
+        )
+    )

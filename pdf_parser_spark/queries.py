@@ -9303,6 +9303,91 @@ FROM s GROUP BY user_id
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement per language
+    (curation.weighted_sample, Efraimidis–Spirakis keys): 20 docs per
+    lang drawn ∝ n_chars, deterministic via the portable md5 uniform —
+    the sampling-manifest contract (re-runs reproduce the sample)."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample(
+        d, weight_col="n_chars", k=20, group_col="lang"
+    )
+
+
+def sql_weighted_sample_docs() -> str:
+    return """
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 + 1)
+             / 1048576.0) / n_chars AS key
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS BIGINT) AS rk
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       round(key, 6) AS sample_key, rk
+FROM r WHERE rk <= 20
+"""
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram overlap matrix (dedup.source_overlap): shared
+    distinct word 8-grams, per-source totals, and gram Jaccard for every
+    source pair — the mirror/partial-scrape detector that runs BEFORE
+    doc-level pairwise dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.source_overlap(d, n=8)
+
+
+def sql_source_overlap_matrix() -> str:
+    sh8 = _shingles_sql(8)
+    return f"""
+WITH g AS (
+  SELECT DISTINCT source, unnest({sh8}) AS g FROM documents
+), t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source
+), p AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+       round(n_shared / CAST(ta.n_grams + tb.n_grams - n_shared AS DOUBLE), 6) AS gram_jaccard
+FROM p JOIN t ta ON p.source_a = ta.source JOIN t tb ON p.source_b = tb.source
+"""
+
+
+def q_embedding_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (similarity.label_centroid_cosine): the embedding-space drift /
+    cluster-separation report. Means rounded to 6 dp before the cosine so
+    downstream arithmetic starts from exactly-representable values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_cosine(emb)
+
+
+def sql_embedding_drift_matrix() -> str:
+    return """
+WITH m AS (
+  SELECT label, u.dim AS dim, round(avg(u.v), 6) AS m
+  FROM (
+    SELECT label,
+           unnest(list_transform(embedding::DOUBLE[],
+                                 (x, i) -> {'dim': CAST(i - 1 AS INT), 'v': x})) AS u
+    FROM embeddings)
+  GROUP BY label, u.dim
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sum(a.m * b.m) / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 6) AS centroid_cosine
+FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -9531,6 +9616,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_freq_spectrum": q_word_freq_spectrum,
     "classifier_agreement": q_classifier_agreement,
     "host_reputation_decay": q_host_reputation_decay,
+    "weighted_sample_docs": q_weighted_sample_docs,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "embedding_drift_matrix": q_embedding_drift_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -9730,4 +9818,7 @@ ORACLES: dict[str, str] = {
     "word_freq_spectrum": sql_word_freq_spectrum(),
     "classifier_agreement": sql_classifier_agreement(),
     "host_reputation_decay": sql_host_reputation_decay(),
+    "weighted_sample_docs": sql_weighted_sample_docs(),
+    "source_overlap_matrix": sql_source_overlap_matrix(),
+    "embedding_drift_matrix": sql_embedding_drift_matrix(),
 }

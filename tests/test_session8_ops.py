@@ -232,3 +232,90 @@ def test_word_freq_spectrum_good_turing(spark):
     assert r["n_tokens"] == 8 and r["vocab"] == 5
     assert (r["f1"], r["f2"], r["f3"]) == (3, 1, 1)
     assert r["p0_good_turing"] == round(3 / 8, 6)
+
+
+# ----------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    from pdf_parser_spark.operators.curation import weighted_sample
+
+    rows = [(i, "en", 10 if i < 50 else 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out1 = weighted_sample(df, k=10).collect()
+    out2 = weighted_sample(df, k=10).collect()
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]
+    assert len(out1) == 10 and [r["rk"] for r in out1] != []
+    # exact E-S replay in Python
+    import hashlib, math
+
+    def key(doc_id, w, m=1 << 20):
+        u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % m + 1) / m
+        return -math.log(u) / w
+
+    expect = sorted(((key(i, w), i) for i, _, w in rows))[:10]
+    assert sorted(r["doc_id"] for r in out1) == sorted(i for _, i in expect)
+    # heavy-weight docs (w=1000) should dominate the sample
+    heavy = sum(1 for r in out1 if r["weight"] == 1000)
+    assert heavy >= 7
+
+
+def test_weighted_sample_excludes_zero_weight(spark):
+    from pdf_parser_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", 5)], "doc_id long, lang string, n_chars long"
+    )
+    out = weighted_sample(df, k=10).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+# ----------------------------------------------------- source overlap
+
+
+def test_source_overlap_counts_shared_distinct_grams(spark):
+    from pdf_parser_spark.operators.dedup import source_overlap
+
+    t1 = "one two three four five six seven eight nine"
+    t2 = "one two three four five six seven eight different"
+    df = spark.createDataFrame(
+        [(1, "a", t1), (2, "b", t2), (3, "c", "totally other words here now")],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in source_overlap(df, n=8).collect()}
+    # t1 grams: {one..eight, two..nine}; t2 grams: {one..eight, two..different}
+    assert ("a", "b") in out
+    r = out[("a", "b")]
+    assert r["n_shared"] == 1 and r["grams_a"] == 2 and r["grams_b"] == 2
+    assert r["gram_jaccard"] == round(1 / 3, 6)
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+# ----------------------------------------------------- centroid drift
+
+
+def test_label_centroid_cosine_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_parser_spark.operators.similarity import label_centroid_cosine
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for lbl in range(3):
+        base = rng.rand(8)
+        for _ in range(5):
+            rows.append((lbl, (base + 0.01 * rng.rand(8)).tolist()))
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {
+        (r["label_a"], r["label_b"]): r["centroid_cosine"]
+        for r in label_centroid_cosine(df).collect()
+    }
+    means = {}
+    for lbl in range(3):
+        vecs = np.array([v for l, v in rows if l == lbl])
+        means[lbl] = np.round(vecs.mean(axis=0), 6)
+    for a in range(3):
+        for b in range(a + 1, 3):
+            ma, mb = means[a], means[b]
+            cos = float(ma @ mb / (np.sqrt(ma @ ma) * np.sqrt(mb @ mb)))
+            assert abs(out[(a, b)] - round(cos, 6)) <= 1e-6
