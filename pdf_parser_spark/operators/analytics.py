@@ -641,3 +641,43 @@ def decayed_score(
             ).alias("reputation"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorized summary: exact p_lo/p_hi (type-7 interpolation,
+    the percentile()/quantile_cont definition both engines share), values
+    clipped to [p_lo, p_hi], and the winsorized vs raw mean — the outlier-
+    robust aggregate a metrics pipeline reports when a single corrupt
+    value would drag a plain avg (heavier-tailed cousin of the
+    median/MAD screen in robust_outliers).
+
+    Shape at 100 TB: ONE Exchange on the group key serves both window
+    percentiles AND the final groupBy (Catalyst stacks the Window nodes
+    on the same partitioning); no join-back, the table is scanned once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    v = F.col(value_col)
+    staged = (
+        df.withColumn("_plo", F.percentile(v, F.lit(lo)).over(w))
+        .withColumn("_phi", F.percentile(v, F.lit(hi)).over(w))
+        .withColumn("_clip", F.least(F.greatest(v, F.col("_plo")), F.col("_phi")))
+    )
+    return (
+        staged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("_plo"), 6).alias("p_lo"),
+            F.round(F.min("_phi"), 6).alias("p_hi"),
+            F.sum((v < F.col("_plo")).cast("long")).cast("long").alias("n_clipped_low"),
+            F.sum((v > F.col("_phi")).cast("long")).cast("long").alias("n_clipped_high"),
+            F.round(F.avg(v), 6).alias("raw_mean"),
+            F.round(F.avg("_clip"), 6).alias("winsorized_mean"),
+        )
+    )

@@ -988,3 +988,66 @@ def weighted_sample(
             "rk",
         )
     )
+
+
+def water_fill_budget(
+    docs: DataFrame,
+    token_col,
+    budget: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Water-filling token-budget allocation across groups: give every
+    group its full demand if the global budget covers it; otherwise find
+    the water level t where Σ min(demand_g, t) = budget and cap every
+    group above it — the classic max-min-fair allocation (small sources
+    keep their demand, the cap binds only the big ones), the step after
+    mixture_weights turns target proportions into an actual token budget.
+
+    The level is found RELATIONALLY, no iteration: groups sorted by
+    demand ascending, i-th row caps iff d_i·(n−i+1) + S_{i−1} > budget
+    (exact int64 — S is the running demand cumsum), the breakpoint i* is
+    the smallest flagged i, and t = (budget − S_{i*−1})/(n−i*+1) is the
+    single double division. Everything past the first groupBy runs on the
+    |groups|-row frame (global window included — it is tiny by
+    construction; the corpus itself never sees a global window)."""
+    per = docs.groupBy(group_col).agg(
+        F.sum(token_col.cast("long")).cast("long").alias("demand")
+    )
+    w = Window.orderBy(F.asc("demand"), F.asc(group_col))
+    staged = (
+        per.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("s", F.sum("demand").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .withColumn("n", F.count("*").over(Window.partitionBy()).cast("long"))
+        .withColumn(
+            "_flag",
+            F.col("demand") * (F.col("n") - F.col("i") + 1)
+            + (F.col("s") - F.col("demand"))
+            > F.lit(budget),
+        )
+    )
+    brk = staged.agg(
+        F.min(F.when(F.col("_flag"), F.col("i"))).alias("_istar"),
+        F.min(F.when(F.col("_flag"), F.col("s") - F.col("demand"))).alias("_sprev"),
+        F.max("n").alias("_n"),
+    )
+    level = F.when(
+        F.col("_istar").isNotNull(),
+        (F.lit(float(budget)) - F.col("_sprev")) / (F.col("_n") - F.col("_istar") + 1),
+    )
+    return (
+        staged.crossJoin(F.broadcast(brk))
+        .select(
+            F.col(group_col),
+            "demand",
+            F.round(
+                F.when(
+                    F.col("_istar").isNull() | (F.col("i") < F.col("_istar")),
+                    F.col("demand").cast("double"),
+                ).otherwise(level),
+                6,
+            ).alias("allocated"),
+            (F.col("_istar").isNotNull() & (F.col("i") >= F.col("_istar"))).alias(
+                "capped"
+            ),
+        )
+    )

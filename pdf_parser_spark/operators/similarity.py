@@ -831,3 +831,49 @@ def label_centroid_cosine(
             ).alias("centroid_cosine"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    qlabel_col: str = "q_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per query,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that make a retrieval model learn boundaries
+    (random negatives are trivially separable).
+
+    Same plan contract as cosine_topk_batch: the query batch broadcasts,
+    the corpus streams once through a codegen cosine, the label-mismatch
+    predicate rides the scan BEFORE the shuffle, and per-query top-k is a
+    WindowGroupLimit — ≤ k rows per (task, query) cross the exchange."""
+    from pyspark.sql import Window
+
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(label_col) != F.col(qlabel_col))
+        .select(
+            F.col(qid_col),
+            F.col(qlabel_col),
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            F.round(
+                cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col(qvec_col).cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -9388,6 +9388,116 @@ GROUP BY a.label, b.label
 """
 
 
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized summary (analytics.winsorized_stats):
+    exact type-7 p01/p99, clip counts, raw vs winsorized mean — the
+    outlier-robust aggregate for metrics pipelines. One Exchange serves
+    both window percentiles and the final groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.winsorized_stats(e, value_col="value", group_col="event_type")
+
+
+def sql_winsorized_value_stats() -> str:
+    return """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS plo,
+         quantile_cont(value, 0.99) AS phi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(plo), 6) AS p_lo,
+       round(min(phi), 6) AS p_hi,
+       CAST(sum(CASE WHEN value < plo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN value > phi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       round(avg(value), 6) AS raw_mean,
+       round(avg(least(greatest(value, plo), phi)), 6) AS winsorized_mean
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query vector
+    (vec_id < 6), the 5 most-similar corpus vectors with a DIFFERENT
+    label — the near-miss negatives contrastive embedding training needs.
+    Label-mismatch predicate rides the scan; top-k is a WindowGroupLimit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("long").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qvec"),
+    )
+    return similarity.hard_negatives(emb, queries, k=5).select(
+        "qid", "q_label", F.col("vec_id").cast("long").alias("vec_id"),
+        "neg_label", "cosine", "rank",
+    )
+
+
+def sql_hard_negative_mining() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS qid, label AS q_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 6
+), scored AS (
+  SELECT q.qid, q.q_label, e.vec_id, e.label AS neg_label,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.q_label
+)
+SELECT CAST(qid AS BIGINT) AS qid, q_label, CAST(vec_id AS BIGINT) AS vec_id,
+       neg_label, cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair token-budget allocation across sources
+    (curation.water_fill_budget): water level found relationally (exact
+    int64 breakpoint test on the demand cumsum), budget 140k chars —
+    below the corpus total at every SF, so the cap binds and small
+    sources keep their full demand."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.water_fill_budget(
+        d, F.col("n_chars"), budget=140_000, group_col="source"
+    )
+
+
+def sql_token_budget_waterfill() -> str:
+    return """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS demand FROM documents GROUP BY source
+), st AS (
+  SELECT source, demand,
+         CAST(row_number() OVER (ORDER BY demand ASC, source ASC) AS BIGINT) AS i,
+         CAST(sum(demand) OVER (ORDER BY demand ASC, source ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per
+), fl AS (
+  SELECT *, demand * (n - i + 1) + (s - demand) > 140000 AS flag FROM st
+), brk AS (
+  SELECT min(CASE WHEN flag THEN i END) AS istar,
+         min(CASE WHEN flag THEN s - demand END) AS sprev,
+         max(n) AS n
+  FROM fl
+)
+SELECT fl.source, fl.demand,
+       round(CASE WHEN brk.istar IS NULL OR fl.i < brk.istar
+                  THEN CAST(fl.demand AS DOUBLE)
+                  ELSE (140000.0 - brk.sprev) / (brk.n - brk.istar + 1) END, 6) AS allocated,
+       (brk.istar IS NOT NULL AND fl.i >= brk.istar) AS capped
+FROM fl CROSS JOIN brk
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -9619,6 +9729,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "source_overlap_matrix": q_source_overlap_matrix,
     "embedding_drift_matrix": q_embedding_drift_matrix,
+    "winsorized_value_stats": q_winsorized_value_stats,
+    "hard_negative_mining": q_hard_negative_mining,
+    "token_budget_waterfill": q_token_budget_waterfill,
 }
 
 ORACLES: dict[str, str] = {
@@ -9821,4 +9934,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample_docs": sql_weighted_sample_docs(),
     "source_overlap_matrix": sql_source_overlap_matrix(),
     "embedding_drift_matrix": sql_embedding_drift_matrix(),
+    "winsorized_value_stats": sql_winsorized_value_stats(),
+    "hard_negative_mining": sql_hard_negative_mining(),
+    "token_budget_waterfill": sql_token_budget_waterfill(),
 }

@@ -319,3 +319,103 @@ def test_label_centroid_cosine_matches_numpy(spark):
             ma, mb = means[a], means[b]
             cos = float(ma @ mb / (np.sqrt(ma @ ma) * np.sqrt(mb @ mb)))
             assert abs(out[(a, b)] - round(cos, 6)) <= 1e-6
+
+
+# ------------------------------------------------------------ winsorize
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    import numpy as np
+
+    vals = [float(i) for i in range(1, 100)] + [10_000.0]  # one wild outlier
+    df = spark.createDataFrame([("a", v) for v in vals], "event_type string, value double")
+    r = winsorized_stats_import()(df, lo=0.01, hi=0.99).collect()[0]
+    plo = float(np.quantile(vals, 0.01))  # numpy default = type-7
+    phi = float(np.quantile(vals, 0.99))
+    assert r["p_lo"] == round(plo, 6) and r["p_hi"] == round(phi, 6)
+    assert r["n_clipped_high"] == 1 and r["n_clipped_low"] == 1
+    clipped = [min(max(v, plo), phi) for v in vals]
+    assert r["winsorized_mean"] == round(sum(clipped) / len(clipped), 6)
+    assert r["raw_mean"] == round(sum(vals) / len(vals), 6)
+    assert r["winsorized_mean"] < r["raw_mean"]
+
+
+def winsorized_stats_import():
+    from pdf_parser_spark.operators.analytics import winsorized_stats
+
+    return winsorized_stats
+
+
+# -------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from pdf_parser_spark.operators.similarity import hard_negatives
+
+    # label-0 vectors near the query; label-1 vectors are the negatives
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.1]),   # same label — must NEVER appear
+        (2, 1, [0.9, 0.2]),
+        (3, 1, [0.0, 1.0]),
+        (4, 2, [0.8, 0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], "qid long, q_label int, qvec array<double>"
+    )
+    out = hard_negatives(emb, q, k=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 not in ids and 1 not in ids  # no self, no same-label
+    assert set(r["neg_label"] for r in out) <= {1, 2}
+    # hardest negative first: vec 2 (cos highest among label!=0)
+    assert out[0]["vec_id"] == 2 and out[0]["rank"] == 1
+
+
+# ------------------------------------------------------------ water-fill
+
+
+def _waterfill_py(demands: dict, budget: int) -> dict:
+    ds = sorted(demands.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ds)
+    s = 0
+    for i, (g, d) in enumerate(ds, 1):
+        if d * (n - i + 1) + s > budget:
+            t = (budget - s) / (n - i + 1)
+            return {g2: (d2 if j < i else t) for j, (g2, d2) in enumerate(ds, 1)}
+        s += d
+    return dict(ds)
+
+
+def test_water_fill_budget_matches_python_replay(spark):
+    from pdf_parser_spark.operators.curation import water_fill_budget
+
+    demands = {"a": 10, "b": 100, "c": 1000, "d": 50}
+    rows = [(g, d) for g, d in demands.items()]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {
+        r["source"]: r
+        for r in water_fill_budget(df, F.col("n_chars"), budget=300).collect()
+    }
+    expect = _waterfill_py(demands, 300)
+    total = 0.0
+    for g, alloc in expect.items():
+        assert out[g]["allocated"] == round(alloc, 6)
+        assert out[g]["capped"] == (alloc < demands[g])
+        total += out[g]["allocated"]
+    assert round(total, 6) == 300.0  # capped case exhausts the budget
+    # a(10), d(50), b(100) all fit under the level; only c caps:
+    # t = (300 - 160) / 1 = 140
+    assert out["a"]["allocated"] == 10.0 and out["d"]["allocated"] == 50.0
+    assert out["b"]["allocated"] == 100.0 and out["c"]["allocated"] == 140.0
+
+
+def test_water_fill_budget_uncapped_when_budget_covers(spark):
+    from pdf_parser_spark.operators.curation import water_fill_budget
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "source string, n_chars long"
+    )
+    out = {r["source"]: r for r in water_fill_budget(df, F.col("n_chars"), 1000).collect()}
+    assert out["a"]["allocated"] == 10.0 and not out["a"]["capped"]
+    assert out["b"]["allocated"] == 20.0 and not out["b"]["capped"]
