@@ -796,3 +796,55 @@ def test_heavy_hitters_verify_is_broadcast_semi(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange SinglePartition") == 1  # exact-total row only
+
+
+def test_weighted_sample_group_limit_before_shuffle(spark):
+    """E-S weighted sampling: the per-group k-smallest-keys cut must run
+    map-side (WindowGroupLimit below the Exchange) — only k rows per
+    (task, group) carry the shuffle, never the keyed corpus."""
+    df = QUERIES["weighted_sample_docs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    ex = plan.find("Exchange")
+    assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
+
+
+def test_hard_negatives_scan_side_filter_and_group_limit(spark):
+    """Hard-negative mining: label-mismatch must filter BEFORE the window
+    shuffle (it rides the broadcast-join output in the scan stage), and
+    the per-query top-k is a WindowGroupLimit. No CartesianProduct —
+    the query batch is a broadcast."""
+    df = QUERIES["hard_negative_mining"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    ex = plan.find("Exchange")
+    assert ex != -1 and plan.find("WindowGroupLimit", ex) != -1
+
+
+def test_winsorized_stats_single_exchange(spark):
+    """Winsorized summary: ONE shuffle on the group key serves both
+    window percentiles and the final aggregate (no join-back, no second
+    scan of the events table)."""
+    df = QUERIES["winsorized_value_stats"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 1
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """Bloom decontamination: the bitmap and the exact gram set reach the
+    corpus stream as BROADCASTs; the only corpus shuffle is the final
+    per-doc aggregate (partial-agg combined map-side)."""
+    df = QUERIES["bloom_decontaminate"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_source_overlap_equijoin_not_cartesian(spark):
+    """Cross-source overlap: the gram self-join must stay a hash
+    EQUI-join on the gram key (its output is bounded by grams×sources²);
+    a cartesian fallback would be docs²-shaped."""
+    df = QUERIES["source_overlap_matrix"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
