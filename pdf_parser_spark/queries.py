@@ -9498,6 +9498,100 @@ FROM fl CROSS JOIN brk
 """
 
 
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration (dedup.minhash_estimate_error): per LSH candidate
+    pair, the MinHash estimate (matching lanes / 32) vs the exact 3-gram
+    Jaccard and the signed error — is K=32 adequate before trusting the
+    sketch at scale? Portable-hash variant, same 200-doc slice as
+    minhash_near_dups widened to 1000 so candidates exist at sf0.1 too;
+    the oracle replays signatures, banding, the lane comparison AND the
+    exact verify."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.minhash_estimate_error(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        num_hashes=32,
+        bands=8,
+        portable=True,
+    )
+
+
+def sql_minhash_estimate_error() -> str:
+    mins, band_rows = _portable_minhash_sql(32, 8)
+    lanes = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 1000
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), est AS (
+  SELECT p.a, p.b, ({lanes}) / 32.0 AS est
+  FROM pairs p JOIN sig sa ON p.a = sa.doc_id JOIN sig sb ON p.b = sb.doc_id
+), tr AS (
+  SELECT pairs.a, pairs.b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+  FROM pairs JOIN sh sa ON pairs.a = sa.doc_id JOIN sh sb ON pairs.b = sb.doc_id
+)
+SELECT est.a, est.b,
+       round(est, 6) AS est_jaccard,
+       round(j, 6) AS true_jaccard,
+       round(est - round(j, 6), 6) AS err
+FROM est JOIN tr ON est.a = tr.a AND est.b = tr.b
+"""
+
+
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation contract: per-slice PARTIAL states (sum,
+    count per event_type, sliced at 2024-01-15) merged by re-aggregation
+    must equal the full recompute — the algebra that lets a 100 TB
+    pipeline maintain rollups by folding only the NEW partition's partial
+    state into the stored one (the batch twin of the SnapshotLog resume
+    path). The oracle IS the full single-pass recompute, so the driver
+    value-checks merge ≡ recompute."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-15"))
+    partials = (
+        e.withColumn("_slice", (F.col("ts").cast("timestamp") < split).cast("int"))
+        .groupBy("_slice", "event_type")
+        .agg(
+            F.sum("value").alias("_s"),
+            F.count("*").cast("long").alias("_c"),
+        )
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.sum("_s").alias("_total"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("_total", 4).alias("total_value"),
+            F.round(F.col("_total") / F.col("n"), 6).alias("mean_value"),
+        )
+    )
+
+
+def sql_incremental_rollup_merge() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value,
+       round(sum(value) / count(*), 6) AS mean_value
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -9732,6 +9826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_value_stats": q_winsorized_value_stats,
     "hard_negative_mining": q_hard_negative_mining,
     "token_budget_waterfill": q_token_budget_waterfill,
+    "minhash_estimate_error": q_minhash_estimate_error,
+    "incremental_rollup_merge": q_incremental_rollup_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -9937,4 +10033,6 @@ ORACLES: dict[str, str] = {
     "winsorized_value_stats": sql_winsorized_value_stats(),
     "hard_negative_mining": sql_hard_negative_mining(),
     "token_budget_waterfill": sql_token_budget_waterfill(),
+    "minhash_estimate_error": sql_minhash_estimate_error(),
+    "incremental_rollup_merge": sql_incremental_rollup_merge(),
 }

@@ -1,0 +1,72 @@
+"""Table-maintenance utilities — the housekeeping a 100 TB lakehouse runs
+between queries.
+
+Small-file compaction: long-running ingest (especially streaming
+micro-batches — streaming/ingest.py writes one directory per batch)
+accumulates thousands of KB-scale files; every downstream scan then pays
+one task + one open per file. ``compact_parquet`` rewrites a directory to
+size-targeted files in ONE distributed job (read → repartition → write;
+the shuffle is round-robin, so skewed input files cannot produce skewed
+output files) and reports before/after file counts so jobs can log the
+win. The sizing estimate derives from the CURRENT on-disk bytes/row, so
+compression ratio is preserved without guessing.
+
+Cross-format interchange: parquet is the engine's native format, but ORC
+arrives from Hive-era lakes; ``to_orc``/``read_orc`` round-trip through
+Spark's built-in ORC source, which supports the same predicate pushdown +
+column pruning contract (pinned by tests/test_maintenance.py, so "we can
+ingest ORC without losing pushdown" is tested fact, not assumption).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _data_files(path: str, suffix: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, f"*{suffix}"))
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a parquet directory to ~target_file_bytes files.
+
+    Returns {files_before, files_after, rows, bytes_before} — the numbers
+    a compaction job logs. Row-preservation is the caller's test hook
+    (rows is computed from the REWRITTEN data by the same job).
+
+    At 100 TB this runs per-partition-directory (compact the partitions a
+    manifest marks as fragmented), never the whole table at once; the
+    repartition is round-robin so output files are uniformly sized
+    regardless of input skew."""
+    files = _data_files(in_path, ".parquet")
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    df = spark.read.parquet(in_path)
+    n_files = max(1, -(-bytes_before // target_file_bytes))  # ceil
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return {
+        "files_before": len(files),
+        "files_after": len(_data_files(out_path, ".parquet")),
+        "rows": out.count(),
+        "bytes_before": bytes_before,
+    }
+
+
+def to_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -1,0 +1,54 @@
+"""Table-maintenance surfaces: small-file compaction and the ORC
+interchange path (predicate pushdown + column pruning must survive the
+format change)."""
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.sources.maintenance import compact_parquet, read_orc, to_orc
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _formatted(df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def test_compact_parquet_reduces_file_count_and_keeps_rows(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = base.count()
+    # simulate streaming-ingest fragmentation: 64 tiny files
+    base.repartition(64).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == n
+    # the rewrite is content-identical, not just row-count-identical
+    assert (
+        spark.read.parquet(dst).exceptAll(base).count() == 0
+        and base.exceptAll(spark.read.parquet(dst)).count() == 0
+    )
+
+
+def test_orc_roundtrip_preserves_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "events_orc")
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    to_orc(base, path)
+    df = (
+        read_orc(spark, path)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+    )
+    fmt = _formatted(df)
+    # predicate reaches the ORC scan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in fmt
+    # column pruning: only the referenced columns are read
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>" in fmt
+    # and values round-trip exactly
+    want = base.filter(F.col("event_type") == "error").count()
+    assert df.count() == want

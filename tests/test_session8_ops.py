@@ -419,3 +419,27 @@ def test_water_fill_budget_uncapped_when_budget_covers(spark):
     out = {r["source"]: r for r in water_fill_budget(df, F.col("n_chars"), 1000).collect()}
     assert out["a"]["allocated"] == 10.0 and not out["a"]["capped"]
     assert out["b"]["allocated"] == 20.0 and not out["b"]["capped"]
+
+
+# ---------------------------------------------------- minhash calibration
+
+
+def test_minhash_estimate_error_lane_math(spark):
+    from pdf_parser_spark.operators.dedup import minhash_estimate_error
+
+    # two near-identical docs (guaranteed LSH collision) + one unrelated
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "совершенно other unrelated text body")],
+        "doc_id long, text string",
+    )
+    out = minhash_estimate_error(docs, num_hashes=32, bands=8, portable=True).collect()
+    pairs = {(r["a"], r["b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # exact Jaccard of the 3-gram sets: 8 shared / 9 union
+    assert r["true_jaccard"] == round(8 / 9, 6)
+    # estimate is lanes/32 — a multiple of 1/32, within plausible range
+    assert abs(r["est_jaccard"] * 32 - round(r["est_jaccard"] * 32)) < 1e-9
+    assert 0.5 <= r["est_jaccard"] <= 1.0
+    assert r["err"] == round(r["est_jaccard"] - r["true_jaccard"], 6)
