@@ -1596,3 +1596,32 @@ def minhash_estimate_error(
             F.round(F.col("_est") - F.col("jaccard"), 6).alias("err"),
         )
     )
+
+
+def dedup_best_representative(
+    docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware dedup materializer: keep each digest cluster's
+    HIGHEST-scoring member (score desc, id asc on ties) instead of
+    dedup_filter's min-id — when near-identical pages differ in
+    extraction quality (one mirror kept boilerplate, one didn't), min-id
+    throws away the better copy about half the time.
+
+    Plan shape: ONE shuffle on the digest key; the argmax is a
+    WindowGroupLimit (rank ≤ 1 pushed map-side), so at 100 TB at most one
+    row per (task, digest) crosses the exchange — strictly cheaper than
+    the groupBy + join-back form, which moves the corpus twice."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("digest", content_digest(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "digest")
+    )

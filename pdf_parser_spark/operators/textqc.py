@@ -1368,3 +1368,36 @@ def word_freq_spectrum(
             6,
         ),
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch-style readability per document from three deterministic
+    counts — words, sentences (terminal-punctuation runs, the
+    split_sentences boundary rule), and vowel-group "syllables" (maximal
+    [aeiouy]+ runs, the standard syllable approximation) — another scalar
+    quality gate: crawl boilerplate and OCR noise score far off the
+    natural-prose band. All counts are regexp_count scalars (zero
+    shuffle); the two divisions are the only float ops, so rounding at
+    6 dp is cross-engine stable.
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    (Flesch 1948 — public formula; sentence count floors at 1 so a
+    fragment without terminal punctuation still scores)."""
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syls = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syls / words)
+    )
+    return docs.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syls.cast("long").alias("n_syllables"),
+        F.round(F.when(words > 0, score), 6).alias("flesch_score"),
+    )

@@ -9592,6 +9592,124 @@ FROM events GROUP BY event_type
 """
 
 
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability gate (textqc.readability_scores) over docs with
+    sentence punctuation synthesized in Catalyst (a period after every
+    5th word — the testdata text has none); words / sentence-runs /
+    vowel-group syllables are regexp_count scalars, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    sent = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"), r"(\w+ \w+ \w+ \w+ \w+) ", r"$1. "
+        ).alias("text"),
+    )
+    return textqc.readability_scores(sent)
+
+
+def sql_readability_scores() -> str:
+    return r"""
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM s
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(CASE WHEN n_words > 0
+             THEN 206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) END, 6) AS flesch_score
+FROM c
+"""
+
+
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup materializer (dedup.dedup_best_representative):
+    every 7th doc gets a whitespace-bloated mirror (same content digest —
+    the digest normalizes whitespace — worse copy), and the keeper per
+    cluster is the COMPACTEST member, not the min id. One digest shuffle,
+    argmax via WindowGroupLimit."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "text"
+    )
+    mirrors = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"),
+    )
+    both = d.unionByName(mirrors).withColumn(
+        "quality", -F.length("text").cast("long")
+    )
+    return dedup.dedup_best_representative(both, "quality").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def sql_dedup_best_quality() -> str:
+    return """
+WITH uni AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS BIGINT), lang, source, replace(text, ' ', '  ')
+  FROM documents WHERE doc_id % 7 = 0
+), keyed AS (
+  SELECT doc_id, lang, source,
+         CAST(-length(text) AS BIGINT) AS quality,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM uni
+)
+SELECT doc_id, lang, source FROM (
+  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM keyed
+) WHERE rn = 1
+"""
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type
+    (analytics.dow_seasonality): eta² of weekday on the DAILY counts —
+    exact int64 sufficient statistics, the only float ops are seven
+    divisions and the final ratio."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.dow_seasonality(e, key_col="event_type")
+
+
+def sql_dow_seasonality() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dow AS (
+  SELECT event_type, dayofweek(d) + 1 AS dw, c FROM daily
+), per AS (
+  SELECT event_type, dw,
+         CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg,
+         CAST(sum(c * c) AS BIGINT) AS qg
+  FROM dow GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(sum(ng) AS BIGINT) AS n_days,
+         CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(qg) AS BIGINT) AS q,
+         sum(CAST(sg * sg AS DOUBLE) / ng) AS between_
+  FROM per GROUP BY event_type
+)
+SELECT event_type, n_days,
+       round(CASE WHEN CAST(q AS DOUBLE) - CAST(s * s AS DOUBLE) / n_days > 0
+             THEN 1.0 - (CAST(q AS DOUBLE) - between_)
+                        / (CAST(q AS DOUBLE) - CAST(s * s AS DOUBLE) / n_days)
+             ELSE 0.0 END, 6) AS dow_eta_sq
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -9828,6 +9946,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_waterfill": q_token_budget_waterfill,
     "minhash_estimate_error": q_minhash_estimate_error,
     "incremental_rollup_merge": q_incremental_rollup_merge,
+    "readability_scores": q_readability_scores,
+    "dedup_best_quality": q_dedup_best_quality,
+    "dow_seasonality": q_dow_seasonality,
 }
 
 ORACLES: dict[str, str] = {
@@ -10035,4 +10156,7 @@ ORACLES: dict[str, str] = {
     "token_budget_waterfill": sql_token_budget_waterfill(),
     "minhash_estimate_error": sql_minhash_estimate_error(),
     "incremental_rollup_merge": sql_incremental_rollup_merge(),
+    "readability_scores": sql_readability_scores(),
+    "dedup_best_quality": sql_dedup_best_quality(),
+    "dow_seasonality": sql_dow_seasonality(),
 }

@@ -443,3 +443,68 @@ def test_minhash_estimate_error_lane_math(spark):
     assert abs(r["est_jaccard"] * 32 - round(r["est_jaccard"] * 32)) < 1e-9
     assert 0.5 <= r["est_jaccard"] <= 1.0
     assert r["err"] == round(r["est_jaccard"] - r["true_jaccard"], 6)
+
+
+# --------------------------------------------------------- readability
+
+
+def test_readability_scores_exact_counts(spark):
+    from pdf_parser_spark.operators.textqc import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "12345 !!!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r = out[1]
+    assert r["n_words"] == 6 and r["n_sentences"] == 2
+    # vowel groups: e, a, a, e, o, a → 6
+    assert r["n_syllables"] == 6
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert r["flesch_score"] == round(want, 6)
+    # no words → NULL score, sentence floor at 1
+    assert out[2]["n_words"] == 0 and out[2]["flesch_score"] is None
+    assert out[2]["n_sentences"] == 1
+
+
+# ---------------------------------------------------- best-quality dedup
+
+
+def test_dedup_best_representative_keeps_argmax_not_min_id(spark):
+    from pdf_parser_spark.operators.dedup import dedup_best_representative
+
+    rows = [
+        (1, "hello  world", 5),   # same digest as 2 (whitespace collapses)
+        (2, "hello world", 9),    # higher quality — must win despite id 2
+        (3, "other text", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_best_representative(df, "quality").collect()
+    )
+    assert kept == [2, 3]
+
+
+# ------------------------------------------------------ dow seasonality
+
+
+def test_dow_seasonality_extremes(spark):
+    from pdf_parser_spark.operators.analytics import dow_seasonality
+
+    # "weekly": count = 10 on Mondays, 1 otherwise → eta² near 1
+    # "flat": constant count → SST = 0 → eta² = 0
+    import datetime
+
+    rows = []
+    for d in range(28):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        n_weekly = 10 if day.weekday() == 0 else 1
+        for i in range(n_weekly):
+            rows.append(("weekly", day + datetime.timedelta(seconds=i)))
+        for i in range(3):
+            rows.append(("flat", day + datetime.timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in dow_seasonality(df).collect()}
+    assert out["weekly"]["n_days"] == 28
+    assert out["weekly"]["dow_eta_sq"] == 1.0  # within-dow variance is 0
+    assert out["flat"]["dow_eta_sq"] == 0.0
