@@ -735,3 +735,43 @@ def dow_seasonality(
             F.when(sst > 0, F.lit(1.0) - ssw / sst).otherwise(F.lit(0.0)), 6
         ).alias("dow_eta_sq"),
     )
+
+
+def smoothed_rates(
+    df: DataFrame,
+    hit,
+    key_col: str = "user_id",
+    alpha: float = 20.0,
+) -> DataFrame:
+    """Empirical-Bayes rate smoothing: per-key hit rate shrunk toward the
+    global rate by a pseudo-count prior — smoothed = (hits + α·p0) /
+    (n + α). The standard fix for small-sample rate ranking (a 1/1 host
+    must not outrank a 980/1000 one); α is the prior's weight in
+    observations.
+
+    Shape at 100 TB: one map-side-combined groupBy on the key; the global
+    prior p0 is a 1-row IN-PLAN aggregate broadcast back (no driver
+    action). All inputs to the final arithmetic are exact int64 counts,
+    so the few double ops are cross-engine stable under rounding."""
+    per = df.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(hit.cast("long")).cast("long").alias("hits"),
+    )
+    glob = per.agg(
+        (F.sum("hits").cast("double") / F.sum("n")).alias("_p0")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            key_col,
+            "n",
+            "hits",
+            F.round(F.col("hits") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("hits") + F.lit(alpha) * F.col("_p0"))
+                / (F.col("n") + F.lit(alpha)),
+                6,
+            ).alias("smoothed_rate"),
+            F.round(F.col("_p0"), 6).alias("global_rate"),
+        )
+    )

@@ -1625,3 +1625,41 @@ def dedup_best_representative(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "digest")
     )
+
+
+def edit_distance_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Character-level verify for candidate pairs: Levenshtein distance on
+    the NORMALIZED text and the derived similarity 1 − d/max(len) — the
+    sharper (and costlier, O(len²) per pair) complement of the n-gram
+    Jaccard verify, for when near-dup policy is edit-based ("≤ 5% of
+    characters changed"). Distance is exact integer dynamic programming
+    with the same unit costs in every engine, so the oracle matches
+    bit-for-bit with no rounding concerns beyond the final division.
+
+    At scale the pairs table is tiny (LSH collisions only), so the
+    quadratic per-pair cost is bounded by candidates — never run this on
+    raw pairs without a sketch-based candidate generator upstream."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    t = docs.select(F.col(id_col), norm.alias("_t"))
+    out = (
+        pairs.join(t.select(F.col(id_col).alias("a"), F.col("_t").alias("_ta")), "a")
+        .join(t.select(F.col(id_col).alias("b"), F.col("_t").alias("_tb")), "b")
+        .select(
+            "a",
+            "b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_dist"),
+            F.round(
+                F.lit(1.0)
+                - F.levenshtein("_ta", "_tb")
+                / F.greatest(F.length("_ta"), F.length("_tb")),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
+    return out.filter(F.col("edit_sim") >= threshold)

@@ -1,0 +1,55 @@
+"""Probabilistic record linkage — Fellegi & Sunter (1969), the standard
+entity-resolution scorer: candidate pairs come from a cheap BLOCKING
+equi-join, each field comparison contributes a log-likelihood-ratio
+weight (agree → log2(m/u), disagree → log2((1−m)/(1−u)) with m = P(agree |
+match), u = P(agree | non-match)), and the pair's score is the sum.
+
+Scale shape: blocking is the whole game at 10^12 rows — the join is an
+EQUI-join on the block key (never all-pairs), and per-pair work is a few
+codegen scalar comparisons. The weights are PRECOMPUTED Python floats
+embedded as literals, so no engine-side log() runs at all — the score is
+a fixed sum of literals selected by boolean flags, bit-identical in any
+engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fs_weights(m: float, u: float) -> tuple[float, float]:
+    """(agreement weight, disagreement weight) = log2 likelihood ratios."""
+    return math.log2(m / u), math.log2((1 - m) / (1 - u))
+
+
+def fellegi_sunter_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    agreements: list[tuple[str, object, float, float]],
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Score blocked candidate pairs.
+
+    ``agreements``: (field_name, agree_condition Column over the joined
+    frame, m, u) per compared field. Output keeps every column of the
+    blocked join plus one boolean ``agree_<field>`` per field, the summed
+    ``link_score`` (6 dp), and ``is_match`` (score ≥ threshold). Callers
+    alias their id/value columns distinctly on each side before calling —
+    the join is a plain equi-join on ``block_cols``."""
+    cand = left.join(right, block_cols)
+    flags = []
+    score = F.lit(0.0)
+    for name, cond, m, u in agreements:
+        wa, wd = fs_weights(m, u)
+        flag = cond.alias(f"agree_{name}")
+        flags.append(flag)
+        score = score + F.when(cond, F.lit(wa)).otherwise(F.lit(wd))
+    return cand.select(
+        "*",
+        *flags,
+        F.round(score, 6).alias("link_score"),
+    ).withColumn("is_match", F.col("link_score") >= F.lit(float(threshold)))

@@ -9710,6 +9710,147 @@ FROM agg
 """
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (operators/linkage.py):
+    a dirty twin of every 11th customer (typo'd name, +0.05 balance) is
+    linked back against the clean table. Blocking on (nation, segment)
+    keeps the join an equi-join; three field comparisons (name edit
+    distance ≤ 1, |balance Δ| ≤ 0.1, name tail-4 equality) contribute
+    PRECOMPUTED literal log2 m/u weights, so no engine-side log runs.
+    Output: scored pairs with link_score ≥ 0 (drops total disagreers);
+    is_match at threshold 10 recovers exactly the planted twins."""
+    from pdf_parser_spark.operators import linkage
+
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").cast("long").alias("c_id"),
+        F.col("c_name").alias("c_nm"),
+        F.col("c_acctbal").alias("c_bal"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dirty = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1_000_000).cast("long").alias("d_id"),
+        F.replace(F.col("c_name"), F.lit("#0"), F.lit("#O")).alias("d_nm"),
+        (F.col("c_acctbal") + 0.05).alias("d_bal"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    agreements = [
+        ("name", F.levenshtein("d_nm", "c_nm") <= 1, 0.95, 0.001),
+        ("bal", F.abs(F.col("d_bal") - F.col("c_bal")) <= 0.1, 0.9, 0.01),
+        ("tail", F.expr("right(d_nm, 4) = right(c_nm, 4)"), 0.97, 0.002),
+    ]
+    out = linkage.fellegi_sunter_link(
+        dirty, clean, ["nation", "seg"], agreements, threshold=10.0
+    )
+    return out.filter(F.col("link_score") >= 0).select(
+        "d_id", "c_id", "agree_name", "agree_bal", "agree_tail",
+        "link_score", "is_match",
+    )
+
+
+def sql_record_linkage() -> str:
+    from pdf_parser_spark.operators.linkage import fs_weights
+
+    wn_a, wn_d = fs_weights(0.95, 0.001)
+    wb_a, wb_d = fs_weights(0.9, 0.01)
+    wt_a, wt_d = fs_weights(0.97, 0.002)
+    return f"""
+WITH clean AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_id, c_name AS c_nm, c_acctbal AS c_bal,
+         c_nationkey AS nation, c_mktsegment AS seg
+  FROM customer
+), dirty AS (
+  SELECT CAST(c_custkey + 1000000 AS BIGINT) AS d_id,
+         replace(c_name, '#0', '#O') AS d_nm,
+         c_acctbal + 0.05 AS d_bal,
+         c_nationkey AS nation, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 11 = 0
+), scored AS (
+  SELECT d_id, c_id,
+         levenshtein(d_nm, c_nm) <= 1 AS agree_name,
+         abs(d_bal - c_bal) <= 0.1 AS agree_bal,
+         right(d_nm, 4) = right(c_nm, 4) AS agree_tail,
+         round(
+           (CASE WHEN levenshtein(d_nm, c_nm) <= 1 THEN {wn_a!r}::DOUBLE ELSE {wn_d!r}::DOUBLE END)
+           + (CASE WHEN abs(d_bal - c_bal) <= 0.1 THEN {wb_a!r}::DOUBLE ELSE {wb_d!r}::DOUBLE END)
+           + (CASE WHEN right(d_nm, 4) = right(c_nm, 4) THEN {wt_a!r}::DOUBLE ELSE {wt_d!r}::DOUBLE END)
+         , 6) AS link_score
+  FROM dirty JOIN clean USING (nation, seg)
+)
+SELECT d_id, c_id, agree_name, agree_bal, agree_tail, link_score,
+       link_score >= 10.0 AS is_match
+FROM scored WHERE link_score >= 0
+"""
+
+
+def q_edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify (dedup.edit_distance_verify) of the portable
+    LSH candidates (same 1000-doc slice as minhash_estimate_error):
+    exact integer Levenshtein on normalized text + 1 − d/maxlen
+    similarity — the character-level near-dup policy n-gram Jaccard
+    can't express. Quadratic per-pair cost bounded by LSH collisions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    sigs = dedup.minhash_signatures(docs, num_hashes=32, portable=True)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=8, num_hashes=32, portable=True)
+    return dedup.edit_distance_verify(docs, cand)
+
+
+def sql_edit_similarity_pairs() -> str:
+    mins, band_rows = _portable_minhash_sql(32, 8)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+  FROM documents WHERE doc_id < 1000
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT pairs.a, pairs.b,
+       CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS edit_dist,
+       round(1.0 - levenshtein(ta.nt, tb.nt)
+             / CAST(greatest(length(ta.nt), length(tb.nt)) AS DOUBLE), 6) AS edit_sim
+FROM pairs JOIN sh ta ON pairs.a = ta.doc_id JOIN sh tb ON pairs.b = tb.doc_id
+"""
+
+
+def q_smoothed_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes error-rate smoothing per user
+    (analytics.smoothed_rates): rate shrunk toward the in-plan global
+    prior with α = 20 pseudo-counts — small-sample users stop outranking
+    well-observed ones."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.smoothed_rates(
+        e, F.col("event_type") == "error", key_col="user_id", alpha=20.0
+    )
+
+
+def sql_smoothed_error_rates() -> str:
+    return """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(sum(hits) AS DOUBLE) / sum(n) AS p0 FROM per
+)
+SELECT user_id, n, hits,
+       round(hits / CAST(n AS DOUBLE), 6) AS raw_rate,
+       round((hits + 20.0 * p0) / (n + 20.0), 6) AS smoothed_rate,
+       round(p0, 6) AS global_rate
+FROM per CROSS JOIN g
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -9949,6 +10090,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_scores": q_readability_scores,
     "dedup_best_quality": q_dedup_best_quality,
     "dow_seasonality": q_dow_seasonality,
+    "record_linkage": q_record_linkage,
+    "edit_similarity_pairs": q_edit_similarity_pairs,
+    "smoothed_error_rates": q_smoothed_error_rates,
 }
 
 ORACLES: dict[str, str] = {
@@ -10159,4 +10303,7 @@ ORACLES: dict[str, str] = {
     "readability_scores": sql_readability_scores(),
     "dedup_best_quality": sql_dedup_best_quality(),
     "dow_seasonality": sql_dow_seasonality(),
+    "record_linkage": sql_record_linkage(),
+    "edit_similarity_pairs": sql_edit_similarity_pairs(),
+    "smoothed_error_rates": sql_smoothed_error_rates(),
 }

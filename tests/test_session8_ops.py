@@ -508,3 +508,74 @@ def test_dow_seasonality_extremes(spark):
     assert out["weekly"]["n_days"] == 28
     assert out["weekly"]["dow_eta_sq"] == 1.0  # within-dow variance is 0
     assert out["flat"]["dow_eta_sq"] == 0.0
+
+
+# ------------------------------------------------------- record linkage
+
+
+def test_fellegi_sunter_weights_and_match(spark):
+    from pdf_parser_spark.operators.linkage import fellegi_sunter_link, fs_weights
+
+    left = spark.createDataFrame(
+        [(1, "ann", 1), (2, "zzz", 1)], "d_id long, d_nm string, blk int"
+    )
+    right = spark.createDataFrame(
+        [(10, "ana", 1), (11, "bob", 1)], "r_id long, r_nm string, blk int"
+    )
+    out = fellegi_sunter_link(
+        left,
+        right,
+        ["blk"],
+        [("name", F.levenshtein("d_nm", "r_nm") <= 1, 0.9, 0.01)],
+        threshold=1.0,
+    ).collect()
+    wa, wd = fs_weights(0.9, 0.01)
+    rows = {(r["d_id"], r["r_id"]): r for r in out}
+    assert len(rows) == 4  # full block cross, scored
+    assert rows[(1, 10)]["agree_name"] and rows[(1, 10)]["is_match"]
+    assert rows[(1, 10)]["link_score"] == round(wa, 6)
+    assert not rows[(2, 10)]["agree_name"]
+    assert rows[(2, 10)]["link_score"] == round(wd, 6)
+    assert not rows[(2, 10)]["is_match"]
+
+
+# --------------------------------------------------------- edit verify
+
+
+def test_edit_distance_verify_exact_ints(spark):
+    from pdf_parser_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "Kitten  In The house"), (2, "sitting in the house")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    r = edit_distance_verify(docs, pairs).collect()[0]
+    # normalized: 'kitten in the house' vs 'sitting in the house' → lev 3
+    assert r["edit_dist"] == 3
+    assert r["edit_sim"] == round(1 - 3 / 20, 6)
+
+
+# ------------------------------------------------------- smoothed rates
+
+
+def test_smoothed_rates_shrink_toward_prior(spark):
+    from pdf_parser_spark.operators.analytics import smoothed_rates
+
+    # u1: 1/1 errors (tiny sample), u2: 98/1000
+    rows = [("u1", "error")] + [("u2", "error")] * 98 + [("u2", "ok")] * 902
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    out = {
+        r["user_id"]: r
+        for r in smoothed_rates(
+            df, F.col("event_type") == "error", alpha=20.0
+        ).collect()
+    }
+    p0 = 99 / 1001
+    assert out["u1"]["raw_rate"] == 1.0
+    assert out["u1"]["smoothed_rate"] == round((1 + 20 * p0) / 21, 6)
+    assert out["u2"]["smoothed_rate"] == round((98 + 20 * p0) / 1020, 6)
+    # the shrunk small-sample no longer outranks the well-observed one...
+    # (1 + 20*p0)/21 ≈ 0.142 vs u2 ≈ 0.098 — still higher, but pulled from
+    # 1.0 → must sit strictly between its raw rate and the prior
+    assert p0 < out["u1"]["smoothed_rate"] < 1.0
