@@ -775,3 +775,104 @@ def smoothed_rates(
             F.round(F.col("_p0"), 6).alias("global_rate"),
         )
     )
+
+
+def expectation_report(df: DataFrame, rules: list[tuple[str, object]]) -> DataFrame:
+    """Data-quality expectation report (the Great-Expectations-style gate
+    an ingest runs before trusting a batch): ``rules`` is a list of
+    (rule_name, violation_condition Column); output is one row per rule
+    with the violation count and a pass flag.
+
+    ONE pass over the table — every rule folds into the same map-side-
+    combined aggregate — then a stack() unpivot of the 1-row result, so
+    the report costs one scan regardless of rule count."""
+    aggs = [F.count("*").cast("long").alias("_n")] + [
+        F.sum(cond.cast("long")).cast("long").alias(f"_v{i}")
+        for i, (_, cond) in enumerate(rules)
+    ]
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{name}', _v{i}" for i, (name, _) in enumerate(rules))
+    return one.select(
+        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive,
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    al. 2007) — the release gate a pipeline runs before publishing a
+    per-user derived table: one row per quasi-identifier equivalence
+    class with its size, the number of distinct sensitive values inside
+    it, and the two re-identification flags (class smaller than k;
+    sensitive attribute homogeneous, so membership alone leaks it).
+
+    ONE groupBy on the quasi columns; the exact distinct count is the
+    point of the audit (an approximation could under-report risk)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.countDistinct(sensitive).cast("long").alias("l_distinct"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "l_distinct",
+            (F.col("class_size") < k).alias("k_violation"),
+            (F.col("l_distinct") <= 1).alias("homogeneous"),
+        )
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line peak concurrency — max simultaneously-active intervals
+    per key (capacity planning / rate-limit sizing over sessions).
+    End-INCLUSIVE at integer resolution: an interval [t, t] is active at
+    t, and back-to-back intervals touching at t count as overlapping.
+
+    Shape at 100 TB: intervals unpivot to +1/-1 deltas, deltas collapse
+    to one net value per (key, ts) in a partial-agg shuffle, and the
+    running sum + max is ONE window pass over the (key, ts)-sorted rows —
+    the same Exchange serves the groupBy and the window. No join, no
+    quadratic pairing; cost is 2 rows per interval regardless of how
+    long or how nested the intervals are."""
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long") + 1
+    deltas = intervals.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                F.struct(s.alias("ts"), F.lit(1).alias("d")),
+                F.struct(e.alias("ts"), F.lit(-1).alias("d")),
+            )
+        ).alias("x"),
+    ).select(key_col, "x.ts", "x.d")
+    net = deltas.groupBy(key_col, "ts").agg(
+        F.sum("d").alias("net"),
+        F.sum(F.greatest(F.col("d"), F.lit(0))).alias("starts"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.withColumn("cur", F.sum("net").over(w))
+    return run.groupBy(key_col).agg(
+        F.sum("starts").cast("long").alias("n_intervals"),
+        F.max("cur").cast("long").alias("peak_concurrent"),
+    )

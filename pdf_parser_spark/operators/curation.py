@@ -1051,3 +1051,58 @@ def water_fill_budget(
             ),
         )
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    metric,
+    budget: int,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Neyman-optimal sample allocation across strata (Neyman 1934):
+    n_h ∝ N_h·S_h — the survey-sampling rule for building an eval/
+    validation set under a fixed labeling budget: variable strata get
+    more samples per capita than homogeneous ones (equal-proportion
+    sampling wastes budget on uniform strata).
+
+    Sufficient statistics (n, Σx, Σx²) are exact int64 from ONE map-side
+    groupBy; S_h and the weights are a handful of double ops on the tiny
+    per-stratum frame; allocations floor() so Σ ≤ budget and are
+    cross-engine deterministic. Zero-variance strata get weight 0 (their
+    one needed sample is the caller's floor policy, kept out of the
+    formula)."""
+    x = metric.cast("long")
+    per = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(x).cast("long").alias("_s"),
+        F.sum(x * x).cast("long").alias("_q"),
+    )
+    var = F.when(
+        F.col("n_docs") > 1,
+        (
+            F.col("n_docs").cast("double") * F.col("_q")
+            - (F.col("_s") * F.col("_s")).cast("double")
+        )
+        / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1)),
+    ).otherwise(F.lit(0.0))
+    staged = per.withColumn("_ns", F.col("n_docs") * F.sqrt(var))
+    z = staged.agg(F.sum("_ns").alias("_z"))
+    return (
+        staged.crossJoin(F.broadcast(z))
+        .select(
+            F.col(group_col),
+            "n_docs",
+            F.round(F.sqrt(var), 6).alias("stddev"),
+            F.round(
+                F.when(F.col("_z") > 0, F.col("_ns") / F.col("_z")).otherwise(0.0),
+                6,
+            ).alias("weight"),
+            F.when(
+                F.col("_z") > 0,
+                F.floor(F.lit(float(budget)) * F.col("_ns") / F.col("_z")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_alloc"),
+        )
+    )

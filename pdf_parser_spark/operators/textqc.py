@@ -1401,3 +1401,154 @@ def readability_scores(
         syls.cast("long").alias("n_syllables"),
         F.round(F.when(words > 0, score), 6).alias("flesch_score"),
     )
+
+
+def word_pmi_pairs(
+    docs: DataFrame,
+    vocab_size: int = 200,
+    min_pairs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level pointwise mutual information between top-vocabulary
+    words: PMI = log2(n_ab·N / (n_a·n_b)) over doc co-occurrence — the
+    classic collocation/distributional statistic (Church & Hanks 1990),
+    the signal behind phrase mining and topic drift checks.
+
+    Shape at 100 TB: the corpus explodes to DISTINCT (doc, word) ONCE and
+    is immediately semi-joined against the broadcast top-``vocab_size``
+    vocabulary, so the pair self-join (on doc_id) is bounded by
+    vocab²/2 per doc, not raw-token²; unigram doc-frequencies broadcast
+    back onto the pair counts. All PMI inputs are exact int64; the log2
+    is one float op rounded at 6 dp."""
+    from pdf_parser_spark.operators.dedup import words_col
+
+    dw = (
+        docs.select(F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w"))
+        .distinct()
+    )
+    top = (
+        dw.groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(vocab_size)
+    )
+    filtered = dw.join(F.broadcast(top), "w")
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    pairs = (
+        filtered.select(F.col(id_col), F.col("w").alias("a"), F.col("df").alias("_dfa"))
+        .join(
+            filtered.select(
+                F.col(id_col), F.col("w").alias("b"), F.col("df").alias("_dfb")
+            ),
+            id_col,
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_ab"),
+            F.min("_dfa").cast("long").alias("n_a"),
+            F.min("_dfb").cast("long").alias("n_b"),
+        )
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "a",
+        "b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(
+            F.log2(
+                (F.col("n_ab") * F.col("_n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+def kneser_ney_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under interpolated Kneser-Ney
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothing
+    family inside KenLM, the de-facto web-corpus quality filter. Trained
+    and scored on the SAME corpus, so every scored bigram has
+    c(ctx,w) >= 1 and the score is always finite:
+
+        P(w|ctx) = (max(c(ctx,w) - D, 0) + D * N1+(ctx,*) * Pcont(w)) / c(ctx,*)
+        Pcont(w) = N1+(*,w) / |distinct bigram types|
+
+    Upgrade over ``bigram_surprisal`` (Stupid Backoff): KN's continuation
+    probability scores a word by how many CONTEXTS it follows, not raw
+    frequency — "Francisco" is frequent but only ever follows "San", so
+    KN correctly treats it as unlikely in novel contexts.
+
+    Shape at 100 TB: the raw bigram stream collapses to per-doc TYPE
+    counts in ONE partial-agg shuffle, and the model derives entirely
+    from the (much smaller) corpus type table — context stats and
+    continuation stats are two groupBys OF THAT TABLE, the type total a
+    1-row broadcast. Scoring joins per-doc type counts against the model
+    on (ctx, w) — the key the counts were just built on — and the
+    per-doc mean weights each type by its occurrence count, so raw
+    positions are never revisited."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    staged = docs.select(F.col(id_col), toks.alias("_w"))
+    grams = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_w", i).alias("ctx"),
+                        F.element_at("_w", i + 1).alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<ctx:string,w:string>>"))
+        ).alias("g"),
+    ).select(F.col(id_col), "g.ctx", "g.w")
+    dcnt = grams.groupBy(id_col, "ctx", "w").agg(
+        F.count("*").cast("long").alias("dn")
+    )
+    types = dcnt.groupBy("ctx", "w").agg(F.sum("dn").cast("long").alias("cnt"))
+    ctx_stats = types.groupBy("ctx").agg(
+        F.sum("cnt").cast("long").alias("ctx_cnt"),
+        F.count("*").cast("long").alias("n_fol"),
+    )
+    w_stats = types.groupBy("w").agg(F.count("*").cast("long").alias("n_pre"))
+    btypes = types.agg(F.count("*").cast("long").alias("_bt"))
+    d = F.lit(discount)
+    model = (
+        types.join(ctx_stats, "ctx")
+        .join(w_stats, "w")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "ctx",
+            "w",
+            (
+                (
+                    F.greatest(F.col("cnt") - d, F.lit(0.0))
+                    + d * F.col("n_fol") * F.col("n_pre") / F.col("_bt")
+                )
+                / F.col("ctx_cnt")
+            ).alias("_p"),
+        )
+    )
+    return (
+        dcnt.join(model, ["ctx", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("dn").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("dn") * -F.log2("_p")) / F.sum("dn"), 6
+            ).alias("mean_kn_surprisal"),
+        )
+    )

@@ -690,12 +690,18 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_sessionize_events() -> str:
     return """
-WITH g AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_sess
+WITH e AS (
+  -- truncated epoch seconds, matching Spark's cast(ts AS long): the gap
+  -- compare must use the SAME precision on both sides or a fractional
+  -- gap in (1800, 1801) splits sessions differently
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep
   FROM events
+), g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
 ), s AS (
   SELECT user_id,
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
@@ -9851,6 +9857,265 @@ FROM per CROSS JOIN g
 """
 
 
+def q_word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation PMI over the top-200 vocabulary (textqc.word_pmi_pairs,
+    Church & Hanks 1990): doc-level co-occurrence vs independence,
+    min_pairs=20. Corpus explodes once to distinct (doc, word) and is
+    semi-joined against the broadcast vocabulary before any pairing."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.word_pmi_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        vocab_size=200,
+        min_pairs=20,
+    )
+
+
+def sql_word_pmi_pairs() -> str:
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+), top AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY w
+  ORDER BY df DESC, w ASC LIMIT 200
+), f AS (
+  SELECT dw.doc_id, dw.w, top.df FROM dw JOIN top USING (w)
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+), p AS (
+  SELECT x.w AS a, y.w AS b,
+         CAST(count(*) AS BIGINT) AS n_ab,
+         CAST(min(x.df) AS BIGINT) AS n_a,
+         CAST(min(y.df) AS BIGINT) AS n_b
+  FROM f x JOIN f y ON x.doc_id = y.doc_id AND x.w < y.w
+  GROUP BY 1, 2 HAVING count(*) >= 20
+)
+SELECT a, b, n_ab, n_a, n_b,
+       round(log2(CAST(n_ab * n AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS pmi
+FROM p CROSS JOIN nd
+"""
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal eval-set allocation (curation.neyman_allocation):
+    label budget 500 split across languages ∝ N_h·S_h of doc length —
+    variable strata get more labels per capita. Exact int64 sufficient
+    statistics; floor() allocations so Σ ≤ budget."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.neyman_allocation(
+        d, F.col("n_chars"), budget=500, group_col="lang"
+    )
+
+
+def sql_neyman_allocation() -> str:
+    return """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY lang
+), v AS (
+  SELECT lang, n_docs,
+         CASE WHEN n_docs > 1
+              THEN (CAST(n_docs AS DOUBLE) * q - CAST(s * s AS DOUBLE))
+                   / (CAST(n_docs AS DOUBLE) * (n_docs - 1))
+              ELSE 0.0 END AS var
+  FROM per
+), st AS (
+  SELECT lang, n_docs, sqrt(var) AS sd, n_docs * sqrt(var) AS ns FROM v
+), z AS (SELECT sum(ns) AS z FROM st)
+SELECT lang, n_docs,
+       round(sd, 6) AS stddev,
+       round(CASE WHEN z > 0 THEN ns / z ELSE 0.0 END, 6) AS weight,
+       CAST(CASE WHEN z > 0 THEN floor(500.0 * ns / z) ELSE 0 END AS BIGINT) AS n_alloc
+FROM st CROSS JOIN z
+"""
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate over the orders feed
+    (analytics.expectation_report): five rules — positive total, sane
+    date range, known status, non-null customer, well-formed priority —
+    evaluated in ONE scan and unpivoted to a per-rule report."""
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        ("totalprice_positive", F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)),
+        (
+            "orderdate_in_range",
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.to_timestamp(F.lit("1992-01-01")))
+            | (F.col("o_orderdate") >= F.to_timestamp(F.lit("2002-01-01"))),
+        ),
+        ("status_known", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ("custkey_not_null", F.col("o_custkey").isNull()),
+        ("priority_well_formed", ~F.col("o_orderpriority").rlike(r"^[1-5]-")),
+    ]
+    return analytics.expectation_report(o, rules)
+
+
+def sql_dq_expectations() -> str:
+    def rule(name: str, viol: str) -> str:
+        return f"""SELECT '{name}' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {viol} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN {viol} THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders"""
+
+    rules = [
+        ("totalprice_positive", "o_totalprice IS NULL OR o_totalprice <= 0"),
+        (
+            "orderdate_in_range",
+            "o_orderdate IS NULL OR o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate >= TIMESTAMP '2002-01-01'",
+        ),
+        ("status_known", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+        ("custkey_not_null", "o_custkey IS NULL"),
+        ("priority_well_formed", "NOT regexp_matches(o_orderpriority, '^[1-5]-')"),
+    ]
+    return "\nUNION ALL\n".join(rule(n, v) for n, v in rules)
+
+
+def q_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal per doc
+    (textqc.kneser_ney_surprisal, D=0.75): the KenLM-style quality
+    signal, trained and scored on the same corpus so every scored
+    bigram is in-model. Model derives from the bigram TYPE table; raw
+    positions shuffle once."""
+    d = load_table(spark, sf_dir, "documents")
+    return textqc.kneser_ney_surprisal(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
+def sql_kneser_ney_surprisal() -> str:
+    return r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS ctx, w[i + 1] AS wd
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM t WHERE len(w) >= 2)
+), dcnt AS (
+  SELECT doc_id, ctx, wd, CAST(count(*) AS BIGINT) AS dn
+  FROM grams GROUP BY 1, 2, 3
+), types AS (
+  SELECT ctx, wd, CAST(sum(dn) AS BIGINT) AS cnt FROM dcnt GROUP BY 1, 2
+), cstats AS (
+  SELECT ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt,
+         CAST(count(*) AS BIGINT) AS n_fol
+  FROM types GROUP BY ctx
+), wstats AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS n_pre FROM types GROUP BY wd
+), bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM types),
+model AS (
+  SELECT ty.ctx, ty.wd,
+         (greatest(ty.cnt - 0.75, 0.0) + 0.75 * cs.n_fol * ws.n_pre / b.bt)
+           / cs.ctx_cnt AS p
+  FROM types ty
+  JOIN cstats cs ON ty.ctx = cs.ctx
+  JOIN wstats ws ON ty.wd = ws.wd
+  CROSS JOIN bt b
+)
+SELECT d.doc_id, CAST(sum(d.dn) AS BIGINT) AS n_bigrams,
+       round(sum(d.dn * -log2(m.p)) / sum(d.dn), 6) AS mean_kn_surprisal
+FROM dcnt d JOIN model m ON d.ctx = m.ctx AND d.wd = m.wd
+GROUP BY d.doc_id
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit over customers
+    (analytics.k_anonymity_report): quasi-identifiers (nation, market
+    segment), sensitive attribute "account in debt" (acctbal < 0),
+    k=10. One groupBy; exact distinct counts because under-reporting
+    risk defeats the audit."""
+    c = load_table(spark, sf_dir, "customer")
+    return analytics.k_anonymity_report(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        (F.col("c_acctbal") < 0).alias("in_debt"),
+        k=10,
+    )
+
+
+def sql_k_anonymity() -> str:
+    return """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) AS l_distinct,
+       count(*) < 10 AS k_violation,
+       count(DISTINCT c_acctbal < 0) <= 1 AS homogeneous
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per event type (analytics.
+    peak_concurrency): 30-min-gap sessions per (user, type), then a
+    sweep-line running sum over +1/-1 deltas — the capacity-planning
+    number, with zero joins and 2 rows per interval."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch (UTC)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "event_type", "sid").agg(
+        F.min(epoch).alias("s"), F.max(epoch).alias("e")
+    )
+    return analytics.peak_concurrency(iv, "event_type", "s", "e")
+
+
+def sql_peak_concurrency() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), g AS (
+  SELECT user_id, event_type, ts, event_id, ep,
+         CASE WHEN ep - lag(ep) OVER w > 1800
+              OR lag(ep) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ep,
+         sum(new_sess) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), iv AS (
+  SELECT user_id, event_type, sid,
+         min(ep) AS st, max(ep) + 1 AS en
+  FROM s GROUP BY 1, 2, 3
+), deltas AS (
+  SELECT event_type, st AS ts, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, en AS ts, -1 AS d FROM iv
+), net AS (
+  SELECT event_type, ts, sum(d) AS net, sum(greatest(d, 0)) AS starts
+  FROM deltas GROUP BY 1, 2
+), run AS (
+  SELECT event_type, starts,
+         sum(net) OVER (PARTITION BY event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS cur
+  FROM net
+)
+SELECT event_type, CAST(sum(starts) AS BIGINT) AS n_intervals,
+       CAST(max(cur) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -10093,6 +10358,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_linkage": q_record_linkage,
     "edit_similarity_pairs": q_edit_similarity_pairs,
     "smoothed_error_rates": q_smoothed_error_rates,
+    "word_pmi_pairs": q_word_pmi_pairs,
+    "neyman_allocation": q_neyman_allocation,
+    "dq_expectations": q_dq_expectations,
+    "kneser_ney_surprisal": q_kneser_ney_surprisal,
+    "k_anonymity": q_k_anonymity,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLES: dict[str, str] = {
@@ -10306,4 +10577,10 @@ ORACLES: dict[str, str] = {
     "record_linkage": sql_record_linkage(),
     "edit_similarity_pairs": sql_edit_similarity_pairs(),
     "smoothed_error_rates": sql_smoothed_error_rates(),
+    "word_pmi_pairs": sql_word_pmi_pairs(),
+    "neyman_allocation": sql_neyman_allocation(),
+    "dq_expectations": sql_dq_expectations(),
+    "kneser_ney_surprisal": sql_kneser_ney_surprisal(),
+    "k_anonymity": sql_k_anonymity(),
+    "peak_concurrency": sql_peak_concurrency(),
 }

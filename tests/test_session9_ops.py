@@ -1,0 +1,205 @@
+"""Value-pinning tests for the session-9 operators: PMI collocations,
+Neyman allocation, and the one-scan data-quality expectation report."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- word PMI
+
+
+def test_word_pmi_exact_values(spark):
+    from pdf_parser_spark.operators.textqc import word_pmi_pairs
+
+    # 4 docs; 'alpha beta' co-occur in 2, each appears in 3 → PMI known.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha gamma"),
+            (4, "beta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in word_pmi_pairs(docs, vocab_size=10, min_pairs=1).collect()
+    }
+    r = out[("alpha", "beta")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["pmi"] == round(math.log2(2 * 4 / (3 * 3)), 6)
+    # dedup within doc: repeated word counts once per doc
+    docs2 = spark.createDataFrame(
+        [(1, "x x y"), (2, "x y")], "doc_id long, text string"
+    )
+    out2 = word_pmi_pairs(docs2, vocab_size=10, min_pairs=1).collect()
+    assert len(out2) == 1
+    assert out2[0]["n_ab"] == 2 and out2[0]["n_a"] == 2
+
+
+def test_word_pmi_vocab_bound(spark):
+    from pdf_parser_spark.operators.textqc import word_pmi_pairs
+
+    # vocab_size=1 → no pair can form (pairs need two vocabulary words)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    assert word_pmi_pairs(docs, vocab_size=1, min_pairs=1).count() == 0
+
+
+# ---------------------------------------------------- Neyman allocation
+
+
+def test_neyman_allocation_exact(spark):
+    from pdf_parser_spark.operators.curation import neyman_allocation
+
+    # stratum A: values 0/10 (sd=sqrt(50)), stratum B: constant (sd=0)
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 10), ("B", 7), ("B", 7), ("B", 7)],
+        "lang string, n int",
+    )
+    out = {
+        r["lang"]: r
+        for r in neyman_allocation(
+            df, F.col("n"), budget=100, group_col="lang"
+        ).collect()
+    }
+    sd_a = math.sqrt((2 * 100 - 10 * 10) / (2 * 1))  # sample variance
+    assert out["A"]["stddev"] == round(sd_a, 6)
+    assert out["B"]["stddev"] == 0.0
+    # all weight flows to the variable stratum
+    assert out["A"]["weight"] == 1.0 and out["B"]["weight"] == 0.0
+    assert out["A"]["n_alloc"] == 100 and out["B"]["n_alloc"] == 0
+
+
+def test_neyman_allocation_floor_sums_under_budget(spark):
+    from pdf_parser_spark.operators.curation import neyman_allocation
+
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 3), ("B", 0), ("B", 5), ("C", 1), ("C", 9)],
+        "lang string, n int",
+    )
+    rows = neyman_allocation(df, F.col("n"), budget=10, group_col="lang").collect()
+    assert sum(r["n_alloc"] for r in rows) <= 10
+    assert all(r["n_alloc"] >= 0 for r in rows)
+
+
+# ----------------------------------------------------- expectation gate
+
+
+def test_expectation_report_one_scan(spark):
+    from pdf_parser_spark.operators.analytics import expectation_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 2.0)],
+        "id long, amount double",
+    )
+    rules = [
+        ("amount_positive", F.col("amount").isNull() | (F.col("amount") <= 0)),
+        ("id_not_null", F.col("id").isNull()),
+    ]
+    out = {r["rule"]: r for r in expectation_report(df, rules).collect()}
+    assert out["amount_positive"]["n_violations"] == 2
+    assert not out["amount_positive"]["passed"]
+    assert out["id_not_null"]["n_violations"] == 0
+    assert out["id_not_null"]["passed"]
+    assert all(r["n_rows"] == 4 for r in out.values())
+    # plan shape: a single aggregate over the scan — no join, no union
+    plan = expectation_report(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan
+
+
+# --------------------------------------------------- Kneser-Ney bigrams
+
+
+def test_kneser_ney_exact_small_corpus(spark):
+    from pdf_parser_spark.operators.textqc import kneser_ney_surprisal
+
+    # corpus: d1 = "a b a b", d2 = "a c"
+    # bigram tokens: d1: (a,b) x2, (b,a) x1; d2: (a,c) x1
+    # types: (a,b) c=2, (b,a) c=1, (a,c) c=1  → B = 3 types
+    # ctx a: ctx_cnt=3, n_fol=2; ctx b: ctx_cnt=1, n_fol=1
+    # n_pre: b←{a}=1, a←{b}=1, c←{a}=1
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_surprisal(docs).collect()}
+    import math
+
+    d = 0.75
+    p_ab = (max(2 - d, 0) + d * 2 * 1 / 3) / 3
+    p_ba = (max(1 - d, 0) + d * 1 * 1 / 3) / 1
+    p_ac = (max(1 - d, 0) + d * 2 * 1 / 3) / 3
+    m1 = (2 * -math.log2(p_ab) + 1 * -math.log2(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_kn_surprisal"] == round(m1, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["mean_kn_surprisal"] == round(-math.log2(p_ac), 6)
+    # KN is normalized over the FULL vocab: seen followers of 'a' plus the
+    # unseen bigram (a,a), whose mass is pure interpolation D*N1+(a,*)*Pcont(a)
+    p_aa_unseen = (0 + d * 2 * (1 / 3)) / 3
+    assert abs((p_ab + p_ac + p_aa_unseen) - 1.0) < 1e-12
+
+
+def test_kneser_ney_short_docs_emit_no_row(spark):
+    from pdf_parser_spark.operators.textqc import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    rows = kneser_ney_surprisal(docs).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+
+
+# ------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_flags(spark):
+    from pdf_parser_spark.operators.analytics import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [
+            ("US", "A", 1), ("US", "A", 1), ("US", "A", 2),
+            ("FR", "B", 5),
+        ],
+        "nation string, seg string, sens int",
+    )
+    out = {
+        (r["nation"], r["seg"]): r
+        for r in k_anonymity_report(
+            df, ["nation", "seg"], F.col("sens"), k=2
+        ).collect()
+    }
+    us = out[("US", "A")]
+    assert us["class_size"] == 3 and us["l_distinct"] == 2
+    assert not us["k_violation"] and not us["homogeneous"]
+    fr = out[("FR", "B")]
+    assert fr["class_size"] == 1 and fr["l_distinct"] == 1
+    assert fr["k_violation"] and fr["homogeneous"]
+
+
+# --------------------------------------------------- peak concurrency
+
+
+def test_peak_concurrency_sweep(spark):
+    from pdf_parser_spark.operators.analytics import peak_concurrency
+
+    # key x: [0,10], [5,15], [20,20] → peak 2 (both active on [5,10])
+    # key y: [0,4], [5,9] → adjacent but not sharing a second → peak 1
+    # key t: [0,5], [5,9] → end-inclusive: both active AT 5 → peak 2
+    # key z: [0,0], [0,0] → zero-length intervals still active at 0 → peak 2
+    iv = spark.createDataFrame(
+        [
+            ("x", 0, 10), ("x", 5, 15), ("x", 20, 20),
+            ("y", 0, 4), ("y", 5, 9),
+            ("t", 0, 5), ("t", 5, 9),
+            ("z", 0, 0), ("z", 0, 0),
+        ],
+        "k string, s long, e long",
+    )
+    out = {r["k"]: r for r in peak_concurrency(iv, "k", "s", "e").collect()}
+    assert out["x"]["peak_concurrent"] == 2 and out["x"]["n_intervals"] == 3
+    assert out["y"]["peak_concurrent"] == 1
+    assert out["t"]["peak_concurrent"] == 2
+    assert out["z"]["peak_concurrent"] == 2 and out["z"]["n_intervals"] == 2
