@@ -8,7 +8,7 @@ scan-bound, shuffle-free columns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons (public-knowledge n-gram/stopword
@@ -1491,13 +1491,17 @@ def kneser_ney_surprisal(
     KN correctly treats it as unlikely in novel contexts.
 
     Shape at 100 TB: the raw bigram stream collapses to per-doc TYPE
-    counts in ONE partial-agg shuffle, and the model derives entirely
-    from the (much smaller) corpus type table — context stats and
-    continuation stats are two groupBys OF THAT TABLE, the type total a
-    1-row broadcast. Scoring joins per-doc type counts against the model
-    on (ctx, w) — the key the counts were just built on — and the
-    per-doc mean weights each type by its occurrence count, so raw
-    positions are never revisited."""
+    counts in ONE partial-agg shuffle, and every model statistic is then
+    a WINDOW sum over that single lineage — never an aggregate-and-
+    join-back (Catalyst has no CSE across join branches, so each
+    join-back would re-derive the corpus subtree from the scan; see
+    PLANS.md `source_divergence`). cnt rides a (ctx, w) window with a
+    row_number marker electing one row per type; ctx_cnt / N1+(ctx,*)
+    are sums over the ctx window, N1+(*,w) over the w window. The one
+    global scalar (the type total) is a deliberately column-pruned
+    second pass — distinct (ctx, w) + 1-row broadcast — the
+    `unigram_surprisal` extra-scan trade. Zero joins, and nothing
+    corpus-sized is ever built-side in a broadcast."""
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
     staged = docs.select(F.col(id_col), toks.alias("_w"))
     grams = staged.select(
@@ -1518,32 +1522,32 @@ def kneser_ney_surprisal(
     dcnt = grams.groupBy(id_col, "ctx", "w").agg(
         F.count("*").cast("long").alias("dn")
     )
-    types = dcnt.groupBy("ctx", "w").agg(F.sum("dn").cast("long").alias("cnt"))
-    ctx_stats = types.groupBy("ctx").agg(
-        F.sum("cnt").cast("long").alias("ctx_cnt"),
-        F.count("*").cast("long").alias("n_fol"),
-    )
-    w_stats = types.groupBy("w").agg(F.count("*").cast("long").alias("n_pre"))
-    btypes = types.agg(F.count("*").cast("long").alias("_bt"))
-    d = F.lit(discount)
-    model = (
-        types.join(ctx_stats, "ctx")
-        .join(w_stats, "w")
-        .crossJoin(F.broadcast(btypes))
-        .select(
-            "ctx",
-            "w",
-            (
-                (
-                    F.greatest(F.col("cnt") - d, F.lit(0.0))
-                    + d * F.col("n_fol") * F.col("n_pre") / F.col("_bt")
-                )
-                / F.col("ctx_cnt")
-            ).alias("_p"),
+    w_cw = Window.partitionBy("ctx", "w")
+    w_ctx = Window.partitionBy("ctx")
+    w_w = Window.partitionBy("w")
+    x = (
+        dcnt.withColumn("cnt", F.sum("dn").over(w_cw))
+        .withColumn(
+            "_first",
+            (F.row_number().over(w_cw.orderBy(id_col)) == 1).cast("long"),
         )
+        .withColumn("ctx_cnt", F.sum("dn").over(w_ctx))
+        .withColumn("n_fol", F.sum("_first").over(w_ctx))
+        .withColumn("n_pre", F.sum("_first").over(w_w))
     )
+    btypes = (
+        grams.select("ctx", "w")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("_bt"))
+    )
+    d = F.lit(discount)
+    p = (
+        F.greatest(F.col("cnt") - d, F.lit(0.0))
+        + d * F.col("n_fol") * F.col("n_pre") / F.col("_bt")
+    ) / F.col("ctx_cnt")
     return (
-        dcnt.join(model, ["ctx", "w"])
+        x.crossJoin(F.broadcast(btypes))
+        .select(F.col(id_col), "dn", p.alias("_p"))
         .groupBy(id_col)
         .agg(
             F.sum("dn").cast("long").alias("n_bigrams"),

@@ -848,3 +848,29 @@ def test_source_overlap_equijoin_not_cartesian(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kneser_ney_no_join_back_recompute(spark):
+    """Kneser-Ney: every model statistic is a WINDOW over the ONE
+    per-doc type aggregate (no aggregate-and-join-back — Catalyst has no
+    CSE, so each join-back would re-derive the corpus subtree). Exactly
+    2 scans are allowed: the main chain plus the deliberately
+    column-pruned distinct-(ctx,w) pass for the global type total, which
+    must be the ONLY join (a 1-row broadcast cross)."""
+    df = QUERIES["kneser_ney_surprisal"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # nothing corpus-sized build-side
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row _bt cross
+    assert plan.count("Window") >= 3  # (ctx,w), ctx, w stat windows
+
+
+def test_peak_concurrency_three_exchanges_no_join(spark):
+    """Sweep-line concurrency: sessionize shuffle (user, type), delta
+    collapse (type, ts), window on type — and NOTHING else. No joins:
+    n_intervals and the peak come out of the same window pass."""
+    df = QUERIES["peak_concurrency"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 3
+    assert "Join" not in plan
