@@ -175,6 +175,37 @@ BENCH_QUERIES = [
     "containment_pairs",
     "host_error_drift",
     "gopher_top_ngrams",
+    "quality_auc",
+    "transition_latency_quantiles",
+    "hrw_shard_stability",
+    "bloom_decontaminate",
+    "ann_recall_eval",
+    "script_mix_stats",
+    "hybrid_rrf_search",
+    "zipf_fit",
+    "word_freq_spectrum",
+    "classifier_agreement",
+    "host_reputation_decay",
+    "weighted_sample_docs",
+    "source_overlap_matrix",
+    "embedding_drift_matrix",
+    "winsorized_value_stats",
+    "hard_negative_mining",
+    "token_budget_waterfill",
+    "minhash_estimate_error",
+    "incremental_rollup_merge",
+    "readability_scores",
+    "dedup_best_quality",
+    "dow_seasonality",
+    "record_linkage",
+    "edit_similarity_pairs",
+    "smoothed_error_rates",
+    "word_pmi_pairs",
+    "neyman_allocation",
+    "dq_expectations",
+    "kneser_ney_surprisal",
+    "k_anonymity",
+    "peak_concurrency",
 ]
 
 
