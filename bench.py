@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "kneser_ney_surprisal",
     "k_anonymity",
     "peak_concurrency",
+    "hash_to_min_clusters",
+    "bootstrap_ci_mean",
 ]
 
 

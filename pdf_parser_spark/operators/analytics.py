@@ -876,3 +876,129 @@ def peak_concurrency(
         F.sum("starts").cast("long").alias("n_intervals"),
         F.max("cur").cast("long").alias("peak_concurrent"),
     )
+
+
+# cumulative Poisson(1) CDF at 0..5 — the inverse-CDF thresholds the
+# Poisson bootstrap maps uniforms through. EXACT decimal literals shared
+# with the DuckDB oracle (both engines parse them to the same IEEE double);
+# the tail is truncated at w=6 (P ≈ 5.9e-4 mass, documented bias << CI width).
+POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    reps: int = 32,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean — the Poisson
+    bootstrap (Owen & Eckles 2012, "Bootstrapping data arrays of arbitrary
+    order"; public method), the ONLY bootstrap that distributes: classic
+    resampling needs a global index per replicate, Poisson replaces it
+    with an independent Poisson(1) weight per (row, replicate), so every
+    replicate's sufficient statistics accumulate map-side in one pass.
+
+    Determinism/portability: the weight is the Poisson(1) inverse CDF of
+    u = (md5-fold(id#rep) % m + 1)/m — the repo's portable-hash pattern
+    (dedup.seeded_hash), bit-replayable in DuckDB, re-runs identically
+    (the property a released-metrics audit needs). Replicates whose total
+    weight is 0 (tiny groups) yield NULL means and drop out of the
+    percentile on both engines identically.
+
+    CI endpoints are DISCRETE order statistics at integer-arithmetic ranks
+    (rank = (n−1)·p̂ DIV 1 + 1 with p̂ scaled to per-mille, all in int64),
+    not interpolated percentiles: interpolation's float expression order
+    differs across engines in the last ulp and can flip a 6-decimal
+    rounding (observed vs a pure-Python type-7 replay), while picking the
+    rank-th sorted replicate mean is exact everywhere. Each replicate mean
+    itself is one rounded division of two exact longs.
+
+    Shape at 100 TB: rows × reps explode is the cost knob (reps=32 here);
+    per-(group, rep) sums are map-side-combinable longs (exact — no float
+    accumulation order), the rank selection runs on a reps-row frame per
+    group, and the base-stats join is a broadcast of |groups| rows. No
+    driver-side state, no global sort.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(reps) - 1))).alias("b")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("_id"), F.col("b"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(m)),
+        )
+        + 1
+    ) / F.lit(float(m))
+    w = F.lit(6)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.expr(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    repmeans = (
+        base.select("grp", "_id", "x", b)
+        .withColumn("w", w.cast("long"))
+        .groupBy("grp", "b")
+        .agg(F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("x")).alias("swx"))
+        .select(
+            "grp",
+            F.when(
+                F.col("sw") > 0, F.round(F.col("swx") / F.col("sw"), 6)
+            ).alias("mb"),
+        )
+    )
+    ranked = (
+        repmeans.filter(F.col("mb").isNotNull())
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("grp").orderBy("mb"))
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("grp")))
+    )
+
+    def _at(per_mille: int):
+        # order statistic at rank floor((n-1)*p) + 1 — pure int64 arithmetic
+        return F.max(
+            F.when(
+                F.col("rk")
+                == F.expr(f"((n - 1) * {per_mille}) DIV 1000") + 1,
+                F.col("mb"),
+            )
+        )
+
+    ci = ranked.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_reps"),
+        _at(25).alias("ci_lo"),
+        _at(500).alias("ci_med"),
+        _at(975).alias("ci_hi"),
+    )
+    stats = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.avg("x"), 6).alias("point_mean"),
+    )
+    return (
+        stats.join(F.broadcast(ci), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "point_mean",
+            "n_reps",
+            "ci_lo",
+            "ci_med",
+            "ci_hi",
+        )
+    )

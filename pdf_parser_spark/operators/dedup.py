@@ -783,6 +783,87 @@ def pair_clusters(
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def hash_to_min_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 16,
+) -> DataFrame:
+    """Connected components via Hash-to-Min — the O(log d)-round algorithm
+    ``pair_clusters`` documents as its escape hatch for pathological
+    diameters (Rastogi, Machanavajjhala, Chitnis, Das Sarma, "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013 —
+    public algorithm). Same output contract as ``pair_clusters``:
+    ``(node, cluster)`` with ``cluster`` = the component's min node id,
+    so the two are drop-in interchangeable and cross-checked for equality
+    in tests.
+
+    State is the relation C = {(v, u) : u ∈ C(v)}, initialized to
+    C(v) = {v} ∪ neighbors(v). Each round every node v computes
+    m = min(C(v)) and (a) sends C(v) to m, (b) sends {m} to every
+    u ∈ C(v); the new state is the distinct union of what arrived. The
+    fixpoint is C(m) = its whole component and C(v≠m) = {m}, reached in
+    O(log diameter) rounds, at which point min(C(v)) is the component min
+    for every v.
+
+    Scale shape: each round is ONE min-groupBy (map-side combinable) +
+    one equi-join of the state against its own mins + a distinct — two
+    shuffles, no driver-side data. Total communication is O(|C| log d)
+    (the paper's bound). Convergence is checked EXACTLY (row count + an
+    exceptAll emptiness probe on the localCheckpointed state — both
+    bounded by the state size, which the fixpoint shrinks toward 2·|V|
+    rows). Trade-off vs ``pair_clusters``: min-label propagation moves
+    O(|E|) rows per round for diameter rounds; Hash-to-Min finishes in
+    log rounds but fans the whole component into its min node — on
+    near-dup graphs (small components) that fan-in is trivially bounded;
+    for a web-graph-sized giant component, cap cluster sizes upstream or
+    use min-label propagation, which never concentrates a component on
+    one key.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("member"))
+        .union(pairs.select(F.col(b_col), F.col(a_col)))
+        .toDF("node", "member")
+    )
+    self_rows = edges.select("node").distinct().withColumn(
+        "member", F.col("node")
+    )
+    # C0(v) = {v} ∪ N(v); localCheckpoint cuts the upstream pair pipeline
+    # out of every round's lineage (same rationale as pair_clusters)
+    state = edges.union(self_rows).distinct().localCheckpoint(eager=True)
+    n_state = state.count()
+    converged = n_state == 0  # empty graph: converged by definition
+    for _ in range(max_iters):
+        if converged:
+            break
+        mins = state.groupBy("node").agg(F.min("member").alias("mn"))
+        s = state.join(mins, "node")
+        send_set_to_min = s.select(
+            F.col("mn").alias("node"), F.col("member")
+        )
+        send_min_to_members = s.select(
+            F.col("member").alias("node"), F.col("mn").alias("member")
+        )
+        new = (
+            send_set_to_min.union(send_min_to_members)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = new.count()
+        # exact fixpoint test: both sides are distinct, so equal counts +
+        # empty difference ⇔ identical sets (no probabilistic hash compare)
+        if n_new == n_state and new.exceptAll(state).isEmpty():
+            converged = True
+        state, n_state = new, n_new
+    if not converged:
+        raise RuntimeError(
+            f"hash_to_min_clusters did not converge within max_iters="
+            f"{max_iters}; rounds needed ≈ log2(diameter) + c — raise "
+            "max_iters"
+        )
+    return state.groupBy("node").agg(F.min("member").alias("cluster"))
+
+
 def fixed_word_segments(words, k: int = 3):
     """Non-overlapping k-word windows of an ALREADY-MATERIALIZED words
     column, each joined with single spaces — the pluggable segmenter

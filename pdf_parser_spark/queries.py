@@ -1264,6 +1264,36 @@ WHERE doc_id < {_CLUSTER_DOC_CAP}
 """
 
 
+def q_hash_to_min_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME connected-components contract as near_dup_clusters computed
+    by the OTHER algorithm — Hash-to-Min (Rastogi et al. 2013, O(log d)
+    rounds) instead of min-label propagation (O(d) rounds). Identical pair
+    pipeline and doc cap, so this entry value-checks that the logarithmic-
+    round algorithm reaches exactly the closure the RECURSIVE-CTE oracle
+    (shared with near_dup_clusters) defines — the cross-algorithm parity a
+    dedup materializer relies on when a pathological component diameter
+    forces the switch (operators/dedup.hash_to_min_clusters)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CLUSTER_DOC_CAP
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        shingle_words=3,
+        threshold=_CLUSTER_JACCARD_T,
+        df_max=_JACCARD_DF_MAX,
+    )
+    return dedup.hash_to_min_clusters(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+def sql_hash_to_min_clusters() -> str:
+    # the closure is algorithm-independent: same oracle as
+    # near_dup_clusters — that IS the point (cross-algorithm parity)
+    return sql_near_dup_clusters()
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -10052,6 +10082,64 @@ FROM customer GROUP BY 1, 2
 """
 
 
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bootstrap CI for mean document length (analytics.
+    bootstrap_ci_mean): the Poisson bootstrap — the one bootstrap that
+    distributes (per-(row, replicate) Poisson(1) weights instead of a
+    global resampling index; Owen & Eckles 2012). Weights come from the
+    portable md5 fold, so the DuckDB twin replays every replicate
+    bit-for-bit: weighted sums are exact longs, each replicate mean is
+    one rounded division, and the CI endpoints are discrete order
+    statistics at integer-arithmetic ranks (no percentile interpolation —
+    its float expression order can differ across engines at the last
+    ulp; see the operator docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.bootstrap_ci_mean(
+        d, value_col="n_chars", group_col="lang", id_col="doc_id", reps=32
+    )
+
+
+def sql_bootstrap_ci_mean() -> str:
+    c = analytics.POISSON1_CDF
+    case = (
+        "CASE "
+        + " ".join(f"WHEN u < {c[k]} THEN {k}" for k in range(len(c)))
+        + " ELSE 6 END"
+    )
+    return f"""
+WITH draws AS (
+  SELECT lang, doc_id, n_chars, r.b,
+         ((('0x' || substr(md5(doc_id || '#' || r.b), 1, 15))::BIGINT
+           % 1048576 + 1) / 1048576.0) AS u
+  FROM documents, (SELECT unnest(range(32)) AS b) r
+), wts AS (
+  SELECT lang, b, {case} AS w, n_chars FROM draws
+), repmeans AS (
+  SELECT lang, b,
+         CASE WHEN sum(w) > 0
+              THEN round(sum(w * n_chars) / sum(w), 6) END AS mb
+  FROM wts GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, mb,
+         row_number() OVER (PARTITION BY lang ORDER BY mb) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM repmeans WHERE mb IS NOT NULL
+), ci AS (
+  SELECT lang, CAST(max(n) AS BIGINT) AS n_reps,
+         max(CASE WHEN rk = ((n - 1) * 25) // 1000 + 1 THEN mb END) AS ci_lo,
+         max(CASE WHEN rk = ((n - 1) * 500) // 1000 + 1 THEN mb END) AS ci_med,
+         max(CASE WHEN rk = ((n - 1) * 975) // 1000 + 1 THEN mb END) AS ci_hi
+  FROM ranked GROUP BY 1
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_rows,
+       round(avg(n_chars), 6) AS point_mean,
+       any_value(n_reps) AS n_reps, any_value(ci_lo) AS ci_lo,
+       any_value(ci_med) AS ci_med, any_value(ci_hi) AS ci_hi
+FROM documents d JOIN ci ON d.lang = ci.lang
+GROUP BY 1
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per event type (analytics.
     peak_concurrency): 30-min-gap sessions per (user, type), then a
@@ -10364,6 +10452,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kneser_ney_surprisal": q_kneser_ney_surprisal,
     "k_anonymity": q_k_anonymity,
     "peak_concurrency": q_peak_concurrency,
+    "hash_to_min_clusters": q_hash_to_min_clusters,
+    "bootstrap_ci_mean": q_bootstrap_ci_mean,
 }
 
 ORACLES: dict[str, str] = {
@@ -10583,4 +10673,6 @@ ORACLES: dict[str, str] = {
     "kneser_ney_surprisal": sql_kneser_ney_surprisal(),
     "k_anonymity": sql_k_anonymity(),
     "peak_concurrency": sql_peak_concurrency(),
+    "hash_to_min_clusters": sql_hash_to_min_clusters(),
+    "bootstrap_ci_mean": sql_bootstrap_ci_mean(),
 }

@@ -1186,3 +1186,106 @@ def test_prefix_filter_matches_bruteforce(spark):
     assert set(got) == set(exp) and exp
     for k, v in exp.items():
         assert abs(got[k] - v) < 5e-7
+
+
+def test_hash_to_min_matches_label_propagation(spark):
+    """Cross-algorithm parity: Hash-to-Min (O(log d) rounds) and min-label
+    propagation (O(d) rounds) must emit identical (node, cluster) labels on
+    a graph mixing a chain, a triangle, an isolated pair, and a star."""
+    from pdf_parser_spark.operators.dedup import (
+        hash_to_min_clusters,
+        pair_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+            (10, 11), (11, 12), (10, 12),  # triangle
+            (20, 21),                       # pair
+            (30, 31), (30, 32), (30, 33),  # star centered on 30
+        ],
+        "a long, b long",
+    )
+    via_h2m = {(r.node, r.cluster) for r in hash_to_min_clusters(pairs).collect()}
+    via_lp = {(r.node, r.cluster) for r in pair_clusters(pairs).collect()}
+    assert via_h2m == via_lp
+    assert via_h2m == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 30), (32, 30), (33, 30),
+    }
+
+
+def test_hash_to_min_logarithmic_rounds_on_long_path(spark):
+    """The reason the algorithm exists: a 33-node path (diameter 32) must
+    converge within the default 16-round budget — min-label propagation
+    would need ~32 rounds on the same graph. Labels must still be exact."""
+    from pdf_parser_spark.operators.dedup import hash_to_min_clusters
+
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = {(r.node, r.cluster) for r in hash_to_min_clusters(pairs).collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_hash_to_min_empty_input(spark):
+    from pdf_parser_spark.operators.dedup import hash_to_min_clusters
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert hash_to_min_clusters(pairs).collect() == []
+
+
+def test_bootstrap_ci_mean_python_replay(spark):
+    """Value-pin the Poisson bootstrap against a pure-Python replay of the
+    portable-hash weight draw and replicate means — same md5 fold, same
+    Poisson(1) inverse CDF, same type-7 percentiles."""
+    import hashlib
+
+    from pdf_parser_spark.operators.analytics import (
+        POISSON1_CDF,
+        bootstrap_ci_mean,
+    )
+
+    rows = [(i, "g" if i % 2 else "h", 100 + 7 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {
+        r.lang: r for r in bootstrap_ci_mean(df, reps=16).collect()
+    }
+
+    cdf = [float(c) for c in POISSON1_CDF]
+    m = 1 << 20
+
+    def weight(doc_id, b):
+        h = hashlib.md5(f"{doc_id}#{b}".encode()).hexdigest()
+        u = (int(h[:15], 16) % m + 1) / m
+        for k, c in enumerate(cdf):
+            if u < c:
+                return k
+        return 6
+
+    def at_rank(vals, per_mille):
+        # the operator's discrete order statistic: floor((n-1)*p) + 1,
+        # all-integer arithmetic (no interpolation)
+        vals = sorted(vals)
+        return vals[((len(vals) - 1) * per_mille) // 1000]
+
+    for grp in ("g", "h"):
+        xs = [(i, x) for i, g, x in rows if g == grp]
+        mbs = []
+        for b in range(16):
+            ws = [(weight(i, b), x) for i, x in xs]
+            sw = sum(w for w, _ in ws)
+            if sw > 0:
+                mbs.append(round(sum(w * x for w, x in ws) / sw, 6))
+        r = got[grp]
+        assert r.n_rows == len(xs) and r.n_reps == len(mbs)
+        assert r.ci_lo == at_rank(mbs, 25)
+        assert r.ci_med == at_rank(mbs, 500)
+        assert r.ci_hi == at_rank(mbs, 975)
+        assert r.ci_lo <= r.ci_med <= r.ci_hi
+        assert r.point_mean == pytest.approx(
+            round(sum(x for _, x in xs) / len(xs), 6), abs=1e-9
+        )
