@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "peak_concurrency",
     "hash_to_min_clusters",
     "bootstrap_ci_mean",
+    "logreg_en_classifier",
 ]
 
 

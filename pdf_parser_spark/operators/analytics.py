@@ -1002,3 +1002,95 @@ def bootstrap_ci_mean(
             "ci_hi",
         )
     )
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 5,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Distributed logistic-regression training by unrolled full-batch
+    gradient descent — the cheap-classifier distillation step every big
+    corpus pipeline runs (fastText/CCNet-style: fit a linear model to an
+    expensive gate's labels, then score the whole corpus with codegen
+    arithmetic via textqc.quality_logit).
+
+    Exact-replay contract (what makes a TRAINING loop oracle-checkable):
+    - features arrive rounded on the 1e-6 grid; weights STAY on that grid
+      (each update rounds to 6 decimals), so the dot product associates
+      identically on any engine that evaluates left-to-right over the
+      sorted feature order;
+    - per-row gradient contributions are quantized to int64
+      (round(resid · x · 1e6)) BEFORE summation — partial-agg order
+      cannot perturb an integer sum;
+    - each iteration's weights are carried THROUGH the gradient aggregate
+      (max of the broadcast constants) so iteration t references t−1
+      exactly once: the logical plan stays LINEAR in iters (one corpus
+      scan per iteration — the aggregate-and-join-back form would scan
+      2^iters times, the anti-pattern PLANS.md documents).
+
+    Shape at 100 TB: per iteration ONE scan + one map-side-combinable
+    aggregate to a single row; the weight frame is 1 row crossJoin-
+    broadcast back. No driver-side state; iters is small by design (GD
+    on engineered features converges in a handful of steps; a real run
+    raises iters, not the per-iteration cost).
+
+    Returns one row: n_rows, bias, w_<feature...>, train_acc.
+    """
+    cols = sorted(feature_cols)
+    data = df.select(
+        F.col(label_col).cast("int").alias("_y"),
+        *[F.col(c) for c in cols],
+    )
+    spark = df.sparkSession
+    w = spark.range(1).select(
+        F.lit(0.0).alias("b"), *[F.lit(0.0).alias(f"w_{c}") for c in cols]
+    )
+    scale = F.lit(1000000.0)
+    for _ in range(int(iters)):
+        joined = data.crossJoin(F.broadcast(w))
+        z = F.col("b")
+        for c in cols:
+            z = z + F.col(f"w_{c}") * F.col(c)
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(resid * scale, 0).cast("long")).alias("g_b"),
+            *[
+                F.sum(F.round(resid * F.col(c) * scale, 0).cast("long")).alias(
+                    f"g_{c}"
+                )
+                for c in cols
+            ],
+            # constants under the crossJoin: carrying them through the agg
+            # keeps the plan linear in iters (see docstring)
+            F.max("b").alias("pb"),
+            *[F.max(f"w_{c}").alias(f"pw_{c}") for c in cols],
+        )
+        w = stats.select(
+            F.round(
+                F.col("pb") - F.lit(lr) * F.col("g_b") / (F.col("n") * scale), 6
+            ).alias("b"),
+            *[
+                F.round(
+                    F.col(f"pw_{c}")
+                    - F.lit(lr) * F.col(f"g_{c}") / (F.col("n") * scale),
+                    6,
+                ).alias(f"w_{c}")
+                for c in cols
+            ],
+        )
+    scored = data.crossJoin(F.broadcast(w))
+    z = F.col("b")
+    for c in cols:
+        z = z + F.col(f"w_{c}") * F.col(c)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    hit = ((p >= 0.5).cast("int") == F.col("_y")).cast("int")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("b").alias("bias"),
+        *[F.max(f"w_{c}").alias(f"w_{c}") for c in cols],
+        F.round(F.avg(hit), 6).alias("train_acc"),
+    )

@@ -783,6 +783,20 @@ def pair_clusters(
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def _h2m_round(state: DataFrame) -> DataFrame:
+    """One Hash-to-Min round (factored so tests can pin the round's plan —
+    the driver loop checkpoints each round, which hides it from the final
+    plan): every node v sends C(v) to m = min(C(v)) and {m} to every
+    u ∈ C(v); new state = distinct union of what arrived."""
+    mins = state.groupBy("node").agg(F.min("member").alias("mn"))
+    s = state.join(mins, "node")
+    send_set_to_min = s.select(F.col("mn").alias("node"), F.col("member"))
+    send_min_to_members = s.select(
+        F.col("member").alias("node"), F.col("mn").alias("member")
+    )
+    return send_set_to_min.union(send_min_to_members).distinct()
+
+
 def hash_to_min_clusters(
     pairs: DataFrame,
     a_col: str = "a",
@@ -836,19 +850,7 @@ def hash_to_min_clusters(
     for _ in range(max_iters):
         if converged:
             break
-        mins = state.groupBy("node").agg(F.min("member").alias("mn"))
-        s = state.join(mins, "node")
-        send_set_to_min = s.select(
-            F.col("mn").alias("node"), F.col("member")
-        )
-        send_min_to_members = s.select(
-            F.col("member").alias("node"), F.col("mn").alias("member")
-        )
-        new = (
-            send_set_to_min.union(send_min_to_members)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        new = _h2m_round(state).localCheckpoint(eager=True)
         n_new = new.count()
         # exact fixpoint test: both sides are distinct, so equal counts +
         # empty difference ⇔ identical sets (no probabilistic hash compare)

@@ -10140,6 +10140,76 @@ GROUP BY 1
 """
 
 
+_LOGREG_FEATS = ["alpha_ratio", "mean_word_len", "punct_ratio", "stop_ratio"]
+
+
+def q_logreg_en_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a linear classifier by distributed full-batch gradient descent
+    (analytics.logreg_train): distill the language gate (lang == 'en') into
+    the four codegen quality features — the fastText/CCNet-style
+    cheap-model distillation every corpus pipeline runs before scoring
+    10^12 docs. Five unrolled GD iterations, weights pinned to the 1e-6
+    grid, per-row gradient contributions quantized to int64 before
+    summation; the DuckDB twin replays the whole training loop as chained
+    CTEs (one per iteration), so the learned WEIGHTS are value-checked,
+    not just the final predictions."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = textqc.quality_features(d.select("lang", "text")).select(
+        (F.col("lang") == "en").cast("int").alias("is_en"), *_LOGREG_FEATS
+    )
+    return analytics.logreg_train(feats, _LOGREG_FEATS, "is_en", iters=5, lr=0.5)
+
+
+def sql_logreg_en_classifier() -> str:
+    qf = _quality_feature_sql()
+    # short names in iteration CTEs; final SELECT aliases back to the
+    # Spark column names. Order below == sorted(_LOGREG_FEATS).
+    short = [("ar", "alpha_ratio"), ("mwl", "mean_word_len"),
+             ("pr", "punct_ratio"), ("sr", "stop_ratio")]
+    z = "b + " + " + ".join(f"w_{s}*{s}" for s, _ in short)
+    resid = f"(1.0 / (1.0 + exp(-({z}))) - y)"
+    grads = ",\n         ".join(
+        [f"sum(CAST(round({resid} * 1000000.0, 0) AS BIGINT)) AS g_b"]
+        + [
+            f"sum(CAST(round({resid} * {s} * 1000000.0, 0) AS BIGINT)) AS g_{s}"
+            for s, _ in short
+        ]
+    )
+    carries = ", ".join(
+        ["max(b) AS pb"] + [f"max(w_{s}) AS pw_{s}" for s, _ in short]
+    )
+    updates = ", ".join(
+        ["round(pb - 0.5 * g_b / (n * 1000000.0), 6) AS b"]
+        + [
+            f"round(pw_{s} - 0.5 * g_{s} / (n * 1000000.0), 6) AS w_{s}"
+            for s, _ in short
+        ]
+    )
+    iter_ctes = "".join(
+        f""", s{t} AS (
+  SELECT count(*) AS n,
+         {grads},
+         {carries}
+  FROM feat, w{t - 1}
+), w{t} AS (SELECT {updates} FROM s{t})"""
+        for t in range(1, 6)
+    )
+    final_w = ", ".join(f"max(w_{s}) AS w_{full}" for s, full in short)
+    return f"""
+WITH feat AS (
+  SELECT CAST(lang = 'en' AS INT) AS y,
+         round({qf["ar"]}, 6) AS ar, round({qf["mwl"]}, 6) AS mwl,
+         round({qf["pr"]}, 6) AS pr, round({qf["sr"]}, 6) AS sr
+  FROM documents
+), w0 AS (SELECT 0.0 AS b, {", ".join(f"0.0 AS w_{s}" for s, _ in short)})
+{iter_ctes}
+SELECT CAST(count(*) AS BIGINT) AS n_rows, max(b) AS bias, {final_w},
+       round(avg(CAST((CASE WHEN 1.0 / (1.0 + exp(-({z}))) >= 0.5
+                            THEN 1 ELSE 0 END) = y AS INT)), 6) AS train_acc
+FROM feat, w5
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per event type (analytics.
     peak_concurrency): 30-min-gap sessions per (user, type), then a
@@ -10454,6 +10524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "peak_concurrency": q_peak_concurrency,
     "hash_to_min_clusters": q_hash_to_min_clusters,
     "bootstrap_ci_mean": q_bootstrap_ci_mean,
+    "logreg_en_classifier": q_logreg_en_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -10675,4 +10746,5 @@ ORACLES: dict[str, str] = {
     "peak_concurrency": sql_peak_concurrency(),
     "hash_to_min_clusters": sql_hash_to_min_clusters(),
     "bootstrap_ci_mean": sql_bootstrap_ci_mean(),
+    "logreg_en_classifier": sql_logreg_en_classifier(),
 }

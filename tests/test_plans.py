@@ -874,3 +874,37 @@ def test_peak_concurrency_three_exchanges_no_join(spark):
     plan = _spark_plan(df)
     assert plan.count("Exchange") == 3
     assert "Join" not in plan
+
+
+def test_logreg_train_plan_linear_in_iters(spark):
+    """GD training loop: iteration t must reference t−1 exactly ONCE
+    (weights carried THROUGH the gradient aggregate), so the physical
+    plan scans the corpus iters+1 times — 5 GD passes + the final
+    accuracy pass. The aggregate-and-join-back form would double the
+    scan count per iteration (2^iters scans; the PLANS.md anti-pattern),
+    and any corpus-sized join would mean the 1-row weight frame stopped
+    broadcasting."""
+    df = QUERIES["logreg_en_classifier"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") == 6  # 5 iterations + final scoring
+    assert "SortMergeJoin" not in plan
+    # every weight attach is a 1-row broadcast cross join, one per scan
+    assert plan.count("BroadcastNestedLoopJoin") == 6
+
+
+def test_hash_to_min_round_join_is_equi_not_cartesian(spark):
+    """Hash-to-Min round (pinned on the pre-checkpoint round plan — the
+    driver loop checkpoints each round, hiding it from the final plan):
+    the state⋈mins join must stay a hash EQUI-join on the node key —
+    never a cartesian/BNLJ (state and mins are both corpus-sized on a
+    big graph) — and the min-groupBy must partial-aggregate map-side."""
+    from pdf_parser_spark.operators import dedup as dd
+
+    state = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(i, i) for i in range(21)],
+        "node long, member long",
+    )
+    plan = _spark_plan(dd._h2m_round(state))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # map-side combine before the shuffle

@@ -1289,3 +1289,50 @@ def test_bootstrap_ci_mean_python_replay(spark):
         assert r.point_mean == pytest.approx(
             round(sum(x for _, x in xs) / len(xs), 6), abs=1e-9
         )
+
+
+def test_logreg_train_python_replay(spark):
+    """Value-pin the distributed GD trainer against a pure-Python replay:
+    same sorted-feature dot-product order, same int64-quantized gradient
+    sums, same 1e-6 weight grid — the learned weights must match exactly."""
+    from pdf_parser_spark.operators.analytics import logreg_train
+
+    rows = [
+        (i, round(0.1 + 0.013 * (i % 7), 6), round(0.9 - 0.021 * (i % 5), 6),
+         1 if i % 3 == 0 else 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double, y int")
+    got = logreg_train(df, ["f2", "f1"], "y", iters=4, lr=0.5).collect()[0]
+
+    import math
+
+    cols = ["f1", "f2"]  # sorted
+    w = {"b": 0.0, "f1": 0.0, "f2": 0.0}
+    data = [({"f1": r[1], "f2": r[2]}, r[3]) for r in rows]
+    n = len(data)
+    for _ in range(4):
+        g = {"b": 0, "f1": 0, "f2": 0}
+        for x, y in data:
+            z = w["b"]
+            for c in cols:
+                z = z + w[c] * x[c]
+            resid = 1.0 / (1.0 + math.exp(-z)) - y
+            # round-half-away-from-zero like Spark/DuckDB round()
+            def rnd(v):
+                return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+            g["b"] += rnd(resid * 1e6)
+            for c in cols:
+                g[c] += rnd(resid * x[c] * 1e6)
+        w = {k: round(w[k] - 0.5 * g[k] / (n * 1e6), 6) for k in w}
+    hits = 0
+    for x, y in data:
+        z = w["b"]
+        for c in cols:
+            z = z + w[c] * x[c]
+        hits += int((1.0 / (1.0 + math.exp(-z)) >= 0.5) == (y == 1))
+    assert got.n_rows == n
+    assert got.bias == pytest.approx(w["b"], abs=1e-12)
+    assert got.w_f1 == pytest.approx(w["f1"], abs=1e-12)
+    assert got.w_f2 == pytest.approx(w["f2"], abs=1e-12)
+    assert got.train_acc == pytest.approx(round(hits / n, 6), abs=1e-12)
