@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "hash_to_min_clusters",
     "bootstrap_ci_mean",
     "logreg_en_classifier",
+    "kmeans_lloyd_centroids",
 ]
 
 

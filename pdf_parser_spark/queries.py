@@ -10210,6 +10210,80 @@ FROM feat, w5
 """
 
 
+def q_kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY-DISTRIBUTED k-means training (similarity.kmeans_lloyd_train):
+    3 unrolled Lloyd iterations over the whole embeddings table — E-step
+    distances are exact int64s in 1e-6 units inside one codegen aggregate
+    lambda (ties break to the lower centroid id), M-step sums int64-
+    quantized contributions so shuffle order cannot perturb, centroids
+    stay on the 1e-6 grid, and the 1-row centroid state is carried
+    THROUGH the aggregates (plan linear in iters). The DuckDB twin
+    replays every iteration as chained CTEs, so the trained centroids,
+    cluster sizes, AND final inertia are all value-checked — the corpus-
+    scale complement to the sample-based IVF trainer (ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd_train(emb, k=4, iters=3)
+
+
+def sql_kmeans_lloyd_centroids(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    dq = lambda c: (  # noqa: E731 — per-dim squared delta, exact int64
+        f"list_sum(list_transform(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(round((v[i] - {c}[i]) * 1000000.0) AS BIGINT)), "
+        f"d -> d * d))"
+    )
+    cids = list(range(k))
+    argmin = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'd{i} <= d{j}' for j in cids if j > i)} THEN {i}"
+        for i in cids[:-1]
+    ) + f" ELSE {k - 1} END"
+    least = "least(" + ", ".join(f"d{i}" for i in cids) + ")"
+    iter_ctes = "".join(
+        f""", a{t} AS (
+  SELECT id, v, {argmin} AS cid
+  FROM (SELECT id, v, {", ".join(f'{dq(f"p.c{i}")} AS d{i}' for i in cids)}
+        FROM e, c{t - 1} p)
+), s{t} AS (
+  SELECT cid, u.d AS dim, sum(CAST(round(u.x * 1000000.0) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM (SELECT cid, unnest(list_transform(v, (x, i) -> {{'d': i, 'x': x}})) AS u
+        FROM a{t})
+  GROUP BY cid, u.d
+), n{t} AS (
+  SELECT cid, list(round(sq / (n * 1000000.0), 6) ORDER BY dim) AS nv
+  FROM s{t} GROUP BY cid
+), c{t} AS (
+  SELECT {", ".join(f"coalesce(max(CASE WHEN cid = {i} THEN nv END), max(p.c{i})) AS c{i}" for i in cids)}
+  FROM n{t}, c{t - 1} p
+)"""
+        for t in range(1, iters + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT {", ".join(f"max(CASE WHEN id = {i} THEN v END) AS c{i}" for i in cids)}
+  FROM e WHERE id < {k}
+){iter_ctes}, af AS (
+  SELECT id, {least} AS dist, {argmin} AS cid
+  FROM (SELECT id, v, {", ".join(f'{dq(f"p.c{i}")} AS d{i}' for i in cids)}
+        FROM e, c{iters} p)
+), stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         round(CAST(sum(dist) AS BIGINT) / 1000000000000.0, 6) AS inertia
+  FROM af GROUP BY cid
+)
+SELECT cid, n_members, inertia, u.d AS dim, u.v AS v
+FROM (
+  SELECT CAST(s.cid AS BIGINT) AS cid, s.n_members, s.inertia,
+         unnest(list_transform(
+           CASE s.cid {" ".join(f"WHEN {i} THEN p.c{i}" for i in cids)} END,
+           (x, i) -> {{'d': CAST(i - 1 AS INT), 'v': x}})) AS u
+  FROM stats s, c{iters} p)
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per event type (analytics.
     peak_concurrency): 30-min-gap sessions per (user, type), then a
@@ -10525,6 +10599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_to_min_clusters": q_hash_to_min_clusters,
     "bootstrap_ci_mean": q_bootstrap_ci_mean,
     "logreg_en_classifier": q_logreg_en_classifier,
+    "kmeans_lloyd_centroids": q_kmeans_lloyd_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -10747,4 +10822,5 @@ ORACLES: dict[str, str] = {
     "hash_to_min_clusters": sql_hash_to_min_clusters(),
     "bootstrap_ci_mean": sql_bootstrap_ci_mean(),
     "logreg_en_classifier": sql_logreg_en_classifier(),
+    "kmeans_lloyd_centroids": sql_kmeans_lloyd_centroids(),
 }

@@ -908,3 +908,20 @@ def test_hash_to_min_round_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_kmeans_lloyd_plan_linear_in_iters(spark):
+    """Distributed Lloyd trainer: iteration t references t−1 exactly once
+    (the 1-row centroid state is carried THROUGH the M-step aggregates),
+    so the plan scans the corpus iters+2 times — init pick + 3 E/M passes
+    + the final stats pass — instead of 2^iters. Every centroid attach is
+    a 1-row broadcast cross join; assignment itself is pure codegen array
+    math (no join, no shuffle), and both M-step groupBys partial-agg
+    map-side."""
+    df = QUERIES["kmeans_lloyd_centroids"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") == 5  # init + 3 iterations + final
+    assert plan.count("BroadcastNestedLoopJoin") == 4  # one per state attach
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan

@@ -1336,3 +1336,61 @@ def test_logreg_train_python_replay(spark):
     assert got.w_f1 == pytest.approx(w["f1"], abs=1e-12)
     assert got.w_f2 == pytest.approx(w["f2"], abs=1e-12)
     assert got.train_acc == pytest.approx(round(hits / n, 6), abs=1e-12)
+
+
+def test_kmeans_lloyd_python_replay(spark):
+    """Value-pin the distributed Lloyd trainer against a pure-Python
+    replay: same 1e-6 input grid, same int64 E-step distances with
+    ties-to-lower-cid, same int64-quantized M-step sums, same 1e-6
+    centroid grid — trained centroids, cluster sizes, and inertia must
+    all match exactly."""
+    from pdf_parser_spark.operators.similarity import kmeans_lloyd_train
+
+    vecs = [
+        (i, [round(0.05 * ((i * 7 + d * 3) % 11) - 0.25, 6) for d in range(3)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r.cid, r.dim): r
+        for r in kmeans_lloyd_train(df, k=3, iters=2).collect()
+    }
+
+    def rnd(v):  # round-half-away-from-zero like Spark/DuckDB round()
+        import math
+
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    cents = {kk: vecs[kk][1] for kk in range(3)}
+    data = [v for _, v in vecs]
+    assign = {}
+    for it in range(3):  # 2 train iterations + the final stats pass
+        assign = {}
+        dists = {}
+        for i, x in enumerate(data):
+            ds = [
+                (sum(rnd((xd - cd) * 1e6) ** 2 for xd, cd in zip(x, cents[kk])), kk)
+                for kk in range(3)
+            ]
+            d, kk = min(ds)
+            assign[i], dists[i] = kk, d
+        if it == 2:
+            break
+        for kk in range(3):
+            members = [data[i] for i in assign if assign[i] == kk]
+            if members:
+                cents[kk] = [
+                    round(sum(rnd(m[d] * 1e6) for m in members) / (len(members) * 1e6), 6)
+                    for d in range(3)
+                ]
+    for kk in range(3):
+        members = [i for i in assign if assign[i] == kk]
+        assert got[(kk, 0)].n_members == len(members)
+        assert got[(kk, 0)].inertia == pytest.approx(
+            round(sum(dists[i] for i in members) / 1e12, 6), abs=1e-12
+        )
+        for d in range(3):
+            assert got[(kk, d)].v == pytest.approx(cents[kk][d], abs=1e-12), (
+                kk,
+                d,
+            )
