@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "bootstrap_ci_mean",
     "logreg_en_classifier",
     "kmeans_lloyd_centroids",
+    "cuped_lift",
 ]
 
 

@@ -1094,3 +1094,95 @@ def logreg_train(
         *[F.max(f"w_{c}").alias(f"w_{c}") for c in cols],
         F.round(F.avg(hit), 6).alias("train_acc"),
     )
+
+
+def cuped_lift(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cutoff: str = "2024-01-16",
+    cents: int = 100,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): per experiment arm, the post-period mean and the
+    covariate-adjusted mean ``ȳ_g − θ·(x̄_g − x̄)`` where x is the same
+    unit's PRE-period metric and ``θ = Cov(x, y)/Var(x)`` — the standard
+    trick that removes between-unit variance an A/B test cannot
+    randomize away. Arms are a deterministic hash of the unit id
+    (``pmod(unit, 2)``), so assignment replays anywhere.
+
+    Exact-replay contract: per-event values are quantized to int64
+    ``cents`` units BEFORE any aggregation, so every moment (Σx, Σy,
+    Σx², Σxy, per-arm sums) is an exact integer no matter the shuffle or
+    partial-agg order; θ and the adjusted means are then derived in
+    DOUBLE with one fixed expression shape (exact ints → IEEE doubles →
+    same value on any engine). θ falls back to 0 when Var(x) = 0.
+
+    Shape at 100 TB: ONE groupBy(unit) with map-side combine (pre/post
+    split via conditional sums — no self-join of the events table), then
+    ONE single-row global aggregate carrying all moments and both arms'
+    sums; the 1-row stats frame explodes to the 2 output rows. Two
+    shuffles total, nothing corpus-sized ever joins.
+
+    Returns (arm, n_units, mean_post, mean_post_cuped, theta).
+    """
+    qv = F.round(F.col(value_col) * cents).cast("long")
+    is_pre = F.col(ts_col).cast("timestamp") < F.lit(cutoff).cast("timestamp")
+    per_unit = events.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.coalesce(F.sum(F.when(is_pre, qv)), F.lit(0)).alias("xq"),
+        F.coalesce(F.sum(F.when(~is_pre, qv)), F.lit(0)).alias("yq"),
+    )
+    arm = F.pmod(F.col("_u"), F.lit(2)).cast("int")
+    u = per_unit.select("xq", "yq", arm.alias("arm"))
+    stats = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        *[
+            agg
+            for g in (0, 1)
+            for agg in (
+                F.sum(F.when(F.col("arm") == g, 1).otherwise(0)).alias(f"n{g}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("arm") == g, F.col("xq"))), F.lit(0)
+                ).alias(f"sx{g}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("arm") == g, F.col("yq"))), F.lit(0)
+                ).alias(f"sy{g}"),
+            )
+        ],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_num = d("n") * d("sxx") - d("sx") * d("sx")
+    theta = F.when(var_num == 0, F.lit(0.0)).otherwise(
+        (d("n") * d("sxy") - d("sx") * d("sy")) / var_num
+    )
+    with_theta = stats.select("*", theta.alias("theta"))
+    mean_x_all = d("sx") / (d("n") * cents)
+    rows = with_theta.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).cast("int").alias("arm"),
+                        F.col(f"n{g}").cast("long").alias("n_units"),
+                        F.round(
+                            d(f"sy{g}") / (d(f"n{g}") * cents), 6
+                        ).alias("mean_post"),
+                        F.round(
+                            d(f"sy{g}") / (d(f"n{g}") * cents)
+                            - F.col("theta")
+                            * (d(f"sx{g}") / (d(f"n{g}") * cents) - mean_x_all),
+                            6,
+                        ).alias("mean_post_cuped"),
+                        F.round("theta", 6).alias("theta"),
+                    )
+                    for g in (0, 1)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.arm", "r.n_units", "r.mean_post", "r.mean_post_cuped", "r.theta")

@@ -10284,6 +10284,62 @@ FROM (
 """
 
 
+def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (analytics.cuped_lift): arms by
+    unit-id parity, pre/post split at Jan 16, per-event values quantized
+    to int64 cents BEFORE aggregation so every moment is an exact
+    integer; θ = Cov(x,y)/Var(x) and the adjusted means derive from
+    those exact ints in one fixed double expression — the oracle
+    recomputes the identical moments and arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.cuped_lift(e, cutoff="2024-01-16")
+
+
+def sql_cuped_lift() -> str:
+    theta_num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    theta_den = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    mean_x_all = "CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100)"
+    arm_row = lambda g: f"""
+  SELECT {g} AS arm, CAST(n{g} AS BIGINT) AS n_units,
+         round(CAST(sy{g} AS DOUBLE) / (CAST(n{g} AS DOUBLE) * 100), 6) AS mean_post,
+         round(CAST(sy{g} AS DOUBLE) / (CAST(n{g} AS DOUBLE) * 100)
+               - theta * (CAST(sx{g} AS DOUBLE) / (CAST(n{g} AS DOUBLE) * 100)
+                          - {mean_x_all}), 6) AS mean_post_cuped,
+         round(theta, 6) AS theta
+  FROM t"""  # noqa: E731
+    return f"""
+WITH per_unit AS (
+  SELECT user_id AS u,
+         coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT) END), 0) AS xq,
+         coalesce(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+                           THEN CAST(round(value * 100) AS BIGINT) END), 0) AS yq
+  FROM events GROUP BY user_id
+), units AS (
+  SELECT xq, yq, CAST(u % 2 AS INT) AS arm FROM per_unit
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(coalesce(sum(CASE WHEN arm = 0 THEN xq END), 0) AS BIGINT) AS sx0,
+         CAST(coalesce(sum(CASE WHEN arm = 0 THEN yq END), 0) AS BIGINT) AS sy0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN xq END), 0) AS BIGINT) AS sx1,
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN yq END), 0) AS BIGINT) AS sy1
+  FROM units
+), t AS (
+  SELECT *, CASE WHEN {theta_den} = 0 THEN 0.0
+                 ELSE {theta_num} / {theta_den} END AS theta
+  FROM stats
+)
+SELECT CAST(arm AS INT) AS arm, n_units, mean_post, mean_post_cuped, theta
+FROM ({arm_row(0)}
+UNION ALL{arm_row(1)})
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per event type (analytics.
     peak_concurrency): 30-min-gap sessions per (user, type), then a
@@ -10600,6 +10656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci_mean": q_bootstrap_ci_mean,
     "logreg_en_classifier": q_logreg_en_classifier,
     "kmeans_lloyd_centroids": q_kmeans_lloyd_centroids,
+    "cuped_lift": q_cuped_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -10823,4 +10880,5 @@ ORACLES: dict[str, str] = {
     "bootstrap_ci_mean": sql_bootstrap_ci_mean(),
     "logreg_en_classifier": sql_logreg_en_classifier(),
     "kmeans_lloyd_centroids": sql_kmeans_lloyd_centroids(),
+    "cuped_lift": sql_cuped_lift(),
 }

@@ -925,3 +925,15 @@ def test_kmeans_lloyd_plan_linear_in_iters(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_cuped_lift_two_exchanges_no_join(spark):
+    """CUPED: one groupBy(unit) with map-side combine + one single-row
+    global aggregate carrying every moment and both arms' sums — two
+    exchanges total, no self-join of the events table (the naive pre⋈post
+    form), nothing corpus-sized ever joins."""
+    df = QUERIES["cuped_lift"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    assert "partial_sum" in plan

@@ -1394,3 +1394,57 @@ def test_kmeans_lloyd_python_replay(spark):
                 kk,
                 d,
             )
+
+
+def test_cuped_lift_python_replay(spark):
+    """Value-pin CUPED against a pure-Python replay (exact int moments →
+    one fixed double expression), and check the accounting identity the
+    adjustment must satisfy: unit-weighted adjusted means equal unit-
+    weighted raw means (Σ n_g·(x̄_g − x̄) = 0)."""
+    from pdf_parser_spark.operators.analytics import cuped_lift
+
+    rows = [
+        (i % 13, f"2024-01-{(i % 28) + 1:02d} 06:00:00", round(0.37 * (i % 91) + 0.01, 2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    got = {r.arm: r for r in cuped_lift(df, cutoff="2024-01-16").collect()}
+
+    def rnd(v):
+        import math
+
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    per = {}
+    for u, ts, v in rows:
+        x, y = per.setdefault(u, [0, 0])
+        q = rnd(v * 100)
+        if int(ts[8:10]) < 16:
+            per[u][0] = x + q
+        else:
+            per[u][1] = y + q
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    den = float(n) * float(sxx) - float(sx) * float(sx)
+    theta = 0.0 if den == 0 else (float(n) * float(sxy) - float(sx) * float(sy)) / den
+    mean_x_all = float(sx) / (float(n) * 100)
+    for g in (0, 1):
+        units = {u: xy for u, xy in per.items() if u % 2 == g}
+        ng = len(units)
+        syg = sum(y for _, y in units.values())
+        sxg = sum(x for x, _ in units.values())
+        mp = float(syg) / (float(ng) * 100)
+        adj = mp - theta * (float(sxg) / (float(ng) * 100) - mean_x_all)
+        assert got[g].n_units == ng
+        assert got[g].mean_post == pytest.approx(round(mp, 6), abs=1e-12)
+        assert got[g].mean_post_cuped == pytest.approx(round(adj, 6), abs=1e-12)
+        assert got[g].theta == pytest.approx(round(theta, 6), abs=1e-12)
+    # accounting identity: adjustment is a pure variance trade, not a shift
+    tot_raw = sum(got[g].n_units * got[g].mean_post for g in (0, 1))
+    tot_adj = sum(got[g].n_units * got[g].mean_post_cuped for g in (0, 1))
+    assert tot_adj == pytest.approx(tot_raw, abs=1e-2)
