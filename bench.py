@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "logreg_en_classifier",
     "kmeans_lloyd_centroids",
     "cuped_lift",
+    "permutation_test_lift",
 ]
 
 

@@ -1186,3 +1186,94 @@ def cuped_lift(
         ).alias("r")
     )
     return rows.select("r.arm", "r.n_units", "r.mean_post", "r.mean_post_cuped", "r.theta")
+
+
+def permutation_test_lift(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    reps: int = 200,
+    cents: int = 100,
+) -> DataFrame:
+    """Fisherian permutation test for an A/B lift — the significance
+    companion to ``cuped_lift``: re-randomize the arm label ``reps``
+    times and ask how often a pseudo-assignment produces a mean
+    difference at least as large (two-sided) as the observed one.
+    p = (1 + #{|d_r| ≥ |d_obs|}) / (valid + 1), the standard
+    add-one-permutation estimator.
+
+    Determinism/portability: the r-th pseudo-arm of a unit is
+    ``md5-fold(unit#r) mod 2`` — the repo's portable-hash pattern
+    (dedup.seeded_hash), bit-replayable in DuckDB — and every
+    per-replicate statistic is a map-side-combinable sum of int64
+    ``cents``-quantized values, so shuffle order cannot perturb; the
+    mean differences derive from exact ints in one fixed double
+    expression. Degenerate replicates (all units on one pseudo-arm)
+    are excluded identically on both engines.
+
+    Shape at 100 TB: ONE events scan → groupBy(unit) → units × reps
+    explode (the cost knob) → ONE map-side-combinable groupBy(rep)
+    carrying the real-arm sums through (constants per replicate — no
+    second corpus pass for the observed lift) → a reps-row final
+    aggregate. No driver-side state, no join.
+
+    Returns one row: (n_units, n_valid_perms, diff_obs, p_value).
+    """
+    qv = F.round(F.col(value_col) * cents).cast("long")
+    per_unit = events.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.sum(qv).alias("yq")
+    )
+    r = F.explode(F.sequence(F.lit(0), F.lit(int(reps) - 1))).alias("r")
+    arm = F.pmod(F.col("_u"), F.lit(2)).cast("long")
+    parm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("_u"), F.col("r"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    ex = per_unit.select("_u", "yq", r).select(
+        "r", "yq", arm.alias("arm"), parm.alias("parm")
+    )
+    per_r = ex.groupBy("r").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yq").alias("sy"),
+        F.sum("arm").alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("yq"))), F.lit(0)).alias("sy1"),
+        F.sum("parm").alias("n1r"),
+        F.coalesce(F.sum(F.when(F.col("parm") == 1, F.col("yq"))), F.lit(0)).alias("sy1r"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_diff = lambda s1, n1, s, n: (  # noqa: E731
+        d(s1) / (d(n1) * cents) - (d(s) - d(s1)) / ((d(n) - d(n1)) * cents)
+    )
+    scored = per_r.select(
+        "n",
+        mean_diff("sy1", "n1", "sy", "n").alias("d_obs"),
+        mean_diff("sy1r", "n1r", "sy", "n").alias("d_r"),
+        ((F.col("n1r") > 0) & (F.col("n1r") < F.col("n"))).alias("valid"),
+    )
+    return scored.agg(
+        F.max("n").cast("long").alias("n_units"),
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).cast("long").alias("n_valid_perms"),
+        F.round(F.max("d_obs"), 6).alias("diff_obs"),
+        F.round(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("valid")
+                        & (F.abs(F.col("d_r")) >= F.abs(F.col("d_obs"))),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("double")
+            / (
+                F.sum(F.when(F.col("valid"), 1).otherwise(0)) + F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("p_value"),
+    )

@@ -10340,6 +10340,58 @@ UNION ALL{arm_row(1)})
 """
 
 
+def q_permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation significance test for the parity-arm lift
+    (analytics.permutation_test_lift): 200 hash-seeded label reshuffles
+    (portable md5 fold, bit-replayable in DuckDB), per-replicate
+    statistics as exact int64 cents sums, add-one two-sided p-value.
+    One events scan, no join; the oracle replays every replicate."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.permutation_test_lift(e, reps=200)
+
+
+def sql_permutation_test_lift(reps: int = 200) -> str:
+    md = lambda s1, n1: (  # noqa: E731 — fixed double expression, both arms
+        f"CAST({s1} AS DOUBLE) / (CAST({n1} AS DOUBLE) * 100) "
+        f"- (CAST(sy AS DOUBLE) - CAST({s1} AS DOUBLE)) "
+        f"/ ((CAST(n AS DOUBLE) - CAST({n1} AS DOUBLE)) * 100)"
+    )
+    return f"""
+WITH per_unit AS (
+  SELECT user_id AS u,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yq
+  FROM events GROUP BY user_id
+), reps AS (
+  SELECT unnest(generate_series(0, {reps - 1})) AS r
+), ex AS (
+  SELECT r, yq, CAST(u % 2 AS BIGINT) AS arm,
+         ('0x' || substr(md5(concat_ws('#', CAST(u AS VARCHAR),
+                                       CAST(r AS VARCHAR))), 1, 15))::BIGINT
+           % 2 AS parm
+  FROM per_unit, reps
+), per_r AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(arm) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN yq END), 0) AS BIGINT) AS sy1,
+         CAST(sum(parm) AS BIGINT) AS n1r,
+         CAST(coalesce(sum(CASE WHEN parm = 1 THEN yq END), 0) AS BIGINT) AS sy1r
+  FROM ex GROUP BY r
+), scored AS (
+  SELECT n, {md("sy1", "n1")} AS d_obs, {md("sy1r", "n1r")} AS d_r,
+         (n1r > 0 AND n1r < n) AS valid
+  FROM per_r
+)
+SELECT CAST(max(n) AS BIGINT) AS n_units,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_perms,
+       round(max(d_obs), 6) AS diff_obs,
+       round(CAST(1 + sum(CASE WHEN valid AND abs(d_r) >= abs(d_obs)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) + 1 AS DOUBLE),
+             6) AS p_value
+FROM scored
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per event type (analytics.
     peak_concurrency): 30-min-gap sessions per (user, type), then a
@@ -10657,6 +10709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_en_classifier": q_logreg_en_classifier,
     "kmeans_lloyd_centroids": q_kmeans_lloyd_centroids,
     "cuped_lift": q_cuped_lift,
+    "permutation_test_lift": q_permutation_test_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -10881,4 +10934,5 @@ ORACLES: dict[str, str] = {
     "logreg_en_classifier": sql_logreg_en_classifier(),
     "kmeans_lloyd_centroids": sql_kmeans_lloyd_centroids(),
     "cuped_lift": sql_cuped_lift(),
+    "permutation_test_lift": sql_permutation_test_lift(),
 }

@@ -937,3 +937,17 @@ def test_cuped_lift_two_exchanges_no_join(spark):
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
     assert "partial_sum" in plan
+
+
+def test_permutation_test_plan_one_scan_no_join(spark):
+    """Permutation test: ONE events scan — the real-arm sums ride through
+    the per-replicate aggregate (constants per replicate), so there is no
+    second corpus pass for the observed lift and no join anywhere; three
+    exchanges (unit groupBy, replicate groupBy, final 1-row agg), all
+    map-side combinable."""
+    df = QUERIES["permutation_test_lift"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 3
+    assert "partial_sum" in plan

@@ -1448,3 +1448,52 @@ def test_cuped_lift_python_replay(spark):
     tot_raw = sum(got[g].n_units * got[g].mean_post for g in (0, 1))
     tot_adj = sum(got[g].n_units * got[g].mean_post_cuped for g in (0, 1))
     assert tot_adj == pytest.approx(tot_raw, abs=1e-2)
+
+
+def test_permutation_test_lift_python_replay(spark):
+    """Value-pin the permutation test against a pure-Python replay: same
+    md5-fold pseudo-arms, same exact-int per-replicate sums, same fixed
+    double expression and add-one p-value."""
+    import hashlib
+
+    from pdf_parser_spark.operators.analytics import permutation_test_lift
+
+    rows = [
+        (i % 17, round(1.5 + 0.37 * ((i * 5) % 23), 2)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = permutation_test_lift(df, reps=50).collect()[0]
+
+    def rnd(v):
+        import math
+
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    per = {}
+    for u, v in rows:
+        per[u] = per.get(u, 0) + rnd(v * 100)
+    n, sy = len(per), sum(per.values())
+    n1 = sum(1 for u in per if u % 2 == 1)
+    sy1 = sum(y for u, y in per.items() if u % 2 == 1)
+    diff = lambda s1, m1: float(s1) / (float(m1) * 100) - (  # noqa: E731
+        float(sy) - float(s1)
+    ) / ((float(n) - float(m1)) * 100)
+    d_obs = diff(sy1, n1)
+    valid = exceed = 0
+    for r in range(50):
+        n1r = sy1r = 0
+        for u, y in per.items():
+            h = int(hashlib.md5(f"{u}#{r}".encode()).hexdigest()[:15], 16)
+            if h % 2 == 1:
+                n1r += 1
+                sy1r += y
+        if 0 < n1r < n:
+            valid += 1
+            if abs(diff(sy1r, n1r)) >= abs(d_obs):
+                exceed += 1
+    assert got.n_units == n
+    assert got.n_valid_perms == valid
+    assert got.diff_obs == pytest.approx(round(d_obs, 6), abs=1e-12)
+    assert got.p_value == pytest.approx(
+        round((1 + exceed) / (valid + 1), 6), abs=1e-12
+    )
