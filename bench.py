@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "kmeans_lloyd_centroids",
     "cuped_lift",
     "permutation_test_lift",
+    "charmass_median_length",
 ]
 
 

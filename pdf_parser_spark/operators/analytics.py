@@ -1277,3 +1277,49 @@ def permutation_test_lift(
             6,
         ).alias("p_value"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group WEIGHTED lower median — the corpus-mass statistic plain
+    quantiles cannot express: "the median BYTE of this language lives in
+    a document of length X" (half the group's total weight sits at or
+    below the returned value). Exact rank semantics with integer
+    weights: the result is the smallest value v in (value, id) order
+    whose running weight w satisfies 2·w ≥ W_total — no interpolation,
+    no floats, so any engine agrees bit-for-bit.
+
+    Shape at 100 TB: ONE shuffle on the group key serves both windows
+    (running sum in (value, id) order and the whole-partition total) and
+    the final groupBy reuses the same partitioning — a skewed group is
+    one partition's sort, not a global one. No join, no driver state.
+    """
+    w_run = Window.partitionBy(group_col).orderBy(value_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(group_col)
+    wq = F.col(weight_col).cast("long")
+    cum = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        wq.alias("_w"),
+        F.col(id_col),
+    ).select(
+        F.col(group_col),
+        F.col(value_col),
+        F.sum("_w").over(w_run).alias("_cw"),
+        F.sum("_w").over(w_all).alias("_tw"),
+    )
+    return cum.groupBy(group_col).agg(
+        F.max("_tw").cast("long").alias("w_total"),
+        F.min(
+            F.when(F.lit(2) * F.col("_cw") >= F.col("_tw"), F.col(value_col))
+        )
+        .cast("long")
+        .alias("w_median"),
+    )

@@ -10392,6 +10392,35 @@ FROM scored
 """
 
 
+def q_charmass_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-mass weighted median document length per language
+    (analytics.weighted_median): the doc length at which half the
+    language's total characters sit at or below — the corpus-mass
+    statistic that tells a curation budget where the bytes actually
+    live (a plain median is dominated by the many short docs). Exact
+    integer rank semantics, one shuffle, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.weighted_median(
+        d, group_col="lang", value_col="n_chars", weight_col="n_chars",
+        id_col="doc_id",
+    )
+
+
+def sql_charmass_median_length() -> str:
+    return """
+WITH cum AS (
+  SELECT lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(n_chars) OVER (PARTITION BY lang) AS tw
+  FROM documents
+)
+SELECT lang, CAST(max(tw) AS BIGINT) AS w_total,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN n_chars END) AS BIGINT) AS w_median
+FROM cum GROUP BY lang
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per event type (analytics.
     peak_concurrency): 30-min-gap sessions per (user, type), then a
@@ -10710,6 +10739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_lloyd_centroids": q_kmeans_lloyd_centroids,
     "cuped_lift": q_cuped_lift,
     "permutation_test_lift": q_permutation_test_lift,
+    "charmass_median_length": q_charmass_median_length,
 }
 
 ORACLES: dict[str, str] = {
@@ -10935,4 +10965,5 @@ ORACLES: dict[str, str] = {
     "kmeans_lloyd_centroids": sql_kmeans_lloyd_centroids(),
     "cuped_lift": sql_cuped_lift(),
     "permutation_test_lift": sql_permutation_test_lift(),
+    "charmass_median_length": sql_charmass_median_length(),
 }

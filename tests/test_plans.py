@@ -951,3 +951,13 @@ def test_permutation_test_plan_one_scan_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 3
     assert "partial_sum" in plan
+
+
+def test_weighted_median_single_exchange(spark):
+    """Weighted median: the group-key shuffle is paid ONCE — both windows
+    (running sum, partition total) and the final groupBy reuse the same
+    hash partitioning; no join anywhere."""
+    df = QUERIES["charmass_median_length"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

@@ -1497,3 +1497,22 @@ def test_permutation_test_lift_python_replay(spark):
     assert got.p_value == pytest.approx(
         round((1 + exceed) / (valid + 1), 6), abs=1e-12
     )
+
+
+def test_weighted_median_exact_semantics(spark):
+    """Weighted lower-median semantics pinned by hand: smallest value in
+    (value, id) order whose running weight doubles to >= the group total;
+    with unit weights it degrades to the plain lower median."""
+    from pdf_parser_spark.operators.analytics import weighted_median
+
+    rows = [
+        ("a", 1, 10, 1), ("a", 2, 1, 2), ("a", 3, 1, 3),   # w=10 dominates
+        ("b", 5, 1, 4), ("b", 7, 1, 5), ("b", 9, 1, 6),    # unit weights
+        ("c", 4, 3, 7), ("c", 8, 3, 8),                    # even split: lower
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long, id long")
+    got = {
+        r.g: (r.w_total, r.w_median)
+        for r in weighted_median(df, "g", "v", "w", "id").collect()
+    }
+    assert got == {"a": (12, 1), "b": (3, 7), "c": (6, 4)}
