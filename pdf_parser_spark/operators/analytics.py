@@ -1323,3 +1323,186 @@ def weighted_median(
         .cast("long")
         .alias("w_median"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    flag,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the rows where ``flag``
+    is true (sample 1) and the rest (sample 2) — the distribution-drift
+    companion to the JS-divergence / CUSUM screens: "did the doc-length
+    (latency, score) DISTRIBUTION of this slice move", with no binning
+    choice to tune. D = sup |F1(x) − F2(x)| evaluated at every pooled
+    value; the scaled statistic √(n1·n2/(n1+n2))·D is what the classic
+    acceptance thresholds (1.36 for α=.05) apply to.
+
+    Exact-replay contract: per-value counts are exact int64, the two
+    ECDFs are compared as INTEGER cross-products (n2·cum1 vs n1·cum2),
+    so D's argmax is exact; only the final two ratios are derived in
+    DOUBLE with one fixed expression shape.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on the value collapses
+    the corpus to its distinct values; the ordered window then runs over
+    NDV rows, not corpus rows (for discrete metrics like lengths or
+    scores NDV is bounded — document lengths ≤ max doc size). No join,
+    no driver state, one row out.
+    """
+    per_val = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("_c1"),
+        F.sum(F.when(flag, 0).otherwise(1)).cast("long").alias("_c2"),
+    )
+    w_run = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_val.select(
+        F.sum("_c1").over(w_run).alias("_f1"),
+        F.sum("_c2").over(w_run).alias("_f2"),
+        F.sum("_c1").over(w_all).alias("_n1"),
+        F.sum("_c2").over(w_all).alias("_n2"),
+    )
+    # |F1 - F2| as an exact integer cross-product: |n2*cum1 - n1*cum2|
+    d_num = F.abs(F.col("_n2") * F.col("_f1") - F.col("_n1") * F.col("_f2"))
+    stats = cum.agg(
+        F.max("_n1").alias("n1"),
+        F.max("_n2").alias("n2"),
+        F.max(d_num).alias("_dn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    d_stat = d("_dn") / (d("n1") * d("n2"))
+    return stats.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(d_stat, 6).alias("d_stat"),
+        F.round(
+            F.sqrt(d("n1") * d("n2") / (d("n1") + d("n2"))) * d_stat, 6
+        ).alias("d_scaled"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    flag,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the ``flag`` rows
+    (sample 1) and the rest — the nonparametric "is slice 1
+    stochastically larger" readout that, unlike a t-test on means, is
+    immune to the heavy tails every web-corpus metric has. Midranks for
+    ties, tie-corrected normal approximation (no continuity correction).
+
+    Exact-replay contract: ranks are carried as DOUBLED integers
+    (2·rank is always an exact int64 even at midranks), so R1, 2·U1 and
+    the tie term Σ(t³−t) are exact integers on any engine and any
+    aggregation order; only z is derived in DOUBLE with one fixed
+    expression shape.
+
+    Shape at 100 TB: identical to ``ks_two_sample`` — ONE
+    map-side-combined groupBy on the value, then an ordered window over
+    the NDV-sized frame and a single-row aggregate. No join, one row out.
+    """
+    per_val = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("_c1"),
+        F.sum(F.when(flag, 0).otherwise(1)).cast("long").alias("_c2"),
+    )
+    t = (F.col("_c1") + F.col("_c2")).alias("_t")
+    w_run = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "_c1",
+        "_c2",
+        t,
+        F.sum(F.col("_c1") + F.col("_c2")).over(w_run).alias("_cle"),
+    )
+    # midrank of a tie block ending at cumulative count cle with size t:
+    # ranks (cle-t+1)..cle, average (2*cle - t + 1)/2 → doubled = exact int
+    rank2 = 2 * F.col("_cle") - F.col("_t") + 1
+    stats = cum.agg(
+        F.sum("_c1").cast("long").alias("n1"),
+        F.sum("_c2").cast("long").alias("n2"),
+        F.sum(F.col("_c1") * rank2).cast("long").alias("_r1x2"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("long")
+        .alias("_ties"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u1x2 = F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1)  # 2*U1, exact
+    n = F.col("n1") + F.col("n2")
+    mu_x2 = F.col("n1") * F.col("n2")  # 2*mean(U) = n1*n2, exact
+    var_u = (
+        d("n1")
+        * d("n2")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - d("_ties") / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = F.when(var_u <= 0, F.lit(0.0)).otherwise(
+        (u1x2.cast("double") - mu_x2.cast("double")) / (2.0 * F.sqrt(var_u))
+    )
+    return stats.select(
+        F.col("n1"),
+        F.col("n2"),
+        F.round(u1x2.cast("double") / 2.0, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit (Benford's law) screen over a positive
+    numeric column — the classic data-forensics check for fabricated or
+    truncated numeric feeds (Nigrini 2012, public): real transaction-like
+    magnitudes follow P(d) = log10(1+1/d); a synthetic or clipped source
+    shows up as a fat chi-square. Output: one row per digit 1-9 with
+    observed count/share vs expected share, plus the chi-square statistic
+    replicated per row (9-row frame, the window is free).
+
+    The first digit is taken from the value's STRING rendering (first
+    [1-9] match), not floor(v/10^floor(log10 v)) — float log10 at exact
+    powers of ten rounds differently across engines; string extraction is
+    engine-agnostic and handles v < 1 (leading "0.0…") for free. Rows
+    with no nonzero digit (v = 0) are excluded.
+
+    Shape at 100 TB: ONE groupBy on 9 keys with map-side combine — the
+    shuffle carries 9 rows per map partition; everything after runs on a
+    9-row frame.
+    """
+    digit = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    per_digit = (
+        df.select(digit.alias("_d"))
+        .filter(F.col("_d") != "")
+        .groupBy(F.col("_d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    w_all = Window.partitionBy()
+    exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    with_tot = per_digit.select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(w_all).alias("_n"),
+        exp_share.alias("_exp"),
+    )
+    obs_share = F.col("n_obs").cast("double") / F.col("_n").cast("double")
+    chi_term = (
+        (obs_share - F.col("_exp"))
+        * (obs_share - F.col("_exp"))
+        / F.col("_exp")
+        * F.col("_n").cast("double")
+    )
+    # per-digit terms are rounded and summed as DECIMAL so the 9-term sum
+    # is order-independent (a raw double window-sum could differ in the
+    # last ulp between engines/shuffles and flip the final rounding)
+    chi_dec = F.round(chi_term, 6).cast("decimal(28,6)")
+    return with_tot.select(
+        "digit",
+        "n_obs",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round("_exp", 6).alias("exp_share"),
+        F.round(F.sum(chi_dec).over(w_all).cast("double"), 4).alias(
+            "chi_square"
+        ),
+    )

@@ -1,0 +1,107 @@
+"""Document-layout analytics over interleaved span rows.
+
+The extraction kernel emits documents as interleaved text+media span rows
+(doc_id, kind, text, media_ref, offset) — the reference's page model
+(`_parser.py:1140-1177`: text pages interleaved with recovered media).
+This module answers layout questions OVER that stream; the first is the
+figure-caption association every multimodal training pipeline needs
+(image → its "Figure N: …" caption becomes the image-text pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# "Figure 3:", "Table 12 -", "Fig. 2." — the public caption conventions.
+CAPTION_PATTERN = r"^(Figure|Table|Fig\.)\s+\d+"
+
+
+def is_caption(text: Column) -> Column:
+    return text.rlike(CAPTION_PATTERN)
+
+
+def link_captions(
+    span_rows: DataFrame,
+    max_gap: int | None = None,
+    doc_col: str = "doc_id",
+    kind_col: str = "kind",
+    text_col: str = "text",
+    ref_col: str = "media_ref",
+    pos_col: str = "offset",
+) -> DataFrame:
+    """Associate every media span with its caption: the NEAREST text span
+    that follows it in reading order (same document, offset strictly
+    greater, within ``max_gap`` positions if given) and looks like a
+    caption (``CAPTION_PATTERN``). Media with no qualifying caption keep
+    NULL caption columns — a downstream pair-builder filters or falls
+    back to alt-text.
+
+    Implemented as a FORWARD as-of join, the same window shape as
+    ``asof.asof_join_latest`` run in descending offset order — but in ONE
+    pass over the span stream: a span row is never both a media and a
+    caption, so a conditional projection tags each surviving row in place
+    (no union of two filtered branches, which would scan the corpus
+    twice). ONE window pass per document carries the nearest caption seen
+    so-far backward through the stream; media rows keep it. Cost: one
+    scan + one shuffle on the doc id + a per-partition sort — linear; no
+    range-condition nested-loop join, no per-media probe, and a
+    10^12-span corpus shuffles exactly once.
+
+    Ties cannot occur (span offsets are unique per document — kernel
+    contract), and a caption AT the media offset does not match (strictly
+    following, caption sorts after its media at equal offset).
+
+    Returns (doc_id, media_ref, media_offset, caption_offset, caption);
+    caption columns NULL when nothing qualifies.
+    """
+    base = span_rows.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(kind_col).alias("kind"),
+        F.col(text_col).alias("text"),
+        F.col(ref_col).alias("media_ref"),
+        F.col(pos_col).cast("long").alias("pos"),
+    )
+    is_med = F.col("kind") == "media"
+    is_cap = (F.col("kind") == "text") & is_caption(F.col("text"))
+    u = base.filter(is_med | is_cap).select(
+        "doc_id",
+        "pos",
+        F.when(is_med, 1).otherwise(0).alias("_side"),
+        F.when(is_med, F.col("media_ref")).alias("media_ref"),
+        F.when(
+            ~is_med,
+            F.struct(F.col("pos").alias("p"), F.col("text").alias("t")),
+        ).alias("_cap"),
+    )
+    # descending offsets: "nearest following caption" = last caption seen.
+    # _side DESC puts a media row BEFORE a caption at the same offset so an
+    # equal-offset caption is not matched (strictness guard; offsets are
+    # unique per doc anyway).
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_cap", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("_c", carried)
+        .filter(F.col("_side") == 1)
+        .select(
+            "doc_id",
+            "media_ref",
+            F.col("pos").alias("media_offset"),
+            F.col("_c")["p"].alias("caption_offset"),
+            F.col("_c")["t"].alias("caption"),
+        )
+    )
+    if max_gap is not None:
+        in_range = F.col("caption_offset") <= F.col("media_offset") + max_gap
+        out = out.select(
+            "doc_id",
+            "media_ref",
+            "media_offset",
+            F.when(in_range, F.col("caption_offset")).alias("caption_offset"),
+            F.when(in_range, F.col("caption")).alias("caption"),
+        )
+    return out

@@ -1556,3 +1556,33 @@ def kneser_ney_surprisal(
             ).alias("mean_kn_surprisal"),
         )
     )
+
+
+def dehyphenate(text: Column) -> Column:
+    """Repair end-of-line hyphenation — the classic PDF-extraction fixup
+    the reference's per-page text joins leave behind (column-wrapped
+    sources break words as "exam-\\ntion"): a lowercase letter, a
+    hyphen, a line break, a lowercase letter joins back into one word;
+    any other hyphen at a line break keeps the hyphen (compound words,
+    number ranges) and only the wrap is removed. Two regexp passes over
+    the scan column — pure codegen, zero shuffle, and the pattern is
+    RE2/Java-identical so the DuckDB oracle replays it bit-for-bit.
+    """
+    joined = F.regexp_replace(text, "([a-z])-\\n([a-z])", "$1$2")
+    return F.regexp_replace(joined, "-\\n", "-")
+
+
+def dehyphenate_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document dehyphenation report: repaired text digest plus the
+    number of word joins and the number of hyphens kept at removed
+    wraps. Counters ride the same codegen scan as the repair (regexp
+    counts over the raw column) — nothing but the scan at any scale."""
+    t = F.col(text_col)
+    joins = F.regexp_count(t, F.lit("[a-z]-\\n[a-z]"))
+    wraps = F.regexp_count(t, F.lit("-\\n"))
+    return docs.select(
+        F.col(id_col),
+        joins.cast("long").alias("n_joins"),
+        (wraps - joins).cast("long").alias("n_kept_hyphens"),
+        F.md5(dehyphenate(t)).alias("clean_digest"),
+    )

@@ -10485,6 +10485,272 @@ FROM run GROUP BY event_type
 """
 
 
+def q_ks_lang_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (analytics.ks_two_sample):
+    does the document-length DISTRIBUTION of the 'en' slice differ from
+    the rest of the corpus — the binning-free companion to the
+    JS-divergence report. Exact integer ECDF cross-products; one
+    map-side-combined shuffle on the value, window over NDV rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.ks_two_sample(d, "n_chars", F.col("lang") == "en")
+
+
+def sql_ks_lang_doclen() -> str:
+    return """
+WITH per_val AS (
+  SELECT n_chars AS v,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT sum(c1) OVER w AS f1, sum(c2) OVER w AS f2,
+         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+  FROM per_val WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+), s AS (
+  SELECT max(n1) AS n1, max(n2) AS n2,
+         max(abs(n2 * f1 - n1 * f2)) AS dn
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+             6) AS d_stat,
+       round(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+             * (CAST(dn AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))),
+             6) AS d_scaled
+FROM s
+"""
+
+
+def q_mwu_lang_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (analytics.mann_whitney_u): is the
+    'en' slice's document length stochastically larger than the rest —
+    the heavy-tail-immune alternative to a t-test on means. Doubled-rank
+    integer arithmetic (midranks exact on any engine), tie-corrected
+    normal z; same single-shuffle NDV-window shape as the KS test."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.mann_whitney_u(d, "n_chars", F.col("lang") == "en")
+
+
+def sql_mwu_lang_doclen() -> str:
+    return """
+WITH per_val AS (
+  SELECT n_chars AS v,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT c1, c2, (c1 + c2) AS t,
+         sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cle
+  FROM per_val
+), s AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * cle - t + 1)) AS BIGINT) AS r1x2,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+  FROM cum
+), z AS (
+  SELECT n1, n2, r1x2,
+         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+         * (CAST(n1 + n2 + 1 AS DOUBLE)
+            - CAST(ties AS DOUBLE)
+              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+           AS var_u
+  FROM s
+)
+SELECT n1, n2,
+       round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 1) AS u_stat,
+       round(CASE WHEN var_u <= 0 THEN 0.0
+                  ELSE (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+                        - CAST(n1 * n2 AS DOUBLE)) / (2.0 * sqrt(var_u))
+             END, 6) AS z_score
+FROM z
+"""
+
+
+def q_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (analytics.benford_deviation) over
+    lineitem extended prices, quantized to exact int64 cents first (the
+    leading significant digit is scale-invariant, and integer strings
+    render identically on every engine — no float-formatting contract).
+    One 9-key map-side-combined shuffle; chi-square accumulated as
+    DECIMAL so the 9-term sum is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return analytics.benford_deviation(li.select(cents.alias("cents")), "cents")
+
+
+def sql_benford_price() -> str:
+    return """
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+), pd AS (
+  SELECT CAST(regexp_extract(CAST(c AS VARCHAR), '[1-9]') AS INTEGER)
+           AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM cents WHERE regexp_extract(CAST(c AS VARCHAR), '[1-9]') <> ''
+  GROUP BY 1
+), t AS (
+  SELECT digit, n_obs, sum(n_obs) OVER () AS n,
+         log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_share
+  FROM pd
+), terms AS (
+  SELECT digit, n_obs, n, exp_share,
+         CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+         CAST(round((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - exp_share)
+                    * (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - exp_share)
+                    / exp_share * CAST(n AS DOUBLE), 6)
+              AS DECIMAL(28,6)) AS chi_dec
+  FROM t
+)
+SELECT digit, n_obs,
+       round(obs_share, 6) AS obs_share,
+       round(exp_share, 6) AS exp_share,
+       round(CAST(sum(chi_dec) OVER () AS DOUBLE), 4) AS chi_square
+FROM terms
+"""
+
+
+def q_dehyphenate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-line hyphenation repair (textqc.dehyphenate): line-wrapped
+    documents are synthesized in Catalyst by breaking every >=6-letter
+    lowercase run as 'exam-\\nple' (deterministic, same regex on both
+    engines), then the repair joins wrapped words back and counts joins
+    vs kept hyphens. Pure codegen regexp over the scan — zero shuffle at
+    any scale. Repair digest equals the unbroken original's md5, which
+    the pytest pins as the lossless-inverse invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    broken = F.regexp_replace(
+        F.col("text"), "([a-z]{3})([a-z]{3,})", "$1-\n$2"
+    )
+    return textqc.dehyphenate_docs(
+        d.select("doc_id", broken.alias("text"))
+    )
+
+
+def sql_dehyphenate_docs() -> str:
+    return r"""
+WITH b AS (
+  SELECT doc_id,
+         regexp_replace(text, '([a-z]{3})([a-z]{3,})',
+                        '\1-' || chr(10) || '\2', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z]-\n[a-z]')) AS BIGINT) AS n_joins,
+       CAST(len(regexp_extract_all(t, '-\n')) AS BIGINT)
+         - CAST(len(regexp_extract_all(t, '[a-z]-\n[a-z]')) AS BIGINT)
+         AS n_kept_hyphens,
+       md5(regexp_replace(
+             regexp_replace(t, '([a-z])-\n([a-z])', '\1\2', 'g'),
+             '-\n', '-', 'g')) AS clean_digest
+FROM b
+"""
+
+
+def q_media_caption_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Figure-caption association over interleaved span rows
+    (layout.link_captions): every media span links to the nearest
+    FOLLOWING text span that looks like a caption ('Figure N:' /
+    'Table N:'), within 50 positions — the image-text pairing step of a
+    multimodal pipeline, run as a forward as-of window (one shuffle on
+    the doc id, no range join). Spans are synthesized in Catalyst:
+    every 3rd doc gets a media span whose caption sits adjacent (even
+    ids) or out of range (odd ids -> NULL link), every 5th doc a second
+    media with a 'Table' caption, plus decoy body text that must not
+    match."""
+    from pdf_parser_spark.operators import layout
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    t20 = F.substring("text", 1, 20)
+
+    def span(kind: str, text, ref, off) -> F.Column:
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            off.cast("long").alias("offset"),
+        )
+
+    fig_cap = F.concat(
+        F.lit("Figure "), (did % 9 + 1).cast("string"), F.lit(": "), t20
+    )
+    tab_cap = F.concat(
+        F.lit("Table "), (did % 7 + 1).cast("string"), F.lit(": "), t20
+    )
+    arr = F.array(
+        span("text", F.substring("text", 1, 80), F.lit(""), F.lit(0)),
+        F.when(
+            did % 3 == 0,
+            span(
+                "media",
+                F.lit(""),
+                F.concat(F.lit("img-"), ds, F.lit("-0")),
+                F.lit(10),
+            ),
+        ),
+        F.when(
+            did % 3 == 0,
+            span(
+                "text",
+                fig_cap,
+                F.lit(""),
+                F.when(did % 2 == 0, F.lit(11)).otherwise(F.lit(500)),
+            ),
+        ),
+        F.when(
+            did % 5 == 0,
+            span(
+                "media",
+                F.lit(""),
+                F.concat(F.lit("img-"), ds, F.lit("-1")),
+                F.lit(200),
+            ),
+        ),
+        F.when(did % 5 == 0, span("text", tab_cap, F.lit(""), F.lit(210))),
+        span("text", F.concat(F.lit("Body: "), t20), F.lit(""), F.lit(100)),
+    )
+    rows = d.select(
+        did.alias("doc_id"),
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("s"),
+    ).select("doc_id", "s.*")
+    return layout.link_captions(rows, max_gap=50)
+
+
+def sql_media_caption_link() -> str:
+    return """
+WITH docs AS (
+  SELECT doc_id, substr(text, 1, 20) AS t20 FROM documents
+), media AS (
+  SELECT doc_id, 'img-' || doc_id || '-0' AS media_ref,
+         CAST(10 AS BIGINT) AS media_offset
+  FROM docs WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'img-' || doc_id || '-1', CAST(200 AS BIGINT)
+  FROM docs WHERE doc_id % 5 = 0
+), caps AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 11 ELSE 500 END AS BIGINT) AS pos,
+         'Figure ' || (doc_id % 9 + 1) || ': ' || t20 AS cap
+  FROM docs WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, CAST(210 AS BIGINT),
+         'Table ' || (doc_id % 7 + 1) || ': ' || t20
+  FROM docs WHERE doc_id % 5 = 0
+)
+SELECT m.doc_id, m.media_ref, m.media_offset,
+       CASE WHEN min(c.pos) <= m.media_offset + 50
+            THEN min(c.pos) END AS caption_offset,
+       CASE WHEN min(c.pos) <= m.media_offset + 50
+            THEN arg_min(c.cap, c.pos) END AS caption
+FROM media m LEFT JOIN caps c
+  ON c.doc_id = m.doc_id AND c.pos > m.media_offset
+GROUP BY m.doc_id, m.media_ref, m.media_offset
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -10740,6 +11006,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cuped_lift": q_cuped_lift,
     "permutation_test_lift": q_permutation_test_lift,
     "charmass_median_length": q_charmass_median_length,
+    "ks_lang_doclen": q_ks_lang_doclen,
+    "mwu_lang_doclen": q_mwu_lang_doclen,
+    "benford_price": q_benford_price,
+    "dehyphenate_docs": q_dehyphenate_docs,
+    "media_caption_link": q_media_caption_link,
 }
 
 ORACLES: dict[str, str] = {
@@ -10966,4 +11237,9 @@ ORACLES: dict[str, str] = {
     "cuped_lift": sql_cuped_lift(),
     "permutation_test_lift": sql_permutation_test_lift(),
     "charmass_median_length": sql_charmass_median_length(),
+    "ks_lang_doclen": sql_ks_lang_doclen(),
+    "mwu_lang_doclen": sql_mwu_lang_doclen(),
+    "benford_price": sql_benford_price(),
+    "dehyphenate_docs": sql_dehyphenate_docs(),
+    "media_caption_link": sql_media_caption_link(),
 }

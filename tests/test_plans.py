@@ -961,3 +961,49 @@ def test_weighted_median_single_exchange(spark):
     plan = _spark_plan(df)
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_ks_and_mwu_single_value_shuffle_no_join(spark):
+    """KS / Mann-Whitney: ONE map-side-combined shuffle on the value
+    collapses the corpus to distinct values; the single-partition window
+    and 1-row aggregate add their own (tiny, NDV-sized) exchanges but no
+    join and no second corpus scan."""
+    for name in ("ks_lang_doclen", "mwu_lang_doclen"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = _spark_plan(df)
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+        assert "partial_sum" in plan, name  # value-collapse combines map-side
+
+
+def test_benford_partial_agg_nine_keys(spark):
+    """Benford: the 9-key digit groupBy combines map-side (the shuffle
+    carries 9 rows per map partition), one corpus scan, no join."""
+    df = QUERIES["benford_price"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_dehyphenate_zero_shuffle_codegen(spark):
+    """Dehyphenation is a pure scan column: no exchange, no Python stage,
+    whole-stage codegen all the way."""
+    df = QUERIES["dehyphenate_docs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
+    assert "*(1)" in plan  # whole-stage-codegen span marker
+
+
+def test_caption_link_one_doc_shuffle_no_range_join(spark):
+    """Caption link: the forward as-of is ONE window pass — a single
+    hash-partitioned exchange on doc_id feeding a sort + window; no join
+    operator of any kind (the naive form is a per-media range-condition
+    probe) and one scan of the docs table."""
+    df = QUERIES["media_caption_link"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan

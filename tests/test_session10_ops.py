@@ -1,0 +1,181 @@
+"""Value-pinning tests for the session-10 operators: KS / Mann-Whitney
+two-sample tests, the Benford first-digit screen, end-of-line
+dehyphenation, and the media→caption forward as-of link."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- two-sample KS / MWU
+
+
+def _two_samples(spark):
+    # sample 1 (flag): [1, 2, 2, 5]   sample 2: [2, 3, 3]
+    rows = [(1, True), (2, True), (2, True), (5, True), (2, False), (3, False), (3, False)]
+    return spark.createDataFrame(rows, "v long, f boolean")
+
+
+def test_ks_two_sample_exact(spark):
+    from pdf_parser_spark.operators.analytics import ks_two_sample
+
+    df = _two_samples(spark)
+    r = ks_two_sample(df, "v", F.col("f")).collect()[0]
+    # ECDFs at pooled values 1,2,3,5:
+    # F1 = 1/4, 3/4, 3/4, 1   F2 = 0, 1/3, 1, 1 → sup at v=3: |3/4-1|...
+    # diffs: 1/4, 5/12, 1/4, 0 → D = 5/12
+    assert (r["n1"], r["n2"]) == (4, 3)
+    assert r["d_stat"] == round(5 / 12, 6)
+    assert r["d_scaled"] == round(math.sqrt(4 * 3 / 7) * (5 / (4 * 3)), 6)
+
+
+def test_mann_whitney_exact_with_ties(spark):
+    from pdf_parser_spark.operators.analytics import mann_whitney_u
+
+    df = _two_samples(spark)
+    r = mann_whitney_u(df, "v", F.col("f")).collect()[0]
+    # pooled sorted: 1(s1) 2 2 2(two s1, one s2) 3 3(s2) 5(s1)
+    # midranks: 1 → 1; 2s → 3; 3s → 5.5; 5 → 7
+    # R1 = 1 + 3 + 3 + 7 = 14 → U1 = 14 - 4*5/2 = 4
+    assert (r["n1"], r["n2"]) == (4, 3)
+    assert r["u_stat"] == 4.0
+    n1, n2, n = 4, 3, 7
+    ties = (3**3 - 3) + (2**3 - 2)
+    var_u = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (4 - n1 * n2 / 2) / math.sqrt(var_u)
+    assert abs(r["z_score"] - z) < 1e-6
+
+
+def test_mwu_no_ties_matches_closed_form(spark):
+    from pdf_parser_spark.operators.analytics import mann_whitney_u
+
+    # disjoint samples, no ties: sample1 all smaller → U1 = 0
+    rows = [(1, True), (2, True), (10, False), (11, False), (12, False)]
+    df = spark.createDataFrame(rows, "v long, f boolean")
+    r = mann_whitney_u(df, "v", F.col("f")).collect()[0]
+    assert r["u_stat"] == 0.0
+    var_u = 2 * 3 / 12 * (5 + 1)  # no tie correction
+    assert abs(r["z_score"] - (0 - 3.0) / math.sqrt(var_u)) < 1e-6
+
+
+# ------------------------------------------------------ Benford screen
+
+
+def test_benford_digits_and_chi(spark):
+    from pdf_parser_spark.operators.analytics import benford_deviation
+
+    # first digits: 1,1,2,9, plus 0 (excluded) and 0.05 → 5
+    df = spark.createDataFrame(
+        [(10.0,), (199.0,), (25.0,), (9.5,), (0.0,), (0.05,)], "v double"
+    )
+    out = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert set(out) == {1, 2, 5, 9}
+    assert out[1]["n_obs"] == 2 and out[2]["n_obs"] == 1
+    assert out[5]["n_obs"] == 1  # sub-1 value: first nonzero digit
+    assert out[1]["exp_share"] == round(math.log10(2), 6)
+    n = 5
+    chi = sum(
+        round(
+            (c / n - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d) * n,
+            6,
+        )
+        for d, c in [(1, 2), (2, 1), (5, 1), (9, 1)]
+    )
+    # digits with zero observations contribute nothing (screen reports
+    # only observed digits; a full-law chi would add the missing mass)
+    assert abs(out[1]["chi_square"] - round(chi, 4)) < 1e-9
+
+
+# -------------------------------------------------------- dehyphenation
+
+
+def test_dehyphenate_joins_and_keeps(spark):
+    from pdf_parser_spark.operators.textqc import dehyphenate, dehyphenate_docs
+
+    df = spark.createDataFrame(
+        [
+            (1, "exam-\nple and state-\nof-the-art"),
+            (2, "range 3-\n4 stays hyphenated"),
+            (3, "no wraps at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", dehyphenate(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert got[1]["t"] == "example and stateof-the-art"
+    assert got[2]["t"] == "range 3-4 stays hyphenated"
+    assert got[3]["t"] == "no wraps at all"
+    stats = {r["doc_id"]: r for r in dehyphenate_docs(df).collect()}
+    assert (stats[1]["n_joins"], stats[1]["n_kept_hyphens"]) == (2, 0)
+    assert (stats[2]["n_joins"], stats[2]["n_kept_hyphens"]) == (0, 1)
+    assert (stats[3]["n_joins"], stats[3]["n_kept_hyphens"]) == (0, 0)
+
+
+def test_dehyphenate_is_lossless_inverse_of_wrap(spark):
+    from pdf_parser_spark.operators.textqc import dehyphenate
+
+    # the query's synthetic wrap (break every >=6-letter lowercase run)
+    # must round-trip: repair(break(text)) == text
+    texts = [
+        "the quick brownish foxes jumped over thirteen lazy hounds",
+        "short a bb ccc dddd",
+        "internationalization localization",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    broken = F.regexp_replace(F.col("text"), "([a-z]{3})([a-z]{3,})", "$1-\n$2")
+    out = df.select("i", dehyphenate(broken).alias("t")).collect()
+    for r in out:
+        assert r["t"] == texts[r["i"]]
+
+
+# ------------------------------------------------- media→caption link
+
+
+def test_link_captions_nearest_following(spark):
+    from pdf_parser_spark.operators.layout import link_captions
+
+    rows = [
+        # doc a: caption BEFORE media must not link; nearest following wins
+        ("a", "text", "Figure 1: early (before media)", "", 5),
+        ("a", "media", "", "m1", 10),
+        ("a", "text", "Body text, not a caption", "", 12),
+        ("a", "text", "Figure 2: the right one", "", 20),
+        ("a", "text", "Figure 3: farther", "", 30),
+        # doc b: only caption is out of gap range → NULL
+        ("b", "media", "", "m2", 100),
+        ("b", "text", "Table 4: way below", "", 900),
+        # doc c: two media share the same following caption
+        ("c", "media", "", "m3", 1),
+        ("c", "media", "", "m4", 2),
+        ("c", "text", "Fig. 9 caption", "", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    )
+    out = {r["media_ref"]: r for r in link_captions(df, max_gap=50).collect()}
+    assert out["m1"]["caption"] == "Figure 2: the right one"
+    assert out["m1"]["caption_offset"] == 20
+    assert out["m2"]["caption"] is None and out["m2"]["caption_offset"] is None
+    assert out["m3"]["caption"] == "Fig. 9 caption"
+    assert out["m4"]["caption"] == "Fig. 9 caption"
+
+
+def test_link_captions_no_gap_limit_and_no_captions(spark):
+    from pdf_parser_spark.operators.layout import link_captions
+
+    rows = [
+        ("d", "media", "", "m5", 1),
+        ("d", "text", "Table 7: far but unlimited", "", 10_000),
+        ("e", "media", "", "m6", 1),
+        ("e", "text", "plain prose", "", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    )
+    out = {r["media_ref"]: r for r in link_captions(df).collect()}
+    assert out["m5"]["caption_offset"] == 10_000
+    assert out["m6"]["caption"] is None
