@@ -1506,3 +1506,75 @@ def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
             "chi_square"
         ),
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    p_col: str,
+    label,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Brier score for a probabilistic classifier —
+    the eval that tells a curation pipeline whether its quality model's
+    0.9 actually means 90% (quantile calibration rescales scores;
+    THIS measures whether the probabilities are honest). One row per
+    occupied probability bin: count, mean predicted p, observed positive
+    rate, their gap, plus the overall Brier score and expected
+    calibration error (ECE) replicated on every row.
+
+    Exact-replay contract: ``p_col`` must be a 6-dp-rounded probability
+    (the contract ``quality_logit`` already meets), so per-bin Σp and
+    Σ(p−y)² are EXACT decimals (12 dp squares) at any aggregation order;
+    ECE's |gap| terms are rounded to 9 dp and summed as DECIMAL. Only
+    the final ratios derive in DOUBLE.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on ≤ ``bins`` keys —
+    the shuffle carries ``bins`` rows per map partition; the ECE/Brier
+    window runs on the ``bins``-row frame.
+    """
+    y = F.when(label, 1).otherwise(0)
+    p_dec = F.col(p_col).cast("decimal(18,6)")
+    sq = (p_dec - y) * (p_dec - y)  # decimal(·,12), exact
+    b = F.least(
+        F.lit(bins - 1), F.floor(F.col(p_col) * bins).cast("int")
+    )
+    per_bin = scored.select(
+        b.alias("bin"), p_dec.alias("_p"), y.alias("_y"), sq.alias("_sq")
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_p").alias("_sp"),
+        F.sum("_y").cast("long").alias("_npos"),
+        F.sum("_sq").alias("_ssq"),
+    )
+    w_all = Window.partitionBy()
+    mean_p = F.col("_sp").cast("double") / F.col("n").cast("double")
+    frac_pos = F.col("_npos").cast("double") / F.col("n").cast("double")
+    gap = frac_pos - mean_p
+    ece_term = F.round(
+        F.abs(gap) * F.col("n").cast("double"), 9
+    ).cast("decimal(28,9)")
+    with_tot = per_bin.select(
+        "bin",
+        "n",
+        F.round(mean_p, 6).alias("mean_p"),
+        F.round(frac_pos, 6).alias("frac_pos"),
+        F.round(gap, 6).alias("gap"),
+        F.sum("_ssq").over(w_all).alias("_ssq_all"),
+        F.sum("n").over(w_all).alias("_n_all"),
+        F.sum(ece_term).over(w_all).alias("_ece_num"),
+    )
+    return with_tot.select(
+        "bin",
+        "n",
+        "mean_p",
+        "frac_pos",
+        "gap",
+        F.round(
+            F.col("_ssq_all").cast("double") / F.col("_n_all").cast("double"),
+            6,
+        ).alias("brier"),
+        F.round(
+            F.col("_ece_num").cast("double") / F.col("_n_all").cast("double"),
+            6,
+        ).alias("ece"),
+    )

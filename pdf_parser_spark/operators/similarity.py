@@ -1024,3 +1024,92 @@ def kmeans_lloyd_train(
             )
         ).alias("dim", "v"),
     )
+
+
+def ranking_ndcg(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    qid_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Graded ranking quality per query: NDCG@k and MRR@k of a retrieval
+    run against graded relevance judgments — the standard IR eval
+    (Järvelin & Kekäläinen 2002, public) that ``topk_recall`` (binary
+    set overlap) cannot express: it rewards putting HIGHLY relevant
+    documents EARLY. Gains are (2^rel − 1)/log2(rank+1); the ideal DCG
+    re-ranks the query's judgments by relevance (ties broken by doc id,
+    deterministic).
+
+    Exact-replay contract: 2^rel − 1 is exact (integer relevance), log2
+    is written as ln(x)/ln(2) on BOTH engines (same libm call), each
+    gain term is rounded to 9 dp and summed as DECIMAL — so DCG/IDCG are
+    order-independent and only the final ratio derives in DOUBLE.
+
+    Shape at 100 TB: both top-k cuts are WindowGroupLimit prunes (≤ k
+    rows per query cross the shuffle, not the full run); the relevance
+    lookup is a hash equi-join of the k·|queries| frame against qrels;
+    the DCG/IDCG aggregates and final join run on per-query-sized
+    frames. Unjudged retrieved docs score rel 0, queries with no
+    positive judgments report ndcg = mrr = 0.
+
+    Returns (query_id, n_ret, n_rel_topk, dcg, idcg, ndcg, mrr).
+    """
+    from pyspark.sql import Window
+
+    w_run = Window.partitionBy(qid_col).orderBy(
+        F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+    topk = (
+        runs.select(qid_col, doc_col, score_col)
+        .withColumn("rank", F.row_number().over(w_run))
+        .filter(F.col("rank") <= k)
+    )
+    judged = topk.join(
+        qrels.select(qid_col, doc_col, rel_col), [qid_col, doc_col], "left"
+    ).withColumn("_rel", F.coalesce(F.col(rel_col), F.lit(0)).cast("int"))
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731 — ln-ratio on both engines
+    gain = (
+        F.pow(F.lit(2.0), F.col("_rel").cast("double")) - 1.0
+    ) / log2(F.col("rank").cast("double") + 1.0)
+    per_q = judged.groupBy(qid_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_topk"),
+        F.sum(F.round(gain, 9).cast("decimal(20,9)")).alias("_dcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("rank"))).alias("_first_rel"),
+    )
+    w_ideal = Window.partitionBy(qid_col).orderBy(
+        F.col(rel_col).desc(), F.col(doc_col).asc()
+    )
+    igain = (
+        F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0
+    ) / log2(F.col("_irank").cast("double") + 1.0)
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .select(qid_col, doc_col, rel_col)
+        .withColumn("_irank", F.row_number().over(w_ideal))
+        .filter(F.col("_irank") <= k)
+        .groupBy(qid_col)
+        .agg(F.sum(F.round(igain, 9).cast("decimal(20,9)")).alias("_idcg"))
+    )
+    out = per_q.join(ideal, qid_col, "left")
+    dcg_d = F.col("_dcg").cast("double")
+    idcg_d = F.coalesce(F.col("_idcg").cast("double"), F.lit(0.0))
+    return out.select(
+        F.col(qid_col),
+        "n_ret",
+        "n_rel_topk",
+        F.round(dcg_d, 6).alias("dcg"),
+        F.round(idcg_d, 6).alias("idcg"),
+        F.when(idcg_d > 0, F.round(dcg_d / idcg_d, 6))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("_first_rel").cast("double"), 6),
+            F.lit(0.0),
+        ).alias("mrr"),
+    )

@@ -10751,6 +10751,170 @@ GROUP BY m.doc_id, m.media_ref, m.media_offset
 """
 
 
+def q_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking eval (similarity.ranking_ndcg): NDCG@10 + MRR@10 of
+    a term-frequency retrieval run against synthesized graded judgments
+    — the IR eval topk_recall's binary overlap cannot express. Runs and
+    qrels both derive from ONE Catalyst explode over documents (4 query
+    terms; score = literal-replace tf, rel = (doc_id + len(term)) % 4);
+    both top-k cuts are WindowGroupLimit prunes, DCG/IDCG sum 9-dp
+    DECIMAL gain terms (order-independent), log2 as ln/ln on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = [
+        ("join", " join "),
+        ("scan", " scan "),
+        ("merge", " merge "),
+        ("filter", " filter "),
+    ]
+    t = F.col("text")
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("query_id"),
+                (
+                    (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit(""))))
+                    / F.lit(len(pat))
+                )
+                .cast("long")
+                .alias("score"),
+                ((F.col("doc_id") + len(q)) % 4).cast("int").alias("rel"),
+            )
+            for q, pat in terms
+        ]
+    )
+    x = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(structs).alias("s"),
+    ).select("doc_id", "s.query_id", "s.score", "s.rel")
+    runs = x.filter(F.col("score") > 0).select("query_id", "doc_id", "score")
+    qrels = x.filter(F.col("rel") > 0).select("query_id", "doc_id", "rel")
+    return similarity.ranking_ndcg(runs, qrels, k=10)
+
+
+def sql_ndcg_retrieval_eval() -> str:
+    occ = (
+        "CAST((length(text) - length(replace(text, pat, ''))) "
+        "/ length(pat) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (
+  SELECT * FROM (VALUES (' join ', 'join'), (' scan ', 'scan'),
+                        (' merge ', 'merge'), (' filter ', 'filter'))
+              AS t(pat, query_id)
+), x AS (
+  SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+         {occ} AS score,
+         CAST((doc_id + length(query_id)) % 4 AS INT) AS rel
+  FROM documents, q
+), runs AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM x WHERE score > 0
+), topk AS (
+  SELECT * FROM runs WHERE rank <= 10
+), judged AS (
+  SELECT t.query_id, t.rank,
+         coalesce(r.rel, 0) AS rel
+  FROM topk t LEFT JOIN (SELECT query_id, doc_id, rel FROM x WHERE rel > 0) r
+    USING (query_id, doc_id)
+), per_q AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ret,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_topk,
+         sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                        / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)), 9)
+                  AS DECIMAL(20,9))) AS dcg_dec,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel
+  FROM judged GROUP BY query_id
+), ideal AS (
+  SELECT query_id,
+         sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                        / (ln(CAST(irank AS DOUBLE) + 1.0) / ln(2.0)), 9)
+                  AS DECIMAL(20,9))) AS idcg_dec
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS irank
+    FROM x WHERE rel > 0
+  ) WHERE irank <= 10 GROUP BY query_id
+)
+SELECT p.query_id, p.n_ret, p.n_rel_topk,
+       round(CAST(dcg_dec AS DOUBLE), 6) AS dcg,
+       round(coalesce(CAST(idcg_dec AS DOUBLE), 0.0), 6) AS idcg,
+       CASE WHEN coalesce(CAST(idcg_dec AS DOUBLE), 0.0) > 0
+            THEN round(CAST(dcg_dec AS DOUBLE)
+                       / coalesce(CAST(idcg_dec AS DOUBLE), 0.0), 6)
+            ELSE 0.0 END AS ndcg,
+       coalesce(round(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
+FROM per_q p LEFT JOIN ideal USING (query_id)
+"""
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier/ECE (analytics.calibration_report) for
+    the linear quality classifier against the 'is English' label — the
+    probability-honesty eval that complements the per-domain QUANTILE
+    calibration (calibrated_quality_keep rescales ranks; this measures
+    whether prob 0.9 means 90%). One <=10-key map-side-combined shuffle;
+    Brier accumulates EXACT 12-dp decimal squares of the 6-dp probs."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = textqc.quality_logit(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+        ),
+        # coefficients chosen to SPREAD z across ~[-3.5, +4] on this
+        # corpus (mwl ranges 3.7-5.3, stop_ratio 0-0.14) so the
+        # reliability diagram actually occupies multiple bins
+        weights={"mean_word_len": 4.0, "stop_ratio": 10.0},
+        bias=-18.5,
+    )
+    return analytics.calibration_report(
+        scored, "prob", F.col("lang") == "en", bins=10
+    )
+
+
+def sql_quality_calibration() -> str:
+    qf = _quality_feature_sql()
+    return f"""
+WITH feat AS (
+  SELECT lang,
+         round({qf["mwl"]}, 6) AS mwl,
+         round({qf["sr"]}, 6) AS sr
+  FROM documents
+), p AS (
+  SELECT round(1.0 / (1.0 + exp(-(-18.5 + 4.0 * mwl + 10.0 * sr))), 6) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM feat
+), rows_ AS (
+  SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+         CAST(p AS DECIMAL(18,6)) AS pd, y
+  FROM p
+), per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(pd) AS sp,
+         CAST(sum(y) AS BIGINT) AS npos,
+         sum((pd - y) * (pd - y)) AS ssq
+  FROM rows_ GROUP BY bin
+), tot AS (
+  SELECT per.*, sum(ssq) OVER () AS ssq_all, sum(n) OVER () AS n_all,
+         sum(CAST(round(abs(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+                            - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                        * CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)))
+           OVER () AS ece_num
+  FROM per
+)
+SELECT bin, n,
+       round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_p,
+       round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+       round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap,
+       round(CAST(ssq_all AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS brier,
+       round(CAST(ece_num AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS ece
+FROM tot
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -11011,6 +11175,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_price": q_benford_price,
     "dehyphenate_docs": q_dehyphenate_docs,
     "media_caption_link": q_media_caption_link,
+    "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
+    "quality_calibration": q_quality_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -11242,4 +11408,6 @@ ORACLES: dict[str, str] = {
     "benford_price": sql_benford_price(),
     "dehyphenate_docs": sql_dehyphenate_docs(),
     "media_caption_link": sql_media_caption_link(),
+    "ndcg_retrieval_eval": sql_ndcg_retrieval_eval(),
+    "quality_calibration": sql_quality_calibration(),
 }
