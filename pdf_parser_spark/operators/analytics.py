@@ -1578,3 +1578,100 @@ def calibration_report(
             6,
         ).alias("ece"),
     )
+
+
+def conformal_gate(
+    scored: DataFrame,
+    p_col: str,
+    label,
+    alpha: float = 0.2,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    split_mod: int = 10,
+    calib_buckets: int = 3,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Split-conformal screening threshold for a probabilistic filter
+    (Vovk et al. 2005; split variant Papadopoulos 2002 — public): pick
+    the keep threshold NOT by eyeballing the score histogram but so that
+    at least (1−alpha) of true positives survive, with a finite-sample
+    guarantee. Calibration rows are a deterministic hash split
+    (fold(id) % split_mod < calib_buckets); the nonconformity score of a
+    positive is s = 1 − p; qhat is the ⌈(n+1)(1−alpha)⌉-th smallest
+    calibration score (an ORDER STATISTIC, not an interpolated quantile
+    — exact on any engine); test rows keep iff s ≤ qhat. The report
+    gives per-group test counts, keep rate, and realized coverage of
+    positives (≥ 1−alpha in expectation).
+
+    Exactness: p enters 6-dp rounded (quality_logit's contract) so s is
+    exact; the rank index k uses INTEGER arithmetic from the exact
+    rational 1−alpha (Fraction), never a float ceil.
+
+    Shape at 100 TB: the ONE global window runs on the calibration
+    POSITIVES only — a hash-bounded sliver a pipeline sizes via
+    split_mod (conformal needs ~10³ calibration rows for a stable qhat,
+    not a corpus); qhat is a 1-row broadcast onto the test scan, and the
+    report is one map-side-combined groupBy.
+
+    Returns (group, qhat, n_test, n_keep, keep_rate, n_pos, n_pos_kept,
+    coverage).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(1) - Fraction(alpha).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(split_mod),
+    )
+    s = F.round(F.lit(1.0) - F.col(p_col), 6)
+    base = scored.select(
+        F.col(group_col),
+        F.col(id_col),
+        s.alias("_s"),
+        (fold < calib_buckets).alias("_calib"),
+        label.alias("_pos"),
+    )
+    cal = base.filter(F.col("_calib") & F.col("_pos"))
+    w_n = Window.partitionBy()
+    w_rk = Window.partitionBy().orderBy(F.asc("_s"), F.asc(id_col))
+    # k = ceil((n+1)·num/den) = (num·(n+1) + den − 1) DIV den, capped at n
+    k = F.least(
+        F.col("_n"),
+        (F.lit(num) * (F.col("_n") + 1) + F.lit(den - 1)) / F.lit(den),
+    ).cast("long")
+    qhat = (
+        cal.withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .withColumn("_rk", F.row_number().over(w_rk).cast("long"))
+        .filter(F.col("_rk") == k)
+        .select(F.col("_s").alias("qhat"))
+    )
+    test = base.filter(~F.col("_calib")).crossJoin(F.broadcast(qhat))
+    pos = F.when(F.col("_pos"), 1).otherwise(0)
+    keep = F.when(F.col("_s") <= F.col("qhat"), 1).otherwise(0)
+    rep = test.groupBy(group_col, "qhat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(keep).cast("long").alias("n_keep"),
+        F.sum(pos).cast("long").alias("n_pos"),
+        F.sum(pos * keep).cast("long").alias("n_pos_kept"),
+    )
+    return rep.select(
+        F.col(group_col),
+        "qhat",
+        "n_test",
+        "n_keep",
+        F.round(
+            F.col("n_keep").cast("double") / F.col("n_test").cast("double"), 6
+        ).alias("keep_rate"),
+        "n_pos",
+        "n_pos_kept",
+        F.round(
+            F.when(
+                F.col("n_pos") > 0,
+                F.col("n_pos_kept").cast("double") / F.col("n_pos").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("coverage"),
+    )

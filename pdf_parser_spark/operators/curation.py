@@ -1106,3 +1106,81 @@ def neyman_allocation(
             .alias("n_alloc"),
         )
     )
+
+
+def poisson_pps_estimate(
+    docs: DataFrame,
+    y_col: str,
+    weight_col: str,
+    scale: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Horvitz–Thompson estimation from a deterministic Poisson-PPS
+    sample (Horvitz & Thompson 1952, public): include row i with
+    probability pi_i = min(1, w_i/scale) and estimate the group total of
+    ``y_col`` as Σ_{i∈S} y_i/pi_i — unbiased at ANY sampling rate. This
+    is how a 100 TB pipeline prices a full job from a cheap sample
+    (token totals, dedup rates, filter yields) WITHOUT scanning
+    everything twice: the estimator and its design-based variance
+    Σ y_i²(1−pi_i)/pi_i² come from the sample alone; the true total is
+    computed here too only because the demo grades estimator error.
+
+    Determinism/replay contract: the inclusion draw is the portable md5
+    fold of the id mapped to (0,1] (u = (fold%m+1)/m, the same draw
+    ``weighted_sample`` uses), pi is ONE double division (exact replay),
+    and each HT term is rounded to 6 dp and summed as DECIMAL so shuffle
+    order cannot perturb the estimate. ht_se uses IEEE sqrt (correctly
+    rounded on every engine).
+
+    Shape at 100 TB: membership and terms are pure codegen scalars on the
+    scan; ONE map-side-combined groupBy on the group key. When the truth
+    is not wanted, drop the unconditional sums and the scan reads only
+    the sampled partitions' columns.
+
+    Returns (group, n_docs, n_sampled, true_total, ht_total, rel_err,
+    ht_se).
+    """
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(m),
+        )
+        + 1
+    ) / F.lit(float(m))
+    pi = F.least(F.lit(1.0), F.col(weight_col).cast("double") / F.lit(float(scale)))
+    sampled = u <= pi
+    y = F.col(y_col).cast("double")
+    ht_term = F.round(y / pi, 6).cast("decimal(28,6)")
+    var_term = F.round(y * y * (1.0 - pi) / (pi * pi), 6).cast("decimal(28,6)")
+    g = docs.select(
+        F.col(group_col),
+        F.col(y_col).cast("long").alias("_y"),
+        F.when(sampled, ht_term).alias("_ht"),
+        F.when(sampled, var_term).alias("_vt"),
+    ).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("_ht").cast("long").alias("n_sampled"),
+        F.sum("_y").alias("true_total"),
+        F.sum("_ht").alias("_sht"),
+        F.sum("_vt").alias("_svt"),
+    )
+    ht = F.coalesce(F.col("_sht").cast("double"), F.lit(0.0))
+    return g.select(
+        F.col(group_col),
+        "n_docs",
+        "n_sampled",
+        "true_total",
+        F.round(ht, 6).alias("ht_total"),
+        F.round(
+            (ht - F.col("true_total").cast("double"))
+            / F.col("true_total").cast("double"),
+            6,
+        ).alias("rel_err"),
+        F.round(
+            F.sqrt(F.coalesce(F.col("_svt").cast("double"), F.lit(0.0))), 6
+        ).alias("ht_se"),
+    )

@@ -1113,3 +1113,209 @@ def ranking_ndcg(
             F.lit(0.0),
         ).alias("mrr"),
     )
+
+
+def ranking_rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: str = "0.9",
+    qid_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Rank-biased overlap between two retrieval runs (Webber, Moffat &
+    Zobel 2010, public) — the ranker-AGREEMENT eval that complements
+    ranking_ndcg's judged quality: it compares two systems with no
+    judgments at all, weighting agreement at early ranks geometrically
+    (persistence p). Reported per query: truncated RBO_min@k =
+    (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d (X_d = |A_1..d ∩ B_1..d|) plus the
+    plain top-k agreement X_k/k. Ties break by doc id on BOTH runs, so
+    rankings are total orders.
+
+    Exact-replay contract: the weights p^{d−1} are EXACT decimal
+    literals expanded driver-side with ``decimal.Decimal`` (0.9⁹ has 18
+    digits, representable exactly) and injected into both engines as the
+    SAME literal table — never pow() at runtime, whose last-ulp can
+    differ across libm builds. Each term rounds to 9 dp and sums as
+    DECIMAL, order-independent.
+
+    Shape at 100 TB: both rank cuts are WindowGroupLimit prunes (≤ k
+    rows per query survive), the intersection is a hash equi-join of two
+    k·|Q| frames, and the depth explode fans each intersecting doc to at
+    most k rows — everything downstream of the cuts is per-query-sized.
+    Queries with an empty intersection report 0 (left join from the
+    union of ranked qids).
+
+    Returns (query_id, n_common, rbo_min, agreement_k).
+    """
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    weights = [Decimal(p) ** d for d in range(k)]  # w[d-1] = p^(d-1)
+    # 1−p through Decimal: 1.0 − 0.9 in binary floats is 0.09999999999999998,
+    # which would diverge from an engine literal "0.1"
+    one_minus_p = float(Decimal(1) - Decimal(p))
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+
+    def _cut(run, rank_name):
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col(score_col).desc(), F.col(doc_col).asc()
+        )
+        return (
+            run.select(qid_col, doc_col, score_col)
+            .withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= k)
+            .select(qid_col, doc_col, rank_name)
+        )
+
+    ta, tb = _cut(run_a, "_ra"), _cut(run_b, "_rb")
+    j = ta.join(tb, [qid_col, doc_col])
+    depths = j.select(
+        qid_col,
+        F.explode(
+            F.sequence(F.greatest("_ra", "_rb"), F.lit(k))
+        ).alias("_d"),
+    )
+    xd = depths.groupBy(qid_col, "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_x")
+    )
+    term = F.round(
+        F.element_at(w_arr, F.col("_d"))
+        * F.col("_x").cast("double")
+        / F.col("_d").cast("double"),
+        9,
+    ).cast("decimal(20,9)")
+    per = xd.groupBy(qid_col).agg(
+        F.sum(term).alias("_t"),
+        F.max(F.when(F.col("_d") == k, F.col("_x"))).alias("_xk"),
+    )
+    qids = ta.select(qid_col).union(tb.select(qid_col)).distinct()
+    out = qids.join(per, qid_col, "left")
+    return out.select(
+        F.col(qid_col),
+        F.coalesce(F.col("_xk"), F.lit(0)).cast("long").alias("n_common"),
+        F.round(
+            F.lit(one_minus_p)
+            * F.coalesce(F.col("_t").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rbo_min"),
+        F.round(
+            F.coalesce(F.col("_xk"), F.lit(0)).cast("double") / F.lit(float(k)),
+            6,
+        ).alias("agreement_k"),
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) diverse subset selection —
+    Gonzalez 1985's 2-approximation (public), the DIVERSITY-driven data
+    selector a curation pipeline runs when it wants coverage of the
+    embedding space rather than weighted volume (stratified/PPS sample
+    by mass; THIS picks the k points whose covering radius is small).
+    Seed = the vector of id 0 (deterministic; callers wanting a smarter
+    seed reorder ids), then k−1 rounds of "add the point farthest from
+    everything selected", ties to the lower id.
+
+    FULLY DISTRIBUTED, same discipline as kmeans_lloyd_train: vectors
+    enter on the 1e-6 grid, distances are exact int64 Σd² inside one
+    codegen aggregate lambda, and each round's argmax is a 1-row
+    ``max(struct(dist, −id, …))`` carried THROUGH the next round's
+    crossJoin-broadcast — the logical plan is LINEAR in k, with zero
+    driver-side collects and zero shuffles beyond k 1-row reductions.
+
+    Shape at 100 TB: each round is ONE corpus scan (mindist against ≤ k
+    broadcast vectors is pure array math) feeding a partial-agg 1-row
+    reduce. k scans total — the known cost of exact greedy k-center; for
+    k beyond ~tens, switch to sampling or a coreset upstream.
+
+    Returns k rows (sel_order, vec_id, picked_dist, radius): picked_dist
+    is the max-min distance when that point was chosen (0 for the seed),
+    radius the covering radius after ALL k picks — both in squared 1e-6
+    units as exact int64.
+    """
+    data = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: F.round(x, 6)
+        ).alias("_v"),
+    )
+
+    def _dist_to(ck):
+        deltas = F.zip_with(
+            F.col("_v"),
+            F.col(ck),
+            lambda x, c: F.round((x - c) * F.lit(1_000_000.0)).cast("long"),
+        )
+        return F.aggregate(
+            deltas, F.lit(0).cast("long"), lambda acc, d: acc + d * d
+        )
+
+    def _mindist(n):
+        ds = [_dist_to(f"s{j}") for j in range(n)]
+        return ds[0] if n == 1 else F.least(*ds)
+
+    state = data.groupBy().agg(
+        F.max(F.when(F.col("_id") == 0, F.col("_v"))).alias("s0"),
+        F.max(F.when(F.col("_id") == 0, F.col("_id"))).alias("id0"),
+        F.lit(0).cast("long").alias("d0"),
+    )
+    for t in range(1, k):
+        carried = [
+            F.max(c).alias(c)
+            for j in range(t)
+            for c in (f"s{j}", f"id{j}", f"d{j}")
+        ]
+        mind = _mindist(t)
+        pick = (
+            data.crossJoin(F.broadcast(state))
+            .groupBy()
+            .agg(
+                F.max(
+                    F.struct(
+                        mind.alias("d"),
+                        (-F.col("_id")).alias("nid"),
+                        F.col("_id").alias("id"),
+                        F.col("_v").alias("v"),
+                    )
+                ).alias("_pick"),
+                *carried,
+            )
+        )
+        state = pick.select(
+            *[c for j in range(t) for c in (f"s{j}", f"id{j}", f"d{j}")],
+            F.col("_pick.v").alias(f"s{t}"),
+            F.col("_pick.id").alias(f"id{t}"),
+            F.col("_pick.d").alias(f"d{t}"),
+        )
+    final = (
+        data.crossJoin(F.broadcast(state))
+        .groupBy()
+        .agg(
+            F.max(_mindist(k)).alias("radius"),
+            *[
+                F.max(c).alias(c)
+                for j in range(k)
+                for c in (f"id{j}", f"d{j}")
+            ],
+        )
+    )
+    sels = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("sel_order"),
+                F.col(f"id{j}").alias("vec_id"),
+                F.col(f"d{j}").alias("picked_dist"),
+            )
+            for j in range(k)
+        ]
+    )
+    return final.select(
+        F.explode(sels).alias("_s"), F.col("radius")
+    ).select("_s.sel_order", "_s.vec_id", "_s.picked_dist", "radius")

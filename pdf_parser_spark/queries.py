@@ -10915,6 +10915,297 @@ FROM tot
 """
 
 
+def q_ht_corpus_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson corpus estimation (curation.poisson_pps_estimate):
+    per-source character totals estimated from a deterministic Poisson-
+    PPS sample (pi = n_chars/800) — how a 100 TB job prices itself from
+    a cheap sample. HT terms y/pi round to 6 dp and sum as DECIMAL;
+    true totals computed alongside so the driver value-checks both the
+    estimator and its design-based standard error."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    from pdf_parser_spark.operators.curation import poisson_pps_estimate
+
+    return poisson_pps_estimate(
+        d, y_col="n_chars", weight_col="n_chars", scale=800,
+        group_col="source",
+    )
+
+
+def sql_ht_corpus_estimate() -> str:
+    return """
+WITH s AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS y,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1048576 + 1) / 1048576.0 AS u,
+         least(1.0, CAST(n_chars AS DOUBLE) / 800.0) AS pi
+  FROM documents
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(CASE WHEN u <= pi THEN 1 END) AS BIGINT) AS n_sampled,
+         CAST(sum(y) AS BIGINT) AS true_total,
+         sum(CASE WHEN u <= pi
+                  THEN CAST(round(CAST(y AS DOUBLE) / pi, 6)
+                            AS DECIMAL(28,6)) END) AS sht,
+         sum(CASE WHEN u <= pi
+                  THEN CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                  * (1.0 - pi) / (pi * pi), 6)
+                            AS DECIMAL(28,6)) END) AS svt
+  FROM s GROUP BY source
+)
+SELECT source, n_docs, n_sampled, true_total,
+       round(coalesce(CAST(sht AS DOUBLE), 0.0), 6) AS ht_total,
+       round((coalesce(CAST(sht AS DOUBLE), 0.0)
+              - CAST(true_total AS DOUBLE))
+             / CAST(true_total AS DOUBLE), 6) AS rel_err,
+       round(sqrt(coalesce(CAST(svt AS DOUBLE), 0.0)), 6) AS ht_se
+FROM g
+"""
+
+
+def q_conformal_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal screening (analytics.conformal_gate): the keep
+    threshold for the linear quality classifier chosen as the exact
+    ⌈(n+1)·0.8⌉-th order statistic of calibration-positive nonconformity
+    scores — a finite-sample ≥80% recall guarantee on true positives,
+    per source. Calibration is a hash split (fold%10 < 3); qhat is a
+    1-row broadcast onto the test scan; the rank index uses integer
+    arithmetic from the exact rational 4/5, never float ceil."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = textqc.quality_logit(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            "lang",
+            "text",
+        ),
+        weights={"mean_word_len": 4.0, "stop_ratio": 10.0},
+        bias=-18.5,
+    )
+    return analytics.conformal_gate(
+        scored, "prob", F.col("lang") == "en", alpha=0.2,
+        group_col="source",
+    )
+
+
+def sql_conformal_quality_gate() -> str:
+    qf = _quality_feature_sql()
+    return f"""
+WITH feat AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+         round({qf["mwl"]}, 6) AS mwl,
+         round({qf["sr"]}, 6) AS sr
+  FROM documents
+), p AS (
+  SELECT doc_id, source, lang = 'en' AS pos,
+         round(1.0 - round(1.0 / (1.0 + exp(-(-18.5 + 4.0 * mwl
+                                              + 10.0 * sr))), 6), 6) AS s,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10 AS fold
+  FROM feat
+), cal AS (
+  SELECT s, doc_id FROM p WHERE fold < 3 AND pos
+), q AS (
+  SELECT s AS qhat FROM (
+    SELECT s, count(*) OVER () AS n,
+           row_number() OVER (ORDER BY s ASC, doc_id ASC) AS rk
+    FROM cal
+  ) WHERE rk = least(n, (4 * (n + 1) + 4) // 5)
+), t AS (
+  SELECT source, qhat, s, pos FROM p, q WHERE fold >= 3
+), g AS (
+  SELECT source, qhat, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN pos AND s <= qhat THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos_kept
+  FROM t GROUP BY source, qhat
+)
+SELECT source, qhat, n_test, n_keep,
+       round(CAST(n_keep AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+         AS keep_rate,
+       n_pos, n_pos_kept,
+       round(CASE WHEN n_pos > 0
+                  THEN CAST(n_pos_kept AS DOUBLE) / CAST(n_pos AS DOUBLE)
+                  ELSE 0.0 END, 6) AS coverage
+FROM g
+"""
+
+
+def q_rbo_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (similarity.ranking_rbo): agreement between a
+    raw-tf ranking and a length-normalized (tf density) ranking of the
+    same four term queries — the judgment-free ranker-drift eval.
+    p^{d−1} weights are exact Decimal literals injected into BOTH
+    engines (never runtime pow); terms round 9 dp and sum as DECIMAL;
+    the two top-10 cuts are WindowGroupLimit prunes."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = [
+        ("join", " join "),
+        ("scan", " scan "),
+        ("merge", " merge "),
+        ("filter", " filter "),
+    ]
+    t = F.col("text")
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("query_id"),
+                (
+                    (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit(""))))
+                    / F.lit(len(pat))
+                )
+                .cast("long")
+                .alias("tf"),
+            )
+            for q, pat in terms
+        ]
+    )
+    x = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.explode(structs).alias("s"),
+    ).select("doc_id", "n_chars", "s.query_id", "s.tf").filter(
+        F.col("tf") > 0
+    )
+    run_a = x.select("query_id", "doc_id", F.col("tf").alias("score"))
+    run_b = x.select(
+        "query_id",
+        "doc_id",
+        (F.col("tf").cast("double") / F.col("n_chars").cast("double")).alias(
+            "score"
+        ),
+    )
+    return similarity.ranking_rbo(run_a, run_b, k=10, p="0.9")
+
+
+def sql_rbo_ranking_agreement(k: int = 10) -> str:
+    from decimal import Decimal
+
+    wvals = ",\n    ".join(
+        f"({d}, {Decimal('0.9') ** (d - 1)})" for d in range(1, k + 1)
+    )
+    occ = (
+        "CAST((length(text) - length(replace(text, pat, ''))) "
+        "/ length(pat) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (
+  SELECT * FROM (VALUES (' join ', 'join'), (' scan ', 'scan'),
+                        (' merge ', 'merge'), (' filter ', 'filter'))
+              AS t(pat, query_id)
+), x AS (
+  SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars, {occ} AS tf
+  FROM documents, q
+), xf AS (
+  SELECT * FROM x WHERE tf > 0
+), ta AS (
+  SELECT query_id, doc_id, ra FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY tf DESC, doc_id ASC) AS ra
+    FROM xf
+  ) WHERE ra <= {k}
+), tb AS (
+  SELECT query_id, doc_id, rb FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST(tf AS DOUBLE)
+                                       / CAST(n_chars AS DOUBLE) DESC,
+                                       doc_id ASC) AS rb
+    FROM xf
+  ) WHERE rb <= {k}
+), j AS (
+  SELECT query_id, greatest(ra, rb) AS md
+  FROM ta JOIN tb USING (query_id, doc_id)
+), depths AS (
+  SELECT query_id, unnest(generate_series(md, {k})) AS d FROM j
+), xd AS (
+  SELECT query_id, d, CAST(count(*) AS BIGINT) AS x
+  FROM depths GROUP BY query_id, d
+), w AS (
+  SELECT * FROM (VALUES
+    {wvals}) AS t(d, wt)
+), per AS (
+  SELECT query_id,
+         sum(CAST(round(wt * CAST(x AS DOUBLE) / CAST(d AS DOUBLE), 9)
+                  AS DECIMAL(20,9))) AS t,
+         max(CASE WHEN d = {k} THEN x END) AS xk
+  FROM xd JOIN w USING (d) GROUP BY query_id
+), qids AS (
+  SELECT DISTINCT query_id FROM ta
+  UNION SELECT DISTINCT query_id FROM tb
+)
+SELECT q.query_id,
+       CAST(coalesce(xk, 0) AS BIGINT) AS n_common,
+       round(0.1 * coalesce(CAST(t AS DOUBLE), 0.0), 6) AS rbo_min,
+       round(CAST(coalesce(xk, 0) AS DOUBLE) / {float(k)}, 6)
+         AS agreement_k
+FROM qids q LEFT JOIN per USING (query_id)
+"""
+
+
+def q_kcenter_diverse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center selection (similarity.kcenter_select): the 5
+    embeddings that best COVER the space (Gonzalez farthest-point-first,
+    2-approx), fully distributed — each round is one corpus scan into a
+    1-row max(struct) reduce carried through the next round's broadcast,
+    zero collects. Distances are exact int64 on the 1e-6 grid, so the
+    pick sequence, pick distances, and final covering radius all
+    value-check against the chained-CTE replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, k=5)
+
+
+def sql_kcenter_diverse_docs(k: int = 5, dim: int = 64) -> str:
+    dq = lambda c: (  # noqa: E731 — exact int64 squared distance
+        f"list_sum(list_transform(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(round((e.v[i] - {c}[i]) * 1000000.0) AS BIGINT)), "
+        f"dd -> dd * dd))"
+    )
+    ctes = []
+    for t in range(1, k):
+        froms = ", ".join(["e"] + [f"s{j}" for j in range(t)])
+        mind = (
+            dq("s0.v")
+            if t == 1
+            else "least(" + ", ".join(dq(f"s{j}.v") for j in range(t)) + ")"
+        )
+        ctes.append(
+            f"""p{t} AS (
+  SELECT e.id, e.v, {mind} AS d FROM {froms}
+), s{t} AS (
+  SELECT id, v, d FROM p{t} ORDER BY d DESC, id ASC LIMIT 1
+)"""
+        )
+    all_sel = ", ".join(f"s{j}" for j in range(k))
+    rad_mind = "least(" + ", ".join(dq(f"s{j}.v") for j in range(k)) + ")"
+    picks = "\n  UNION ALL ".join(
+        f"SELECT CAST({j} AS INT) AS sel_order, CAST(s{j}.id AS BIGINT) AS "
+        f"vec_id, CAST(s{j}.d AS BIGINT) AS picked_dist FROM s{j}"
+        for j in range(k)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+  FROM embeddings
+), s0 AS (
+  SELECT id, v, CAST(0 AS BIGINT) AS d FROM e WHERE id = 0
+), {", ".join(ctes)}, rad AS (
+  SELECT CAST(max({rad_mind}) AS BIGINT) AS radius FROM e, {all_sel}
+), picks AS (
+  {picks}
+)
+SELECT sel_order, vec_id, picked_dist, radius FROM picks, rad
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -11177,6 +11468,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_caption_link": q_media_caption_link,
     "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
     "quality_calibration": q_quality_calibration,
+    "ht_corpus_estimate": q_ht_corpus_estimate,
+    "conformal_quality_gate": q_conformal_quality_gate,
+    "rbo_ranking_agreement": q_rbo_ranking_agreement,
+    "kcenter_diverse_docs": q_kcenter_diverse_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -11410,4 +11705,8 @@ ORACLES: dict[str, str] = {
     "media_caption_link": sql_media_caption_link(),
     "ndcg_retrieval_eval": sql_ndcg_retrieval_eval(),
     "quality_calibration": sql_quality_calibration(),
+    "ht_corpus_estimate": sql_ht_corpus_estimate(),
+    "conformal_quality_gate": sql_conformal_quality_gate(),
+    "rbo_ranking_agreement": sql_rbo_ranking_agreement(),
+    "kcenter_diverse_docs": sql_kcenter_diverse_docs(),
 }

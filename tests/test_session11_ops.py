@@ -1,0 +1,208 @@
+"""Value-pinning tests for the session-11 operators: Horvitz-Thompson
+Poisson-PPS estimation, split-conformal screening, rank-biased overlap,
+and greedy k-center selection. Each Spark result is replayed by an
+INDEPENDENT pure-Python implementation (hashlib for the md5 fold,
+Decimal half-up for the rounding contract)."""
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+
+def _fold(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _r(x: float, nd: int = 6) -> float:
+    # Spark round(): shortest-repr decimal, HALF_UP — NOT Python's banker's
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
+
+
+# ------------------------------------------------- Horvitz-Thompson
+
+
+def test_poisson_pps_estimate_matches_python_replay(spark):
+    from pdf_parser_spark.operators.curation import poisson_pps_estimate
+
+    m = 1 << 20
+    scale = 40
+    rows = [(i, "g1" if i % 2 else "g2", 5 + (i * 7) % 50) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["source"]: r
+        for r in poisson_pps_estimate(
+            df, y_col="n_chars", weight_col="n_chars", scale=scale
+        ).collect()
+    }
+
+    exp = {}
+    for i, g, w in rows:
+        u = (_fold(str(i)) % m + 1) / float(m)
+        pi = min(1.0, w / float(scale))
+        e = exp.setdefault(
+            g, {"n": 0, "ns": 0, "true": 0, "ht": Decimal(0), "var": Decimal(0)}
+        )
+        e["n"] += 1
+        e["true"] += w
+        if u <= pi:
+            e["ns"] += 1
+            e["ht"] += Decimal(repr(_r(w / pi)))
+            e["var"] += Decimal(repr(_r(w * w * (1.0 - pi) / (pi * pi))))
+    for g, e in exp.items():
+        r = got[g]
+        assert r["n_docs"] == e["n"] and r["n_sampled"] == e["ns"]
+        assert r["true_total"] == e["true"]
+        assert r["ht_total"] == _r(float(e["ht"]))
+        assert r["rel_err"] == _r((float(e["ht"]) - e["true"]) / e["true"])
+        assert r["ht_se"] == _r(math.sqrt(float(e["var"])))
+    # sanity: the estimator is in the right ballpark (within 4 SE)
+    for g, e in exp.items():
+        assert abs(float(e["ht"]) - e["true"]) < 4 * math.sqrt(float(e["var"])) + 1
+
+
+def test_poisson_pps_estimate_partition_invariant(spark):
+    from pdf_parser_spark.operators.curation import poisson_pps_estimate
+
+    rows = [(i, "g", 5 + (i * 13) % 80) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    a = poisson_pps_estimate(df, "n_chars", "n_chars", 60).collect()
+    b = poisson_pps_estimate(
+        df.repartition(7, "doc_id"), "n_chars", "n_chars", 60
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------- split-conformal gate
+
+
+def test_conformal_gate_threshold_and_coverage(spark):
+    from pdf_parser_spark.operators.analytics import conformal_gate
+
+    # probs on the 6-dp grid; label correlates with prob but is noisy
+    rows = [
+        (i, "s" + str(i % 2), _r(((i * 37) % 100) / 100.0), ((i * 37) % 100) >= 30)
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, prob double, lab boolean")
+    out = conformal_gate(
+        df, "prob", F.col("lab"), alpha=0.2, group_col="source"
+    ).collect()
+
+    # independent replay
+    cal = sorted(
+        (_r(1.0 - p), i)
+        for i, _, p, lab in rows
+        if (_fold(str(i)) % 10) < 3 and lab
+    )
+    n = len(cal)
+    k = min(n, (4 * (n + 1) + 4) // 5)
+    qhat = cal[k - 1][0]
+    agg = {}
+    for i, g, p, lab in rows:
+        if (_fold(str(i)) % 10) < 3:
+            continue
+        s = _r(1.0 - p)
+        a = agg.setdefault(g, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += s <= qhat
+        a[2] += lab
+        a[3] += lab and s <= qhat
+    assert len(out) == len(agg)
+    for r in out:
+        a = agg[r["source"]]
+        assert r["qhat"] == qhat
+        assert (r["n_test"], r["n_keep"], r["n_pos"], r["n_pos_kept"]) == tuple(a)
+        assert r["keep_rate"] == _r(a[1] / a[0])
+        assert r["coverage"] == _r(a[3] / a[2])
+    # the conformal guarantee on pooled test positives: coverage >= 1 - alpha
+    # (holds in expectation; this split satisfies it on the nose)
+    tot_pos = sum(a[2] for a in agg.values())
+    tot_kept = sum(a[3] for a in agg.values())
+    assert tot_kept / tot_pos >= 0.8 - 0.05
+
+
+# ------------------------------------------------- rank-biased overlap
+
+
+def test_ranking_rbo_hand_computed(spark):
+    from pdf_parser_spark.operators.similarity import ranking_rbo
+
+    # A ranks docs 1,2,3; B ranks 1,3,4 (scores force the order)
+    a = spark.createDataFrame(
+        [("q", 1, 30.0), ("q", 2, 20.0), ("q", 3, 10.0)],
+        "query_id string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q", 1, 30.0), ("q", 3, 20.0), ("q", 4, 10.0)],
+        "query_id string, doc_id long, score double",
+    )
+    r = ranking_rbo(a, b, k=3, p="0.9").collect()[0]
+    # X_1=1, X_2=1, X_3=2 → rbo = 0.1*(1/1 + 0.9/2 + 0.81*2/3) = 0.199
+    assert r["n_common"] == 2
+    assert r["rbo_min"] == _r(0.1 * (1.0 + 0.45 + 0.54))
+    assert r["agreement_k"] == _r(2 / 3)
+
+
+def test_ranking_rbo_identical_and_disjoint(spark):
+    from pdf_parser_spark.operators.similarity import ranking_rbo
+
+    a = spark.createDataFrame(
+        [("q", i, float(10 - i)) for i in range(1, 4)],
+        "query_id string, doc_id long, score double",
+    )
+    same = ranking_rbo(a, a, k=3, p="0.9").collect()[0]
+    # identical rankings: X_d = d → rbo_min = (1-p)·Σ p^(d-1) = 1 - p^k
+    assert same["rbo_min"] == _r(0.1 * (1 + 0.9 + 0.81))
+    assert same["agreement_k"] == 1.0
+    b = spark.createDataFrame(
+        [("q", i + 100, float(10 - i)) for i in range(1, 4)],
+        "query_id string, doc_id long, score double",
+    )
+    disj = ranking_rbo(a, b, k=3, p="0.9").collect()[0]
+    assert disj["rbo_min"] == 0.0 and disj["n_common"] == 0
+
+
+# ------------------------------------------------- greedy k-center
+
+
+def test_kcenter_select_known_geometry(spark):
+    from pdf_parser_spark.operators.similarity import kcenter_select
+
+    # squared dists in 1e-6 units: coordinate c → c·1e6 exactly
+    pts = {0: (0.0, 0.0), 1: (3.0, 0.0), 2: (0.0, 4.0), 3: (3.0, 4.0)}
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in pts.items()],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["sel_order"]: r for r in kcenter_select(df, k=3).collect()}
+    u = 10**12  # (1.0 on the 1e-6 grid)² = 1e12
+    # seed 0=(0,0); dists: 1→9u, 2→16u, 3→25u → pick 3; then
+    # mindists vs {0,3}: 1→min(9,16)=9u, 2→min(16,9)=9u → tie → lower id 1
+    assert rows[0]["vec_id"] == 0 and rows[0]["picked_dist"] == 0
+    assert rows[1]["vec_id"] == 3 and rows[1]["picked_dist"] == 25 * u
+    assert rows[2]["vec_id"] == 1 and rows[2]["picked_dist"] == 9 * u
+    # radius after {0,3,1}: point 2 at min(16,9,25)=9u
+    assert all(r["radius"] == 9 * u for r in rows.values())
+
+
+def test_kcenter_select_partition_invariant(spark):
+    from pdf_parser_spark.operators.similarity import kcenter_select
+
+    rows = [
+        (i, [((i * 17 + d * 5) % 23) / 8.0 for d in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = kcenter_select(df, k=4).collect()
+    b = kcenter_select(df.repartition(9, "vec_id"), k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # selected points are distinct and the pick distances never increase
+    picks = sorted(a, key=lambda r: r["sel_order"])
+    assert len({r["vec_id"] for r in picks}) == 4
+    ds = [r["picked_dist"] for r in picks[1:]]
+    assert all(x >= y for x, y in zip(ds, ds[1:]))
+    # covering radius ≤ the last pick distance (that point is now covered)
+    assert picks[0]["radius"] <= ds[-1]
