@@ -1675,3 +1675,143 @@ def conformal_gate(
             6,
         ).alias("coverage"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    lookback_us: int = 3 * 86_400 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch revenue attribution: credit each conversion's revenue
+    to the touch events (views/clicks) of the same user in the lookback
+    window STRICTLY before it, under the three standard models at once —
+    first-touch (100% to the earliest touch's channel), last-touch
+    (100% to the latest), linear (split evenly across touches).
+    Conversions with no touch in the window report as channel
+    ``direct`` with full credit under every model.
+
+    Determinism: first = min(ts, event_id), last = max(ts, event_id)
+    (struct order; event_id breaks timestamp ties); revenue enters as
+    DECIMAL(18,2) (exact — values are 2-dp money) and linear shares
+    round to 6 dp before the DECIMAL sum, so aggregation order cannot
+    perturb a cent.
+
+    Shape at 100 TB: candidates come from the bucketed (user, time-bin)
+    EQUI-join (operators/rangejoin.bucketed_range_join — never an
+    inequality join), per-conversion stats are ONE groupBy(conv, channel)
+    plus windows over the conversion key (same partitioning, no extra
+    exchange), and the channel rollup is a map-side-combined groupBy on
+    ≤ |channels| keys. The unattributed remainder is a left-anti join on
+    the conversion key.
+
+    Returns (channel, n_touches, n_first, n_last, first_rev, last_rev,
+    linear_rev).
+    """
+    from pdf_parser_spark.operators.rangejoin import bucketed_range_join
+
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("decimal(18,2)").alias("_val"),
+    )
+    touches = base.filter(F.col("_ty").isin(*touch_types)).select(
+        "_u",
+        F.col("_ts").alias("_tts"),
+        F.col("_ty").alias("channel"),
+        F.col("_id").alias("_tid"),
+    )
+    convs = base.filter(F.col("_ty") == conversion_type).select(
+        "_u",
+        F.col("_ts").alias("_cts"),
+        F.col("_id").alias("_cid"),
+        "_val",
+    )
+    cand = bucketed_range_join(
+        convs, touches, key="_u", left_ts="_cts", right_ts="_tts",
+        window=lookback_us,
+    ).filter((F.col("_cts") - F.col("_tts")).between(1, lookback_us))
+    g = cand.groupBy("_cid", "channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.min(F.struct("_tts", "_tid")).alias("_mn"),
+        F.max(F.struct("_tts", "_tid")).alias("_mx"),
+        F.max("_val").alias("_val"),
+    )
+    w = Window.partitionBy("_cid")
+    per = (
+        g.withColumn("_n", F.sum("_cnt").over(w))
+        .withColumn(
+            "_first",
+            F.min(F.struct(F.col("_mn._tts"), F.col("_mn._tid"), "channel"))
+            .over(w)["channel"],
+        )
+        .withColumn(
+            "_last",
+            F.max(F.struct(F.col("_mx._tts"), F.col("_mx._tid"), "channel"))
+            .over(w)["channel"],
+        )
+    )
+    vd = F.col("_val").cast("double")
+    attributed = per.groupBy("channel").agg(
+        F.sum("_cnt").cast("long").alias("n_touches"),
+        F.sum(F.when(F.col("channel") == F.col("_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(F.col("channel") == F.col("_last"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_last"),
+        F.sum(
+            F.when(F.col("channel") == F.col("_first"), F.col("_val"))
+        ).alias("_frev"),
+        F.sum(
+            F.when(F.col("channel") == F.col("_last"), F.col("_val"))
+        ).alias("_lrev"),
+        F.sum(
+            F.round(
+                vd * F.col("_cnt").cast("double") / F.col("_n").cast("double"),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("_linrev"),
+    )
+    direct = (
+        convs.join(cand.select("_cid").distinct(), "_cid", "left_anti")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nd"),
+            F.sum("_val").alias("_dval"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            F.col("_nd").alias("n_first"),
+            F.col("_nd").alias("n_last"),
+            F.col("_dval").alias("_frev"),
+            F.col("_dval").alias("_lrev"),
+            F.col("_dval").cast("decimal(28,6)").alias("_linrev"),
+        )
+        .filter(F.col("n_first") > 0)
+    )
+    out = attributed.unionByName(direct)
+    z = F.lit(0.0)
+    return out.select(
+        "channel",
+        "n_touches",
+        "n_first",
+        "n_last",
+        F.round(F.coalesce(F.col("_frev").cast("double"), z), 2).alias(
+            "first_rev"
+        ),
+        F.round(F.coalesce(F.col("_lrev").cast("double"), z), 2).alias(
+            "last_rev"
+        ),
+        F.round(F.coalesce(F.col("_linrev").cast("double"), z), 6).alias(
+            "linear_rev"
+        ),
+    )

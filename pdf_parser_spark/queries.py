@@ -11206,6 +11206,88 @@ SELECT sel_order, vec_id, picked_dist, radius FROM picks, rad
 """
 
 
+def q_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution (analytics.multi_touch_attribution):
+    purchase revenue credited to the user's view/click touches in the
+    3-day lookback under first-touch, last-touch, and linear models at
+    once; untouched purchases roll up as 'direct'. Candidates come from
+    the bucketed (user, time-bin) equi-join; the oracle is an
+    INDEPENDENT brute inequality join, so a wrong bin offset cannot
+    agree with it. Money sums as DECIMAL(18,2); linear shares round to
+    6 dp before their DECIMAL sum."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.multi_touch_attribution(e)
+
+
+def sql_revenue_attribution(lookback_us: int = 3 * 86_400 * 1_000_000) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS ets, event_type AS ty,
+         CAST(event_id AS BIGINT) AS id, CAST(value AS DECIMAL(18,2)) AS val
+  FROM events
+), t AS (
+  SELECT u, ets AS tts, ty AS channel, id AS tid FROM e
+  WHERE ty IN ('view', 'click')
+), c AS (
+  SELECT u, ets AS cts, id AS cid, val FROM e WHERE ty = 'purchase'
+), cand AS (
+  SELECT cid, channel, tts, tid, val
+  FROM c JOIN t USING (u)
+  WHERE cts - tts BETWEEN 1 AND {lookback_us}
+), firsts AS (
+  SELECT cid, channel AS first_ch FROM (
+    SELECT cid, channel,
+           row_number() OVER (PARTITION BY cid ORDER BY tts ASC, tid ASC)
+             AS rn
+    FROM cand
+  ) WHERE rn = 1
+), lasts AS (
+  SELECT cid, channel AS last_ch FROM (
+    SELECT cid, channel,
+           row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC)
+             AS rn
+    FROM cand
+  ) WHERE rn = 1
+), stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY cid
+), per AS (
+  SELECT cid, channel, CAST(count(*) AS BIGINT) AS cnt, max(val) AS val
+  FROM cand GROUP BY cid, channel
+), j AS (
+  SELECT per.*, n, first_ch, last_ch
+  FROM per JOIN stats USING (cid) JOIN firsts USING (cid)
+       JOIN lasts USING (cid)
+), att AS (
+  SELECT channel,
+         CAST(sum(cnt) AS BIGINT) AS n_touches,
+         CAST(sum(CASE WHEN channel = first_ch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first,
+         CAST(sum(CASE WHEN channel = last_ch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_last,
+         sum(CASE WHEN channel = first_ch THEN val END) AS frev,
+         sum(CASE WHEN channel = last_ch THEN val END) AS lrev,
+         sum(CAST(round(CAST(val AS DOUBLE) * CAST(cnt AS DOUBLE)
+                        / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6))) AS linrev
+  FROM j GROUP BY channel
+), direct AS (
+  SELECT 'direct' AS channel, CAST(0 AS BIGINT) AS n_touches,
+         CAST(count(*) AS BIGINT) AS n_first,
+         CAST(count(*) AS BIGINT) AS n_last,
+         sum(val) AS frev, sum(val) AS lrev,
+         CAST(sum(val) AS DECIMAL(28,6)) AS linrev
+  FROM c WHERE cid NOT IN (SELECT DISTINCT cid FROM cand)
+  HAVING count(*) > 0
+), u AS (
+  SELECT * FROM att UNION ALL SELECT * FROM direct
+)
+SELECT channel, n_touches, n_first, n_last,
+       round(coalesce(CAST(frev AS DOUBLE), 0.0), 2) AS first_rev,
+       round(coalesce(CAST(lrev AS DOUBLE), 0.0), 2) AS last_rev,
+       round(coalesce(CAST(linrev AS DOUBLE), 0.0), 6) AS linear_rev
+FROM u
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -11472,6 +11554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_quality_gate": q_conformal_quality_gate,
     "rbo_ranking_agreement": q_rbo_ranking_agreement,
     "kcenter_diverse_docs": q_kcenter_diverse_docs,
+    "revenue_attribution": q_revenue_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -11709,4 +11792,5 @@ ORACLES: dict[str, str] = {
     "conformal_quality_gate": sql_conformal_quality_gate(),
     "rbo_ranking_agreement": sql_rbo_ranking_agreement(),
     "kcenter_diverse_docs": sql_kcenter_diverse_docs(),
+    "revenue_attribution": sql_revenue_attribution(),
 }

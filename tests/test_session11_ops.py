@@ -206,3 +206,50 @@ def test_kcenter_select_partition_invariant(spark):
     assert all(x >= y for x, y in zip(ds, ds[1:]))
     # covering radius ≤ the last pick distance (that point is now covered)
     assert picks[0]["radius"] <= ds[-1]
+
+
+# ------------------------------------------------- multi-touch attribution
+
+
+def test_multi_touch_attribution_models(spark):
+    from datetime import datetime, timedelta
+
+    from pdf_parser_spark.operators.analytics import multi_touch_attribution
+
+    t0 = datetime(2024, 1, 1)
+    us = lambda n: t0 + timedelta(microseconds=n)  # noqa: E731
+    rows = [
+        # user 1: view then click then purchase(10.00) — both in window
+        (1, us(100), 1, "view", 0.0),
+        (2, us(200), 1, "click", 0.0),
+        (3, us(300), 1, "purchase", 10.0),
+        # user 2: untouched purchase → direct
+        (4, us(500), 2, "purchase", 7.5),
+        # user 3: two clicks at the SAME ts (ids break the tie), purchase
+        (5, us(1000), 3, "click", 0.0),
+        (6, us(1000), 3, "click", 0.0),
+        (7, us(1500), 3, "purchase", 9.0),
+        # user 3: a touch AFTER the purchase must not count
+        (8, us(1600), 3, "view", 0.0),
+        # user 4: touch outside the lookback → direct
+        (9, us(0), 4, "view", 0.0),
+        (10, us(2000), 4, "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r["channel"]: r
+        for r in multi_touch_attribution(df, lookback_us=1000).collect()
+    }
+    v, c, d = out["view"], out["click"], out["direct"]
+    assert (v["n_touches"], v["n_first"], v["n_last"]) == (1, 1, 0)
+    assert (v["first_rev"], v["last_rev"], v["linear_rev"]) == (10.0, 0.0, 5.0)
+    assert (c["n_touches"], c["n_first"], c["n_last"]) == (3, 1, 2)
+    assert (c["first_rev"], c["last_rev"], c["linear_rev"]) == (9.0, 19.0, 14.0)
+    assert (d["n_first"], d["n_last"]) == (2, 2)
+    assert (d["first_rev"], d["last_rev"], d["linear_rev"]) == (10.5, 10.5, 10.5)
+    # full revenue is conserved under every model
+    tot = 10.0 + 7.5 + 9.0 + 3.0
+    for k in ("first_rev", "last_rev", "linear_rev"):
+        assert abs(sum(r[k] for r in out.values()) - tot) < 1e-6
