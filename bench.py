@@ -213,6 +213,18 @@ BENCH_QUERIES = [
     "cuped_lift",
     "permutation_test_lift",
     "charmass_median_length",
+    "ks_lang_doclen",
+    "mwu_lang_doclen",
+    "benford_price",
+    "dehyphenate_docs",
+    "media_caption_link",
+    "ndcg_retrieval_eval",
+    "quality_calibration",
+    "ht_corpus_estimate",
+    "conformal_quality_gate",
+    "rbo_ranking_agreement",
+    "kcenter_diverse_docs",
+    "revenue_attribution",
 ]
 
 
