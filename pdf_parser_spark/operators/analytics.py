@@ -1815,3 +1815,205 @@ def multi_touch_attribution(
             "linear_rev"
         ),
     )
+
+
+def clustering_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Agreement between two labelings/clusterings of the same rows —
+    purity, NMI, and adjusted Rand index in ONE pass. This is the eval a
+    dedup/curation pipeline runs to answer "do my near-dup clusters
+    line up with source/lang/topic?" (all public textbook measures:
+    Manning et al., IR book ch.16; Hubert & Arabie 1985 for ARI).
+
+    Exactness: every count is integer; the pair sums accumulate the
+    UNHALVED x·(x−1) as DECIMAL(38,0) (exact, no 2^53 ceiling, no
+    integer-division dialect differences) and halve only inside the
+    final double ratio; the only floats are the log terms, each rounded
+    to 9 dp and summed as DECIMAL so aggregation order cannot change
+    the result; final ratios round to 6 dp.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on (a, b) — the
+    shuffle carries k_a·k_b rows per map partition; everything after
+    runs on the contingency table (frontier-sized by construction).
+    Degenerate inputs (a single cluster on either side) yield NULL
+    nmi/ari rather than a misleading 0 or 1.
+    """
+    ct = (
+        df.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nij"))
+    )
+    pairs2 = lambda c: F.expr(f"CAST({c} AS DECIMAL(38,0)) * ({c} - 1)")
+    a_marg = ct.groupBy("_a").agg(
+        F.sum("_nij").cast("long").alias("_ai"),
+        F.max("_nij").cast("long").alias("_mx"),
+    )
+    b_marg = ct.groupBy("_b").agg(F.sum("_nij").cast("long").alias("_bj"))
+    w_all = Window.partitionBy()
+    a2 = a_marg.withColumn("_n", F.sum("_ai").over(w_all))
+    ent = lambda cnt: F.round(
+        -(F.col(cnt).cast("double") / F.col("_n").cast("double"))
+        * F.log(F.col(cnt).cast("double") / F.col("_n").cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    arow = a2.agg(
+        F.max("_n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_a"),
+        F.sum("_mx").cast("long").alias("_pur_num"),
+        F.sum(pairs2("_ai")).alias("_sa"),
+        F.sum(ent("_ai")).alias("_ha"),
+    )
+    b2 = b_marg.withColumn("_n", F.sum("_bj").over(w_all))
+    brow = b2.agg(
+        F.count(F.lit(1)).cast("long").alias("k_b"),
+        F.sum(pairs2("_bj")).alias("_sb"),
+        F.sum(ent("_bj")).alias("_hb"),
+    )
+    ct2 = (
+        ct.withColumn("_ai", F.sum("_nij").over(Window.partitionBy("_a")))
+        .withColumn("_bj", F.sum("_nij").over(Window.partitionBy("_b")))
+        .withColumn("_n", F.sum("_nij").over(w_all))
+    )
+    mi_term = F.round(
+        (F.col("_nij").cast("double") / F.col("_n").cast("double"))
+        * F.log(
+            F.col("_nij").cast("double")
+            * F.col("_n").cast("double")
+            / (F.col("_ai").cast("double") * F.col("_bj").cast("double"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    crow = ct2.agg(
+        F.sum(mi_term).alias("_mi"), F.sum(pairs2("_nij")).alias("_sij")
+    )
+    out = arow.crossJoin(brow).crossJoin(crow)
+    n_d = F.col("n").cast("double")
+    sn = n_d * (n_d - F.lit(1.0)) / F.lit(2.0)
+    sa = F.col("_sa").cast("double") / F.lit(2.0)
+    sb = F.col("_sb").cast("double") / F.lit(2.0)
+    sij = F.col("_sij").cast("double") / F.lit(2.0)
+    exp_ = sa * sb / sn
+    ari = F.try_divide(sij - exp_, (sa + sb) / F.lit(2.0) - exp_)
+    nmi = F.try_divide(
+        F.col("_mi").cast("double"),
+        F.sqrt(F.col("_ha").cast("double") * F.col("_hb").cast("double")),
+    )
+    return out.select(
+        "n",
+        "k_a",
+        "k_b",
+        F.round(
+            F.col("_pur_num").cast("double") / F.col("n").cast("double"), 6
+        ).alias("purity"),
+        F.round(nmi, 6).alias("nmi"),
+        F.round(ari, 6).alias("ari"),
+    )
+
+
+# chi-square critical values at alpha = 0.05 for df = 1..10 (public
+# textbook table, e.g. NIST/SEMATECH e-Handbook §1.3.6.7.4)
+CHI2_CRIT_05 = {
+    1: 3.841,
+    2: 5.991,
+    3: 7.815,
+    4: 9.488,
+    5: 11.070,
+    6: 12.592,
+    7: 14.067,
+    8: 15.507,
+    9: 16.919,
+    10: 18.307,
+}
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    arms: list[tuple[str, int]],
+    salt: str = "srm",
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a hash-randomized experiment — the
+    first diagnostic any A/B readout runs (Fabijan et al. 2019, public):
+    assign each distinct unit to an arm by deterministic hash bucket,
+    compare observed arm counts against the intended integer weights
+    with a chi-square goodness-of-fit test, and flag when the statistic
+    exceeds the alpha=0.05 critical value for k−1 degrees of freedom.
+
+    The assignment hash is the engine's PORTABLE fold (md5 → 60-bit
+    int), so any engine reproduces the same buckets bit-for-bit — that
+    is what makes the flag auditable. One row per arm: observed n,
+    exact expected n, the arm's chi-square contribution, plus the total
+    statistic and flag replicated on every row.
+
+    Exactness: expected counts are total·w/W with the division done
+    identically on both sides (double); contributions round to 9 dp and
+    sum as DECIMAL; df ≤ 10 uses the published critical-value literal.
+
+    Shape at 100 TB: distinct(unit) is one map-side-combined shuffle;
+    arm assignment is pure codegen arithmetic; the arm aggregate is a
+    k-row frame. Nothing touches the driver.
+    """
+    if not 2 <= len(arms) <= 11:
+        raise ValueError("srm_check supports 2..11 arms (df 1..10)")
+    total_w = sum(w for _, w in arms)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(unit_col).cast("string"), F.lit(f"#{salt}")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(total_w),
+    )
+    arm_expr = None
+    lo = 0
+    for name, w in arms:
+        cond = (bucket >= lo) & (bucket < lo + w)
+        arm_expr = (
+            F.when(cond, name) if arm_expr is None else arm_expr.when(cond, name)
+        )
+        lo += w
+    units = (
+        df.select(F.col(unit_col)).distinct().select(arm_expr.alias("arm"))
+    )
+    counts = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    # left-join against the literal arm list so an arm with ZERO observed
+    # units still contributes its (0 − e)²/e term — the exact case SRM
+    # exists to catch (a broken assignment/logging path)
+    arms_df = df.sparkSession.createDataFrame(
+        [(name, w) for name, w in arms], "arm string, _w long"
+    )
+    w_all = Window.partitionBy()
+    enriched = (
+        arms_df.join(F.broadcast(counts), "arm", "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)).cast("long"))
+        .withColumn("_total", F.sum("observed").over(w_all))
+    )
+    expected = (
+        F.col("_total").cast("double")
+        * F.col("_w").cast("double")
+        / F.lit(float(total_w))
+    )
+    contrib = (F.col("observed").cast("double") - expected) * (
+        F.col("observed").cast("double") - expected
+    ) / expected
+    crit = CHI2_CRIT_05[len(arms) - 1]
+    with_stat = enriched.withColumn(
+        "_contrib", F.round(contrib, 9).cast("decimal(28,9)")
+    ).withColumn("chi2", F.sum("_contrib").over(w_all).cast("double"))
+    return with_stat.select(
+        "arm",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.col("_contrib").cast("double").alias("contrib"),
+        F.round(F.col("chi2"), 9).alias("chi2"),
+        (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
+    )

@@ -1184,3 +1184,124 @@ def poisson_pps_estimate(
             F.sqrt(F.coalesce(F.col("_svt").cast("double"), F.lit(0.0))), 6
         ).alias("ht_se"),
     )
+
+
+def grouped_sequence(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    num_partitions: int = 32,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per-group contiguous sequence numbers 1..N_g — the grouped twin of
+    ``global_sequence`` and the same escape hatch from the canonical
+    cliff: ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    serializes each group through ONE task, and a "group" in a curation
+    job is a SOURCE (a handful of values over 100 TB — five tasks for
+    the whole corpus).
+
+    Plan shape (mirrors global_sequence, composite-range-partitioned):
+    range-partition on (group, order) so each partition holds a
+    contiguous slice of one-or-more groups; per-(partition, group) counts
+    are a partial-aggregated groupBy; offsets are a cumulative sum per
+    group over that frontier-sized aggregate; ranks within (partition,
+    group) ride one hash shuffle whose largest task is one range
+    partition, never one group.
+
+    ``(group_col, *order_cols)`` must be a unique composite key; output
+    equals the single-window formulation exactly.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, group_col, *order_cols)
+        .sortWithinPartitions(group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = ranged.groupBy("_pid", group_col).agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        group_col,
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
+    return (
+        ranged.withColumn("_gs_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), ["_pid", group_col])
+        .withColumn(seq_col, (F.col("_off") + F.col("_gs_rn")).cast("long"))
+        .drop("_pid", "_off", "_gs_rn")
+    )
+
+
+def quantile_map(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    ref_group: str,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Quantile-mapping score normalization across sources: every row's
+    score is replaced by the REFERENCE source's empirical quantile at
+    the row's within-source percentile rank, so scores from differently
+    calibrated scorers (one per crawl/source, the standard curation
+    mess) become comparable on one scale. This is classic quantile
+    normalization / CDF matching (public method, e.g. Bolstad et al.
+    2003 for arrays; identical construction).
+
+    Exact semantics (inverse empirical CDF, type-1): with rn = rank of
+    the row within its group (ties broken by id), n_g = group size,
+    n_ref = reference group size, the mapped value is the reference
+    score at index ceil(rn · n_ref / n_g) — computed in INTEGER
+    arithmetic ((rn·n_ref + n_g − 1) DIV n_g), so no float boundary can
+    round an index differently across engines, and the map is exact at
+    any scale (no 2^53 ceiling: the product stays in BIGINT range for
+    any real corpus split; beyond that cast to DECIMAL).
+
+    Plan shape at 100 TB: both rank assignments are grouped_sequence /
+    global_sequence (range-partitioned, never a one-task window); the
+    reference index lookup is a plain EQUI-join on the integer index
+    (shuffle keyed by idx — uniform by construction); n_ref and group
+    sizes ride broadcast joins. The reference side at extreme scale is
+    downsampled upstream (every k-th rank) without changing this shape.
+
+    Reference-group rows flow through too and map onto (approximately)
+    themselves — a built-in identity check.
+    """
+    ref = df.filter(F.col(group_col) == ref_group).select(
+        F.col(score_col).alias("_ref_score"), F.col(id_col).alias("_rid")
+    )
+    ref_seq = global_sequence(
+        ref, ["_ref_score", "_rid"], num_partitions, seq_col="_idx"
+    )
+    nref = ref_seq.agg(F.max("_idx").alias("_nref"))
+    ranked = grouped_sequence(
+        df.select(group_col, id_col, score_col),
+        group_col,
+        [score_col, id_col],
+        num_partitions,
+        seq_col="_rn",
+    )
+    sizes = ranked.groupBy(group_col).agg(F.count("*").alias("_ng"))
+    joined = (
+        ranked.join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(nref))
+        .withColumn(
+            "_ref_idx", F.expr("(_rn * _nref + _ng - 1) DIV _ng").cast("long")
+        )
+    )
+    return (
+        joined.join(ref_seq, joined["_ref_idx"] == ref_seq["_idx"])
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(score_col).alias("raw_score"),
+            F.round(
+                F.col("_rn").cast("double") / F.col("_ng").cast("double"), 6
+            ).alias("p"),
+            F.col("_ref_score").alias("mapped_score"),
+        )
+    )

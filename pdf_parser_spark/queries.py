@@ -11288,6 +11288,172 @@ FROM u
 """
 
 
+def q_quantile_map_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (curation.quantile_map): every
+    doc's length score is mapped onto src0's empirical length
+    distribution at the doc's within-source percentile rank, making
+    per-source scores comparable (CDF matching, public method). Rank
+    assignment is grouped_sequence/global_sequence (range-partitioned —
+    never a one-task window); the index lookup is an integer EQUI-join
+    ((rn·n_ref + n_g − 1) DIV n_g — pure BIGINT, no float boundary);
+    sizes ride broadcast joins. The oracle replays the inverse empirical
+    CDF with plain window functions."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation.quantile_map(
+        d.select("source", F.col("doc_id").cast("long").alias("doc_id"),
+                 F.col("n_chars").cast("long").alias("n_chars")),
+        score_col="n_chars",
+        group_col="source",
+        ref_group="src0",
+    )
+
+
+def sql_quantile_map_nchars() -> str:
+    return """
+WITH ref AS (
+  SELECT n_chars AS s,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS idx
+  FROM documents WHERE source = 'src0'
+), nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS nref FROM ref
+), d AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+  FROM documents
+)
+SELECT d.source, d.doc_id, d.n_chars AS raw_score,
+       round(CAST(rn AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS p,
+       CAST(r.s AS BIGINT) AS mapped_score
+FROM d CROSS JOIN nr
+JOIN ref r ON ((d.rn * nr.nref + d.ng - 1) // d.ng) = r.idx
+"""
+
+
+def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-agreement eval (analytics.clustering_agreement):
+    purity/NMI/ARI between the source partition and the lang partition
+    of the corpus — the "do my clusters line up with ground truth"
+    readout. ONE (a,b) map-side-combined shuffle; pair sums are exact
+    unhalved x·(x−1) decimals; log terms round to 9 dp before the
+    DECIMAL sum so aggregation order is irrelevant."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.clustering_agreement(d, "source", "lang")
+
+
+def sql_clustering_agreement() -> str:
+    return """
+WITH ct AS (
+  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS nij
+  FROM documents GROUP BY 1, 2
+), am AS (
+  SELECT a, CAST(sum(nij) AS BIGINT) AS ai, CAST(max(nij) AS BIGINT) AS mx
+  FROM ct GROUP BY a
+), bm AS (
+  SELECT b, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY b
+), nn AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct
+), arow AS (
+  SELECT max(n) AS n,
+         CAST(count(*) AS BIGINT) AS k_a,
+         CAST(sum(mx) AS BIGINT) AS pur_num,
+         sum(CAST(ai AS DECIMAL(38,0)) * (ai - 1)) AS sa,
+         sum(CAST(round(-(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS ha
+  FROM am CROSS JOIN nn
+), brow AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_b,
+         sum(CAST(bj AS DECIMAL(38,0)) * (bj - 1)) AS sb,
+         sum(CAST(round(-(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS hb
+  FROM bm CROSS JOIN nn
+), ct2 AS (
+  SELECT ct.*, am.ai, bm.bj, nn.n
+  FROM ct JOIN am USING (a) JOIN bm USING (b) CROSS JOIN nn
+), crow AS (
+  SELECT sum(CAST(round((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+                             / (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE))), 9)
+                  AS DECIMAL(28,9))) AS mi,
+         sum(CAST(nij AS DECIMAL(38,0)) * (nij - 1)) AS sij
+  FROM ct2
+)
+SELECT n, k_a, k_b,
+       round(CAST(pur_num AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
+       round(CAST(mi AS DOUBLE)
+             / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6) AS nmi,
+       round((CAST(sij AS DOUBLE) / 2.0
+              - (CAST(sa AS DOUBLE) / 2.0) * (CAST(sb AS DOUBLE) / 2.0)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))
+             / ((CAST(sa AS DOUBLE) / 2.0 + CAST(sb AS DOUBLE) / 2.0) / 2.0
+                - (CAST(sa AS DOUBLE) / 2.0) * (CAST(sb AS DOUBLE) / 2.0)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)),
+             6) AS ari
+FROM arow CROSS JOIN brow CROSS JOIN crow
+"""
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch screen (analytics.srm_check): users hashed
+    into A/B/C arms with intended 2:1:1 weights via the PORTABLE md5
+    fold, observed counts chi-square-tested against expectation and
+    flagged at the published df=2 critical value. One distinct shuffle
+    + a 3-row aggregate; the oracle replays the identical hash and
+    arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.srm_check(e, "user_id", [("A", 2), ("B", 1), ("C", 1)])
+
+
+def sql_srm_check() -> str:
+    return """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), b AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#srm'), 1, 15))
+           ::BIGINT % 4 AS bk
+  FROM u
+), a AS (
+  SELECT CASE WHEN bk >= 0 AND bk < 2 THEN 'A'
+              WHEN bk >= 2 AND bk < 3 THEN 'B'
+              ELSE 'C' END AS arm
+  FROM b
+), c AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS observed FROM a GROUP BY arm
+), arms AS (
+  SELECT * FROM (VALUES ('A', CAST(2 AS BIGINT)), ('B', CAST(1 AS BIGINT)),
+                        ('C', CAST(1 AS BIGINT))) AS t(arm, w)
+), e AS (
+  SELECT arms.arm, CAST(coalesce(c.observed, 0) AS BIGINT) AS observed,
+         CAST(sum(coalesce(c.observed, 0)) OVER () AS BIGINT) AS total,
+         arms.w
+  FROM arms LEFT JOIN c USING (arm)
+), f AS (
+  SELECT arm, observed,
+         CAST(total AS DOUBLE) * CAST(w AS DOUBLE) / 4.0 AS expected
+  FROM e
+), g AS (
+  SELECT arm, observed, expected,
+         CAST(round((CAST(observed AS DOUBLE) - expected)
+                    * (CAST(observed AS DOUBLE) - expected) / expected, 9)
+              AS DECIMAL(28,9)) AS contrib
+  FROM f
+), h AS (
+  SELECT g.*, CAST(sum(contrib) OVER () AS DOUBLE) AS chi2 FROM g
+)
+SELECT arm, observed, round(expected, 6) AS expected,
+       CAST(contrib AS DOUBLE) AS contrib,
+       round(chi2, 9) AS chi2,
+       chi2 > 5.991 AS srm_flag
+FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -11555,6 +11721,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rbo_ranking_agreement": q_rbo_ranking_agreement,
     "kcenter_diverse_docs": q_kcenter_diverse_docs,
     "revenue_attribution": q_revenue_attribution,
+    "quantile_map_nchars": q_quantile_map_nchars,
+    "clustering_agreement": q_clustering_agreement,
+    "srm_check": q_srm_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -11793,4 +11962,7 @@ ORACLES: dict[str, str] = {
     "rbo_ranking_agreement": sql_rbo_ranking_agreement(),
     "kcenter_diverse_docs": sql_kcenter_diverse_docs(),
     "revenue_attribution": sql_revenue_attribution(),
+    "quantile_map_nchars": sql_quantile_map_nchars(),
+    "clustering_agreement": sql_clustering_agreement(),
+    "srm_check": sql_srm_check(),
 }

@@ -1,0 +1,185 @@
+"""Value-pinning tests for the session-14 operators: grouped sequence
+numbering, cross-source quantile mapping, clustering-agreement metrics
+(purity/NMI/ARI), and the sample-ratio-mismatch screen. Each Spark result
+is replayed by an INDEPENDENT pure-Python implementation (hashlib for the
+md5 fold, math.log for entropies, Decimal half-up for rounding)."""
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+
+def _fold(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _r(x: float, nd: int = 6) -> float:
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
+
+
+# ------------------------------------------------- grouped_sequence
+
+
+def test_grouped_sequence_equals_single_window(spark):
+    from pdf_parser_spark.operators.curation import grouped_sequence
+
+    rows = [(f"g{i % 3}", i * 37 % 101, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, s long, id long")
+    got = {
+        (r["g"], r["id"]): r["seq"]
+        for r in grouped_sequence(df, "g", ["s", "id"], num_partitions=7).collect()
+    }
+    # independent replay: per-group sort
+    exp = {}
+    for g in ("g0", "g1", "g2"):
+        members = sorted((s, i) for gg, s, i in rows if gg == g)
+        for rank, (s, i) in enumerate(members, start=1):
+            exp[(g, i)] = rank
+    assert got == exp
+
+
+def test_grouped_sequence_seq_col_name_collision_safe(spark):
+    # regression: seq_col="_rn" used to be dropped by the internal cleanup
+    from pdf_parser_spark.operators.curation import grouped_sequence
+
+    df = spark.createDataFrame([("a", 1, 1), ("a", 2, 2)], "g string, s long, id long")
+    out = grouped_sequence(df, "g", ["s", "id"], seq_col="_rn")
+    assert "_rn" in out.columns
+    assert sorted(r["_rn"] for r in out.collect()) == [1, 2]
+
+
+# ------------------------------------------------- quantile_map
+
+
+def test_quantile_map_identity_on_reference_group(spark):
+    from pdf_parser_spark.operators.curation import quantile_map
+
+    # ref group maps onto itself exactly when scores are unique
+    rows = [("ref", i, 10 * i) for i in range(1, 21)] + [
+        ("other", 100 + i, 1000 + i) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, sc long")
+    out = quantile_map(df, "sc", "source", "ref").collect()
+    ref_rows = [r for r in out if r["source"] == "ref"]
+    assert all(r["mapped_score"] == r["raw_score"] for r in ref_rows)
+    # inverse-CDF replay for the other group: n_g=10, n_ref=20 →
+    # ref_idx = ceil(rn*20/10) = 2*rn → mapped = ref score at index 2*rn
+    ref_sorted = sorted(10 * i for i in range(1, 21))
+    for r in (r for r in out if r["source"] == "other"):
+        rn = r["raw_score"] - 1000
+        assert r["mapped_score"] == ref_sorted[2 * rn - 1]
+        assert r["p"] == _r(rn / 10.0)
+
+
+# ------------------------------------------------- clustering_agreement
+
+
+def _agreement_replay(rows):
+    from collections import Counter
+
+    n = len(rows)
+    ct = Counter(rows)
+    am, bm = Counter(), Counter()
+    for (a, b), c in ct.items():
+        am[a] += c
+        bm[b] += c
+    pur = sum(max(c for (a2, _), c in ct.items() if a2 == a) for a in am) / n
+    mi = sum(
+        _r((c / n) * math.log(c * n / (am[a] * bm[b])), 9)
+        for (a, b), c in ct.items()
+    )
+    ha = sum(_r(-(c / n) * math.log(c / n), 9) for c in am.values())
+    hb = sum(_r(-(c / n) * math.log(c / n), 9) for c in bm.values())
+    sij = sum(c * (c - 1) for c in ct.values()) / 2.0
+    sa = sum(c * (c - 1) for c in am.values()) / 2.0
+    sb = sum(c * (c - 1) for c in bm.values()) / 2.0
+    sn = n * (n - 1.0) / 2.0
+    exp_ = sa * sb / sn
+    ari = (sij - exp_) / ((sa + sb) / 2.0 - exp_)
+    return {
+        "n": n,
+        "k_a": len(am),
+        "k_b": len(bm),
+        "purity": _r(pur),
+        "nmi": _r(mi / math.sqrt(ha * hb)),
+        "ari": _r(ari),
+    }
+
+
+def test_clustering_agreement_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import clustering_agreement
+
+    rows = [(f"c{(i * 7) % 4}", f"l{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = clustering_agreement(df, "a", "b").collect()[0].asDict()
+    exp = _agreement_replay(rows)
+    for k, v in exp.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+def test_clustering_agreement_perfect_match_is_one(spark):
+    from pdf_parser_spark.operators.analytics import clustering_agreement
+
+    # identical partitions → purity = nmi = ari = 1
+    rows = [(f"x{i % 5}", f"x{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = clustering_agreement(df, "a", "b").collect()[0]
+    assert got["purity"] == 1.0 and got["nmi"] == 1.0 and got["ari"] == 1.0
+
+
+def test_clustering_agreement_degenerate_is_null(spark):
+    from pdf_parser_spark.operators.analytics import clustering_agreement
+
+    # one cluster on both sides: H=0 and the ARI denominator is 0 —
+    # contract says NULL, not a crash or a misleading 0/1
+    df = spark.createDataFrame([("a", "b")] * 10, "a string, b string")
+    got = clustering_agreement(df, "a", "b").collect()[0]
+    assert got["nmi"] is None and got["ari"] is None
+    assert got["purity"] == 1.0
+
+
+# ------------------------------------------------- srm_check
+
+
+def test_srm_check_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import srm_check
+
+    arms = [("A", 2), ("B", 1), ("C", 1)]
+    units = list(range(1, 301))
+    df = spark.createDataFrame(
+        [(u, "e") for u in units for _ in range(2)], "user_id long, et string"
+    )
+    got = {r["arm"]: r for r in srm_check(df, "user_id", arms).collect()}
+
+    obs = {"A": 0, "B": 0, "C": 0}
+    for u in units:
+        bk = _fold(f"{u}#srm") % 4
+        obs["A" if bk < 2 else "B" if bk < 3 else "C"] += 1
+    total = sum(obs.values())
+    chi2 = Decimal(0)
+    for name, w in arms:
+        e = total * float(w) / 4.0
+        chi2 += Decimal(repr((obs[name] - e) * (obs[name] - e) / e)).quantize(
+            Decimal("1e-9"), ROUND_HALF_UP
+        )
+    for name, w in arms:
+        e = total * float(w) / 4.0
+        assert got[name]["observed"] == obs[name]
+        assert got[name]["expected"] == _r(e)
+        assert got[name]["chi2"] == _r(float(chi2), 9)
+        assert got[name]["srm_flag"] == (float(chi2) > 5.991)
+
+
+def test_srm_check_flags_broken_assignment(spark):
+    from pdf_parser_spark.operators.analytics import srm_check
+
+    # simulate a logging bug: only units whose hash lands in arm A are
+    # present → observed B/C ≈ 0 → chi-square must flag
+    arms = [("A", 1), ("B", 1)]
+    units = [u for u in range(1, 401) if _fold(f"{u}#srm") % 2 == 0]
+    df = spark.createDataFrame([(u,) for u in units], "user_id long")
+    rows = srm_check(df, "user_id", arms).collect()
+    assert all(r["srm_flag"] for r in rows)
