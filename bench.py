@@ -225,6 +225,17 @@ BENCH_QUERIES = [
     "rbo_ranking_agreement",
     "kcenter_diverse_docs",
     "revenue_attribution",
+    "quantile_map_nchars",
+    "clustering_agreement",
+    "srm_check",
+    "rolling_active_users",
+    "source_length_gini",
+    "theilsen_value_trend",
+    "bitext_margin_pairs",
+    "crawl_trap_screen",
+    "bbit_minhash_estimates",
+    "doc_stitch_pairs",
+    "kwic_snippets",
 ]
 
 

@@ -2017,3 +2017,170 @@ def srm_check(
         F.round(F.col("chi2"), 9).alias("chi2"),
         (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
     )
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling-window distinct count per day — the N-day-active-users
+    metric (WAU for window_days=7). A window frame cannot express
+    "distinct over the trailing week", and collect_set over a frame
+    buffers every key; the scalable form is contribution explosion:
+
+    1. collapse the stream to DISTINCT (key, day) — map-side partial
+       distinct, ONE shuffle sized |keys|·|days|, not |events|;
+    2. each (key, day) contributes to report days [day, day+W−1] via
+       sequence+explode (W rows per pair, W is a small constant);
+    3. DISTINCT (key, report_day) then count per day — the dedup that
+       makes a key active on 3 days of one window count once.
+
+    Report days are clamped to the corpus' [min_day, max_day] (in-plan
+    1-row broadcast — no driver action), so trailing phantom days past
+    the last observation are not emitted. Every shuffle key is uniform
+    (day or (key, day)); no join, no window, no driver state.
+    """
+    day = F.to_date(F.col(ts_col)).alias("_day")
+    kd = df.select(F.col(key_col).alias("_key"), day).distinct()
+    bounds = kd.agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    contrib = (
+        kd.crossJoin(F.broadcast(bounds))
+        .select(
+            "_key",
+            F.explode(
+                F.sequence(
+                    F.col("_day"),
+                    F.least(
+                        F.date_add(F.col("_day"), window_days - 1),
+                        F.col("_hi"),
+                    ),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(F.count("*").cast("long").alias("active_keys"))
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer weight across
+    units — the inequality screen a curation budget runs before trusting
+    a mean ("is this source's byte mass a few giant documents?"). Exact
+    integer Lorenz algebra on sorted weights:
+
+        G = (2·Σ i·w_(i) − (n+1)·ΣW) / (n·ΣW)
+
+    with i the 1-based rank in (weight, id) order. Σ i·w_i is exact
+    int64→decimal; ties hold equal weights, so tie order cannot change
+    the sum — the statistic is deterministic at any parallelism. The
+    division to DOUBLE is the single inexact step (rounded 6 dp).
+
+    Shape at 100 TB: ONE shuffle on the group key serves the rank window
+    AND the final groupBy (same partitioning, zero extra Exchange —
+    the weighted_median shape); a skewed group is one partition's sort.
+    """
+    w_rank = Window.partitionBy(group_col).orderBy("_w", id_col)
+    wq = F.col(weight_col).cast("long")
+    ranked = df.select(
+        F.col(group_col), wq.alias("_w"), F.col(id_col)
+    ).withColumn("_i", F.row_number().over(w_rank).cast("long"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("_w").cast("decimal(38,0)").alias("_sw"),
+        F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_w")).alias("_siw"),
+    )
+    gini = (
+        F.lit(2) * F.col("_siw")
+        - (F.col("n_units") + F.lit(1)) * F.col("_sw")
+    ).cast("double") / (F.col("n_units") * F.col("_sw")).cast("double")
+    return agg.select(
+        group_col,
+        "n_units",
+        F.col("_sw").cast("long").alias("w_total"),
+        F.round(
+            F.when(
+                (F.col("n_units") > 0) & (F.col("_sw") > 0), gini
+            ).otherwise(F.lit(None)),
+            6,
+        ).alias("gini"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend (Theil 1950 / Sen 1968): the
+    MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i), x_i < x_j — the
+    slope estimator with a 29% breakdown point that OLS (group_ols)
+    lacks; one wild outlier day cannot flip the sign of a host's error
+    trend.
+
+    Exact-determinism contract: x is int64 and y DECIMAL, so each slope
+    is ONE IEEE double division (bit-identical in any engine), rounded
+    to 9 dp before ranking; the median is the DISCRETE lower median —
+    the slope at 1-based rank ⌈m/2⌉ in (slope, i, j) order — never an
+    interpolated average, so cross-engine hashes agree. Pairs with
+    x_i = x_j (vertical) are excluded, as Sen defines.
+
+    Shape at 100 TB: the pair generation is a within-group self-join —
+    O(n_g²) rows per group, the honest cost of the exact estimator —
+    so the caller must bound group cardinality upstream (slice, sample,
+    or fall back to group_ols for huge groups; the query ships a
+    daily-rollup input precisely for that reason). ONE shuffle keys the
+    group for the join; the rank window and final groupBy reuse that
+    partitioning.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).alias("_y"),
+        F.col(id_col).alias("_id"),
+    )
+    a = base.select(
+        F.col("_g"),
+        F.col("_x").alias("_xi"),
+        F.col("_y").alias("_yi"),
+        F.col("_id").alias("_i"),
+    )
+    b = base.select(
+        F.col("_g"),
+        F.col("_x").alias("_xj"),
+        F.col("_y").alias("_yj"),
+        F.col("_id").alias("_j"),
+    )
+    pairs = a.join(b, "_g").where(F.col("_xi") < F.col("_xj"))
+    slope = F.round(
+        (F.col("_yj") - F.col("_yi")).cast("double")
+        / (F.col("_xj") - F.col("_xi")).cast("double"),
+        9,
+    )
+    sl = pairs.select("_g", slope.alias("_s"), "_i", "_j")
+    w_rank = Window.partitionBy("_g").orderBy("_s", "_i", "_j")
+    w_all = Window.partitionBy("_g")
+    ranked = sl.withColumn(
+        "_r", F.row_number().over(w_rank).cast("long")
+    ).withColumn("_m", F.count("*").over(w_all).cast("long"))
+    picked = ranked.where(
+        F.col("_r") == ((F.col("_m") + F.lit(1)) / F.lit(2)).cast("long")
+    )
+    return picked.select(
+        F.col("_g").alias(group_col),
+        F.col("_m").alias("n_pairs"),
+        F.col("_s").alias("ts_slope"),
+    )

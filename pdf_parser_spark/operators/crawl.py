@@ -326,3 +326,108 @@ def parse_crawl_delay(robots_txt: str, agent: str = "*") -> int | None:
         return min(exact) if exact else None
     star = [d for agents, ds in groups if "*" in agents for d in ds]
     return min(star) if star else None
+
+
+def url_trap_features(url) -> dict:
+    """Per-URL crawl-trap signal columns (pure Catalyst, zero shuffle).
+
+    The classic spider-trap shapes every production crawler screens for
+    (Heydon & Najork's Mercator paper documents the family):
+
+    - ``depth``          — path-segment count; calendar/faceted traps nest
+      without bound
+    - ``has_repeat``     — a path segment occurring twice in one path
+      (``/x/y/x/y/…`` loop expansion)
+    - ``page_num``       — pagination index from ``page=N`` / ``/page/N``;
+      unbounded pagination is the most common trap
+    - ``is_calendar``    — ``/YYYY/MM/DD`` date paths (infinite calendars)
+    - ``n_params``       — query-parameter count; faceted-search explosion
+
+    Regex subset chosen to mean the same thing in Java regex and RE2/
+    DuckDB (no lookaround, no backrefs), so oracles replay bit-for-bit.
+    """
+    path = F.regexp_extract(url, r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    return {
+        "depth": F.size(segs).cast("long"),
+        "has_repeat": F.size(segs) > F.size(F.array_distinct(segs)),
+        "page_num": F.coalesce(
+            F.regexp_extract(url, r"[?&]page=([0-9]+)", 1).try_cast("long"),
+            F.regexp_extract(url, r"/page/([0-9]+)", 1).try_cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        "is_calendar": F.regexp_extract(
+            path, r"(/[0-9]{4}/[0-9]{2}/[0-9]{2})", 1
+        )
+        != F.lit(""),
+        "n_params": F.size(
+            F.filter(F.split(q, "&"), lambda s: s != F.lit(""))
+        ).cast("long"),
+    }
+
+
+def trap_screen(
+    pages: DataFrame,
+    url_col: str = "url",
+    deep_depth: int = 6,
+    deep_page: int = 50,
+    max_params: int = 4,
+    flag_frac: float = 0.2,
+) -> DataFrame:
+    """Per-host crawl-trap screen: fold every URL's trap signals
+    (url_trap_features) into host-level fractions and a trap flag — the
+    admission gate a recrawl scheduler consults before spending fetch
+    budget on a host whose URL space is a generated labyrinth.
+
+    Shape at 100 TB: the per-URL signals are scan-side codegen columns;
+    the host rollup is ONE map-side-combined groupBy on the host key.
+    Hot hosts are exactly the hosts with many URLs — the partial
+    aggregation collapses them before the exchange, so host skew never
+    concentrates rows. No join, no window, no Python.
+
+    Fractions round to 6 dp; ``trap_flag`` = any of (repeat, deep,
+    paged, calendar, param-explosion) fraction exceeding ``flag_frac``.
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z]+://([^/:?#]+)", 1)
+    feats = url_trap_features(u)
+    per_url = pages.select(
+        host.alias("host"),
+        feats["depth"].alias("_depth"),
+        feats["has_repeat"].cast("long").alias("_rep"),
+        (feats["page_num"] >= deep_page).cast("long").alias("_paged"),
+        feats["is_calendar"].cast("long").alias("_cal"),
+        (feats["n_params"] > max_params).cast("long").alias("_parm"),
+    )
+    agg = per_url.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum((F.col("_depth") >= deep_depth).cast("long"))
+        .cast("long")
+        .alias("_n_deep"),
+        F.sum("_rep").cast("long").alias("_n_rep"),
+        F.sum("_paged").cast("long").alias("_n_paged"),
+        F.sum("_cal").cast("long").alias("_n_cal"),
+        F.sum("_parm").cast("long").alias("_n_parm"),
+    )
+    n = F.col("n_urls").cast("double")
+    fracs = {
+        "frac_deep": F.col("_n_deep") / n,
+        "frac_repeat": F.col("_n_rep") / n,
+        "frac_paged": F.col("_n_paged") / n,
+        "frac_calendar": F.col("_n_cal") / n,
+        "frac_params": F.col("_n_parm") / n,
+    }
+    out = agg.select(
+        "host",
+        "n_urls",
+        *[F.round(c, 6).alias(k) for k, c in fracs.items()],
+    )
+    flag = (
+        (F.col("frac_repeat") > flag_frac)
+        | (F.col("frac_deep") > flag_frac)
+        | (F.col("frac_paged") > flag_frac)
+        | (F.col("frac_calendar") > flag_frac)
+        | (F.col("frac_params") > flag_frac)
+    )
+    return out.withColumn("trap_flag", flag)

@@ -1746,3 +1746,179 @@ def edit_distance_verify(
         )
     )
     return out.filter(F.col("edit_sim") >= threshold)
+
+
+_BBIT_LANES_PER_WORD = 16
+
+
+def _pack_bbit_word(sig, word: int) -> "F.Column":
+    """Pack lanes [word·16, word·16+16) of a minhash signature into one
+    long: 2 low bits per lane, lane (word·16+j) at bit position 2j —
+    Horner fold over the descending lane index, pure integer math
+    (every intermediate < 2^32). pmod extracts the low 2 bits exactly
+    for negative (xxhash64) lanes too."""
+    lo = word * _BBIT_LANES_PER_WORD
+    idx = F.sequence(
+        F.lit(lo + _BBIT_LANES_PER_WORD - 1), F.lit(lo), F.lit(-1)
+    )
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, k: acc * F.lit(4)
+        + F.pmod(F.element_at(sig, k + F.lit(1)), F.lit(4)),
+    )
+
+
+def _bbit_word_matches(wa, wb) -> "F.Column":
+    """Count of equal 2-bit lane groups between two packed words —
+    Horner unpacking via integer div/mod (packed words are < 2^32, so
+    the double division in the long cast is exact)."""
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_BBIT_LANES_PER_WORD)),
+        F.struct(
+            wa.alias("a"), wb.alias("b"), F.lit(0).cast("long").alias("m")
+        ),
+        lambda acc, _: F.struct(
+            F.floor(acc["a"] / F.lit(4)).cast("long").alias("a"),
+            F.floor(acc["b"] / F.lit(4)).cast("long").alias("b"),
+            (
+                acc["m"]
+                + (
+                    F.pmod(acc["a"], F.lit(4)) == F.pmod(acc["b"], F.lit(4))
+                ).cast("long")
+            ).alias("m"),
+        ),
+    )
+    return st["m"]
+
+
+def bbit_minhash_estimates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """b-bit MinHash (Li & König, WWW 2010, b = 2): store only the low
+    2 bits of every signature lane — an 8× sketch-storage cut over
+    16-bit lanes (32× over longs), the difference between a resemblance
+    index that fits in executor memory at 10^12 docs and one that
+    doesn't. K lanes pack into K/16 longs; the Jaccard estimate from
+    lane-bit matches is debiased for random collisions:
+
+        Ĵ_b = (m/K − C) / (1 − C),  C = 1/2^b = 1/4
+
+    clamped at 0 (m/K < C happens for dissimilar pairs by chance).
+
+    Returns per LSH-candidate pair: the four packed words (value-pinning
+    the packing itself), the matched-lane count, the debiased b-bit
+    estimate, and its signed gap to the full-lane estimate — the
+    calibration readout for "is b=2 enough at my similarity band?".
+
+    Shape at 100 TB: reuses the production signature pass + banded
+    candidate join unchanged; packing is a codegen fold at the signature
+    stage (where the 8× byte saving happens BEFORE the sketch table is
+    materialized/shuffled), and the estimate is one integer fold per
+    candidate — no explode, no extra shuffle.
+    """
+    if num_hashes % _BBIT_LANES_PER_WORD != 0:
+        raise ValueError("num_hashes must be a multiple of 16")
+    n_words = num_hashes // _BBIT_LANES_PER_WORD
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_words, portable
+    )
+    packed = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        *[
+            _pack_bbit_word(F.col("sig"), w).alias(f"pw{w}")
+            for w in range(n_words)
+        ],
+    )
+    cand = lsh_candidate_pairs(sigs, id_col, bands, num_hashes, portable)
+    pa = packed.select(
+        F.col(id_col).alias("a"),
+        F.col("sig").alias("_sa"),
+        *[F.col(f"pw{w}").alias(f"pa{w}") for w in range(n_words)],
+    )
+    pb = packed.select(
+        F.col(id_col).alias("b"),
+        F.col("sig").alias("_sb"),
+        *[F.col(f"pw{w}").alias(f"pb{w}") for w in range(n_words)],
+    )
+    joined = cand.join(pa, "a").join(pb, "b")
+    m_bbit = sum(
+        [
+            _bbit_word_matches(F.col(f"pa{w}"), F.col(f"pb{w}"))
+            for w in range(n_words)
+        ],
+        F.lit(0).cast("long"),
+    )
+    m_full = F.aggregate(
+        F.zip_with(
+            F.col("_sa"), F.col("_sb"), lambda x, y: (x == y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    k = float(num_hashes)
+    est_b = F.greatest(
+        F.lit(0.0), (m_bbit / F.lit(k) - F.lit(0.25)) / F.lit(0.75)
+    )
+    est_full = m_full / F.lit(k)
+    return joined.select(
+        "a",
+        "b",
+        *[F.col(f"pa{w}") for w in range(n_words)],
+        *[F.col(f"pb{w}") for w in range(n_words)],
+        m_bbit.alias("m_bbit"),
+        F.round(est_b, 6).alias("est_bbit"),
+        F.round(est_b - est_full, 6).alias("gap_vs_full"),
+    )
+
+
+def stitch_pairs(
+    docs: DataFrame,
+    k: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fragment-stitch detection: pairs (a, b) where a's LAST k
+    normalized characters equal b's FIRST k — the signature of one
+    logical document split across two fetches/shards (truncated crawl
+    responses, chunked uploads, page-boundary splits). Downstream, the
+    pairs feed the same connected-components pass as near-dup edges to
+    reassemble fragments in order.
+
+    Shape at 100 TB: each doc contributes ONE head key and ONE tail key
+    (scan-side substrings of the normalized text, no explode); the
+    candidate generation is a single equi-join on the k-gram key —
+    key collisions, not documents, bound the join fan-out. Docs shorter
+    than k are excluded (their head/tail would be the whole doc and
+    every short doc would chain-match).
+
+    Returns (prev_id, next_id, boundary_md5) — boundary_md5 pins the
+    shared k-gram for the oracle."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = docs.select(
+        F.col(id_col).alias("_id"), norm.alias("_norm")
+    ).where(F.length("_norm") >= F.lit(k))
+    tails = base.select(
+        F.col("_id").alias("prev_id"),
+        F.substring(F.col("_norm"), -k, k).alias("_key"),
+    )
+    heads = base.select(
+        F.col("_id").alias("next_id"),
+        F.substring(F.col("_norm"), 1, k).alias("_key"),
+    )
+    return (
+        tails.join(heads, "_key")
+        .where(F.col("prev_id") != F.col("next_id"))
+        .select(
+            "prev_id",
+            "next_id",
+            F.md5(F.col("_key")).alias("boundary_md5"),
+        )
+    )

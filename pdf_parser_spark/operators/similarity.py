@@ -1319,3 +1319,89 @@ def kcenter_select(
     return final.select(
         F.explode(sels).alias("_s"), F.col("radius")
     ).select("_s.sel_order", "_s.vec_id", "_s.picked_dist", "radius")
+
+
+def bitext_margin_pairs(
+    x: DataFrame,
+    y: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL 2019, the
+    CCMatrix/LASER alignment rule): score every candidate pair by the
+    RATIO margin
+
+        margin(x, y) = cos(x, y) /
+                       ((mean_{z∈NNk(x)} cos(x, z)
+                         + mean_{z∈NNk(y)} cos(y, z)) / 2)
+
+    — a pair is an alignment only if it beats both vectors' local
+    similarity neighborhoods, which kills the hub vectors that
+    absolute-threshold cosine mining mis-pairs.
+
+    Plan shape: the X side is a bounded batch (a shard/bucket of the
+    source language) that BROADCASTS against the Y corpus scan — ONE
+    codegen pass scores all candidates, and both NNk means come from
+    stacked window passes over that same scored frame (rank + a
+    conditional sum over the identical partition key share one
+    Exchange each), so the corpus is scanned ONCE and nothing joins
+    back. At 100 TB the candidate generation upstream is the IVF/
+    sign-LSH bucket join (ivf_topk_batch / signlsh_topk) and this
+    operator runs per bucket; the margin algebra is identical.
+
+    Determinism contract: cosines round to 6 dp BEFORE the windows and
+    the NNk means sum as DECIMAL(16,6) (order-independent) with ONE
+    final double division, so any engine reproduces the margins
+    bit-for-bit. Ties rank by id.
+
+    Returns (x_id, y_id, cosine, margin) for margin ≥ threshold,
+    strongest first.
+    """
+    from pyspark.sql import Window
+
+    xb = x.select(
+        F.col(id_col).alias("x_id"),
+        F.col(vec_col).cast("array<double>").alias("_xv"),
+    )
+    yb = y.select(
+        F.col(id_col).alias("y_id"),
+        F.col(vec_col).cast("array<double>").alias("_yv"),
+    )
+    scored = yb.crossJoin(F.broadcast(xb)).select(
+        "x_id",
+        "y_id",
+        F.round(cosine(F.col("_xv"), F.col("_yv")), 6).alias("cosine"),
+    )
+    dec = F.col("cosine").cast("decimal(16,6)")
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), F.asc("y_id"))
+    wxa = Window.partitionBy("x_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), F.asc("x_id"))
+    wya = Window.partitionBy("y_id")
+    topx = F.when(F.col("_rx") <= k, dec)
+    topy = F.when(F.col("_ry") <= k, dec)
+    out = (
+        scored.withColumn("_rx", F.row_number().over(wx))
+        .withColumn(
+            "_mx",
+            F.sum(topx).over(wxa).cast("double")
+            / F.sum(topx.isNotNull().cast("long")).over(wxa),
+        )
+        .withColumn("_ry", F.row_number().over(wy))
+        .withColumn(
+            "_my",
+            F.sum(topy).over(wya).cast("double")
+            / F.sum(topy.isNotNull().cast("long")).over(wya),
+        )
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine") / ((F.col("_mx") + F.col("_my")) / F.lit(2.0)),
+                6,
+            ),
+        )
+        .where(F.col("margin") >= F.lit(threshold))
+        .select("x_id", "y_id", "cosine", "margin")
+    )
+    return out.orderBy(F.desc("margin"), F.asc("x_id"), F.asc("y_id"))

@@ -1586,3 +1586,52 @@ def dehyphenate_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         (wraps - joins).cast("long").alias("n_kept_hyphens"),
         F.md5(dehyphenate(t)).alias("clean_digest"),
     )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    terms: list[str],
+    ctx: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context snippet extraction — the search-result /
+    audit-review primitive: for each query term, the FIRST occurrence
+    per document with ±ctx characters of surrounding text. What a human
+    reviews when a gate flags a document ("show me the PII hit in
+    context"), and what a search UI renders under each BM25 result.
+
+    Shape at 100 TB: the term list is a literal array exploded map-side
+    (|terms| rows per doc, a small constant); position (locate) and the
+    window (substring) are pure codegen string ops on the scan — ZERO
+    shuffle, no Python, no join. Matching is case-insensitive via a
+    lowered shadow column; the snippet is cut from the ORIGINAL text so
+    the reviewer sees real casing.
+
+    Returns (id, term, pos, snippet): pos is the 1-based char offset of
+    the match in the normalized original; docs without the term emit no
+    row. Snippet bounds clamp at the text edges."""
+    t = F.col(text_col)
+    lowered = F.lower(t)
+    exploded = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        lowered.alias("_lt"),
+        F.explode(F.array(*[F.lit(x.lower()) for x in terms])).alias("term"),
+    )
+    pos = F.expr("locate(term, _lt)")
+    start = F.greatest(pos - F.lit(ctx), F.lit(1))
+    end = pos + F.length("term") + F.lit(ctx) - F.lit(1)
+    snippet = F.substring(
+        F.col("_t"), start.cast("int"), (end - start + F.lit(1)).cast("int")
+    )
+    return (
+        exploded.withColumn("pos", pos.cast("long"))
+        .where(F.col("pos") > 0)
+        .select(
+            id_col,
+            "term",
+            "pos",
+            snippet.alias("snippet"),
+        )
+    )

@@ -11454,6 +11454,461 @@ FROM h
 """
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (analytics.rolling_distinct_
+    count) — the WAU engagement series. Window frames cannot express
+    "distinct over the trailing week"; the scalable form collapses the
+    stream to DISTINCT (user, day), explodes each pair into its ≤7
+    contributing report days (clamped to the corpus max via an in-plan
+    1-row broadcast — no driver action), dedups (user, report_day) and
+    counts. Every shuffle key is uniform; no join, no window."""
+    e = load_table(spark, sf_dir, "events")
+    out = analytics.rolling_distinct_count(e, "ts", "user_id", window_days=7)
+    return out.select("day", F.col("active_keys").alias("active_users"))
+
+
+def sql_rolling_active_users() -> str:
+    return """
+WITH kd AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS k, CAST(ts AS DATE) AS d
+  FROM events
+), b AS (
+  SELECT max(d) AS hi FROM kd
+), raw AS (
+  SELECT k,
+         unnest(generate_series(d,
+                                least(CAST(d + INTERVAL 6 DAY AS DATE), hi),
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM kd CROSS JOIN b
+), contrib AS (
+  SELECT DISTINCT k, day FROM raw
+)
+SELECT day, CAST(count(*) AS BIGINT) AS active_users
+FROM contrib GROUP BY day
+"""
+
+
+def q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document char mass
+    (analytics.gini_concentration) — the inequality screen before
+    trusting per-source means: a source whose byte mass is a handful of
+    giant documents needs doc caps, not proportional sampling. Exact
+    integer Lorenz algebra; ONE shuffle serves the rank window and the
+    rollup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return analytics.gini_concentration(d, "source", "n_chars", "doc_id")
+
+
+def sql_source_length_gini() -> str:
+    return """
+WITH r AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS w,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS i
+  FROM documents
+), a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(w) AS DECIMAL(38,0)) AS sw,
+         sum(CAST(i AS DECIMAL(38,0)) * w) AS siw
+  FROM r GROUP BY source
+)
+SELECT source, n_units, CAST(sw AS BIGINT) AS w_total,
+       round(CAST(2 * siw - (n_units + 1) * sw AS DOUBLE)
+             / CAST(n_units * sw AS DOUBLE), 6) AS gini
+FROM a
+"""
+
+
+def q_theilsen_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil–Sen robust value trend (analytics.theil_sen_trend):
+    the median of pairwise daily slopes — the outlier-immune twin of
+    user_value_trend's OLS (one wild day cannot flip the sign). Input is
+    the per-(user, day) rollup, so each group is ≤ |days| points and the
+    exact O(n²) pair generation stays bounded at any corpus size. x is
+    an int64 epoch day and y an exact DECIMAL daily total, so each slope
+    is one IEEE division rounded to 9 dp; the median is the discrete
+    lower median (rank ⌊(m+1)/2⌋ in (slope, i, j) order) — never an
+    interpolation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    return analytics.theil_sen_trend(daily, "user_id", "x", "y", "x")
+
+
+def sql_theilsen_value_trend() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.u,
+         round(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE), 9) AS s,
+         a.x AS i, b.x AS j
+  FROM d a JOIN d b ON a.u = b.u AND a.x < b.x
+), r AS (
+  SELECT u, s,
+         CAST(row_number() OVER (PARTITION BY u ORDER BY s, i, j) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS m
+  FROM p
+)
+SELECT u AS user_id, m AS n_pairs, s AS ts_slope
+FROM r WHERE rn = (m + 1) // 2
+"""
+
+
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.bitext_margin_pairs;
+    Artetxe & Schwenk 2019 ratio margin, the CCMatrix alignment rule):
+    label<5 vectors with vec_id≡0 (mod 4) are the query batch, label≥5
+    the target corpus; a pair aligns only if its cosine beats BOTH
+    vectors' mean top-4 neighborhoods. One broadcast-scored scan, two
+    rank windows, decimal NNk means — margins reproduce bit-for-bit."""
+    from pdf_parser_spark.operators.similarity import bitext_margin_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    x = emb.where((F.col("label") < 5) & (F.col("vec_id") % 4 == 0))
+    y = emb.where(F.col("label") >= 5)
+    return bitext_margin_pairs(x, y, k=4, threshold=1.0)
+
+
+def sql_bitext_margin_pairs() -> str:
+    return """
+WITH x AS (
+  SELECT CAST(vec_id AS BIGINT) AS x_id, embedding::DOUBLE[] AS xv
+  FROM embeddings WHERE label < 5 AND vec_id % 4 = 0
+), y AS (
+  SELECT CAST(vec_id AS BIGINT) AS y_id, embedding::DOUBLE[] AS yv
+  FROM embeddings WHERE label >= 5
+), s AS (
+  SELECT x_id, y_id,
+         round(list_dot_product(xv, yv)
+               / (sqrt(list_dot_product(xv, xv))
+                  * sqrt(list_dot_product(yv, yv))), 6) AS cosine
+  FROM x CROSS JOIN y
+), rx AS (
+  SELECT x_id, y_id, cosine,
+         row_number() OVER (PARTITION BY x_id
+                            ORDER BY cosine DESC, y_id) AS r
+  FROM s
+), nnx AS (
+  SELECT x_id, CAST(sum(CAST(cosine AS DECIMAL(16,6))) AS DOUBLE)
+               / count(*) AS mx
+  FROM rx WHERE r <= 4 GROUP BY x_id
+), ry AS (
+  SELECT x_id, y_id, cosine,
+         row_number() OVER (PARTITION BY y_id
+                            ORDER BY cosine DESC, x_id) AS r
+  FROM s
+), nny AS (
+  SELECT y_id, CAST(sum(CAST(cosine AS DECIMAL(16,6))) AS DOUBLE)
+               / count(*) AS my
+  FROM ry WHERE r <= 4 GROUP BY y_id
+)
+SELECT s.x_id, s.y_id, s.cosine,
+       round(s.cosine / ((mx + my) / 2.0), 6) AS margin
+FROM s JOIN nnx USING (x_id) JOIN nny USING (y_id)
+WHERE round(s.cosine / ((mx + my) / 2.0), 6) >= 1.0
+"""
+
+
+def q_crawl_trap_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-trap screen (crawl.trap_screen): URLs synthesized
+    in pure Catalyst over doc_id — five hosts are engineered traps
+    (deep paths, /x/y/x repeated segments, deep pagination, infinite
+    calendar, faceted-param explosion) and five are clean. The per-URL
+    signals are scan-side codegen; the host rollup is one map-side-
+    combined groupBy. Regex subset means the same thing in Java and
+    DuckDB RE2."""
+    from pdf_parser_spark.operators.crawl import trap_screen
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    h = F.col("doc_id") % 10
+    i = F.floor(F.col("doc_id") / 10).cast("long")
+    path = (
+        F.when(h == 5, F.concat(F.lit("/a/b/c/d/e/f/x"), i.cast("string")))
+        .when(
+            h == 6,
+            F.concat(
+                F.lit("/archive/2024/01/"),
+                F.lpad(((i % 28) + 1).cast("string"), 2, "0"),
+                F.lit("/post"),
+            ),
+        )
+        .when(
+            h == 7,
+            F.concat(
+                F.lit("/cat"),
+                (i % 3).cast("string"),
+                F.lit("/x/cat"),
+                (i % 3).cast("string"),
+                F.lit("/item"),
+                i.cast("string"),
+            ),
+        )
+        .when(h == 8, F.concat(F.lit("/list?page="), (i + 50).cast("string")))
+        .when(
+            h == 9,
+            F.concat(F.lit("/search?a=1&b=2&c=3&d=4&e="), i.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/articles/a"), i.cast("string")))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"), h.cast("string"), F.lit(".example.com"), path
+        ).alias("url")
+    )
+    return trap_screen(urls)
+
+
+def sql_crawl_trap_screen() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) % 10 AS h,
+         CAST(floor(doc_id / 10) AS BIGINT) AS i
+  FROM documents
+), u AS (
+  SELECT 'https://h' || CAST(h AS VARCHAR) || '.example.com' ||
+    CASE
+      WHEN h = 5 THEN '/a/b/c/d/e/f/x' || CAST(i AS VARCHAR)
+      WHEN h = 6 THEN '/archive/2024/01/'
+                      || lpad(CAST((i % 28) + 1 AS VARCHAR), 2, '0')
+                      || '/post'
+      WHEN h = 7 THEN '/cat' || CAST(i % 3 AS VARCHAR) || '/x/cat'
+                      || CAST(i % 3 AS VARCHAR) || '/item'
+                      || CAST(i AS VARCHAR)
+      WHEN h = 8 THEN '/list?page=' || CAST(i + 50 AS VARCHAR)
+      WHEN h = 9 THEN '/search?a=1&b=2&c=3&d=4&e=' || CAST(i AS VARCHAR)
+      ELSE '/articles/a' || CAST(i AS VARCHAR)
+    END AS url
+  FROM d
+), f AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         len(list_filter(
+           string_split(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+                        '/'), x -> x <> '')) AS depth,
+         len(list_filter(
+           string_split(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+                        '/'), x -> x <> ''))
+           > len(list_distinct(list_filter(
+               string_split(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+                            '/'), x -> x <> ''))) AS has_repeat,
+         coalesce(TRY_CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1)
+                           AS BIGINT),
+                  TRY_CAST(regexp_extract(url, '/page/([0-9]+)', 1)
+                           AS BIGINT), 0) AS page_num,
+         regexp_extract(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+                        '(/[0-9]{4}/[0-9]{2}/[0-9]{2})', 1) <> ''
+           AS is_calendar,
+         len(list_filter(
+           string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+           x -> x <> '')) AS n_params
+  FROM u
+), a AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+         sum(CASE WHEN depth >= 6 THEN 1 ELSE 0 END) AS nd,
+         sum(CASE WHEN has_repeat THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN page_num >= 50 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN is_calendar THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN n_params > 4 THEN 1 ELSE 0 END) AS nq
+  FROM f GROUP BY host
+)
+SELECT host, n_urls,
+       round(CAST(nd AS DOUBLE) / n_urls, 6) AS frac_deep,
+       round(CAST(nr AS DOUBLE) / n_urls, 6) AS frac_repeat,
+       round(CAST(np AS DOUBLE) / n_urls, 6) AS frac_paged,
+       round(CAST(nc AS DOUBLE) / n_urls, 6) AS frac_calendar,
+       round(CAST(nq AS DOUBLE) / n_urls, 6) AS frac_params,
+       (round(CAST(nr AS DOUBLE) / n_urls, 6) > 0.2
+        OR round(CAST(nd AS DOUBLE) / n_urls, 6) > 0.2
+        OR round(CAST(np AS DOUBLE) / n_urls, 6) > 0.2
+        OR round(CAST(nc AS DOUBLE) / n_urls, 6) > 0.2
+        OR round(CAST(nq AS DOUBLE) / n_urls, 6) > 0.2) AS trap_flag
+FROM a
+"""
+
+
+def q_bbit_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash calibration (dedup.bbit_minhash_estimates; Li &
+    König 2010, b=2): per LSH candidate pair, the packed 2-bit sketch
+    words (value-pinning the Horner packing), the matched-lane count,
+    the collision-debiased estimate Ĵ = (m/K − ¼)/¾, and its gap to the
+    full-lane estimate — the report that says whether the 8× smaller
+    sketch is adequate. Same portable-md5 slice as the minhash family."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.bbit_minhash_estimates(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        num_hashes=32,
+        bands=8,
+        portable=True,
+    )
+
+
+def sql_bbit_minhash_estimates() -> str:
+    mins, band_rows = _portable_minhash_sql(32, 8)
+    def packed(side: str, word: int) -> str:
+        return " + ".join(
+            f"(s{side}.h{word * 16 + j} % 4) * {4 ** j}" for j in range(16)
+        )
+    lanes2 = " + ".join(
+        f"CASE WHEN sa.h{i} % 4 = sb.h{i} % 4 THEN 1 ELSE 0 END"
+        for i in range(32)
+    )
+    lanes_full = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 1000
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), j AS (
+  SELECT p.a, p.b,
+         CAST({packed('a', 0)} AS BIGINT) AS pa0,
+         CAST({packed('a', 1)} AS BIGINT) AS pa1,
+         CAST({packed('b', 0)} AS BIGINT) AS pb0,
+         CAST({packed('b', 1)} AS BIGINT) AS pb1,
+         CAST({lanes2} AS BIGINT) AS m_bbit,
+         ({lanes_full}) / 32.0 AS est_full
+  FROM pairs p
+  JOIN sig sa ON p.a = sa.doc_id
+  JOIN sig sb ON p.b = sb.doc_id
+)
+SELECT a, b, pa0, pa1, pb0, pb1, m_bbit,
+       round(greatest(0.0, (m_bbit / 32.0 - 0.25) / 0.75), 6) AS est_bbit,
+       round(greatest(0.0, (m_bbit / 32.0 - 0.25) / 0.75) - est_full, 6)
+         AS gap_vs_full
+FROM j
+"""
+
+
+def q_doc_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment-stitch detection (dedup.stitch_pairs): every document is
+    split in pure Catalyst into two overlapping fetch fragments (40
+    shared chars at the cut, on the space-free lowered text so the
+    operator's normalization is exactly idempotent), and the operator
+    re-finds each (first-half → second-half) pair from the tail/head
+    k-gram equi-join alone. One shuffle on the k-gram key; no explode,
+    no window."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    txt = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    base = d.select("doc_id", txt.alias("_txt")).where(
+        F.length("_txt") >= 120
+    )
+    cut = F.floor(F.length("_txt") / 2).cast("int")
+    frags = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("doc_id") * 2).alias("doc_id"),
+                    F.substring(F.col("_txt"), 1, cut + F.lit(40)).alias(
+                        "text"
+                    ),
+                ),
+                F.struct(
+                    (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                    F.substring(
+                        F.col("_txt"),
+                        cut + F.lit(1),
+                        F.length("_txt") - cut,
+                    ).alias("text"),
+                ),
+            )
+        ).alias("f")
+    ).select(F.col("f.doc_id").alias("doc_id"), F.col("f.text").alias("text"))
+    return dedup.stitch_pairs(frags, k=40)
+
+
+def sql_doc_stitch_pairs() -> str:
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(lower(text), '\\s+', '', 'g') AS txt
+  FROM documents
+), kept AS (
+  SELECT doc_id, txt, CAST(floor(length(txt) / 2) AS INTEGER) AS cut
+  FROM base WHERE length(txt) >= 120
+), frags AS (
+  SELECT doc_id * 2 AS fid, substr(txt, 1, cut + 40) AS t FROM kept
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS fid, substr(txt, cut + 1) AS t FROM kept
+), sized AS (
+  SELECT fid, t FROM frags WHERE length(t) >= 40
+), tails AS (
+  SELECT fid AS prev_id, substr(t, length(t) - 39, 40) AS key FROM sized
+), heads AS (
+  SELECT fid AS next_id, substr(t, 1, 40) AS key FROM sized
+)
+SELECT prev_id, next_id, md5(tails.key) AS boundary_md5
+FROM tails JOIN heads USING (key)
+WHERE prev_id <> next_id
+"""
+
+
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction (textqc.kwic_snippets): first
+    occurrence of each audit term per document with ±30 chars of
+    context — the "show me the hit" review surface for gate flags and
+    search results. Term list explodes map-side; locate + substring are
+    scan-side codegen; ZERO shuffle."""
+    from pdf_parser_spark.operators.textqc import kwic_snippets
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return kwic_snippets(d, ["shuffle", "broadcast", "window"], ctx=30)
+
+
+def sql_kwic_snippets() -> str:
+    return """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lower(text) AS lt
+  FROM documents
+), terms AS (
+  SELECT unnest(['shuffle', 'broadcast', 'window']) AS term
+), hits AS (
+  SELECT doc_id, term, text,
+         CAST(strpos(lt, term) AS BIGINT) AS pos
+  FROM t CROSS JOIN terms
+)
+SELECT doc_id, term, pos,
+       substr(text,
+              greatest(pos - 30, 1),
+              (pos + length(term) + 29) - greatest(pos - 30, 1) + 1)
+         AS snippet
+FROM hits WHERE pos > 0
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -11724,6 +12179,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_map_nchars": q_quantile_map_nchars,
     "clustering_agreement": q_clustering_agreement,
     "srm_check": q_srm_check,
+    # -- session-15 additions (tail; queued for the round-4 window) --
+    "rolling_active_users": q_rolling_active_users,
+    "source_length_gini": q_source_length_gini,
+    "theilsen_value_trend": q_theilsen_value_trend,
+    "bitext_margin_pairs": q_bitext_margin_pairs,
+    "crawl_trap_screen": q_crawl_trap_screen,
+    "bbit_minhash_estimates": q_bbit_minhash_estimates,
+    "doc_stitch_pairs": q_doc_stitch_pairs,
+    "kwic_snippets": q_kwic_snippets,
 }
 
 ORACLES: dict[str, str] = {
@@ -11965,4 +12429,12 @@ ORACLES: dict[str, str] = {
     "quantile_map_nchars": sql_quantile_map_nchars(),
     "clustering_agreement": sql_clustering_agreement(),
     "srm_check": sql_srm_check(),
+    "rolling_active_users": sql_rolling_active_users(),
+    "source_length_gini": sql_source_length_gini(),
+    "theilsen_value_trend": sql_theilsen_value_trend(),
+    "bitext_margin_pairs": sql_bitext_margin_pairs(),
+    "crawl_trap_screen": sql_crawl_trap_screen(),
+    "bbit_minhash_estimates": sql_bbit_minhash_estimates(),
+    "doc_stitch_pairs": sql_doc_stitch_pairs(),
+    "kwic_snippets": sql_kwic_snippets(),
 }

@@ -1007,3 +1007,57 @@ def test_caption_link_one_doc_shuffle_no_range_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_gini_single_exchange_no_join(spark):
+    # rank window + rollup share ONE group-key shuffle (weighted_median
+    # shape); no join anywhere
+    df = QUERIES["source_length_gini"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_bitext_margin_one_corpus_scan_two_pair_shuffles(spark):
+    # the margin op must NOT join back onto the scored frame (that form
+    # re-scans the corpus 3x): one Y scan, one X broadcast, the two rank/
+    # mean window passes, and no SortMergeJoin/ShuffledHashJoin
+    df = QUERIES["bitext_margin_pairs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") == 2  # X batch + Y corpus, once each
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast batch scorer
+
+
+def test_trap_screen_zero_join_partial_agg(spark):
+    # per-URL signals ride the scan; ONE map-side-combined host groupBy
+    df = QUERIES["crawl_trap_screen"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_stitch_pairs_single_key_equi_join(spark):
+    # tail/head k-gram equi-join — never a cartesian / nested loop
+    df = QUERIES["doc_stitch_pairs"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kwic_zero_shuffle_codegen(spark):
+    # explode + locate + substring are all scan-side: no Exchange, no Python
+    df = QUERIES["kwic_snippets"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_rolling_distinct_bounded_broadcast_no_wide_join(spark):
+    # the only join is the 1-row bounds broadcast (BNLJ on a single row);
+    # contributions explode map-side
+    df = QUERIES["rolling_active_users"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,340 @@
+"""Value-pinning tests for the session-15 operators: rolling-window
+distinct counts, Gini concentration, Theil–Sen robust trend, margin-based
+bitext mining, crawl-trap screening, b-bit MinHash packing/debiasing,
+fragment stitching, and KWIC snippet extraction. Each Spark result is
+replayed by an INDEPENDENT pure-Python implementation (hashlib for the
+portable md5 fold, fractions/decimals where exactness matters)."""
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+# ------------------------------------------------- rolling_distinct_count
+
+
+def test_rolling_distinct_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import rolling_distinct_count
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user u is active on day d iff (u + d) % (u + 2) == 0 — irregular
+    for u in range(6):
+        for d in range(15):
+            if (u + d) % (u + 2) == 0:
+                rows.append((u, base + dt.timedelta(days=d)))
+                # duplicate event same day — must not double count
+                rows.append((u, base + dt.timedelta(days=d, hours=3)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"].isoformat(): r["active_keys"]
+        for r in rolling_distinct_count(df, "ts", "user_id", 7).collect()
+    }
+    # replay
+    active = {(u, d) for u, t in rows for d in [(t - base).days]}
+    days = sorted({d for _, d in active})
+    hi = max(days)
+    exp = {}
+    for rpt in range(0, hi + 1):
+        users = {u for (u, d) in active if rpt - 6 <= d <= rpt}
+        if users:
+            exp[(base + dt.timedelta(days=rpt)).date().isoformat()] = len(users)
+    assert got == exp
+
+
+def test_rolling_distinct_clamps_at_max_day(spark):
+    from pdf_parser_spark.operators.analytics import rolling_distinct_count
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 3))],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r["day"].isoformat(): r["active_keys"]
+        for r in rolling_distinct_count(df, "ts", "user_id", 7).collect()
+    }
+    # no report days past 2024-01-03 (the corpus max)
+    assert got == {"2024-01-01": 1, "2024-01-02": 1, "2024-01-03": 2}
+
+
+# ------------------------------------------------- gini_concentration
+
+
+def _gini_replay(ws):
+    ws = sorted(ws)
+    n = len(ws)
+    sw = sum(ws)
+    siw = sum((i + 1) * w for i, w in enumerate(ws))
+    return round((2 * siw - (n + 1) * sw) / (n * sw), 6)
+
+
+def test_gini_known_values(spark):
+    from pdf_parser_spark.operators.analytics import gini_concentration
+
+    rows = (
+        [("eq", 5, i) for i in range(4)]
+        + [("hot", 0, 0), ("hot", 0, 1), ("hot", 0, 2), ("hot", 100, 3)]
+        + [("mix", w, i) for i, w in enumerate([1, 2, 3, 4, 90])]
+    )
+    df = spark.createDataFrame(rows, "g string, w long, id long")
+    got = {
+        r["g"]: (r["n_units"], r["w_total"], r["gini"])
+        for r in gini_concentration(df, "g", "w", "id").collect()
+    }
+    assert got["eq"] == (4, 20, 0.0)  # perfect equality
+    assert got["hot"] == (4, 100, 0.75)  # one-hot: (n-1)/n
+    assert got["mix"] == (5, 100, _gini_replay([1, 2, 3, 4, 90]))
+
+
+def test_gini_zero_total_is_null(spark):
+    from pdf_parser_spark.operators.analytics import gini_concentration
+
+    df = spark.createDataFrame([("z", 0, 0), ("z", 0, 1)], "g string, w long, id long")
+    [r] = gini_concentration(df, "g", "w", "id").collect()
+    assert r["gini"] is None
+
+
+# ------------------------------------------------- theil_sen_trend
+
+
+def test_theil_sen_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import theil_sen_trend
+
+    pts = [(0, 10.0), (1, 12.0), (2, 14.0), (3, 99.0), (4, 18.0), (5, 20.0)]
+    rows = [("g", x, y, x) for x, y in pts]
+    df = spark.createDataFrame(rows, "g string, x long, y double, id long")
+    [r] = theil_sen_trend(df, "g", "x", "y", "id").collect()
+    slopes = sorted(
+        (
+            round((yj - yi) / (xj - xi), 9),
+            xi,
+            xj,
+        )
+        for i, (xi, yi) in enumerate(pts)
+        for xj, yj in pts[i + 1 :]
+    )
+    m = len(slopes)
+    exp_slope = slopes[(m + 1) // 2 - 1][0]
+    assert r["n_pairs"] == m
+    assert r["ts_slope"] == exp_slope
+    # robustness: the outlier at x=3 cannot flip the underlying slope 2
+    assert abs(r["ts_slope"] - 2.0) < 0.5
+
+
+def test_theil_sen_excludes_vertical_pairs(spark):
+    from pdf_parser_spark.operators.analytics import theil_sen_trend
+
+    rows = [("g", 0, 1.0, 0), ("g", 0, 9.0, 1), ("g", 1, 2.0, 2)]
+    df = spark.createDataFrame(rows, "g string, x long, y double, id long")
+    [r] = theil_sen_trend(df, "g", "x", "y", "id").collect()
+    assert r["n_pairs"] == 2  # (0,1)→x pair twice; the x=0,x=0 pair excluded
+
+
+# ------------------------------------------------- bitext_margin_pairs
+
+
+def test_bitext_margin_matches_python_replay(spark):
+    from pdf_parser_spark.operators.similarity import bitext_margin_pairs
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    xs = [(i, rng.randn(8).tolist()) for i in range(5)]
+    ys = [(100 + i, rng.randn(8).tolist()) for i in range(12)]
+    x = spark.createDataFrame(xs, "vec_id long, embedding array<double>")
+    y = spark.createDataFrame(ys, "vec_id long, embedding array<double>")
+    got = {
+        (r["x_id"], r["y_id"]): (r["cosine"], r["margin"])
+        for r in bitext_margin_pairs(x, y, k=3, threshold=1.0).collect()
+    }
+
+    def cos(a, b):
+        d = sum(p * q for p, q in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(p * p for p in a))
+                * math.sqrt(sum(q * q for q in b))
+            ),
+            6,
+        )
+
+    scored = {(xi, yi): cos(xv, yv) for xi, xv in xs for yi, yv in ys}
+    mx = {}
+    for xi, _ in xs:
+        top = sorted(
+            ((scored[(xi, yi)], yi) for yi, _ in ys), key=lambda t: (-t[0], t[1])
+        )[:3]
+        mx[xi] = sum(c for c, _ in top) / len(top)
+    my = {}
+    for yi, _ in ys:
+        top = sorted(
+            ((scored[(xi, yi)], xi) for xi, _ in xs), key=lambda t: (-t[0], t[1])
+        )[:3]
+        my[yi] = sum(c for c, _ in top) / len(top)
+    exp = {}
+    for (xi, yi), c in scored.items():
+        margin = round(c / ((mx[xi] + my[yi]) / 2.0), 6)
+        if margin >= 1.0:
+            exp[(xi, yi)] = (c, margin)
+    assert got == exp
+
+
+# ------------------------------------------------- trap_screen
+
+
+def test_trap_screen_flags_each_signal(spark):
+    from pdf_parser_spark.operators.crawl import trap_screen
+
+    urls = (
+        [(f"https://clean.io/articles/a{i}",) for i in range(4)]
+        + [(f"https://deep.io/a/b/c/d/e/f/x{i}",) for i in range(4)]
+        + [(f"https://loop.io/cat/x/cat/item{i}",) for i in range(4)]
+        + [(f"https://pager.io/list?page={50 + i}",) for i in range(4)]
+        + [(f"https://cal.io/archive/2024/01/{10 + i}/post",) for i in range(4)]
+        + [(f"https://facet.io/s?a=1&b=2&c=3&d=4&e={i}",) for i in range(4)]
+    )
+    df = spark.createDataFrame(urls, "url string")
+    got = {r["host"]: r.asDict() for r in trap_screen(df, "url").collect()}
+    assert not got["clean.io"]["trap_flag"]
+    assert got["deep.io"]["frac_deep"] == 1.0 and got["deep.io"]["trap_flag"]
+    assert got["loop.io"]["frac_repeat"] == 1.0 and got["loop.io"]["trap_flag"]
+    assert got["pager.io"]["frac_paged"] == 1.0 and got["pager.io"]["trap_flag"]
+    assert got["cal.io"]["frac_calendar"] == 1.0 and got["cal.io"]["trap_flag"]
+    assert got["facet.io"]["frac_params"] == 1.0 and got["facet.io"]["trap_flag"]
+
+
+def test_url_trap_features_values(spark):
+    from pdf_parser_spark.operators.crawl import url_trap_features
+
+    df = spark.createDataFrame(
+        [("https://h.io/a/b/a?page=7&x=1#frag",)], "url string"
+    )
+    feats = url_trap_features(F.col("url"))
+    [r] = df.select(
+        *[c.alias(k) for k, c in feats.items()]
+    ).collect()
+    assert r["depth"] == 3
+    assert r["has_repeat"] is True
+    assert r["page_num"] == 7
+    assert r["is_calendar"] is False
+    assert r["n_params"] == 2
+
+
+# ------------------------------------------------- bbit_minhash
+
+
+def _portable_lane(s: str, k: int) -> int:
+    seed = k // 2
+    h = hashlib.md5(f"{s}#{seed}".encode()).hexdigest()
+    return int(h[0:15], 16) if k % 2 == 0 else int(h[15:30], 16)
+
+
+def test_bbit_packing_matches_hashlib_replay(spark):
+    from pdf_parser_spark.operators.dedup import bbit_minhash_estimates
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = bbit_minhash_estimates(
+        df, num_hashes=32, bands=8, portable=True
+    ).collect()
+    assert rows, "identical docs must be LSH candidates"
+
+    def shingles(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    def sig(t):
+        sh = shingles(t)
+        return [min(_portable_lane(s, k) for s in sh) for k in range(32)]
+
+    sigs = {i: sig(t) for i, t in texts}
+    for r in rows:
+        sa, sb = sigs[r["a"]], sigs[r["b"]]
+        for w, col in ((0, "pa0"), (1, "pa1")):
+            exp = sum((sa[w * 16 + j] % 4) * 4**j for j in range(16))
+            assert r[col] == exp
+        for w, col in ((0, "pb0"), (1, "pb1")):
+            exp = sum((sb[w * 16 + j] % 4) * 4**j for j in range(16))
+            assert r[col] == exp
+        m2 = sum(1 for k in range(32) if sa[k] % 4 == sb[k] % 4)
+        mf = sum(1 for k in range(32) if sa[k] == sb[k])
+        assert r["m_bbit"] == m2
+        est_b = max(0.0, (m2 / 32.0 - 0.25) / 0.75)
+        assert r["est_bbit"] == round(est_b, 6)
+        assert r["gap_vs_full"] == round(est_b - mf / 32.0, 6)
+    # the identical pair (0, 2) must estimate J = 1 exactly
+    ident = [r for r in rows if {r["a"], r["b"]} == {0, 2}]
+    assert ident and ident[0]["est_bbit"] == 1.0
+
+
+# ------------------------------------------------- stitch_pairs
+
+
+def test_stitch_recovers_fragment_chain(spark):
+    from pdf_parser_spark.operators.dedup import stitch_pairs
+
+    body = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    frags = [
+        (0, body[:90]),
+        (1, body[50:150]),  # head 40 == tail 40 of frag 0
+        (2, body[110:]),  # head 40 == tail 40 of frag 1
+        (3, "x" * 80),  # unrelated
+    ]
+    df = spark.createDataFrame(frags, "doc_id long, text string")
+    got = {
+        (r["prev_id"], r["next_id"]) for r in stitch_pairs(df, k=40).collect()
+    }
+    assert got == {(0, 1), (1, 2)}
+
+
+def test_stitch_excludes_short_docs(spark):
+    from pdf_parser_spark.operators.dedup import stitch_pairs
+
+    df = spark.createDataFrame(
+        [(0, "short text"), (1, "short text")], "doc_id long, text string"
+    )
+    assert stitch_pairs(df, k=40).count() == 0
+
+
+def test_stitch_normalizes_case_and_whitespace(spark):
+    from pdf_parser_spark.operators.dedup import stitch_pairs
+
+    key = "abcdefghij" * 4  # 40 chars
+    a = "P" * 60 + key.upper()
+    b = key + "q" * 60
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    got = {(r["prev_id"], r["next_id"]) for r in stitch_pairs(df, k=40).collect()}
+    assert got == {(0, 1)}
+
+
+# ------------------------------------------------- kwic_snippets
+
+
+def test_kwic_positions_and_clamping(spark):
+    from pdf_parser_spark.operators.textqc import kwic_snippets
+
+    text = "Shuffle early. " + "x" * 50 + " broadcast " + "y" * 50 + " window"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["term"]: (r["pos"], r["snippet"])
+        for r in kwic_snippets(
+            df, ["shuffle", "broadcast", "window", "absent"], ctx=10
+        ).collect()
+    }
+    assert set(got) == {"shuffle", "broadcast", "window"}
+    lt = text.lower()
+    for term, (pos, snip) in got.items():
+        assert lt.find(term) + 1 == pos
+        start = max(pos - 10, 1)
+        end = pos + len(term) + 9
+        assert snip == text[start - 1 : end]
+    # start-of-text clamp: snippet begins at char 1, original casing kept
+    assert got["shuffle"][1].startswith("Shuffle")
+    # end-of-text clamp: 'window' is terminal, snippet truncates silently
+    assert got["window"][1].endswith("window")
