@@ -236,6 +236,11 @@ BENCH_QUERIES = [
     "bbit_minhash_estimates",
     "doc_stitch_pairs",
     "kwic_snippets",
+    "corpus_grouping_sets",
+    "dedup_consecutive_events",
+    "nearest_event_join",
+    "matryoshka_recall",
+    "dp_source_counts",
 ]
 
 

@@ -2184,3 +2184,54 @@ def theil_sen_trend(
         F.col("_m").alias("n_pairs"),
         F.col("_s").alias("ts_slope"),
     )
+
+
+def noised_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Laplace-mechanism noised per-group counts (Dwork et al. 2006) —
+    the ε-differentially-private release shape for publishing per-slice
+    statistics of a sensitive corpus (per-host doc counts, per-cohort
+    sizes). Counting has sensitivity 1, so noise ~ Laplace(1/ε) added
+    to each true count gives ε-DP for the count vector.
+
+    The uniform draw is INJECTABLE: this implementation derives u from
+    the portable md5 fold of (group, seed) — deterministic, so releases
+    are reproducible, testable, and oracle-checkable. A production
+    release under a real threat model swaps in a secure RNG for the
+    fold (one expression); the mechanism algebra is identical. The
+    inverse-CDF transform is the standard
+
+        noise = −(1/ε) · sgn(u − ½) · ln(1 − 2|u − ½|),  u ∈ (0, 1)
+
+    with u = (fold mod 10^9 + 0.5)/10^9 (never exactly 0 or 1, so ln is
+    finite). One map-side-combined groupBy; the noise is a scalar
+    expression on the |groups|-row aggregate — zero extra shuffle.
+
+    Returns (group, noised_count) ONLY — emitting the true count next
+    to the noised one would defeat the release; tests recover
+    calibration from the noise column distribution instead."""
+    cnt = df.groupBy(group_col).agg(F.count("*").cast("long").alias("_n"))
+    fold = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(group_col).cast("string"), F.lit(f"#{seed}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (F.pmod(fold, F.lit(1000000000)) + F.lit(0.5)) / F.lit(1e9)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return cnt.select(
+        group_col,
+        F.round(F.col("_n") + noise, 6).alias("noised_count"),
+    )

@@ -1922,3 +1922,33 @@ def stitch_pairs(
             F.md5(F.col("_key")).alias("boundary_md5"),
         )
     )
+
+
+def drop_consecutive_dups(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    watch_cols: list[str],
+) -> DataFrame:
+    """Consecutive-duplicate suppression per key — the event-stream
+    cleaning pass for at-least-once producers and chatty sensors: a row
+    is kept iff it is the first in its key's ``order_cols`` order OR any
+    ``watch_cols`` value differs from the immediately preceding row's.
+    (Distinct-dedup is wrong here: the same reading re-appearing LATER
+    is a real transition and must survive.)
+
+    Shape at 100 TB: ONE shuffle on the key; the comparison is a lag
+    window over the same partitioning — no join, no state store. NULL
+    semantics: NULL vs NULL counts as equal (a repeated NULL reading is
+    still a duplicate), via null-safe equality on a struct of the
+    watched columns."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cur = F.struct(*[F.col(c) for c in watch_cols])
+    prev = F.lag(cur).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .where(F.col("_prev").isNull() | ~cur.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )

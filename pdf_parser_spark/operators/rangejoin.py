@@ -116,3 +116,40 @@ def grid_proximity_join(
         .where(F.col("dist_sq") <= radius * radius)
         .drop("_cx", "_cy")
     )
+
+
+def nearest_event(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    window: int,
+) -> DataFrame:
+    """For every LEFT row (identified by its unique ``left_id``), the
+    single NEAREST right row by |Δt| within ±window (either direction)
+    — the bidirectional cousin of the as-of join (which only looks
+    backward): "which reading is closest to this incident", sensor
+    alignment, nearest-checkpoint attribution.
+
+    Built on the bin-bucketed range join (hash equi-join on (key,
+    bin±1), never a nested loop); the argmin is a WindowGroupLimit
+    (rank ≤ 1 pushed below the shuffle). Ties break earlier-then-
+    smaller-ts deterministic: (|Δt|, right_ts) ascending.
+
+    Left rows with no right row in range emit nothing (use a left join
+    against the output to keep them)."""
+    from pyspark.sql import Window
+
+    l = left.select(F.col(key), F.col(left_id), F.col(left_ts))
+    paired = bucketed_range_join(l, right, key, left_ts, right_ts, window)
+    dist = F.abs(F.col(left_ts) - F.col(right_ts))
+    w = Window.partitionBy(key, left_id).orderBy(
+        dist.asc(), F.col(right_ts).asc()
+    )
+    return (
+        paired.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

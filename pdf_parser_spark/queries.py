@@ -11909,6 +11909,230 @@ FROM hits WHERE pos > 0
 """
 
 
+def q_corpus_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((source), (lang), ()) over the corpus with
+    grouping_id — the multi-granularity rollup Catalyst plans as ONE
+    Expand + aggregate pass (the reference's per-dimension report loops
+    re-scan once per dimension; grouping sets scan once for all of
+    them). DuckDB's GROUPING() uses the same first-column-is-MSB bit
+    encoding, so gid value-checks across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["source"], ["lang"], []], "source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def sql_corpus_grouping_sets() -> str:
+    return """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), ())
+"""
+
+
+def q_dedup_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate suppression (dedup.drop_consecutive_dups):
+    per user in (ts, event_id) order, keep an event only if its type
+    differs from the immediately preceding one — the at-least-once /
+    chatty-sensor cleaning pass where DISTINCT is wrong (a re-occurring
+    type later IS a transition). ONE user shuffle, lag window, no
+    join."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    return dedup.drop_consecutive_dups(
+        e, "user_id", ["ts_us", "event_id"], ["event_type"]
+    )
+
+
+def sql_dedup_consecutive_events() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(ts) AS ts_us, event_type
+  FROM events
+), l AS (
+  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS prev
+  FROM e
+)
+SELECT event_id, user_id, ts_us, event_type
+FROM l WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+"""
+
+
+def q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join (rangejoin.nearest_event): for every click,
+    the single closest error by |Δt| within ±5 min, either direction —
+    the bidirectional cousin of the as-of join. Candidates come from
+    the bin-bucketed range equi-join; the argmin is a WindowGroupLimit.
+    Ties break (|Δt|, err_us) ascending — deterministic in any engine."""
+    from pdf_parser_spark.operators import rangejoin
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        ts_us.alias("ts_us"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("err_id"),
+        ts_us.alias("err_us"),
+    )
+    out = rangejoin.nearest_event(
+        clicks,
+        errors,
+        key="user_id",
+        left_id="event_id",
+        left_ts="ts_us",
+        right_ts="err_us",
+        window=300_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "err_id",
+        "err_us",
+        F.abs(F.col("ts_us") - F.col("err_us")).alias("gap_us"),
+    )
+
+
+def sql_nearest_event_join() -> str:
+    return """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type, epoch_us(ts) AS ts_us
+  FROM events
+), c AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+), er AS (
+  SELECT user_id, event_id AS err_id, ts_us AS err_us
+  FROM ev WHERE event_type = 'error'
+), p AS (
+  SELECT c.event_id, c.user_id, c.ts_us, er.err_id, er.err_us,
+         abs(c.ts_us - er.err_us) AS gap_us
+  FROM c JOIN er ON c.user_id = er.user_id
+                AND abs(c.ts_us - er.err_us) <= 300000000
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY gap_us, err_us) AS rn
+  FROM p
+)
+SELECT event_id, user_id, ts_us, err_id, err_us, gap_us FROM r WHERE rn = 1
+"""
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation eval (composition: two cosine_topk_batch
+    passes + similarity.topk_recall): recall@10 of retrieval on the
+    FIRST 16 of 64 embedding dims against full-dim truth — the
+    dimension-budget readout before a 4× index-size cut. Both rankings
+    are WindowGroupLimit-cut; the recall join runs over |queries|·k
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    corpus_t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    queries_t = queries.select(
+        "qid", F.slice("qvec", 1, 16).alias("qvec")
+    )
+    truth = similarity.cosine_topk_batch(emb, queries, k=10)
+    approx = similarity.cosine_topk_batch(corpus_t, queries_t, k=10)
+    return similarity.topk_recall(truth, approx, k=10)
+
+
+def sql_matryoshka_recall() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv, v[1:16] AS qvt FROM e WHERE vec_id % 100 = 0
+), full_s AS (
+  SELECT q.qid, e.vec_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM e CROSS JOIN q
+), tr AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM full_s
+), trunc_s AS (
+  SELECT q.qid, e.vec_id,
+         round(list_dot_product(e.v[1:16], q.qvt)
+               / (sqrt(list_dot_product(e.v[1:16], e.v[1:16]))
+                  * sqrt(list_dot_product(q.qvt, q.qvt))), 6) AS cosine
+  FROM e CROSS JOIN q
+), ap AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM trunc_s
+), t10 AS (SELECT qid, vec_id FROM tr WHERE rank <= 10),
+   a10 AS (SELECT qid, vec_id FROM ap WHERE rank <= 10),
+   hits AS (
+  SELECT a10.qid,
+         CAST(sum(CASE WHEN t10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM a10 LEFT JOIN t10 USING (qid, vec_id) GROUP BY a10.qid
+), truths AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_true FROM t10 GROUP BY qid
+)
+SELECT truths.qid, n_true, coalesce(n_hit, 0) AS n_hit,
+       round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_true, 6) AS recall
+FROM truths LEFT JOIN hits USING (qid)
+"""
+
+
+def q_dp_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noised per-source doc counts (analytics.noised_counts;
+    Laplace mechanism, sensitivity-1 count, ε=1): the release shape for
+    publishing per-slice statistics of a sensitive corpus. The uniform
+    draw comes from the portable md5 fold so the release is
+    reproducible and oracle-checkable; a real release swaps in a secure
+    RNG for the fold (one expression)."""
+    d = load_table(spark, sf_dir, "documents")
+    return analytics.noised_counts(d, "source", epsilon=1.0, seed="dp")
+
+
+def sql_dp_source_counts() -> str:
+    return """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+), u AS (
+  SELECT source, n,
+         (('0x' || substr(md5(source || '#dp'), 1, 15))::BIGINT
+          % 1000000000 + 0.5) / 1e9 AS uu
+  FROM c
+)
+SELECT source,
+       round(n + (-1.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+         AS noised_count
+FROM u
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -12188,6 +12412,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bbit_minhash_estimates": q_bbit_minhash_estimates,
     "doc_stitch_pairs": q_doc_stitch_pairs,
     "kwic_snippets": q_kwic_snippets,
+    "corpus_grouping_sets": q_corpus_grouping_sets,
+    "dedup_consecutive_events": q_dedup_consecutive_events,
+    "nearest_event_join": q_nearest_event_join,
+    "matryoshka_recall": q_matryoshka_recall,
+    "dp_source_counts": q_dp_source_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -12437,4 +12666,9 @@ ORACLES: dict[str, str] = {
     "bbit_minhash_estimates": sql_bbit_minhash_estimates(),
     "doc_stitch_pairs": sql_doc_stitch_pairs(),
     "kwic_snippets": sql_kwic_snippets(),
+    "corpus_grouping_sets": sql_corpus_grouping_sets(),
+    "dedup_consecutive_events": sql_dedup_consecutive_events(),
+    "nearest_event_join": sql_nearest_event_join(),
+    "matryoshka_recall": sql_matryoshka_recall(),
+    "dp_source_counts": sql_dp_source_counts(),
 }

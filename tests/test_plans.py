@@ -1061,3 +1061,27 @@ def test_rolling_distinct_bounded_broadcast_no_wide_join(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_single_expand_one_scan(spark):
+    # one Expand + aggregate pass — NOT one scan per grouping set
+    df = QUERIES["corpus_grouping_sets"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_dedup_consecutive_single_shuffle_no_join(spark):
+    df = QUERIES["dedup_consecutive_events"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_nearest_event_equi_join_not_nested_loop(spark):
+    df = QUERIES["nearest_event_join"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan  # argmin cut below the shuffle

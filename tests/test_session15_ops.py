@@ -338,3 +338,80 @@ def test_kwic_positions_and_clamping(spark):
     assert got["shuffle"][1].startswith("Shuffle")
     # end-of-text clamp: 'window' is terminal, snippet truncates silently
     assert got["window"][1].endswith("window")
+
+
+# ------------------------------------------------- drop_consecutive_dups
+
+
+def test_drop_consecutive_keeps_transitions(spark):
+    from pdf_parser_spark.operators.dedup import drop_consecutive_dups
+
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (1, 5, "a"),
+        (2, 1, "x"), (2, 2, None), (2, 3, None), (2, 4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v string")
+    got = sorted(
+        (r["k"], r["t"])
+        for r in drop_consecutive_dups(df, "k", ["t"], ["v"]).collect()
+    )
+    # re-occurrence AFTER a transition survives; NULL==NULL is a dup
+    assert got == [(1, 1), (1, 3), (1, 4), (2, 1), (2, 2), (2, 4)]
+
+
+# ------------------------------------------------- nearest_event
+
+
+def test_nearest_event_argmin_and_ties(spark):
+    from pdf_parser_spark.operators.rangejoin import nearest_event
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 205), (1, 12, 900)],
+        "k long, lid long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 95), (1, 210), (1, 200)], "k long, rts long"
+    )
+    got = {
+        r["lid"]: r["rts"]
+        for r in nearest_event(left, right, "k", "lid", "lts", "rts", 50).collect()
+    }
+    # lid=10: |100-95|=5 wins. lid=11: 205 vs {210:5, 200:5} tie → earlier
+    # rts (200). lid=12: nothing within ±50 → absent.
+    assert got == {10: 95, 11: 200}
+
+
+# ------------------------------------------------- noised_counts
+
+
+def test_noised_counts_matches_hashlib_replay(spark):
+    import hashlib
+    import math as m
+
+    from pdf_parser_spark.operators.analytics import noised_counts
+
+    rows = [(f"g{i % 3}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string")
+    got = {
+        r["g"]: r["noised_count"]
+        for r in noised_counts(df, "g", epsilon=2.0, seed="s").collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        n = 10
+        fold = int(hashlib.md5(f"{g}#s".encode()).hexdigest()[:15], 16)
+        u = (fold % 10**9 + 0.5) / 1e9
+        c = u - 0.5
+        noise = -(1 / 2.0) * m.copysign(1, c) * m.log(1 - 2 * abs(c))
+        assert got[g] == round(n + noise, 6)
+
+
+def test_noised_counts_calibration(spark):
+    # with many groups, mean |noise| ≈ 1/ε (Laplace mean abs dev = b)
+    from pdf_parser_spark.operators.analytics import noised_counts
+
+    rows = [(f"g{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string")
+    out = noised_counts(df, "g", epsilon=1.0).collect()
+    devs = [abs(r["noised_count"] - 1.0) for r in out]
+    mean_abs = sum(devs) / len(devs)
+    assert 0.7 < mean_abs < 1.4  # b = 1/ε = 1
