@@ -241,6 +241,9 @@ BENCH_QUERIES = [
     "nearest_event_join",
     "matryoshka_recall",
     "dp_source_counts",
+    "pit_customer_segments",
+    "span_integrity_audit",
+    "bloom_prefiltered_revenue",
 ]
 
 

@@ -159,3 +159,37 @@ def resample_interpolate(
         F.col("_s").alias("grid_ts"),
         F.round(value, 6).alias("value"),
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (AS OF) lookup against an SCD2 dimension: each fact
+    row joins the dimension VERSION whose validity interval contains the
+    fact's timestamp (from-inclusive, to-exclusive; NULL valid_to =
+    current version). The temporal-correctness join every warehouse
+    fact/dim enrichment needs — joining the CURRENT version back-dates
+    attribute changes onto old facts.
+
+    Shape at 100 TB: SCD2 dimensions are small relative to facts
+    (versions of a bounded entity set), so the dimension BROADCASTS and
+    the interval predicate evaluates in codegen on the fact scan — the
+    fact table never shuffles. For a dimension too big to broadcast,
+    the as-of form (asof_join on valid_from with a validity filter) is
+    the fallback — same semantics, one shuffle.
+
+    A fact whose timestamp hits no version is dropped (inner); well-kept
+    SCD2 tables are gapless, and the count delta is the audit."""
+    f = facts
+    d = dim
+    cond = (
+        (f[key] == d[key])
+        & (f[ts_col] >= d[valid_from])
+        & (d[valid_to].isNull() | (f[ts_col] < d[valid_to]))
+    )
+    return f.join(F.broadcast(d), cond).drop(d[key])

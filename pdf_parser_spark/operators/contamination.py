@@ -242,3 +242,45 @@ def fuzzy_overlap(
     ).select(
         F.col("a").alias(id_col), F.col("b").alias(bench_id_col), "jaccard"
     )
+
+
+def bloom_prefilter(
+    facts: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    key_col: str = "k",
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom semi-join reduction: keep only fact rows whose key PASSES a
+    Bloom probe against the (small) key set — the runtime-filter move
+    that cuts shuffle volume before an exact join. No false negatives
+    by construction, so ``bloom_prefilter ∘ exact-join ≡ exact-join``;
+    false positives only waste a little post-filter work (rate ≈
+    (1 − e^(−k·n/m))^k — size m ≳ 10·n for k=3).
+
+    Shape at 100 TB: the bitmap builds distributed (bloom_bitmap: ≤ m/64
+    word rows reach the 1-row assembly), broadcasts as ONE row of packed
+    longs, and the k probes are codegen bit tests riding the fact SCAN —
+    rows a shuffle join would have moved and then discarded never leave
+    the scan stage. The fact key hashes with the same portable fold as
+    the bitmap, so oracles replay membership bit-for-bit."""
+    bitmap = bloom_bitmap(
+        keys.select(F.col(key_col).cast("string").alias("g")),
+        "g",
+        m_bits,
+        k_hashes,
+    )
+    fs = F.col(fact_key).cast("string")
+    with_pos = facts.crossJoin(F.broadcast(bitmap)).withColumns(
+        {f"_bp{j}": _bloom_pos(fs, j, m_bits) for j in range(k_hashes)}
+    )
+    cond = " AND ".join(
+        f"((shiftright(try_element_at(bloom_bits, CAST(_bp{j} DIV 64 AS INT)"
+        f" + 1), CAST(_bp{j} % 64 AS INT)) & 1) = 1)"
+        for j in range(k_hashes)
+    )
+    return (
+        with_pos.where(F.expr(cond))
+        .drop("bloom_bits", *[f"_bp{j}" for j in range(k_hashes)])
+    )

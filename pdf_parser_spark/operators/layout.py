@@ -105,3 +105,60 @@ def link_captions(
             F.when(in_range, F.col("caption")).alias("caption"),
         )
     return out
+
+
+def span_integrity(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Data-quality audit of an interleaved-spans table (the engine's
+    own input contract, BASELINE input_hint: doc_id + spans
+    array<struct<kind,text,media_ref,offset>>) — the pre-flight gate an
+    extraction job runs before trusting a new ingest:
+
+    - ``n_spans`` / ``n_text`` / ``n_media`` — composition
+    - ``offsets_monotonic`` — offsets strictly increase in array order
+      (the kernel's reading-order contract; a shuffled ingest breaks it)
+    - ``dangling_media`` — a media span with an EMPTY media_ref (the
+      linkage the media pipeline joins on)
+    - ``text_on_media`` — a media span carrying text (corrupt writer)
+    - ``no_text`` — no non-empty text span (nothing to extract)
+
+    Everything is one codegen pass over the spans array (exists /
+    filter / zip_with on a sliced copy) — ZERO shuffle, no explode:
+    the audit reads the table once at scan speed."""
+    sp = F.col("spans")
+    offs = F.transform(sp, lambda s: s["offset"])
+    mono = F.coalesce(
+        F.aggregate(
+            F.zip_with(
+                F.slice(offs, 1, F.greatest(F.size(offs) - 1, F.lit(0))),
+                F.slice(offs, 2, F.greatest(F.size(offs) - 1, F.lit(0))),
+                lambda a, b: (b > a).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        == F.greatest(F.size(offs) - 1, F.lit(0)),
+        F.lit(True),
+    )
+    is_media = lambda s: s["kind"] == F.lit("media")  # noqa: E731
+    return docs.select(
+        F.col(id_col),
+        F.size(sp).cast("long").alias("n_spans"),
+        F.size(F.filter(sp, lambda s: s["kind"] == F.lit("text"))).cast(
+            "long"
+        ).alias("n_text"),
+        F.size(F.filter(sp, is_media)).cast("long").alias("n_media"),
+        mono.alias("offsets_monotonic"),
+        F.exists(
+            sp, lambda s: is_media(s) & (s["media_ref"] == F.lit(""))
+        ).alias("dangling_media"),
+        F.exists(
+            sp, lambda s: is_media(s) & (s["text"] != F.lit(""))
+        ).alias("text_on_media"),
+        (
+            ~F.exists(
+                sp,
+                lambda s: (s["kind"] == F.lit("text"))
+                & (s["text"] != F.lit("")),
+            )
+        ).alias("no_text"),
+    )

@@ -12133,6 +12133,200 @@ FROM u
 """
 
 
+def q_pit_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (asof.pit_join): every event joins the
+    dimension VERSION valid at its timestamp — two synthesized versions
+    per customer flip the segment attribute on 2024-01-15, mid-way
+    through the event window, so both versions are exercised. The dim
+    broadcasts; the fact scan never shuffles. Joining the CURRENT
+    version instead would back-date the change onto January's first
+    half — the classic warehouse bug this operator exists to prevent."""
+    from pdf_parser_spark.operators.asof import pit_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.col("seg").alias("segment"),
+        F.lit("1970-01-01").cast("date").alias("valid_from"),
+        F.lit("2024-01-15").cast("date").alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("seg"), F.lit("_V2")).alias("segment"),
+        F.lit("2024-01-15").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    facts = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("c_custkey"),
+        F.to_date("ts").alias("ts_d"),
+    )
+    out = pit_join(facts, dim, "c_custkey", "ts_d")
+    return out.select("event_id", "c_custkey", "ts_d", "segment")
+
+
+def sql_pit_customer_segments() -> str:
+    return """
+WITH dim AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         c_mktsegment AS segment,
+         DATE '1970-01-01' AS valid_from, DATE '2024-01-15' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), c_mktsegment || '_V2',
+         DATE '2024-01-15', NULL
+  FROM customer
+), f AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS c_custkey,
+         CAST(ts AS DATE) AS ts_d
+  FROM events
+)
+SELECT event_id, f.c_custkey, ts_d, segment
+FROM f JOIN dim ON f.c_custkey = dim.c_custkey
+               AND f.ts_d >= dim.valid_from
+               AND (dim.valid_to IS NULL OR f.ts_d < dim.valid_to)
+"""
+
+
+def q_span_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight DQ audit of the interleaved-spans input table
+    (layout.span_integrity over the BASELINE input shape): three
+    corruption classes are injected in pure Catalyst — an appended
+    offset-0 dangling media span (breaks monotonicity + linkage), a
+    media span carrying text, and a doc whose spans collapse to one
+    empty text span — and the audit must flag exactly those docs from
+    the ARRAY alone. Zero shuffle; the oracle derives every flag
+    closed-form from the construction rules, an independent path."""
+    from pdf_parser_spark.operators.layout import span_integrity
+
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    did = F.col("doc_id").cast("long")
+    bogus_dangling = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    bogus_texty = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("junk").alias("text"),
+        F.lit("img-bad").alias("media_ref"),
+        F.lit(1000000000).alias("offset"),
+    )
+    empty_doc = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    spans = (
+        F.when(did % 13 == 1, empty_doc)
+        .when(did % 7 == 3, F.concat(F.col("spans"), F.array(bogus_dangling)))
+        .when(did % 11 == 5, F.concat(F.col("spans"), F.array(bogus_texty)))
+        .otherwise(F.col("spans"))
+    )
+    return span_integrity(docs.select("doc_id", spans.alias("spans"))).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_spans",
+        "n_text",
+        "n_media",
+        "offsets_monotonic",
+        "dangling_media",
+        "text_on_media",
+        "no_text",
+    )
+
+
+def sql_span_integrity_audit() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id AS BIGINT) % 4 = 0 AS has_media,
+         CASE WHEN CAST(doc_id AS BIGINT) % 13 = 1 THEN 'empty'
+              WHEN CAST(doc_id AS BIGINT) % 7 = 3 THEN 'dangling'
+              WHEN CAST(doc_id AS BIGINT) % 11 = 5 THEN 'texty'
+              ELSE 'clean' END AS cls
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN cls = 'empty' THEN 1
+                 ELSE (CASE WHEN has_media THEN 2 ELSE 1 END)
+                      + (CASE WHEN cls IN ('dangling', 'texty')
+                              THEN 1 ELSE 0 END) END AS BIGINT) AS n_spans,
+       CAST(CASE WHEN cls = 'empty' THEN 1 ELSE 1 END AS BIGINT) AS n_text,
+       CAST(CASE WHEN cls = 'empty' THEN 0
+                 ELSE (CASE WHEN has_media THEN 1 ELSE 0 END)
+                      + (CASE WHEN cls IN ('dangling', 'texty')
+                              THEN 1 ELSE 0 END) END AS BIGINT) AS n_media,
+       CASE WHEN cls = 'dangling' THEN FALSE ELSE TRUE END
+         AS offsets_monotonic,
+       CASE WHEN cls = 'dangling' THEN TRUE ELSE FALSE END
+         AS dangling_media,
+       CASE WHEN cls = 'texty' THEN TRUE ELSE FALSE END AS text_on_media,
+       CASE WHEN cls = 'empty' THEN TRUE ELSE FALSE END AS no_text
+FROM d
+"""
+
+
+def q_bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (contamination.bloom_prefilter): revenue
+    of lineitems belonging to a flagged order set, computed as bloom
+    pre-screen (codegen bit probes on the fact scan) → exact broadcast
+    semi-join → aggregate. The oracle is the PLAIN semi-join with no
+    bloom anywhere — value equality proves the no-false-negative
+    property end to end, at the query level."""
+    from pdf_parser_spark.operators.contamination import bloom_prefilter
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    pre = bloom_prefilter(li, keys, "l_orderkey")
+    exact = pre.join(
+        F.broadcast(keys),
+        pre["l_orderkey"].cast("long") == keys["k"],
+        "left_semi",
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def sql_bloom_prefiltered_revenue() -> str:
+    return """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -12417,6 +12611,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nearest_event_join": q_nearest_event_join,
     "matryoshka_recall": q_matryoshka_recall,
     "dp_source_counts": q_dp_source_counts,
+    "pit_customer_segments": q_pit_customer_segments,
+    "span_integrity_audit": q_span_integrity_audit,
+    "bloom_prefiltered_revenue": q_bloom_prefiltered_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -12671,4 +12868,7 @@ ORACLES: dict[str, str] = {
     "nearest_event_join": sql_nearest_event_join(),
     "matryoshka_recall": sql_matryoshka_recall(),
     "dp_source_counts": sql_dp_source_counts(),
+    "pit_customer_segments": sql_pit_customer_segments(),
+    "span_integrity_audit": sql_span_integrity_audit(),
+    "bloom_prefiltered_revenue": sql_bloom_prefiltered_revenue(),
 }

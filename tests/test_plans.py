@@ -1085,3 +1085,28 @@ def test_nearest_event_equi_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan  # argmin cut below the shuffle
+
+
+def test_pit_join_broadcasts_dim_no_fact_shuffle(spark):
+    df = QUERIES["pit_customer_segments"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_integrity_zero_shuffle(spark):
+    df = QUERIES["span_integrity_audit"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_bloom_prefilter_probe_rides_fact_scan(spark):
+    # the bloom probe must be a filter over the fact scan + a 1-row
+    # broadcast — no shuffle of the fact table before the exact semi-join
+    df = QUERIES["bloom_prefiltered_revenue"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # final agg + bitmap build shuffle, but the lineitem side must reach
+    # its semi-join through broadcasts only
+    assert "SortMergeJoin" not in plan

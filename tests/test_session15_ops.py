@@ -415,3 +415,86 @@ def test_noised_counts_calibration(spark):
     devs = [abs(r["noised_count"] - 1.0) for r in out]
     mean_abs = sum(devs) / len(devs)
     assert 0.7 < mean_abs < 1.4  # b = 1/ε = 1
+
+
+# ------------------------------------------------- pit_join
+
+
+def test_pit_join_picks_version_at_timestamp(spark):
+    import datetime as _dt
+
+    from pdf_parser_spark.operators.asof import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", _dt.date(2020, 1, 1), _dt.date(2024, 1, 15)),
+            (1, "new", _dt.date(2024, 1, 15), None),
+            (2, "only", _dt.date(2023, 6, 1), None),
+        ],
+        "k long, attr string, valid_from date, valid_to date",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, _dt.date(2024, 1, 14)),  # last day of v1
+            (11, 1, _dt.date(2024, 1, 15)),  # first day of v2 (from-inclusive)
+            (12, 2, _dt.date(2024, 2, 1)),
+            (13, 2, _dt.date(2023, 1, 1)),  # before any version — dropped
+        ],
+        "fid long, k long, ts date",
+    )
+    got = {
+        r["fid"]: r["attr"]
+        for r in pit_join(facts, dim, "k", "ts").collect()
+    }
+    assert got == {10: "old", 11: "new", 12: "only"}
+
+
+# ------------------------------------------------- span_integrity
+
+
+def test_span_integrity_flags(spark):
+    from pdf_parser_spark.operators.layout import span_integrity
+
+    rows = [
+        # clean: text then media, increasing offsets
+        (0, [("text", "hello", "", 0), ("media", "", "img-1", 6)]),
+        # non-monotonic offsets
+        (1, [("text", "a", "", 5), ("media", "", "img-2", 2)]),
+        # dangling media (empty ref) + text on media
+        (2, [("text", "x", "", 0), ("media", "oops", "", 1)]),
+        # no extractable text
+        (3, [("text", "", "", 0)]),
+        # single span: trivially monotonic
+        (4, [("text", "solo", "", 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r.asDict() for r in span_integrity(df).collect()}
+    assert got[0]["offsets_monotonic"] and not got[0]["dangling_media"]
+    assert got[0]["n_text"] == 1 and got[0]["n_media"] == 1
+    assert not got[1]["offsets_monotonic"]
+    assert got[2]["dangling_media"] and got[2]["text_on_media"]
+    assert got[3]["no_text"] and got[3]["offsets_monotonic"]
+    assert got[4]["offsets_monotonic"] and not got[4]["no_text"]
+
+
+# ------------------------------------------------- bloom_prefilter
+
+
+def test_bloom_prefilter_no_false_negatives_and_screens(spark):
+    from pdf_parser_spark.operators.contamination import bloom_prefilter
+
+    facts = spark.createDataFrame(
+        [(i, i % 50) for i in range(400)], "fid long, k long"
+    )
+    keys = spark.createDataFrame([(7,), (23,), (41,)], "k long")
+    out = bloom_prefilter(facts, keys, "k").collect()
+    kept = {(r["fid"], r["k"]) for r in out}
+    member = {(i, i % 50) for i in range(400) if i % 50 in (7, 23, 41)}
+    # no false negatives: every true member survives
+    assert member <= kept
+    # the screen actually screens (FP rate far below pass-everything)
+    assert len(kept) < 100
