@@ -2235,3 +2235,112 @@ def noised_counts(
         group_col,
         F.round(F.col("_n") + noise, 6).alias("noised_count"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    flag,
+    bin_width: float,
+) -> DataFrame:
+    """Population Stability Index per bin between the rows where ``flag``
+    is true (the BASELINE population) and the rest (the CURRENT one) —
+    the monitoring companion to ``ks_two_sample``: KS answers "did the
+    distribution move anywhere", PSI answers "which part of it moved and
+    by how much", the form model-monitoring dashboards alert on
+    (conventional thresholds: 0.1 watch, 0.25 act).
+
+    Fixed-width bins (``floor(value / bin_width)``) rather than
+    baseline-quantile bins keep the operator a pure per-row expression —
+    no quantile pre-pass, no bin-edge state to version between runs.
+    Empty-bin mass is handled with add-half smoothing over the OBSERVED
+    bin domain: p_i = (c_i + ½) / (n + B/2) with B the number of
+    distinct bins either side populated, so ln(p/q) is always finite
+    and the per-bin contributions sum to a comparable total across
+    runs with the same width.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on the bin collapses
+    the corpus to B rows; the totals are unpartitioned window sums over
+    those B rows (tens, not billions). No join, no driver state.
+    """
+    per_bin = df.groupBy(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("c_base"),
+        F.sum(F.when(flag, 0).otherwise(1)).cast("long").alias("c_curr"),
+    )
+    w_all = Window.partitionBy()
+    tot = per_bin.select(
+        "bin",
+        "c_base",
+        "c_curr",
+        F.sum("c_base").over(w_all).alias("_nb"),
+        F.sum("c_curr").over(w_all).alias("_nc"),
+        F.count("*").over(w_all).alias("_B"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = (d("c_base") + F.lit(0.5)) / (d("_nb") + d("_B") / F.lit(2.0))
+    q = (d("c_curr") + F.lit(0.5)) / (d("_nc") + d("_B") / F.lit(2.0))
+    return tot.select(
+        "bin",
+        "c_base",
+        "c_curr",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Pearson correlation for every pair of ``cols`` in ONE aggregation
+    pass — the feature-triage screen a training pipeline runs before
+    model fitting (drop near-duplicate features, spot leakage: a
+    feature correlating ~1.0 with the label). k columns need k(k+1)/2
+    moment accumulators; all of them ride a single map-side-combined
+    aggregate, so the corpus is scanned ONCE however many pairs are
+    requested — never one pass (or one ``df.stat.corr`` job) per pair.
+
+    Exact-replay contract: inputs are quantized to DECIMAL(18, scale)
+    (prices/rates carry ≤2 decimals in this corpus, so quantization is
+    the identity) and every sum / sum-of-products accumulates in exact
+    decimal — no float-addition-order dependence. Only the final
+    correlation is derived in DOUBLE from one fixed expression shape:
+    (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²)).
+
+    Shape at 100 TB: one aggregate, one 1-row result, zero shuffle
+    beyond the partial-agg combine; the pair fan-out (``inline``) runs
+    on that single row. Decimal(38,·) sum headroom holds past 10^12
+    rows of 10-digit products.
+    """
+    dec = [F.col(c).cast(f"decimal(18,{scale})").alias(c) for c in cols]
+    quant = df.select(*dec)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, ci in enumerate(cols):
+        aggs.append(F.sum(F.col(ci)).alias(f"_s{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(F.col(ci) * F.col(cols[j])).alias(f"_p{i}_{j}")
+            )
+    row = quant.agg(*aggs)
+    n = F.col("_n").cast("double")
+    s = lambda i: F.col(f"_s{i}").cast("double")  # noqa: E731
+    p = lambda i, j: F.col(f"_p{i}_{j}").cast("double")  # noqa: E731
+    pairs = []
+    for i, ci in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            num = n * p(i, j) - s(i) * s(j)
+            den = F.sqrt(
+                (n * p(i, i) - s(i) * s(i)) * (n * p(j, j) - s(j) * s(j))
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(ci).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    F.round(num / den, 6).alias("corr"),
+                )
+            )
+    return row.select(
+        F.inline(F.array(*pairs)), F.col("_n").alias("n_rows")
+    ).select("col_x", "col_y", "corr", "n_rows")

@@ -1305,3 +1305,74 @@ def quantile_map(
             F.col("_ref_score").alias("mapped_score"),
         )
     )
+
+
+def oof_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    fold_col,
+    target_col: str,
+    smoothing: float = 20.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe way to turn a
+    high-cardinality categorical (host, source, domain) into a numeric
+    feature for a quality/ranking model: each fold's encoding of a
+    category uses ONLY the other folds' rows, so a row never sees its
+    own target. The naive global mean leaks the label and inflates
+    offline metrics — the exact failure ``leakage_safe_split`` guards
+    against at the split level; this operator is the feature-level
+    counterpart.
+
+    Encoding (empirical-Bayes smoothed, Micci-Barreca 2001):
+
+        enc(c, f) = (S_c − S_cf + m·prior_f) / (N_c − N_cf + m)
+
+    where S/N are target sums/counts over the category (``_c``) and the
+    category∩fold cell (``_cf``), and prior_f is the out-of-fold GLOBAL
+    mean (S_tot − S_f)/(N_tot − N_f) — so a category seen only inside
+    one fold falls back to the prior instead of dividing by zero.
+
+    Exact-replay contract: targets quantize to DECIMAL(18, scale) and
+    all sums accumulate exactly; only the final ratio is DOUBLE with
+    one fixed expression shape.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on (category, fold)
+    collapses the corpus to |C|·|F| cells; every subtotal after that is
+    a window over the collapsed table (category windows partition by
+    category; fold/global windows run over |C|·|F| rows, not corpus
+    rows). Applying the encoding to the fact table afterwards is a
+    broadcast join on (category, fold) — the cell table is tiny by
+    construction."""
+    cells = df.groupBy(
+        F.col(cat_col).alias("category"), fold_col.alias("fold")
+    ).agg(
+        F.sum(F.col(target_col).cast(f"decimal(18,{scale})")).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    w_cat = Window.partitionBy("category")
+    w_fold = Window.partitionBy("fold")
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "category",
+        "fold",
+        "_s",
+        "_n",
+        F.sum("_s").over(w_cat).alias("_sc"),
+        F.sum("_n").over(w_cat).alias("_nc"),
+        F.sum("_s").over(w_fold).alias("_sf"),
+        F.sum("_n").over(w_fold).alias("_nf"),
+        F.sum("_s").over(w_all).alias("_st"),
+        F.sum("_n").over(w_all).alias("_nt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    prior = (d("_st") - d("_sf")) / (d("_nt") - d("_nf"))
+    enc = (
+        (d("_sc") - d("_s")) + F.lit(smoothing) * prior
+    ) / ((d("_nc") - d("_n")) + F.lit(smoothing))
+    return t.select(
+        "category",
+        "fold",
+        (F.col("_nc") - F.col("_n")).cast("long").alias("n_oof"),
+        F.round(enc, 6).alias("encoding"),
+    )

@@ -12327,6 +12327,149 @@ GROUP BY l_returnflag
 """
 
 
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift per price bin
+    (analytics.psi_drift): pre-1998 orders are the BASELINE
+    distribution, 1998+ the CURRENT one, over fixed 25k-wide
+    o_totalprice bins — the model-monitoring screen that localizes
+    WHERE a score/feature distribution moved (KS only says THAT it
+    moved). One bin groupBy collapses the table; totals are window
+    sums over the ~20-bin aggregate."""
+    from pdf_parser_spark.operators.analytics import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    return psi_drift(
+        orders,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        bin_width=25000.0,
+    )
+
+
+def sql_psi_price_drift() -> str:
+    return """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 1 ELSE 0 END AS is_base
+  FROM orders
+), per_bin AS (
+  SELECT bin, CAST(sum(is_base) AS BIGINT) AS c_base,
+         CAST(sum(1 - is_base) AS BIGINT) AS c_curr
+  FROM b GROUP BY bin
+), tot AS (
+  SELECT bin, c_base, c_curr,
+         (CAST(c_base AS DOUBLE) + 0.5)
+           / (CAST(sum(c_base) OVER () AS DOUBLE)
+              + CAST(count(*) OVER () AS DOUBLE) / 2.0) AS p,
+         (CAST(c_curr AS DOUBLE) + 0.5)
+           / (CAST(sum(c_curr) OVER () AS DOUBLE)
+              + CAST(count(*) OVER () AS DOUBLE) / 2.0) AS q
+  FROM per_bin
+)
+SELECT bin, c_base, c_curr, round((p - q) * ln(p / q), 6) AS psi_contrib
+FROM tot
+"""
+
+
+def q_oof_priority_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (curation.oof_target_encode):
+    o_orderpriority encoded against o_totalprice with 5 hash folds
+    (o_orderkey % 5) and smoothing m=20 — each fold's encoding sees
+    only the OTHER folds' targets, the leakage-safe feature a quality
+    classifier trains on. One (category, fold) groupBy; every subtotal
+    is a window over the 25-cell aggregate."""
+    from pdf_parser_spark.operators.curation import oof_target_encode
+
+    orders = load_table(spark, sf_dir, "orders")
+    return oof_target_encode(
+        orders,
+        "o_orderpriority",
+        (F.col("o_orderkey") % 5).cast("long"),
+        "o_totalprice",
+        smoothing=20.0,
+    )
+
+
+def sql_oof_priority_encoding() -> str:
+    return """
+WITH cells AS (
+  SELECT o_orderpriority AS category,
+         CAST(o_orderkey % 5 AS BIGINT) AS fold,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT category, fold, s, n,
+         sum(s) OVER (PARTITION BY category) AS sc,
+         sum(n) OVER (PARTITION BY category) AS nc,
+         sum(s) OVER (PARTITION BY fold) AS sf,
+         sum(n) OVER (PARTITION BY fold) AS nf,
+         sum(s) OVER () AS st,
+         sum(n) OVER () AS nt
+  FROM cells
+)
+SELECT category, fold, CAST(nc - n AS BIGINT) AS n_oof,
+       round(((CAST(sc AS DOUBLE) - CAST(s AS DOUBLE))
+              + 20.0 * ((CAST(st AS DOUBLE) - CAST(sf AS DOUBLE))
+                        / (CAST(nt AS DOUBLE) - CAST(nf AS DOUBLE))))
+             / ((CAST(nc AS DOUBLE) - CAST(n AS DOUBLE)) + 20.0),
+             6) AS encoding
+FROM t
+"""
+
+
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix (analytics.corr_matrix) over
+    the four lineitem measures — 6 pairs, 15 exact-decimal moment
+    accumulators, ONE scan: the feature-triage screen run before
+    fitting a quality model (near-duplicate features, leakage). The
+    oracle replays the identical moment algebra per pair."""
+    from pdf_parser_spark.operators.analytics import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def sql_lineitem_corr_matrix() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    moments = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, ci in enumerate(cols):
+        moments.append(f"sum(x{i}) AS s{i}")
+        for j in range(i, len(cols)):
+            moments.append(f"sum(x{i}*x{j}) AS p{i}_{j}")
+    quant = ", ".join(
+        f"CAST({c} AS DECIMAL(18,2)) AS x{i}" for i, c in enumerate(cols)
+    )
+    arms = []
+    for i, ci in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            num = (
+                f"CAST(n AS DOUBLE)*CAST(p{i}_{j} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE)*CAST(s{j} AS DOUBLE)"
+            )
+            var_i = (
+                f"CAST(n AS DOUBLE)*CAST(p{i}_{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE)*CAST(s{i} AS DOUBLE)"
+            )
+            var_j = (
+                f"CAST(n AS DOUBLE)*CAST(p{j}_{j} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE)*CAST(s{j} AS DOUBLE)"
+            )
+            arms.append(
+                f"SELECT '{ci}' AS col_x, '{cols[j]}' AS col_y,\n"
+                f"       round(({num}) / sqrt(({var_i}) * ({var_j})), 6)"
+                f" AS corr,\n       n AS n_rows FROM m"
+            )
+    return (
+        f"WITH q AS (SELECT {quant} FROM lineitem),\n"
+        f"m AS (SELECT {', '.join(moments)} FROM q)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -12614,6 +12757,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_customer_segments": q_pit_customer_segments,
     "span_integrity_audit": q_span_integrity_audit,
     "bloom_prefiltered_revenue": q_bloom_prefiltered_revenue,
+    # -- session-16 additions (tail; queued for the round-4 window) --
+    "psi_price_drift": q_psi_price_drift,
+    "oof_priority_encoding": q_oof_priority_encoding,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -12871,4 +13018,7 @@ ORACLES: dict[str, str] = {
     "pit_customer_segments": sql_pit_customer_segments(),
     "span_integrity_audit": sql_span_integrity_audit(),
     "bloom_prefiltered_revenue": sql_bloom_prefiltered_revenue(),
+    "psi_price_drift": sql_psi_price_drift(),
+    "oof_priority_encoding": sql_oof_priority_encoding(),
+    "lineitem_corr_matrix": sql_lineitem_corr_matrix(),
 }

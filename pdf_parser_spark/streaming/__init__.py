@@ -1,6 +1,8 @@
 from pdf_parser_spark.streaming.dedup import (
     admitted_docs,
+    kept_events,
     stream_dedup,
+    stream_drop_consecutive,
     stream_neardup_admission,
     unique_docs,
 )
@@ -16,6 +18,8 @@ __all__ = [
     "latest_counts",
     "admitted_docs",
     "stream_dedup",
+    "stream_drop_consecutive",
+    "kept_events",
     "stream_neardup_admission",
     "unique_docs",
 ]

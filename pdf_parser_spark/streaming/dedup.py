@@ -138,3 +138,102 @@ def stream_neardup_admission(
 
 def admitted_docs(spark: SparkSession, output_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_root, "admitted_docs"))
+
+
+EVENTS_FEED_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+_CONSEC_OUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, event_type string"
+)
+_CONSEC_STATE_SCHEMA = "last_type string, last_is_null boolean"
+
+
+def _drop_consec_group(key, pdfs, state):
+    """applyInPandasWithState group function for consecutive dedup.
+
+    State is the key's last WATCHED value across micro-batches (plus a
+    null flag so NULL-vs-NULL counts as a duplicate, matching the batch
+    operator's eqNullSafe semantics)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_type, last_is_null = state.get
+        has_last = True
+    else:
+        last_type, last_is_null, has_last = None, False, False
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        # one sort per group per batch — same (ts, event_id) order as the
+        # batch window; chunk-local order is shuffle order, not time order
+        pdf = pdf.sort_values(["ts", "event_id"])
+        types = pdf["event_type"].to_numpy(dtype=object)
+        keep = []
+        for t in types:
+            t_null = pd.isna(t)
+            dup = has_last and (
+                (t_null and last_is_null)
+                or (not t_null and not last_is_null and t == last_type)
+            )
+            keep.append(not dup)
+            last_type, last_is_null, has_last = (
+                (None if t_null else t),
+                bool(t_null),
+                True,
+            )
+        out = pdf.loc[keep, ["event_id", "user_id", "ts", "event_type"]]
+        state.update((last_type, last_is_null))
+        yield out
+    else:
+        state.update((last_type, last_is_null))
+        yield pd.DataFrame(
+            columns=["event_id", "user_id", "ts", "event_type"]
+        )
+
+
+def stream_drop_consecutive(
+    spark: SparkSession, input_path: str, output_root: str
+) -> None:
+    """Streaming consecutive-duplicate suppression — the streaming twin of
+    ``operators/dedup.drop_consecutive_dups`` (lag-window batch form, see
+    ``queries.dedup_consecutive_events``): per user in (ts, event_id)
+    order, an event survives only if its type differs from the
+    immediately preceding one, INCLUDING across micro-batch boundaries
+    and restarts — the boundary event's predecessor lives in the
+    checkpointed state store, which a stateless per-batch lag window
+    would miss (first event of every batch would always survive).
+
+    Scale notes: state is one (string, bool) per user — the minimum any
+    engine needs for this semantics; the per-group loop touches each
+    event once over Arrow-batched chunks, and groups are hash-sharded
+    by the state-store partitioning exactly like the batch operator's
+    single key shuffle. Event-time order across micro-batches is the
+    caller's contract (same as stream_sessionize)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "kept_events")
+    events = spark.readStream.schema(EVENTS_FEED_SCHEMA).parquet(input_path)
+    kept = events.groupBy("user_id").applyInPandasWithState(
+        _drop_consec_group,
+        outputStructType=_CONSEC_OUT_SCHEMA,
+        stateStructType=_CONSEC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kept_events(spark: SparkSession, output_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_root, "kept_events"))

@@ -1,0 +1,176 @@
+"""Value-pinning tests for the session-16 operators: PSI drift per bin,
+out-of-fold target encoding, and the one-pass Pearson correlation matrix.
+Each Spark result is replayed by an INDEPENDENT pure-Python implementation
+(math/fractions — no Spark expressions reused)."""
+
+import math
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ psi_drift
+
+
+def _psi_replay(vals_base, vals_curr, width):
+    from collections import Counter
+
+    cb = Counter(math.floor(v / width) for v in vals_base)
+    cc = Counter(math.floor(v / width) for v in vals_curr)
+    bins = sorted(set(cb) | set(cc))
+    nb, nc, B = len(vals_base), len(vals_curr), len(bins)
+    out = {}
+    for b in bins:
+        p = (cb.get(b, 0) + 0.5) / (nb + B / 2.0)
+        q = (cc.get(b, 0) + 0.5) / (nc + B / 2.0)
+        out[b] = (cb.get(b, 0), cc.get(b, 0), round((p - q) * math.log(p / q), 6))
+    return out
+
+
+def test_psi_drift_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import psi_drift
+
+    # baseline centered low, current shifted high + one bin only current has
+    base = [10.0, 12.0, 25.0, 26.0, 31.0, 12.5, 24.9]
+    curr = [31.0, 44.0, 45.0, 52.0, 12.0, 80.1]
+    rows = [(v, True) for v in base] + [(v, False) for v in curr]
+    df = spark.createDataFrame(rows, "v double, is_base boolean")
+    got = {
+        r["bin"]: (r["c_base"], r["c_curr"], r["psi_contrib"])
+        for r in psi_drift(df, "v", F.col("is_base"), 10.0).collect()
+    }
+    assert got == _psi_replay(base, curr, 10.0)
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    from pdf_parser_spark.operators.analytics import psi_drift
+
+    # pairs share a value: one copy lands in baseline, one in current
+    vals = [float((i // 2) % 50) * 7.0 for i in range(200)]
+    rows = [(v, i % 2 == 0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, is_base boolean")
+    total = (
+        psi_drift(df, "v", F.col("is_base"), 50.0)
+        .agg(F.sum("psi_contrib"))
+        .first()[0]
+    )
+    assert abs(total) < 1e-6
+
+
+# --------------------------------------------------------- oof_target_encode
+
+
+def test_oof_encoding_matches_python_replay(spark):
+    from pdf_parser_spark.operators.curation import oof_target_encode
+
+    rows = []
+    # category c in {A,B,C}, fold = i % 3, target varies by (cat, i)
+    for i in range(60):
+        cat = "ABC"[i % 3 if i < 30 else (i + 1) % 3]
+        rows.append((cat, i % 3, float((i * 7) % 100) + 0.25))
+    df = spark.createDataFrame(rows, "cat string, fold long, y double")
+    m = 5.0
+    got = {
+        (r["category"], r["fold"]): (r["n_oof"], r["encoding"])
+        for r in oof_target_encode(
+            df, "cat", F.col("fold"), "y", smoothing=m
+        ).collect()
+    }
+    # replay with exact fractions for the sums
+    cells = {}
+    for cat, fold, y in rows:
+        s, n = cells.get((cat, fold), (Fraction(0), 0))
+        cells[(cat, fold)] = (s + Fraction(str(y)), n + 1)
+    s_tot = sum(s for s, _ in cells.values())
+    n_tot = sum(n for _, n in cells.values())
+    exp = {}
+    for (cat, fold), (s, n) in cells.items():
+        sc = sum(sv for (c, _), (sv, _) in cells.items() if c == cat)
+        nc = sum(nv for (c, _), (_, nv) in cells.items() if c == cat)
+        sf = sum(sv for (_, f), (sv, _) in cells.items() if f == fold)
+        nf = sum(nv for (_, f), (_, nv) in cells.items() if f == fold)
+        prior = (float(s_tot) - float(sf)) / (n_tot - nf)
+        enc = ((float(sc) - float(s)) + m * prior) / ((nc - n) + m)
+        exp[(cat, fold)] = (nc - n, round(enc, 6))
+    assert got == exp
+
+
+def test_oof_encoding_single_fold_category_falls_back_to_prior(spark):
+    from pdf_parser_spark.operators.curation import oof_target_encode
+
+    # RARE appears only in fold 0 → its fold-0 encoding has n_oof = 0 and
+    # must equal the smoothed prior exactly
+    rows = [("X", 0, 10.0), ("X", 1, 30.0), ("X", 2, 50.0), ("RARE", 0, 999.0)]
+    df = spark.createDataFrame(rows, "cat string, fold long, y double")
+    out = {
+        (r["category"], r["fold"]): (r["n_oof"], r["encoding"])
+        for r in oof_target_encode(
+            df, "cat", F.col("fold"), "y", smoothing=4.0
+        ).collect()
+    }
+    n_oof, enc = out[("RARE", 0)]
+    assert n_oof == 0
+    # prior for fold 0 = mean of targets outside fold 0 = (30+50)/2 = 40
+    assert enc == 40.0
+
+
+# ------------------------------------------------------------- corr_matrix
+
+
+def test_corr_matrix_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import corr_matrix
+
+    rows = [
+        (float(i), float(2 * i + (i % 3)), float(100 - i) / 4.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r["col_x"], r["col_y"]): (r["corr"], r["n_rows"])
+        for r in corr_matrix(df, ["a", "b", "c"], scale=2).collect()
+    }
+
+    def corr(xs, ys):
+        # replay on the same DECIMAL(.,2) quantization the operator uses
+        xs = [round(x, 2) for x in xs]
+        ys = [round(y, 2) for y in ys]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return round(
+            (n * sxy - sx * sy)
+            / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    a = [r[0] for r in rows]
+    b = [r[1] for r in rows]
+    c = [r[2] for r in rows]
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (cx, cy), (v, n) in got.items():
+        assert n == 40
+    assert abs(got[("a", "b")][0] - corr(a, b)) <= 1e-6
+    assert abs(got[("a", "c")][0] - corr(a, c)) <= 1e-6
+    assert abs(got[("b", "c")][0] - corr(b, c)) <= 1e-6
+    # b = 2a + small periodic bump → almost perfectly correlated
+    assert got[("a", "b")][0] > 0.999
+    # c is a strictly decreasing function of a → corr = -1 exactly
+    assert got[("a", "c")][0] == -1.0
+
+
+def test_corr_matrix_single_aggregate_plan(spark):
+    """The whole matrix must ride ONE aggregate over ONE scan — no
+    per-pair jobs, no join, no extra shuffle."""
+    from pdf_parser_spark.operators.analytics import corr_matrix
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 2).cast("double").alias("b"),
+        (F.col("id") % 7).cast("double").alias("c"),
+        (F.col("id") % 11).cast("double").alias("d"),
+    )
+    plan = corr_matrix(df, ["a", "b", "c", "d"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2  # partial + final, nothing more
+    assert "Join" not in plan
+    assert "Generate" in plan  # the inline() pair fan-out

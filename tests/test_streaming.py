@@ -487,3 +487,52 @@ def test_stream_static_enrich_joins_broadcast(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_stream_drop_consecutive_matches_batch(spark, tmp_path):
+    """Stateful consecutive-dedup: the boundary event's predecessor lives
+    in the state store, so an event at the START of micro-batch 2 that
+    repeats the LAST type of micro-batch 1 is suppressed — and the union
+    of outputs equals the batch lag-window operator over the full feed."""
+    import datetime
+
+    from pdf_parser_spark.operators.dedup import drop_consecutive_dups
+    from pdf_parser_spark.streaming import kept_events, stream_drop_consecutive
+
+    inbox = str(tmp_path / "feed")
+    root = str(tmp_path / "out")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            [
+                (eid, t0 + datetime.timedelta(minutes=m), uid, et, 0.0, "{}")
+                for eid, m, uid, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    # batch 1: u1 click,click,view  u2 view
+    write([(1, 0, 1, "click"), (2, 1, 1, "click"), (3, 2, 1, "view"),
+           (4, 0, 2, "view")])
+    stream_drop_consecutive(spark, inbox, root)
+    got1 = {r.event_id for r in kept_events(spark, root).collect()}
+    assert got1 == {1, 3, 4}
+
+    # batch 2: u1 opens with ANOTHER view (cross-batch duplicate -> dropped),
+    # then click (kept); u2 repeats view (dropped); u3 is brand new (kept)
+    write([(5, 3, 1, "view"), (6, 4, 1, "click"),
+           (7, 5, 2, "view"), (8, 0, 3, "buy")])
+    stream_drop_consecutive(spark, inbox, root)
+    got2 = {r.event_id for r in kept_events(spark, root).collect()}
+    assert got2 == {1, 3, 4, 6, 8}
+
+    # equals the batch operator over the union of both file drops
+    full = spark.read.parquet(inbox).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    batch = drop_consecutive_dups(
+        full, "user_id", ["ts", "event_id"], ["event_type"]
+    )
+    assert {r.event_id for r in batch.collect()} == got2
