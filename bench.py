@@ -244,6 +244,13 @@ BENCH_QUERIES = [
     "pit_customer_segments",
     "span_integrity_audit",
     "bloom_prefiltered_revenue",
+    "psi_price_drift",
+    "oof_priority_encoding",
+    "lineitem_corr_matrix",
+    "km_time_to_purchase",
+    "daily_revenue_acf",
+    "brand_basket_lift",
+    "heaps_vocab_growth",
 ]
 
 

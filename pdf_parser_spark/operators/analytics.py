@@ -2344,3 +2344,235 @@ def corr_matrix(
     return row.select(
         F.inline(F.array(*pairs)), F.col("_n").alias("n_rows")
     ).select("col_x", "col_y", "corr", "n_rows")
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over (duration, observed) rows —
+    the right-censoring-aware "how long until a user converts / a doc is
+    recrawled / a host fails" curve. ``observed_col`` is 1 when the event
+    fired at ``duration_col`` and 0 when the subject was censored there
+    (still event-free when observation stopped). Output: one row per
+    DISTINCT EVENT time t with d (events at t), n_at_risk (subjects with
+    duration ≥ t, standard events-before-censorings tie convention), and
+    S(t) = Π_{u≤t} (1 − d_u/n_u).
+
+    Shape at 100 TB: the subject table collapses to one row per distinct
+    duration via ONE map-side-combined groupBy; the KM recursion runs as
+    two stacked windows over that tiny aggregate (cumulative removals →
+    at-risk; running Σ ln(1−d/n) → the product), never over the subjects.
+    d = n (everyone at risk dies) pins S to exactly 0 from there on via a
+    running had-zero flag instead of ln(0) = −Inf arithmetic."""
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("long")).alias("d"),
+        F.sum(F.lit(1) - F.col(observed_col).cast("long")).alias("c"),
+    )
+    w = Window.orderBy("t")
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # at-risk just before t = all subjects − those removed strictly before
+    # t; both frames ride the same ordering, so Catalyst plans ONE sort.
+    at_risk = per_t.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d") + F.col("c")).over(everything)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)),
+    )
+    frac = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        ),
+    )
+    km = at_risk.withColumn(
+        "_dead", F.max((F.col("d") == F.col("n_at_risk")).cast("int")).over(w)
+    ).withColumn("_lnsum", F.sum(frac).over(w))
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t"),
+            F.col("d").cast("long").alias("d"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.when(F.col("_dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("_lnsum")), 6))
+            .alias("survival"),
+        )
+    )
+
+
+def acf_by_lag(
+    daily: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation function of an (already aggregated) series —
+    the seasonality/momentum screen over daily revenue, crawl volume, or
+    error counts. Uses the standard ACF estimator with the GLOBAL mean
+    and GLOBAL variance denominator, r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+
+    Exactness contract (oracle hash-stability): ``value_col`` must be an
+    exact INT64 (quantize money to cents, durations to micros, upstream —
+    ACF is scale-invariant, so the quantization constant cancels). Every
+    sufficient statistic (Σx, Σx², Σx_t·x_{t+k}, and the per-lag boundary
+    sums Σ'x_t, Σ'x_{t+k}) then accumulates exactly in decimal, and the
+    only doubles are the final closed-form ops on exactly-known operands,
+    IEEE-pinned across engines. Products run as DECIMAL(19,0)×DECIMAL(18,0)
+    — the one width where BOTH Spark (p₁+p₂+1 = 38, no precision-loss
+    rounding) and DuckDB (precision >18 forces the exact int128 path
+    instead of erroring once a product needs 19 digits) stay exact.
+
+    Shape at 100 TB: callers aggregate the raw table to the series first
+    (days, hours — bounded small), so the single unpartitioned window
+    ordered by ``order_col`` sorts thousands of rows, not the table; the
+    k lead columns all ride ONE sort."""
+    w = Window.orderBy(order_col)
+    x = F.col(value_col)
+    leads = daily.select(
+        x.cast("decimal(19,0)").alias("x"),
+        x.cast("decimal(18,0)").alias("x_n"),
+        *[
+            F.lead(x.cast("decimal(18,0)"), k).over(w).alias(f"x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x_n")).alias("q"),
+    ]
+    for k in range(1, max_lag + 1):
+        xk = F.col(f"x{k}")
+        valid = xk.isNotNull()
+        aggs += [
+            F.sum(F.when(valid, F.col("x") * xk)).alias(f"p{k}"),
+            F.sum(F.when(valid, F.col("x"))).alias(f"a{k}"),
+            F.sum(xk).alias(f"b{k}"),
+            F.sum(valid.cast("long")).alias(f"m{k}"),
+        ]
+    m = leads.agg(*aggs)
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    # constant series (zero variance) → NULL acf, not a 0/0 NaN
+    den = F.nullif(
+        F.col("q").cast("double") - n * mean * mean, F.lit(0.0)
+    )
+    rows = []
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"p{k}").cast("double")
+            - mean
+            * (F.col(f"a{k}").cast("double") + F.col(f"b{k}").cast("double"))
+            + F.col(f"m{k}").cast("double") * mean * mean
+        )
+        rows.append(
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.col(f"m{k}").cast("long").alias("n_pairs"),
+                F.round(num / den, 6).alias("acf"),
+            )
+        )
+    return m.select(F.inline(F.array(*rows)))
+
+
+def basket_lift_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association pairs with support / confidence / lift —
+    which items (brands, hosts, tags) co-occur in the same basket (order,
+    session, document) more than independence predicts. Input: one row
+    per (basket, item) occurrence; duplicates are collapsed.
+
+    Shape at 100 TB: NO self-join of the fact table. Distinct items per
+    basket collect into a sorted array (ONE groupBy, basket-partitioned),
+    pairs are generated MAP-SIDE by a higher-order transform over that
+    array (per-basket work is k², k = basket size, bounded by the domain,
+    never by table growth), and one more groupBy counts pairs. The
+    single-item counts are a domain-sized aggregate joined back broadcast;
+    the grand basket count rides along as a 1-row broadcast cross join —
+    no driver-side actions anywhere."""
+    pairs_df = (
+        baskets.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .distinct()
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("i")).alias("items"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "items",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("items"),
+                                i + F.lit(2),
+                                F.greatest(
+                                    F.size("items") - i - F.lit(1), F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("item_a"), y.alias("item_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair_count)
+    )
+    item_counts = (
+        baskets.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .distinct()
+        .groupBy("i")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_baskets = (
+        baskets.select(F.col(basket_col).alias("b"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+    )
+    out = (
+        pairs_df.join(
+            F.broadcast(item_counts.withColumnRenamed("i", "item_a")),
+            "item_a",
+        )
+        .withColumnRenamed("c", "c_a")
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("i", "item_b")),
+            "item_b",
+        )
+        .withColumnRenamed("c", "c_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    nb = F.col("n_baskets").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.round(F.col("c_ab").cast("double") / nb, 6).alias("support"),
+        F.round(
+            F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6
+        ).alias("confidence"),
+        F.round(
+            F.col("c_ab").cast("double")
+            * nb
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )

@@ -1635,3 +1635,83 @@ def kwic_snippets(
             snippet.alias("snippet"),
         )
     )
+
+
+def heaps_law_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+    portable: bool = False,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve + power-law fit, V(n) ≈ K·n^β —
+    the corpus-health screen that says whether new data still brings new
+    vocabulary (β plunging toward 0 = the crawl is saturating / heavily
+    duplicated; β near 1 = near-random token soup). Output: one row per
+    prefix checkpoint with cumulative tokens n, cumulative vocabulary V,
+    plus the OLS fit of ln V on ln n (identical ``beta``/``log_k`` on
+    every row).
+
+    Shape at 100 TB: the naive "grow the corpus doc by doc and count
+    distinct" is inherently sequential, so it is restated as fully
+    parallel first-occurrence statistics: docs get a deterministic bucket
+    from a HASH of the id (no global sort, no row_number over the raw
+    table); each word contributes its MINIMUM bucket (one map-side
+    combined groupBy over the exploded tokens — the only heavy shuffle,
+    keyed by word, so it partitions evenly by construction); V(≤b) and
+    n(≤b) are then cumulative sums over the n_buckets-row aggregate, and
+    the OLS fit is a window over those same rows. Tokenization =
+    dedup.words_col (shared SQL twin)."""
+    from pdf_parser_spark.operators.dedup import seeded_hash, words_col
+
+    bucket = (
+        F.pmod(seeded_hash(F.col(id_col), 0, portable=portable),
+               F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket")
+    )
+    toks = docs.select(
+        bucket, F.explode(words_col(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    per_bucket_tokens = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("toks")
+    )
+    first_seen = (
+        toks.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_words"))
+    )
+    per_bucket = per_bucket_tokens.join(first_seen, "bucket", "left").select(
+        "bucket",
+        "toks",
+        F.coalesce("new_words", F.lit(0).cast("long")).alias("new_words"),
+    )
+    w = Window.orderBy("bucket")
+    curve = per_bucket.select(
+        "bucket",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum("new_words").over(w).alias("cum_vocab"),
+    )
+    ln_n = F.log(F.col("cum_tokens").cast("double"))
+    ln_v = F.log(F.col("cum_vocab").cast("double"))
+    pts = curve.select("bucket", "cum_tokens", "cum_vocab",
+                       ln_n.alias("_x"), ln_v.alias("_y"))
+    wa = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.count("*").over(wa).cast("double")
+    sx = F.sum("_x").over(wa)
+    sy = F.sum("_y").over(wa)
+    sxx = F.sum(F.col("_x") * F.col("_x")).over(wa)
+    sxy = F.sum(F.col("_x") * F.col("_y")).over(wa)
+    den = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / den
+    log_k = (sy * sxx - sx * sxy) / den
+    return pts.select(
+        "bucket",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(beta, 6).alias("beta"),
+        F.round(log_k, 6).alias("log_k"),
+    )

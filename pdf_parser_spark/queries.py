@@ -12470,6 +12470,262 @@ def sql_lineitem_corr_matrix() -> str:
     )
 
 
+def q_km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-first-purchase curve (analytics.km_survival)
+    with interim-analysis right-censoring: each user's clock starts at
+    their FIRST event of any kind; users whose first purchase lands
+    before the Jan-8 observation cutoff are events at that hour offset,
+    users still purchase-free at the cutoff are censored there. The
+    survival curve is the "how fast does the funnel convert" readout
+    that a plain conversion rate understates whenever observation is
+    truncated. Durations are exact integer hours via epoch-microsecond
+    arithmetic (unix_micros ↔ epoch_us), so the oracle matches
+    bit-for-bit; the KM product runs over the per-duration aggregate,
+    never the user table."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(ts_us).alias("origin"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", ts_us)
+        ).alias("fp"),
+    )
+    cutoff_us = F.unix_micros(cutoff)
+    observed = F.col("fp").isNotNull() & (F.col("fp") <= cutoff_us)
+    hour_us = F.lit(3600000000).cast("long")
+    dur_event = (F.col("fp") - F.col("origin")) / hour_us
+    dur_cens = (cutoff_us - F.col("origin")) / hour_us
+    subjects = per_user.filter(F.col("origin") <= cutoff_us).select(
+        F.when(observed, dur_event.cast("long"))
+        .otherwise(dur_cens.cast("long"))
+        .alias("dur"),
+        observed.cast("int").alias("obs"),
+    )
+    return analytics.km_survival(subjects, "dur", "obs")
+
+
+def sql_km_time_to_purchase() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id, min(epoch_us(ts)) AS origin_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS fp_us
+  FROM events GROUP BY 1
+), c AS (
+  SELECT epoch_us(TIMESTAMP '2024-01-08 00:00:00') AS cutoff_us
+), subj AS (
+  SELECT CASE WHEN fp_us IS NOT NULL AND fp_us <= cutoff_us
+              THEN (fp_us - origin_us) // 3600000000
+              ELSE (cutoff_us - origin_us) // 3600000000 END AS dur,
+         CASE WHEN fp_us IS NOT NULL AND fp_us <= cutoff_us
+              THEN 1 ELSE 0 END AS obs
+  FROM per_user, c WHERE origin_us <= cutoff_us
+), per_t AS (
+  SELECT dur AS t, CAST(sum(obs) AS BIGINT) AS d,
+         CAST(sum(1 - obs) AS BIGINT) AS cns
+  FROM subj GROUP BY 1
+), risk AS (
+  SELECT t, d,
+         sum(d + cns) OVER ()
+           - COALESCE(sum(d + cns) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM per_t
+), km AS (
+  SELECT t, d, n_at_risk,
+         sum(CASE WHEN d < n_at_risk
+                  THEN ln(1.0 - CAST(d AS DOUBLE)
+                               / CAST(n_at_risk AS DOUBLE)) END)
+           OVER (ORDER BY t) AS lnsum,
+         max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t) AS dead
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END
+         AS survival
+FROM km WHERE d > 0
+"""
+
+
+def q_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily order revenue
+    (analytics.acf_by_lag) — the seasonality screen over the series a
+    forecast or anomaly job consumes. The raw table collapses to one
+    integer-CENTS revenue point per day FIRST (one map-side-combined
+    groupBy; ACF is scale-invariant so the ×100 cancels), so the
+    unpartitioned lead() window sorts ~2.4k rows, not the fact table;
+    all sufficient statistics accumulate exactly in decimal and only
+    the closed-form division runs in doubles (IEEE-pinned, same
+    operand order in the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    return analytics.acf_by_lag(daily, "day", "rev_cents", max_lag=7)
+
+
+def sql_daily_revenue_acf() -> str:
+    leads = ",\n         ".join(
+        f"lead(CAST(rc AS DECIMAL(18,0)), {k}) OVER (ORDER BY day) AS x{k}"
+        for k in range(1, 8)
+    )
+    stats = []
+    for k in range(1, 8):
+        stats.append(
+            f"sum(CASE WHEN x{k} IS NOT NULL THEN x * x{k} END) AS p{k},\n"
+            f"         sum(CASE WHEN x{k} IS NOT NULL THEN x END) AS a{k},\n"
+            f"         sum(x{k}) AS b{k},\n"
+            f"         CAST(count(x{k}) AS BIGINT) AS m{k}"
+        )
+    header = (
+        "WITH daily AS (\n"
+        "  SELECT CAST(o_orderdate AS DATE) AS day,\n"
+        "         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+        " AS BIGINT) AS rc\n"
+        "  FROM orders GROUP BY 1\n"
+        "), l AS (\n"
+        "  SELECT CAST(rc AS DECIMAL(19,0)) AS x,\n"
+        "         CAST(rc AS DECIMAL(18,0)) AS x_n,\n"
+        f"         {leads}\n  FROM daily\n"
+        "), m AS (\n"
+        "  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s,\n"
+        "         sum(x * x_n) AS q,\n"
+        f"         {',__NL__         '.join(stats)}\n"
+        "  FROM l\n)\n"
+    ).replace(",__NL__", ",\n")
+    arms = []
+    mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    den = (
+        f"(CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * {mean} * {mean})"
+    )
+    for k in range(1, 8):
+        num = (
+            f"(CAST(p{k} AS DOUBLE) - {mean} * (CAST(a{k} AS DOUBLE) "
+            f"+ CAST(b{k} AS DOUBLE)) "
+            f"+ CAST(m{k} AS DOUBLE) * {mean} * {mean})"
+        )
+        arms.append(
+            f"SELECT CAST({k} AS INTEGER) AS lag, m{k} AS n_pairs,\n"
+            f"       round({num} / {den}, 6) AS acf FROM m"
+        )
+    return header + "\nUNION ALL\n".join(arms)
+
+
+def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs over brands co-purchased in one
+    order (analytics.basket_lift_pairs): support, confidence, and lift
+    vs independence. Baskets come from lineitem joined BROADCAST to the
+    part dimension; pair generation is map-side (higher-order transform
+    over each order's sorted distinct-brand array, k² work bounded by
+    basket size) — no fact-table self-join anywhere; the oracle replays
+    it with the equivalent relational self-join, which is safe at
+    oracle scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return analytics.basket_lift_pairs(
+        baskets, "basket", "item", min_pair_count=5
+    )
+
+
+def sql_brand_basket_lift() -> str:
+    return """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM b x JOIN b y ON x.bk = y.bk AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), ic AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+), nb AS (
+  SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b
+)
+SELECT item_a, item_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+       round(CAST(c_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+         AS support,
+       round(CAST(c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN ic ca ON item_a = ca.i
+JOIN ic cb ON item_b = cb.i
+CROSS JOIN nb
+"""
+
+
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve V(n) ≈ K·n^β over documents
+    (textqc.heaps_law_curve, portable-md5 bucketing so the oracle
+    reproduces bucket assignment bit-for-bit): 8 hash-bucket prefix
+    checkpoints of cumulative tokens vs cumulative vocabulary, plus the
+    ln-ln OLS fit carried on every row. β says whether more crawl still
+    buys new vocabulary — the saturation/duplication health check run
+    before paying for another 10 TB of the same host."""
+    from pdf_parser_spark.operators.textqc import heaps_law_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_law_curve(docs, n_buckets=8, portable=True)
+
+
+def sql_heaps_vocab_growth() -> str:
+    words = (
+        "regexp_split_to_array(trim(regexp_replace(lower(text),"
+        " '\\s+', ' ', 'g')), ' ')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT CAST(('0x' || substr(md5(doc_id || '#0'), 1, 15))::BIGINT % 8
+              AS INTEGER) AS bucket, w
+  FROM (SELECT doc_id, unnest({words}) AS w FROM documents)
+  WHERE w <> ''
+), pbt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS toks FROM toks GROUP BY 1
+), fs AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_words
+  FROM (SELECT w, min(bucket) AS bucket FROM toks GROUP BY 1) GROUP BY 1
+), curve AS (
+  SELECT p.bucket,
+         sum(p.toks) OVER (ORDER BY p.bucket) AS cum_tokens,
+         sum(COALESCE(f.new_words, 0)) OVER (ORDER BY p.bucket)
+           AS cum_vocab
+  FROM pbt p LEFT JOIN fs f USING (bucket)
+), pts AS (
+  SELECT bucket, cum_tokens, cum_vocab,
+         ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         ln(CAST(cum_vocab AS DOUBLE)) AS y
+  FROM curve
+), fit AS (
+  SELECT bucket, cum_tokens, cum_vocab,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+  FROM pts
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS log_k
+FROM fit
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -12761,6 +13017,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_price_drift": q_psi_price_drift,
     "oof_priority_encoding": q_oof_priority_encoding,
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    # -- session-17 additions (tail; queued for the round-4 window) --
+    "km_time_to_purchase": q_km_time_to_purchase,
+    "daily_revenue_acf": q_daily_revenue_acf,
+    "brand_basket_lift": q_brand_basket_lift,
+    "heaps_vocab_growth": q_heaps_vocab_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -13021,4 +13282,8 @@ ORACLES: dict[str, str] = {
     "psi_price_drift": sql_psi_price_drift(),
     "oof_priority_encoding": sql_oof_priority_encoding(),
     "lineitem_corr_matrix": sql_lineitem_corr_matrix(),
+    "km_time_to_purchase": sql_km_time_to_purchase(),
+    "daily_revenue_acf": sql_daily_revenue_acf(),
+    "brand_basket_lift": sql_brand_basket_lift(),
+    "heaps_vocab_growth": sql_heaps_vocab_growth(),
 }

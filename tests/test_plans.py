@@ -1110,3 +1110,38 @@ def test_bloom_prefilter_probe_rides_fact_scan(spark):
     # final agg + bitmap build shuffle, but the lineitem side must reach
     # its semi-join through broadcasts only
     assert "SortMergeJoin" not in plan
+
+
+def test_basket_lift_no_fact_self_join(spark):
+    """Basket lift pairs: pair generation must be MAP-SIDE (higher-order
+    transform over the per-basket array) — never a SortMergeJoin or
+    CartesianProduct of the fact table against itself. The only
+    nested-loop is the bounded 1-row n_baskets broadcast, and the item
+    counts attach via broadcast hash joins."""
+    df = QUERIES["brand_basket_lift"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_km_survival_windows_over_aggregate_no_join(spark):
+    """Kaplan-Meier: the KM recursion must run as windows over the
+    per-duration AGGREGATE (subjects collapse first), with no join
+    anywhere — three exchanges max (user groupBy, duration groupBy,
+    single-partition window)."""
+    df = QUERIES["km_time_to_purchase"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_heaps_curve_one_wide_shuffle_on_word(spark):
+    """Heaps' law: the only table-sized shuffle is the first-seen-bucket
+    groupBy keyed by WORD (evenly partitioned by construction); the
+    curve + OLS fit ride the n_buckets-row aggregate. No cartesian, one
+    bounded broadcast join of the two per-bucket aggregates."""
+    df = QUERIES["heaps_vocab_growth"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,277 @@
+"""Value-pinning tests for the session-17 operators: Kaplan–Meier
+survival, lag-k autocorrelation, market-basket lift pairs, and the
+Heaps'-law vocabulary-growth fit. Each Spark result is replayed by an
+INDEPENDENT pure-Python implementation (math/itertools/hashlib — no
+Spark expressions reused)."""
+
+import hashlib
+import itertools
+import math
+
+# ------------------------------------------------------------ km_survival
+
+
+def _km_replay(subjects):
+    """subjects: list of (duration, observed). Standard KM with the
+    events-before-censorings tie convention."""
+    from collections import Counter
+
+    d = Counter(t for t, o in subjects if o)
+    c = Counter(t for t, o in subjects if not o)
+    times = sorted(set(d) | set(c))
+    n = len(subjects)
+    s = 1.0
+    out = {}
+    for t in times:
+        if d.get(t, 0) > 0:
+            s *= 1.0 - d[t] / n
+            out[t] = (d[t], n, round(s, 6))
+        n -= d.get(t, 0) + c.get(t, 0)
+    return out
+
+
+def test_km_survival_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import km_survival
+
+    # events at 1,2,2,5; censorings at 2,3,4; survivor censored at 6
+    subjects = [(1, 1), (2, 1), (2, 1), (2, 0), (3, 0), (4, 0), (5, 1), (6, 0)]
+    df = spark.createDataFrame(subjects, "dur long, obs int")
+    got = {
+        r["t"]: (r["d"], r["n_at_risk"], r["survival"])
+        for r in km_survival(df, "dur", "obs").collect()
+    }
+    assert got == _km_replay(subjects)
+
+
+def test_km_survival_replay_product_by_hand(spark):
+    from pdf_parser_spark.operators.analytics import km_survival
+
+    # the classic worked example: 10 subjects, no censoring at first
+    subjects = [(5, 1)] * 2 + [(8, 1)] + [(9, 0)] * 3 + [(12, 1)] * 2 + [(14, 0)] * 2
+    df = spark.createDataFrame(subjects, "dur long, obs int")
+    rows = {r["t"]: r for r in km_survival(df, "dur", "obs").collect()}
+    assert rows[5]["n_at_risk"] == 10 and rows[5]["d"] == 2
+    assert rows[5]["survival"] == round(0.8, 6)
+    assert rows[8]["n_at_risk"] == 8
+    assert rows[8]["survival"] == round(0.8 * 7 / 8, 6)
+    # after 3 censorings at 9, only 4 remain at risk at t=12
+    assert rows[12]["n_at_risk"] == 4
+    assert rows[12]["survival"] == round(0.8 * (7 / 8) * 0.5, 6)
+
+
+def test_km_survival_everyone_dies_pins_zero(spark):
+    from pdf_parser_spark.operators.analytics import km_survival
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], "dur long, obs int"
+    )
+    rows = {r["t"]: r["survival"] for r in km_survival(df, "dur", "obs").collect()}
+    # at t=2 every remaining subject dies: S pinned to exactly 0.0
+    assert rows[2] == 0.0
+
+
+# ------------------------------------------------------------- acf_by_lag
+
+
+def _acf_replay(xs, max_lag):
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+    out = {}
+    for k in range(1, max_lag + 1):
+        num = sum((xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k))
+        out[k] = (n - k, round(num / den, 6))
+    return out
+
+
+def test_acf_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import acf_by_lag
+
+    xs = [3, 8, 2, 9, 14, 4, 7, 11, 1, 13, 6, 10]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, x long"
+    )
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in acf_by_lag(df, "i", "x", max_lag=3).collect()
+    }
+    assert got == _acf_replay(xs, 3)
+
+
+def test_acf_alternating_series_is_negative_at_lag1(spark):
+    from pdf_parser_spark.operators.analytics import acf_by_lag
+
+    xs = [10, 0] * 10
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, x long"
+    )
+    got = {r["lag"]: r["acf"] for r in acf_by_lag(df, "i", "x", 2).collect()}
+    assert got[1] < -0.8 and got[2] > 0.8
+    replay = _acf_replay(xs, 2)
+    assert got == {k: v for k, (_, v) in replay.items()}
+
+
+def test_acf_constant_series_yields_null(spark):
+    from pdf_parser_spark.operators.analytics import acf_by_lag
+
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(8)], "i long, x long"
+    )
+    rows = acf_by_lag(df, "i", "x", 2).collect()
+    assert all(r["acf"] is None for r in rows)
+
+
+# -------------------------------------------------------- basket_lift_pairs
+
+
+def _lift_replay(baskets, min_pair):
+    sets = {b: sorted(set(items)) for b, items in baskets.items()}
+    nb = len(sets)
+    from collections import Counter
+
+    single = Counter(i for items in sets.values() for i in items)
+    pair = Counter(
+        p
+        for items in sets.values()
+        for p in itertools.combinations(items, 2)
+    )
+    out = {}
+    for (a, b), cab in pair.items():
+        if cab < min_pair:
+            continue
+        out[(a, b)] = (
+            cab,
+            single[a],
+            single[b],
+            round(cab / nb, 6),
+            round(cab / single[a], 6),
+            round(cab * nb / (single[a] * single[b]), 6),
+        )
+    return out
+
+
+def test_basket_lift_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import basket_lift_pairs
+
+    baskets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b"],
+        3: ["a", "b", "b"],  # dup collapses
+        4: ["b", "c"],
+        5: ["a", "c"],
+        6: ["c", "d"],
+        7: ["a", "b", "d"],
+    }
+    rows = [(k, i) for k, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["c_ab"], r["c_a"], r["c_b"],
+            r["support"], r["confidence"], r["lift"],
+        )
+        for r in basket_lift_pairs(df, "bk", "item", min_pair_count=2).collect()
+    }
+    assert got == _lift_replay(baskets, 2)
+
+
+def test_basket_lift_independent_items_lift_near_one(spark):
+    from pdf_parser_spark.operators.analytics import basket_lift_pairs
+
+    # x and y co-occur exactly as independence predicts: 100 baskets,
+    # x in 50 (even), y in 50 (i % 4 < 2 pattern -> 25 overlap)
+    rows = []
+    for b in range(100):
+        rows.append((b, "z"))  # filler so every basket exists in the table
+        if b % 2 == 0:
+            rows.append((b, "x"))
+        if b % 4 < 2:
+            rows.append((b, "y"))
+    df = spark.createDataFrame(rows, "bk long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r["lift"]
+        for r in basket_lift_pairs(df, "bk", "item", 1).collect()
+    }
+    assert out[("x", "y")] == 1.0
+
+
+# --------------------------------------------------------- heaps_law_curve
+
+
+def _portable_bucket(doc_id: str, n_buckets: int) -> int:
+    h = int(hashlib.md5(f"{doc_id}#0".encode()).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def _heaps_replay(docs, n_buckets):
+    import re
+
+    per_bucket_toks = [0] * n_buckets
+    first_seen = {}
+    for doc_id, text in docs:
+        b = _portable_bucket(doc_id, n_buckets)
+        words = [w for w in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if w]
+        per_bucket_toks[b] += len(words)
+        for w in words:
+            first_seen[w] = min(first_seen.get(w, n_buckets), b)
+    new_words = [0] * n_buckets
+    for b in first_seen.values():
+        new_words[b] += 1
+    pts, cum_t, cum_v = [], 0, 0
+    for b in range(n_buckets):
+        if per_bucket_toks[b] == 0:
+            continue
+        cum_t += per_bucket_toks[b]
+        cum_v += new_words[b]
+        pts.append((b, cum_t, cum_v))
+    xs = [math.log(t) for _, t, _ in pts]
+    ys = [math.log(v) for _, _, v in pts]
+    n = float(len(pts))
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / den
+    log_k = (sy * sxx - sx * sxy) / den
+    return {
+        b: (t, v, round(beta, 6), round(log_k, 6)) for b, t, v in pts
+    }
+
+
+def test_heaps_curve_matches_python_replay(spark):
+    from pdf_parser_spark.operators.textqc import heaps_law_curve
+
+    docs = [
+        (f"doc{i}", " ".join(f"w{(i * 17 + j * j) % 50}" for j in range(30)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["bucket"]: (
+            r["cum_tokens"], r["cum_vocab"], r["beta"], r["log_k"]
+        )
+        for r in heaps_law_curve(df, n_buckets=4, portable=True).collect()
+    }
+    assert got == _heaps_replay(docs, 4)
+
+
+def test_heaps_beta_lower_for_duplicated_corpus(spark):
+    from pdf_parser_spark.operators.textqc import heaps_law_curve
+
+    import random
+
+    rng = random.Random(7)
+    fresh = [
+        (f"f{i}", " ".join(f"t{rng.randrange(10_000)}" for _ in range(40)))
+        for i in range(60)
+    ]
+    dup_text = " ".join(f"d{j}" for j in range(40))
+    dupes = [(f"g{i}", dup_text) for i in range(60)]
+
+    def beta_of(docs):
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        return heaps_law_curve(df, n_buckets=4).collect()[0]["beta"]
+
+    # near-unique token soup grows vocabulary ~linearly (beta -> 1);
+    # a fully duplicated corpus saturates immediately (beta -> 0)
+    assert beta_of(fresh) > 0.9
+    assert beta_of(dupes) < 0.2
