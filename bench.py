@@ -251,6 +251,10 @@ BENCH_QUERIES = [
     "daily_revenue_acf",
     "brand_basket_lift",
     "heaps_vocab_growth",
+    "spearman_qty_price",
+    "lang_source_chisq",
+    "user_event_burstiness",
+    "mk_value_trend",
 ]
 
 

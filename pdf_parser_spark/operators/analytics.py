@@ -2576,3 +2576,272 @@ def basket_lift_pairs(
             6,
         ).alias("lift"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — Pearson over average ranks,
+    the monotone-association screen that survives the heavy-tailed,
+    outlier-ridden columns (doc length, revenue) where raw Pearson is
+    dominated by a few giants.
+
+    Exactness contract: ties take the standard AVERAGE rank, carried as
+    the INTEGER doubled-rank 2·r̄ = rank_asc + (n+1 − rank_desc) = p + q
+    (p/q = first/last position of the tie block) — Spearman is invariant
+    to the ×2, so every sufficient statistic accumulates exactly in
+    decimal (the 19,0×18,0 width that stays exact in both engines) and
+    the closed form runs once on exactly-known operands, IEEE-pinned.
+
+    Shape at 100 TB: ONE Exchange on the group key serves the two rank
+    window passes per axis (asc + desc sorts on the same partitioning)
+    AND the final map-side-combined groupBy — no join, no second
+    shuffle. Degenerate groups (all-tied axis → zero rank variance)
+    return NULL instead of 0/0."""
+    g = F.col(group_col)
+    wn = Window.partitionBy(group_col)
+    n_g = F.count("*").over(wn).cast("long")
+
+    def rank2(col: str):
+        asc = F.rank().over(Window.partitionBy(group_col).orderBy(col))
+        desc = F.rank().over(
+            Window.partitionBy(group_col).orderBy(F.desc(col))
+        )
+        return (asc.cast("long") + n_g + F.lit(1) - desc.cast("long"))
+
+    ranked = df.select(
+        g.alias("_g"),
+        rank2(x_col).alias("_rx"),
+        rank2(y_col).alias("_ry"),
+    )
+    rx19 = F.col("_rx").cast("decimal(19,0)")
+    rx18 = F.col("_rx").cast("decimal(18,0)")
+    ry18 = F.col("_ry").cast("decimal(18,0)")
+    ry19 = F.col("_ry").cast("decimal(19,0)")
+    agg = ranked.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_rx").alias("sx"),
+        F.sum("_ry").alias("sy"),
+        F.sum(rx19 * rx18).alias("sxx"),
+        F.sum(ry19 * ry18).alias("syy"),
+        F.sum(rx19 * ry18).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    den = F.nullif(F.sqrt(vx * vy), F.lit(0.0))
+    return agg.select(
+        group_col, "n", F.round(num / den, 6).alias("spearman_rho")
+    )
+
+
+def chisq_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square test of independence over two categorical columns,
+    with per-cell diagnostics and Cramér's V — the "are language and
+    source actually independent, or is one host feeding one language's
+    garbage" screen, localized to the cell level (the global stat alone
+    says THAT they associate, the contribs say WHERE).
+
+    Output: one row per observed (a, b) cell with observed count,
+    expected count under independence, the cell's chi² contribution, and
+    the table-level chi², dof = (r−1)(c−1), and V = √(χ²/(n·min(r−1,c−1)))
+    repeated on every row (window constants over the cell aggregate).
+
+    Determinism: observed / row / col / n are exact integers (windows
+    over the cell aggregate); expected and contrib are fixed double
+    expressions of those integers (IEEE-pinned); the χ² TOTAL accumulates
+    in explicit (a, b) cell order via an ORDERED full-frame window — the
+    one float sum in the operator, same sequence in any engine.
+
+    Shape at 100 TB: the table collapses to r·c cells in ONE map-side
+    combined groupBy; everything downstream is windows over that tiny
+    aggregate (row totals ride a PARTITION BY a, col totals PARTITION BY
+    b, the rest full-frame)."""
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count("*").cast("long").alias("observed"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    w_all = Window.orderBy("a", "b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        cells.withColumn("_dra", F.dense_rank().over(Window.orderBy("a")))
+        .withColumn("_drb", F.dense_rank().over(Window.orderBy("b")))
+        .withColumn("row_total", F.sum("observed").over(wa))
+        .withColumn("col_total", F.sum("observed").over(wb))
+        .withColumn("n", F.sum("observed").over(w_all))
+        .withColumn("r", F.max("_dra").over(w_all))
+        .withColumn("c", F.max("_drb").over(w_all))
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    contrib = (o - expected) * (o - expected) / expected
+    t2 = t.withColumn("_e", expected).withColumn("_c", contrib)
+    chi2 = F.sum("_c").over(w_all)
+    dof = ((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        )
+    )
+    return t2.select(
+        "a",
+        "b",
+        "observed",
+        F.round("_e", 6).alias("expected"),
+        F.round("_c", 6).alias("contrib"),
+        F.round(chi2, 6).alias("chi2"),
+        dof.alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival-time statistics: mean gap, coefficient of
+    variation, and Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1) —
+    the "is this host a steady feed or a bursty scraper target / bot"
+    screen (B→0 Poisson, B→1 bursty, B→−1 metronome).
+
+    Gaps are exact epoch-microsecond longs from ONE lag window; Σg and
+    Σg² accumulate exactly in decimal, and the population σ comes from
+    the closed form √(n·Σg² − (Σg)²)/n — sqrt is correctly rounded by
+    IEEE, so every output double is engine-pinned. Keys with a single
+    event (no gaps) drop out; degenerate all-zero-gap keys return
+    cv = 0 and NULL burstiness (σ = μ = 0 — B is undefined).
+
+    Shape at 100 TB: one Exchange on the key serves the lag window and
+    the map-side-combined groupBy; output is |keys| rows."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(F.col(key_col), ts_us.alias("_t"))
+        .withColumn("_gap", F.col("_t") - F.lag("_t").over(
+            Window.partitionBy(key_col).orderBy("_t")
+        ))
+        .where(F.col("_gap").isNotNull())
+    )
+    g19 = F.col("_gap").cast("decimal(19,0)")
+    g18 = F.col("_gap").cast("decimal(18,0)")
+    agg = gaps.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("decimal(38,0)").alias("_s"),
+        F.sum(g19 * g18).alias("_q"),
+    )
+    n = F.col("n_gaps").cast("decimal(19,0)")
+    disc = (n * F.col("_q") - F.col("_s") * F.col("_s")).cast("double")
+    s = F.col("_s").cast("double")
+    nd = F.col("n_gaps").cast("double")
+    sigma_n = F.sqrt(disc)  # = n * sigma_population
+    cv = F.when(s != 0.0, sigma_n / s).otherwise(F.lit(0.0))
+    burst = F.when(
+        (sigma_n + s) != 0.0, (sigma_n - s) / (sigma_n + s)
+    )
+    return agg.select(
+        key_col,
+        "n_gaps",
+        F.round(s / nd, 6).alias("mean_gap_us"),
+        F.round(cv, 6).alias("cv"),
+        F.round(burst, 6).alias("burstiness"),
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Mann–Kendall trend test (Mann 1945 / Kendall 1975): the
+    non-parametric "is there a monotone trend at all" S statistic with
+    the tie-corrected variance and normal-approximation z — the
+    significance companion to theil_sen_trend's magnitude (same pairwise
+    shape, same bounded-group contract).
+
+    S = Σ_{i<j} sign(y_j − y_i) over x-ordered pairs is an exact integer
+    from the within-group pair join; Var(S) = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)]/18 is exact integer algebra over the per-value tie
+    counts; z = (S∓1)/√Var is the one double expression, IEEE-pinned.
+    Pairs with x_i = x_j are excluded (they are neither concordant nor
+    discordant in time).
+
+    Shape at 100 TB: pair join is O(n_g²) per group — callers feed a
+    bounded per-(group, day) rollup exactly as theil_sen_trend does;
+    the tie counts are a second tiny groupBy on (group, value) sharing
+    the group-key partitioning."""
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).alias("_y"),
+    )
+    a = base.select("_g", F.col("_x").alias("_xi"), F.col("_y").alias("_yi"))
+    b = base.select("_g", F.col("_x").alias("_xj"), F.col("_y").alias("_yj"))
+    s_stat = (
+        a.join(b, "_g")
+        .where(F.col("_xi") < F.col("_xj"))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("_yj") - F.col("_yi")).cast("double")
+                ).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    counts = base.groupBy("_g").agg(F.count("*").cast("long").alias("n"))
+    t = F.col("_t").cast("long")
+    ties = (
+        base.groupBy("_g", "_y")
+        .agg(F.count("*").alias("_t"))
+        .groupBy("_g")
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("tie_term")
+        )
+    )
+    nn = F.col("n")
+    var_s = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("double")
+        / F.lit(18.0)
+    )
+    joined = (
+        counts.join(ties, "_g")
+        .join(s_stat, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            F.coalesce("s_stat", F.lit(0).cast("long")).alias("s_stat"),
+            var_s.alias("_v"),
+        )
+    )
+    sgn = F.col("s_stat").cast("double")
+    sq = F.sqrt(F.nullif(F.col("_v"), F.lit(0.0)))
+    z = (
+        F.when(F.col("s_stat") > 0, (sgn - 1.0) / sq)
+        .when(F.col("s_stat") < 0, (sgn + 1.0) / sq)
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        group_col,
+        "n",
+        "s_stat",
+        F.round("_v", 6).alias("var_s"),
+        F.round(z, 6).alias("mk_z"),
+    )

@@ -12726,6 +12726,209 @@ FROM fit
 """
 
 
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation of quantity vs extended
+    price (analytics.spearman_corr) — the monotone-association screen
+    that survives heavy-tailed columns where raw Pearson is dominated by
+    a few giants. Ties carry exact integer DOUBLED average ranks
+    (rank_asc + n + 1 − rank_desc), so every moment accumulates exactly
+    and the oracle hash-matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return analytics.spearman_corr(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+def sql_spearman_qty_price() -> str:
+    def r2(col):
+        return (
+            f"CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY {col})"
+            f" + count(*) OVER (PARTITION BY l_returnflag) + 1"
+            f" - rank() OVER (PARTITION BY l_returnflag ORDER BY {col}"
+            f" DESC) AS BIGINT)"
+        )
+
+    return f"""
+WITH r AS (
+  SELECT l_returnflag AS g,
+         {r2("l_quantity")} AS rx,
+         {r2("l_extendedprice")} AS ry
+  FROM lineitem
+), m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(18,0))) AS sxx,
+         sum(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(18,0))) AS syy,
+         sum(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(18,0))) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT g AS l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      0.0), 6) AS spearman_rho
+FROM m
+"""
+
+
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of language × source over documents
+    (analytics.chisq_independence) with per-cell contributions and
+    Cramér's V — localizes WHICH (lang, source) cell drives the
+    association, the screen run before trusting per-source language
+    mixes. One cell-level groupBy collapses the corpus; expected counts,
+    χ², dof and V are windows over the r·c-cell aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return analytics.chisq_independence(docs, "lang", "source")
+
+
+def sql_lang_source_chisq() -> str:
+    return """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+), t1 AS (
+  SELECT a, b, observed,
+         dense_rank() OVER (ORDER BY a) AS dra,
+         dense_rank() OVER (ORDER BY b) AS drb
+  FROM cells
+), t2 AS (
+  SELECT a, b, observed,
+         sum(observed) OVER (PARTITION BY a) AS row_total,
+         sum(observed) OVER (PARTITION BY b) AS col_total,
+         sum(observed) OVER wfull AS n,
+         max(dra) OVER wfull AS r,
+         max(drb) OVER wfull AS c
+  FROM t1
+  WINDOW wfull AS (ORDER BY a, b
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+), t3 AS (
+  SELECT *, CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+              / CAST(n AS DOUBLE) AS e
+  FROM t2
+), t4 AS (
+  SELECT *, (CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e)
+              / e AS contrib
+  FROM t3
+), t5 AS (
+  SELECT *, sum(contrib) OVER (ORDER BY a, b
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS chi2
+  FROM t4
+)
+SELECT a, b, observed, round(e, 6) AS expected,
+       round(contrib, 6) AS contrib, round(chi2, 6) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM t5
+"""
+
+
+def q_user_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics (analytics.interarrival_
+    burstiness): mean gap, coefficient of variation, and Goh–Barabási
+    burstiness B = (σ−μ)/(σ+μ) over exact epoch-microsecond gaps — the
+    bot/scraper/steady-feed classifier over an event stream. One lag
+    window + one groupBy on the SAME user-key partitioning; all moments
+    exact, σ via one IEEE sqrt of an exactly-known discriminant."""
+    events = load_table(spark, sf_dir, "events")
+    return analytics.interarrival_burstiness(events, "user_id", "ts")
+
+
+def sql_user_event_burstiness() -> str:
+    disc = (
+        "CAST(CAST(n_gaps AS HUGEINT) * CAST(q AS HUGEINT)"
+        " - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)"
+    )
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts))
+           AS gap
+  FROM events
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s,
+         sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(18,0))) AS q
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_us,
+       round(CASE WHEN CAST(s AS DOUBLE) <> 0.0
+                  THEN sqrt({disc}) / CAST(s AS DOUBLE)
+                  ELSE 0.0 END, 6) AS cv,
+       round(CASE WHEN (sqrt({disc}) + CAST(s AS DOUBLE)) <> 0.0
+                  THEN (sqrt({disc}) - CAST(s AS DOUBLE))
+                       / (sqrt({disc}) + CAST(s AS DOUBLE)) END, 6)
+         AS burstiness
+FROM m
+"""
+
+
+def q_mk_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Mann–Kendall monotone-trend test (analytics.
+    mann_kendall_trend) over the same per-(user, day) rollup as
+    theilsen_value_trend — the significance companion to Theil–Sen's
+    magnitude: exact integer S from x-ordered pairs, tie-corrected
+    Var(S), normal-approximation z. Bounded O(days²) pairs per user."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    return analytics.mann_kendall_trend(daily, "user_id", "x", "y")
+
+
+def sql_mk_value_trend() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.u,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM d a JOIN d b ON a.u = b.u AND a.x < b.x
+  GROUP BY 1
+), c AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), ties AS (
+  SELECT u, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT u, y, CAST(count(*) AS BIGINT) AS t
+        FROM d GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT c.u, c.n, COALESCE(s.s_stat, 0) AS s_stat,
+         CAST(c.n * (c.n - 1) * (2 * c.n + 5) - ties.tie_term AS DOUBLE)
+           / 18.0 AS v
+  FROM c JOIN ties ON c.u = ties.u LEFT JOIN s ON c.u = s.u
+)
+SELECT u AS user_id, n, s_stat, round(v, 6) AS var_s,
+       round(CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(nullif(v, 0.0))
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(nullif(v, 0.0))
+                  ELSE 0.0 END, 6) AS mk_z
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13022,6 +13225,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_revenue_acf": q_daily_revenue_acf,
     "brand_basket_lift": q_brand_basket_lift,
     "heaps_vocab_growth": q_heaps_vocab_growth,
+    # -- session-18 additions (tail; queued for the round-4 window) --
+    "spearman_qty_price": q_spearman_qty_price,
+    "lang_source_chisq": q_lang_source_chisq,
+    "user_event_burstiness": q_user_event_burstiness,
+    "mk_value_trend": q_mk_value_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -13286,4 +13494,8 @@ ORACLES: dict[str, str] = {
     "daily_revenue_acf": sql_daily_revenue_acf(),
     "brand_basket_lift": sql_brand_basket_lift(),
     "heaps_vocab_growth": sql_heaps_vocab_growth(),
+    "spearman_qty_price": sql_spearman_qty_price(),
+    "lang_source_chisq": sql_lang_source_chisq(),
+    "user_event_burstiness": sql_user_event_burstiness(),
+    "mk_value_trend": sql_mk_value_trend(),
 }

@@ -1145,3 +1145,42 @@ def test_heaps_curve_one_wide_shuffle_on_word(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spearman_shares_group_partitioning_no_join(spark):
+    """Spearman: the asc/desc rank windows and the moment groupBy must
+    all ride the group-key partitioning — no join anywhere, at most two
+    Exchanges (window hash + final agg), products exact-decimal."""
+    df = QUERIES["spearman_qty_price"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_chisq_windows_over_cell_aggregate(spark):
+    """Chi-square independence: the corpus collapses to r*c cells in ONE
+    map-side-combined groupBy; row/col/total/rank statistics are windows
+    over that aggregate — no join, bounded exchanges."""
+    df = QUERIES["lang_source_chisq"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_burstiness_single_exchange(spark):
+    """Inter-arrival burstiness: the lag window and the moment groupBy
+    share ONE user-key Exchange; no join."""
+    df = QUERIES["user_event_burstiness"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_mann_kendall_no_cartesian(spark):
+    """Mann-Kendall: the within-group pair join must key on the group
+    column (never a cartesian/nested-loop), and the tie/count joins stay
+    broadcast-sized."""
+    df = QUERIES["mk_value_trend"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,226 @@
+"""Value-pinning tests for the session-18 operators: Spearman rank
+correlation, chi-square independence (+ Cramér's V), inter-arrival
+burstiness, and the Mann–Kendall trend test. Each Spark result is
+replayed by an INDEPENDENT pure-Python implementation."""
+
+import math
+
+# ------------------------------------------------------------ spearman_corr
+
+
+def _avg_ranks(vals):
+    s = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and vals[s[j + 1]] == vals[s[i]]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[s[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def _spearman_replay(xs, ys):
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    return num / den
+
+
+def test_spearman_matches_scipy_style_replay(spark):
+    from pdf_parser_spark.operators.analytics import spearman_corr
+
+    xs = [3.0, 8.0, 8.0, 2.0, 9.0, 1.0, 8.0, 5.5, 4.0, 7.0]
+    ys = [1.0, 6.0, 9.0, 2.0, 8.0, 0.5, 7.0, 7.0, 3.0, 5.0]
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = spearman_corr(df, "g", "x", "y").collect()[0]
+    assert got["n"] == 10
+    assert got["spearman_rho"] == round(_spearman_replay(xs, ys), 6)
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    from pdf_parser_spark.operators.analytics import spearman_corr
+
+    rows = [("g", float(i), float(i * i)) for i in range(1, 20)]
+    rows += [("h", float(i), float(-i) ** 3 - i) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r["spearman_rho"] for r in spearman_corr(df, "g", "x", "y").collect()}
+    assert got["g"] == 1.0  # monotone increasing, any shape
+
+
+def test_spearman_constant_axis_is_null(spark):
+    from pdf_parser_spark.operators.analytics import spearman_corr
+
+    rows = [("g", 5.0, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    assert spearman_corr(df, "g", "x", "y").collect()[0]["spearman_rho"] is None
+
+
+# ------------------------------------------------------ chisq_independence
+
+
+def _chisq_replay(pairs):
+    from collections import Counter
+
+    cells = Counter(pairs)
+    rows = Counter(a for a, _ in pairs)
+    cols = Counter(b for _, b in pairs)
+    n = len(pairs)
+    out = {}
+    chi2 = 0.0
+    for (a, b) in sorted(cells):
+        e = rows[a] * cols[b] / n
+        c = (cells[(a, b)] - e) ** 2 / e
+        chi2 += c
+        out[(a, b)] = (cells[(a, b)], round(e, 6), round(c, 6))
+    r, c_ = len(rows), len(cols)
+    v = math.sqrt(chi2 / (n * min(r - 1, c_ - 1)))
+    return out, round(chi2, 6), (r - 1) * (c_ - 1), round(v, 6)
+
+
+def test_chisq_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import chisq_independence
+
+    pairs = []
+    for i in range(90):
+        a = "xyz"[i % 3]
+        b = "pq"[(i * 7 + (i // 9)) % 2]
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a string, b string")
+    res = chisq_independence(df, "a", "b").collect()
+    cells, chi2, dof, v = _chisq_replay(pairs)
+    got = {(r["a"], r["b"]): (r["observed"], r["expected"], r["contrib"]) for r in res}
+    assert got == cells
+    assert all(r["chi2"] == chi2 for r in res)
+    assert all(r["dof"] == dof for r in res)
+    assert all(r["cramers_v"] == v for r in res)
+
+
+def test_chisq_independent_uniform_is_zero(spark):
+    from pdf_parser_spark.operators.analytics import chisq_independence
+
+    # perfectly independent: every (a, b) combination equally often
+    pairs = [("ab"[i % 2], "cd"[(i // 2) % 2]) for i in range(40)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    res = chisq_independence(df, "a", "b").collect()
+    assert all(r["chi2"] == 0.0 and r["cramers_v"] == 0.0 for r in res)
+    assert all(r["observed"] == 10 and r["expected"] == 10.0 for r in res)
+
+
+# ------------------------------------------------- interarrival_burstiness
+
+
+def test_burstiness_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import interarrival_burstiness
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    gaps = [10, 10, 10, 10, 3600, 5, 5, 3600, 1]  # seconds, bursty
+    ts, acc = [base], 0
+    for g in gaps:
+        acc += g
+        ts.append(base + dt.timedelta(seconds=acc))
+    rows = [("u1", t) for t in ts]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = interarrival_burstiness(df, "user_id", "ts").collect()[0]
+    g_us = [g * 1_000_000 for g in gaps]
+    n = len(g_us)
+    mu = sum(g_us) / n
+    sigma = math.sqrt(sum(g * g for g in g_us) / n - mu * mu)
+    assert got["n_gaps"] == n
+    assert got["mean_gap_us"] == round(mu, 6)
+    assert abs(got["cv"] - sigma / mu) < 1e-6
+    assert abs(got["burstiness"] - (sigma - mu) / (sigma + mu)) < 1e-6
+    assert got["burstiness"] > 0.25  # bursty side of the (-1, 1) range
+
+
+def test_burstiness_metronome_is_minus_one(spark):
+    from pdf_parser_spark.operators.analytics import interarrival_burstiness
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", base + dt.timedelta(seconds=60 * i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = interarrival_burstiness(df, "user_id", "ts").collect()[0]
+    assert got["cv"] == 0.0 and got["burstiness"] == -1.0
+
+
+def test_burstiness_single_event_user_dropped(spark):
+    from pdf_parser_spark.operators.analytics import interarrival_burstiness
+
+    import datetime as dt
+
+    rows = [("solo", dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    assert interarrival_burstiness(df, "user_id", "ts").count() == 0
+
+
+# -------------------------------------------------------- mann_kendall_trend
+
+
+def _mk_replay(series):
+    n = len(series)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = series[j] - series[i]
+            s += (d > 0) - (d < 0)
+    from collections import Counter
+
+    ties = Counter(series)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, round(var, 6), round(z, 6)
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    from pdf_parser_spark.operators.analytics import mann_kendall_trend
+
+    series = [3.0, 5.0, 4.0, 5.0, 7.0, 6.0, 9.0, 9.0, 11.0, 10.0]
+    rows = [("g", i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = mann_kendall_trend(df, "g", "x", "y").collect()[0]
+    s, var, z = _mk_replay(series)
+    assert got["n"] == len(series)
+    assert got["s_stat"] == s
+    assert got["var_s"] == var
+    assert got["mk_z"] == z
+    assert got["mk_z"] > 2.0  # clear upward trend
+
+
+def test_mann_kendall_flat_series_zero(spark):
+    from pdf_parser_spark.operators.analytics import mann_kendall_trend
+
+    rows = [("g", i, 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = mann_kendall_trend(df, "g", "x", "y").collect()[0]
+    # all tied: S = 0, var fully tie-corrected to 0, z pinned 0
+    assert got["s_stat"] == 0 and got["var_s"] == 0.0 and got["mk_z"] == 0.0
+
+
+def test_mann_kendall_decreasing_is_negative(spark):
+    from pdf_parser_spark.operators.analytics import mann_kendall_trend
+
+    series = [float(20 - i) for i in range(12)]
+    rows = [("g", i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = mann_kendall_trend(df, "g", "x", "y").collect()[0]
+    s, var, z = _mk_replay(series)
+    assert got["s_stat"] == s == -66
+    assert got["mk_z"] == z and z < -3.0
