@@ -2845,3 +2845,65 @@ def mann_kendall_trend(
         F.round("_v", 6).alias("var_s"),
         F.round(z, 6).alias("mk_z"),
     )
+
+
+def welch_t_pairs(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test for EVERY ordered group pair —
+    the two-sample mean-difference screen (does source A really produce
+    longer/higher-quality documents than source B?) that, unlike the
+    pooled-variance t, stays calibrated when group variances differ by
+    orders of magnitude (heavy-tailed web sources always do).
+
+    Exact-moment discipline: values enter as integers (or are quantized
+    by the caller), so n, Σx and Σx² accumulate exactly in BIGINT /
+    DECIMAL — aggregation order cannot move the moments, and the only
+    float arithmetic (sample variance, t, Welch–Satterthwaite df) runs
+    on exact inputs → bit-reproducible against any engine.
+
+    Plan shape: ONE map-side-combined groupBy collapses the corpus to
+    |groups| moment rows; the pair frame is a broadcast self-join of
+    that tiny aggregate (|groups|² pairs), so the corpus is scanned
+    once and nothing quadratic touches full rows."""
+    x = F.col(value_col).cast("decimal(20,0)")
+    m = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * F.col(value_col).cast("decimal(18,0)")).alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nn
+    # unbiased sample variance from exact moments
+    var = (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * mean
+    ) / (nn - 1.0)
+    stats = m.select("_g", "n", mean.alias("_m"), var.alias("_v"))
+    a, b = stats.alias("a"), stats.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a._g") < F.col("b._g"), "inner"
+    ).select(
+        F.col("a._g").alias("group_a"),
+        F.col("b._g").alias("group_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a._m").alias("_ma"),
+        F.col("b._m").alias("_mb"),
+        (F.col("a._v") / F.col("a.n")).alias("_wa"),
+        (F.col("b._v") / F.col("b.n")).alias("_wb"),
+    )
+    se2 = F.col("_wa") + F.col("_wb")
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        F.col("_wa") * F.col("_wa") / (F.col("n_a").cast("double") - 1.0)
+        + F.col("_wb") * F.col("_wb") / (F.col("n_b").cast("double") - 1.0)
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("_ma") - F.col("_mb"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("welch_t"),
+        F.round(dof, 6).alias("welch_df"),
+    )

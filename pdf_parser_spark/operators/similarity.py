@@ -1405,3 +1405,81 @@ def bitext_margin_pairs(
         .select("x_id", "y_id", "cosine", "margin")
     )
     return out.orderBy(F.desc("margin"), F.asc("x_id"), F.asc("y_id"))
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """Johnson–Lindenstrauss signed random projection: d-dim embeddings
+    → ``out_dims`` coordinates ``p_j = Σ_d sign(d, j)·x_d / √out_dims``,
+    the distance-preserving dimensionality reduction that front-ends
+    clustering / dedup / ANN when the native dimension is too wide to
+    shuffle (a 100 TB corpus moves 8 floats per row instead of 64+).
+    The ±1 projection matrix is NEVER materialized: each sign derives
+    from a hash of (dim, j) — any executor regenerates any entry, so
+    the operator broadcasts nothing and shuffles nothing.
+
+    Exactness: components are quantized to the 1e-6 grid as int64, the
+    signed sum accumulates exactly (|Σ| ≤ d·2e6 per output coordinate —
+    no overflow until d ~ 10^12), and the single float step
+    (``round(s / 1e6 / √k, 6)``) runs on exact inputs, so results are
+    engine-reproducible. ``portable=True`` derives signs from md5
+    (dedup.seeded_hash) for cross-engine oracles; the default xxhash64
+    is the JVM-cheap scale path.
+
+    Plan shape: pure per-row codegen over one scan — zero Exchange,
+    zero Python. Output: (id, pdim, value) rows, n·out_dims total."""
+    from pdf_parser_spark.operators.dedup import seeded_hash
+
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1_000_000.0).cast("long"),
+    )
+    base = emb.select(F.col(id_col), qv.alias("_q"))
+    scale = 1.0 / (1_000_000.0 * float(out_dims) ** 0.5)
+
+    def proj(j: int):
+        # sign(d, j) = ±1 from the seeded hash of the dim index; the
+        # aggregate runs over the ALREADY-MATERIALIZED _q column (HOF
+        # bodies re-evaluate per element — nothing expensive inside
+        # beyond the hash itself, which IS the per-element work here).
+        signed = F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.sequence(F.lit(0), F.size("_q") - 1),
+                lambda q, d: q
+                * (
+                    1
+                    - 2
+                    * F.pmod(
+                        seeded_hash(d.cast("string"), j, portable=portable),
+                        F.lit(2),
+                    )
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        return F.round(signed.cast("double") * F.lit(scale), 6)
+
+    stacked = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("pdim"),
+                        proj(j).alias("value"),
+                    )
+                    for j in range(out_dims)
+                ]
+            )
+        ).alias("_p"),
+    )
+    return stacked.select(
+        id_col, F.col("_p.pdim").alias("pdim"), F.col("_p.value").alias("value")
+    )

@@ -1715,3 +1715,70 @@ def heaps_law_curve(
         F.round(beta, 6).alias("beta"),
         F.round(log_k, 6).alias("log_k"),
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity per group: for each n, total n-gram count
+    (with multiplicity), distinct n-gram count, and their ratio — the
+    corpus-diversity profile (distinct-1/2/3) generation and curation
+    pipelines track per provider; a collapsing distinct-2/3 ratio at
+    constant volume flags templated or machine-spun content that
+    unigram TTR (lexical_richness) misses.
+
+    Plan shape: words materialized ONCE per doc (never inside a lambda
+    body — see dedup.words_col), all n sizes built from that one array
+    and flattened in the same projection, so the corpus is scanned once.
+    Two map-side-combined shuffles: (group, n, gram) counts — the
+    distinct computation as a real partial aggregate rather than a
+    planner expand — then the (group, n) rollup. Gram cardinality bounds
+    shuffle volume, not corpus size."""
+    from pdf_parser_spark.operators.dedup import words_col
+
+    w = docs.where(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    ).select(
+        F.col(group_col).alias("_g"), words_col(F.col(text_col)).alias("_w")
+    )
+
+    def grams_n(n: int):
+        if n == 1:
+            arr = F.col("_w")
+        else:
+            arr = F.when(
+                F.size("_w") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.array_join(F.slice("_w", i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("gram")
+            ),
+        )
+
+    exploded = w.select(
+        "_g", F.explode(F.flatten(F.array(*[grams_n(n) for n in ns]))).alias("_t")
+    ).select("_g", F.col("_t.n").alias("n"), F.col("_t.gram").alias("_gram"))
+    counts = exploded.groupBy("_g", "n", "_gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return counts.groupBy("_g", "n").agg(
+        F.sum("_c").cast("long").alias("total_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("_c").cast("double"), 6
+        ).alias("distinct_ratio"),
+    ).select(
+        F.col("_g").alias(group_col),
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        "distinct_ratio",
+    )

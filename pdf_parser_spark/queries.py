@@ -12929,6 +12929,134 @@ FROM j
 """
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (textqc.ngram_diversity): total /
+    distinct n-gram counts and their ratio for n=1,2,3 — the corpus-
+    diversity profile (distinct-1/2/3) curation tracks per provider;
+    collapsing distinct-2/3 at constant volume flags templated or
+    machine-spun content that unigram TTR (lexical_richness) misses.
+    One corpus scan builds all three gram sizes from one materialized
+    words array; distinct counts run as a real two-level partial
+    aggregate ((source, n, gram) then (source, n)), never a planner
+    expand."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textqc.ngram_diversity(docs)
+
+
+def sql_ngram_diversity() -> str:
+    return f"""
+WITH d AS (
+  SELECT source, {_WORDS_SQL} AS w
+  FROM documents
+  WHERE length(trim(coalesce(text, ''))) > 0
+), g AS (
+  SELECT source, 1 AS n, unnest(w) AS gram FROM d
+  UNION ALL
+  SELECT source, 2 AS n, w[i] || ' ' || w[i + 1] AS gram
+  FROM (SELECT source, w, unnest(range(1, len(w))) AS i
+        FROM d WHERE len(w) >= 2)
+  UNION ALL
+  SELECT source, 3 AS n, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM (SELECT source, w, unnest(range(1, len(w) - 1)) AS i
+        FROM d WHERE len(w) >= 3)
+), c AS (
+  SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n AS INTEGER) AS n,
+       CAST(sum(c) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+         AS distinct_ratio
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_welch_source_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of mean document length between
+    every source pair (analytics.welch_t_pairs) — the mean-difference
+    screen that stays calibrated when per-source variances differ by
+    orders of magnitude (web sources always do). n/Σx/Σx² accumulate
+    exactly (BIGINT/DECIMAL), so the corpus collapses to |sources|
+    moment rows in ONE map-side-combined shuffle and the pair frame is
+    a broadcast self-join of that tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return analytics.welch_t_pairs(docs, "source", "n_chars")
+
+
+def sql_welch_source_length() -> str:
+    return """
+WITH m AS (
+  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(n_chars AS DECIMAL(20,0))) AS sx,
+         sum(CAST(n_chars AS DECIMAL(20,0))
+             * CAST(n_chars AS DECIMAL(18,0))) AS sxx
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT g, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0) AS v
+  FROM m
+), p AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+         a.m AS ma, b.m AS mb,
+         a.v / a.n AS wa, b.v / b.n AS wb
+  FROM s a JOIN s b ON a.g < b.g
+)
+SELECT group_a, group_b, n_a, n_b,
+       round(ma - mb, 6) AS mean_diff,
+       round((ma - mb) / sqrt(wa + wb), 6) AS welch_t,
+       round((wa + wb) * (wa + wb)
+             / (wa * wa / (CAST(n_a AS DOUBLE) - 1.0)
+                + wb * wb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS welch_df
+FROM p
+"""
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss signed random projection of the embedding
+    table to 8 coordinates (similarity.random_projection, portable
+    hash): the width-reduction a 100 TB vector corpus applies before
+    clustering/dedup so shuffles move 8 doubles per row instead of 64.
+    The ±1 matrix is hash-derived on the fly (nothing broadcast, zero
+    Exchange, pure codegen); components quantize to the 1e-6 grid and
+    the signed sums accumulate in exact int64, so the oracle replays
+    bit-for-bit from the same md5-derived signs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, out_dims=8, portable=True).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "pdim", "value"
+    )
+
+
+def sql_embedding_projection() -> str:
+    # sign(d, j) twin of dedup.seeded_hash(CAST(d AS STRING), j,
+    # portable=True) % 2: 60-bit fold of the md5 of "<d>#<j>"
+    cols = ", ".join(
+        "round(sum(qx * (1 - 2 * (('0x' || substr(md5(CAST(dim AS VARCHAR) "
+        f"|| '#{j}'), 1, 15))::BIGINT % 2))) / 1e6 / sqrt(8.0), 6) AS p{j}"
+        for j in range(8)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS pdim, p{j} AS value FROM s" for j in range(8)
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(round(u.x * 1e6) AS BIGINT) AS qx,
+         CAST(u.i - 1 AS BIGINT) AS dim
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding::DOUBLE[],
+                                     (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings)
+), s AS (
+  SELECT vec_id, {cols} FROM q GROUP BY vec_id
+)
+SELECT vec_id, CAST(pdim AS INTEGER) AS pdim, value FROM ({unpivot})
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13230,6 +13358,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_source_chisq": q_lang_source_chisq,
     "user_event_burstiness": q_user_event_burstiness,
     "mk_value_trend": q_mk_value_trend,
+    # -- session-19 additions (tail; queued for the round-4 window) --
+    "ngram_diversity": q_ngram_diversity,
+    "welch_source_length": q_welch_source_length,
+    "embedding_projection": q_embedding_projection,
 }
 
 ORACLES: dict[str, str] = {
@@ -13498,4 +13630,7 @@ ORACLES: dict[str, str] = {
     "lang_source_chisq": sql_lang_source_chisq(),
     "user_event_burstiness": sql_user_event_burstiness(),
     "mk_value_trend": sql_mk_value_trend(),
+    "ngram_diversity": sql_ngram_diversity(),
+    "welch_source_length": sql_welch_source_length(),
+    "embedding_projection": sql_embedding_projection(),
 }

@@ -1,0 +1,180 @@
+"""Value-pinning tests for the session-19 operators: distinct-n n-gram
+diversity, Welch's unequal-variance t-test, and the Johnson-Lindenstrauss
+signed random projection. Each Spark result is replayed by an INDEPENDENT
+pure-Python implementation."""
+
+import hashlib
+import math
+
+# --------------------------------------------------------- ngram_diversity
+
+
+def _grams(words, n):
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def test_ngram_diversity_matches_replay(spark):
+    from pdf_parser_spark.operators.textqc import ngram_diversity
+
+    rows = [
+        ("a", "the cat sat on the mat"),
+        ("a", "the cat sat on the hat"),
+        ("a", "one two"),
+        ("b", "x x x x x"),
+        ("b", "   "),  # whitespace-only: dropped
+        ("b", None),  # NULL: dropped
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source"], r["n"]): r
+        for r in ngram_diversity(df).collect()
+    }
+    docs = {
+        "a": ["the cat sat on the mat".split(),
+              "the cat sat on the hat".split(),
+              ["one", "two"]],
+        "b": [["x"] * 5],
+    }
+    for src, wordlists in docs.items():
+        for n in (1, 2, 3):
+            grams = [g for w in wordlists for g in _grams(w, n)]
+            if not grams:
+                assert (src, n) not in got
+                continue
+            r = got[(src, n)]
+            assert r["total_ngrams"] == len(grams)
+            assert r["distinct_ngrams"] == len(set(grams))
+            assert r["distinct_ratio"] == round(
+                len(set(grams)) / len(grams), 6
+            )
+
+
+def test_ngram_diversity_lowercases_and_collapses_ws(spark):
+    from pdf_parser_spark.operators.textqc import ngram_diversity
+
+    df = spark.createDataFrame(
+        [("s", "The  THE the")], "source string, text string"
+    )
+    got = {r["n"]: r for r in ngram_diversity(df).collect()}
+    assert got[1]["total_ngrams"] == 3 and got[1]["distinct_ngrams"] == 1
+    assert got[2]["total_ngrams"] == 2 and got[2]["distinct_ngrams"] == 1
+
+
+# ----------------------------------------------------------- welch_t_pairs
+
+
+def _welch_replay(xs, ys):
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = sum((x - ma) ** 2 for x in xs) / (na - 1)
+    vb = sum((y - mb) ** 2 for y in ys) / (nb - 1)
+    wa, wb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(wa + wb)
+    dof = (wa + wb) ** 2 / (wa**2 / (na - 1) + wb**2 / (nb - 1))
+    return ma - mb, t, dof
+
+
+def test_welch_t_matches_replay(spark):
+    from pdf_parser_spark.operators.analytics import welch_t_pairs
+
+    xs = [120, 95, 230, 88, 140, 160, 99, 210]
+    ys = [40, 42, 38, 51, 45]
+    zs = [500, 800, 650, 720, 610, 590]
+    rows = (
+        [("a", v) for v in xs] + [("b", v) for v in ys] + [("c", v) for v in zs]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in welch_t_pairs(df, "g", "v").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (ga, gb), data in (
+        (("a", "b"), (xs, ys)),
+        (("a", "c"), (xs, zs)),
+        (("b", "c"), (ys, zs)),
+    ):
+        diff, t, dof = _welch_replay(*data)
+        r = got[(ga, gb)]
+        assert r["n_a"] == len(data[0]) and r["n_b"] == len(data[1])
+        assert abs(r["mean_diff"] - diff) < 1e-6
+        assert abs(r["welch_t"] - t) < 1e-6
+        assert abs(r["welch_df"] - dof) < 1e-6
+
+
+def test_welch_t_symmetric_groups_give_zero_t(spark):
+    from pdf_parser_spark.operators.analytics import welch_t_pairs
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_t_pairs(df, "g", "v").collect()[0]
+    assert r["mean_diff"] == 0.0 and r["welch_t"] == 0.0
+
+
+# ------------------------------------------------------- random_projection
+
+
+def _portable_sign(d, j):
+    h = int(hashlib.md5(f"{d}#{j}".encode()).hexdigest()[:15], 16)
+    return 1 - 2 * (h % 2)
+
+
+def test_random_projection_matches_replay(spark):
+    from pdf_parser_spark.operators.similarity import random_projection
+
+    vecs = {
+        0: [0.5, -0.25, 0.125, 1.0],
+        1: [-1.5, 0.75, 0.0, -0.375],
+        2: [0.1, 0.2, 0.3, 0.4],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    k = 4
+    got = {
+        (r["vec_id"], r["pdim"]): r["value"]
+        for r in random_projection(df, out_dims=k, portable=True).collect()
+    }
+    assert len(got) == len(vecs) * k
+    for i, v in vecs.items():
+        q = [round(x * 1e6) for x in v]
+        for j in range(k):
+            s = sum(qx * _portable_sign(d, j) for d, qx in enumerate(q))
+            expect = round(s / 1e6 / math.sqrt(k), 6)
+            assert got[(i, j)] == expect
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    """JL sanity: near-identical vectors project near-identically, far
+    vectors stay far (signs are shared across rows, so the projection is
+    a fixed linear map)."""
+    import numpy as np
+
+    from pdf_parser_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(32).round(4)
+    near = base + 1e-4
+    far = -base
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    rows = random_projection(df, out_dims=8).collect()
+    p = {i: [0.0] * 8 for i in range(3)}
+    for r in rows:
+        p[r["vec_id"]][r["pdim"]] = r["value"]
+    d_near = sum((a - b) ** 2 for a, b in zip(p[0], p[1]))
+    d_far = sum((a - b) ** 2 for a, b in zip(p[0], p[2]))
+    assert d_near < 1e-4
+    assert d_far > 1.0
+
+
+def test_random_projection_plan_is_scan_only(spark):
+    from pdf_parser_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    plan = random_projection(df, out_dims=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
