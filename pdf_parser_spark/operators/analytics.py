@@ -2907,3 +2907,135 @@ def welch_t_pairs(
         F.round(t, 6).alias("welch_t"),
         F.round(dof, 6).alias("welch_df"),
     )
+
+
+def ewma_control_band(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+    lags: int = 32,
+    band: int = 3,
+    min_n: int = 4,
+) -> DataFrame:
+    """EWMA control band (half-life smoothing, alpha = 1/2) with exact
+    +-band-sigma anomaly flags per key — the monitoring primitive that
+    watches a per-host crawl rate / per-user spend / per-source volume
+    stream and flags points that leave the smoothed band, without storing
+    any state beyond the last ``lags`` observations.
+
+    Exactness is the whole design. alpha = 1/2 makes every weight a power
+    of two, and values quantize to the 1/``scale`` grid, so the weighted
+    first moment accumulates exactly in BIGINT (terms are ``xq << (31 -
+    lag)``), the weighted second moment exactly in DECIMAL(38,0), and the
+    weight total has the closed form ``2^32 - 2^(32-n)``. The anomaly
+    test never touches a float: ``|x - ewma_prev| > band * sd_prev`` is
+    squared into the integer domain, ``(xq*den_p - num_p)^2 > band^2 *
+    (num2_p*den_p - num_p^2)``, an exact DECIMAL comparison any engine
+    reproduces bit-for-bit (``band`` is an integer for this reason).
+    Display columns (`ewma`, `dev`) are single deterministic casts and
+    one rounded divide. Safe while |value|*scale < 10^6 (bounds 2^104 <
+    10^38 in the squared domain); the driver's events values are ~10^4.
+
+    The frame is the last ``lags`` rows, so weights below 2^-31 (beneath
+    any 6-dp signal) are dropped and the window state is O(lags), not
+    O(history) — the same truncation a streaming deployment of this
+    operator would make. The flag needs ``min_n`` prior points before it
+    can fire (a 1-point 'band' is zero-width).
+
+    Plan shape: ONE shuffle on the key (window partitioning); the
+    collect_list frame is bounded at ``lags`` elements; the HOF aggregate
+    runs over the ALREADY-MATERIALIZED array column (nothing expensive
+    re-evaluates per element — see CLAUDE.md HOF note). Reference
+    analogue: the reference monitors per-run extraction counters
+    (`_parser.py:1717,1747-1752`); this is that health check made
+    continuous and per-key.
+    """
+    if not (1 <= lags <= 32):
+        raise ValueError("lags must be in [1, 32] (weights are 2^(31-lag))")
+    tie = tiebreak_col or order_col
+    keep = [key_col, order_col] + ([tie] if tie != order_col else [])
+    keep.append(value_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col, tie)
+        .rowsBetween(-(lags - 1), Window.currentRow)
+    )
+    wlag = Window.partitionBy(key_col).orderBy(order_col, tie)
+    xq = F.round(F.col(value_col) * float(scale)).cast("long")
+    base = df.select(
+        *[F.col(c) for c in keep], xq.alias("_xq")
+    ).withColumn("_arr", F.collect_list("_xq").over(w))
+    base = base.withColumn("_n", F.size("_arr"))
+    # exact weighted moments over the frame: element i (1-based) has
+    # lag = n - i, weight 2^(31-lag)
+    num = F.aggregate(
+        F.zip_with(
+            F.col("_arr"),
+            F.sequence(F.lit(1), F.col("_n")),
+            lambda x, i: x
+            * F.pow(F.lit(2.0), F.lit(31) - (F.col("_n") - i)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    num2 = F.aggregate(
+        F.zip_with(
+            F.col("_arr"),
+            F.sequence(F.lit(1), F.col("_n")),
+            lambda x, i: x.cast("decimal(19,0)")
+            * x.cast("decimal(19,0)")
+            * F.pow(F.lit(2.0), F.lit(31) - (F.col("_n") - i))
+            .cast("long")
+            .cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t,
+    )
+    den = F.lit(2**32).cast("long") - F.pow(
+        F.lit(2.0), F.lit(32) - F.col("_n")
+    ).cast("long")
+    cur = base.select(
+        *keep,
+        "_xq",
+        num.alias("_num"),
+        num2.alias("_num2"),
+        den.alias("_den"),
+        F.col("_n").alias("_cnt"),
+    )
+    lagged = cur.select(
+        *keep,
+        "_xq",
+        "_num",
+        "_den",
+        F.lag("_num").over(wlag).alias("_pnum"),
+        F.lag("_num2").over(wlag).alias("_pnum2"),
+        F.lag("_den").over(wlag).alias("_pden"),
+        F.lag("_cnt").over(wlag).alias("_pcnt"),
+    )
+    d = F.col("_xq").cast("decimal(19,0)") * F.col("_pden").cast(
+        "decimal(19,0)"
+    ) - F.col("_pnum").cast("decimal(38,0)")
+    lhs = d * d
+    rhs = F.lit(band * band).cast("decimal(19,0)") * (
+        F.col("_pnum2") * F.col("_pden").cast("decimal(19,0)")
+        - F.col("_pnum").cast("decimal(19,0)")
+        * F.col("_pnum").cast("decimal(19,0)")
+    )
+    sc = float(scale)
+    return lagged.select(
+        *keep,
+        F.round(
+            F.col("_num").cast("double") / F.col("_den").cast("double") / sc, 6
+        ).alias("ewma"),
+        F.round(
+            d.cast("double") / F.col("_pden").cast("double") / sc, 6
+        ).alias("dev"),
+        F.when(
+            F.col("_pnum").isNull() | (F.col("_pcnt") < min_n), F.lit(False)
+        )
+        .otherwise(lhs > rhs)
+        .alias("is_anomaly"),
+    )

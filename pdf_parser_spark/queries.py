@@ -13057,6 +13057,180 @@ SELECT vec_id, CAST(pdim AS INTEGER) AS pdim, value FROM ({unpivot})
 """
 
 
+def q_ewma_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control band per user over the event stream (analytics.
+    ewma_control_band): half-life (alpha=1/2) smoothing of `value` with
+    exact +-3-sigma anomaly flags — the per-key monitoring primitive
+    (crawl-rate / spend / volume health) made bit-reproducible. Weights
+    are powers of two and values quantize to cents, so both weighted
+    moments accumulate exactly (BIGINT / DECIMAL) and the band test is
+    an exact integer comparison — no float ever decides a flag. ONE
+    shuffle on user_id serves both the 32-row frame and the lag."""
+    events = load_table(spark, sf_dir, "events")
+    return analytics.ewma_control_band(
+        events, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+
+
+def sql_ewma_value_anomalies() -> str:
+    return """
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(round(value * 100) AS BIGINT) AS xq,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), m AS (
+  SELECT a.user_id, a.rn,
+         sum(b.xq * (CAST(1 AS BIGINT) << (31 - (a.rn - b.rn)))) AS num,
+         sum(CAST(b.xq AS HUGEINT) * b.xq
+             * (CAST(1 AS BIGINT) << (31 - (a.rn - b.rn)))) AS num2,
+         (CAST(1 AS BIGINT) << 32)
+           - (CAST(1 AS BIGINT) << CAST(32 - count(*) AS INTEGER)) AS den,
+         count(*) AS cnt
+  FROM x a JOIN x b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 31 AND a.rn
+  GROUP BY 1, 2
+), j AS (
+  SELECT x.user_id, x.ts, x.event_id, x.value, x.xq, m.num, m.den,
+         lag(m.num)  OVER pk AS pnum,
+         lag(m.num2) OVER pk AS pnum2,
+         lag(m.den)  OVER pk AS pden,
+         lag(m.cnt)  OVER pk AS pcnt
+  FROM x JOIN m ON x.user_id = m.user_id AND x.rn = m.rn
+  WINDOW pk AS (PARTITION BY x.user_id ORDER BY x.rn)
+)
+SELECT user_id, ts, event_id, value,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100, 6) AS ewma,
+       round(CAST(CAST(xq AS HUGEINT) * pden - pnum AS DOUBLE)
+             / CAST(pden AS DOUBLE) / 100, 6) AS dev,
+       CASE WHEN pnum IS NULL OR pcnt < 4 THEN FALSE
+            ELSE (CAST(xq AS HUGEINT) * pden - pnum)
+                 * (CAST(xq AS HUGEINT) * pden - pnum)
+                 > 9 * (CAST(pnum2 AS HUGEINT) * pden
+                        - CAST(pnum AS HUGEINT) * pnum)
+       END AS is_anomaly
+FROM j
+"""
+
+
+def _core_edges(d: DataFrame) -> DataFrame:
+    """Deterministic host graph for k-core: a sparse chain family over
+    600 'siteN' hosts (degree mostly ≤ 3 — unravels over MANY peel
+    rounds: depth 14 at sf0.01), a dense 10-host 'coreN' family whose
+    min in-family degree ≥ 3 (the stable core peeling must NOT erode),
+    and sparse→core bridge edges (peeled, so the core's degree must be
+    recomputed as its neighborhood dissolves). Self-loops and duplicate
+    orientations are present raw — canonicalization is the operator's
+    job."""
+    did = F.col("doc_id").cast("long")
+
+    def h(prefix: str, expr):
+        return F.concat(F.lit(prefix), expr.cast("string"))
+
+    fams = [
+        d.select(
+            h("site", did % 600).alias("src"),
+            h("site", (did * 13 + 7) % 600).alias("dst"),
+        ),
+        d.select(
+            h("site", (did * did + 1) % 600).alias("src"),
+            h("site", (did * 29 + 3) % 600).alias("dst"),
+        ),
+        d.select(
+            h("core", (did * 7) % 10).alias("src"),
+            h("core", (did + 3) % 10).alias("dst"),
+        ),
+        d.select(
+            h("core", (did * 3) % 10).alias("src"),
+            h("core", (did + 1) % 10).alias("dst"),
+        ),
+        d.select(
+            h("core", (did * 9) % 10).alias("src"),
+            h("core", (did + 7) % 10).alias("dst"),
+        ),
+        d.where(did % 11 == 0).select(
+            h("site", did % 600).alias("src"),
+            h("core", did % 10).alias("dst"),
+        ),
+    ]
+    out = fams[0]
+    for f in fams[1:]:
+        out = out.union(f)
+    return out
+
+
+def q_host_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the synthetic host link graph (operators/graph.k_core):
+    iteratively peel hosts with degree < 3 until stable; survivors carry
+    their in-core degree. The subgraph-stability signal (link farms and
+    orphan chains dissolve; interlinked hub clusters survive) that
+    complements pagerank and triangle counts. Each peel round is one
+    degree groupBy + two semi-joins over an edge list that only shrinks,
+    lineage-truncated per round; convergence is a 1-row count check.
+    The oracle replays 18 chained peel rounds — strictly more than the
+    measured depth at every SF (14 at sf0.01), and peeling past the
+    fixpoint is a no-op, so the replay is exact."""
+    from pdf_parser_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return graph.k_core(_core_edges(d), k=3).select(
+        F.col("v").alias("host"), "core_degree"
+    )
+
+
+def sql_host_k_core(k: int = 3, rounds: int = 18) -> str:
+    chain = []
+    for r in range(1, rounds + 1):
+        prev = "v0" if r == 1 else f"v{r - 1}"
+        chain.append(
+            f"""d{r} AS (
+  SELECT ee.x AS v, count(*) AS deg
+  FROM (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e) ee
+  JOIN {prev} va ON ee.x = va.v JOIN {prev} vb ON ee.y = vb.v
+  GROUP BY 1
+), v{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {k})"""
+        )
+    body = ",\n".join(chain)
+    return f"""
+WITH raw AS (
+  SELECT 'site' || CAST(d % 600 AS VARCHAR) AS src,
+         'site' || CAST((d * 13 + 7) % 600 AS VARCHAR) AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS d FROM documents)
+  UNION ALL
+  SELECT 'site' || CAST((d * d + 1) % 600 AS VARCHAR),
+         'site' || CAST((d * 29 + 3) % 600 AS VARCHAR)
+  FROM (SELECT CAST(doc_id AS BIGINT) AS d FROM documents)
+  UNION ALL
+  SELECT 'core' || CAST((d * 7) % 10 AS VARCHAR),
+         'core' || CAST((d + 3) % 10 AS VARCHAR)
+  FROM (SELECT CAST(doc_id AS BIGINT) AS d FROM documents)
+  UNION ALL
+  SELECT 'core' || CAST((d * 3) % 10 AS VARCHAR),
+         'core' || CAST((d + 1) % 10 AS VARCHAR)
+  FROM (SELECT CAST(doc_id AS BIGINT) AS d FROM documents)
+  UNION ALL
+  SELECT 'core' || CAST((d * 9) % 10 AS VARCHAR),
+         'core' || CAST((d + 7) % 10 AS VARCHAR)
+  FROM (SELECT CAST(doc_id AS BIGINT) AS d FROM documents)
+  UNION ALL
+  SELECT 'site' || CAST(d % 600 AS VARCHAR),
+         'core' || CAST(d % 10 AS VARCHAR)
+  FROM (SELECT CAST(doc_id AS BIGINT) AS d FROM documents)
+  WHERE d % 11 = 0
+), e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+), v0 AS MATERIALIZED (
+  SELECT a AS v FROM e UNION SELECT b FROM e
+),
+{body}
+SELECT v AS host, CAST(deg AS BIGINT) AS core_degree
+FROM d{rounds} WHERE deg >= {k}
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13362,6 +13536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_diversity": q_ngram_diversity,
     "welch_source_length": q_welch_source_length,
     "embedding_projection": q_embedding_projection,
+    "ewma_value_anomalies": q_ewma_value_anomalies,
+    "host_k_core": q_host_k_core,
 }
 
 ORACLES: dict[str, str] = {
@@ -13633,4 +13809,6 @@ ORACLES: dict[str, str] = {
     "ngram_diversity": sql_ngram_diversity(),
     "welch_source_length": sql_welch_source_length(),
     "embedding_projection": sql_embedding_projection(),
+    "ewma_value_anomalies": sql_ewma_value_anomalies(),
+    "host_k_core": sql_host_k_core(),
 }

@@ -1,0 +1,170 @@
+"""Value-pinning tests for the session-20 operators. Each Spark result
+is replayed by an independent pure-Python implementation."""
+
+import math
+
+
+# -------------------------------------------------------- ewma_control_band
+
+
+def _ewma_replay(values, scale=100, lags=32, band=3, min_n=4):
+    xs = [round(v * scale) for v in values]
+    out = []
+    prev = None  # (num, num2, den, cnt)
+    for idx in range(len(xs)):
+        fr = xs[max(0, idx - lags + 1) : idx + 1]
+        n = len(fr)
+        num = sum(x * 2 ** (31 - (n - i)) for i, x in enumerate(fr, 1))
+        num2 = sum(x * x * 2 ** (31 - (n - i)) for i, x in enumerate(fr, 1))
+        den = 2**32 - 2 ** (32 - n)
+        ewma = round(num / den / scale, 6)
+        if prev is None:
+            flag, dev = False, None
+        else:
+            pnum, pnum2, pden, pcnt = prev
+            d = xs[idx] * pden - pnum
+            dev = round(d / pden / scale, 6)
+            flag = pcnt >= min_n and d * d > band * band * (
+                pnum2 * pden - pnum * pnum
+            )
+        out.append((ewma, dev, flag))
+        prev = (num, num2, den, n)
+    return out
+
+
+def test_ewma_matches_replay_and_flags_spike(spark):
+    from pdf_parser_spark.operators.analytics import ewma_control_band
+
+    vals = [10.0, 11.5, 10.25, 12.0, 11.0, 10.5, 100.0, 11.0, 10.0, 9.75]
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = ewma_control_band(df, "k", "t", "v").orderBy("t").collect()
+    expect = _ewma_replay(vals)
+    for r, (ewma, dev, flag) in zip(got, expect):
+        assert r["ewma"] == ewma
+        assert r["dev"] == dev
+        assert r["is_anomaly"] == flag
+    # exactly one anomaly: the 100.0 spike
+    assert [r["t"] for r in got if r["is_anomaly"]] == [6]
+
+
+def test_ewma_never_flags_before_min_n(spark):
+    from pdf_parser_spark.operators.analytics import ewma_control_band
+
+    rows = [("u", 0, 1.0), ("u", 1, 500.0), ("u", 2, 1.0), ("u", 3, 500.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = ewma_control_band(df, "k", "t", "v", min_n=4).collect()
+    assert not any(r["is_anomaly"] for r in got)
+
+
+def test_ewma_lags_one_tracks_value(spark):
+    from pdf_parser_spark.operators.analytics import ewma_control_band
+
+    rows = [("u", i, float(v)) for i, v in enumerate([3, 7, 2])]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = ewma_control_band(df, "k", "t", "v", lags=1, min_n=1).orderBy(
+        "t"
+    ).collect()
+    assert [r["ewma"] for r in got] == [3.0, 7.0, 2.0]
+
+
+def test_ewma_tiebreak_makes_equal_ts_deterministic(spark):
+    from pdf_parser_spark.operators.analytics import ewma_control_band
+
+    rows = [("u", 0, 10, 5.0), ("u", 0, 3, 9.0), ("u", 1, 1, 7.0)]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, v double")
+    got = (
+        ewma_control_band(df, "k", "t", "v", tiebreak_col="eid")
+        .orderBy("t", "eid")
+        .collect()
+    )
+    # order is (t=0,eid=3), (t=0,eid=10), (t=1,eid=1)
+    expect = _ewma_replay([9.0, 5.0, 7.0])
+    assert [r["ewma"] for r in got] == [e[0] for e in expect]
+
+
+def test_ewma_partitions_are_independent(spark):
+    from pdf_parser_spark.operators.analytics import ewma_control_band
+
+    rows = [("a", 0, 10.0), ("b", 0, 99.0), ("a", 1, 12.0), ("b", 1, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_control_band(df, "k", "t", "v").collect()
+    }
+    assert got[("a", 0)] == 10.0 and got[("b", 0)] == 99.0
+    assert got[("a", 1)] == _ewma_replay([10.0, 12.0])[1][0]
+
+
+# ------------------------------------------------------------------- k_core
+
+
+def _kcore_replay(edges, k):
+    import collections
+
+    e = {
+        (min(a, b), max(a, b))
+        for a, b in edges
+        if a != b
+    }
+    verts = {x for p in e for x in p}
+    while True:
+        deg = collections.Counter()
+        for a, b in e:
+            if a in verts and b in verts:
+                deg[a] += 1
+                deg[b] += 1
+        keep = {v for v in verts if deg[v] >= k}
+        if keep == verts:
+            return {v: deg[v] for v in verts}
+        verts = keep
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    from pdf_parser_spark.operators.graph import k_core
+
+    clique = [
+        (f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)
+    ]
+    chain = [("c0", "x1"), ("x1", "x2"), ("x2", "x3")]
+    df = spark.createDataFrame(clique + chain, "src string, dst string")
+    got = {r["v"]: r["core_degree"] for r in k_core(df, 3).collect()}
+    assert got == {f"c{i}": 3 for i in range(4)}
+
+
+def test_k_core_canonicalizes_raw_multigraph(spark):
+    from pdf_parser_spark.operators.graph import k_core
+
+    # duplicates, reverse duplicates, and a self-loop must not add degree
+    raw = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("a", "c"), ("b", "c"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(raw, "src string, dst string")
+    got = {r["v"]: r["core_degree"] for r in k_core(df, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert k_core(df, 3).count() == 0
+
+
+def test_k_core_matches_replay_on_seeded_graph(spark):
+    from pdf_parser_spark.operators.graph import k_core
+
+    # deterministic pseudo-random graph: same generator both sides
+    edges = [
+        (f"v{(i * 13 + 7) % 37}", f"v{(i * i + 3) % 37}") for i in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for k in (2, 3, 4):
+        got = {r["v"]: r["core_degree"] for r in k_core(df, k).collect()}
+        assert got == _kcore_replay(edges, k), k
+
+
+def test_k_core_nonconvergence_raises(spark):
+    from pdf_parser_spark.operators.graph import k_core
+
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(6)]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(df, 2, max_rounds=2)
