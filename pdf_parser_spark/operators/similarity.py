@@ -1483,3 +1483,152 @@ def random_projection(
     return stacked.select(
         id_col, F.col("_p.pdim").alias("pdim"), F.col("_p.value").alias("value")
     )
+
+
+def grid_dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cc_max_iters: int = 64,
+) -> DataFrame:
+    """DBSCAN over 2-D points via grid bucketing — density clustering
+    for projected embeddings / geo coordinates with NO all-pairs join:
+    each point meets only the points in its 3x3 neighborhood of
+    eps-sized grid cells, so candidate volume is bounded by local
+    density, not corpus size. Classic roles: a point with >= ``min_pts``
+    neighbors within eps (self included) is *core*; cores within eps of
+    each other share a cluster (connected components, min-id label); a
+    non-core within eps of a core is *border* (adopting the smallest
+    core neighbor's label); the rest is *noise*.
+
+    Exactness: coordinates quantize to the 1e-6 grid as int64 (callers
+    feed rounded-6 values, e.g. random_projection output, so this is
+    lossless), cell ids use exact pmod floor-division, and the distance
+    test ``dx*dx + dy*dy <= epsq*epsq`` is pure int64 — no float
+    touches a decision anywhere, so any engine replays bit-for-bit.
+
+    Scale shape: ONE explode x9 + equi-join on cell id generates
+    candidates (plan-pinned cartesian-free); neighbor counts and border
+    labels are map-side-combined groupBys; the core-core component step
+    reuses dedup.pair_clusters (O(diameter) label-propagation rounds,
+    lineage-truncated, 1-row convergence checks). Skewed mega-cells
+    (one cell holding a hot fraction of the corpus) are the same
+    failure mode as LSH mega-buckets — at production scale wire the
+    same bucket_cap defense; eps chosen so cells hold O(min_pts)
+    points makes candidates linear in n.
+
+    Reference analogue: the reference clusters nothing, but its
+    coordinate cache (`_parser.py:494,617-640`) feeds exactly this
+    operator's input shape at corpus scale.
+    """
+    from pdf_parser_spark.operators.dedup import pair_clusters
+
+    epsq = int(round(eps * 1_000_000))
+
+    def fdiv(col, m):
+        return ((col - F.pmod(col, F.lit(m))) / F.lit(m)).cast("long")
+
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.round(F.col(x_col) * 1_000_000.0).cast("long").alias("_xq"),
+        F.round(F.col(y_col) * 1_000_000.0).cast("long").alias("_yq"),
+    )
+    base = base.withColumn("_cx", fdiv(F.col("_xq"), epsq)).withColumn(
+        "_cy", fdiv(F.col("_yq"), epsq)
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).cast("long").alias("dx"),
+                F.lit(dy).cast("long").alias("dy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = base.select(
+        F.col("_id").alias("i"),
+        F.col("_xq").alias("_xi"),
+        F.col("_yq").alias("_yi"),
+        "_cx",
+        "_cy",
+        F.explode(offs).alias("_o"),
+    ).select(
+        "i",
+        "_xi",
+        "_yi",
+        (F.col("_cx") + F.col("_o.dx")).alias("_ncx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_ncy"),
+    )
+    build = base.select(
+        F.col("_id").alias("j"),
+        F.col("_xq").alias("_xj"),
+        F.col("_yq").alias("_yj"),
+        F.col("_cx").alias("_jcx"),
+        F.col("_cy").alias("_jcy"),
+    )
+    dx = F.col("_xi") - F.col("_xj")
+    dy = F.col("_yi") - F.col("_yj")
+    cand = (
+        probe.join(
+            build,
+            (F.col("_ncx") == F.col("_jcx")) & (F.col("_ncy") == F.col("_jcy")),
+        )
+        .where(dx * dx + dy * dy <= F.lit(epsq * epsq))
+        .select("i", "j")
+    )
+    ncount = cand.groupBy("i").agg(F.count(F.lit(1)).alias("_n"))
+    core = ncount.where(F.col("_n") >= min_pts).select("i")
+    core_edges = (
+        cand.where(F.col("i") < F.col("j"))
+        .join(core, "i", "left_semi")
+        .join(core.select(F.col("i").alias("j")), "j", "left_semi")
+        .select("i", "j")
+    )
+    # eps-neighborhood graphs have GEOMETRIC diameters (≈ extent/eps
+    # hops across a dense blob), far beyond near-dup chain diameters —
+    # give label propagation a matching round budget
+    linked = pair_clusters(core_edges, a_col="i", b_col="j",
+                           max_iters=cc_max_iters)
+    core_labels = core.join(
+        linked, core["i"] == linked["node"], "left"
+    ).select(
+        F.col("i"),
+        F.coalesce(F.col("cluster"), F.col("i")).alias("cluster"),
+    )
+    border = (
+        cand.where(F.col("i") != F.col("j"))
+        .join(core, "i", "left_anti")
+        .join(
+            core_labels.select(
+                F.col("i").alias("j"), F.col("cluster").alias("_jc")
+            ),
+            "j",
+        )
+        .groupBy("i")
+        .agg(F.min("_jc").alias("cluster"))
+    )
+    core_out = core_labels.select(
+        "i", F.lit("core").alias("role"), "cluster"
+    )
+    border_out = border.select("i", F.lit("border").alias("role"), "cluster")
+    noise_out = (
+        base.select(F.col("_id").alias("i"))
+        .join(core, "i", "left_anti")
+        .join(border.select("i"), "i", "left_anti")
+        .select(
+            "i",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast(core_labels.schema["cluster"].dataType).alias(
+                "cluster"
+            ),
+        )
+    )
+    return (
+        core_out.unionByName(border_out)
+        .unionByName(noise_out)
+        .withColumnRenamed("i", id_col)
+    )

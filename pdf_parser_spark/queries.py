@@ -13231,6 +13231,103 @@ FROM d{rounds} WHERE deg >= {k}
 """
 
 
+def q_embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering of the embedding table (similarity.random_
+    projection to 2-D, then similarity.grid_dbscan): JL-project each
+    vector to two hash-derived coordinates (zero shuffle, nothing
+    broadcast), then DBSCAN with eps-sized grid cells — candidates come
+    from a 3x3-cell equi-join, never an all-pairs product. Every
+    decision (neighbor distance, core threshold, min-label component,
+    border adoption) happens in exact int64 on the 1e-6 grid, so the
+    oracle replays roles and labels bit-for-bit, recursive-CTE closure
+    included. Capped at vec_id < 300 to keep the oracle's closure small
+    (precedent: near_dup_clusters' doc cap)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    proj = similarity.random_projection(emb, out_dims=2, portable=True)
+    pts = proj.groupBy(F.col("vec_id").cast("long").alias("vec_id")).agg(
+        F.max(F.when(F.col("pdim") == 0, F.col("value"))).alias("x"),
+        F.max(F.when(F.col("pdim") == 1, F.col("value"))).alias("y"),
+    )
+    return similarity.grid_dbscan(
+        pts, eps=0.2, min_pts=4, id_col="vec_id"
+    ).select("vec_id", "role", F.col("cluster").cast("long").alias("cluster"))
+
+
+def sql_embedding_dbscan_clusters() -> str:
+    sgn = (
+        "(1 - 2 * (('0x' || substr(md5(CAST(dim AS VARCHAR) || '#{j}'), 1, "
+        "15))::BIGINT % 2))"
+    )
+    cols = ", ".join(
+        f"round(sum(qx * {sgn.format(j=j)}) / 1e6 / sqrt(2.0), 6) AS p{j}"
+        for j in range(2)
+    )
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(round(u.x * 1e6) AS BIGINT) AS qx,
+         CAST(u.i - 1 AS BIGINT) AS dim
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding::DOUBLE[],
+                                     (x, i) -> {{'x': x, 'i': i}})) AS u
+        FROM embeddings WHERE vec_id < 300)
+), s AS (
+  SELECT vec_id, {cols} FROM q GROUP BY vec_id
+), pts AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(round(p0 * 1e6) AS BIGINT) AS xq,
+         CAST(round(p1 * 1e6) AS BIGINT) AS yq
+  FROM s
+), cells AS MATERIALIZED (
+  SELECT vec_id, xq, yq,
+         (xq - ((xq % 200000) + 200000) % 200000) // 200000 AS cx,
+         (yq - ((yq % 200000) + 200000) % 200000) // 200000 AS cy
+  FROM pts
+), cand AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j
+  FROM (SELECT c.vec_id, c.xq, c.yq, c.cx + o.dx AS ncx, c.cy + o.dy AS ncy
+        FROM cells c
+        CROSS JOIN (SELECT dx, dy
+                    FROM unnest(range(-1, 2)) AS t1(dx),
+                         unnest(range(-1, 2)) AS t2(dy)) o) a
+  JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+  WHERE (a.xq - b.xq) * (a.xq - b.xq)
+        + (a.yq - b.yq) * (a.yq - b.yq) <= 40000000000
+), core AS MATERIALIZED (
+  SELECT i FROM cand GROUP BY i HAVING count(*) >= 4
+), sym AS MATERIALIZED (
+  SELECT c.i AS x, c.j AS y
+  FROM cand c JOIN core ca ON c.i = ca.i JOIN core cb ON c.j = cb.i
+  WHERE c.i <> c.j
+), reach(node, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+  UNION
+  SELECT s2.y, r.label FROM reach r JOIN sym s2 ON s2.x = r.node
+), labels AS MATERIALIZED (
+  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+), corelab AS MATERIALIZED (
+  SELECT core.i, coalesce(labels.cluster, core.i) AS cluster
+  FROM core LEFT JOIN labels ON core.i = labels.node
+), borderlab AS MATERIALIZED (
+  SELECT c.i, min(cl.cluster) AS cluster
+  FROM cand c JOIN corelab cl ON c.j = cl.i
+  WHERE c.i <> c.j AND c.i NOT IN (SELECT i FROM core)
+  GROUP BY c.i
+)
+SELECT i AS vec_id, 'core' AS role, CAST(cluster AS BIGINT) AS cluster
+FROM corelab
+UNION ALL
+SELECT i, 'border', CAST(cluster AS BIGINT) FROM borderlab
+UNION ALL
+SELECT vec_id, 'noise', NULL
+FROM pts
+WHERE vec_id NOT IN (SELECT i FROM corelab)
+  AND vec_id NOT IN (SELECT i FROM borderlab)
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13538,6 +13635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_projection": q_embedding_projection,
     "ewma_value_anomalies": q_ewma_value_anomalies,
     "host_k_core": q_host_k_core,
+    "embedding_dbscan_clusters": q_embedding_dbscan_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -13811,4 +13909,5 @@ ORACLES: dict[str, str] = {
     "embedding_projection": sql_embedding_projection(),
     "ewma_value_anomalies": sql_ewma_value_anomalies(),
     "host_k_core": sql_host_k_core(),
+    "embedding_dbscan_clusters": sql_embedding_dbscan_clusters(),
 }

@@ -168,3 +168,99 @@ def test_k_core_nonconvergence_raises(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(df, 2, max_rounds=2)
+
+
+# -------------------------------------------------------------- grid_dbscan
+
+
+def _dbscan_replay(pts, eps, min_pts):
+    """Pure-Python DBSCAN with min-id labels: pts = {id: (x, y)}."""
+    q = {i: (round(x * 1e6), round(y * 1e6)) for i, (x, y) in pts.items()}
+    epsq = round(eps * 1e6)
+    ids = sorted(q)
+    neigh = {
+        i: [
+            j
+            for j in ids
+            if (q[i][0] - q[j][0]) ** 2 + (q[i][1] - q[j][1]) ** 2
+            <= epsq * epsq
+        ]
+        for i in ids
+    }
+    core = {i for i in ids if len(neigh[i]) >= min_pts}
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            best = min(
+                [label[i]] + [label[j] for j in neigh[i] if j in core]
+            )
+            if best < label[i]:
+                label[i] = best
+                changed = True
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", label[i])
+        else:
+            cn = [label[j] for j in neigh[i] if j in core and j != i]
+            out[i] = ("border", min(cn)) if cn else ("noise", None)
+    return out
+
+
+def test_grid_dbscan_roles_and_labels(spark):
+    from pdf_parser_spark.operators.similarity import grid_dbscan
+
+    pts = {
+        0: (0.0, 0.0), 1: (0.1, 0.0), 2: (0.0, 0.1), 3: (0.1, 0.1),
+        10: (5.0, 5.0), 11: (5.1, 5.0), 12: (5.0, 5.1), 13: (5.1, 5.1),
+        20: (2.5, 2.5), 21: (0.25, 0.0),
+    }
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()], "id long, x double, y double"
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in grid_dbscan(df, eps=0.2, min_pts=4).collect()
+    }
+    assert got == _dbscan_replay(pts, 0.2, 4)
+    assert got[20] == ("noise", None)
+    assert got[21] == ("border", 0)
+
+
+def test_grid_dbscan_matches_replay_on_seeded_points(spark):
+    """Deterministic pseudo-random scatter, including negative coords
+    (exercises the pmod floor-division cells) and a cross-cell chain."""
+    from pdf_parser_spark.operators.similarity import grid_dbscan
+
+    pts = {}
+    for i in range(80):
+        x = round((((i * 73 + 11) % 97) - 48) / 9.7, 6)
+        y = round((((i * 41 + 29) % 89) - 44) / 8.9, 6)
+        pts[i] = (x, y)
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()], "id long, x double, y double"
+    )
+    for eps, mp in ((1.0, 3), (1.5, 5)):
+        got = {
+            r["id"]: (r["role"], r["cluster"])
+            for r in grid_dbscan(df, eps=eps, min_pts=mp).collect()
+        }
+        assert got == _dbscan_replay(pts, eps, mp), (eps, mp)
+
+
+def test_grid_dbscan_plan_is_cartesian_free(spark):
+    from pdf_parser_spark.operators.similarity import grid_dbscan
+
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 1.0)], "id long, x double, y double"
+    )
+    plan = (
+        grid_dbscan(df, eps=0.5, min_pts=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
