@@ -3039,3 +3039,95 @@ def ewma_control_band(
         .otherwise(lhs > rhs)
         .alias("is_anomaly"),
     )
+
+
+def changepoint_split(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+    min_seg: int = 3,
+) -> DataFrame:
+    """Offline single-changepoint detection per key (binary-segmentation
+    step): the split of the ordered series that maximizes the SSE
+    reduction of a two-mean fit over a one-mean fit — WHERE a level
+    shift happened, complementing cusum_drift's online WHETHER. The
+    identity ``SSE_1 - SSE_2 = Sl²/nl + Sr²/nr - S²/n`` means the score
+    needs only prefix sums (the Σx² term cancels), so the whole scan is
+    one window pass.
+
+    Determinism: values quantize to the 1/``scale`` grid; prefix sums
+    are exact int64 and their double casts exact while |Σxq| < 2^26
+    (events-scale data is orders of magnitude under this); the score is
+    then a FIXED expression tree of five IEEE ops on exact inputs —
+    identical in any engine — and the argmax orders by (score DESC,
+    split ASC), so float ties resolve deterministically. Splits leave
+    at least ``min_seg`` points on each side (a 1-point segment has
+    zero SSE and always 'wins' — the classic overfit guard); keys
+    shorter than ``2*min_seg`` emit nothing.
+
+    Plan shape: ONE shuffle on the key serves row-numbering, prefix
+    sums, the per-key totals (last-row frame) and the final rank —
+    every window reuses the same partitioning. Reference analogue: the
+    reference's per-run counters (`_parser.py:1717,1747-1752`) have no
+    segmentation; this is the "when did the feed change" question asked
+    of those counters at corpus scale.
+    """
+    tie = tiebreak_col or order_col
+    wp = Window.partitionBy(key_col).orderBy(order_col, tie)
+    wall = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col, tie)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    xq = F.round(F.col(value_col) * float(scale)).cast("long")
+    keep = [key_col, order_col] + ([tie] if tie != order_col else [])
+    pre = df.select(
+        *[F.col(c) for c in keep], xq.alias("_xq")
+    ).select(
+        *keep,
+        F.row_number().over(wp).alias("_t"),
+        F.sum("_xq").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "_sl"
+        ),
+        F.sum("_xq").over(wall).alias("_s"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    nl = F.col("_t").cast("double")
+    nr = (F.col("_n") - F.col("_t")).cast("double")
+    sl = F.col("_sl").cast("double")
+    sr = (F.col("_s") - F.col("_sl")).cast("double")
+    stot = F.col("_s").cast("double")
+    red = (sl * sl / nl + sr * sr / nr) - stot * stot / F.col(
+        "_n"
+    ).cast("double")
+    scored = pre.where(
+        (F.col("_t") >= min_seg) & (F.col("_t") <= F.col("_n") - min_seg)
+    ).select(
+        key_col,
+        order_col,
+        "_t",
+        "_n",
+        red.alias("_red"),
+        (sl / nl).alias("_ml"),
+        (sr / nr).alias("_mr"),
+    )
+    wrank = Window.partitionBy(key_col).orderBy(
+        F.desc("_red"), F.asc("_t")
+    )
+    sc2 = float(scale) * float(scale)
+    return (
+        scored.withColumn("_rk", F.row_number().over(wrank))
+        .where(F.col("_rk") == 1)
+        .select(
+            key_col,
+            F.col("_n").alias("n"),
+            F.col("_t").alias("split_idx"),
+            F.col(order_col).alias("cut_at"),
+            F.round(F.col("_red") / sc2, 6).alias("sse_reduction"),
+            F.round(F.col("_ml") / float(scale), 6).alias("mean_left"),
+            F.round(F.col("_mr") / float(scale), 6).alias("mean_right"),
+        )
+    )

@@ -13328,6 +13328,68 @@ WHERE vec_id NOT IN (SELECT i FROM corelab)
 """
 
 
+def q_user_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single-changepoint per user over the event value series
+    (analytics.changepoint_split): the split maximizing the exact
+    two-mean SSE reduction — WHERE the level shifted, complementing
+    cusum's online WHETHER. Prefix sums are exact int64 (the Σx² term
+    cancels out of the score), the score is a fixed five-op IEEE tree
+    on exact inputs, and the argmax tie-breaks on split index, so the
+    oracle replays bit-for-bit. ONE shuffle on user_id serves all four
+    windows."""
+    events = load_table(spark, sf_dir, "events")
+    cp = analytics.changepoint_split(
+        events, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+    return cp.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("split_idx").cast("long").alias("split_idx"),
+        F.col("cut_at"),
+        "sse_reduction",
+        "mean_left",
+        "mean_right",
+    )
+
+
+def sql_user_value_changepoint() -> str:
+    return """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS xq
+  FROM events
+), p AS (
+  SELECT user_id, ts,
+         row_number() OVER wp AS t,
+         CAST(sum(xq) OVER (wp ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS sl,
+         CAST(sum(xq) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM x
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id)
+), scored AS (
+  SELECT user_id, ts, t, n,
+         (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(t AS DOUBLE)
+          + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+            / CAST(n - t AS DOUBLE))
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS red,
+         CAST(sl AS DOUBLE) / CAST(t AS DOUBLE) AS ml,
+         CAST(s - sl AS DOUBLE) / CAST(n - t AS DOUBLE) AS mr
+  FROM p WHERE t >= 3 AND t <= n - 3
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY red DESC, t ASC) AS rk
+  FROM scored
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_idx,
+       ts AS cut_at,
+       round(red / 10000, 6) AS sse_reduction,
+       round(ml / 100, 6) AS mean_left,
+       round(mr / 100, 6) AS mean_right
+FROM ranked WHERE rk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13636,6 +13698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_value_anomalies": q_ewma_value_anomalies,
     "host_k_core": q_host_k_core,
     "embedding_dbscan_clusters": q_embedding_dbscan_clusters,
+    "user_value_changepoint": q_user_value_changepoint,
 }
 
 ORACLES: dict[str, str] = {
@@ -13910,4 +13973,5 @@ ORACLES: dict[str, str] = {
     "ewma_value_anomalies": sql_ewma_value_anomalies(),
     "host_k_core": sql_host_k_core(),
     "embedding_dbscan_clusters": sql_embedding_dbscan_clusters(),
+    "user_value_changepoint": sql_user_value_changepoint(),
 }

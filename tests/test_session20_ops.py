@@ -264,3 +264,74 @@ def test_grid_dbscan_plan_is_cartesian_free(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -------------------------------------------------------- changepoint_split
+
+
+def _cp_replay(vals, scale=100, min_seg=3):
+    xs = [round(v * scale) for v in vals]
+    n = len(xs)
+    best = None
+    s = sum(xs)
+    for t in range(min_seg, n - min_seg + 1):
+        sl = sum(xs[:t])
+        sr = s - sl
+        red = (sl * sl / t + sr * sr / (n - t)) - s * s / n
+        if best is None or red > best[0]:
+            best = (red, t, sl, sr)
+    if best is None:
+        return None
+    red, t, sl, sr = best
+    return (
+        n,
+        t,
+        round(red / scale**2, 6),
+        round(sl / t / scale, 6),
+        round(sr / (n - t) / scale, 6),
+    )
+
+
+def test_changepoint_finds_level_shift(spark):
+    from pdf_parser_spark.operators.analytics import changepoint_split
+
+    vals = [10.0] * 8 + [20.0] * 6
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = changepoint_split(df, "k", "t", "v").collect()[0]
+    n, t, red, ml, mr = _cp_replay(vals)
+    assert (r["n"], r["split_idx"]) == (n, t) == (14, 8)
+    assert r["cut_at"] == 7  # order value of the last left-segment row
+    assert r["sse_reduction"] == red
+    assert (r["mean_left"], r["mean_right"]) == (ml, mr) == (10.0, 20.0)
+
+
+def test_changepoint_matches_replay_on_noisy_series(spark):
+    from pdf_parser_spark.operators.analytics import changepoint_split
+
+    vals = [round(((i * 37 + 11) % 23) / 3.1, 2) for i in range(15)] + [
+        round(8 + ((i * 13 + 5) % 17) / 2.3, 2) for i in range(12)
+    ]
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = changepoint_split(df, "k", "t", "v").collect()[0]
+    n, t, red, ml, mr = _cp_replay(vals)
+    assert (r["n"], r["split_idx"], r["sse_reduction"]) == (n, t, red)
+    assert (r["mean_left"], r["mean_right"]) == (ml, mr)
+
+
+def test_changepoint_short_series_emit_nothing(spark):
+    from pdf_parser_spark.operators.analytics import changepoint_split
+
+    rows = [("u", i, float(i)) for i in range(5)]  # n=5 < 2*min_seg
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    assert changepoint_split(df, "k", "t", "v").count() == 0
+
+
+def test_changepoint_constant_series_ties_break_to_first_split(spark):
+    from pdf_parser_spark.operators.analytics import changepoint_split
+
+    rows = [("u", i, 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = changepoint_split(df, "k", "t", "v").collect()[0]
+    assert r["split_idx"] == 3 and r["sse_reduction"] == 0.0
