@@ -1376,3 +1376,75 @@ def oof_target_encode(
         (F.col("_nc") - F.col("_n")).cast("long").alias("n_oof"),
         F.round(enc, 6).alias("encoding"),
     )
+
+
+def retention_curve(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str | None = None,
+    thresholds: tuple[float, ...] = tuple(i / 20 for i in range(20)),
+) -> DataFrame:
+    """Threshold-sweep retention report: for every candidate cutoff tau,
+    how many documents and how much weight (tokens, usually) survive
+    ``score >= tau`` — the curve a curation run reads BEFORE committing
+    to a quality threshold (pick tau from the knee, know the token cost
+    up front), instead of re-running the filter per candidate value.
+
+    Plan shape: the whole sweep is ONE map-side-combined global
+    aggregate — 2 + 2·|thresholds| conditional sums over a single scan
+    (no per-threshold passes, no join against a threshold table, no
+    row explosion); the K-row curve then unpivots from the 1-row
+    aggregate driver-free via explode. Counts and weights accumulate in
+    exact BIGINT; fractions are one rounded divide each. Score vs
+    threshold compares identically in any engine (both sides parse the
+    same literals onto rounded-6 score values)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    s = F.col(score_col)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_td"),
+        F.sum(w).alias("_tw"),
+    ]
+    for i, tau in enumerate(thresholds):
+        aggs.append(
+            F.sum((s >= F.lit(tau)).cast("long")).alias(f"_d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(s >= F.lit(tau), w).otherwise(F.lit(0))).alias(
+                f"_w{i}"
+            )
+        )
+    one = df.agg(*aggs)
+    curve = one.select(
+        "_td",
+        "_tw",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(tau)).alias("threshold"),
+                        F.col(f"_d{i}").alias("docs_kept"),
+                        F.col(f"_w{i}").alias("weight_kept"),
+                    )
+                    for i, tau in enumerate(thresholds)
+                ]
+            )
+        ).alias("_r"),
+    )
+    return curve.select(
+        F.col("_r.threshold").alias("threshold"),
+        F.col("_r.docs_kept").alias("docs_kept"),
+        F.col("_r.weight_kept").alias("weight_kept"),
+        F.round(
+            F.col("_r.docs_kept").cast("double") / F.col("_td").cast("double"),
+            6,
+        ).alias("doc_frac"),
+        F.round(
+            F.col("_r.weight_kept").cast("double")
+            / F.col("_tw").cast("double"),
+            6,
+        ).alias("weight_frac"),
+    )

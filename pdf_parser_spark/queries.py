@@ -13390,6 +13390,70 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold sweep (operators/curation.retention_curve over
+    textqc.quality_logit's prob): docs and tokens surviving each of 20
+    candidate cutoffs, with exact BIGINT tallies and one rounded divide
+    per fraction — the pick-the-knee report a curation run reads before
+    committing to a threshold. The entire sweep is ONE map-side global
+    aggregate over one scan (42 conditional sums), unpivoted to the
+    20-row curve in-plan."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = textqc.quality_logit(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        weights={
+            "alpha_ratio": 2.5,
+            "mean_word_len": 0.35,
+            "punct_ratio": -4.0,
+            "stop_ratio": 3.0,
+        },
+        bias=-2.0,
+    ).select("doc_id", "prob", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return curation.retention_curve(
+        scored, score_col="prob", weight_col="n_tokens"
+    )
+
+
+def sql_quality_retention_curve() -> str:
+    qf = _quality_feature_sql()
+    taus = [i / 20 for i in range(20)]
+    tau_rows = ", ".join(f"({t!r}::DOUBLE)" for t in taus)
+    return f"""
+WITH feat AS (
+  SELECT CAST({qf["tok"]} AS BIGINT) AS n_tokens,
+         round({qf["mwl"]}, 6) AS mwl,
+         round({qf["pr"]}, 6) AS pr,
+         round({qf["ar"]}, 6) AS ar,
+         round({qf["sr"]}, 6) AS sr
+  FROM documents
+), scored AS (
+  SELECT n_tokens,
+         round(1.0 / (1.0 + exp(-(-2.0 + 2.5 * ar + 0.35 * mwl
+                                  + (-4.0) * pr + 3.0 * sr))), 6) AS prob
+  FROM feat
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS td,
+         CAST(sum(n_tokens) AS BIGINT) AS tw
+  FROM scored
+)
+SELECT t.tau AS threshold,
+       CAST(sum(CASE WHEN s.prob >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_kept,
+       CAST(sum(CASE WHEN s.prob >= t.tau THEN s.n_tokens ELSE 0 END)
+            AS BIGINT) AS weight_kept,
+       round(CAST(sum(CASE WHEN s.prob >= t.tau THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(any_value(tot.td) AS DOUBLE), 6)
+         AS doc_frac,
+       round(CAST(sum(CASE WHEN s.prob >= t.tau THEN s.n_tokens ELSE 0 END)
+                  AS DOUBLE) / CAST(any_value(tot.tw) AS DOUBLE), 6)
+         AS weight_frac
+FROM scored s CROSS JOIN (VALUES {tau_rows}) t(tau) CROSS JOIN tot
+GROUP BY t.tau
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13699,6 +13763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_k_core": q_host_k_core,
     "embedding_dbscan_clusters": q_embedding_dbscan_clusters,
     "user_value_changepoint": q_user_value_changepoint,
+    "quality_retention_curve": q_quality_retention_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -13974,4 +14039,5 @@ ORACLES: dict[str, str] = {
     "host_k_core": sql_host_k_core(),
     "embedding_dbscan_clusters": sql_embedding_dbscan_clusters(),
     "user_value_changepoint": sql_user_value_changepoint(),
+    "quality_retention_curve": sql_quality_retention_curve(),
 }

@@ -335,3 +335,60 @@ def test_changepoint_constant_series_ties_break_to_first_split(spark):
     df = spark.createDataFrame(rows, "k string, t long, v double")
     r = changepoint_split(df, "k", "t", "v").collect()[0]
     assert r["split_idx"] == 3 and r["sse_reduction"] == 0.0
+
+
+# ---------------------------------------------------------- retention_curve
+
+
+def test_retention_curve_matches_replay(spark):
+    from pdf_parser_spark.operators.curation import retention_curve
+
+    rows = [
+        (0.1, 100), (0.3, 50), (0.3, 70), (0.55, 10), (0.9, 200), (1.0, 40),
+    ]
+    df = spark.createDataFrame(rows, "score double, w long")
+    taus = (0.0, 0.25, 0.5, 0.75)
+    got = {
+        r["threshold"]: r
+        for r in retention_curve(
+            df, "score", "w", thresholds=taus
+        ).collect()
+    }
+    total_d, total_w = len(rows), sum(w for _, w in rows)
+    for tau in taus:
+        kept = [(s, w) for s, w in rows if s >= tau]
+        r = got[tau]
+        assert r["docs_kept"] == len(kept)
+        assert r["weight_kept"] == sum(w for _, w in kept)
+        assert r["doc_frac"] == round(len(kept) / total_d, 6)
+        assert r["weight_frac"] == round(
+            sum(w for _, w in kept) / total_w, 6
+        )
+
+
+def test_retention_curve_unweighted_defaults_to_doc_counts(spark):
+    from pdf_parser_spark.operators.curation import retention_curve
+
+    df = spark.createDataFrame(
+        [(0.2,), (0.6,), (0.8,)], "score double"
+    )
+    got = {
+        r["threshold"]: r
+        for r in retention_curve(df, "score", thresholds=(0.5,)).collect()
+    }
+    assert got[0.5]["docs_kept"] == 2 == got[0.5]["weight_kept"]
+
+
+def test_retention_curve_is_single_aggregate_plan(spark):
+    from pdf_parser_spark.operators.curation import retention_curve
+
+    df = spark.createDataFrame([(0.5, 1)], "score double, w long")
+    plan = (
+        retention_curve(df, "score", "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one partial+final aggregate pair, no join, no per-threshold scans
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Join" not in plan
