@@ -255,6 +255,15 @@ BENCH_QUERIES = [
     "lang_source_chisq",
     "user_event_burstiness",
     "mk_value_trend",
+    "ngram_diversity",
+    "welch_source_length",
+    "embedding_projection",
+    "ewma_value_anomalies",
+    "host_k_core",
+    "embedding_dbscan_clusters",
+    "user_value_changepoint",
+    "quality_retention_curve",
+    "host_communities",
 ]
 
 

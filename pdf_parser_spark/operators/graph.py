@@ -32,7 +32,7 @@ that replaces hand-curated source whitelists
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -330,3 +330,73 @@ def k_core(
         "raise max_rounds (peel depth equals the graph's degeneracy "
         "ordering length, pathological only for adversarial chains)"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, made deterministic): every vertex starts as its own label;
+    each round every vertex SIMULTANEOUSLY adopts the most frequent
+    label among its neighbors, ties broken by (count DESC, label ASC).
+    Unlike connected components (which merges everything reachable),
+    plurality voting lets dense subgraphs keep distinct labels across
+    sparse bridges — the host-community signal for crawl partitioning
+    and topical grouping.
+
+    Classic LPA is nondeterministic (random update order, random ties);
+    this formulation pins BOTH: updates are synchronous (all vertices
+    read round r-1's labels) and the argmax is a total order, so the
+    result is a pure function of (graph, rounds) and any engine replays
+    it exactly. Synchronous LPA can oscillate on bipartite structures
+    rather than converge — which is why ``rounds`` is part of the
+    operator's CONTRACT (run exactly R rounds), not a convergence
+    budget; R ~ 4-6 captures community structure in practice.
+
+    Scale shape: per round ONE join of the |V|-row label frame against
+    the symmetrized edge list (labels broadcastable at host scale) and
+    ONE (vertex, label) count groupBy + WindowGroupLimit argmax — all
+    map-side-combinable; lineage localCheckpoints every
+    ``checkpoint_every`` rounds. Isolated vertices never appear in the
+    edge list and keep their own label by construction.
+
+    Reference analogue: none (no graph pass in the reference); pairs
+    with k_core/pagerank/triangles as the community member of the
+    host-graph family.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .union(
+            edges.select(F.col(dst).alias("x"), F.col(src).alias("y")).where(
+                F.col("x") != F.col("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("x").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    wrank = Window.partitionBy("v").orderBy(
+        F.desc("_c"), F.asc("label")
+    )
+    for r in range(rounds):
+        votes = (
+            e.join(labels, e.y == labels.v)
+            .groupBy(F.col("x").alias("v2"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(F.col("v2").alias("v"), "label", "_c")
+        )
+        labels = (
+            votes.withColumn("_rk", F.row_number().over(wrank))
+            .where(F.col("_rk") == 1)
+            .select("v", "label")
+        )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("v", F.col("label").alias("community"))

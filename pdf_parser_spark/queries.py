@@ -13454,6 +13454,104 @@ GROUP BY t.tau
 """
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over a synthetic host
+    graph (operators/graph.label_propagation, exactly 4 rounds): three
+    dense 10-host groups joined by two constant bridge edges — plurality
+    voting keeps the groups' labels distinct across the bridges, where
+    connected components would merge everything. Classic LPA is random;
+    this formulation pins update order (synchronous) and ties
+    (count DESC, label ASC), so the oracle replays all four rounds as
+    chained CTEs bit-for-bit. Per round: one labels-against-edges join +
+    one (vertex, label) vote groupBy + windowed argmax."""
+    from pdf_parser_spark.operators import graph
+
+    did = F.col("doc_id").cast("long")
+    d = load_table(spark, sf_dir, "documents").select(did.alias("d"))
+
+    def h(prefix: str, expr):
+        return F.concat(F.lit(prefix), expr.cast("string"))
+
+    fams = []
+    for gi, p in enumerate("abc"):
+        off = gi * 3
+        for m, o in ((7, 3), (3, 1), (9, 7), (11, 5)):
+            fams.append(
+                d.select(
+                    h(p, (F.col("d") * m + off) % 10).alias("src"),
+                    h(p, (F.col("d") + o + off) % 10).alias("dst"),
+                )
+            )
+    fams.append(
+        d.where(F.col("d") % 211 == 0).select(
+            F.lit("a0").alias("src"), F.lit("b5").alias("dst")
+        )
+    )
+    fams.append(
+        d.where(F.col("d") % 223 == 0).select(
+            F.lit("b2").alias("src"), F.lit("c7").alias("dst")
+        )
+    )
+    edges = fams[0]
+    for f in fams[1:]:
+        edges = edges.union(f)
+    return graph.label_propagation(edges, rounds=4).select(
+        F.col("v").alias("host"), "community"
+    )
+
+
+def sql_host_communities(rounds: int = 4) -> str:
+    fam_sql = []
+    for gi, p in enumerate("abc"):
+        off = gi * 3
+        for m, o in ((7, 3), (3, 1), (9, 7), (11, 5)):
+            fam_sql.append(
+                f"""SELECT '{p}' || CAST((d * {m} + {off}) % 10 AS VARCHAR) AS src,
+         '{p}' || CAST((d + {o + off}) % 10 AS VARCHAR) AS dst
+  FROM ids"""
+            )
+    fam_sql.append(
+        "SELECT 'a0' AS src, 'b5' AS dst FROM ids WHERE d % 211 = 0"
+    )
+    fam_sql.append(
+        "SELECT 'b2' AS src, 'c7' AS dst FROM ids WHERE d % 223 = 0"
+    )
+    raw = "\n  UNION ALL\n  ".join(fam_sql)
+    chain = []
+    for r in range(1, rounds + 1):
+        prev = "l0" if r == 1 else f"l{r - 1}"
+        chain.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT s.x AS v, l.label, count(*) AS c
+  FROM sym s JOIN {prev} l ON s.y = l.v
+  GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+  SELECT v, label
+  FROM (SELECT v, label,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY c DESC, label ASC) AS rk
+        FROM v{r})
+  WHERE rk = 1
+)"""
+        )
+    body = ",\n".join(chain)
+    return f"""
+WITH ids AS (
+  SELECT CAST(doc_id AS BIGINT) AS d FROM documents
+), raw AS (
+  {raw}
+), sym AS MATERIALIZED (
+  SELECT src AS x, dst AS y FROM raw WHERE src <> dst
+  UNION
+  SELECT dst, src FROM raw WHERE src <> dst
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT x AS v, x AS label FROM sym
+),
+{body}
+SELECT v AS host, label AS community FROM l{rounds}
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13764,6 +13862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dbscan_clusters": q_embedding_dbscan_clusters,
     "user_value_changepoint": q_user_value_changepoint,
     "quality_retention_curve": q_quality_retention_curve,
+    "host_communities": q_host_communities,
 }
 
 ORACLES: dict[str, str] = {
@@ -14040,4 +14139,5 @@ ORACLES: dict[str, str] = {
     "embedding_dbscan_clusters": sql_embedding_dbscan_clusters(),
     "user_value_changepoint": sql_user_value_changepoint(),
     "quality_retention_curve": sql_quality_retention_curve(),
+    "host_communities": sql_host_communities(),
 }

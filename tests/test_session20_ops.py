@@ -392,3 +392,79 @@ def test_retention_curve_is_single_aggregate_plan(spark):
     # one partial+final aggregate pair, no join, no per-threshold scans
     assert plan.count("Scan ExistingRDD") <= 1
     assert "Join" not in plan
+
+
+# -------------------------------------------------------- label_propagation
+
+
+def _lpa_replay(edges, rounds):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    label = {v: v for v in adj}
+    for _ in range(rounds):
+        label = {
+            v: sorted(
+                collections.Counter(label[u] for u in adj[v]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0][0]
+            for v in adj
+        }
+    return label
+
+
+def test_lpa_keeps_dense_groups_apart(spark):
+    from pdf_parser_spark.operators.graph import label_propagation
+
+    ga = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    gb = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    bridge = [("a0", "b0")]
+    df = spark.createDataFrame(ga + gb + bridge, "src string, dst string")
+    got = {
+        r["v"]: r["community"]
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    assert got == _lpa_replay(ga + gb + bridge, 4)
+    # the two cliques keep distinct labels; CC would merge them
+    assert {got[f"a{i}"] for i in range(4)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(4)} == {"b0"}
+
+
+def test_lpa_matches_replay_on_seeded_graph(spark):
+    from pdf_parser_spark.operators.graph import label_propagation
+
+    edges = [
+        (f"v{(i * 17 + 3) % 29}", f"v{(i * i + 7) % 29}") for i in range(90)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for rounds in (1, 3, 5):
+        got = {
+            r["v"]: r["community"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == _lpa_replay(edges, rounds), rounds
+
+
+def test_lpa_star_adopts_hub_majority(spark):
+    from pdf_parser_spark.operators.graph import label_propagation
+
+    # star: after round 1 the hub holds the min leaf label and every
+    # leaf holds the hub's label; round 2 flips back — the documented
+    # synchronous oscillation, deterministic by contract
+    star = [("hub", f"leaf{i}") for i in range(3)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    got1 = {
+        r["v"]: r["community"]
+        for r in label_propagation(df, rounds=1).collect()
+    }
+    assert got1["hub"] == "leaf0"
+    assert all(got1[f"leaf{i}"] == "hub" for i in range(3))
+    got2 = {
+        r["v"]: r["community"]
+        for r in label_propagation(df, rounds=2).collect()
+    }
+    assert got2 == _lpa_replay(star, 2)
