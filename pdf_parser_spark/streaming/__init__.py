@@ -6,6 +6,7 @@ from pdf_parser_spark.streaming.dedup import (
     stream_neardup_admission,
     unique_docs,
 )
+from pdf_parser_spark.streaming.ewma import ewma_events, stream_ewma_anomalies
 from pdf_parser_spark.streaming.ingest import stream_extract
 from pdf_parser_spark.streaming.sessionize import latest_totals, stream_sessionize
 from pdf_parser_spark.streaming.windowed import latest_counts, stream_windowed_counts
@@ -22,4 +23,6 @@ __all__ = [
     "kept_events",
     "stream_neardup_admission",
     "unique_docs",
+    "stream_ewma_anomalies",
+    "ewma_events",
 ]

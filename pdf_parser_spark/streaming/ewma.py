@@ -1,0 +1,139 @@
+"""Streaming EWMA control band — the monitoring family's stateful
+streaming surface, exact twin of ``operators/analytics.ewma_control_band``
+(alpha = 1/2, 32-lag truncation, integer-domain anomaly test).
+
+The batch operator's 32-row window IS the state a streaming deployment
+needs: per key, the last ``LAGS`` quantized values. This module keeps
+exactly that in the checkpointed state store (``array<bigint>``, most
+recent last), so flags keep firing correctly ACROSS micro-batch
+boundaries and restarts — a stateless per-batch window would mis-band
+the first 31 events of every batch.
+
+Bit-for-bit parity with the batch operator is by construction, not
+tolerance: the weighted moments accumulate in exact Python ints (the
+same values the batch side holds in BIGINT/DECIMAL), the band test is
+the same squared integer comparison, and the two display divisions are
+IEEE doubles of exact inputs — the union of streaming outputs equals
+the batch operator over the full feed, value for value (pinned in
+tests/test_streaming.py).
+
+State is O(LAGS) per key — the same truncation the batch operator makes;
+event-time order across micro-batches is the caller's contract (same as
+stream_sessionize / stream_drop_consecutive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_FEED_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+_EWMA_OUT_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, value double, "
+    "ewma double, dev double, is_anomaly boolean"
+)
+_EWMA_STATE_SCHEMA = "window array<bigint>"
+
+LAGS = 32
+SCALE = 100
+BAND = 3
+MIN_N = 4
+
+
+def _moments(win: list[int]) -> tuple[int, int, int]:
+    """Exact weighted moments of the truncated window (most recent
+    LAST): element i (1-based, n elements) carries weight
+    2^(31 - (n - i)) — identical to the batch operator's HOF."""
+    n = len(win)
+    num = sum(x * (1 << (31 - (n - i))) for i, x in enumerate(win, 1))
+    num2 = sum(x * x * (1 << (31 - (n - i))) for i, x in enumerate(win, 1))
+    den = (1 << 32) - (1 << (32 - n))
+    return num, num2, den
+
+
+def _ewma_group(key, pdfs, state):
+    import pandas as pd
+
+    (user_id,) = key
+    win: list[int] = list(state.get[0]) if state.exists else []
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    rows = []
+    if frames:
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        # one sort per group per batch — the batch window's (ts,
+        # event_id) order; chunk order is shuffle order, not time order
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid, value in zip(
+            pdf["ts"], pdf["event_id"], pdf["value"]
+        ):
+            xq = int(round(value * SCALE))
+            if win:
+                pnum, pnum2, pden = _moments(win)
+                pcnt = len(win)
+                d = xq * pden - pnum
+                dev = round(d / pden / SCALE, 6)
+                flag = pcnt >= MIN_N and d * d > BAND * BAND * (
+                    pnum2 * pden - pnum * pnum
+                )
+            else:
+                dev, flag = None, False
+            win = (win + [xq])[-LAGS:]
+            num, _, den = _moments(win)
+            rows.append(
+                (
+                    int(user_id),
+                    ts,
+                    int(eid),
+                    float(value),
+                    round(num / den / SCALE, 6),
+                    dev,
+                    bool(flag),
+                )
+            )
+    state.update((win,))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "ts", "event_id", "value", "ewma", "dev",
+            "is_anomaly",
+        ],
+    )
+
+
+def stream_ewma_anomalies(
+    spark: SparkSession, input_path: str, output_root: str
+) -> None:
+    """Drain available event files, emitting per-event EWMA + flags.
+
+    Each micro-batch resumes every key's 32-value window from the state
+    store; ``trigger(availableNow)`` + the parquet sink + checkpoint
+    make repeated invocations incremental and restart-safe.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    out_path = os.path.join(output_root, "ewma_events")
+    events = spark.readStream.schema(EVENTS_FEED_SCHEMA).parquet(input_path)
+    flagged = events.groupBy("user_id").applyInPandasWithState(
+        _ewma_group,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ewma_events(spark: SparkSession, output_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_root, "ewma_events"))

@@ -536,3 +536,60 @@ def test_stream_drop_consecutive_matches_batch(spark, tmp_path):
         full, "user_id", ["ts", "event_id"], ["event_type"]
     )
     assert {r.event_id for r in batch.collect()} == got2
+
+
+def test_stream_ewma_matches_batch(spark, tmp_path):
+    """Stateful EWMA control band: every key's 32-value window survives
+    the micro-batch boundary in the state store, so a spike arriving at
+    the START of batch 2 is banded against batch 1's history — and the
+    union of streaming outputs equals the batch operator over the full
+    feed, value for value (exact integer algebra on both sides)."""
+    import datetime
+
+    from pdf_parser_spark.operators.analytics import ewma_control_band
+    from pdf_parser_spark.streaming import ewma_events, stream_ewma_anomalies
+
+    inbox = str(tmp_path / "feed")
+    root = str(tmp_path / "out")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            [
+                (eid, t0 + datetime.timedelta(minutes=m), uid, "e", v, "{}")
+                for eid, m, uid, v in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    # batch 1: u1 builds a calm history; u2 has two points
+    write([(1, 0, 1, 10.0), (2, 1, 1, 11.0), (3, 2, 1, 10.5),
+           (4, 3, 1, 10.25), (5, 4, 1, 10.75),
+           (6, 0, 2, 5.0), (7, 1, 2, 5.5)])
+    stream_ewma_anomalies(spark, inbox, root)
+    got1 = {r.event_id: r for r in ewma_events(spark, root).collect()}
+    assert not any(r.is_anomaly for r in got1.values())
+
+    # batch 2: u1 OPENS with a spike — flaggable only because the
+    # 5-point history crossed the batch boundary in the state store
+    write([(8, 5, 1, 100.0), (9, 6, 1, 10.0), (10, 2, 2, 5.25)])
+    stream_ewma_anomalies(spark, inbox, root)
+    got2 = {r.event_id: r for r in ewma_events(spark, root).collect()}
+    assert got2[8].is_anomaly
+    assert [e for e, r in got2.items() if r.is_anomaly] == [8]
+
+    # exact equality with the batch operator over the union of drops
+    full = spark.read.parquet(inbox)
+    batch = {
+        r["event_id"]: r
+        for r in ewma_control_band(
+            full, "user_id", "ts", "value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert set(batch) == set(got2)
+    for eid, b in batch.items():
+        s = got2[eid]
+        assert (s.ewma, s.dev, s.is_anomaly) == (
+            b["ewma"], b["dev"], b["is_anomaly"]
+        ), eid
