@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "user_value_changepoint",
     "quality_retention_curve",
     "host_communities",
+    "texttiling_boundaries",
 ]
 
 

@@ -1782,3 +1782,132 @@ def ngram_diversity(
         "distinct_ngrams",
         "distinct_ratio",
     )
+
+
+def text_tiling(
+    docs: DataFrame,
+    w: int = 10,
+    k: int = 2,
+    depth_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling topical segmentation (Hearst 1997, the original
+    pseudo-sentence formulation): split each document's word stream into
+    ``w``-word blocks, score every gap by the cosine similarity of the
+    ``k``-block windows on either side, and mark a topic boundary where
+    the similarity valley is deep — the semantically-aware chunker that
+    cuts RAG/packing chunks at topic shifts instead of mid-topic (the
+    token chunker `build_chunk_groups` cuts purely by budget).
+
+    Depth here is the 1-gap local-valley form ``max(0, (sim[g-1]-sim[g])
+    + (sim[g+1]-sim[g]))`` (edge gaps mirror their own sim) — a
+    deliberate, documented simplification of Hearst's scan-to-peak
+    depth: it is window-expressible (lag/lead), and both are relative-
+    valley measures. Boundaries fire at ``depth >= depth_threshold``.
+
+    Determinism: bag counts / dot products / squared norms are exact
+    int64 (bag mass bounded by k·w words); cosine is one sqrt + one
+    divide + one round on exact inputs; depth is a fixed IEEE tree over
+    rounded sims — every engine replays every boundary bit-for-bit.
+
+    Plan shape: words materialize ONCE (HOF contract); block counts,
+    window bags (a bounded ≤2k map-side offset fan-out per distinct
+    (block, word) row — never per token), dot products and norms are all
+    map-side-combined groupBys; the (doc, gap, word) partitioning is
+    REUSED by the dot join; depth is one lag/lead window per doc. Gap
+    volume is corpus_words/w rows — 10× smaller than the token stream.
+
+    Reference analogue: the reference chunks purely by token budget
+    (`_parser.py:656-716`); this is the topical upgrade of that cut.
+    """
+    from pdf_parser_spark.operators.dedup import words_col
+
+    base = docs.where(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    ).select(F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_ws"))
+    tok = base.select(
+        "_id", F.posexplode("_ws").alias("_pos", "_word")
+    ).select(
+        "_id",
+        F.floor(F.col("_pos") / w).cast("long").alias("_blk"),
+        "_word",
+    )
+    cnt = tok.groupBy("_id", "_blk", "_word").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    lbag = (
+        cnt.select(
+            "_id",
+            "_word",
+            "_c",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_o"),
+            "_blk",
+        )
+        .select("_id", "_word", "_c", (F.col("_blk") + F.col("_o")).alias("_g"))
+        .groupBy("_id", "_g", "_word")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    rbag = (
+        cnt.select(
+            "_id", "_word", "_c", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_o"), "_blk"
+        )
+        .select("_id", "_word", "_c", (F.col("_blk") - F.col("_o")).alias("_g"))
+        .groupBy("_id", "_g", "_word")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    nb = cnt.groupBy("_id").agg((F.max("_blk") + 1).alias("_nb"))
+    gaps = nb.where(F.col("_nb") >= 2).select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), (F.col("_nb") - 1).cast("int"))).alias(
+            "_g"
+        ),
+    ).select("_id", F.col("_g").cast("long").alias("_g"))
+    dot = (
+        lbag.alias("l")
+        .join(
+            rbag.alias("r"),
+            (F.col("l._id") == F.col("r._id"))
+            & (F.col("l._g") == F.col("r._g"))
+            & (F.col("l._word") == F.col("r._word")),
+        )
+        .groupBy(F.col("l._id").alias("_id"), F.col("l._g").alias("_g"))
+        .agg(F.sum(F.col("l._c") * F.col("r._c")).alias("_dot"))
+    )
+    nl = lbag.groupBy("_id", "_g").agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_n2l")
+    )
+    nr = rbag.groupBy("_id", "_g").agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_n2r")
+    )
+    sim = (
+        gaps.join(nl, ["_id", "_g"])
+        .join(nr, ["_id", "_g"])
+        .join(dot, ["_id", "_g"], "left")
+        .select(
+            "_id",
+            "_g",
+            F.round(
+                F.coalesce(F.col("_dot"), F.lit(0)).cast("double")
+                / F.sqrt((F.col("_n2l") * F.col("_n2r")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wd = Window.partitionBy("_id").orderBy("_g")
+    c = F.col("cosine")
+    depth = F.round(
+        F.greatest(
+            (F.coalesce(F.lag(c).over(wd), c) - c)
+            + (F.coalesce(F.lead(c).over(wd), c) - c),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return sim.select(
+        F.col("_id").alias(id_col),
+        F.col("_g").alias("gap_idx"),
+        "cosine",
+        depth.alias("depth"),
+        (depth >= F.lit(depth_threshold)).alias("is_boundary"),
+    )

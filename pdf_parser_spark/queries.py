@@ -13552,6 +13552,73 @@ SELECT v AS host, label AS community FROM l{rounds}
 """
 
 
+def q_texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topical segmentation (textqc.text_tiling, Hearst-1997
+    pseudo-sentence form): 10-word blocks, cosine of the 2-block windows
+    at every gap, boundary where the 1-gap valley depth ≥ 0.2 — the
+    semantically-aware chunk cut (the token chunker cuts purely by
+    budget). Bag counts / dots / norms are exact int64; cosine and depth
+    are fixed IEEE trees on exact inputs, so every boundary replays
+    bit-for-bit. Words materialize once; every bag/dot/norm aggregate is
+    map-side-combined; gap volume is corpus_words/10."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return textqc.text_tiling(d, w=10, k=2, depth_threshold=0.2)
+
+
+def sql_texttiling_boundaries(w: int = 10, k: int = 2) -> str:
+    return f"""
+WITH wv AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS ws
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), tok AS (
+  SELECT doc_id, CAST((i - 1) // {w} AS BIGINT) AS blk, ws[i] AS word
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM wv)
+), cnt AS (
+  SELECT doc_id, blk, word, count(*) AS c FROM tok GROUP BY 1, 2, 3
+), lbag AS (
+  SELECT doc_id, blk + o AS g, word, sum(c) AS c
+  FROM cnt CROSS JOIN (SELECT unnest(range(1, {k + 1})) AS o) t
+  GROUP BY 1, 2, 3
+), rbag AS (
+  SELECT doc_id, blk - o AS g, word, sum(c) AS c
+  FROM cnt CROSS JOIN (SELECT unnest(range(0, {k})) AS o) t
+  GROUP BY 1, 2, 3
+), nb AS (
+  SELECT doc_id, max(blk) + 1 AS nblocks FROM cnt GROUP BY 1
+), gaps AS (
+  SELECT doc_id, CAST(unnest(range(1, CAST(nblocks AS INTEGER))) AS BIGINT) AS g
+  FROM nb WHERE nblocks >= 2
+), dotp AS (
+  SELECT l.doc_id, l.g, sum(l.c * r.c) AS dot
+  FROM lbag l JOIN rbag r
+    ON l.doc_id = r.doc_id AND l.g = r.g AND l.word = r.word
+  GROUP BY 1, 2
+), nl AS (
+  SELECT doc_id, g, sum(c * c) AS n2 FROM lbag GROUP BY 1, 2
+), nr AS (
+  SELECT doc_id, g, sum(c * c) AS n2 FROM rbag GROUP BY 1, 2
+), sim AS (
+  SELECT gp.doc_id, gp.g,
+         round(CAST(coalesce(d.dot, 0) AS DOUBLE)
+               / sqrt(CAST(l.n2 * r.n2 AS DOUBLE)), 6) AS cosine
+  FROM gaps gp
+  JOIN nl l ON gp.doc_id = l.doc_id AND gp.g = l.g
+  JOIN nr r ON gp.doc_id = r.doc_id AND gp.g = r.g
+  LEFT JOIN dotp d ON gp.doc_id = d.doc_id AND gp.g = d.g
+), dep AS (
+  SELECT doc_id, g, cosine,
+         round(greatest((coalesce(lag(cosine) OVER pk, cosine) - cosine)
+                        + (coalesce(lead(cosine) OVER pk, cosine) - cosine),
+                        0.0), 6) AS depth
+  FROM sim WINDOW pk AS (PARTITION BY doc_id ORDER BY g)
+)
+SELECT doc_id, g AS gap_idx, cosine, depth, depth >= 0.2 AS is_boundary
+FROM dep
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -13863,6 +13930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_changepoint": q_user_value_changepoint,
     "quality_retention_curve": q_quality_retention_curve,
     "host_communities": q_host_communities,
+    "texttiling_boundaries": q_texttiling_boundaries,
 }
 
 ORACLES: dict[str, str] = {
@@ -14140,4 +14208,5 @@ ORACLES: dict[str, str] = {
     "user_value_changepoint": sql_user_value_changepoint(),
     "quality_retention_curve": sql_quality_retention_curve(),
     "host_communities": sql_host_communities(),
+    "texttiling_boundaries": sql_texttiling_boundaries(),
 }

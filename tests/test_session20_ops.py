@@ -468,3 +468,82 @@ def test_lpa_star_adopts_hub_majority(spark):
         for r in label_propagation(df, rounds=2).collect()
     }
     assert got2 == _lpa_replay(star, 2)
+
+
+# -------------------------------------------------------------- text_tiling
+
+
+def _tiling_replay(text, w=10, k=2, thr=0.2):
+    import collections
+    import math
+    import re
+
+    words = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    blocks = [words[i : i + w] for i in range(0, len(words), w)]
+    n = len(blocks)
+    if n < 2:
+        return {}
+    sims = {}
+    for g in range(1, n):
+        left = collections.Counter(
+            x for b in blocks[max(0, g - k) : g] for x in b
+        )
+        right = collections.Counter(
+            x for b in blocks[g : g + k] for x in b
+        )
+        dot = sum(left[t] * right[t] for t in left)
+        n2 = sum(v * v for v in left.values()) * sum(
+            v * v for v in right.values()
+        )
+        sims[g] = round(dot / math.sqrt(n2), 6)
+    out = {}
+    for g in sims:
+        lo = sims.get(g - 1, sims[g])
+        hi = sims.get(g + 1, sims[g])
+        depth = round(max((lo - sims[g]) + (hi - sims[g]), 0.0), 6)
+        out[g] = (sims[g], depth, depth >= thr)
+    return out
+
+
+def test_text_tiling_marks_topic_shift(spark):
+    from pdf_parser_spark.operators.textqc import text_tiling
+
+    topic_a = "cats dogs pets fur paws " * 8      # blocks 0-3
+    topic_b = "stocks bonds markets trading yield " * 8  # blocks 4-7
+    text = topic_a + topic_b
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["gap_idx"]: (r["cosine"], r["depth"], r["is_boundary"])
+        for r in text_tiling(df, w=10, k=2).collect()
+    }
+    expect = _tiling_replay(text)
+    assert got == expect
+    # the boundary fires at the topic shift (gap 4), nowhere else
+    assert got[4][2]
+    assert [g for g, v in got.items() if v[2]] == [4]
+
+
+def test_text_tiling_replay_on_mixed_doc(spark):
+    from pdf_parser_spark.operators.textqc import text_tiling
+
+    words = []
+    for i in range(90):
+        words.append(f"w{(i * 7 + i // 30) % 11 + (i // 30) * 8}")
+    text = " ".join(words)
+    df = spark.createDataFrame([(5, text)], "doc_id long, text string")
+    got = {
+        r["gap_idx"]: (r["cosine"], r["depth"], r["is_boundary"])
+        for r in text_tiling(df, w=10, k=2).collect()
+    }
+    assert got == _tiling_replay(text)
+
+
+def test_text_tiling_short_and_empty_docs(spark):
+    from pdf_parser_spark.operators.textqc import text_tiling
+
+    df = spark.createDataFrame(
+        [(1, "only nine words here not enough for two"),  # 8 words → 1 block
+         (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    assert text_tiling(df, w=10, k=2).count() == 0
