@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "quality_retention_curve",
     "host_communities",
     "texttiling_boundaries",
+    "topical_chunks",
 ]
 
 

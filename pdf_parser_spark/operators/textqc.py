@@ -1911,3 +1911,89 @@ def text_tiling(
         depth.alias("depth"),
         (depth >= F.lit(depth_threshold)).alias("is_boundary"),
     )
+
+
+def topical_chunks(
+    docs: DataFrame,
+    w: int = 10,
+    k: int = 2,
+    depth_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling boundaries → actual chunks, in ONE plan: cut each
+    document's word stream at every topic boundary ``text_tiling`` finds
+    (gap g cuts before word g·w) and emit the segments — the
+    semantically-cut alternative to the pure-budget chunker, ready for
+    packing / embedding / retrieval. Documents with no boundary (short,
+    single-topic) emit one whole-doc segment.
+
+    Output: (id, seg_idx, start_word, n_words, seg_md5) where seg_md5
+    digests the space-joined segment words — the content value-check.
+
+    Plan shape: the boundary side collapses to ONE row per doc with a
+    boundary (sorted gap array via collect_list over the tiling frame);
+    that |docs|-bounded frame joins back (broadcastable) onto the
+    words-materialized corpus, and segment fan-out is a pure HOF
+    (zip starts/ends → explode) — no per-segment shuffle, no second
+    corpus aggregation. Reference analogue: the budget chunker
+    `_parser.py:656-716`; this is its topical upgrade composed
+    end-to-end.
+    """
+    from pdf_parser_spark.operators.dedup import words_col
+
+    cuts = (
+        text_tiling(
+            docs,
+            w=w,
+            k=k,
+            depth_threshold=depth_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .where(F.col("is_boundary"))
+        .groupBy(F.col(id_col).alias("_cid"))
+        .agg(F.array_sort(F.collect_list("gap_idx")).alias("_gs"))
+    )
+    base = docs.where(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    ).select(F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_ws"))
+    j = base.join(
+        cuts, base["_id"] == cuts["_cid"], "left"
+    ).select(
+        "_id",
+        "_ws",
+        F.coalesce(F.col("_gs"), F.array().cast("array<long>")).alias("_gs"),
+    )
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(F.col("_gs"), lambda g: g * w),
+    )
+    ends = F.concat(
+        F.transform(F.col("_gs"), lambda g: g * w),
+        F.array(F.size("_ws").cast("long")),
+    )
+    segs = j.select(
+        "_id",
+        "_ws",
+        F.posexplode(
+            F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+            )
+        ).alias("_seg", "_b"),
+    )
+    n_words = F.col("_b.e") - F.col("_b.s")
+    return segs.select(
+        F.col("_id").alias(id_col),
+        F.col("_seg").cast("long").alias("seg_idx"),
+        F.col("_b.s").alias("start_word"),
+        n_words.alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("_ws"), (F.col("_b.s") + 1).cast("int"), n_words.cast("int")),
+                " ",
+            )
+        ).alias("seg_md5"),
+    )

@@ -13567,9 +13567,10 @@ def q_texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqc.text_tiling(d, w=10, k=2, depth_threshold=0.2)
 
 
-def sql_texttiling_boundaries(w: int = 10, k: int = 2) -> str:
-    return f"""
-WITH wv AS (
+def _tiling_ctes(w: int = 10, k: int = 2) -> str:
+    """Shared CTE chain (wv → dep) replaying textqc.text_tiling — used by
+    both the boundary query's oracle and the topical-chunker's."""
+    return f"""wv AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS ws
   FROM documents WHERE length(trim(coalesce(text, ''))) > 0
 ), tok AS (
@@ -13613,9 +13614,62 @@ WITH wv AS (
                         + (coalesce(lead(cosine) OVER pk, cosine) - cosine),
                         0.0), 6) AS depth
   FROM sim WINDOW pk AS (PARTITION BY doc_id ORDER BY g)
-)
+)"""
+
+
+def sql_texttiling_boundaries(w: int = 10, k: int = 2) -> str:
+    return f"""
+WITH {_tiling_ctes(w, k)}
 SELECT doc_id, g AS gap_idx, cosine, depth, depth >= 0.2 AS is_boundary
 FROM dep
+"""
+
+
+def q_topical_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling boundaries → segments in ONE plan (textqc.topical_
+    chunks): each doc's word stream cut at every depth≥0.2 boundary,
+    segments emitted with exact extents and a content md5 — the
+    semantically-cut chunker alternative to pure token budgeting.
+    Boundary side collapses to one sorted-gap row per cut doc and joins
+    back broadcastably; segment fan-out is a pure HOF explode, no
+    per-segment shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return textqc.topical_chunks(d, w=10, k=2, depth_threshold=0.2)
+
+
+def sql_topical_chunks(w: int = 10, k: int = 2) -> str:
+    return f"""
+WITH {_tiling_ctes(w, k)}, cuts AS (
+  SELECT doc_id, list_sort(list(g)) AS gs
+  FROM dep WHERE depth >= 0.2 GROUP BY doc_id
+), allw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS ws
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), joined AS (
+  SELECT a.doc_id, a.ws,
+         coalesce(c.gs, CAST([] AS BIGINT[])) AS gs
+  FROM allw a LEFT JOIN cuts c ON a.doc_id = c.doc_id
+), bounds AS (
+  SELECT doc_id, ws,
+         list_concat([CAST(0 AS BIGINT)],
+                     list_transform(gs, g -> g * {w})) AS starts,
+         list_concat(list_transform(gs, g -> g * {w}),
+                     [CAST(len(ws) AS BIGINT)]) AS ends
+  FROM joined
+), segs AS (
+  SELECT doc_id, ws, i - 1 AS seg_idx, starts[i] AS s, ends[i] AS e
+  FROM (SELECT doc_id, ws, starts, ends,
+               unnest(generate_series(1, len(starts))) AS i
+        FROM bounds)
+)
+SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       CAST(s AS BIGINT) AS start_word,
+       CAST(e - s AS BIGINT) AS n_words,
+       md5(array_to_string(ws[CAST(s + 1 AS INTEGER):CAST(e AS INTEGER)], ' '))
+         AS seg_md5
+FROM segs
 """
 
 
@@ -13931,6 +13985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_retention_curve": q_quality_retention_curve,
     "host_communities": q_host_communities,
     "texttiling_boundaries": q_texttiling_boundaries,
+    "topical_chunks": q_topical_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -14209,4 +14264,5 @@ ORACLES: dict[str, str] = {
     "quality_retention_curve": sql_quality_retention_curve(),
     "host_communities": sql_host_communities(),
     "texttiling_boundaries": sql_texttiling_boundaries(),
+    "topical_chunks": sql_topical_chunks(),
 }

@@ -547,3 +547,61 @@ def test_text_tiling_short_and_empty_docs(spark):
         "doc_id long, text string",
     )
     assert text_tiling(df, w=10, k=2).count() == 0
+
+
+# ----------------------------------------------------------- topical_chunks
+
+
+def test_topical_chunks_partition_words_exactly(spark):
+    import hashlib
+    import re
+
+    from pdf_parser_spark.operators.textqc import topical_chunks
+
+    topic_a = "cats dogs pets fur paws " * 8
+    topic_b = "stocks bonds markets trading yield " * 8
+    text = topic_a + topic_b
+    short = "just a handful of words"
+    df = spark.createDataFrame(
+        [(1, text), (2, short)], "doc_id long, text string"
+    )
+    rows = sorted(
+        topical_chunks(df, w=10, k=2).collect(),
+        key=lambda r: (r["doc_id"], r["seg_idx"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1 splits at the topic shift (gap 4 → word 40): two segments
+    segs = by_doc[1]
+    words = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    assert [(s["start_word"], s["n_words"]) for s in segs] == [
+        (0, 40), (40, len(words) - 40)
+    ]
+    for s in segs:
+        seg_words = words[s["start_word"] : s["start_word"] + s["n_words"]]
+        assert s["seg_md5"] == hashlib.md5(
+            " ".join(seg_words).encode()
+        ).hexdigest()
+    # doc 2 (single block): one whole-doc segment
+    assert [(s["start_word"], s["n_words"]) for s in by_doc[2]] == [(0, 5)]
+
+
+def test_topical_chunks_segments_tile_every_doc(spark):
+    from pdf_parser_spark import queries as Q
+    from pdf_parser_spark.operators.textqc import topical_chunks
+
+    d = Q.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(50)
+    rows = topical_chunks(d, w=10, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, segs in by_doc.items():
+        segs = sorted(segs, key=lambda r: r["seg_idx"])
+        pos = 0
+        for s in segs:
+            assert s["start_word"] == pos
+            assert s["n_words"] > 0
+            pos += s["n_words"]
