@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "host_communities",
     "texttiling_boundaries",
     "topical_chunks",
+    "doc_hash_embeddings",
+    "instruction_leak_rates",
 ]
 
 

@@ -1440,7 +1440,7 @@ def random_projection(
         lambda x: F.round(x * 1_000_000.0).cast("long"),
     )
     base = emb.select(F.col(id_col), qv.alias("_q"))
-    scale = 1.0 / (1_000_000.0 * float(out_dims) ** 0.5)
+    sqrt_k = float(out_dims) ** 0.5
 
     def proj(j: int):
         # sign(d, j) = ±1 from the seeded hash of the dim index; the
@@ -1464,7 +1464,12 @@ def random_projection(
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )
-        return F.round(signed.cast("double") * F.lit(scale), 6)
+        # two-step /1e6/sqrt(k) — the EXACT op order the oracles and
+        # replays use; a single fused *scale multiply rounds differently
+        # at half-ulp ties (caught by the tfidf twin's replay test)
+        return F.round(
+            signed.cast("double") / 1_000_000.0 / F.lit(sqrt_k), 6
+        )
 
     stacked = base.select(
         F.col(id_col),
@@ -1637,4 +1642,88 @@ def grid_dbscan(
         core_out.unionByName(border_out)
         .unionByName(noise_out)
         .withColumnRenamed("i", id_col)
+    )
+
+
+def tfidf_hash_embedding(
+    docs: DataFrame,
+    out_dims: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Model-free document embeddings via the feature-hashing trick:
+    each word contributes ``tf · idf`` mass to every output coordinate
+    with a hash-derived ±1 sign — a signed random projection of the
+    sparse TF-IDF vector straight to ``out_dims`` dense coordinates,
+    WITHOUT ever materializing a vocabulary-indexed vector (Weinberger
+    et al. 2009, public). Feeds ANN / DBSCAN / drift ops when no neural
+    encoder is available (or before one runs): near-identical bags of
+    words land near each other by construction.
+
+    Exactness: idf is the RATIONAL BM25 form ``(N - df + 0.5) /
+    (df + 0.5)`` quantized to the 1e-6 grid (two IEEE ops + a round on
+    exact inputs — no ln, whose libm last-ulp may differ across
+    engines); ``tf · idf_q`` and the signed per-dimension sums are then
+    pure int64, so every coordinate replays bit-for-bit. The one float
+    step (``/1e6/sqrt(k)``) is display scaling.
+
+    Plan shape: (doc, word, tf) and (word, df) are map-side-combined
+    groupBys; the word-keyed idf join reuses the word partitioning; N
+    rides as a 1-row in-plan broadcast; all ``out_dims`` signed sums
+    land in ONE doc-keyed groupBy (k aggregate columns, not k passes).
+    Output is (id, pdim, value) long format — same contract as
+    random_projection, so downstream pivots are interchangeable.
+    """
+    from pdf_parser_spark.operators.dedup import seeded_hash, words_col
+
+    base = docs.where(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    ).select(F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_ws"))
+    tok = base.select("_id", F.explode("_ws").alias("_w"))
+    tf = tok.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_tf"))
+    df_ = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    n = base.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    idf = df_.crossJoin(F.broadcast(n)).select(
+        "_w",
+        F.round(
+            (F.col("_n") - F.col("_df").cast("double") + 0.5)
+            / (F.col("_df").cast("double") + 0.5)
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("_idfq"),
+    )
+    weighted = tf.join(idf, "_w").select(
+        "_id", "_w", (F.col("_tf") * F.col("_idfq")).alias("_m")
+    )
+    sqrt_k = float(out_dims) ** 0.5
+
+    def dim_sum(j: int):
+        sign = 1 - 2 * F.pmod(
+            seeded_hash(F.col("_w"), j, portable=portable), F.lit(2)
+        )
+        return F.sum(F.col("_m") * sign.cast("long")).alias(f"_p{j}")
+
+    wide = weighted.groupBy("_id").agg(*[dim_sum(j) for j in range(out_dims)])
+    return wide.select(
+        F.col("_id").alias(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("pdim"),
+                        F.round(
+                            F.col(f"_p{j}").cast("double")
+                            / 1_000_000.0
+                            / F.lit(sqrt_k),
+                            6,
+                        ).alias("value"),
+                    )
+                    for j in range(out_dims)
+                ]
+            )
+        ).alias("_r"),
+    ).select(
+        id_col, F.col("_r.pdim").alias("pdim"), F.col("_r.value").alias("value")
     )

@@ -1997,3 +1997,79 @@ def topical_chunks(
             )
         ).alias("seg_md5"),
     )
+
+
+INSTRUCTION_LEAK_MARKERS: dict[str, tuple[str, ...]] = {
+    # chat-template / special-token artifacts that must never reach a
+    # pretraining corpus (they teach the model to emit its own scaffold)
+    "chat_markup": (
+        "<|im_start|>", "<|im_end|>", "[inst]", "[/inst]",
+        "### instruction", "### response", "<|endoftext|>",
+    ),
+    # prompt-injection / jailbreak phrasing — a crawl of LLM-era forums
+    # and attack writeups is full of it
+    "injection": (
+        "ignore previous instructions", "ignore all previous",
+        "disregard the above", "as an ai language model",
+        "you are an ai assistant",
+    ),
+    # unexpanded templating residue (scraped CMS/boilerplate leftovers)
+    "template": ("{{", "}}", "{%", "%}"),
+}
+
+
+def instruction_leak_screen(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group screen for LLM-era contamination: chat-template
+    markup, prompt-injection phrasing, and unexpanded template residue
+    — the gate that keeps a crawl from teaching a model its own chat
+    scaffold (or an attacker's). Flags are literal substring hits on
+    the lowered text (no regex engine semantics to diverge on), so any
+    engine replays the counts exactly.
+
+    Output per group: doc count, per-class hit counts, docs with ANY
+    hit, and the flagged rate (one rounded divide).
+
+    Plan shape: the whole marker battery is scan-side codegen (one
+    lower() + |markers| contains() per row, zero Python), collapsed by
+    ONE map-side-combined groupBy on the group key. At 100 TB this is
+    a free rider on any scan that already reads the text — the same
+    class as quality_features. Reference analogue: the relevance gate
+    `_parser.py:1256-1265` (domain screen); this is its LLM-hygiene
+    counterpart."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    flags = {}
+    for cls, markers in INSTRUCTION_LEAK_MARKERS.items():
+        hit = F.lit(False)
+        for m in markers:
+            hit = hit | low.contains(m.lower())
+        flags[cls] = hit
+    any_hit = F.lit(False)
+    for hit in flags.values():
+        any_hit = any_hit | hit
+    staged = docs.select(
+        F.col(group_col).alias("_g"),
+        *[hit.cast("long").alias(f"_f_{cls}") for cls, hit in flags.items()],
+        any_hit.cast("long").alias("_f_any"),
+    )
+    agg = staged.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(f"_f_{cls}").alias(f"n_{cls}")
+            for cls in INSTRUCTION_LEAK_MARKERS
+        ],
+        F.sum("_f_any").alias("n_flagged"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        *[f"n_{cls}" for cls in INSTRUCTION_LEAK_MARKERS],
+        "n_flagged",
+        F.round(
+            F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("flagged_rate"),
+    )

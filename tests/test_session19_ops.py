@@ -140,7 +140,17 @@ def test_random_projection_matches_replay(spark):
         q = [round(x * 1e6) for x in v]
         for j in range(k):
             s = sum(qx * _portable_sign(d, j) for d, qx in enumerate(q))
-            expect = round(s / 1e6 / math.sqrt(k), 6)
+            # Spark round = HALF_UP on the shortest decimal repr; at
+            # half-ulp ties (possible when sqrt(k) is exact) Python's
+            # exact-value round() differs by 1e-6
+            import decimal
+
+            expect = float(
+                decimal.Decimal(repr(s / 1e6 / math.sqrt(k))).quantize(
+                    decimal.Decimal("1e-6"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
             assert got[(i, j)] == expect
 
 
