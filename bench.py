@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "topical_chunks",
     "doc_hash_embeddings",
     "instruction_leak_rates",
+    "source_length_impact",
 ]
 
 

@@ -1448,3 +1448,62 @@ def retention_curve(
             6,
         ).alias("weight_frac"),
     )
+
+
+def loo_group_impact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Leave-one-group-out impact on the corpus mean — the cheapest
+    data-valuation diagnostic: for every source/provider, what would the
+    corpus-level mean of ``value_col`` (quality score, token count,
+    length) be WITHOUT that group, and how much does the group move it.
+    A source with a large negative delta is dragging the corpus down;
+    the classic next action is to gate or down-weight it. One pass, no
+    per-group re-aggregation: LOO means derive exactly from (total sum,
+    total count) minus each group's (sum, count).
+
+    Exactness: values quantize to the 1/``scale`` grid, group and grand
+    sums accumulate in exact BIGINT/DECIMAL, and each output mean/delta
+    is a fixed two-op IEEE tree on exact casts — bit-reproducible.
+
+    Plan shape: ONE map-side-combined groupBy collapses the corpus to
+    |groups| moment rows; the grand total is a window sum over that tiny
+    aggregate (the corpus is never rescanned). Degenerate case: a group
+    that IS the whole corpus gets NULL loo_mean/delta (division by
+    zero-count guarded), not a crash."""
+    xq = F.round(F.col(value_col) * float(scale)).cast("decimal(28,0)")
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(xq).alias("_s"),
+    )
+    wall = Window.partitionBy()
+    g = g.select(
+        "_g",
+        "_n",
+        "_s",
+        F.sum("_n").over(wall).alias("_nt"),
+        F.sum("_s").over(wall).alias("_st"),
+    )
+    sc = float(scale)
+    mean_all = F.col("_st").cast("double") / F.col("_nt").cast("double") / sc
+    loo_n = F.col("_nt") - F.col("_n")
+    loo_mean = (
+        (F.col("_st") - F.col("_s")).cast("double")
+        / loo_n.cast("double")
+        / sc
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n_rows"),
+        F.round(
+            F.col("_s").cast("double") / F.col("_n").cast("double") / sc, 6
+        ).alias("group_mean"),
+        F.round(mean_all, 6).alias("corpus_mean"),
+        F.when(loo_n > 0, F.round(loo_mean, 6)).alias("loo_mean"),
+        F.when(loo_n > 0, F.round(mean_all - loo_mean, 6)).alias(
+            "impact_delta"
+        ),
+    )

@@ -13796,6 +13796,47 @@ FROM f GROUP BY source
 """
 
 
+def q_source_length_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out impact on mean document length (curation.
+    loo_group_impact) — the cheapest data-valuation diagnostic: which
+    provider is dragging the corpus mean, computed exactly from (grand
+    sum − group sum) with NO per-group re-aggregation. ONE map-side
+    groupBy to |sources| moment rows; grand totals are a window over
+    that tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    from pdf_parser_spark.operators import curation
+
+    return curation.loo_group_impact(d, "source", "n_chars")
+
+
+def sql_source_length_impact() -> str:
+    return """
+WITH g AS (
+  SELECT source AS gcol, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(CAST(n_chars AS DOUBLE) * 1e6) AS HUGEINT)) AS s
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT gcol, n, s,
+         sum(n) OVER () AS nt,
+         sum(s) OVER () AS st
+  FROM g
+)
+SELECT gcol AS source, n AS n_rows,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS group_mean,
+       round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 1e6, 6) AS corpus_mean,
+       CASE WHEN nt - n > 0
+            THEN round(CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE) / 1e6,
+                       6) END AS loo_mean,
+       CASE WHEN nt - n > 0
+            THEN round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 1e6
+                       - CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE)
+                         / 1e6, 6) END AS impact_delta
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -14111,6 +14152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topical_chunks": q_topical_chunks,
     "doc_hash_embeddings": q_doc_hash_embeddings,
     "instruction_leak_rates": q_instruction_leak_rates,
+    "source_length_impact": q_source_length_impact,
 }
 
 ORACLES: dict[str, str] = {
@@ -14392,4 +14434,5 @@ ORACLES: dict[str, str] = {
     "topical_chunks": sql_topical_chunks(),
     "doc_hash_embeddings": sql_doc_hash_embeddings(),
     "instruction_leak_rates": sql_instruction_leak_rates(),
+    "source_length_impact": sql_source_length_impact(),
 }

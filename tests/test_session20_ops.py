@@ -724,3 +724,39 @@ def test_instruction_leak_screen_is_scan_plus_one_aggregate(spark):
     )
     assert "Join" not in plan
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+# --------------------------------------------------------- loo_group_impact
+
+
+def test_loo_group_impact_matches_replay(spark):
+    from pdf_parser_spark.operators.curation import loo_group_impact
+
+    data = {"a": [10.0, 20.0, 30.0], "b": [100.0], "c": [1.0, 3.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in loo_group_impact(df, "g", "v").collect()}
+    allv = [v for vs in data.values() for v in vs]
+    mean_all = sum(allv) / len(allv)
+    for g, vs in data.items():
+        rest = [v for gg, vv in data.items() if gg != g for v in vv]
+        r = got[g]
+        assert r["n_rows"] == len(vs)
+        assert r["group_mean"] == round(sum(vs) / len(vs), 6)
+        assert r["corpus_mean"] == round(mean_all, 6)
+        assert r["loo_mean"] == round(sum(rest) / len(rest), 6)
+        assert abs(
+            r["impact_delta"] - (mean_all - sum(rest) / len(rest))
+        ) < 2e-6
+    # removing the high-value singleton 'b' drops the mean → positive delta
+    assert got["b"]["impact_delta"] > 0
+    assert got["a"]["impact_delta"] < 0 or got["c"]["impact_delta"] < 0
+
+
+def test_loo_group_impact_single_group_is_null_guarded(spark):
+    from pdf_parser_spark.operators.curation import loo_group_impact
+
+    df = spark.createDataFrame([("only", 5.0), ("only", 7.0)], "g string, v double")
+    r = loo_group_impact(df, "g", "v").collect()[0]
+    assert r["loo_mean"] is None and r["impact_delta"] is None
+    assert r["group_mean"] == 6.0 == r["corpus_mean"]
