@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "doc_hash_embeddings",
     "instruction_leak_rates",
     "source_length_impact",
+    "vocab_typo_clusters",
 ]
 
 

@@ -748,7 +748,6 @@ def pair_clusters(
     )
     nodes = edges.select(F.col("x").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
-    prev_sum = None
     converged = False
     for _ in range(max_iters):
         neigh = (
@@ -763,15 +762,25 @@ def pair_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                # labels only ever DECREASE, so "no row changed this
+                # round" is exactly the fixpoint — and the check is
+                # type-agnostic (string node ids cluster too, where the
+                # old sum(label) probe assumed numeric labels)
+                (
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")),
+                    )
+                    != F.col("label")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)  # truncate the iterative lineage
         )
-        cur = labels.agg(F.sum("label")).first()[0]
-        # cur is None only for an empty graph — converged by definition
-        if cur is None or (prev_sum is not None and cur == prev_sum):
+        n_changed = labels.where(F.col("_changed")).count()
+        labels = labels.drop("_changed")
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = cur
     if not converged:
         # a silent exit here would report one component as several clusters
         # (and a dedup materializer would keep duplicate representatives)

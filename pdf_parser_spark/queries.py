@@ -13837,6 +13837,85 @@ FROM t
 """
 
 
+def q_vocab_typo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo canonicalization end-to-end: vocabulary ∪ synthesized
+    hash-position typos → edit-distance-1 self-join (dedup.fuzzy_string_
+    join, FastSS deletion neighborhoods — an EQUI-join, never all-pairs)
+    → connected components (dedup.pair_clusters) → every misspelling
+    mapped to its cluster's lexicographic-min canonical form plus the
+    cluster size. The OCR/typo-normalization pass a crawl vocabulary
+    needs at 10^9 distinct tokens; the oracle takes the ground-truth
+    all-pairs levenshtein join (identical by FastSS d=1 completeness)
+    and replays the closure as a RECURSIVE CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(dedup.words_col(F.col("text"))).alias("w"))
+        .filter((F.length("w") >= 4) & (F.length("w") <= 12))
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    pos = (F.pmod(h, F.length("w")) + 1).cast("int")
+    typos = (
+        words.filter(F.length("w") >= 5)
+        .select(
+            F.concat(
+                F.col("w").substr(F.lit(1), pos - 1),
+                F.col("w").substr(pos + 1, F.length("w")),
+            ).alias("w")
+        )
+    )
+    u = words.union(typos).distinct()
+    pairs = dedup.fuzzy_string_join(
+        u.select(F.col("w").alias("a")), u.select(F.col("w").alias("b")),
+        "a", "b",
+    ).where(F.col("a") < F.col("b"))
+    labels = dedup.pair_clusters(pairs, a_col="a", b_col="b")
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster").select(
+        F.col("node").alias("word"),
+        F.col("cluster").alias("canonical"),
+        "cluster_size",
+    )
+
+
+def sql_vocab_typo_clusters() -> str:
+    return """
+WITH RECURSIVE w AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), v AS (
+  SELECT w FROM w WHERE length(w) BETWEEN 4 AND 12
+), t AS (
+  SELECT w[1 : CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % length(w)
+               AS INTEGER)]
+      || w[CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % length(w) + 2
+               AS INTEGER) : length(w)] AS w
+  FROM v WHERE length(w) >= 5
+), u AS (
+  SELECT w FROM v UNION SELECT w FROM t
+), pairs AS (
+  SELECT a.w AS x, b.w AS y
+  FROM u a JOIN u b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+), sym AS (
+  SELECT x, y FROM pairs UNION SELECT y, x FROM pairs
+), reach(node, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+  UNION
+  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+), labels AS (
+  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+), sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY 1
+)
+SELECT l.node AS word, l.cluster AS canonical, s.cluster_size
+FROM labels l JOIN sizes s ON l.cluster = s.cluster
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -14153,6 +14232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_hash_embeddings": q_doc_hash_embeddings,
     "instruction_leak_rates": q_instruction_leak_rates,
     "source_length_impact": q_source_length_impact,
+    "vocab_typo_clusters": q_vocab_typo_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -14435,4 +14515,5 @@ ORACLES: dict[str, str] = {
     "doc_hash_embeddings": sql_doc_hash_embeddings(),
     "instruction_leak_rates": sql_instruction_leak_rates(),
     "source_length_impact": sql_source_length_impact(),
+    "vocab_typo_clusters": sql_vocab_typo_clusters(),
 }

@@ -760,3 +760,20 @@ def test_loo_group_impact_single_group_is_null_guarded(spark):
     r = loo_group_impact(df, "g", "v").collect()[0]
     assert r["loo_mean"] is None and r["impact_delta"] is None
     assert r["group_mean"] == 6.0 == r["corpus_mean"]
+
+
+# ------------------------------------------------- pair_clusters on strings
+
+
+def test_pair_clusters_accepts_string_nodes(spark):
+    """The convergence probe is type-agnostic (changed-count, not a
+    numeric label sum) — string vocabularies cluster directly."""
+    from pdf_parser_spark.operators.dedup import pair_clusters
+
+    pairs = [("cat", "cta"), ("cta", "catt"), ("dog", "dgo")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {r["node"]: r["cluster"] for r in pair_clusters(df).collect()}
+    assert got == {
+        "cat": "cat", "cta": "cat", "catt": "cat",
+        "dog": "dgo", "dgo": "dgo",
+    }
