@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "instruction_leak_rates",
     "source_length_impact",
     "vocab_typo_clusters",
+    "corpus_datacard",
 ]
 
 

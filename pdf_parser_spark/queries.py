@@ -13916,6 +13916,131 @@ FROM labels l JOIN sizes s ON l.cluster = s.cluster
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot corpus datacard (the summary table every released
+    dataset publishes): doc/source/lang counts, char and token mass,
+    exact-duplicate mass, mean quality score, and top-language share —
+    as (metric, value) rows from ONE plan. Global multi-distinct
+    aggregate + a tiny lang rollup; every count exact BIGINT, every
+    rate one rounded divide."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        textqc.token_count(F.col("text")).cast("long").alias("n_tok"),
+        dedup.content_digest(F.col("text")).alias("digest"),
+    )
+    # quality score must ride the same scan — recompute the expression
+    # inline rather than joining the features frame back
+    feats = textqc.quality_features(
+        d.select("doc_id", "text"), text_col="text"
+    ).select("doc_id", "quality_score")
+    g = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("digest").cast("long").alias("n_unique"),
+    )
+    q = feats.agg(F.round(F.avg("quality_score"), 6).alias("mean_quality"))
+    top = (
+        staged.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .agg(F.max("_c").alias("top_lang_docs"))
+    )
+    one = g.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(top))
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"), expr.alias("value")
+                    )
+                    for name, expr in [
+                        ("n_docs", F.col("n_docs").cast("double")),
+                        ("n_sources", F.col("n_sources").cast("double")),
+                        ("n_langs", F.col("n_langs").cast("double")),
+                        ("total_chars", F.col("total_chars").cast("double")),
+                        ("total_tokens", F.col("total_tokens").cast("double")),
+                        (
+                            "exact_dup_docs",
+                            (F.col("n_docs") - F.col("n_unique")).cast(
+                                "double"
+                            ),
+                        ),
+                        (
+                            "dup_rate",
+                            F.round(
+                                (F.col("n_docs") - F.col("n_unique")).cast(
+                                    "double"
+                                )
+                                / F.col("n_docs").cast("double"),
+                                6,
+                            ),
+                        ),
+                        ("mean_quality", F.col("mean_quality")),
+                        (
+                            "top_lang_share",
+                            F.round(
+                                F.col("top_lang_docs").cast("double")
+                                / F.col("n_docs").cast("double"),
+                                6,
+                            ),
+                        ),
+                    ]
+                ]
+            )
+        ).alias("_r")
+    )
+    return rows.select(
+        F.col("_r.metric").alias("metric"), F.col("_r.value").alias("value")
+    )
+
+
+def sql_corpus_datacard() -> str:
+    qf = _quality_feature_sql()
+    digest = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+WITH g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+         CAST(sum(CAST({qf["tok"]} AS BIGINT)) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT {digest}) AS BIGINT) AS n_unique
+  FROM documents
+), q AS (
+  SELECT round(avg(score), 6) AS mean_quality
+  FROM (SELECT (CASE WHEN {qf["mwl"]} >= 2 AND {qf["mwl"]} <= 12
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN {qf["pr"]} <= 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN {qf["ar"]} >= 0.6 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN {qf["sr"]} >= 0.01 THEN 0.25 ELSE 0.0 END)
+               AS score
+        FROM documents)
+), top AS (
+  SELECT CAST(max(c) AS BIGINT) AS top_lang_docs
+  FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+), one AS (
+  SELECT * FROM g CROSS JOIN q CROSS JOIN top
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM one
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM one
+UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM one
+UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM one
+UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM one
+UNION ALL SELECT 'exact_dup_docs', CAST(n_docs - n_unique AS DOUBLE) FROM one
+UNION ALL SELECT 'dup_rate',
+  round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+  FROM one
+UNION ALL SELECT 'mean_quality', mean_quality FROM one
+UNION ALL SELECT 'top_lang_share',
+  round(CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM one
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -14233,6 +14358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "instruction_leak_rates": q_instruction_leak_rates,
     "source_length_impact": q_source_length_impact,
     "vocab_typo_clusters": q_vocab_typo_clusters,
+    "corpus_datacard": q_corpus_datacard,
 }
 
 ORACLES: dict[str, str] = {
@@ -14516,4 +14642,5 @@ ORACLES: dict[str, str] = {
     "instruction_leak_rates": sql_instruction_leak_rates(),
     "source_length_impact": sql_source_length_impact(),
     "vocab_typo_clusters": sql_vocab_typo_clusters(),
+    "corpus_datacard": sql_corpus_datacard(),
 }
