@@ -271,6 +271,10 @@ BENCH_QUERIES = [
     "source_length_impact",
     "vocab_typo_clusters",
     "corpus_datacard",
+    "fim_spans",
+    "compaction_plan",
+    "cdc_apply_log",
+    "tokenizer_fertility",
 ]
 
 

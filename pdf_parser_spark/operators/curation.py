@@ -1507,3 +1507,71 @@ def loo_group_impact(
             "impact_delta"
         ),
     )
+
+
+def fim_split(
+    docs: DataFrame,
+    rate_pct: int = 90,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) span construction — the data-side
+    transform behind infilling-capable code/text models (Bavarian et al.
+    2022, "Efficient Training of Language Models to Fill in the Middle"):
+    split a deterministic ``rate_pct``% of documents at two
+    hash-derived character pivots into (prefix, middle, suffix) and
+    re-serialize in PSM order (prefix-suffix-middle with sentinel
+    markers); the rest pass through unchanged so the mixture keeps plain
+    left-to-right samples.
+
+    Everything is pure codegen over one scan — two md5-derived pivots
+    (``pmod(h, len+1)`` each, so every split point including the empty
+    prefix/suffix is reachable, the paper's uniform convention), three
+    ``substr`` slices, one concat — zero shuffle, zero Python, and the
+    hash-gated rate means reruns and late-arriving shards pick the SAME
+    documents (resumable at 10^12 docs, unlike an RNG gate).
+
+    Returns (id, is_fim, prefix_len, middle_len, suffix_len,
+    sample_md5) where sample_md5 digests the PSM serialization for FIM
+    rows and the raw text for passthrough rows — a twin value-checks
+    the exact byte output of the transform, not just the lengths.
+    """
+    text = F.col(text_col)
+    length = F.length(text)
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    is_fim = F.pmod(h(":fim"), F.lit(100)) < F.lit(rate_pct)
+    p1 = F.pmod(h(":p1"), (length + 1).cast("long"))
+    p2 = F.pmod(h(":p2"), (length + 1).cast("long"))
+    lo = F.least(p1, p2).cast("int")
+    hi = F.greatest(p1, p2).cast("int")
+    prefix = text.substr(F.lit(1), lo)
+    middle = text.substr(lo + 1, hi - lo)
+    suffix = text.substr(hi + 1, length - hi)
+    psm = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    return docs.select(
+        F.col(id_col),
+        is_fim.cast("int").alias("is_fim"),
+        F.when(is_fim, lo.cast("long")).otherwise(length.cast("long")).alias(
+            "prefix_len"
+        ),
+        F.when(is_fim, (hi - lo).cast("long")).otherwise(F.lit(0)).alias(
+            "middle_len"
+        ),
+        F.when(is_fim, (length - hi).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("suffix_len"),
+        F.when(is_fim, F.md5(psm)).otherwise(F.md5(text)).alias("sample_md5"),
+    )

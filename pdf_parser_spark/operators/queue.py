@@ -162,3 +162,35 @@ def scd2_merge(
     return history.select(
         key_col, *attr_cols, "valid_from", "valid_to"
     ).unionByName(out)
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture operation log to produce the current
+    table state — the row-level core of a lakehouse MERGE: per key,
+    order the log by the sequence columns, let the LATEST entry win, and
+    drop keys whose latest entry is a delete tombstone. This is the
+    missing third sibling of the queue merges: type-1 overwrite
+    (``merge_checkpoint_updates``), type-2 history (``scd2_merge``), and
+    now log-replay with deletes — the semantics a CDC feed (Debezium,
+    Iceberg changelog) needs on apply.
+
+    Determinism: ``seq_cols`` must totally order the log within a key
+    (commit LSN, or (ts, change_id)); ties are NOT broken silently —
+    the last sequence column should be unique per key, as a change_id
+    is. Shape at 100 TB: ONE shuffle on the key for the row_number
+    window, then a codegen filter; no joins, no driver state. Columns
+    other than key/seq/op pass through from the winning row.
+    """
+    order = [F.desc(c) for c in seq_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

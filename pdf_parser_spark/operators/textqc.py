@@ -759,6 +759,7 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a FIXED, ordered BPE merge table to a corpus — tokenizer
     APPLICATION, the deployment twin of ``bpe_train``: at 100 TB the
@@ -777,7 +778,8 @@ def bpe_encode(
 
     Returns (id, n_tokens, enc_md5): the post-merge symbol count and a
     digest of the FULL encoded stream, so a twin value-checks the whole
-    encoding, not just its length.
+    encoding, not just its length. ``keep`` columns ride through the
+    same scan, so per-group rollups over the encoding need no join-back.
     """
     rs = "\x1e"
     # split(w, '(?!^)') keeps a trailing '' (the lookahead also matches at
@@ -807,6 +809,7 @@ def bpe_encode(
         F.col(id_col),
         toks.cast("long").alias("n_tokens"),
         F.md5(enc).alias("enc_md5"),
+        *[F.col(c) for c in keep],
     )
 
 

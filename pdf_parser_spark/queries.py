@@ -14041,6 +14041,221 @@ UNION ALL SELECT 'top_lang_share',
 """
 
 
+def q_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle span construction (curation.fim_split): a
+    hash-gated 90% of documents split at two md5-derived character
+    pivots into (prefix, middle, suffix) and re-serialized in PSM
+    order; the rest pass through as plain left-to-right samples. Pure
+    codegen over ONE scan — zero shuffle, zero Python — and the
+    deterministic gate/pivots make reruns reproducible at 10^12 docs.
+    The oracle replays the same pivot arithmetic and md5-checks the
+    exact PSM serialization byte-for-byte."""
+    from pdf_parser_spark.operators import curation
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return curation.fim_split(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        rate_pct=90,
+    )
+
+
+def sql_fim_spans() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, length(text) AS L,
+         ('0x' || substr(md5(doc_id || ':fim'), 1, 15))::BIGINT % 100 AS g,
+         ('0x' || substr(md5(doc_id || ':p1'), 1, 15))::BIGINT
+           % (length(text) + 1) AS p1,
+         ('0x' || substr(md5(doc_id || ':p2'), 1, 15))::BIGINT
+           % (length(text) + 1) AS p2
+  FROM documents
+), s AS (
+  SELECT doc_id, text, L, g < 90 AS is_fim,
+         least(p1, p2) AS lo, greatest(p1, p2) AS hi
+  FROM d
+)
+SELECT doc_id,
+       CAST(CASE WHEN is_fim THEN 1 ELSE 0 END AS INTEGER) AS is_fim,
+       CAST(CASE WHEN is_fim THEN lo ELSE L END AS BIGINT) AS prefix_len,
+       CAST(CASE WHEN is_fim THEN hi - lo ELSE 0 END AS BIGINT)
+         AS middle_len,
+       CAST(CASE WHEN is_fim THEN L - hi ELSE 0 END AS BIGINT)
+         AS suffix_len,
+       CASE WHEN is_fim THEN
+         md5('<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+          || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER))
+          || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+                               CAST(hi - lo AS INTEGER)))
+       ELSE md5(text) END AS sample_md5
+FROM s
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative small-file compaction planner
+    (sources.maintenance.compaction_plan): the documents table stands in
+    as a file manifest (partition = source, file = doc, bytes =
+    n_chars); within each partition a cumulative-sum window assigns each
+    file to the merge group where its first byte lands (int64 `div`
+    binning — exact at any byte scale, never float division). ONE
+    shuffle serves both the window and the per-group rollup. This is the
+    bin assignment an Iceberg rewrite_data_files job computes before
+    touching data."""
+    from pdf_parser_spark.sources import maintenance
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = d.select(
+        F.col("source").alias("part"),
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    return maintenance.compaction_plan(manifest, target_bytes=16384)
+
+
+def sql_compaction_plan() -> str:
+    return """
+WITH m AS (
+  SELECT source AS part, CAST(doc_id AS BIGINT) AS file_id,
+         CAST(n_chars AS BIGINT) AS bytes
+  FROM documents
+), o AS (
+  SELECT part, file_id, bytes,
+         sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes AS off
+  FROM m
+)
+SELECT part, CAST(off // 16384 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS group_bytes,
+       min(file_id) AS first_file, max(file_id) AS last_file
+FROM o GROUP BY part, grp
+"""
+
+
+def q_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture log replay (queue.cdc_apply): the orders
+    table becomes a keyed op log (key = customer, sequence = (order
+    date, order key), op = a deterministic md5 gate marking ~20% of
+    entries as delete tombstones, payload = the order total); per key
+    the LATEST entry wins and keys whose latest entry is a delete
+    vanish — the row-level core of applying a Debezium/Iceberg
+    changelog. ONE shuffle on the key (row_number window), then a
+    codegen filter; the oracle replays the identical window."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cdc:"), F.col("o_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    log = o.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").cast("long").alias("change_id"),
+        F.when(F.pmod(h, F.lit(10)) < 2, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+    cur = queue.cdc_apply(
+        log, key_cols=["custkey"], seq_cols=["ts", "change_id"], op_col="op"
+    )
+    return cur.select(
+        "custkey",
+        F.col("change_id").alias("last_change"),
+        F.round(F.col("val"), 2).alias("val"),
+    )
+
+
+def sql_cdc_apply_log() -> str:
+    return """
+WITH log AS (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey, o_orderdate AS ts,
+         CAST(o_orderkey AS BIGINT) AS change_id,
+         CASE WHEN ('0x' || substr(md5('cdc:' || o_orderkey), 1, 15))::BIGINT
+                   % 10 < 2
+              THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS val
+  FROM orders
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY custkey
+             ORDER BY ts DESC, change_id DESC) AS rn
+  FROM log
+)
+SELECT custkey, change_id AS last_change, round(val, 2) AS val
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: encode the corpus with
+    the fixed 8-merge BPE table (textqc.bpe_encode — map-only codegen)
+    and roll up tokens-per-word (fertility) and chars-per-token
+    (compression) by language, the numbers a tokenizer/data-mixture
+    review reads before training (high fertility on a language =
+    under-served by the vocab). The lang/word/char columns ride the
+    SAME scan as the encoding (bpe_encode keep=), so the whole audit
+    is one scan + one partial-agg shuffle on lang. The oracle replays
+    the full merge chain and the identical sum ratios."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    pre = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        textqc.token_count(F.col("text")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_t"),
+    )
+    enc = textqc.bpe_encode(
+        pre, merges=_BPE_APPLY_MERGES, keep=("lang", "n_words", "n_chars_t")
+    )
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars_t").cast("double")
+            / F.sum("n_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def sql_tokenizer_fertility() -> str:
+    enc = "s"
+    for a, b in _BPE_APPLY_MERGES:
+        enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+    tok = _TOK_SQL
+    return f"""
+WITH w AS (
+  SELECT lang, length(text) AS n_chars_t,
+    CAST({tok} AS BIGINT) AS n_words,
+    ' ' || array_to_string(list_transform(
+        list_filter(string_split(text, ' '), x -> length(x) > 0),
+        w -> array_to_string(string_split(w, ''), ' ')),
+      ' ' || chr(30) || ' ') || ' ' AS s
+  FROM documents
+), e AS (
+  SELECT lang, n_chars_t, n_words,
+    CAST(len(list_filter(string_split(trim({enc}), ' '),
+         x -> x <> chr(30) AND x <> '')) AS BIGINT) AS n_tok
+  FROM w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_tok) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6)
+         AS fertility,
+       round(CAST(sum(n_chars_t) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 6)
+         AS chars_per_token
+FROM e GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -14359,6 +14574,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_length_impact": q_source_length_impact,
     "vocab_typo_clusters": q_vocab_typo_clusters,
     "corpus_datacard": q_corpus_datacard,
+    "fim_spans": q_fim_spans,
+    "compaction_plan": q_compaction_plan,
+    "cdc_apply_log": q_cdc_apply_log,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLES: dict[str, str] = {
@@ -14643,4 +14862,8 @@ ORACLES: dict[str, str] = {
     "source_length_impact": sql_source_length_impact(),
     "vocab_typo_clusters": sql_vocab_typo_clusters(),
     "corpus_datacard": sql_corpus_datacard(),
+    "fim_spans": sql_fim_spans(),
+    "compaction_plan": sql_compaction_plan(),
+    "cdc_apply_log": sql_cdc_apply_log(),
+    "tokenizer_fertility": sql_tokenizer_fertility(),
 }

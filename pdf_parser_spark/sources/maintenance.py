@@ -70,3 +70,56 @@ def to_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Declarative compaction PLANNER over a file manifest — the bin
+    assignment an Iceberg `rewrite_data_files` job computes before it
+    touches a byte: within each partition, walk the files in manifest
+    order and start a new merge group every ``target_bytes`` of
+    cumulative input (a file is assigned to the bin where its first byte
+    lands, so groups are contiguous runs and every group except the last
+    holds >= target_bytes once its boundary file is counted).
+
+    The whole plan is ONE window pass partitioned by the table partition
+    (cumulative sum → integer-division bin) plus the per-group rollup on
+    the SAME key — Catalyst collapses both into a single shuffle. The
+    bin index uses int64 `div`, never float division, so a boundary file
+    can't round into the wrong group at any byte scale (the
+    float-binning hazard ADVICE r02 flagged for rangejoin).
+
+    Returns one row per merge group: (part, grp, n_files, group_bytes,
+    first_file, last_file) — exactly what a rewrite job needs to issue
+    one task per group.
+    """
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_off = (
+        F.sum(F.col(bytes_col).cast("long")).over(w)
+        - F.col(bytes_col).cast("long")
+    )
+    staged = manifest.select(
+        F.col(part_col).alias("part"),
+        F.col(file_col).alias("file_id"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        start_off.alias("_off"),
+    ).withColumn("grp", F.expr(f"_off div {int(target_bytes)}"))
+    return staged.groupBy("part", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").alias("group_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

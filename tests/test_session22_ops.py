@@ -1,0 +1,164 @@
+"""Session-22 operators: FIM span construction, compaction planner,
+CDC log apply, and the bpe_encode keep= passthrough.
+
+Each test pins the operator's semantics against a hand-computed or
+pure-Python replay — independent of the DuckDB oracles, which check the
+same queries end-to-end at three SFs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators import textqc
+from pdf_parser_spark.operators.curation import fim_split
+from pdf_parser_spark.operators.queue import cdc_apply
+from pdf_parser_spark.sources.maintenance import compaction_plan
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _fim_expect(doc_id: int, text: str, rate_pct: int = 90):
+    is_fim = _h(f"{doc_id}:fim") % 100 < rate_pct
+    n = len(text)
+    if not is_fim:
+        return (0, n, 0, 0, hashlib.md5(text.encode()).hexdigest())
+    p1 = _h(f"{doc_id}:p1") % (n + 1)
+    p2 = _h(f"{doc_id}:p2") % (n + 1)
+    lo, hi = min(p1, p2), max(p1, p2)
+    psm = f"<PRE>{text[:lo]}<SUF>{text[hi:]}<MID>{text[lo:hi]}"
+    return (
+        1,
+        lo,
+        hi - lo,
+        n - hi,
+        hashlib.md5(psm.encode()).hexdigest(),
+    )
+
+
+def test_fim_split_matches_python_replay(spark):
+    rows = [
+        (7, "the quick brown fox jumps over the lazy dog"),
+        (11, "alpha beta"),
+        (23, "x"),
+        (101, "some longer document body with punctuation, and digits 123"),
+        (5555, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["is_fim"],
+            r["prefix_len"],
+            r["middle_len"],
+            r["suffix_len"],
+            r["sample_md5"],
+        )
+        for r in fim_split(df).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _fim_expect(doc_id, text), (doc_id, text)
+
+
+def test_fim_split_lengths_partition_the_text(spark):
+    df = spark.createDataFrame(
+        [(i, "word " * (i % 17)) for i in range(1, 200)], ["doc_id", "text"]
+    )
+    out = fim_split(df).withColumn(
+        "total",
+        F.col("prefix_len") + F.col("middle_len") + F.col("suffix_len"),
+    )
+    bad = out.join(
+        df.select("doc_id", F.length("text").alias("n")), "doc_id"
+    ).filter(F.col("total") != F.col("n"))
+    assert bad.count() == 0
+    # rate: ~90% gated in; with 199 docs expect a strict majority FIM
+    n_fim = out.agg(F.sum("is_fim")).first()[0]
+    assert 199 * 0.75 < n_fim <= 199
+
+
+def test_compaction_plan_hand_case(spark):
+    # one partition, target 100: files 60,60 -> offsets 0,60 (grp 0);
+    # 120 -> offset 120 (grp 1); 30,200 -> offsets 240 (grp 2), 270 (grp 2)
+    rows = [
+        ("p1", 1, 60),
+        ("p1", 2, 60),
+        ("p1", 3, 120),
+        ("p1", 4, 30),
+        ("p1", 5, 200),
+        ("p2", 1, 10),
+    ]
+    df = spark.createDataFrame(rows, ["part", "file_id", "bytes"])
+    got = {
+        (r["part"], r["grp"]): (
+            r["n_files"],
+            r["group_bytes"],
+            r["first_file"],
+            r["last_file"],
+        )
+        for r in compaction_plan(df, target_bytes=100).collect()
+    }
+    assert got == {
+        ("p1", 0): (2, 120, 1, 2),
+        ("p1", 1): (1, 120, 3, 3),
+        ("p1", 2): (2, 230, 4, 5),
+        ("p2", 0): (1, 10, 1, 1),
+    }
+
+
+def test_compaction_plan_conserves_bytes_and_files(spark):
+    df = spark.createDataFrame(
+        [("p", i, (i * 37) % 500 + 1) for i in range(1, 300)],
+        ["part", "file_id", "bytes"],
+    )
+    plan = compaction_plan(df, target_bytes=1000)
+    tot = plan.agg(
+        F.sum("n_files").alias("f"), F.sum("group_bytes").alias("b")
+    ).first()
+    assert tot["f"] == 299
+    assert tot["b"] == sum((i * 37) % 500 + 1 for i in range(1, 300))
+    # groups are contiguous file runs: ordering groups by grp equals
+    # ordering by first_file, and ranges never interleave
+    rows = sorted(plan.collect(), key=lambda r: r["grp"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_file"] < b["first_file"]
+
+
+def test_cdc_apply_latest_wins_and_tombstones(spark):
+    rows = [
+        # key 1: U then D -> deleted
+        (1, 10, 1, "U", 5.0),
+        (1, 20, 2, "D", 0.0),
+        # key 2: D then U -> resurrected with latest value
+        (2, 10, 3, "D", 0.0),
+        (2, 20, 4, "U", 7.0),
+        # key 3: same ts, change_id breaks the tie -> id 6 wins
+        (3, 10, 5, "U", 1.0),
+        (3, 10, 6, "U", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "change_id", "op", "v"])
+    got = {
+        r["k"]: (r["change_id"], r["v"])
+        for r in cdc_apply(
+            df, key_cols=["k"], seq_cols=["ts", "change_id"]
+        ).collect()
+    }
+    assert got == {2: (4, 7.0), 3: (6, 2.0)}
+
+
+def test_bpe_encode_keep_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "the then", "en"), (2, "in and", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    out = textqc.bpe_encode(
+        df, merges=[("t", "h"), ("th", "e")], keep=("lang",)
+    )
+    assert out.columns == ["doc_id", "n_tokens", "enc_md5", "lang"]
+    got = {r["doc_id"]: (r["n_tokens"], r["lang"]) for r in out.collect()}
+    # 'the' -> th e -> the (1 tok); 'then' -> th e n -> the n (2 toks)
+    assert got[1] == (3, "en")
+    # 'in' -> i n (2); 'and' -> a n d (3)
+    assert got[2] == (5, "de")
