@@ -275,6 +275,10 @@ BENCH_QUERIES = [
     "compaction_plan",
     "cdc_apply_log",
     "tokenizer_fertility",
+    "host_bfs_depth",
+    "snapshot_retention_plan",
+    "column_layout_stats",
+    "corpus_content_address",
 ]
 
 

@@ -400,3 +400,51 @@ def label_propagation(
         if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("v", F.col("label").alias("community"))
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+    max_depth: int = 4,
+    checkpoint_every: int | None = 3,
+) -> DataFrame:
+    """Breadth-first shortest-hop depths from a seed set — the crawl
+    planner's "how far is this host from the seed list" signal (depth
+    caps and frontier prioritization both read it). Returns ``(v,
+    depth)`` for every vertex reachable within ``max_depth`` hops,
+    depth = MINIMUM hop count (seeds are depth 0).
+
+    Shape at host-graph scale: per round ONE equi-join of the previous
+    FRONTIER (not the whole known set) against the edge list + one
+    min-groupBy; the known set grows by union and is re-minimized in
+    the same groupBy, so each round is frontier-sized work, O(max_depth)
+    rounds total — the standard relational BFS. Lineage is truncated
+    with localCheckpoint every ``checkpoint_every`` rounds (the known
+    set is referenced by every later round; without truncation the
+    recompute tree grows per round, the pagerank/label-prop lesson).
+    """
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .where(F.col("_src") != F.col("_dst"))
+        .distinct()
+    )
+    known = seeds.select(
+        F.col(seed_col).alias("v"), F.lit(0).cast("int").alias("depth")
+    ).distinct()
+    for k in range(1, max_depth + 1):
+        frontier = known.where(F.col("depth") == k - 1).select("v")
+        nxt = (
+            frontier.join(e, frontier["v"] == e["_src"])
+            .select(F.col("_dst").alias("v"), F.lit(k).cast("int").alias("depth"))
+        )
+        known = (
+            known.unionByName(nxt)
+            .groupBy("v")
+            .agg(F.min("depth").alias("depth"))
+        )
+        if checkpoint_every and k % checkpoint_every == 0 and k < max_depth:
+            known = known.localCheckpoint(eager=True)
+    return known

@@ -14256,6 +14256,262 @@ FROM e GROUP BY lang
 """
 
 
+def q_host_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth BFS (graph.bfs_depths): shortest-hop distance of
+    every host from a deterministic md5-gated seed set over the
+    synthetic host link graph — the "how far from the seed list" signal
+    a crawl frontier reads for depth caps. Per round ONE frontier-sized
+    equi-join + min-groupBy, O(max_depth) rounds, lineage truncated.
+    The oracle replays all 4 rounds as chained CTEs with the same
+    min-depth semantics."""
+    from pdf_parser_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = _host_edges(d)
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seeds = verts.where(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(5),
+        )
+        == 0
+    )
+    return graph.bfs_depths(edges, seeds, max_depth=4).select(
+        F.col("v").alias("host"), "depth"
+    )
+
+
+def sql_host_bfs_depth(max_depth: int = 4) -> str:
+    ctes = ["""e AS (
+  SELECT DISTINCT
+    'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+    'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                   % 25 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+     <> 'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                       % 25 AS VARCHAR)
+), verts AS (
+  SELECT src AS v FROM e UNION SELECT dst FROM e
+), d0 AS (
+  SELECT v, 0 AS depth FROM verts
+  WHERE ('0x' || substr(md5(v), 1, 15))::BIGINT % 5 = 0
+)"""]
+    for k in range(1, max_depth + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT v, min(depth) AS depth FROM (
+    SELECT v, depth FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst, {k} FROM d{k - 1} f JOIN e ON e.src = f.v
+    WHERE f.depth = {k - 1}
+  ) GROUP BY v
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS host, CAST(depth AS INTEGER) AS depth FROM d{max_depth}"
+    )
+
+
+def q_snapshot_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry planner (sources.maintenance.snapshot_retention):
+    the distinct order dates stand in as a table's snapshot log; keep
+    the newest 7 snapshots plus the first snapshot of every 7-day epoch
+    bucket, expire the rest — the decision table an Iceberg
+    expire_snapshots job computes. Precedence recent > weekly > expire
+    is pinned; the weekly bucket is integer epoch-day arithmetic, no
+    calendar-week ambiguity. Snapshot metadata is manifest-scale, so
+    the global windows run over thousands of METADATA rows by design."""
+    from pdf_parser_spark.sources import maintenance
+
+    o = load_table(spark, sf_dir, "orders")
+    snaps = (
+        o.select(F.col("o_orderdate").alias("ts"))
+        .distinct()
+        .withColumn(
+            "snap_id",
+            F.row_number().over(Window.orderBy("ts")).cast("long"),
+        )
+    )
+    return maintenance.snapshot_retention(snaps, keep_last=7)
+
+
+def sql_snapshot_retention_plan() -> str:
+    return """
+WITH s AS (
+  SELECT ts, CAST(row_number() OVER (ORDER BY ts) AS BIGINT) AS snap_id
+  FROM (SELECT DISTINCT o_orderdate AS ts FROM orders)
+), r AS (
+  SELECT snap_id, ts,
+    row_number() OVER (ORDER BY ts DESC, snap_id DESC) AS rec,
+    row_number() OVER (
+      PARTITION BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+      ORDER BY ts, snap_id) AS wk
+  FROM s
+)
+SELECT snap_id, ts,
+  CASE WHEN rec <= 7 THEN 'recent'
+       WHEN wk = 1 THEN 'weekly'
+       ELSE 'expire' END AS reason,
+  CAST(CASE WHEN rec <= 7 OR wk = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM r
+"""
+
+
+_LAYOUT_COLS = [
+    "l_orderkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_extendedprice",
+    "l_shipdate",
+]
+
+_LAYOUT_ORDER = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def q_column_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet layout advisor (sources.layout.column_layout_stats):
+    per-column NDV / null count / per-block sortedness over lineitem in
+    (orderkey, linenumber) order with 1000-orderkey blocks standing in
+    for row groups, plus the pinned encoding suggestion (dict if NDV <=
+    10% of rows, delta if >= 95% sorted, else plain). ONE bounded-block
+    window computes every column's adjacency flag in the same shuffle;
+    ONE global aggregate folds all stats and unpivots. The numbers a
+    write-side layout job reads before choosing encodings/sort keys."""
+    from pdf_parser_spark.sources import layout as slayout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic table —
+    # the file order must be a TOTAL order or lag() ties are
+    # engine-dependent; break ties through the remaining columns (rows
+    # identical in every column sort identically either way)
+    return slayout.column_layout_stats(
+        li,
+        order_cols=_LAYOUT_ORDER,
+        cols=_LAYOUT_COLS,
+        block_expr=F.expr("l_orderkey div 1000"),
+    )
+
+
+def sql_column_layout_stats() -> str:
+    order_by = ", ".join(_LAYOUT_ORDER)
+    lags = ",\n    ".join(
+        f"lag({c}) OVER w AS p_{c}" for c in _LAYOUT_COLS
+    )
+    oks = ",\n    ".join(
+        f"CASE WHEN rn = 1 THEN 1 WHEN p_{c} <= {c} THEN 1 ELSE 0 END AS ok_{c}"
+        for c in _LAYOUT_COLS
+    )
+    gaggs = ",\n    ".join(
+        f"""CAST(count(*) AS BIGINT) AS n_{c},
+    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c},
+    CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c},
+    CAST(sum(ok_{c}) AS BIGINT) AS srt_{c}"""
+        for c in _LAYOUT_COLS
+    )
+    sel = "\nUNION ALL ".join(
+        f"""SELECT '{c}' AS "column", n_{c} AS n_rows, null_{c} AS n_null,
+  ndv_{c} AS ndv,
+  round(CAST(srt_{c} AS DOUBLE) / CAST(n_{c} AS DOUBLE), 6) AS sorted_frac,
+  CASE WHEN CAST(ndv_{c} AS DOUBLE) <= CAST(n_{c} AS DOUBLE) * 0.1
+         THEN 'dict'
+       WHEN round(CAST(srt_{c} AS DOUBLE) / CAST(n_{c} AS DOUBLE), 6) >= 0.95
+         THEN 'delta'
+       ELSE 'plain' END AS encoding
+FROM g"""
+        for c in _LAYOUT_COLS
+    )
+    return f"""
+WITH l AS (
+  SELECT *, l_orderkey // 1000 AS blk
+  FROM lineitem
+), lg AS (
+  SELECT *, row_number() OVER w AS rn,
+    {lags}
+  FROM l WINDOW w AS (PARTITION BY blk ORDER BY {order_by})
+), f AS (
+  SELECT *,
+    {oks}
+  FROM lg
+), g AS (
+  SELECT
+    {gaggs}
+  FROM f
+)
+{sel}
+"""
+
+
+def q_corpus_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-source content address: xor and modular
+    sum (mod 2^61-1) of per-doc md5-derived int64 digests plus doc/char
+    counts — a corpus fingerprint that any partitioning, any shard
+    order, any engine reproduces bit-for-bit (the provenance check a
+    data release pins next to its datacard; two corpus builds agree
+    iff these rows agree). Pure map-side digest + ONE partial-agg
+    shuffle on source; both channels (xor + sum) are exact integer
+    math, so there is no float-order caveat anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    dig = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    staged = d.select(
+        "source",
+        dig.alias("digest"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    # second channel: modular sum over the Mersenne prime 2^61-1 —
+    # order-insensitive, exact integer, BIGINT-representable at any
+    # corpus size (the 128-bit intermediate rides a decimal accumulator)
+    p = 2305843009213693951
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("bit_xor(digest)").alias("content_xor"),
+        F.pmod(
+            F.sum(F.col("digest").cast("decimal(38,0)")),
+            F.lit(p).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("content_sum"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def sql_corpus_content_address() -> str:
+    return """
+WITH d AS (
+  SELECT source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS digest,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       bit_xor(digest) AS content_xor,
+       CAST(sum(digest) % 2305843009213693951 AS BIGINT) AS content_sum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -14578,6 +14834,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_plan": q_compaction_plan,
     "cdc_apply_log": q_cdc_apply_log,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "host_bfs_depth": q_host_bfs_depth,
+    "snapshot_retention_plan": q_snapshot_retention_plan,
+    "column_layout_stats": q_column_layout_stats,
+    "corpus_content_address": q_corpus_content_address,
 }
 
 ORACLES: dict[str, str] = {
@@ -14866,4 +15126,8 @@ ORACLES: dict[str, str] = {
     "compaction_plan": sql_compaction_plan(),
     "cdc_apply_log": sql_cdc_apply_log(),
     "tokenizer_fertility": sql_tokenizer_fertility(),
+    "host_bfs_depth": sql_host_bfs_depth(),
+    "snapshot_retention_plan": sql_snapshot_retention_plan(),
+    "column_layout_stats": sql_column_layout_stats(),
+    "corpus_content_address": sql_corpus_content_address(),
 }

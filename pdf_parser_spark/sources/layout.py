@@ -143,3 +143,88 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def column_layout_stats(
+    df: DataFrame,
+    order_cols: list[str],
+    cols: list[str],
+    block_expr: Column,
+    dict_ndv_frac: float = 0.1,
+    delta_sorted_frac: float = 0.95,
+) -> DataFrame:
+    """Parquet layout ADVISOR: per column, the statistics that decide
+    its physical encoding — row count, null count, exact NDV, and
+    per-block sortedness (fraction of adjacent row pairs, in
+    ``order_cols`` order within a ``block_expr`` block, that are
+    non-descending — the row-group-local property parquet delta/RLE
+    encodings exploit; block starts count as sorted, a NULL in the pair
+    breaks the run). The suggestion is pinned: 'dict' when
+    ndv <= n_rows * dict_ndv_frac, else 'delta' when sorted_frac >=
+    delta_sorted_frac, else 'plain'.
+
+    Shape: ONE window shuffle (partitioned by the bounded block, so no
+    global sort — blocks mirror row groups and keep the window
+    scale-safe) computes every column's lag flag in the same pass; ONE
+    global aggregate then folds all per-column conditional sums +
+    countDistincts and unpivots via explode. Two shuffles total for any
+    number of audited columns.
+    """
+    lagged = df.select(
+        *[F.col(c) for c in set(cols) | set(order_cols)],
+        block_expr.alias("_blk"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_blk").orderBy(*[F.col(c) for c in order_cols])
+    for c in cols:
+        prev = F.lag(F.col(c)).over(w)
+        lagged = lagged.withColumn(
+            f"_ok_{c}",
+            F.when(prev.isNull() & F.lag(F.lit(1)).over(w).isNull(), F.lit(1))
+            .when(prev <= F.col(c), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"_n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{c}"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"_ndv_{c}"),
+            F.sum(F.col(f"_ok_{c}")).cast("long").alias(f"_srt_{c}"),
+        ]
+    one = lagged.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_ndv_{c}").alias("ndv"),
+                F.round(
+                    F.col(f"_srt_{c}").cast("double")
+                    / F.col(f"_n_{c}").cast("double"),
+                    6,
+                ).alias("sorted_frac"),
+            )
+            for c in cols
+        ]
+    )
+    rows = one.select(F.explode(entries).alias("_e")).select("_e.*")
+    return rows.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "ndv",
+        "sorted_frac",
+        F.when(
+            F.col("ndv").cast("double")
+            <= F.col("n_rows").cast("double") * dict_ndv_frac,
+            F.lit("dict"),
+        )
+        .when(F.col("sorted_frac") >= delta_sorted_frac, F.lit("delta"))
+        .otherwise(F.lit("plain"))
+        .alias("encoding"),
+    )

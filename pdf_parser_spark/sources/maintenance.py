@@ -123,3 +123,57 @@ def compaction_plan(
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+def snapshot_retention(
+    snapshots: DataFrame,
+    keep_last: int = 7,
+    id_col: str = "snap_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Snapshot-expiry PLANNER — the decision table an Iceberg
+    `expire_snapshots` maintenance job computes: keep the newest
+    ``keep_last`` snapshots (time-travel window), keep the FIRST
+    snapshot of every 7-day epoch bucket as coarse history, expire the
+    rest. Precedence is pinned: recent > weekly > expire, so a snapshot
+    that is both recent and first-of-week reports 'recent'.
+
+    The weekly bucket is integer epoch-day arithmetic
+    (``days_since_epoch div 7``), not calendar ISO weeks — engine- and
+    locale-independent, no year-boundary ambiguity. Snapshot metadata is
+    manifest-scale (thousands of rows for a years-old table), so the two
+    global windows here are a deliberate single-partition pass over
+    METADATA, never over data.
+
+    Returns (id, ts, reason ∈ recent|weekly|expire, keep ∈ 0|1).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = snapshots.select(
+        F.col(id_col).alias("snap_id"), F.col(ts_col).alias("ts")
+    ).withColumn(
+        "epoch_week",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"),
+    )
+    recency = Window.orderBy(F.desc("ts"), F.desc("snap_id"))
+    weekly = Window.partitionBy("epoch_week").orderBy("ts", "snap_id")
+    out = (
+        s.withColumn("_rec", F.row_number().over(recency))
+        .withColumn("_wk", F.row_number().over(weekly))
+        .select(
+            "snap_id",
+            "ts",
+            F.when(F.col("_rec") <= keep_last, F.lit("recent"))
+            .when(F.col("_wk") == 1, F.lit("weekly"))
+            .otherwise(F.lit("expire"))
+            .alias("reason"),
+        )
+        .withColumn(
+            "keep",
+            F.when(F.col("reason") != "expire", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+    )
+    return out

@@ -1,5 +1,7 @@
 """Session-22 operators: FIM span construction, compaction planner,
-CDC log apply, and the bpe_encode keep= passthrough.
+CDC log apply, the bpe_encode keep= passthrough, BFS crawl depths,
+snapshot retention planning, the parquet layout advisor, and the
+order-insensitive corpus content address.
 
 Each test pins the operator's semantics against a hand-computed or
 pure-Python replay — independent of the DuckDB oracles, which check the
@@ -162,3 +164,123 @@ def test_bpe_encode_keep_passthrough(spark):
     assert got[1] == (3, "en")
     # 'in' -> i n (2); 'and' -> a n d (3)
     assert got[2] == (5, "de")
+
+
+def test_bfs_depths_min_hop_semantics(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("b", "c"),
+            ("c", "d"),
+            ("d", "e"),
+            ("a", "c"),  # shortcut: c is 1 hop, not 2
+            ("x", "y"),  # disconnected from the seed
+        ],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["v"])
+    from pdf_parser_spark.operators.graph import bfs_depths
+
+    got = {
+        r["v"]: r["depth"]
+        for r in bfs_depths(edges, seeds, max_depth=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_snapshot_retention_precedence_and_weekly(spark):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i - 1))
+        for i in range(1, 22)  # 21 daily snapshots
+    ]
+    df = spark.createDataFrame(rows, ["snap_id", "ts"])
+    from pdf_parser_spark.sources.maintenance import snapshot_retention
+
+    got = {
+        r["snap_id"]: (r["reason"], r["keep"])
+        for r in snapshot_retention(df, keep_last=7).collect()
+    }
+    # newest 7 (15..21) are recent — even where one is also first-of-week
+    for i in range(15, 22):
+        assert got[i] == ("recent", 1), i
+    # among the rest, exactly the first snapshot of each epoch week
+    # survives as 'weekly'; every other older snapshot expires
+    weekly = [i for i in range(1, 15) if got[i][0] == "weekly"]
+    expire = [i for i in range(1, 15) if got[i][0] == "expire"]
+    assert all(got[i][1] == 1 for i in weekly)
+    assert all(got[i][1] == 0 for i in expire)
+    # daily snapshots -> one weekly keeper per 7-day epoch bucket
+    assert 2 <= len(weekly) <= 3
+    assert sorted(weekly + expire) == list(range(1, 15))
+
+
+def test_column_layout_stats_classification(spark):
+    from pdf_parser_spark.sources.layout import column_layout_stats
+
+    n = 400
+    rows = [
+        (
+            i,  # rid: sorted -> delta
+            i % 5,  # low_card: 5 values -> dict
+            (i * 7919) % n if i % 3 else None,  # scattered + nulls -> plain
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "low_card", "scattered"])
+    got = {
+        r["column"]: r
+        for r in column_layout_stats(
+            df,
+            order_cols=["rid"],
+            cols=["rid", "low_card", "scattered"],
+            block_expr=F.expr("rid div 100"),
+        ).collect()
+    }
+    assert got["rid"]["encoding"] == "delta"
+    assert got["rid"]["sorted_frac"] == 1.0
+    assert got["rid"]["ndv"] == n
+    assert got["low_card"]["encoding"] == "dict"
+    assert got["low_card"]["ndv"] == 5
+    assert got["scattered"]["encoding"] == "plain"
+    assert got["scattered"]["n_null"] == len([r for r in rows if r[2] is None])
+
+
+def test_content_address_partition_invariant(spark):
+    from pdf_parser_spark.queries import q_corpus_content_address
+
+    a = {
+        tuple(r)
+        for r in q_corpus_content_address(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # same digest regardless of physical partitioning
+    import pdf_parser_spark.queries as Q
+
+    d = Q.load_table(spark, "/root/testdata/sf0.001", "documents")
+    dig = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    staged = d.repartition(13).select(
+        "source", dig.alias("digest"), F.col("n_chars").cast("long").alias("n_chars")
+    )
+    p = 2305843009213693951
+    b = {
+        tuple(r)
+        for r in staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("bit_xor(digest)").alias("content_xor"),
+            F.pmod(
+                F.sum(F.col("digest").cast("decimal(38,0)")),
+                F.lit(p).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("content_sum"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert a == b
