@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "snapshot_retention_plan",
     "column_layout_stats",
     "corpus_content_address",
+    "session_incident_overlap",
+    "source_kfold_assign",
 ]
 
 

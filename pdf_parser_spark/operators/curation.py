@@ -1575,3 +1575,38 @@ def fim_split(
         .alias("suffix_len"),
         F.when(is_fim, F.md5(psm)).otherwise(F.md5(text)).alias("sample_md5"),
     )
+
+
+def group_kfold(
+    rows: DataFrame,
+    group_col: str,
+    k: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Group-integral k-fold assignment — the cross-validation split
+    that never leaks a group (host, near-dup cluster, author) across
+    folds: every row of a group lands in the SAME fold, and folds are
+    weight-balanced by dealing groups round-robin in descending weight
+    order (the classic LPT-style heuristic, deterministic: ties broken
+    by group key). ``weight_col`` defaults to row count.
+
+    Shape: one map-side-combined groupBy collapses the corpus to one
+    row per GROUP; the ordering window runs over that metadata-scale
+    frame (groups ≪ rows — sources, hosts, clusters), never the corpus;
+    the fold map joins back on the group key (AQE broadcasts it when
+    small). Returns the input plus an int ``fold`` column.
+    """
+    w = (
+        F.sum(F.col(weight_col)).alias("_w")
+        if weight_col
+        else F.count(F.lit(1)).alias("_w")
+    )
+    groups = rows.groupBy(F.col(group_col).alias("_g")).agg(w)
+    order = Window.orderBy(F.desc("_w"), F.asc("_g"))
+    folds = groups.withColumn(
+        "fold",
+        F.pmod(F.row_number().over(order) - 1, F.lit(k)).cast("int"),
+    ).select("_g", "fold")
+    return rows.join(
+        folds, rows[group_col] == folds["_g"]
+    ).drop("_g")

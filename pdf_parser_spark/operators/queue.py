@@ -170,6 +170,7 @@ def cdc_apply(
     seq_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Apply a change-data-capture operation log to produce the current
     table state — the row-level core of a lakehouse MERGE: per key,
@@ -186,11 +187,17 @@ def cdc_apply(
     is. Shape at 100 TB: ONE shuffle on the key for the row_number
     window, then a codegen filter; no joins, no driver state. Columns
     other than key/seq/op pass through from the winning row.
+
+    ``keep_tombstones=True`` keeps the winning DELETE rows in the output
+    — the form an INCREMENTAL apply needs for its carried state (a
+    tombstone must keep beating older updates that arrive late); the
+    default drops them, which is the final-table read view.
     """
     order = [F.desc(c) for c in seq_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (
-        log.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
-        .drop("_rn")
+    winners = log.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
     )
+    if not keep_tombstones:
+        winners = winners.filter(F.col(op_col) != delete_op)
+    return winners.drop("_rn")

@@ -153,3 +153,55 @@ def nearest_event(
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval × interval OVERLAP join: pairs every left interval
+    ``[l_start, l_end)`` with every right interval ``[r_start, r_end)``
+    they strictly overlap, adding an exact ``overlap`` length column —
+    the sibling of ``bucketed_range_join`` for the case where BOTH sides
+    are intervals (session × incident window, validity range × validity
+    range), which a naive engine plans as a nested loop over the whole
+    cross space.
+
+    Equi-join construction: each interval explodes to the ``bin_width``
+    bins it touches (``sequence(start div W, end div W)`` — endpoints in
+    the same integer unit); candidates meet on the bin. A pair touching
+    k common bins would surface k times, so instead of a distinct the
+    join keeps ONLY the bin containing the overlap START
+    (``greatest(l_start, r_start) div W``) — that bin lies inside both
+    intervals' ranges, so every true pair survives exactly once, no
+    dedup shuffle. Fan-out is interval_len/W bins per row: pick W near
+    the typical interval length (cost knob, never correctness).
+
+    True-floor bin arithmetic is exact int64 (the `_floor_bin` DIV
+    form), so boundary intervals can't round across bins at any epoch
+    scale. Column names must already be disjoint between the sides.
+    """
+
+    def bins(s: str, e: str):
+        lo, hi = _floor_bin(s, bin_width), _floor_bin(e, bin_width)
+        return F.sequence(lo.cast("long"), hi.cast("long"))
+
+    l = left.withColumn("_bin", F.explode(bins(l_start, l_end)))
+    r = right.withColumn("_bin", F.explode(bins(r_start, r_end)))
+    ov_start = F.greatest(F.col(l_start), F.col(r_start))
+    ov_end = F.least(F.col(l_end), F.col(r_end))
+    anchor = F.when(
+        ov_start % bin_width < 0,
+        F.expr(f"greatest(`{l_start}`, `{r_start}`) DIV {bin_width}") - 1,
+    ).otherwise(F.expr(f"greatest(`{l_start}`, `{r_start}`) DIV {bin_width}"))
+    return (
+        l.join(r, "_bin")
+        .filter((ov_end > ov_start) & (F.col("_bin") == anchor))
+        .withColumn("overlap", (ov_end - ov_start).cast("long"))
+        .drop("_bin")
+    )

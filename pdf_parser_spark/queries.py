@@ -14512,6 +14512,126 @@ FROM d GROUP BY source
 """
 
 
+def q_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (rangejoin.interval_overlap_join):
+    user sessions (30-min-gap sessionization, half-open [first_event,
+    last_event+1) intervals) against global error-burst incident windows
+    (600-s buckets holding ≥3 error events), emitting the exact overlap
+    seconds per (session, incident) — "how much session time fell inside
+    an incident", the blast-radius join an ops review runs. Both sides
+    explode to 600-s bins and meet on an EQUI-join; each true pair
+    survives exactly once via the overlap-start-bin anchor (no dedup
+    shuffle, no nested loop). The oracle is the ground-truth inequality
+    join."""
+    from pdf_parser_spark.operators import rangejoin
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    staged = e.select("user_id", "event_id", "ts", "event_type", ep.alias("ep"))
+    gap = F.col("ep") - F.lag("ep").over(w)
+    sess = staged.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ep").alias("s_start"), (F.max("ep") + 1).alias("s_end")
+    )
+    inc = (
+        staged.filter(F.col("event_type") == "error")
+        .withColumn("_ib", F.expr("ep DIV 600"))
+        .groupBy("_ib")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 3)
+        .select(
+            (F.col("_ib") * 600).alias("inc_start"),
+            (F.col("_ib") * 600 + 600).alias("inc_end"),
+        )
+    )
+    pairs = rangejoin.interval_overlap_join(
+        iv, inc, "s_start", "s_end", "inc_start", "inc_end", bin_width=600
+    )
+    return pairs.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "inc_start",
+        F.col("overlap").alias("overlap_sec"),
+    )
+
+
+def sql_session_incident_overlap() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ep,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), iv AS (
+  SELECT user_id, session_id, min(ep) AS s_start, max(ep) + 1 AS s_end
+  FROM s GROUP BY 1, 2
+), inc AS (
+  SELECT ib * 600 AS inc_start, ib * 600 + 600 AS inc_end FROM (
+    SELECT ep // 600 AS ib, count(*) AS c FROM e
+    WHERE event_type = 'error' GROUP BY 1 HAVING count(*) >= 3)
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, inc_start,
+       CAST(least(s_end, inc_end) - greatest(s_start, inc_start) AS BIGINT)
+         AS overlap_sec
+FROM iv JOIN inc ON s_start < inc_end AND inc_start < s_end
+"""
+
+
+def q_source_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integral k-fold assignment (curation.group_kfold): every
+    document of a source lands in the same fold (no group leaks across
+    folds — the eval-split discipline GroupKFold encodes), folds
+    char-mass-balanced by dealing sources round-robin in descending
+    weight order. One corpus groupBy to source rows, a metadata-scale
+    ordering window, one broadcastable join back."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    out = curation.group_kfold(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        ),
+        group_col="source",
+        k=5,
+        weight_col="n_chars",
+    )
+    return out.select("doc_id", "source", "fold")
+
+
+def sql_source_kfold_assign() -> str:
+    return """
+WITH g AS (
+  SELECT source AS _g, sum(CAST(n_chars AS BIGINT)) AS w
+  FROM documents GROUP BY 1
+), f AS (
+  SELECT _g,
+         CAST((row_number() OVER (ORDER BY w DESC, _g ASC) - 1) % 5
+              AS INTEGER) AS fold
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, fold
+FROM documents d JOIN f ON d.source = f._g
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -14838,6 +14958,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_retention_plan": q_snapshot_retention_plan,
     "column_layout_stats": q_column_layout_stats,
     "corpus_content_address": q_corpus_content_address,
+    "session_incident_overlap": q_session_incident_overlap,
+    "source_kfold_assign": q_source_kfold_assign,
 }
 
 ORACLES: dict[str, str] = {
@@ -15130,4 +15252,6 @@ ORACLES: dict[str, str] = {
     "snapshot_retention_plan": sql_snapshot_retention_plan(),
     "column_layout_stats": sql_column_layout_stats(),
     "corpus_content_address": sql_corpus_content_address(),
+    "session_incident_overlap": sql_session_incident_overlap(),
+    "source_kfold_assign": sql_source_kfold_assign(),
 }

@@ -1,3 +1,4 @@
+from pdf_parser_spark.streaming.cdc import current_state, stream_cdc_apply
 from pdf_parser_spark.streaming.dedup import (
     admitted_docs,
     kept_events,
@@ -12,6 +13,8 @@ from pdf_parser_spark.streaming.sessionize import latest_totals, stream_sessioni
 from pdf_parser_spark.streaming.windowed import latest_counts, stream_windowed_counts
 
 __all__ = [
+    "stream_cdc_apply",
+    "current_state",
     "stream_extract",
     "stream_sessionize",
     "latest_totals",

@@ -1,0 +1,106 @@
+"""Streaming CDC upsert — the state-maintenance streaming surface: drain a keyed
+change-data-capture feed (Debezium topic, Iceberg changelog export) and
+maintain the CURRENT table state across micro-batches with the batch
+operator's exact semantics (operators/queue.cdc_apply — latest sequence
+wins per key, delete tombstones drop the key).
+
+Incremental correctness: the carried state keeps WINNING TOMBSTONES
+(``keep_tombstones=True``), because latest-wins is only associative over
+batches if a delete keeps beating older updates that arrive in a later
+micro-batch. The public read view (``current_state``) filters them out.
+State per batch is written to a ``batch_id=<id>`` directory (the
+idempotent per-batch sink contract of streaming/ingest.py): a replayed
+micro-batch recomputes from its PREDECESSOR's still-present state and
+overwrites its own directory — effectively-once without a transactional
+store. Readers take the highest committed batch directory.
+
+State size is O(live keys + unexpired tombstones) — the table itself,
+not the log; at deploy time the same per-batch merge is an Iceberg
+MERGE INTO and tombstone expiry is a retention job
+(sources/maintenance.snapshot_retention is the planning twin).
+
+The batch twin is ``cdc_apply`` over the full concatenated log;
+tests/test_streaming.py pins value-for-value equality.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_parser_spark.operators.queue import cdc_apply
+
+CDC_FEED_SCHEMA = (
+    "custkey bigint, ts timestamp, change_id bigint, op string, val double"
+)
+
+
+def _state_dirs(state_root: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(state_root):
+        return []
+    out = []
+    for name in os.listdir(state_root):
+        m = re.fullmatch(r"batch_id=(\d+)", name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(state_root, name)))
+    return sorted(out)
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    key_cols: list[str] | None = None,
+    seq_cols: list[str] | None = None,
+    op_col: str = "op",
+    schema: str = CDC_FEED_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain the available CDC files, maintaining upserted state."""
+    key_cols = key_cols or ["custkey"]
+    seq_cols = seq_cols or ["ts", "change_id"]
+    checkpoint = os.path.join(output_root, "_stream_checkpoint")
+    state_root = os.path.join(output_root, "state")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(input_path)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        prior = [
+            (bid, p) for bid, p in _state_dirs(state_root) if bid < batch_id
+        ]
+        log = batch_df
+        if prior:
+            log = batch_df.sparkSession.read.parquet(prior[-1][1]).unionByName(
+                batch_df
+            )
+        state = cdc_apply(
+            log, key_cols, seq_cols, op_col=op_col, keep_tombstones=True
+        )
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"batch_id={batch_id}")
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def current_state(
+    spark: SparkSession, output_root: str, op_col: str = "op"
+) -> DataFrame:
+    """The live table: latest committed state minus tombstones."""
+    dirs = _state_dirs(os.path.join(output_root, "state"))
+    if not dirs:
+        raise FileNotFoundError(f"no committed state under {output_root}")
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(dirs[-1][1]).filter(F.col(op_col) != "D")

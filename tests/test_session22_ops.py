@@ -284,3 +284,115 @@ def test_content_address_partition_invariant(spark):
         .collect()
     }
     assert a == b
+
+
+def test_interval_overlap_join_exact_once_and_overlaps(spark):
+    from pdf_parser_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("s1", 0, 100),     # spans many bins vs i1 -> must appear ONCE
+            ("s2", 95, 105),    # crosses a bin edge, overlaps i1 and i2
+            ("s3", 200, 210),   # touches i2's end exactly -> NOT an overlap
+            ("s4", 500, 600),   # no incident
+        ],
+        ["sid", "s_start", "s_end"],
+    )
+    right = spark.createDataFrame(
+        [("i1", 90, 100), ("i2", 100, 200)],
+        ["iid", "inc_start", "inc_end"],
+    )
+    got = {
+        (r["sid"], r["iid"]): r["overlap"]
+        for r in interval_overlap_join(
+            left, right, "s_start", "s_end", "inc_start", "inc_end",
+            bin_width=10,
+        ).collect()
+    }
+    assert got == {
+        ("s1", "i1"): 10,
+        ("s2", "i1"): 5,
+        ("s2", "i2"): 5,
+    }
+
+
+def test_interval_overlap_join_negative_coordinates(spark):
+    # true-floor binning: intervals straddling zero still pair exactly once
+    from pdf_parser_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame([("a", -25, 5)], ["lid", "ls", "le"])
+    right = spark.createDataFrame([("b", -10, 30)], ["rid", "rs", "re"])
+    rows = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=10
+    ).collect()
+    assert len(rows) == 1 and rows[0]["overlap"] == 15
+
+
+def test_group_kfold_integrity_and_balance(spark):
+    from pdf_parser_spark.operators.curation import group_kfold
+
+    rows = [(i, f"g{i % 11}", 10 + i % 7) for i in range(400)]
+    df = spark.createDataFrame(rows, ["rid", "grp", "wt"])
+    out = group_kfold(df, "grp", k=3, weight_col="wt").collect()
+    # group integrity: one fold per group
+    folds_per_group = {}
+    for r in out:
+        folds_per_group.setdefault(r["grp"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in folds_per_group.values())
+    # balance: round-robin over 11 groups x 3 folds -> fold weights within
+    # a factor of 2 (deterministic LPT-style deal)
+    wsum = {}
+    for r in out:
+        wsum[r["fold"]] = wsum.get(r["fold"], 0) + r["wt"]
+    assert set(wsum) == {0, 1, 2}
+    assert max(wsum.values()) < 2 * min(wsum.values())
+
+
+def test_stream_cdc_apply_matches_batch_and_keeps_tombstones(spark, tmp_path):
+    import datetime
+
+    from pdf_parser_spark.operators.queue import cdc_apply
+    from pdf_parser_spark.streaming.cdc import current_state, stream_cdc_apply
+
+    inbox = str(tmp_path / "cdc_feed")
+    root = str(tmp_path / "cdc_out")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [
+                (k, t0 + datetime.timedelta(minutes=m), cid, op, v)
+                for k, m, cid, op, v in rows
+            ],
+            "custkey bigint, ts timestamp, change_id bigint, op string, val double",
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    # batch 1: inserts
+    write([(1, 0, 1, "U", 1.0), (2, 0, 2, "U", 2.0), (3, 0, 3, "U", 3.0)])
+    # batch 2: delete key 2, update key 1
+    write([(2, 10, 4, "D", 0.0), (1, 10, 5, "U", 1.5)])
+    # batch 3: LATE update for key 2, OLDER than its tombstone -> stays dead
+    write([(2, 5, 6, "U", 9.9), (4, 20, 7, "U", 4.0)])
+
+    stream_cdc_apply(spark, inbox, root, max_files_per_trigger=1)
+    got = {
+        r["custkey"]: (r["change_id"], r["val"])
+        for r in current_state(spark, root).collect()
+    }
+    assert got == {1: (5, 1.5), 3: (3, 3.0), 4: (7, 4.0)}  # key 2 stays dead
+
+    # value-for-value equality with the batch operator over the full log
+    full = spark.read.parquet(inbox)
+    batch = {
+        r["custkey"]: (r["change_id"], r["val"])
+        for r in cdc_apply(
+            full, ["custkey"], ["ts", "change_id"]
+        ).collect()
+    }
+    assert got == batch
+
+    # second drain with one more batch resumes from checkpointed state
+    write([(3, 30, 8, "D", 0.0)])
+    stream_cdc_apply(spark, inbox, root, max_files_per_trigger=1)
+    got2 = {r["custkey"] for r in current_state(spark, root).collect()}
+    assert got2 == {1, 4}
