@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "corpus_content_address",
     "session_incident_overlap",
     "source_kfold_assign",
+    "semantic_dup_degree",
+    "bpe_pack_sequences",
+    "scan_pruning_stats",
 ]
 
 

@@ -1727,3 +1727,56 @@ def tfidf_hash_embedding(
     ).select(
         id_col, F.col("_r.pdim").alias("pdim"), F.col("_r.value").alias("value")
     )
+
+
+def semantic_dup_degree(
+    docs: DataFrame,
+    out_dims: int = 16,
+    bucket_dims: int = 4,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Model-free semantic near-duplicate DEGREE per document, end to
+    end from raw text in one plan: feature-hashed TF-IDF embeddings
+    (``tfidf_hash_embedding`` — no vocabulary index, no model) →
+    sign-LSH bucketed cosine pairs (``dedup.embedding_near_dups`` —
+    equi-join on the sign bucket, never a cross product) → symmetrized
+    per-doc rollup. The output (id, n_sem_dups, max_cosine) is the
+    curation signal "how many semantic twins does this doc have", the
+    text-only stand-in for SemDeDup when no encoder has run yet —
+    degree, not raw pairs, so the result stays O(corpus), not O(pairs).
+
+    Shuffle budget: the embedding's two map-side-combined groupBys +
+    idf join, ONE doc-keyed groupBy assembling the vector (collect_list
+    sorted by dimension index), the bucket equi-join, and ONE final
+    degree groupBy. No driver actions anywhere.
+    """
+    from pdf_parser_spark.operators.dedup import embedding_near_dups
+
+    embl = tfidf_hash_embedding(
+        docs,
+        out_dims=out_dims,
+        id_col=id_col,
+        text_col=text_col,
+        portable=portable,
+    )
+    vecs = embl.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pdim", "value"))),
+            lambda s: s["value"],
+        ).alias("embedding")
+    )
+    pairs = embedding_near_dups(
+        vecs.select(F.col(id_col).alias("vec_id"), "embedding"),
+        threshold=threshold,
+        bucket_dims=bucket_dims,
+    )
+    sym = pairs.select(F.col("a").alias("_d"), "cosine").unionByName(
+        pairs.select(F.col("b").alias("_d"), "cosine")
+    )
+    return sym.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sem_dups"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    ).select(F.col("_d").alias(id_col), "n_sem_dups", "max_cosine")

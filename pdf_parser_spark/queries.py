@@ -14632,6 +14632,213 @@ FROM documents d JOIN f ON d.source = f._g
 """
 
 
+def q_semantic_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-only semantic near-dup degree (similarity.semantic_dup_degree):
+    feature-hashed 12-dim TF-IDF embeddings (portable md5 signs) →
+    sign-LSH bucket equi-join → exact in-bucket cosine ≥ 0.95 →
+    symmetrized per-doc neighbor count + max cosine, ONE plan from raw
+    text with no model and no cross product. Degree, not raw pairs, so
+    the output stays O(corpus). The oracle replays the full integer
+    embedding algebra and the identical bucket join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # out_dims must NOT be a perfect square: p = round(s/1e6/sqrt(k), 6)
+    # with rational sqrt(k) (e.g. 4) puts s ≡ 2 (mod 4) values on EXACT
+    # .5e-6 decimal ties, where Spark's round (decimal-string HALF_UP)
+    # and DuckDB's (binary-value) disagree; an irrational sqrt(k) makes
+    # exact ties impossible (measured: k=16 flipped 1 element per ~8k)
+    return similarity.semantic_dup_degree(
+        d, out_dims=12, bucket_dims=4, threshold=0.95, portable=True
+    )
+
+
+def sql_semantic_dup_degree(k: int = 12) -> str:
+    sgn = (
+        "(1 - 2 * (('0x' || substr(md5(w || '#{j}'), 1, 15))::BIGINT % 2))"
+    )
+    cols = ", ".join(
+        f"round(CAST(sum(m * {sgn.format(j=j)}) AS DOUBLE) / 1e6"
+        f" / sqrt({k}.0), 6) AS p{j}"
+        for j in range(k)
+    )
+    bucket = " || ".join(
+        f"CASE WHEN p{i} >= 0 THEN '1' ELSE '0' END" for i in range(4)
+    )
+    # dot/norms as explicit LEFT-ASSOCIATED chains over the named columns:
+    # bit-identical to Spark's F.aggregate left fold — list_dot_product may
+    # reduce in a different order (FMA/pairwise) and flip the last ulp,
+    # which flips round(...,6) at a boundary (caught at sf0.001/sf0.1)
+    dot = " + ".join(f"a.p{j} * b.p{j}" for j in range(k))
+    na = " + ".join(f"a.p{j} * a.p{j}" for j in range(k))
+    nb = " + ".join(f"b.p{j} * b.p{j}" for j in range(k))
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS ws
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM d
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dft AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM d
+), idf AS (
+  SELECT w, CAST(round((n.n - CAST(df AS DOUBLE) + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5) * 1e6) AS BIGINT) AS idfq
+  FROM dft CROSS JOIN n
+), weighted AS (
+  SELECT tf.doc_id, tf.w, tf.tf * idf.idfq AS m
+  FROM tf JOIN idf ON tf.w = idf.w
+), wide AS (
+  SELECT doc_id, {cols} FROM weighted GROUP BY doc_id
+), e AS (
+  SELECT *, {bucket} AS bucket FROM wide
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         ({dot}) / (sqrt({na}) * sqrt({nb})) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE ({dot}) / (sqrt({na}) * sqrt({nb})) >= 0.95
+), sym AS (
+  SELECT a AS d, cosine FROM pairs
+  UNION ALL SELECT b AS d, cosine FROM pairs
+)
+SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_sem_dups,
+       round(max(cosine), 6) AS max_cosine
+FROM sym GROUP BY d
+"""
+
+
+def q_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing, ONE plan: encode the corpus
+    with the fixed 8-merge BPE table (textqc.bpe_encode — map-only
+    codegen, lang riding the same scan via keep=) and pack by the TRUE
+    post-merge token counts into 512-token training bins
+    (curation.pack_sequences, per-lang cumsum window) — the step where
+    a real loader's budget arithmetic must use tokenizer counts, not
+    the whitespace estimate the plain pack_sequences query bins by.
+    One scan + ONE stratum-window shuffle."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    from pdf_parser_spark.operators import curation
+
+    enc = textqc.bpe_encode(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"),
+        merges=_BPE_APPLY_MERGES,
+        keep=("lang",),
+    )
+    return curation.pack_sequences(
+        enc,
+        budget=512,
+        token_col=F.col("n_tokens"),
+        stratum_col="lang",
+        id_col="doc_id",
+    )
+
+
+def sql_bpe_pack_sequences() -> str:
+    enc = "s"
+    for a, b in _BPE_APPLY_MERGES:
+        enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+    ' ' || array_to_string(list_transform(
+        list_filter(string_split(text, ' '), x -> length(x) > 0),
+        w -> array_to_string(string_split(w, ''), ' ')),
+      ' ' || chr(30) || ' ') || ' ' AS s
+  FROM documents
+), t AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(string_split(trim({enc}), ' '),
+         x -> x <> chr(30) AND x <> '')) AS BIGINT) AS n_tokens
+  FROM w
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+FROM t
+"""
+
+
+_PRUNE_PROBES = [
+    f"{y}-{m:02d}-01 00:00:00" for y in range(1995, 2001) for m in (4, 10)
+]
+
+
+def q_scan_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-pruning simulation (sources.layout.file_stats_pruning):
+    per-file [min, max] l_shipdate statistics under TWO layouts — the
+    natural insert order (1000-orderkey blocks as files) and a
+    shipdate-clustered layout (ntile(60) over the total shipdate order;
+    at deploy scale layout.write_clustered's repartitionByRange does
+    this assignment distributed) — probed with 12 point dates. The
+    scattered layout leaves nearly every file a candidate; the
+    clustered one skips all but ~1 — the measured argument for
+    clustering 100 TB tables, as a query. Stats frames are
+    metadata-scale; the probe fan-out is tiny by construction."""
+    from pdf_parser_spark.sources import layout as slayout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    natural = li.groupBy(
+        F.expr("l_orderkey div 1000").alias("file_id")
+    ).agg(
+        F.min("l_shipdate").alias("min_k"), F.max("l_shipdate").alias("max_k")
+    )
+    order = Window.orderBy(
+        "l_shipdate", *[c for c in _LAYOUT_ORDER if c != "l_shipdate"]
+    )
+    clustered = (
+        li.withColumn("file_id", F.ntile(60).over(order))
+        .groupBy("file_id")
+        .agg(
+            F.min("l_shipdate").alias("min_k"),
+            F.max("l_shipdate").alias("max_k"),
+        )
+    )
+    out_n = slayout.file_stats_pruning(natural, _PRUNE_PROBES).withColumn(
+        "layout", F.lit("natural")
+    )
+    out_c = slayout.file_stats_pruning(clustered, _PRUNE_PROBES).withColumn(
+        "layout", F.lit("shipdate_clustered")
+    )
+    return out_n.unionByName(out_c).select(
+        "layout", "probe", "n_files", "n_candidates", "skip_rate"
+    )
+
+
+def sql_scan_pruning_stats() -> str:
+    probes = ", ".join(f"TIMESTAMP '{p}'" for p in _PRUNE_PROBES)
+    order_by = ", ".join(
+        ["l_shipdate"] + [c for c in _LAYOUT_ORDER if c != "l_shipdate"]
+    )
+    return f"""
+WITH nat AS (
+  SELECT l_orderkey // 1000 AS file_id,
+         min(l_shipdate) AS min_k, max(l_shipdate) AS max_k
+  FROM lineitem GROUP BY 1
+), clu AS (
+  SELECT file_id, min(l_shipdate) AS min_k, max(l_shipdate) AS max_k
+  FROM (SELECT l_shipdate,
+               ntile(60) OVER (ORDER BY {order_by}) AS file_id
+        FROM lineitem)
+  GROUP BY 1
+), files AS (
+  SELECT 'natural' AS layout, min_k, max_k FROM nat
+  UNION ALL SELECT 'shipdate_clustered', min_k, max_k FROM clu
+), probed AS (
+  SELECT layout, min_k, max_k, unnest([{probes}]) AS probe FROM files
+)
+SELECT layout, probe, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN min_k <= probe AND probe <= max_k
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       round(1.0 - CAST(sum(CASE WHEN min_k <= probe AND probe <= max_k
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS skip_rate
+FROM probed GROUP BY layout, probe
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -14960,6 +15167,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_content_address": q_corpus_content_address,
     "session_incident_overlap": q_session_incident_overlap,
     "source_kfold_assign": q_source_kfold_assign,
+    "semantic_dup_degree": q_semantic_dup_degree,
+    "bpe_pack_sequences": q_bpe_pack_sequences,
+    "scan_pruning_stats": q_scan_pruning_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -15254,4 +15464,7 @@ ORACLES: dict[str, str] = {
     "corpus_content_address": sql_corpus_content_address(),
     "session_incident_overlap": sql_session_incident_overlap(),
     "source_kfold_assign": sql_source_kfold_assign(),
+    "semantic_dup_degree": sql_semantic_dup_degree(),
+    "bpe_pack_sequences": sql_bpe_pack_sequences(),
+    "scan_pruning_stats": sql_scan_pruning_stats(),
 }

@@ -228,3 +228,45 @@ def column_layout_stats(
         .otherwise(F.lit("plain"))
         .alias("encoding"),
     )
+
+
+def file_stats_pruning(files: DataFrame, probes: list) -> DataFrame:
+    """Given per-file [min, max] key statistics (one row per file — the
+    parquet footer / Iceberg manifest view of a table), report for each
+    probe value how many files a point predicate must actually read:
+    a file is a CANDIDATE iff ``min_k <= probe <= max_k``; every other
+    file is skipped on stats alone. This is the footer-pruning
+    simulation that quantifies what a clustered layout buys BEFORE
+    rewriting a table (write_clustered / write_zordered are the writers
+    whose effect it predicts).
+
+    The stats frame is metadata-scale, so the probe fan-out
+    (``files × len(probes)``) and the rollup are deliberately tiny;
+    returns (probe, n_files, n_candidates, skip_rate).
+    """
+    probed = files.select(
+        "*",
+        F.explode(F.array(*[F.lit(p).cast("timestamp") for p in probes])).alias(
+            "probe"
+        ),
+    )
+    return probed.groupBy("probe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(
+            F.when(
+                (F.col("min_k") <= F.col("probe"))
+                & (F.col("probe") <= F.col("max_k")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_candidates"),
+    ).withColumn(
+        "skip_rate",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_candidates").cast("double")
+            / F.col("n_files").cast("double"),
+            6,
+        ),
+    )

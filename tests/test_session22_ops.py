@@ -396,3 +396,63 @@ def test_stream_cdc_apply_matches_batch_and_keeps_tombstones(spark, tmp_path):
     stream_cdc_apply(spark, inbox, root, max_files_per_trigger=1)
     got2 = {r["custkey"] for r in current_state(spark, root).collect()}
     assert got2 == {1, 4}
+
+
+def test_semantic_dup_degree_finds_exact_twin(spark):
+    from pdf_parser_spark.operators.similarity import semantic_dup_degree
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact twin
+        (3, "completely unrelated text about spark shuffles and parquet"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_sem_dups"], r["max_cosine"])
+        for r in semantic_dup_degree(
+            df, out_dims=12, threshold=0.95, portable=True
+        ).collect()
+    }
+    assert got.get(1) == (1, 1.0)
+    assert got.get(2) == (1, 1.0)
+    assert 3 not in got
+
+
+def test_file_stats_pruning_hand_case(spark):
+    import datetime
+
+    from pdf_parser_spark.sources.layout import file_stats_pruning
+
+    d = datetime.datetime
+    files = spark.createDataFrame(
+        [
+            (1, d(2020, 1, 1), d(2020, 6, 30)),
+            (2, d(2020, 7, 1), d(2020, 12, 31)),
+            (3, d(2020, 1, 1), d(2020, 12, 31)),  # wide file: never skipped
+        ],
+        ["file_id", "min_k", "max_k"],
+    )
+    got = {
+        r["probe"]: (r["n_candidates"], r["skip_rate"])
+        for r in file_stats_pruning(
+            files, ["2020-03-01 00:00:00", "2020-09-01 00:00:00",
+                    "2021-03-01 00:00:00"]
+        ).collect()
+    }
+    assert got[d(2020, 3, 1)] == (2, round(1 - 2 / 3, 6))
+    assert got[d(2020, 9, 1)] == (2, round(1 - 2 / 3, 6))
+    assert got[d(2021, 3, 1)] == (0, 1.0)
+
+
+def test_bpe_pack_bins_monotone_per_lang(spark):
+    from pdf_parser_spark.queries import q_bpe_pack_sequences
+
+    rows = q_bpe_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["bin"]))
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        bins = [b for _, b in pairs]
+        assert bins == sorted(bins), lang  # bins non-decreasing in id order
+        assert bins[0] == 0
