@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     "semantic_dup_degree",
     "bpe_pack_sequences",
     "scan_pruning_stats",
+    "session_paths",
+    "homoglyph_spoof_pairs",
+    "daily_novelty_rate",
 ]
 
 

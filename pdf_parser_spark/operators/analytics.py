@@ -3131,3 +3131,60 @@ def changepoint_split(
             F.round(F.col("_mr") / float(scale), 6).alias("mean_right"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k session PATHS — sequence mining lite: sessionize (30-min
+    gap), serialize each session's ordered event types into a '>'-joined
+    path string, count paths corpus-wide, keep the k most common (ties
+    broken by path). Where the funnel operator answers "how many reach
+    step 3", this answers "what do journeys actually look like" — the
+    exploratory twin every product-analytics store ships (e.g. BigQuery
+    path analysis recipes; public shape).
+
+    Shape: ONE user-keyed window shuffle builds session ids; the path
+    serialization is a per-(user, session) collect_list whose order is
+    made deterministic by sorting (ts, id, type) structs INSIDE the
+    aggregate (array_sort on the collected structs — no second window);
+    the path count is a map-side-combined groupBy; top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    staged = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_i"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+        ep.alias("_ep"),
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_i")
+    gap = F.col("_ep") - F.lag("_ep").over(w)
+    sess = staged.withColumn(
+        "_ns", F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    ).withColumn(
+        "_sid",
+        F.sum("_ns").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("_u", "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ep", "_i", "_t"))),
+                lambda s: s["_t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)

@@ -1961,3 +1961,51 @@ def drop_consecutive_dups(
         .where(F.col("_prev").isNull() | ~cur.eqNullSafe(F.col("_prev")))
         .drop("_prev")
     )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    day_col: str = "day",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-day corpus NOVELTY rate — the crawl-health curve every
+    continuous ingestion dashboard plots: of the documents that arrived
+    on day d, how many carry a content digest never seen on ANY earlier
+    day? A decaying novelty rate says the crawl is re-fetching itself;
+    a cliff says a source went dark.
+
+    Exact, two map-side-combined aggregations and nothing else: digests
+    collapse to (digest, first_day=min(day), n_first_day docs) in one
+    groupBy, then per-day totals and first-seen counts meet in a second
+    groupBy on day. The full-corpus scan happens ONCE; no self-join of
+    days against history (the naive formulation is O(days) scans).
+
+    Returns (day, n_docs, n_new, novelty_rate) where n_new counts docs
+    whose digest's global first day is that day (ALL copies arriving on
+    the first day count as new — they were all novel when they landed).
+    """
+    staged = docs.select(
+        F.col(day_col).alias("_day"), content_digest(F.col(text_col)).alias("_dg")
+    )
+    per_digest_day = staged.groupBy("_dg", "_day").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    wmin = Window.partitionBy("_dg")
+    flagged = per_digest_day.withColumn(
+        "_first", F.min("_day").over(wmin)
+    )
+    return (
+        flagged.groupBy(F.col("_day").alias(day_col))
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.sum(F.when(F.col("_day") == F.col("_first"), F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_docs").cast("double"), 6
+            ),
+        )
+    )

@@ -14839,6 +14839,163 @@ FROM probed GROUP BY layout, probe
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (analytics.session_paths): sessionize the
+    event stream (30-min gap), serialize each session's ordered event
+    types into a '>'-joined path, count corpus-wide, keep the 20 most
+    common — "what do journeys actually look like", the exploratory twin
+    of the funnel. ONE user-window shuffle; in-aggregate array_sort
+    makes the serialization order deterministic without a second
+    window; top-k is TakeOrderedAndProject, never a global sort."""
+    e = load_table(spark, sf_dir, "events")
+    return analytics.session_paths(e, gap_sec=1800, k=20)
+
+
+def sql_session_paths() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, event_type, ep,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ep, event_id, event_type)
+           AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+
+def q_homoglyph_spoof_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN homograph spoof detection (textqc.homoglyph_skeleton): hosts
+    are reduced to their Unicode-TR#39-style confusable skeleton
+    (Cyrillic/Greek look-alikes → Basic Latin, one codegen translate);
+    hosts sharing a skeleton but differing raw are spoof pairs — the
+    phishing-infra screen a crawl frontier runs before trusting a
+    domain. Spoofed variants are synthesized in Catalyst on md5-gated
+    doc classes (the corpus hosts are clean ASCII), so every confusable
+    class is exercised. One host rollup + a skeleton self-join over the
+    HOST table (metadata-scale), never over docs."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.concat(did.cast("string"), F.lit("#hg"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    base = F.concat(F.lit("site"), (did % 20).cast("string"), F.lit(".example"))
+    cls = F.pmod(h, F.lit(4))
+    raw = (
+        F.when(cls == 1, F.translate(base, "e", "е"))
+        .when(cls == 2, F.translate(base, "i", "і"))
+        .when(cls == 3, F.translate(base, "s", "ѕ"))
+        .otherwise(base)
+    )
+    hosts = (
+        d.select(raw.alias("raw_host"))
+        .groupBy("raw_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("skeleton", textqc.homoglyph_skeleton(F.col("raw_host")))
+    )
+    a = hosts.select(
+        F.col("skeleton"),
+        F.col("raw_host").alias("raw_a"),
+        F.col("n_docs").alias("docs_a"),
+    )
+    b = hosts.select(
+        F.col("skeleton"),
+        F.col("raw_host").alias("raw_b"),
+        F.col("n_docs").alias("docs_b"),
+    )
+    return a.join(b, "skeleton").filter(F.col("raw_a") < F.col("raw_b")).select(
+        "skeleton", "raw_a", "raw_b", "docs_a", "docs_b"
+    )
+
+
+def sql_homoglyph_spoof_pairs() -> str:
+    trans = "lower(translate(raw_host, 'аеорсхѕіοΑА', 'aeopcxsioAA'))"
+    return f"""
+WITH cls AS (
+  SELECT ('0x' || substr(md5(doc_id || '#hg'), 1, 15))::BIGINT % 4 AS c,
+         'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+           || '.example' AS base
+  FROM documents
+), raws AS (
+  SELECT CASE WHEN c = 1 THEN translate(base, 'e', 'е')
+              WHEN c = 2 THEN translate(base, 'i', 'і')
+              WHEN c = 3 THEN translate(base, 's', 'ѕ')
+              ELSE base END AS raw_host
+  FROM cls
+), hosts AS (
+  SELECT raw_host, CAST(count(*) AS BIGINT) AS n_docs,
+         {trans} AS skeleton
+  FROM raws GROUP BY raw_host
+)
+SELECT a.skeleton, a.raw_host AS raw_a, b.raw_host AS raw_b,
+       a.n_docs AS docs_a, b.n_docs AS docs_b
+FROM hosts a JOIN hosts b
+  ON a.skeleton = b.skeleton AND a.raw_host < b.raw_host
+"""
+
+
+def q_daily_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day crawl novelty curve (dedup.novelty_curve): fraction of
+    each day's documents whose content digest was never seen on an
+    earlier day — the re-fetch-rate dashboard a continuous crawl reads.
+    Arrival days are md5-derived (docs carry no timestamp); the corpus
+    is scanned ONCE: digest×day partial agg, a digest-partition min
+    window over that AGGREGATE (not the corpus), one day rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    day = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#day"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(30),
+    ).cast("int")
+    return dedup.novelty_curve(d.select(day.alias("day"), "text"))
+
+
+def sql_daily_novelty_rate() -> str:
+    digest = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+WITH staged AS (
+  SELECT CAST(('0x' || substr(md5(doc_id || '#day'), 1, 15))::BIGINT % 30
+              AS INTEGER) AS day,
+         {digest} AS dg
+  FROM documents
+), pdd AS (
+  SELECT dg, day, CAST(count(*) AS BIGINT) AS n
+  FROM staged GROUP BY 1, 2
+), flagged AS (
+  SELECT *, min(day) OVER (PARTITION BY dg) AS first_day FROM pdd
+)
+SELECT day, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN day = first_day THEN n ELSE 0 END) AS BIGINT)
+         AS n_new,
+       round(CAST(sum(CASE WHEN day = first_day THEN n ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS novelty_rate
+FROM flagged GROUP BY day
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -15170,6 +15327,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dup_degree": q_semantic_dup_degree,
     "bpe_pack_sequences": q_bpe_pack_sequences,
     "scan_pruning_stats": q_scan_pruning_stats,
+    "session_paths": q_session_paths,
+    "homoglyph_spoof_pairs": q_homoglyph_spoof_pairs,
+    "daily_novelty_rate": q_daily_novelty_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -15467,4 +15627,7 @@ ORACLES: dict[str, str] = {
     "semantic_dup_degree": sql_semantic_dup_degree(),
     "bpe_pack_sequences": sql_bpe_pack_sequences(),
     "scan_pruning_stats": sql_scan_pruning_stats(),
+    "session_paths": sql_session_paths(),
+    "homoglyph_spoof_pairs": sql_homoglyph_spoof_pairs(),
+    "daily_novelty_rate": sql_daily_novelty_rate(),
 }

@@ -1184,3 +1184,68 @@ def test_mann_kendall_no_cartesian(spark):
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fim_spans_zero_shuffle_codegen(spark):
+    # FIM construction is pure map-side codegen over one scan: the only
+    # Exchange allowed is the test-parquet _spread repartition
+    df = QUERIES["fim_spans"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") <= 1  # the _spread repartition only
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in fmt
+
+
+def test_compaction_plan_single_shuffle(spark):
+    # window + per-group rollup share ONE partition-key shuffle
+    df = QUERIES["compaction_plan"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 1
+    fmt = _formatted(df)
+    # manifest columns only
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in fmt
+
+
+def test_cdc_apply_single_shuffle_windowgrouplimit(spark):
+    # latest-wins rn=1 plans as WindowGroupLimit (top-1 per key kept
+    # map-side) around a single key shuffle
+    df = QUERIES["cdc_apply_log"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    df = QUERIES["session_incident_overlap"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dup_degree_no_cartesian(spark):
+    import re
+
+    df = QUERIES["semantic_dup_degree"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the deliberate 1-row
+    # broadcasts (corpus count N inside tfidf_hash_embedding) — every
+    # one must be the BuildRight Cross of a singleton, never a pair join
+    for m in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "BuildRight, Cross" in m
+    # the candidate-pair join is the sign-bucket EQUI-join
+    assert "Join [bucket" in plan
+    # everything stays JVM-side: no Python eval anywhere in the plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_group_kfold_metadata_window_only(spark):
+    # the ordering window runs over the per-group aggregate (20 sources),
+    # never the corpus: the window's input must be an aggregate node
+    df = QUERIES["source_kfold_assign"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    w = plan.find("Window")
+    assert w >= 0
+    # below the window (printed after it) sits the group aggregate
+    assert "HashAggregate" in plan[w:]

@@ -456,3 +456,70 @@ def test_bpe_pack_bins_monotone_per_lang(spark):
         bins = [b for _, b in pairs]
         assert bins == sorted(bins), lang  # bins non-decreasing in id order
         assert bins[0] == 0
+
+
+def test_session_paths_hand_case(spark):
+    import datetime
+
+    from pdf_parser_spark.operators.analytics import session_paths
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, minutes, typ):
+        return (i, user, t0 + datetime.timedelta(minutes=minutes), typ)
+
+    rows = [
+        # user 1, one session: view > click > purchase
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 10, "purchase"),
+        # user 1, second session after 31+ min gap: view
+        ev(4, 1, 60, "view"),
+        # user 2: view > click > purchase (same path as user 1's first)
+        ev(5, 2, 0, "view"), ev(6, 2, 1, "click"), ev(7, 2, 2, "purchase"),
+        # user 3: lone view
+        ev(8, 3, 0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(df, gap_sec=1800, k=10).collect()
+    }
+    assert got == {"view>click>purchase": 2, "view": 2}
+
+
+def test_homoglyph_skeleton_collapses_confusables(spark):
+    from pdf_parser_spark.operators.textqc import homoglyph_skeleton
+
+    df = spark.createDataFrame(
+        [("раypаl.com",), ("paypal.com",), ("PayPal.com",)],
+        ["host"],
+    )
+    got = [
+        r["sk"]
+        for r in df.select(homoglyph_skeleton(F.col("host")).alias("sk")).collect()
+    ]
+    assert got == ["paypal.com", "paypal.com", "paypal.com"]
+
+
+def test_novelty_curve_first_day_semantics(spark):
+    from pdf_parser_spark.operators.dedup import novelty_curve
+
+    rows = [
+        # digest A: two copies day 0 (both new), one on day 1 (not new)
+        (0, "alpha text"), (0, "alpha  TEXT"), (1, "alpha text"),
+        # digest B: first on day 1
+        (1, "beta text"),
+        # digest C: only day 2
+        (2, "gamma text"),
+    ]
+    df = spark.createDataFrame(rows, ["day", "text"])
+    got = {
+        r["day"]: (r["n_docs"], r["n_new"], r["novelty_rate"])
+        for r in novelty_curve(df).collect()
+    }
+    assert got == {
+        0: (2, 2, 1.0),
+        1: (2, 1, 0.5),
+        2: (1, 1, 1.0),
+    }
