@@ -1,0 +1,166 @@
+"""Fuzz pins for the session-22 operators — seeded random inputs compared
+against slow, obviously-correct Python replays in ONE Spark job each (the
+test_fuzz_round3_ops convention: hypothesis-per-example Spark actions
+would cost minutes; a seeded few-hundred-row input exercises the same
+branch space)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+UNICODE_WORDS = [
+    "alpha", "beta", "", " ", "é", "é", "가", "😀", "x y", "tab\tsep",
+    "longer fragment with several words", "ḍ̇", "ö́",
+]
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_fim_split_fuzz_vs_python_replay(spark):
+    from pdf_parser_spark.operators.curation import fim_split
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        text = "".join(
+            rng.choice(UNICODE_WORDS) for _ in range(rng.randint(0, 8))
+        )
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["is_fim"], r["prefix_len"], r["middle_len"], r["suffix_len"],
+            r["sample_md5"],
+        )
+        for r in fim_split(df).collect()
+    }
+    for doc_id, text in rows:
+        n = len(text)
+        if _h(f"{doc_id}:fim") % 100 < 90:
+            p1 = _h(f"{doc_id}:p1") % (n + 1)
+            p2 = _h(f"{doc_id}:p2") % (n + 1)
+            lo, hi = min(p1, p2), max(p1, p2)
+            psm = f"<PRE>{text[:lo]}<SUF>{text[hi:]}<MID>{text[lo:hi]}"
+            want = (1, lo, hi - lo, n - hi,
+                    hashlib.md5(psm.encode()).hexdigest())
+        else:
+            want = (0, n, 0, 0, hashlib.md5(text.encode()).hexdigest())
+        assert got[doc_id] == want, (doc_id, repr(text))
+
+
+def test_interval_overlap_join_fuzz_vs_bruteforce(spark):
+    from pdf_parser_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(7)
+    left, right = [], []
+    for i in range(120):
+        s = rng.randint(-500, 500)
+        left.append((f"L{i}", s, s + rng.randint(1, 200)))
+    for j in range(60):
+        s = rng.randint(-500, 500)
+        right.append((f"R{j}", s, s + rng.randint(1, 300)))
+    ldf = spark.createDataFrame(left, ["lid", "ls", "le"])
+    rdf = spark.createDataFrame(right, ["rid", "rs", "re"])
+    for w in (7, 64, 1000):  # window smaller, comparable, larger than spans
+        got = {
+            (r["lid"], r["rid"]): r["overlap"]
+            for r in interval_overlap_join(
+                ldf, rdf, "ls", "le", "rs", "re", bin_width=w
+            ).collect()
+        }
+        want = {}
+        for lid, ls, le in left:
+            for rid, rs, re_ in right:
+                ov = min(le, re_) - max(ls, rs)
+                if ov > 0:
+                    want[(lid, rid)] = ov
+        assert got == want, f"bin_width={w}"
+
+
+def test_cdc_apply_fuzz_vs_python_replay(spark):
+    from pdf_parser_spark.operators.queue import cdc_apply
+
+    rng = random.Random(11)
+    rows = []
+    cid = 0
+    for _ in range(400):
+        cid += 1
+        rows.append((
+            rng.randint(1, 40),                      # key
+            rng.randint(0, 20),                      # ts (many ties)
+            cid,                                     # unique change id
+            "D" if rng.random() < 0.25 else "U",
+            float(rng.randint(0, 999)),
+        ))
+    df = spark.createDataFrame(rows, ["k", "ts", "change_id", "op", "v"])
+    got = {
+        r["k"]: (r["ts"], r["change_id"], r["op"], r["v"])
+        for r in cdc_apply(
+            df, ["k"], ["ts", "change_id"], keep_tombstones=False
+        ).collect()
+    }
+    winners = {}
+    for k, ts, c, op, v in rows:
+        if k not in winners or (ts, c) > (winners[k][0], winners[k][1]):
+            winners[k] = (ts, c, op, v)
+    want = {
+        k: (ts, c, op, v)
+        for k, (ts, c, op, v) in winners.items()
+        if op != "D"
+    }
+    assert got == want
+
+
+def test_compaction_plan_fuzz_vs_python_replay(spark):
+    from pdf_parser_spark.sources.maintenance import compaction_plan
+
+    rng = random.Random(3)
+    rows = [
+        (f"p{rng.randint(0, 4)}", i, rng.randint(1, 5000))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["part", "file_id", "bytes"])
+    target = 8000
+    got = {
+        (r["part"], r["grp"]): (r["n_files"], r["group_bytes"],
+                                r["first_file"], r["last_file"])
+        for r in compaction_plan(df, target_bytes=target).collect()
+    }
+    groups = {}
+    by_part = {}
+    for part, fid, b in rows:
+        by_part.setdefault(part, []).append((fid, b))
+    for part, files in by_part.items():
+        off = 0
+        for fid, b in sorted(files):
+            grp = off // target
+            key = (part, grp)
+            n, tot, lo, hi = groups.get(key, (0, 0, fid, fid))
+            groups[key] = (n + 1, tot + b, min(lo, fid), max(hi, fid))
+            off += b
+    assert got == groups
+
+
+def test_group_kfold_fuzz_vs_python_replay(spark):
+    from pdf_parser_spark.operators.curation import group_kfold
+
+    rng = random.Random(5)
+    rows = [
+        (i, f"g{rng.randint(0, 17)}", rng.randint(1, 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "grp", "wt"])
+    k = 4
+    got = {r["rid"]: r["fold"] for r in group_kfold(df, "grp", k=k, weight_col="wt").collect()}
+    weights = {}
+    for _, g, w in rows:
+        weights[g] = weights.get(g, 0) + w
+    order = sorted(weights, key=lambda g: (-weights[g], g))
+    fold_of = {g: i % k for i, g in enumerate(order)}
+    for rid, g, _ in rows:
+        assert got[rid] == fold_of[g], (rid, g)
