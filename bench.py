@@ -287,6 +287,9 @@ BENCH_QUERIES = [
     "session_paths",
     "homoglyph_spoof_pairs",
     "daily_novelty_rate",
+    "kmv_source_overlap",
+    "weak_label_vote",
+    "trending_terms",
 ]
 
 

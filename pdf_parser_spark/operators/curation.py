@@ -1610,3 +1610,65 @@ def group_kfold(
     return rows.join(
         folds, rows[group_col] == folds["_g"]
     ).drop("_g")
+
+
+def weak_label_stats(
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    labeler_col: str = "labeler",
+    label_col: str = "label",
+    truth_col: str | None = None,
+) -> DataFrame:
+    """Weak-supervision label aggregation (the majority-vote core of
+    Snorkel-style programmatic labeling, public idea): N noisy labeling
+    functions each label every item; per item the PLURALITY label wins
+    (ties broken by label value, pinned); per labeling function the
+    output reports how often it agrees with the consensus — the signal
+    that flags a broken labeler before anything trains on its votes.
+    With ``truth_col`` (a gold subset) it also reports agreement with
+    truth.
+
+    Shape: one (item, label) vote groupBy + a WindowGroupLimit argmax
+    picks the consensus; joining consensus back to the long label frame
+    reuses the item key; the per-labeler rollup is map-side-combined.
+    Items and labels never leave relational form — no pivot to a dense
+    matrix, so 10^12 items × K labelers stays a long skinny table.
+
+    Returns one row per labeler: (labeler, n_items, majority_agree,
+    truth_agree?) with rates rounded to 6.
+    """
+    votes = labels.groupBy(
+        F.col(id_col).alias("_i"), F.col(label_col).alias("_l")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    wv = Window.partitionBy("_i").orderBy(F.desc("_c"), F.asc("_l"))
+    consensus = (
+        votes.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select("_i", F.col("_l").alias("_maj"))
+    )
+    joined = labels.join(
+        consensus, labels[id_col] == consensus["_i"]
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(
+                F.when(F.col(label_col) == F.col("_maj"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("majority_agree"),
+    ]
+    if truth_col:
+        aggs.append(
+            F.round(
+                F.sum(
+                    F.when(F.col(label_col) == F.col(truth_col), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("truth_agree")
+        )
+    return joined.groupBy(F.col(labeler_col).alias("labeler")).agg(*aggs)

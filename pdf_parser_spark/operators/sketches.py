@@ -32,7 +32,7 @@ the bounded-memory replacement those counters need at crawl scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -225,4 +225,78 @@ def heavy_hitters(
                 "share"
             ),
         )
+    )
+
+
+def kmv_overlap(
+    values: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """K-Minimum-Values (theta-family) sketch overlap between key
+    groups — the distinct-set comparison a multi-source corpus review
+    runs without ever shuffling full vocabularies: per key, keep the k
+    SMALLEST value hashes (a uniform sample of the distinct set); for a
+    key pair, the k smallest of the sketch UNION are an unbiased window
+    onto the union, and the fraction of them present in BOTH sketches
+    estimates Jaccard (Beyer et al. 2007, "On synopses for distinct-
+    value estimation under multiset operations" — public).
+
+    Exactly reproducible: hashes are integers, k-min is a deterministic
+    order-statistic, the estimate is one rounded divide — so the DuckDB
+    twin value-checks the SKETCH, not just the estimate's ballpark.
+
+    Shape: the corpus-heavy part is ONE distinct + ONE per-key k-min
+    window (partial TopK below the shuffle via WindowGroupLimit); the
+    pair stage runs over keys × k rows — key-count is source/shard
+    cardinality, i.e. metadata-scale — with the key-pair frame an
+    in-plan broadcast cross of the tiny key list.
+
+    Returns (key_a, key_b, n_common, jaccard_est) for key_a < key_b.
+    """
+    from pdf_parser_spark.operators.dedup import seeded_hash
+
+    distinct = values.select(
+        F.col(key_col).alias("_k"), F.col(value_col).alias("_v")
+    ).distinct()
+    hv = seeded_hash(F.col("_v").cast("string"), 0, portable=portable)
+    hashed = distinct.select("_k", hv.alias("_h")).groupBy("_k", "_h").agg(
+        F.count(F.lit(1)).alias("_dup")  # same hash from >1 value: keep once
+    )
+    wk = Window.partitionBy("_k").orderBy("_h")
+    sk = (
+        hashed.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("_k", "_h")
+    )
+    keys = sk.select(F.col("_k").alias("ka")).distinct()
+    kp = keys.crossJoin(
+        F.broadcast(sk.select(F.col("_k").alias("kb")).distinct())
+    ).filter(F.col("ka") < F.col("kb"))
+    ua = kp.join(sk.withColumnRenamed("_k", "ka"), "ka").select(
+        "ka", "kb", "_h", F.lit(1).alias("_ina"), F.lit(0).alias("_inb")
+    )
+    ub = kp.join(sk.withColumnRenamed("_k", "kb"), "kb").select(
+        "ka", "kb", "_h", F.lit(0).alias("_ina"), F.lit(1).alias("_inb")
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("ka", "kb", "_h")
+        .agg(F.max("_ina").alias("_a"), F.max("_inb").alias("_b"))
+    )
+    wp = Window.partitionBy("ka", "kb").orderBy("_h")
+    topu = u.withColumn("_rn", F.row_number().over(wp)).filter(
+        F.col("_rn") <= k
+    )
+    return topu.groupBy(
+        F.col("ka").alias("key_a"), F.col("kb").alias("key_b")
+    ).agg(
+        F.sum(F.col("_a") * F.col("_b")).cast("long").alias("n_common"),
+        F.round(
+            F.sum(F.col("_a") * F.col("_b")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("jaccard_est"),
     )

@@ -2109,3 +2109,59 @@ def homoglyph_skeleton(col: Column) -> Column:
             "".join(_HOMOGLYPHS.values()),
         )
     )
+
+
+def trending_terms(
+    docs: DataFrame,
+    day_col: str = "day",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 10,
+    smoothing: int = 5,
+) -> DataFrame:
+    """Day-over-day trending terms — the "what changed in today's crawl"
+    readout: per (day, word) counts, previous-day count via ONE lag
+    window partitioned by word (never a day×day self-join), trend score
+    = count / (prev + smoothing) (additive smoothing so brand-new terms
+    don't divide by zero but still rank by volume), top-k overall with
+    (score, word, day) tie-break pinned.
+
+    Shape: tokenize → ONE map-side-combined (day, word) groupBy → one
+    word-partitioned lag window (days per word ≪ corpus) → codegen
+    score filter → TakeOrderedAndProject top-k. The corpus is scanned
+    once; no joins.
+    """
+    from pdf_parser_spark.operators.dedup import words_col
+
+    tok = docs.select(
+        F.col(day_col).alias("_day"),
+        F.explode(words_col(F.col(text_col))).alias("_w"),
+    ).filter(F.length("_w") > 0)
+    counts = tok.groupBy("_day", "_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wlag = Window.partitionBy("_w").orderBy("_day")
+    lagged = counts.withColumn(
+        "_prev",
+        F.coalesce(
+            F.when(
+                F.lag("_day").over(wlag) == F.col("_day") - 1,
+                F.lag("_c").over(wlag),
+            ),
+            F.lit(0),
+        ),
+    )
+    scored = lagged.filter(F.col("_c") >= min_count).select(
+        F.col("_day").alias("day"),
+        F.col("_w").alias("word"),
+        F.col("_c").alias("n"),
+        F.col("_prev").cast("long").alias("prev"),
+        F.round(
+            F.col("_c").cast("double")
+            / (F.col("_prev") + smoothing).cast("double"),
+            6,
+        ).alias("trend"),
+    )
+    return scored.orderBy(
+        F.desc("trend"), F.asc("word"), F.asc("day")
+    ).limit(k)

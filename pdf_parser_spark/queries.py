@@ -14996,6 +14996,194 @@ FROM flagged GROUP BY day
 """
 
 
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch distinct-vocabulary overlap between sources
+    (sketches.kmv_overlap, k=64, portable md5): per source the 64
+    smallest word-hash values; per source pair the k-min of the sketch
+    union windows the true union, and the both-sketches fraction
+    estimates vocabulary Jaccard — multi-source corpus comparison with
+    NO full-vocabulary shuffle. Sketch, estimator, and rounding are all
+    exact-integer/one-divide, so the oracle value-checks the sketch
+    itself, not a ballpark."""
+    from pdf_parser_spark.operators import sketches
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(dedup.words_col(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    return sketches.kmv_overlap(
+        words, key_col="source", value_col="word", k=64, portable=True
+    )
+
+
+def sql_kmv_source_overlap(k: int = 64) -> str:
+    return f"""
+WITH words AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source, unnest({_WORDS_SQL}) AS w FROM documents)
+  WHERE length(w) > 0
+), hashed AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(w || '#0'), 1, 15))::BIGINT AS h
+  FROM words
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h)
+             AS rn
+    FROM hashed)
+  WHERE rn <= {k}
+), kp AS (
+  SELECT a.source AS ka, b.source AS kb
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+), u AS (
+  SELECT ka, kb, h, max(ina) AS a, max(inb) AS b FROM (
+    SELECT kp.ka, kp.kb, sk.h, 1 AS ina, 0 AS inb
+    FROM kp JOIN sk ON sk.source = kp.ka
+    UNION ALL
+    SELECT kp.ka, kp.kb, sk.h, 0, 1
+    FROM kp JOIN sk ON sk.source = kp.kb)
+  GROUP BY 1, 2, 3
+), topu AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS rn
+    FROM u)
+  WHERE rn <= {k}
+)
+SELECT ka AS key_a, kb AS key_b,
+       CAST(sum(a * b) AS BIGINT) AS n_common,
+       round(CAST(sum(a * b) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS jaccard_est
+FROM topu GROUP BY 1, 2
+"""
+
+
+def q_weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision labeler audit (curation.weak_label_stats): three
+    synthetic noisy labeling functions vote 'hi'/'lo' on every document
+    (ground truth = n_chars >= 1000; labeler j flips the truth on an
+    md5-gated 10·j% of docs), plurality consensus per doc with a pinned
+    tie-break, and per labeler the agreement-with-consensus and
+    agreement-with-truth rates — the Snorkel-style screen that catches
+    a broken labeling function before training. Long skinny label
+    table, one vote groupBy + WindowGroupLimit argmax + one rollup."""
+    from pdf_parser_spark.operators import curation
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    truth = F.when(F.col("n_chars") >= 1000, F.lit("hi")).otherwise(
+        F.lit("lo")
+    )
+    flip = {"hi": F.lit("lo"), "lo": F.lit("hi")}
+    labeled = None
+    for j in (1, 2, 3):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(did.cast("string"), F.lit(f"#lf{j}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        noisy = F.when(
+            F.pmod(h, F.lit(100)) < 10 * j,
+            F.when(truth == "hi", flip["hi"]).otherwise(flip["lo"]),
+        ).otherwise(truth)
+        part = d.select(
+            did.alias("doc_id"),
+            F.lit(f"lf{j}").alias("labeler"),
+            noisy.alias("label"),
+            truth.alias("truth"),
+        )
+        labeled = part if labeled is None else labeled.unionByName(part)
+    return curation.weak_label_stats(
+        labeled, truth_col="truth"
+    )
+
+
+def sql_weak_label_vote() -> str:
+    parts = []
+    for j in (1, 2, 3):
+        parts.append(f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 'lf{j}' AS labeler,
+         CASE WHEN ('0x' || substr(md5(doc_id || '#lf{j}'), 1, 15))::BIGINT
+                   % 100 < {10 * j}
+              THEN (CASE WHEN n_chars >= 1000 THEN 'lo' ELSE 'hi' END)
+              ELSE (CASE WHEN n_chars >= 1000 THEN 'hi' ELSE 'lo' END)
+         END AS label,
+         CASE WHEN n_chars >= 1000 THEN 'hi' ELSE 'lo' END AS truth
+  FROM documents""")
+    union = "\n  UNION ALL".join(parts)
+    return f"""
+WITH labels AS ({union}
+), votes AS (
+  SELECT doc_id, label, count(*) AS c FROM labels GROUP BY 1, 2
+), consensus AS (
+  SELECT doc_id, label AS maj FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, label ASC) AS rn
+    FROM votes)
+  WHERE rn = 1
+)
+SELECT labeler, CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CASE WHEN l.label = c.maj THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS majority_agree,
+       round(CAST(sum(CASE WHEN l.label = l.truth THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS truth_agree
+FROM labels l JOIN consensus c ON l.doc_id = c.doc_id
+GROUP BY labeler
+"""
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day trending terms (textqc.trending_terms): md5-derived
+    arrival days (as in daily_novelty_rate), per-(day, word) counts,
+    previous-day count via ONE word-partitioned lag window (never a
+    day×day self-join), additive-smoothed trend score, top-20 overall
+    via TakeOrderedAndProject — the "what changed in today's crawl"
+    readout. Corpus scanned once, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    day = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#day"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(30),
+    ).cast("int")
+    return textqc.trending_terms(
+        d.select(day.alias("day"), "text"), k=20, min_count=10, smoothing=5
+    )
+
+
+def sql_trending_terms(k: int = 20) -> str:
+    return f"""
+WITH tok AS (
+  SELECT CAST(('0x' || substr(md5(doc_id || '#day'), 1, 15))::BIGINT % 30
+              AS INTEGER) AS day,
+         w
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+  WHERE length(w) > 0
+), counts AS (
+  SELECT day, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), lagged AS (
+  SELECT day, w, c,
+         CAST(coalesce(CASE WHEN lag(day) OVER wl = day - 1
+                            THEN lag(c) OVER wl END, 0) AS BIGINT) AS prev
+  FROM counts WINDOW wl AS (PARTITION BY w ORDER BY day)
+)
+SELECT day, w AS word, c AS n, prev,
+       round(CAST(c AS DOUBLE) / CAST(prev + 5 AS DOUBLE), 6) AS trend
+FROM lagged WHERE c >= 10
+ORDER BY trend DESC, word ASC, day ASC LIMIT {k}
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -15330,6 +15518,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_paths": q_session_paths,
     "homoglyph_spoof_pairs": q_homoglyph_spoof_pairs,
     "daily_novelty_rate": q_daily_novelty_rate,
+    "kmv_source_overlap": q_kmv_source_overlap,
+    "weak_label_vote": q_weak_label_vote,
+    "trending_terms": q_trending_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -15630,4 +15821,7 @@ ORACLES: dict[str, str] = {
     "session_paths": sql_session_paths(),
     "homoglyph_spoof_pairs": sql_homoglyph_spoof_pairs(),
     "daily_novelty_rate": sql_daily_novelty_rate(),
+    "kmv_source_overlap": sql_kmv_source_overlap(),
+    "weak_label_vote": sql_weak_label_vote(),
+    "trending_terms": sql_trending_terms(),
 }
