@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "kmv_source_overlap",
     "weak_label_vote",
     "trending_terms",
+    "geohash_rollup",
+    "bpe_roundtrip_check",
 ]
 
 

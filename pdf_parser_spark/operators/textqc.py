@@ -760,6 +760,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: tuple[str, ...] = (),
+    emit_stream: bool = False,
 ) -> DataFrame:
     """Apply a FIXED, ordered BPE merge table to a corpus — tokenizer
     APPLICATION, the deployment twin of ``bpe_train``: at 100 TB the
@@ -780,6 +781,8 @@ def bpe_encode(
     digest of the FULL encoded stream, so a twin value-checks the whole
     encoding, not just its length. ``keep`` columns ride through the
     same scan, so per-group rollups over the encoding need no join-back.
+    ``emit_stream=True`` adds the raw encoded stream as ``enc`` (the
+    input a decoder/round-trip check consumes).
     """
     rs = "\x1e"
     # split(w, '(?!^)') keeps a trailing '' (the lookahead also matches at
@@ -805,10 +808,12 @@ def bpe_encode(
             lambda x: (x != F.lit(rs)) & (x != F.lit("")),
         )
     )
+    extra = [enc.alias("enc")] if emit_stream else []
     return docs.select(
         F.col(id_col),
         toks.cast("long").alias("n_tokens"),
         F.md5(enc).alias("enc_md5"),
+        *extra,
         *[F.col(c) for c in keep],
     )
 
@@ -2165,3 +2170,17 @@ def trending_terms(
     return scored.orderBy(
         F.desc("trend"), F.asc("word"), F.asc("day")
     ).limit(k)
+
+
+def bpe_decode_stream(enc: Column) -> Column:
+    """Invert ``bpe_encode``'s sentinel-spaced stream back to normalized
+    text: drop the single spaces between symbols (they only delimit the
+    symbol sequence) and turn the chr(30) word boundary into a space.
+    Pure codegen — two literal replaces. ``decode(encode(t))`` equals
+    the whitespace-normalized ``t`` for ANY merge table, because merges
+    only ever REMOVE internal symbol spaces (the invertibility property
+    a deployed tokenizer must keep; pinned by bpe_roundtrip_check)."""
+    rs = "\x1e"
+    return F.replace(
+        F.replace(enc, F.lit(" "), F.lit("")), F.lit(rs), F.lit(" ")
+    )

@@ -15184,6 +15184,143 @@ ORDER BY trend DESC, word ASC, day ASC LIMIT {k}
 """
 
 
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial cell rollup: md5-derived point coordinates (µ-degree
+    integers — docs carry no geo, so the synthesis is exact-integer and
+    oracle-replayable) are quantized to a 5-bit-per-axis grid ENTIRELY
+    in int64 arithmetic (`lon_u * 32 div 360_000_000` — no float before
+    the mean, the geohash cell arithmetic any two engines must agree
+    on), interleaved into the Morton cell id by the same
+    zorder_interleave the clustered writer uses, and rolled up to
+    (cell, n_points, mean_lat, mean_lon). ONE map-side-combined
+    groupBy; means are exact int64 sums with one final divide each."""
+    from pdf_parser_spark.sources import layout as slayout
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(did, F.lit(salt))), 1, 15), 16, 10
+        ).cast("long")
+
+    lat_u = F.pmod(h("#lat"), F.lit(180_000_000))  # µdeg in [0, 180M)
+    lon_u = F.pmod(h("#lon"), F.lit(360_000_000))  # µdeg in [0, 360M)
+    staged = d.select(lat_u.alias("lat_u"), lon_u.alias("lon_u")).select(
+        "lat_u",
+        "lon_u",
+        F.expr("lat_u * 32 div 180000000").alias("iy"),
+        F.expr("lon_u * 32 div 360000000").alias("ix"),
+    )
+    cell = slayout.zorder_interleave([F.col("iy"), F.col("ix")], bits=5)
+    return (
+        staged.select("lat_u", "lon_u", cell.alias("cell"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum("lat_u").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e6
+                - 90.0,
+                6,
+            ).alias("mean_lat"),
+            F.round(
+                F.sum("lon_u").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e6
+                - 180.0,
+                6,
+            ).alias("mean_lon"),
+        )
+    )
+
+
+def sql_geohash_rollup(bits: int = 5) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((iy >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((ix >> {b}) & 1) * {1 << (2 * b + 1)}")
+    interleave = " + ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT ('0x' || substr(md5(doc_id || '#lat'), 1, 15))::BIGINT
+           % 180000000 AS lat_u,
+         ('0x' || substr(md5(doc_id || '#lon'), 1, 15))::BIGINT
+           % 360000000 AS lon_u
+  FROM documents
+), cells AS (
+  SELECT lat_u, lon_u,
+         lat_u * 32 // 180000000 AS iy,
+         lon_u * 32 // 360000000 AS ix
+  FROM pts
+), z AS (
+  SELECT lat_u, lon_u, CAST({interleave} AS BIGINT) AS cell FROM cells
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(lat_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+             - 90.0, 6) AS mean_lat,
+       round(CAST(sum(lon_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+             - 180.0, 6) AS mean_lon
+FROM z GROUP BY cell
+"""
+
+
+def q_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer invertibility audit: encode every document with the
+    fixed merge table (textqc.bpe_encode emit_stream=True), decode the
+    stream back (textqc.bpe_decode_stream — two literal replaces), and
+    verify decode(encode(t)) equals the whitespace-normalized t, per
+    source — the round-trip property a deployed tokenizer must keep (a
+    lossy tokenizer corrupts every downstream byte count). Map-only
+    codegen + one rollup; the oracle replays encode AND decode."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    enc = textqc.bpe_encode(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text", "source"),
+        merges=_BPE_APPLY_MERGES,
+        keep=("source", "text"),
+        emit_stream=True,
+    )
+    normalized = F.array_join(
+        F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0), " "
+    )
+    checked = enc.select(
+        "source",
+        (textqc.bpe_decode_stream(F.col("enc")) == normalized)
+        .cast("int")
+        .alias("ok"),
+    )
+    return checked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_roundtrip_ok"),
+    )
+
+
+def sql_bpe_roundtrip_check() -> str:
+    enc = "s"
+    for a, b in _BPE_APPLY_MERGES:
+        enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH w AS (
+  SELECT source, text,
+    ' ' || array_to_string(list_transform(
+        list_filter(string_split(text, ' '), x -> length(x) > 0),
+        w -> array_to_string(string_split(w, ''), ' ')),
+      ' ' || chr(30) || ' ') || ' ' AS s
+  FROM documents
+), e AS (
+  SELECT source, text,
+         replace(replace({enc}, ' ', ''), chr(30), ' ') AS decoded
+  FROM w
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN decoded = array_to_string(
+              list_filter(string_split(text, ' '), x -> length(x) > 0), ' ')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+FROM e GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -15521,6 +15658,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_source_overlap": q_kmv_source_overlap,
     "weak_label_vote": q_weak_label_vote,
     "trending_terms": q_trending_terms,
+    "geohash_rollup": q_geohash_rollup,
+    "bpe_roundtrip_check": q_bpe_roundtrip_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -15824,4 +15963,6 @@ ORACLES: dict[str, str] = {
     "kmv_source_overlap": sql_kmv_source_overlap(),
     "weak_label_vote": sql_weak_label_vote(),
     "trending_terms": sql_trending_terms(),
+    "geohash_rollup": sql_geohash_rollup(),
+    "bpe_roundtrip_check": sql_bpe_roundtrip_check(),
 }

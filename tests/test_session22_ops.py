@@ -598,3 +598,52 @@ def test_trending_terms_spike_detection(spark):
     assert day2[0]["trend"] == 3.0  # 15 / (0 + 5)
     for r in day2[1:]:
         assert r["trend"] < 1.0  # steady terms: prev=30
+
+
+def test_geohash_cell_python_replay(spark):
+    from pdf_parser_spark.queries import q_geohash_rollup
+
+    rows = q_geohash_rollup(spark, "/root/testdata/sf0.001").collect()
+
+    def interleave(iy, ix, bits=5):
+        z = 0
+        for b in range(bits):
+            z += ((iy >> b) & 1) << (2 * b)
+            z += ((ix >> b) & 1) << (2 * b + 1)
+        return z
+
+    total = 0
+    for r in rows:
+        total += r["n_points"]
+        # cell id consistent with the mean point's grid cell (means stay
+        # inside their cell because cells partition the grid)
+        iy = int((r["mean_lat"] + 90.0) * 1e6 * 32 // 180000000)
+        ix = int((r["mean_lon"] + 180.0) * 1e6 * 32 // 360000000)
+        assert r["cell"] == interleave(iy, ix), r
+        assert 0 <= r["cell"] < 1024
+    assert total == 500  # every doc lands in exactly one cell
+
+
+def test_bpe_roundtrip_always_holds(spark):
+    from pdf_parser_spark.queries import q_bpe_roundtrip_check
+
+    rows = q_bpe_roundtrip_check(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["n_docs"] == r["n_roundtrip_ok"] for r in rows)
+
+
+def test_bpe_decode_stream_direct(spark):
+    from pdf_parser_spark.operators.textqc import bpe_decode_stream, bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "the  then   and"), (2, ""), (3, "  x  ")],
+        ["doc_id", "text"],
+    )
+    out = bpe_encode(
+        df, merges=[("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")],
+        keep=("text",), emit_stream=True,
+    ).select(
+        "doc_id", "text", bpe_decode_stream(F.col("enc")).alias("dec")
+    )
+    got = {r["doc_id"]: r["dec"] for r in out.collect()}
+    # decode == whitespace-normalized original (multi-space collapses)
+    assert got == {1: "the then and", 2: "", 3: "x"}
