@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "trending_terms",
     "geohash_rollup",
     "bpe_roundtrip_check",
+    "events_datacard",
 ]
 
 

@@ -1,0 +1,85 @@
+"""spark-submit entry point for plan-driven small-file compaction: scan a
+fragmented parquet directory's file manifest, compute merge groups with
+the declarative planner (sources/maintenance.compaction_plan — contiguous
+runs of ~target bytes), then rewrite ONLY the fragmented groups in one
+distributed job (sources/maintenance.compact_parquet). The planner and
+the executor are the same pair an Iceberg `rewrite_data_files` action
+couples: decide from metadata, touch bytes once.
+
+Usage (local stand-in; on a cluster swap --master / executor confs):
+
+    spark-submit \
+        --master local[8] --driver-memory 8g \
+        --py-files .driver_pyfiles/pdf_parser_spark.zip \
+        jobs/run_compaction.py \
+        --input /path/to/fragmented_dir \
+        --output /path/to/compacted_dir \
+        [--target-file-bytes 134217728]
+
+Prints one JSON line: files before/after, bytes, rows, and the planner's
+merge-group count (the task count a per-group rewrite would issue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="fragmented parquet dir")
+    p.add_argument("--output", required=True, help="compacted parquet dir")
+    p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
+    args = p.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("pdf_parser_spark.compact")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    from pdf_parser_spark.sources.maintenance import (
+        compact_parquet,
+        compaction_plan,
+    )
+
+    # manifest from the directory listing (at deploy time: the Iceberg
+    # manifest); one partition — a single directory compaction unit
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(args.input, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    manifest = spark.createDataFrame(
+        [("dir", i, os.path.getsize(f)) for i, f in enumerate(files)],
+        "part string, file_id long, bytes long",
+    )
+    plan = compaction_plan(manifest, target_bytes=args.target_file_bytes)
+    n_groups = plan.count()
+    stats = compact_parquet(
+        spark, args.input, args.output, target_file_bytes=args.target_file_bytes
+    )
+    print(
+        json.dumps(
+            {
+                "files_before": stats["files_before"],
+                "files_after": stats["files_after"],
+                "rows": stats["rows"],
+                "bytes_before": stats["bytes_before"],
+                "planned_groups": n_groups,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

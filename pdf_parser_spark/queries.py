@@ -15321,6 +15321,130 @@ FROM e GROUP BY source
 """
 
 
+def q_events_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot EVENTS datacard, the product-analytics twin of
+    corpus_datacard: event/user/day counts, purchase conversion,
+    revenue (exact int64 cents), error rate, and the peak day's event
+    count — as (metric, value) rows from ONE plan (global multi-distinct
+    aggregate + a tiny per-day rollup, 1-row frames broadcast-crossed,
+    unpivoted via explode). Exact counts, one rounded divide per rate."""
+    e = load_table(spark, sf_dir, "events")
+    staged = e.select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("buyers"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                0
+            )
+        ).alias("revenue_cents"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errors"),
+    )
+    peak = (
+        staged.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .agg(F.max("_c").alias("peak_day_events"))
+    )
+    one = g.crossJoin(F.broadcast(peak))
+    pairs = [
+        ("n_events", F.col("n_events").cast("double")),
+        ("n_users", F.col("n_users").cast("double")),
+        ("n_days", F.col("n_days").cast("double")),
+        (
+            "events_per_user",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ),
+        ),
+        (
+            "purchase_conversion",
+            F.round(
+                F.col("buyers").cast("double") / F.col("n_users").cast("double"),
+                6,
+            ),
+        ),
+        (
+            "revenue",
+            F.round(F.col("revenue_cents").cast("double") / 100.0, 2),
+        ),
+        (
+            "error_rate",
+            F.round(
+                F.col("errors").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ),
+        ),
+        ("peak_day_events", F.col("peak_day_events").cast("double")),
+    ]
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("metric"), x.alias("value"))
+                    for n, x in pairs
+                ]
+            )
+        ).alias("_r")
+    )
+    return rows.select(
+        F.col("_r.metric").alias("metric"), F.col("_r.value").alias("value")
+    )
+
+
+def sql_events_datacard() -> str:
+    return """
+WITH staged AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                  THEN user_id END) AS BIGINT) AS buyers,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                       ELSE 0 END) AS BIGINT) AS revenue_cents,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM staged
+), peak AS (
+  SELECT CAST(max(c) AS BIGINT) AS peak_day_events
+  FROM (SELECT count(*) AS c FROM staged GROUP BY day)
+), one AS (
+  SELECT * FROM g CROSS JOIN peak
+)
+SELECT 'n_events' AS metric, CAST(n_events AS DOUBLE) AS value FROM one
+UNION ALL SELECT 'n_users', CAST(n_users AS DOUBLE) FROM one
+UNION ALL SELECT 'n_days', CAST(n_days AS DOUBLE) FROM one
+UNION ALL SELECT 'events_per_user',
+  round(CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE), 6) FROM one
+UNION ALL SELECT 'purchase_conversion',
+  round(CAST(buyers AS DOUBLE) / CAST(n_users AS DOUBLE), 6) FROM one
+UNION ALL SELECT 'revenue',
+  round(CAST(revenue_cents AS DOUBLE) / 100.0, 2) FROM one
+UNION ALL SELECT 'error_rate',
+  round(CAST(errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6) FROM one
+UNION ALL SELECT 'peak_day_events', CAST(peak_day_events AS DOUBLE) FROM one
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -15660,6 +15784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trending_terms": q_trending_terms,
     "geohash_rollup": q_geohash_rollup,
     "bpe_roundtrip_check": q_bpe_roundtrip_check,
+    "events_datacard": q_events_datacard,
 }
 
 ORACLES: dict[str, str] = {
@@ -15965,4 +16090,5 @@ ORACLES: dict[str, str] = {
     "trending_terms": sql_trending_terms(),
     "geohash_rollup": sql_geohash_rollup(),
     "bpe_roundtrip_check": sql_bpe_roundtrip_check(),
+    "events_datacard": sql_events_datacard(),
 }

@@ -93,3 +93,77 @@ def batch_interval_join(
 
 def read_attributions(spark: SparkSession, output_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_root, "attributions"))
+
+
+def stream_interval_join_outer(
+    spark: SparkSession,
+    imp_path: str,
+    click_path: str,
+    output_root: str,
+    within: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> None:
+    """LEFT OUTER stream-stream interval join — the unmatched-emission
+    variant: an impression with no click inside the interval is emitted
+    with NULL click columns, but only once the watermark PROVES no
+    late click can still match (engine semantics: outer rows release at
+    watermark passage, not at batch end). This is the attribution
+    pipeline's "count the non-converters too" form, and the state-
+    eviction behavior it relies on is exactly what bounds state at
+    10^12 events: both sides evict once watermark + interval pass.
+
+    Same checkpoint/resume contract as the inner form; the batch twin
+    is a plain left join with the same condition over bounded frames
+    (pytest pins set equality after the stream fully drains).
+    """
+    checkpoint = os.path.join(output_root, "_stream_checkpoint_outer")
+    out_path = os.path.join(output_root, "attributions_outer")
+    imp = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .parquet(imp_path)
+        .withWatermark("imp_ts", watermark)
+    )
+    click = (
+        spark.readStream.schema(CLICK_SCHEMA)
+        .parquet(click_path)
+        .withWatermark("click_ts", watermark)
+    )
+    joined = imp.join(
+        click, _join_cond(imp, click, within), "leftOuter"
+    ).select(
+        imp["imp_id"],
+        imp["user_id"],
+        click["click_id"],
+        imp["imp_ts"],
+        click["click_ts"],
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def batch_interval_join_outer(
+    imps: DataFrame, clicks: DataFrame, within: str = "10 minutes"
+) -> DataFrame:
+    """Static twin of the left-outer form."""
+    return imps.join(
+        clicks, _join_cond(imps, clicks, within), "leftOuter"
+    ).select(
+        imps["imp_id"],
+        imps["user_id"],
+        clicks["click_id"],
+        imps["imp_ts"],
+        clicks["click_ts"],
+    )
+
+
+def read_attributions_outer(spark: SparkSession, output_root: str) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(output_root, "attributions_outer")
+    )

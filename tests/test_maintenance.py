@@ -52,3 +52,49 @@ def test_orc_roundtrip_preserves_pushdown_and_pruning(spark, tmp_path):
     # and values round-trip exactly
     want = base.filter(F.col("event_type") == "error").count()
     assert df.count() == want
+
+
+def test_run_compaction_job_end_to_end(spark, tmp_path):
+    """jobs/run_compaction.py via spark-submit contract (run in-process:
+    same code path minus the JVM launch): fragmented dir -> planner
+    group count ~ files_after, rows preserved."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = base.count()
+    base.repartition(32).write.parquet(src)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(src, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    target = max(1, total // 4)  # aim for ~4 output files
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "jobs", "run_compaction.py"),
+            "--input", src,
+            "--output", dst,
+            "--target-file-bytes", str(target),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["files_before"] == 32
+    assert stats["rows"] == n
+    assert stats["files_after"] < 32
+    # the planner's group count predicts the rewrite task count
+    assert 1 <= stats["planned_groups"] <= 8

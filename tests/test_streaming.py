@@ -593,3 +593,64 @@ def test_stream_ewma_matches_batch(spark, tmp_path):
         assert (s.ewma, s.dev, s.is_anomaly) == (
             b["ewma"], b["dev"], b["is_anomaly"]
         ), eid
+
+
+def test_stream_interval_join_outer_emits_nonconverters_at_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream interval join: unmatched impressions are
+    held in state until the watermark PROVES no late click can match,
+    then released with NULL click columns; after the watermark passes
+    everything, the drained output equals the batch left join."""
+    from datetime import datetime, timedelta
+
+    from pdf_parser_spark.streaming.intervaljoin import (
+        batch_interval_join_outer,
+        read_attributions_outer,
+        stream_interval_join_outer,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    imps = [
+        (1, 100, m(0)),   # converts
+        (2, 200, m(0)),   # never converts -> NULL click row
+        (3, 300, m(2)),   # click outside window -> NULL click row
+    ]
+    clicks = [
+        (10, 100, m(5)),
+        (12, 300, m(20)),  # 18m after imp 3: outside the 10m window
+    ]
+    imp_path, click_path = str(tmp_path / "impo"), str(tmp_path / "clicko")
+    root = str(tmp_path / "outo")
+    imp_df = spark.createDataFrame(
+        imps, "imp_id long, user_id long, imp_ts timestamp"
+    )
+    click_df = spark.createDataFrame(
+        clicks, "click_id long, user_id long, click_ts timestamp"
+    )
+    imp_df.write.mode("append").parquet(imp_path)
+    click_df.write.mode("append").parquet(click_path)
+    stream_interval_join_outer(spark, imp_path, click_path, root)
+
+    # sentinel rows far in the future push the watermark past everything;
+    # the SECOND drain's trigger releases the evicted unmatched rows
+    spark.createDataFrame(
+        [(99, 9999, m(600))], "imp_id long, user_id long, imp_ts timestamp"
+    ).write.mode("append").parquet(imp_path)
+    spark.createDataFrame(
+        [(98, 9999, m(600))], "click_id long, user_id long, click_ts timestamp"
+    ).write.mode("append").parquet(click_path)
+    stream_interval_join_outer(spark, imp_path, click_path, root)
+    stream_interval_join_outer(spark, imp_path, click_path, root)  # flush tick
+
+    got = {
+        (r.imp_id, r.click_id)
+        for r in read_attributions_outer(spark, root).collect()
+        if r.imp_id < 90  # drop sentinels
+    }
+    want = {
+        (r.imp_id, r.click_id)
+        for r in batch_interval_join_outer(imp_df, click_df).collect()
+    }
+    assert got == want == {(1, 10), (2, None), (3, None)}
