@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "geohash_rollup",
     "bpe_roundtrip_check",
     "events_datacard",
+    "trailing_week_value",
 ]
 
 

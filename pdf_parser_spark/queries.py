@@ -15445,6 +15445,50 @@ UNION ALL SELECT 'peak_day_events', CAST(peak_day_events AS DOUBLE) FROM one
 """
 
 
+def q_trailing_week_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded event-time RANGE window frame — the window-family member
+    no ROWS frame can express: per purchase event, the SAME user's
+    purchase mass over the trailing 7 DAYS of event time
+    (`rangeBetween(-604800, 0)` on epoch seconds — peers are selected
+    by VALUE distance, so bursts with many same-second events and
+    sparse weeks both window correctly). Exact int64 cents; ONE
+    user-keyed window shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    staged = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ep"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-604800, 0)
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).alias("trailing_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+    )
+
+
+def sql_trailing_week_value() -> str:
+    return """
+WITH staged AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_n
+FROM staged
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -15785,6 +15829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geohash_rollup": q_geohash_rollup,
     "bpe_roundtrip_check": q_bpe_roundtrip_check,
     "events_datacard": q_events_datacard,
+    "trailing_week_value": q_trailing_week_value,
 }
 
 ORACLES: dict[str, str] = {
@@ -16091,4 +16136,5 @@ ORACLES: dict[str, str] = {
     "geohash_rollup": sql_geohash_rollup(),
     "bpe_roundtrip_check": sql_bpe_roundtrip_check(),
     "events_datacard": sql_events_datacard(),
+    "trailing_week_value": sql_trailing_week_value(),
 }
