@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "bpe_roundtrip_check",
     "events_datacard",
     "trailing_week_value",
+    "did_lift",
+    "retry_backoff_batch",
 ]
 
 

@@ -201,3 +201,44 @@ def cdc_apply(
     if not keep_tombstones:
         winners = winners.filter(F.col(op_col) != delete_op)
     return winners.drop("_rn")
+
+
+def retry_backoff_batch(
+    failures: DataFrame,
+    now_epoch: int,
+    base_sec: int = 60,
+    max_attempts: int = 6,
+    id_col: str = "doc_id",
+    attempts_col: str = "attempts",
+    last_fail_col: str = "last_fail_ep",
+) -> DataFrame:
+    """Exponential-backoff retry scheduling as a relational operator —
+    the distributed form of the reference's per-call retry loop
+    (`_parser.py:104-147`, which sleeps inline): each failed item's next
+    due time is ``last_fail + base * 2^attempts``; the due batch is the
+    items whose due time has passed and whose attempt budget remains,
+    ordered deterministically (due time, id) so every scheduler tick
+    picks the same batch. Items over budget are emitted with
+    ``give_up = 1`` instead of silently dropped — a dead-letter audit
+    rides the same scan.
+
+    Pure codegen arithmetic (``shiftleft`` for the power of two — exact
+    int64, no float pow) + one filter; no shuffle at all unless the
+    caller sorts/limits the due batch downstream.
+    """
+    # SQL-function form: the pyspark shiftleft wrapper wants a Python
+    # int for numBits; the engine function takes a column fine
+    due = F.col(last_fail_col) + F.lit(base_sec) * F.expr(
+        f"shiftleft(1L, cast(`{attempts_col}` as int))"
+    )
+    return failures.select(
+        F.col(id_col),
+        F.col(attempts_col).cast("long").alias("attempts"),
+        due.cast("long").alias("due_ep"),
+        F.when(F.col(attempts_col) >= max_attempts, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("give_up"),
+    ).filter(
+        (F.col("give_up") == 1) | (F.col("due_ep") <= F.lit(now_epoch))
+    )

@@ -15489,6 +15489,160 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ep
 """
 
 
+def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences experiment readout — the estimator that
+    nets out a time trend the pre/post comparison alone would absorb:
+    md5-hash arms over users, pre/post split at Jan 16, per-user
+    purchase mass per period with ABSENT-in-period users counted as 0
+    (the user universe × {pre, post} scaffold — dropping them biases
+    every mean), four cell means in ONE conditional aggregate, did =
+    (T_post − T_pre) − (C_post − C_pre). Exact int64 cents; one scan of
+    events + a scaffold join; one row out, every value rounded once."""
+    e = load_table(spark, sf_dir, "events")
+    treat = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#arm"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    ).cast("int")
+    users = (
+        e.select("user_id").distinct().select("user_id", treat.alias("treat"))
+    )
+    scaffold = users.select(
+        "user_id", "treat", F.explode(F.array(F.lit(0), F.lit(1))).alias("post")
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(F.col("ts") >= F.lit("2024-01-16"), 1)
+            .otherwise(0)
+            .alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "post")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    full = scaffold.join(spend, ["user_id", "post"], "left").select(
+        "treat", "post", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+
+    def cell(t: int, p: int):
+        m = F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("cents"))
+        ).cast("double") / F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == p), 1)
+        ).cast("double")
+        return m
+
+    g = full.agg(
+        F.round(cell(0, 0) / 100.0, 6).alias("mean_c_pre"),
+        F.round(cell(0, 1) / 100.0, 6).alias("mean_c_post"),
+        F.round(cell(1, 0) / 100.0, 6).alias("mean_t_pre"),
+        F.round(cell(1, 1) / 100.0, 6).alias("mean_t_post"),
+        F.round(
+            (cell(1, 1) - cell(1, 0) - (cell(0, 1) - cell(0, 0))) / 100.0, 6
+        ).alias("did"),
+    )
+    return g
+
+
+def sql_did_lift() -> str:
+    def cell(t: int, p: int) -> str:
+        return (
+            f"CAST(sum(CASE WHEN treat = {t} AND post = {p} THEN cents END)"
+            f" AS DOUBLE) / CAST(sum(CASE WHEN treat = {t} AND post = {p}"
+            f" THEN 1 END) AS DOUBLE)"
+        )
+
+    return f"""
+WITH users AS (
+  SELECT DISTINCT user_id,
+         CAST(('0x' || substr(md5(user_id || '#arm'), 1, 15))::BIGINT % 2
+              AS INTEGER) AS treat
+  FROM events
+), scaffold AS (
+  SELECT user_id, treat, unnest([0, 1]) AS post FROM users
+), spend AS (
+  SELECT user_id,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), cells AS (
+  SELECT s.treat, s.post, coalesce(p.cents, 0) AS cents
+  FROM scaffold s LEFT JOIN spend p
+    ON s.user_id = p.user_id AND s.post = p.post
+)
+SELECT round(({cell(0, 0)}) / 100.0, 6) AS mean_c_pre,
+       round(({cell(0, 1)}) / 100.0, 6) AS mean_c_post,
+       round(({cell(1, 0)}) / 100.0, 6) AS mean_t_pre,
+       round(({cell(1, 1)}) / 100.0, 6) AS mean_t_post,
+       round(({cell(1, 1)} - {cell(1, 0)} - ({cell(0, 1)} - {cell(0, 0)}))
+             / 100.0, 6) AS did
+FROM cells
+"""
+
+
+def q_retry_backoff_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-backoff retry scheduler (queue.retry_backoff_batch —
+    the distributed form of the reference's inline retry/sleep loop,
+    `_parser.py:104-147`): error events stand in as the failure log
+    (attempts md5-derived 0..7, last-fail = the event time), next due =
+    last_fail + 60 · 2^attempts in exact shiftleft int64; the tick
+    returns due items plus over-budget items flagged give_up=1 (the
+    dead-letter audit rides the same scan). Pure codegen + one filter —
+    no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    attempts = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("event_id").cast("string"), F.lit("#try"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(8),
+    )
+    failures = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").cast("long").alias("doc_id"),
+        attempts.alias("attempts"),
+        F.col("ts").cast("timestamp").cast("long").alias("last_fail_ep"),
+    )
+    now = 1706140800  # 2024-01-25 00:00:00 UTC — inside the event window
+    return queue.retry_backoff_batch(
+        failures, now_epoch=now, base_sec=60, max_attempts=6
+    )
+
+
+def sql_retry_backoff_batch() -> str:
+    return """
+WITH failures AS (
+  SELECT CAST(event_id AS BIGINT) AS doc_id,
+         ('0x' || substr(md5(event_id || '#try'), 1, 15))::BIGINT % 8
+           AS attempts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS last_fail_ep
+  FROM events WHERE event_type = 'error'
+)
+SELECT doc_id, CAST(attempts AS BIGINT) AS attempts,
+       CAST(last_fail_ep + 60 * (1 << CAST(attempts AS INTEGER)) AS BIGINT)
+         AS due_ep,
+       CAST(CASE WHEN attempts >= 6 THEN 1 ELSE 0 END AS INTEGER) AS give_up
+FROM failures
+WHERE attempts >= 6
+   OR last_fail_ep + 60 * (1 << CAST(attempts AS INTEGER)) <= 1706140800
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -15830,6 +15984,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_roundtrip_check": q_bpe_roundtrip_check,
     "events_datacard": q_events_datacard,
     "trailing_week_value": q_trailing_week_value,
+    "did_lift": q_did_lift,
+    "retry_backoff_batch": q_retry_backoff_batch,
 }
 
 ORACLES: dict[str, str] = {
@@ -16137,4 +16293,6 @@ ORACLES: dict[str, str] = {
     "bpe_roundtrip_check": sql_bpe_roundtrip_check(),
     "events_datacard": sql_events_datacard(),
     "trailing_week_value": sql_trailing_week_value(),
+    "did_lift": sql_did_lift(),
+    "retry_backoff_batch": sql_retry_backoff_batch(),
 }

@@ -647,3 +647,47 @@ def test_bpe_decode_stream_direct(spark):
     got = {r["doc_id"]: r["dec"] for r in out.collect()}
     # decode == whitespace-normalized original (multi-space collapses)
     assert got == {1: "the then and", 2: "", 3: "x"}
+
+
+def test_retry_backoff_batch_semantics(spark):
+    from pdf_parser_spark.operators.queue import retry_backoff_batch
+
+    now = 10_000
+    rows = [
+        # attempts=0 -> due at 9_500+60 = 9_560 <= now: due
+        (1, 0, 9_500),
+        # attempts=3 -> due at 9_600+480 = 10_080 > now: NOT due
+        (2, 3, 9_600),
+        # attempts=3, older fail -> due at 9_000+480 = 9_480: due
+        (3, 3, 9_000),
+        # attempts=6 >= max: give_up row regardless of time
+        (4, 6, 9_999),
+        # attempts=7: give_up
+        (5, 7, 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "attempts", "last_fail_ep"])
+    got = {
+        r["doc_id"]: (r["due_ep"], r["give_up"])
+        for r in retry_backoff_batch(
+            df, now_epoch=now, base_sec=60, max_attempts=6
+        ).collect()
+    }
+    assert set(got) == {1, 3, 4, 5}
+    assert got[1] == (9_560, 0)
+    assert got[3] == (9_480, 0)
+    assert got[4][1] == 1 and got[5][1] == 1
+
+
+def test_did_lift_nets_out_time_trend(spark):
+    import pandas as pd
+
+    from pdf_parser_spark.queries import q_did_lift
+
+    # sanity on the real table: did = (t_post - t_pre) - (c_post - c_pre)
+    row = q_did_lift(spark, "/root/testdata/sf0.001").collect()[0]
+    want = round(
+        round(row["mean_t_post"] - row["mean_t_pre"], 6)
+        - round(row["mean_c_post"] - row["mean_c_pre"], 6),
+        5,
+    )
+    assert abs(row["did"] - want) < 1e-4  # identity up to rounding grain
