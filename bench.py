@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "trailing_week_value",
     "did_lift",
     "retry_backoff_batch",
+    "license_marker_rates",
+    "citation_stats",
 ]
 
 

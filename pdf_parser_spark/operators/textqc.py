@@ -2184,3 +2184,91 @@ def bpe_decode_stream(enc: Column) -> Column:
     return F.replace(
         F.replace(enc, F.lit(" "), F.lit("")), F.lit(rs), F.lit(" ")
     )
+
+
+# license / rights markers a corpus-licensing audit screens for — the
+# phrases real license boilerplate actually carries (SPDX-adjacent,
+# public knowledge); literal substrings so any engine replays the counts
+LICENSE_MARKERS = {
+    "cc": ["creative commons", "cc by", "cc-by"],
+    "permissive": ["mit license", "apache license", "bsd license"],
+    "copyleft": ["gnu general public license", "gpl-"],
+    "reserved": ["all rights reserved", "unauthorized reproduction"],
+}
+
+
+def license_marker_screen(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group licensing audit — the rights screen a dataset release
+    runs before distribution: literal-substring hits for Creative-
+    Commons / permissive / copyleft / all-rights-reserved marker
+    classes on lowered text, collapsed by ONE map-side-combined
+    groupBy. Same free-rider scan-side shape as
+    instruction_leak_screen; a doc can hit several classes, and the
+    any-marker rate is reported separately (one rounded divide)."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    flags = {}
+    for cls, markers in LICENSE_MARKERS.items():
+        hit = F.lit(False)
+        for m in markers:
+            hit = hit | low.contains(m)
+        flags[cls] = hit
+    any_hit = F.lit(False)
+    for hit in flags.values():
+        any_hit = any_hit | hit
+    staged = docs.select(
+        F.col(group_col).alias("_g"),
+        *[hit.cast("long").alias(f"_f_{cls}") for cls, hit in flags.items()],
+        any_hit.cast("long").alias("_f_any"),
+    )
+    agg = staged.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[F.sum(f"_f_{cls}").cast("long").alias(f"n_{cls}") for cls in LICENSE_MARKERS],
+        F.sum("_f_any").cast("long").alias("n_marked"),
+    )
+    return agg.withColumn(
+        "marked_rate",
+        F.round(
+            F.col("n_marked").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ),
+    )
+
+
+def citation_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group citation density — the scholarly-content signal a
+    science-corpus curator filters by: counts of DOI handles
+    (`10.NNNN/...`), arXiv identifiers, and bracketed numeric citations
+    (`[12]`) per document via ``regexp_count`` (RE2/Java-compatible
+    patterns, engine-replayable), rolled up to totals and docs-with-any
+    per group in ONE map-side-combined groupBy. Scan-side codegen, zero
+    Python, free rider on any text scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    doi = F.regexp_count(t, F.lit(r"10\.\d{4,9}/[-._;()/:a-zA-Z0-9]+"))
+    arxiv = F.regexp_count(F.lower(t), F.lit(r"arxiv:\d{4}\.\d{4,5}"))
+    brackets = F.regexp_count(t, F.lit(r"\[\d{1,3}\]"))
+    staged = docs.select(
+        F.col(group_col).alias("_g"),
+        doi.cast("long").alias("_doi"),
+        arxiv.cast("long").alias("_arx"),
+        brackets.cast("long").alias("_br"),
+    )
+    return staged.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_doi").alias("n_doi"),
+        F.sum("_arx").alias("n_arxiv"),
+        F.sum("_br").alias("n_bracket_cites"),
+        F.sum(
+            F.when((F.col("_doi") + F.col("_arx") + F.col("_br")) > 0, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_citing_docs"),
+    )

@@ -15643,6 +15643,132 @@ WHERE attempts >= 6
 """
 
 
+def q_license_marker_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus licensing audit per source (textqc.license_marker_screen):
+    Creative-Commons / permissive / copyleft / all-rights-reserved
+    marker classes as literal substring hits on lowered text, one
+    map-side-combined rollup — the rights screen a dataset release runs
+    before distribution. Markers are synthesized in Catalyst on four
+    OVERLAPPING md5-gated doc classes (the synthetic corpus is clean),
+    so multi-class docs and the any-marker rate are both exercised."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    poisoned = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(did % 11 == 0, F.lit(" Licensed under Creative Commons."))
+            .otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" Released under the MIT License."))
+            .otherwise(F.lit("")),
+            F.when(
+                did % 17 == 0,
+                F.lit(" See the GNU General Public License v3."),
+            ).otherwise(F.lit("")),
+            F.when(did % 19 == 0, F.lit(" All Rights Reserved."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textqc.license_marker_screen(poisoned)
+
+
+def sql_license_marker_rates() -> str:
+    text2 = (
+        "text || (CASE WHEN doc_id % 11 = 0"
+        " THEN ' Licensed under Creative Commons.' ELSE '' END)"
+        " || (CASE WHEN doc_id % 13 = 0"
+        " THEN ' Released under the MIT License.' ELSE '' END)"
+        " || (CASE WHEN doc_id % 17 = 0"
+        " THEN ' See the GNU General Public License v3.' ELSE '' END)"
+        " || (CASE WHEN doc_id % 19 = 0"
+        " THEN ' All Rights Reserved.' ELSE '' END)"
+    )
+    from pdf_parser_spark.operators.textqc import LICENSE_MARKERS
+
+    cls_exprs = []
+    hits = {}
+    for cls, markers in LICENSE_MARKERS.items():
+        cond = " OR ".join(
+            f"position('{m}' IN low) > 0" for m in markers
+        )
+        hits[cls] = f"CASE WHEN {cond} THEN 1 ELSE 0 END"
+        cls_exprs.append(f"CAST(sum({hits[cls]}) AS BIGINT) AS n_{cls}")
+    any_expr = " OR ".join(
+        f"position('{m}' IN low) > 0"
+        for markers in LICENSE_MARKERS.values()
+        for m in markers
+    )
+    cols = ",\n       ".join(cls_exprs)
+    return f"""
+WITH staged AS (
+  SELECT source, lower({text2}) AS low FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       {cols},
+       CAST(sum(CASE WHEN {any_expr} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_marked,
+       round(CAST(sum(CASE WHEN {any_expr} THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS marked_rate
+FROM staged GROUP BY source
+"""
+
+
+def q_citation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scholarly-content signal per source (textqc.citation_stats): DOI
+    / arXiv-id / bracketed-numeric-citation counts via regexp_count
+    (RE2-compatible patterns), rolled up per source — the filter a
+    science-corpus curator ranks sources by. Citations synthesized on
+    overlapping md5-gated doc classes; scan-side codegen, one
+    map-side-combined groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    poisoned = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.lit(" doi:10.1234/abc.567 and 10.5555/xyz-9."),
+            ).otherwise(F.lit("")),
+            F.when(did % 9 == 0, F.lit(" See arXiv:2101.12345 for details."))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" As shown in [12] and [3]."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textqc.citation_stats(poisoned)
+
+
+def sql_citation_stats() -> str:
+    text2 = (
+        "text || (CASE WHEN doc_id % 7 = 0"
+        " THEN ' doi:10.1234/abc.567 and 10.5555/xyz-9.' ELSE '' END)"
+        " || (CASE WHEN doc_id % 9 = 0"
+        " THEN ' See arXiv:2101.12345 for details.' ELSE '' END)"
+        " || (CASE WHEN doc_id % 5 = 0"
+        " THEN ' As shown in [12] and [3].' ELSE '' END)"
+    )
+    return f"""
+WITH staged AS (
+  SELECT source,
+    CAST(len(regexp_extract_all({text2},
+         '10\\.\\d{{4,9}}/[-._;()/:a-zA-Z0-9]+')) AS BIGINT) AS doi,
+    CAST(len(regexp_extract_all(lower({text2}),
+         'arxiv:\\d{{4}}\\.\\d{{4,5}}')) AS BIGINT) AS arx,
+    CAST(len(regexp_extract_all({text2},
+         '\\[\\d{{1,3}}\\]')) AS BIGINT) AS br
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doi) AS BIGINT) AS n_doi,
+       CAST(sum(arx) AS BIGINT) AS n_arxiv,
+       CAST(sum(br) AS BIGINT) AS n_bracket_cites,
+       CAST(sum(CASE WHEN doi + arx + br > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_citing_docs
+FROM staged GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -15986,6 +16112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_week_value": q_trailing_week_value,
     "did_lift": q_did_lift,
     "retry_backoff_batch": q_retry_backoff_batch,
+    "license_marker_rates": q_license_marker_rates,
+    "citation_stats": q_citation_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -16295,4 +16423,6 @@ ORACLES: dict[str, str] = {
     "trailing_week_value": sql_trailing_week_value(),
     "did_lift": sql_did_lift(),
     "retry_backoff_batch": sql_retry_backoff_batch(),
+    "license_marker_rates": sql_license_marker_rates(),
+    "citation_stats": sql_citation_stats(),
 }

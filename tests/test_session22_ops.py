@@ -691,3 +691,35 @@ def test_did_lift_nets_out_time_trend(spark):
         5,
     )
     assert abs(row["did"] - want) < 1e-4  # identity up to rounding grain
+
+
+def test_license_marker_screen_overlapping_classes(spark):
+    from pdf_parser_spark.operators.textqc import license_marker_screen
+
+    rows = [
+        ("s1", "body Licensed under Creative Commons and MIT License here"),
+        ("s1", "plain document"),
+        ("s2", "ALL RIGHTS RESERVED."),  # case-insensitive
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["source"]: r for r in license_marker_screen(df).collect()}
+    assert got["s1"]["n_cc"] == 1 and got["s1"]["n_permissive"] == 1
+    assert got["s1"]["n_marked"] == 1  # multi-class doc counted once
+    assert got["s1"]["marked_rate"] == 0.5
+    assert got["s2"]["n_reserved"] == 1 and got["s2"]["marked_rate"] == 1.0
+
+
+def test_citation_stats_counts_patterns(spark):
+    from pdf_parser_spark.operators.textqc import citation_stats
+
+    rows = [
+        ("s", "see 10.1234/abc.5 and 10.9999/x-y.z plus [1] [22] [333]"),
+        ("s", "ArXiv:2101.12345 mention"),
+        ("s", "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    (r,) = citation_stats(df).collect()
+    assert r["n_doi"] == 2
+    assert r["n_arxiv"] == 1  # lowered before matching
+    assert r["n_bracket_cites"] == 3
+    assert r["n_citing_docs"] == 2 and r["n_docs"] == 3
