@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "retry_backoff_batch",
     "license_marker_rates",
     "citation_stats",
+    "scd2_integrity_audit",
+    "stratified_deff",
 ]
 
 

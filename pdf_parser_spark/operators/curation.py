@@ -1672,3 +1672,73 @@ def weak_label_stats(
             ).alias("truth_agree")
         )
     return joined.groupBy(F.col(labeler_col).alias("labeler")).agg(*aggs)
+
+
+def design_effect(
+    rows: DataFrame,
+    stratum_col: str,
+    value_col,
+) -> DataFrame:
+    """Design effect of proportional stratified sampling vs simple
+    random sampling (Kish's DEFF, public survey-sampling theory): the
+    ratio of the within-stratum variance component to the total
+    population variance — how much estimator variance stratifying on
+    this key would remove. DEFF < 1 says the stratifier explains real
+    variance (stratify!); ≈ 1 says it buys nothing.
+
+    Exactness: per-stratum counts, sums and sums of squares are exact
+    int64/decimal aggregates; variances derive from those exact moments
+    with ONE fixed double expression each (same operand order on any
+    engine), so the output replays bit-for-bit. Shape: one map-side-
+    combined stratum groupBy, a 1-row rollup, no joins over data.
+
+    Returns one row: (n, n_strata, var_total, var_within, deff).
+    """
+    v = value_col.cast("long")
+    per = rows.select(
+        F.col(stratum_col).alias("_s"), v.alias("_v")
+    ).groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").alias("_sum"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v")).alias("_ssq"),
+    )
+    term = (
+        F.col("_ssq").cast("double")
+        - F.col("_sum").cast("double")
+        * F.col("_sum").cast("double")
+        / F.col("_n").cast("double")
+    )
+    # summing the per-stratum double terms with a plain agg would be
+    # aggregation-order-dependent; fold a stratum-sorted array instead
+    # (left fold from 0.0 == DuckDB list_reduce over list(ORDER BY)) —
+    # strata are metadata-scale, the fold is a few dozen adds
+    g = per.agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("_sum").alias("_ts"),
+        F.sum("_ssq").alias("_tssq"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_s"), term.alias("_t")))
+                ),
+                lambda s: s["_t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_within_ss"),
+    )
+    var_total = (
+        F.col("_tssq").cast("double")
+        - F.col("_ts").cast("double")
+        * F.col("_ts").cast("double")
+        / F.col("n").cast("double")
+    ) / F.col("n").cast("double")
+    var_within = F.col("_within_ss") / F.col("n").cast("double")
+    return g.select(
+        "n",
+        "n_strata",
+        F.round(var_total, 4).alias("var_total"),
+        F.round(var_within, 4).alias("var_within"),
+        F.round(var_within / var_total, 6).alias("deff"),
+    )

@@ -242,3 +242,64 @@ def retry_backoff_batch(
     ).filter(
         (F.col("give_up") == 1) | (F.col("due_ep") <= F.lit(now_epoch))
     )
+
+
+def scd2_integrity(
+    dim: DataFrame,
+    key_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Validity-chain integrity audit for a type-2 dimension — the
+    data-quality check that keeps time travel trustworthy: per key, the
+    version intervals must TILE (each version's ``valid_to`` equals the
+    next version's ``valid_from``), with exactly one open (NULL
+    ``valid_to``) current row. Reports per key: version count, current
+    count, hole count (``valid_to`` < next ``valid_from``) and overlap
+    count (``valid_to`` > next ``valid_from``), plus an ``ok`` flag.
+
+    ONE key-partitioned lead window + a rollup on the SAME key (one
+    shuffle total). Run it after every scd2_merge batch; a nonzero
+    hole/overlap count means the merge inputs violated their
+    uniqueness contract.
+    """
+    staged = dim.select(
+        F.col(key_col).alias("_k"),
+        F.col(from_col).alias("_f"),
+        F.col(to_col).alias("_t"),
+    ).withColumn("_next_from", F.lead("_f").over(
+        Window.partitionBy("_k").orderBy("_f", "_t")
+    ))
+    flagged = staged.select(
+        "_k",
+        F.when(F.col("_t").isNull(), 1).otherwise(0).alias("_cur"),
+        F.when(
+            F.col("_next_from").isNotNull()
+            & F.col("_t").isNotNull()
+            & (F.col("_t") < F.col("_next_from")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_hole"),
+        F.when(
+            F.col("_next_from").isNotNull()
+            & (F.col("_t").isNull() | (F.col("_t") > F.col("_next_from"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("_overlap"),
+    )
+    out = flagged.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum("_cur").cast("long").alias("n_current"),
+        F.sum("_hole").cast("long").alias("n_holes"),
+        F.sum("_overlap").cast("long").alias("n_overlaps"),
+    )
+    return out.withColumn(
+        "ok",
+        (
+            (F.col("n_current") == 1)
+            & (F.col("n_holes") == 0)
+            & (F.col("n_overlaps") == 0)
+        ).cast("int"),
+    )

@@ -15769,6 +15769,101 @@ FROM staged GROUP BY source
 """
 
 
+def q_scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-chain integrity audit (queue.scd2_integrity) over the
+    SAME versioned dimension scd2_customer_merge builds: per key the
+    version intervals must tile (valid_to == next valid_from) with
+    exactly one open current row — the post-merge data-quality gate
+    that keeps time travel trustworthy. ONE lead window + a rollup on
+    the same key; the oracle wraps the full scd2 merge replay and runs
+    the identical audit windows on top."""
+    from pdf_parser_spark.operators.queue import scd2_integrity
+
+    merged = q_scd2_customer_merge(spark, sf_dir)
+    return scd2_integrity(merged, "custkey")
+
+
+def sql_scd2_integrity_audit() -> str:
+    inner = sql_scd2_customer_merge().strip()
+    return f"""
+WITH merged AS (
+  {inner}
+), staged AS (
+  SELECT custkey AS k, valid_from AS f, valid_to AS t,
+         lead(valid_from) OVER (PARTITION BY custkey
+                                ORDER BY valid_from, valid_to) AS next_from
+  FROM merged
+), flagged AS (
+  SELECT k,
+         CASE WHEN t IS NULL THEN 1 ELSE 0 END AS cur,
+         CASE WHEN next_from IS NOT NULL AND t IS NOT NULL
+                   AND t < next_from THEN 1 ELSE 0 END AS hole,
+         CASE WHEN next_from IS NOT NULL
+                   AND (t IS NULL OR t > next_from) THEN 1 ELSE 0 END
+           AS overlap
+  FROM staged
+)
+SELECT k AS custkey, CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(cur) AS BIGINT) AS n_current,
+       CAST(sum(hole) AS BIGINT) AS n_holes,
+       CAST(sum(overlap) AS BIGINT) AS n_overlaps,
+       CAST(CASE WHEN sum(cur) = 1 AND sum(hole) = 0 AND sum(overlap) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS ok
+FROM flagged GROUP BY k
+"""
+
+
+def q_stratified_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect of stratifying lineitem revenue on the return
+    flag (curation.design_effect): within-stratum variance share of
+    total variance from EXACT int64/decimal moments — the one number
+    that says whether a sampling plan should stratify on a key. The
+    order-dependent double summation across strata is pinned by a
+    stratum-sorted array fold (== DuckDB list_reduce over an ordered
+    list), so the output replays bit-for-bit."""
+    from pdf_parser_spark.operators.curation import design_effect
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return design_effect(
+        li,
+        stratum_col="l_returnflag",
+        value_col=F.round(F.col("l_extendedprice") * 100),
+    )
+
+
+def sql_stratified_deff() -> str:
+    return """
+WITH per AS (
+  SELECT l_returnflag AS s, CAST(count(*) AS BIGINT) AS n_h,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_h,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS ssq_h
+  FROM lineitem GROUP BY 1
+), terms AS (
+  SELECT s, n_h, sum_h, ssq_h,
+         CAST(ssq_h AS DOUBLE)
+           - CAST(sum_h AS DOUBLE) * CAST(sum_h AS DOUBLE)
+             / CAST(n_h AS DOUBLE) AS term
+  FROM per
+), g AS (
+  SELECT CAST(sum(n_h) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(sum_h) AS DOUBLE) AS ts,
+         CAST(sum(ssq_h) AS DOUBLE) AS tssq,
+         list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS within_ss
+  FROM terms
+)
+SELECT n, n_strata,
+       round((tssq - ts * ts / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+         AS var_total,
+       round(within_ss / CAST(n AS DOUBLE), 4) AS var_within,
+       round((within_ss / CAST(n AS DOUBLE))
+             / ((tssq - ts * ts / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)),
+             6) AS deff
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -16114,6 +16209,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retry_backoff_batch": q_retry_backoff_batch,
     "license_marker_rates": q_license_marker_rates,
     "citation_stats": q_citation_stats,
+    "scd2_integrity_audit": q_scd2_integrity_audit,
+    "stratified_deff": q_stratified_deff,
 }
 
 ORACLES: dict[str, str] = {
@@ -16425,4 +16522,6 @@ ORACLES: dict[str, str] = {
     "retry_backoff_batch": sql_retry_backoff_batch(),
     "license_marker_rates": sql_license_marker_rates(),
     "citation_stats": sql_citation_stats(),
+    "scd2_integrity_audit": sql_scd2_integrity_audit(),
+    "stratified_deff": sql_stratified_deff(),
 }

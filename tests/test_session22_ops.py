@@ -723,3 +723,54 @@ def test_citation_stats_counts_patterns(spark):
     assert r["n_arxiv"] == 1  # lowered before matching
     assert r["n_bracket_cites"] == 3
     assert r["n_citing_docs"] == 2 and r["n_docs"] == 3
+
+
+def test_scd2_integrity_detects_holes_overlaps(spark):
+    import datetime
+
+    from pdf_parser_spark.operators.queue import scd2_integrity
+
+    d = datetime.datetime
+    rows = [
+        # key 1: clean chain
+        (1, d(2024, 1, 1), d(2024, 2, 1)),
+        (1, d(2024, 2, 1), None),
+        # key 2: HOLE between versions
+        (2, d(2024, 1, 1), d(2024, 1, 15)),
+        (2, d(2024, 2, 1), None),
+        # key 3: OVERLAP
+        (3, d(2024, 1, 1), d(2024, 3, 1)),
+        (3, d(2024, 2, 1), None),
+        # key 4: two open current rows
+        (4, d(2024, 1, 1), None),
+        (4, d(2024, 2, 1), None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "valid_from", "valid_to"])
+    got = {
+        r["k"]: (r["n_current"], r["n_holes"], r["n_overlaps"], r["ok"])
+        for r in scd2_integrity(df, "k").collect()
+    }
+    assert got[1] == (1, 0, 0, 1)
+    assert got[2] == (1, 1, 0, 0)
+    assert got[3] == (1, 0, 1, 0)
+    assert got[4][0] == 2 and got[4][3] == 0
+
+
+def test_design_effect_stratifier_quality(spark):
+    from pdf_parser_spark.operators.curation import design_effect
+
+    # stratum determines the value band -> most variance is BETWEEN
+    # strata -> deff well below 1
+    rows = [("a", 100 + i % 5) for i in range(200)] + [
+        ("b", 1000 + i % 5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["s", "v"])
+    (r,) = design_effect(df, "s", F.col("v")).collect()
+    assert r["n"] == 400 and r["n_strata"] == 2
+    assert r["deff"] < 0.01
+    # useless stratifier: value independent of stratum -> deff ~ 1
+    rows2 = [(f"g{i % 2}", (i * 13) % 100) for i in range(400)]
+    (r2,) = design_effect(
+        spark.createDataFrame(rows2, ["s", "v"]), "s", F.col("v")
+    ).collect()
+    assert 0.9 < r2["deff"] <= 1.001
