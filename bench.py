@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "citation_stats",
     "scd2_integrity_audit",
     "stratified_deff",
+    "warc_revisit_resolution",
 ]
 
 

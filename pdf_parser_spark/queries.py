@@ -4678,11 +4678,10 @@ def q_warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_warc_extract_records() -> str:
-    # rebuilds the exact page string web_pages_from_documents emits
-    # (textually adjacent for audit — keep the two templates in sync)
-    return f"""
-WITH {_HTML_PARA_CTE}, hosts AS (
+# hosts + full page-string CTEs (rebuild exactly what
+# web_pages_from_documents emits — keep the two templates in sync);
+# shared by the warc_extract_records and warc_revisit_resolution oracles
+_PAGE_CTES = """hosts AS (
   SELECT p.*,
     'h' || substr(md5(CAST(doc_id AS VARCHAR) || '-1'), 1, 2) || '.example'
       AS h1,
@@ -4713,7 +4712,12 @@ WITH {_HTML_PARA_CTE}, hosts AS (
     || '<footer><p>&copy; 2024 ' || source
     || ' portal</p></footer></body></html>' AS html
   FROM hosts
-)
+)"""
+
+
+def sql_warc_extract_records() -> str:
+    return f"""
+WITH {_HTML_PARA_CTE}, {_PAGE_CTES}
 SELECT 'urn:md5:' || md5('warc-' || CAST(doc_id AS VARCHAR)) AS record_id,
   'https://' || h1 || '/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
   CAST(length(html) AS BIGINT) AS content_length,
@@ -15864,6 +15868,44 @@ FROM g
 """
 
 
+def q_warc_revisit_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record resolution (sources/warc.py): the archive is
+    synthesized with every 5th capture written as a ``WARC-Type:
+    revisit`` record carrying a ``WARC-Refers-To`` pointer and NO
+    payload — the dedup form Common Crawl actually ships — then the
+    full-header scanner recovers all records and ``resolve_revisits``
+    joins each revisit to the response it names, inheriting its payload.
+    One zero-shuffle archive scan + ONE record-id equi-join; the oracle
+    derives every resolved length/md5 straight from the rebuilt page
+    strings (revisit of doc k resolves to doc k-1's page)."""
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources import warc
+
+    pages = webextract.web_pages_from_documents(
+        _spread(load_table(spark, sf_dir, "documents"))
+    )
+    blobs = warc.warc_blobs_with_revisits(pages, every=5, group=50)
+    recs = warc.parse_warc_records_full(blobs)
+    return warc.resolve_revisits(recs)
+
+
+def sql_warc_revisit_resolution() -> str:
+    return f"""
+WITH {_HTML_PARA_CTE}, {_PAGE_CTES}
+SELECT 'urn:md5:' || md5('warc-' || CAST(p.doc_id AS VARCHAR)) AS record_id,
+  CASE WHEN p.doc_id % 5 = 0 AND p.doc_id > 0 THEN 'revisit'
+       ELSE 'response' END AS warc_type,
+  CAST(CASE WHEN p.doc_id % 5 = 0 AND p.doc_id > 0 THEN 1 ELSE 0 END
+       AS INTEGER) AS was_revisit,
+  CAST(length(CASE WHEN p.doc_id % 5 = 0 AND p.doc_id > 0
+                   THEN coalesce(o.html, '') ELSE p.html END) AS BIGINT)
+    AS resolved_len,
+  md5(CASE WHEN p.doc_id % 5 = 0 AND p.doc_id > 0
+           THEN coalesce(o.html, '') ELSE p.html END) AS resolved_md5
+FROM page p LEFT JOIN page o ON o.doc_id = p.doc_id - 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -16211,6 +16253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "citation_stats": q_citation_stats,
     "scd2_integrity_audit": q_scd2_integrity_audit,
     "stratified_deff": q_stratified_deff,
+    "warc_revisit_resolution": q_warc_revisit_resolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -16524,4 +16567,5 @@ ORACLES: dict[str, str] = {
     "citation_stats": sql_citation_stats(),
     "scd2_integrity_audit": sql_scd2_integrity_audit(),
     "stratified_deff": sql_stratified_deff(),
+    "warc_revisit_resolution": sql_warc_revisit_resolution(),
 }

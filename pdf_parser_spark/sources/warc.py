@@ -120,3 +120,159 @@ def parse_warc_blobs(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.select("blob_id", "blob").mapInPandas(run, schema=_REC_SCHEMA)
+
+
+_FULL_SCHEMA = (
+    "blob_id long, record_id string, warc_type string, refers_to string, "
+    "target_uri string, content_length long, payload string"
+)
+
+
+def warc_revisit_record_expr(did, orig_did):
+    """A ``WARC-Type: revisit`` record (the Common-Crawl dedup form:
+    a re-fetch whose payload matched an earlier capture carries a
+    ``WARC-Refers-To`` pointer and NO payload — archives stay small,
+    readers resolve)."""
+    return F.concat(
+        F.lit(_MAGIC + "\r\nWARC-Type: revisit\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(F.lit("warc-"), did)),
+        F.lit(">\r\nWARC-Refers-To: <urn:md5:"),
+        F.md5(F.concat(F.lit("warc-"), orig_did)),
+        F.lit(">\r\nWARC-Date: 2024-01-02T00:00:00Z\r\nWARC-Target-URI: https://h"),
+        F.substring(F.md5(F.concat(did, F.lit("-1"))), 1, 2),
+        F.lit(".example/doc/"),
+        did,
+        F.lit("\r\nContent-Type: text/html\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+    )
+
+
+def warc_blobs_with_revisits(
+    pages: DataFrame, every: int = 5, group: int = 50
+) -> DataFrame:
+    """Archive synthesis with REVISIT records: every ``every``-th doc
+    (id % every == 0, id > 0) is archived as a revisit pointing at the
+    previous doc's capture instead of a response with payload — the
+    shape a deduplicating crawler actually writes. Same packing and
+    determinism contract as ``warc_blobs_from_pages``."""
+    did_l = F.col("doc_id").cast("long")
+    is_rev = (did_l % every == 0) & (did_l > 0)
+    rec = F.when(
+        is_rev,
+        warc_revisit_record_expr(
+            F.col("doc_id").cast("string"), (did_l - 1).cast("string")
+        ),
+    ).otherwise(warc_record_expr(F.col("doc_id").cast("string"), F.col("html")))
+    recs = pages.select(
+        F.expr(f"CAST(doc_id AS BIGINT) DIV {int(group)}").alias("blob_id"),
+        F.struct(did_l.alias("did"), rec.alias("rec")).alias("r"),
+    )
+    return recs.groupBy("blob_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("r")), lambda r: r["rec"]),
+            "",
+        ).alias("blob")
+    )
+
+
+def _scan_blob_full(blob: str):
+    """Like ``_scan_blob`` but keeps the record-type headers: yields
+    (record_id, warc_type, refers_to, target_uri, clen, payload)."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if not blob.startswith(_MAGIC, pos):
+            nxt = blob.find(_MAGIC, pos)
+            if nxt < 0:
+                return
+            pos = nxt
+        hdr_end = blob.find("\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        fields: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split("\r\n")[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        payload = blob[hdr_end + 4 : hdr_end + 4 + clen]
+
+        def unwrap(v: str) -> str:
+            return v[1:-1] if v.startswith("<") and v.endswith(">") else v
+
+        yield (
+            unwrap(fields.get("warc-record-id", "")),
+            fields.get("warc-type", ""),
+            unwrap(fields.get("warc-refers-to", "")),
+            fields.get("warc-target-uri", ""),
+            len(payload),
+            payload,
+        )
+        pos = hdr_end + 4 + clen
+        if blob.startswith("\r\n\r\n", pos):
+            pos += 4
+
+
+def parse_warc_records_full(blobs: DataFrame) -> DataFrame:
+    """(blob_id, blob) → one row per record INCLUDING type/refers-to
+    headers (the reader revisit resolution needs). Zero shuffles."""
+    import pandas as pd
+
+    def run(it):
+        for pdf in it:
+            out: dict[str, list] = {
+                "blob_id": [], "record_id": [], "warc_type": [],
+                "refers_to": [], "target_uri": [], "content_length": [],
+                "payload": [],
+            }
+            for bid, blob in zip(pdf["blob_id"], pdf["blob"]):
+                for rid, wtype, ref, uri, clen, payload in _scan_blob_full(
+                    blob or ""
+                ):
+                    out["blob_id"].append(bid)
+                    out["record_id"].append(rid)
+                    out["warc_type"].append(wtype)
+                    out["refers_to"].append(ref)
+                    out["target_uri"].append(uri)
+                    out["content_length"].append(clen)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "blob").mapInPandas(run, schema=_FULL_SCHEMA)
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Materialize revisit payloads: each ``revisit`` record joins the
+    ``response`` record its ``WARC-Refers-To`` names and inherits that
+    payload; responses resolve to themselves. ONE equi-join on the
+    record id (responses ≪ total when dedup bites, and the join key is
+    unique) — never a scan of archive bytes twice. Returns (record_id,
+    warc_type, was_revisit, resolved_len, resolved_md5)."""
+    responses = records.filter(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("_orig_id"),
+        F.col("payload").alias("_orig_payload"),
+    )
+    revisits = (
+        records.filter(F.col("warc_type") == "revisit")
+        .join(responses, F.col("refers_to") == F.col("_orig_id"), "left")
+        .select(
+            "record_id",
+            "warc_type",
+            F.lit(1).alias("was_revisit"),
+            F.length(F.coalesce("_orig_payload", F.lit(""))).cast("long").alias(
+                "resolved_len"
+            ),
+            F.md5(F.coalesce("_orig_payload", F.lit(""))).alias("resolved_md5"),
+        )
+    )
+    direct = records.filter(F.col("warc_type") == "response").select(
+        "record_id",
+        "warc_type",
+        F.lit(0).alias("was_revisit"),
+        F.length("payload").cast("long").alias("resolved_len"),
+        F.md5("payload").alias("resolved_md5"),
+    )
+    return direct.unionByName(revisits)

@@ -382,3 +382,33 @@ class TestParseTables:
     def test_empty_and_null_safe(self):
         assert self._cells("") == []
         assert self._cells("<table></table>") == []
+
+
+def test_warc_revisit_records_resolve_to_original_payload(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources import warc
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i}", "s") for i in range(12)],
+        ["doc_id", "text", "source"],
+    )
+    pages = webextract.web_pages_from_documents(docs)
+    html_of = {r["doc_id"]: r["html"] for r in pages.collect()}
+    blobs = warc.warc_blobs_with_revisits(pages, every=5, group=4)
+    recs = warc.parse_warc_records_full(blobs)
+    out = {r["record_id"]: r for r in warc.resolve_revisits(recs).collect()}
+    import hashlib
+
+    for i in range(12):
+        rid = "urn:md5:" + hashlib.md5(f"warc-{i}".encode()).hexdigest()
+        r = out[rid]
+        if i % 5 == 0 and i > 0:
+            assert r["was_revisit"] == 1 and r["warc_type"] == "revisit"
+            want = html_of[str(i - 1)] if str(i - 1) in html_of else html_of[i - 1]
+            assert r["resolved_md5"] == hashlib.md5(want.encode()).hexdigest()
+        else:
+            assert r["was_revisit"] == 0
+            want = html_of[str(i)] if str(i) in html_of else html_of[i]
+            assert r["resolved_md5"] == hashlib.md5(want.encode()).hexdigest()
