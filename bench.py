@@ -301,6 +301,8 @@ BENCH_QUERIES = [
     "scd2_integrity_audit",
     "stratified_deff",
     "warc_revisit_resolution",
+    "secret_leak_rates",
+    "event_steady_state",
 ]
 
 

@@ -3188,3 +3188,107 @@ def session_paths(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
     return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
+
+
+def markov_steady_state(
+    events: DataFrame,
+    states: list[str],
+    iters: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Steady-state distribution of the user-journey Markov chain —
+    "where do sessions spend their time in the long run": transition
+    probabilities from per-user consecutive event pairs, then ``iters``
+    power-iteration steps v ← vP, ALL inside one plan. The state space
+    is the (small, enumerated) event-type set, so the 25-entry matrix
+    and every iterate live as COLUMNS of a single 1-row frame —
+    iteration is pure codegen expression chaining, no loop joins, no
+    driver state; every v′ component is a LEFT-ASSOCIATED chain over
+    the sorted state list, so any engine replays the doubles exactly.
+
+    Shape at 10^12 events: ONE user-window shuffle builds the pairs,
+    ONE global conditional aggregate collapses them to the 1-row
+    matrix; everything after is constant-size arithmetic. Returns
+    (state, prob) rows, probs rounded to 6.
+    """
+    states = sorted(states)
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("_cur"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_i"),
+        )
+        .withColumn(
+            "_nxt",
+            F.lead("_cur").over(
+                Window.partitionBy("_u").orderBy("_ts", "_i")
+            ),
+        )
+        .filter(F.col("_nxt").isNotNull())
+    )
+    cnt_aggs = []
+    for s in states:
+        for t in states:
+            cnt_aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("_cur") == s) & (F.col("_nxt") == t), 1
+                    ).otherwise(0)
+                )
+                .cast("double")
+                .alias(f"_c_{s}_{t}")
+            )
+    one = pairs.agg(*cnt_aggs)
+    # row-normalize: p[s][t] = c[s][t] / sum_t c[s][t] (0 if no exits)
+    p = {}
+    for s in states:
+        row_tot = None
+        for t in states:
+            term = F.col(f"_c_{s}_{t}")
+            row_tot = term if row_tot is None else row_tot + term
+        for t in states:
+            p[(s, t)] = F.when(row_tot > 0, F.col(f"_c_{s}_{t}") / row_tot).otherwise(
+                F.lit(0.0)
+            )
+    # materialize the matrix and every iterate as COLUMNS of successive
+    # projections — re-embedding the previous iterate's expression trees
+    # directly would grow the tree |states|^iters (the when-chain blowup
+    # CLAUDE.md pins); non-cheap aliases referenced |states|× per layer
+    # are not re-inlined by CollapseProject
+    cur = one.select(
+        *[p[(s, t)].alias(f"_p_{s}_{t}") for s in states for t in states],
+        *[F.lit(1.0 / len(states)).alias(f"_v_{s}") for s in states],
+    )
+    for _ in range(iters):
+        nv_cols = []
+        for t in states:
+            acc = None
+            for s in states:
+                term = F.col(f"_v_{s}") * F.col(f"_p_{s}_{t}")
+                acc = term if acc is None else acc + term
+            nv_cols.append(acc.alias(f"_v_{t}"))
+        cur = cur.select(
+            *[F.col(f"_p_{s}_{t}") for s in states for t in states],
+            *nv_cols,
+        )
+    rows = cur.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("state"),
+                        F.round(F.col(f"_v_{s}"), 6).alias("prob"),
+                    )
+                    for s in states
+                ]
+            )
+        ).alias("_r")
+    )
+    return rows.select(
+        F.col("_r.state").alias("state"), F.col("_r.prob").alias("prob")
+    )

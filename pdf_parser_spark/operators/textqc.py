@@ -2272,3 +2272,51 @@ def citation_stats(
         .cast("long")
         .alias("n_citing_docs"),
     )
+
+
+# credential patterns a code/corpus hygiene screen must catch before
+# release (public formats: AWS access key ids, GitHub PATs, Slack
+# tokens, PEM private-key headers) — RE2/Java-compatible regexes
+SECRET_PATTERNS = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "github_pat": r"ghp_[A-Za-z0-9]{36}",
+    "slack_token": r"xox[baprs]-[A-Za-z0-9-]{10,48}",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+}
+
+
+def secret_leak_screen(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group credential-leak screen — the secret-scanning pass a
+    corpus (especially a code corpus) must run before release: one
+    ``regexp_count`` per public credential pattern, per-class totals and
+    docs-with-any per group in ONE map-side-combined rollup. Scan-side
+    codegen, zero Python; at 100 TB a free rider on any text scan (the
+    same class as pii_stats, which covers personal identifiers — this
+    covers machine credentials)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        cls: F.regexp_count(t, F.lit(pat)).cast("long")
+        for cls, pat in SECRET_PATTERNS.items()
+    }
+    staged = docs.select(
+        F.col(group_col).alias("_g"),
+        *[c.alias(f"_c_{cls}") for cls, c in counts.items()],
+    )
+    any_hit = None
+    for cls in SECRET_PATTERNS:
+        term = F.col(f"_c_{cls}")
+        any_hit = term if any_hit is None else any_hit + term
+    return staged.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(f"_c_{cls}").cast("long").alias(f"n_{cls}")
+            for cls in SECRET_PATTERNS
+        ],
+        F.sum(F.when(any_hit > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaking_docs"),
+    )
