@@ -303,6 +303,8 @@ BENCH_QUERIES = [
     "warc_revisit_resolution",
     "secret_leak_rates",
     "event_steady_state",
+    "sitemap_robots_conflicts",
+    "cdc_chunk_stats",
 ]
 
 

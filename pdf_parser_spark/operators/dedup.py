@@ -2009,3 +2009,80 @@ def novelty_curve(
             ),
         )
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    boundary_mod: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """Content-defined chunking at word granularity (the Rabin/rolling-
+    hash boundary idea storage dedup systems use — restic/borgbackup
+    style, public): a chunk boundary falls after word ``i+window-1``
+    whenever the hash of the ``window``-word shingle starting at ``i``
+    is ≡ 0 (mod ``boundary_mod``), so boundaries depend only on LOCAL
+    content — an insertion early in a doc shifts at most one chunk,
+    where fixed-size chunking shifts every subsequent chunk (the
+    property that makes downstream chunk-level dedup robust to edits).
+    Expected chunk size ≈ boundary_mod words.
+
+    Per doc: (n_words, n_chunks, mean_chunk, sizes_md5 — a digest of
+    the ordered chunk-size sequence, so a twin value-checks the exact
+    segmentation). Words are materialized ONCE as a real column; the
+    per-shingle hash is inherent per-element work inside one transform
+    (nothing expensive is re-evaluated from outside the lambda). Zero
+    shuffles — pure map-side codegen.
+    """
+    ws = words_col(F.col(text_col))
+    staged = docs.select(F.col(id_col), ws.alias("_ws")).select(
+        id_col, "_ws", F.size("_ws").alias("_n")
+    )
+    starts = F.when(
+        F.col("_n") >= window, F.sequence(F.lit(1), F.col("_n") - (window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    staged = staged.withColumn("_starts", starts)
+    sh = F.transform(
+        F.col("_starts"),
+        lambda i: F.array_join(F.slice(F.col("_ws"), i, window), " "),
+    )
+    staged = staged.withColumn("_sh", sh)
+    hv = F.transform(
+        F.col("_sh"),
+        lambda s: F.pmod(seeded_hash(s, 0, portable=portable), F.lit(boundary_mod)),
+    )
+    staged = staged.withColumn("_hv", hv)
+    bounds = F.filter(
+        F.zip_with(
+            F.col("_starts"),
+            F.col("_hv"),
+            lambda i, h: F.when(h == 0, (i + (window - 1)).cast("long")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pos = F.array_sort(
+        F.array_distinct(
+            F.concat(bounds, F.array(F.col("_n").cast("long")))
+        )
+    )
+    staged = staged.withColumn("_pos", pos)
+    # element_at(_, 0) is an ERROR even in try_ form — branch explicitly
+    sizes = F.transform(
+        F.sequence(F.lit(1), F.size("_pos")),
+        lambda k: F.element_at(F.col("_pos"), k)
+        - F.when(k == 1, F.lit(0).cast("long")).otherwise(
+            F.element_at(F.col("_pos"), k - 1)
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_words"),
+        F.size("_pos").cast("long").alias("n_chunks"),
+        F.round(
+            F.col("_n").cast("double") / F.size("_pos").cast("double"), 4
+        ).alias("mean_chunk"),
+        F.md5(F.array_join(F.transform(sizes, lambda x: x.cast("string")), ","))
+        .alias("sizes_md5"),
+    )

@@ -16047,6 +16047,142 @@ def sql_event_steady_state(iters: int = 8) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unpivot
 
 
+def q_sitemap_robots_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap × robots conflict audit — the crawl-hygiene composition:
+    each host's sitemap XML (synthesized in Catalyst, parsed back by
+    the REAL distributed sitemap parser) advertises URLs whose paths
+    fall in the robots rule families; applying the RFC 9309
+    longest-prefix decision (crawl.path_exclusion) to the PARSED locs
+    flags every URL a host advertises but simultaneously disallows.
+    One packing groupBy (synthesis-only) + zero-shuffle parse + codegen
+    decision + one host rollup."""
+    from pdf_parser_spark.operators import crawl
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    host = F.concat(
+        F.lit("h"),
+        F.substring(F.md5(F.concat(did.cast("string"), F.lit("-sm"))), 1, 1),
+        F.lit(".example"),
+    )
+    sid = did.cast("string")
+    v = (did % 4).cast("int")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/public/p"), sid))
+        .when(v == 1, F.concat(F.lit("/private/p"), sid))
+        .when(v == 2, F.concat(F.lit("/private/pub/p"), sid))
+        .otherwise(F.concat(F.lit("/tmp/p"), sid))
+    )
+    url = F.concat(F.lit("https://"), host, path)
+    entry = F.concat(F.lit("<url><loc>"), url, F.lit("</loc></url>"))
+    sitemaps = (
+        d.select(host.alias("host"), did.alias("did"), entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("did", "e"))
+                        ),
+                        lambda r: r["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = crawl.sitemap_entries(sitemaps).filter(F.col("kind") == "url")
+    withpath = parsed.select(
+        "host",
+        F.regexp_extract(F.col("loc"), r"^https://[^/]+(/.*)$", 1).alias(
+            "path"
+        ),
+    )
+    rules = [("/private/", False), ("/private/pub/", True), ("/tmp", False)]
+    decided = crawl.path_exclusion(withpath, rules)
+    return decided.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflicts"),
+        F.round(
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("conflict_rate"),
+    )
+
+
+def sql_sitemap_robots_conflicts() -> str:
+    return """
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+    'h' || substr(md5(doc_id || '-sm'), 1, 1) || '.example' AS host,
+    CAST(CAST(doc_id AS BIGINT) % 4 AS INT) AS v
+  FROM documents
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN v IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conflicts,
+       round(CAST(sum(CASE WHEN v IN (1, 3) THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS conflict_rate
+FROM docs GROUP BY host
+"""
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking stats (dedup.content_defined_chunks,
+    portable hash): word-level Rabin-style boundaries — a chunk ends
+    wherever the 3-word shingle hash ≡ 0 (mod 16), so an edit shifts at
+    most one chunk (the robustness fixed-size chunking lacks; the
+    storage-dedup chunking discipline applied to corpus text). The
+    sizes_md5 digest value-checks the EXACT segmentation of every doc;
+    zero shuffles, one codegen pass."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.content_defined_chunks(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        portable=True,
+    )
+
+
+def sql_cdc_chunk_stats(window: int = 3, mod: int = 16) -> str:
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS ws
+  FROM documents
+), staged AS (
+  SELECT doc_id, ws, len(ws) AS n,
+    CASE WHEN len(ws) >= {window}
+         THEN range(1, len(ws) - {window - 1} + 1) ELSE [] END AS starts
+  FROM w
+), bounded AS (
+  SELECT doc_id, n,
+    list_sort(list_distinct(array_append(
+      list_filter(
+        list_transform(starts,
+          i -> CASE WHEN ('0x' || substr(md5(
+                      array_to_string(ws[i:i+{window - 1}], ' ') || '#0'),
+                      1, 15))::BIGINT % {mod} = 0
+                    THEN CAST(i + {window - 1} AS BIGINT) END),
+        x -> x IS NOT NULL),
+      CAST(n AS BIGINT)))) AS pos
+  FROM staged
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       CAST(len(pos) AS BIGINT) AS n_chunks,
+       round(CAST(n AS DOUBLE) / CAST(len(pos) AS DOUBLE), 4) AS mean_chunk,
+       md5(array_to_string(list_transform(
+         range(1, len(pos) + 1),
+         k -> CAST(pos[CAST(k AS INT)]
+                   - coalesce(pos[CAST(k - 1 AS INT)], 0) AS VARCHAR)),
+         ',')) AS sizes_md5
+FROM bounded
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -16397,6 +16533,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_revisit_resolution": q_warc_revisit_resolution,
     "secret_leak_rates": q_secret_leak_rates,
     "event_steady_state": q_event_steady_state,
+    "sitemap_robots_conflicts": q_sitemap_robots_conflicts,
+    "cdc_chunk_stats": q_cdc_chunk_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -16713,4 +16851,6 @@ ORACLES: dict[str, str] = {
     "warc_revisit_resolution": sql_warc_revisit_resolution(),
     "secret_leak_rates": sql_secret_leak_rates(),
     "event_steady_state": sql_event_steady_state(),
+    "sitemap_robots_conflicts": sql_sitemap_robots_conflicts(),
+    "cdc_chunk_stats": sql_cdc_chunk_stats(),
 }
