@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "event_steady_state",
     "sitemap_robots_conflicts",
     "cdc_chunk_stats",
+    "host_link_prediction",
 ]
 
 

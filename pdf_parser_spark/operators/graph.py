@@ -448,3 +448,54 @@ def bfs_depths(
         if checkpoint_every and k % checkpoint_every == 0 and k < max_depth:
             known = known.localCheckpoint(eager=True)
     return known
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Link prediction over an undirected graph by common neighbors and
+    the Resource-Allocation index (Zhou, Lü & Zhang 2009 — public; RA =
+    Σ_z 1/deg(z) over common neighbors z, the strongest of the classic
+    local indices in their benchmarks). Scores every non-adjacent-or-
+    adjacent pair that shares ≥1 neighbor — "which hosts will link
+    next", the crawl-frontier prior.
+
+    Exactness: the 1/deg weight is quantized to ``weight_scale div
+    deg`` — integer division, so the per-pair sum is EXACT int64 in any
+    aggregation order (a float 1/ln or 1/deg sum would be order-
+    dependent). Shape: candidate pairs come from the two-hop join
+    through the shared neighbor (z,a)⋈(z,b) — an EQUI-join on z, never
+    an all-pairs product; one degree aggregate broadcast onto z; one
+    (a,b) rollup. Hub neighbors fan out deg² pairs — the usual cap is
+    dropping top-degree hubs first (callers filter deg on the adjacency
+    before calling; same mega-bucket discipline as the LSH joins).
+
+    Returns (a, b, common_neighbors, ra_score) with a < b; ra_score =
+    Σ weight_scale div deg(z), exact BIGINT.
+    """
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .union(edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b")))
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("_a").alias("_z")).agg(
+        F.count(F.lit(1)).cast("long").alias("_deg")
+    )
+    adj = und.select(F.col("_a").alias("_z"), F.col("_b").alias("_n"))
+    left = adj.select("_z", F.col("_n").alias("a"))
+    right = adj.select("_z", F.col("_n").alias("b"))
+    pairs = (
+        left.join(right, "_z")
+        .where(F.col("a") < F.col("b"))
+        .join(deg, "_z")
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum(F.expr(f"{int(weight_scale)} div _deg")).cast("long").alias(
+            "ra_score"
+        ),
+    )

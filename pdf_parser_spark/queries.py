@@ -16183,6 +16183,48 @@ FROM bounded
 """
 
 
+def q_host_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the host graph (graph.link_prediction_ra):
+    common-neighbor counts + the Resource-Allocation index with EXACT
+    integer 1/deg weights (1e6 div deg — order-independent int64 sums,
+    no float/libm anywhere) — "which hosts will link next", the crawl
+    frontier's prior. Candidates via the two-hop equi-join through the
+    shared neighbor, never an all-pairs product."""
+    from pdf_parser_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    return graph.link_prediction_ra(_host_edges(d))
+
+
+def sql_host_link_prediction() -> str:
+    return """
+WITH e AS (
+  SELECT DISTINCT
+    'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+    'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                   % 25 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+     <> 'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                       % 25 AS VARCHAR)
+), und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL SELECT dst, src FROM e)
+  WHERE a <> b
+), deg AS (
+  SELECT a AS z, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1
+), pairs AS (
+  SELECT l.b AS a, r.b AS b, l.a AS z
+  FROM und l JOIN und r ON l.a = r.a AND l.b < r.b
+)
+SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS common_neighbors,
+       CAST(sum(1000000 // d) AS BIGINT) AS ra_score
+FROM pairs p JOIN deg ON deg.z = p.z
+GROUP BY p.a, p.b
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -16535,6 +16577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_steady_state": q_event_steady_state,
     "sitemap_robots_conflicts": q_sitemap_robots_conflicts,
     "cdc_chunk_stats": q_cdc_chunk_stats,
+    "host_link_prediction": q_host_link_prediction,
 }
 
 ORACLES: dict[str, str] = {
@@ -16853,4 +16896,5 @@ ORACLES: dict[str, str] = {
     "event_steady_state": sql_event_steady_state(),
     "sitemap_robots_conflicts": sql_sitemap_robots_conflicts(),
     "cdc_chunk_stats": sql_cdc_chunk_stats(),
+    "host_link_prediction": sql_host_link_prediction(),
 }

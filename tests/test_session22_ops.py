@@ -862,3 +862,29 @@ def test_content_defined_chunks_edit_locality(spark):
     # the tails coincide: all but the first few chunks are unchanged
     s1, s2 = replay(base), replay(edited)
     assert s1[-3:] == s2[-3:]
+
+
+def test_link_prediction_ra_hand_graph(spark):
+    from pdf_parser_spark.operators.graph import link_prediction_ra
+
+    # undirected star-ish: z connects a,b,c (deg z=3); a-b also share w
+    edges = spark.createDataFrame(
+        [("z", "a"), ("z", "b"), ("z", "c"), ("w", "a"), ("w", "b")],
+        ["src", "dst"],
+    )
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["ra_score"])
+        for r in link_prediction_ra(edges).collect()
+    }
+    # deg: z=3, w=2, a=2, b=2, c=1
+    # (a,b): common z and w -> ra = 1e6//3 + 1e6//2
+    assert got[("a", "b")] == (2, 1_000_000 // 3 + 500_000)
+    # (a,c) and (b,c): common z only
+    assert got[("a", "c")] == (1, 1_000_000 // 3)
+    assert got[("b", "c")] == (1, 1_000_000 // 3)
+    # (a,w) pair? a and w are ADJACENT, not common-neighbor pair unless
+    # they share a neighbor: both neighbor z? w's neighbors: a,b; a's:
+    # z,w. common neighbor of (a,w): b? a-b not edge; w-b edge, a-b no.
+    # shared neighbor means x adjacent to both: b is adjacent to w and
+    # NOT to a, z adjacent to a NOT w -> no row
+    assert ("a", "w") not in got and ("w", "a") not in got
