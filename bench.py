@@ -306,6 +306,8 @@ BENCH_QUERIES = [
     "sitemap_robots_conflicts",
     "cdc_chunk_stats",
     "host_link_prediction",
+    "revenue_forecast_mase",
+    "fk_orphan_audit",
 ]
 
 

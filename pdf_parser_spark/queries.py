@@ -16225,6 +16225,159 @@ GROUP BY p.a, p.b
 """
 
 
+def q_revenue_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation (Hyndman-Koehler MASE, public): the
+    last 7 days of daily purchase revenue are the test window, the
+    seasonal-naive forecast (value at t-7) predicts them, and the score
+    scales test MAE by the in-sample seasonal-naive MAE — the
+    scale-free "is any fancy model even beating t-7" gate every
+    forecasting effort runs first. All errors are exact |int64 cents|
+    sums; two one-row aggregates and one final divide. One day rollup
+    shuffle; the lag-7 join is day-keyed and tiny (days ≪ events)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.withColumn("rev_7", F.lag("rev", 7).over(w)).withColumn(
+        "rn_desc",
+        F.row_number().over(Window.orderBy(F.desc("day"))),
+    )
+    err = F.abs(F.col("rev") - F.col("rev_7"))
+    g = lagged.filter(F.col("rev_7").isNotNull()).agg(
+        F.sum(F.when(F.col("rn_desc") <= 7, err)).alias("_test_ae"),
+        F.count(F.when(F.col("rn_desc") <= 7, 1)).cast("long").alias("_test_n"),
+        F.sum(F.when(F.col("rn_desc") > 7, err)).alias("_train_ae"),
+        F.count(F.when(F.col("rn_desc") > 7, 1)).cast("long").alias("_train_n"),
+    )
+    test_mae = F.col("_test_ae").cast("double") / F.col("_test_n").cast(
+        "double"
+    )
+    train_mae = F.col("_train_ae").cast("double") / F.col("_train_n").cast(
+        "double"
+    )
+    return g.select(
+        F.col("_test_n").alias("test_days"),
+        F.col("_train_n").alias("train_days"),
+        F.round(test_mae / 100.0, 4).alias("test_mae"),
+        F.round(train_mae / 100.0, 4).alias("train_mae"),
+        F.round(test_mae / train_mae, 6).alias("mase"),
+    )
+
+
+def sql_revenue_forecast_mase() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lagged AS (
+  SELECT day, rev,
+         lag(rev, 7) OVER (ORDER BY day) AS rev_7,
+         row_number() OVER (ORDER BY day DESC) AS rn_desc
+  FROM daily
+), g AS (
+  SELECT sum(CASE WHEN rn_desc <= 7 THEN abs(rev - rev_7) END) AS test_ae,
+         CAST(count(CASE WHEN rn_desc <= 7 THEN 1 END) AS BIGINT) AS test_n,
+         sum(CASE WHEN rn_desc > 7 THEN abs(rev - rev_7) END) AS train_ae,
+         CAST(count(CASE WHEN rn_desc > 7 THEN 1 END) AS BIGINT) AS train_n
+  FROM lagged WHERE rev_7 IS NOT NULL
+)
+SELECT test_n AS test_days, train_n AS train_days,
+       round(CAST(test_ae AS DOUBLE) / CAST(test_n AS DOUBLE) / 100.0, 4)
+         AS test_mae,
+       round(CAST(train_ae AS DOUBLE) / CAST(train_n AS DOUBLE) / 100.0, 4)
+         AS train_mae,
+       round((CAST(test_ae AS DOUBLE) / CAST(test_n AS DOUBLE))
+             / (CAST(train_ae AS DOUBLE) / CAST(train_n AS DOUBLE)), 6)
+         AS mase
+FROM g
+"""
+
+
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the
+    foreign-key orphan counts a warehouse DQ gate reports per load:
+    lineitem→orders, orders→customer, customer→nation, nation→region,
+    each as one LEFT ANTI join count, plus child row totals and orphan
+    rates. Anti-joins broadcast their (smaller) parent key sets where
+    AQE permits; one (fk_edge, metric) row per relationship."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    def audit(child, ckey, parent, pkey, name):
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(ckey)).distinct(), ckey, "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphans")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+
+    out = audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+    out = out.unionByName(
+        audit(o, "o_custkey", c, "c_custkey", "orders->customer")
+    )
+    out = out.unionByName(
+        audit(c, "c_nationkey", n, "n_nationkey", "customer->nation")
+    )
+    out = out.unionByName(
+        audit(n, "n_regionkey", r, "r_regionkey", "nation->region")
+    )
+    return out
+
+
+def sql_fk_orphan_audit() -> str:
+    def edge(child, ckey, parent, pkey, name):
+        return f"""SELECT '{name}' AS fk_edge,
+  CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+  CAST((SELECT count(*) FROM {child} ch
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pkey} = ch.{ckey})) AS BIGINT)
+    AS n_orphans,
+  round(CAST((SELECT count(*) FROM {child} ch
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pkey} = ch.{ckey})) AS DOUBLE)
+        / CAST((SELECT count(*) FROM {child}) AS DOUBLE), 6) AS orphan_rate"""
+
+    parts = [
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey",
+             "lineitem->orders"),
+        edge("orders", "o_custkey", "customer", "c_custkey",
+             "orders->customer"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey",
+             "customer->nation"),
+        edge("nation", "n_regionkey", "region", "r_regionkey",
+             "nation->region"),
+    ]
+    return "\nUNION ALL ".join(parts)
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -16578,6 +16731,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_robots_conflicts": q_sitemap_robots_conflicts,
     "cdc_chunk_stats": q_cdc_chunk_stats,
     "host_link_prediction": q_host_link_prediction,
+    "revenue_forecast_mase": q_revenue_forecast_mase,
+    "fk_orphan_audit": q_fk_orphan_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -16897,4 +17052,6 @@ ORACLES: dict[str, str] = {
     "sitemap_robots_conflicts": sql_sitemap_robots_conflicts(),
     "cdc_chunk_stats": sql_cdc_chunk_stats(),
     "host_link_prediction": sql_host_link_prediction(),
+    "revenue_forecast_mase": sql_revenue_forecast_mase(),
+    "fk_orphan_audit": sql_fk_orphan_audit(),
 }

@@ -888,3 +888,28 @@ def test_link_prediction_ra_hand_graph(spark):
     # shared neighbor means x adjacent to both: b is adjacent to w and
     # NOT to a, z adjacent to a NOT w -> no row
     assert ("a", "w") not in got and ("w", "a") not in got
+
+
+def test_fk_orphan_audit_detects_orphans(spark):
+    # direct anti-join semantics on hand frames via the query helper
+    from pdf_parser_spark.queries import q_fk_orphan_audit
+
+    rows = q_fk_orphan_audit(spark, "/root/testdata/sf0.001").collect()
+    got = {r["fk_edge"]: (r["n_orphans"], r["orphan_rate"]) for r in rows}
+    # the synthetic star schema is referentially intact
+    assert set(got) == {
+        "lineitem->orders", "orders->customer",
+        "customer->nation", "nation->region",
+    }
+    assert all(v == (0, 0.0) for v in got.values())
+
+
+def test_mase_identity_on_real_data(spark):
+    from pdf_parser_spark.queries import q_revenue_forecast_mase
+
+    (r,) = q_revenue_forecast_mase(spark, "/root/testdata/sf0.01").collect()
+    assert r["test_days"] == 7
+    assert r["train_days"] > 0
+    assert r["mase"] > 0
+    # identity up to the rounding grain of the published columns
+    assert abs(r["mase"] - r["test_mae"] / r["train_mae"]) < 1e-3
