@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     "host_link_prediction",
     "revenue_forecast_mase",
     "fk_orphan_audit",
+    "bag_dup_docs",
+    "invisible_char_rates",
 ]
 
 

@@ -16378,6 +16378,163 @@ def sql_fk_orphan_audit() -> str:
     return "\nUNION ALL ".join(parts)
 
 
+def q_bag_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-insensitive duplicate detection: the bag signature
+    (md5 of the SORTED word multiset) catches shuffled/reordered copies
+    that exact content dedup misses, at hash-groupBy cost — far cheaper
+    than MinHash when the duplication is a permutation, the classic
+    cheap middle rung of the dedup ladder. Shuffled twins are
+    synthesized in Catalyst (every 9th doc also appears with its words
+    REVERSED under a new id), so the operator's whole point is
+    exercised. One codegen signature + one digest groupBy; output is
+    every doc in a bag-duplicate group with its group size and
+    representative."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    base = d.select(did.alias("doc_id"), "text")
+    shuffled = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.reverse(dedup.words_col(F.col("text"))), " ").alias(
+            "text"
+        ),
+    )
+    u = base.unionByName(shuffled)
+    sig = F.md5(F.array_join(F.array_sort(dedup.words_col(F.col("text"))), " "))
+    signed = u.select("doc_id", sig.alias("bag_sig"))
+    groups = signed.groupBy("bag_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("doc_id").alias("rep"),
+    )
+    return (
+        signed.join(groups, "bag_sig")
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "bag_sig", "group_size", "rep")
+    )
+
+
+def sql_bag_dup_docs() -> str:
+    words = _WORDS_SQL
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+), shuffled AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_reverse({words}), ' ') AS text
+  FROM documents WHERE CAST(doc_id AS BIGINT) % 9 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM shuffled
+), signed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort({words}), ' ')) AS bag_sig
+  FROM u
+), groups AS (
+  SELECT bag_sig, CAST(count(*) AS BIGINT) AS group_size,
+         min(doc_id) AS rep
+  FROM signed GROUP BY 1
+)
+SELECT s.doc_id, s.bag_sig, g.group_size, g.rep
+FROM signed s JOIN groups g ON s.bag_sig = g.bag_sig
+WHERE g.group_size > 1
+"""
+
+
+# invisible / direction-override code points an injection screen must
+# catch (zero-width space/joiner/non-joiner, word joiner, BOM-as-ZWNBSP,
+# LTR/RTL marks and overrides) — the characters that hide payloads from
+# human review while surviving tokenization
+_INVISIBLE_CHARS = {
+    "zero_width": ["​", "‌", "‍", "⁠", "﻿"],
+    "bidi_override": ["‪", "‫", "‭", "‮", "⁦", "⁧"],
+    "bidi_mark": ["‎", "‏"],
+}
+
+
+def q_invisible_char_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character injection screen per source: zero-width,
+    bidi-override, and bidi-mark code points — the characters that hide
+    payloads from human review while surviving tokenization (the
+    Unicode side of the instruction_leak screen; bidi overrides are the
+    'Trojan Source' vector, public CVE-2021-42574 class). Synthesized
+    on overlapping md5-gated doc classes; literal contains() battery,
+    one scan, one rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    poisoned = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(did % 8 == 0, F.lit(" pre​fix")).otherwise(F.lit("")),
+            F.when(did % 10 == 0, F.lit(" a‮txet‬")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 12 == 0, F.lit(" mark‏!")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    low = F.col("text")
+    flags = {}
+    for cls, chars in _INVISIBLE_CHARS.items():
+        hit = F.lit(False)
+        for ch in chars:
+            hit = hit | low.contains(ch)
+        flags[cls] = hit
+    any_hit = F.lit(False)
+    for h in flags.values():
+        any_hit = any_hit | h
+    staged = poisoned.select(
+        "source",
+        *[h.cast("long").alias(f"_f_{cls}") for cls, h in flags.items()],
+        any_hit.cast("long").alias("_f_any"),
+    )
+    agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(f"_f_{cls}").cast("long").alias(f"n_{cls}")
+            for cls in _INVISIBLE_CHARS
+        ],
+        F.sum("_f_any").cast("long").alias("n_flagged"),
+    )
+    return agg.withColumn(
+        "flagged_rate",
+        F.round(
+            F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ),
+    )
+
+
+def sql_invisible_char_rates() -> str:
+    text2 = (
+        "text || (CASE WHEN doc_id % 8 = 0"
+        " THEN ' pre' || chr(8203) || 'fix' ELSE '' END)"
+        " || (CASE WHEN doc_id % 10 = 0"
+        " THEN ' a' || chr(8238) || 'txet' || chr(8236) ELSE '' END)"
+        " || (CASE WHEN doc_id % 12 = 0"
+        " THEN ' mark' || chr(8207) || '!' ELSE '' END)"
+    )
+    cls_conds = {}
+    for cls, chars in _INVISIBLE_CHARS.items():
+        cls_conds[cls] = " OR ".join(
+            f"position(chr({ord(ch)}) IN t) > 0" for ch in chars
+        )
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{cls}"
+        for cls, cond in cls_conds.items()
+    )
+    any_cond = " OR ".join(f"({c})" for c in cls_conds.values())
+    return f"""
+WITH staged AS (
+  SELECT source, {text2} AS t FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       {cols},
+       CAST(sum(CASE WHEN {any_cond} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       round(CAST(sum(CASE WHEN {any_cond} THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS flagged_rate
+FROM staged GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -16733,6 +16890,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_prediction": q_host_link_prediction,
     "revenue_forecast_mase": q_revenue_forecast_mase,
     "fk_orphan_audit": q_fk_orphan_audit,
+    "bag_dup_docs": q_bag_dup_docs,
+    "invisible_char_rates": q_invisible_char_rates,
 }
 
 ORACLES: dict[str, str] = {
@@ -17054,4 +17213,6 @@ ORACLES: dict[str, str] = {
     "host_link_prediction": sql_host_link_prediction(),
     "revenue_forecast_mase": sql_revenue_forecast_mase(),
     "fk_orphan_audit": sql_fk_orphan_audit(),
+    "bag_dup_docs": sql_bag_dup_docs(),
+    "invisible_char_rates": sql_invisible_char_rates(),
 }

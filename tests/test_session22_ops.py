@@ -913,3 +913,42 @@ def test_mase_identity_on_real_data(spark):
     assert r["mase"] > 0
     # identity up to the rounding grain of the published columns
     assert abs(r["mase"] - r["test_mae"] / r["train_mae"]) < 1e-3
+
+
+def test_bag_signature_catches_word_shuffles(spark):
+    from pdf_parser_spark.operators.dedup import words_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma alpha beta"),   # permutation of 1
+            (3, "alpha beta delta"),   # different multiset
+            (4, "alpha alpha beta"),   # multiset matters: not a dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    sig = F.md5(F.array_join(F.array_sort(words_col(F.col("text"))), " "))
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", sig.alias("s")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3] and got[1] != got[4]
+
+
+def test_invisible_char_rates_flags_injected_classes(spark):
+    from pdf_parser_spark.queries import q_invisible_char_rates
+
+    rows = q_invisible_char_rates(spark, "/root/testdata/sf0.001").collect()
+    tot = {
+        "zw": sum(r["n_zero_width"] for r in rows),
+        "ov": sum(r["n_bidi_override"] for r in rows),
+        "mk": sum(r["n_bidi_mark"] for r in rows),
+        "fl": sum(r["n_flagged"] for r in rows),
+        "docs": sum(r["n_docs"] for r in rows),
+    }
+    # gates are %8, %10, %12 over 500 docs
+    assert tot["zw"] == len([i for i in range(500) if i % 8 == 0])
+    assert tot["ov"] == len([i for i in range(500) if i % 10 == 0])
+    assert tot["mk"] == len([i for i in range(500) if i % 12 == 0])
+    flagged = len(
+        [i for i in range(500) if i % 8 == 0 or i % 10 == 0 or i % 12 == 0]
+    )
+    assert tot["fl"] == flagged and tot["docs"] == 500
