@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "fk_orphan_audit",
     "bag_dup_docs",
     "invisible_char_rates",
+    "span_kind_rle",
+    "brand_revenue_topn_other",
 ]
 
 

@@ -16535,6 +16535,143 @@ FROM staged GROUP BY source
 """
 
 
+def q_span_kind_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout structure of the KERNEL's extracted span streams:
+    run-length encoding of each document's (kind) sequence in reading
+    order — how text and media interleave after extraction (media
+    density / interruption structure, the multimodal-layout statistic a
+    vision-language data review reads). Classic gaps-and-islands: one
+    doc-keyed window pair builds run ids, one rollup digests the exact
+    run sequence (runs_md5). The oracle wraps the interleaved-kernel
+    row-structure replay and runs the identical windows."""
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    spans, _, _ = pipeline.extract(docs)
+    g = spans.select(
+        "doc_id", "kind", F.col("order").alias("ord")
+    ).withColumn(
+        "_brk",
+        F.when(
+            F.lag("kind").over(
+                Window.partitionBy("doc_id").orderBy("ord")
+            ).isNull()
+            | (
+                F.lag("kind").over(
+                    Window.partitionBy("doc_id").orderBy("ord")
+                )
+                != F.col("kind")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    r = g.withColumn(
+        "_run",
+        F.sum("_brk").over(
+            Window.partitionBy("doc_id")
+            .orderBy("ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = r.groupBy("doc_id", "_run").agg(
+        F.min("kind").alias("kind"), F.count(F.lit(1)).alias("_len")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.sum("_len").cast("long").alias("n_spans"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_run", "kind", "_len"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["kind"], s["_len"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("runs_md5"),
+    )
+
+
+def sql_span_kind_rle() -> str:
+    inner = sql_extract_interleaved_media().strip()
+    return f"""
+WITH sp AS (
+  {inner}
+), g AS (
+  SELECT doc_id, kind, ord,
+         CASE WHEN lag(kind) OVER w IS NULL
+                OR lag(kind) OVER w <> kind THEN 1 ELSE 0 END AS brk
+  FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), r AS (
+  SELECT doc_id, kind, ord,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY ord
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM g
+), runs AS (
+  SELECT doc_id, run_id, min(kind) AS kind,
+         CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_spans,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       md5(string_agg(kind || ':' || CAST(len AS VARCHAR), ','
+                      ORDER BY run_id)) AS runs_md5
+FROM runs GROUP BY doc_id
+"""
+
+
+def q_brand_revenue_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + OTHER rollup — the reporting shape every BI layer ships
+    (top 10 brands by revenue, the tail collapsed into one 'OTHER'
+    row): per-brand exact int64-cents revenue, rank with a pinned
+    (revenue DESC, brand) tie-break, conditional regroup. Two shuffles
+    total (brand rollup + the regroup); the rank window runs over
+    BRAND-cardinality rows, never lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_brand = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("p_brand").alias("brand"), cents.alias("cents"))
+        .groupBy("brand")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("brand"))
+    ranked = per_brand.withColumn("rk", F.row_number().over(w))
+    grouped = ranked.select(
+        F.when(F.col("rk") <= 10, F.col("brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("brand_group"),
+        "rev_cents",
+    )
+    return grouped.groupBy("brand_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.round(F.sum("rev_cents").cast("double") / 100.0, 2).alias("revenue"),
+    )
+
+
+def sql_brand_revenue_topn_other() -> str:
+    return """
+WITH per_brand AS (
+  SELECT p_brand AS brand,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rev_cents DESC, brand ASC) AS rk
+  FROM per_brand
+)
+SELECT CASE WHEN rk <= 10 THEN brand ELSE 'OTHER' END AS brand_group,
+       CAST(count(*) AS BIGINT) AS n_brands,
+       round(CAST(sum(rev_cents) AS DOUBLE) / 100.0, 2) AS revenue
+FROM ranked GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -16892,6 +17029,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_orphan_audit": q_fk_orphan_audit,
     "bag_dup_docs": q_bag_dup_docs,
     "invisible_char_rates": q_invisible_char_rates,
+    "span_kind_rle": q_span_kind_rle,
+    "brand_revenue_topn_other": q_brand_revenue_topn_other,
 }
 
 ORACLES: dict[str, str] = {
@@ -17215,4 +17354,6 @@ ORACLES: dict[str, str] = {
     "fk_orphan_audit": sql_fk_orphan_audit(),
     "bag_dup_docs": sql_bag_dup_docs(),
     "invisible_char_rates": sql_invisible_char_rates(),
+    "span_kind_rle": sql_span_kind_rle(),
+    "brand_revenue_topn_other": sql_brand_revenue_topn_other(),
 }
