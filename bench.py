@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "invisible_char_rates",
     "span_kind_rle",
     "brand_revenue_topn_other",
+    "user_balance_drawdown",
+    "dow_hour_heatmap",
 ]
 
 

@@ -16672,6 +16672,119 @@ FROM ranked GROUP BY 1
 """
 
 
+def q_user_balance_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-balance + maximum-drawdown per user — the ledger
+    statistic (peak-to-trough loss) computed the streaming-window way:
+    purchases credit, errors debit a fixed fee; balance is a running
+    int64-cents cumsum, running peak a cummax over the same window, and
+    max drawdown the max of (peak − balance) — three frames over ONE
+    user-keyed window shuffle, all exact integers. Output per user:
+    final balance, peak, max drawdown (dollars, one divide each)."""
+    e = load_table(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).when(F.col("event_type") == "error", F.lit(-500)).otherwise(F.lit(0))
+    staged = e.select(
+        "user_id", "ts", "event_id", delta.alias("delta")
+    ).filter(F.col("delta") != 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = staged.withColumn("bal", F.sum("delta").over(w))
+    # running peak over the MATERIALIZED balance column (a nested
+    # window-over-window expression is illegal in one projection)
+    cum = cum.withColumn("peak", F.max("bal").over(w))
+    dd = cum.withColumn("dd", F.col("peak") - F.col("bal"))
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.round(F.max("bal").cast("double") / 100.0, 2).alias("peak_balance"),
+        F.round(
+            F.element_at(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), F.col("bal"))
+                    )
+                ),
+                -1,
+            )["bal"].cast("double")
+            / 100.0,
+            2,
+        ).alias("final_balance"),
+        F.round(F.max("dd").cast("double") / 100.0, 2).alias("max_drawdown"),
+    )
+
+
+def sql_user_balance_drawdown() -> str:
+    return """
+WITH staged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT)
+              WHEN event_type = 'error' THEN -500
+              ELSE 0 END AS delta
+  FROM events
+), nz AS (
+  SELECT * FROM staged WHERE delta <> 0
+), bals AS (
+  SELECT user_id, ts, event_id, sum(delta) OVER w AS bal
+  FROM nz
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), cum AS (
+  SELECT user_id, ts, event_id, bal,
+         max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM bals
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_moves,
+       round(CAST(max(bal) AS DOUBLE) / 100.0, 2) AS peak_balance,
+       round(CAST(last(bal ORDER BY ts, event_id) AS DOUBLE) / 100.0, 2)
+         AS final_balance,
+       round(CAST(max(peak - bal) AS DOUBLE) / 100.0, 2) AS max_drawdown
+FROM cum GROUP BY user_id
+"""
+
+
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the ops dashboard's 7×24
+    grid: event counts, distinct users, and error share per (dow,
+    hour) cell in ONE map-side-combined groupBy. dow is ISO (Monday=1)
+    via the engine-portable formula dayofweek-shift, hour from the same
+    UTC-pinned timestamp both engines read."""
+    e = load_table(spark, sf_dir, "events")
+    # ISO dow: Spark dayofweek() is 1=Sunday; shift to 1=Monday
+    dow = F.pmod(F.dayofweek("ts") + 5, F.lit(7)) + 1
+    staged = e.select(
+        dow.cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+        "user_id",
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    return staged.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(
+            F.sum("is_err").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("error_share"),
+    )
+
+
+def sql_dow_hour_heatmap() -> str:
+    return """
+SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS error_share
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -17031,6 +17144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "invisible_char_rates": q_invisible_char_rates,
     "span_kind_rle": q_span_kind_rle,
     "brand_revenue_topn_other": q_brand_revenue_topn_other,
+    "user_balance_drawdown": q_user_balance_drawdown,
+    "dow_hour_heatmap": q_dow_hour_heatmap,
 }
 
 ORACLES: dict[str, str] = {
@@ -17356,4 +17471,6 @@ ORACLES: dict[str, str] = {
     "invisible_char_rates": sql_invisible_char_rates(),
     "span_kind_rle": sql_span_kind_rle(),
     "brand_revenue_topn_other": sql_brand_revenue_topn_other(),
+    "user_balance_drawdown": sql_user_balance_drawdown(),
+    "dow_hour_heatmap": sql_dow_hour_heatmap(),
 }

@@ -952,3 +952,38 @@ def test_invisible_char_rates_flags_injected_classes(spark):
         [i for i in range(500) if i % 8 == 0 or i % 10 == 0 or i % 12 == 0]
     )
     assert tot["fl"] == flagged and tot["docs"] == 500
+
+
+def test_balance_drawdown_hand_case(spark):
+    import datetime
+
+    from pdf_parser_spark.queries import QUERIES  # noqa: F401  (import check)
+
+    # replicate the query's core on a hand ledger via the same exprs
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: +10.00, -5.00(err), -5.00(err), +20.00
+        (1, 1, t0, "purchase", 10.0),
+        (2, 1, t0 + datetime.timedelta(minutes=1), "error", 0.0),
+        (3, 1, t0 + datetime.timedelta(minutes=2), "error", 0.0),
+        (4, 1, t0 + datetime.timedelta(minutes=3), "purchase", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    df.createOrReplaceTempView("_led")
+    from pdf_parser_spark.queries import q_user_balance_drawdown
+
+    import pdf_parser_spark.queries as Q
+
+    orig = Q.load_table
+    try:
+        Q.load_table = lambda spark, sf, name: df if name == "events" else orig(spark, sf, name)
+        (r,) = q_user_balance_drawdown(spark, "unused").collect()
+    finally:
+        Q.load_table = orig
+    # balances: 1000, 500, 0, 2000 cents; peak path 1000,1000,1000,2000
+    assert r["n_moves"] == 4
+    assert r["peak_balance"] == 20.0
+    assert r["final_balance"] == 20.0
+    assert r["max_drawdown"] == 10.0  # peak 1000 -> trough 0
