@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "brand_revenue_topn_other",
     "user_balance_drawdown",
     "dow_hour_heatmap",
+    "retrieval_cascade",
 ]
 
 

@@ -16785,6 +16785,138 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_retrieval_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade — the RAG serving shape, ONE plan:
+    BM25 recalls the top-100 candidates for the keyword query (cheap,
+    inverted-index-class); the candidate POOL plus the query-as-pseudo-
+    doc is then hash-embedded (similarity.tfidf_hash_embedding over the
+    pool — rerank embeddings are pool-local by design, the idf a
+    reranker actually sees) and the top-10 by query cosine are
+    returned with both scores. Rankings use ROUNDED scores with doc
+    tie-breaks at both stages, so the cascade is engine-deterministic;
+    the cosine is the same left-associated codegen chain as
+    semantic_dup_degree."""
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    scored = textqc.bm25_scores(d, _BM25_TERMS)
+    cands = (
+        scored.select("doc_id", F.round("score", 4).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    pool = d.join(cands, "doc_id", "left_semi")
+    qdoc = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(" ".join(_BM25_TERMS)).alias("text"),
+    )
+    k = 12
+    wide = similarity.tfidf_hash_embedding(
+        pool.unionByName(qdoc),
+        out_dims=k,
+        portable=True,
+        wide_output=True,
+    )
+    qv = wide.filter(F.col("doc_id") == -1).select(
+        *[F.col(f"p{j}").alias(f"q{j}") for j in range(k)]
+    )
+    docs_w = wide.filter(F.col("doc_id") != -1).crossJoin(F.broadcast(qv))
+
+    def chain(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    dot = chain([F.col(f"p{j}") * F.col(f"q{j}") for j in range(k)])
+    na = chain([F.col(f"p{j}") * F.col(f"p{j}") for j in range(k)])
+    nb = chain([F.col(f"q{j}") * F.col(f"q{j}") for j in range(k)])
+    reranked = docs_w.withColumn(
+        "rerank_cosine", F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6)
+    )
+    return (
+        reranked.join(cands, "doc_id")
+        .select("doc_id", "bm25_score", "rerank_cosine")
+        .orderBy(F.desc("rerank_cosine"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def sql_retrieval_cascade(k: int = 12) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    qtext = " ".join(_BM25_TERMS)
+    sgn = (
+        "(1 - 2 * (('0x' || substr(md5(w || '#{j}'), 1, 15))::BIGINT % 2))"
+    )
+    cols = ", ".join(
+        f"round(CAST(sum(m * {sgn.format(j=j)}) AS DOUBLE) / 1e6"
+        f" / sqrt({k}.0), 6) AS p{j}"
+        for j in range(k)
+    )
+    dot = " + ".join(f"d.p{j} * q.p{j}" for j in range(k))
+    na = " + ".join(f"d.p{j} * d.p{j}" for j in range(k))
+    nb = " + ".join(f"q.p{j} * q.p{j}" for j in range(k))
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+  WHERE t IN ({terms}) GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), contrib AS (
+  SELECT tf.doc_id,
+         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+  FROM tf
+  JOIN (SELECT t, count(*) AS df FROM tf GROUP BY 1) USING (t)
+  JOIN dl USING (doc_id) CROSS JOIN stats
+), bm AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(c), 4) AS bm25_score
+  FROM contrib GROUP BY doc_id
+  ORDER BY round(sum(c), 4) DESC, doc_id ASC LIMIT 100
+), pool AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  WHERE CAST(doc_id AS BIGINT) IN (SELECT doc_id FROM bm)
+  UNION ALL SELECT -1, '{qtext}'
+), d2 AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws
+  FROM pool WHERE length(trim(coalesce(text, ''))) > 0
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM d2
+), tf2 AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dft AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1
+), n2 AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM d2
+), idf AS (
+  SELECT w, CAST(round((n2.n - CAST(df AS DOUBLE) + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5) * 1e6) AS BIGINT) AS idfq
+  FROM dft CROSS JOIN n2
+), weighted AS (
+  SELECT tf2.doc_id, tf2.w, tf2.tf * idf.idfq AS m
+  FROM tf2 JOIN idf ON tf2.w = idf.w
+), wide AS (
+  SELECT doc_id, {cols} FROM weighted GROUP BY doc_id
+), q AS (
+  SELECT * FROM wide WHERE doc_id = -1
+)
+SELECT d.doc_id, bm.bm25_score,
+       round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS rerank_cosine
+FROM wide d CROSS JOIN q JOIN bm ON bm.doc_id = d.doc_id
+WHERE d.doc_id <> -1
+ORDER BY round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) DESC, d.doc_id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -17146,6 +17278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue_topn_other": q_brand_revenue_topn_other,
     "user_balance_drawdown": q_user_balance_drawdown,
     "dow_hour_heatmap": q_dow_hour_heatmap,
+    "retrieval_cascade": q_retrieval_cascade,
 }
 
 ORACLES: dict[str, str] = {
@@ -17473,4 +17606,5 @@ ORACLES: dict[str, str] = {
     "brand_revenue_topn_other": sql_brand_revenue_topn_other(),
     "user_balance_drawdown": sql_user_balance_drawdown(),
     "dow_hour_heatmap": sql_dow_hour_heatmap(),
+    "retrieval_cascade": sql_retrieval_cascade(),
 }

@@ -1249,3 +1249,17 @@ def test_group_kfold_metadata_window_only(spark):
     assert w >= 0
     # below the window (printed after it) sits the group aggregate
     assert "HashAggregate" in plan[w:]
+
+
+def test_retrieval_cascade_stays_jvm_side(spark):
+    import re
+
+    df = QUERIES["retrieval_cascade"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # only 1-row broadcasts (corpus count N, the query vector) may nest
+    for m in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "BuildRight, Cross" in m
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # final stage is a bounded top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
