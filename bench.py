@@ -315,6 +315,8 @@ BENCH_QUERIES = [
     "user_balance_drawdown",
     "dow_hour_heatmap",
     "retrieval_cascade",
+    "churn_labels",
+    "community_modularity",
 ]
 
 

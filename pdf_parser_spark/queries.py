@@ -16917,6 +16917,235 @@ LIMIT 10
 """
 
 
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct churn labeling — the ML-data-prep step
+    where leakage is usually born: features aggregate STRICTLY before
+    the cutoff (days 1-20: events, purchases, exact-cents revenue,
+    days since last activity), the label comes STRICTLY after (no
+    event in days 21-30 ⇒ churned=1), and a user with no pre-cutoff
+    activity emits no row (nothing to predict from). Two disjoint
+    time-sliced aggregates met by ONE left join on the user — the
+    post-cutoff side only ever contributes a flag."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    pre = e.filter(F.col("ts") < cutoff)
+    post = e.filter(F.col("ts") >= cutoff)
+    feats = pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("rev_cents"),
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("_last_ep"),
+    )
+    active_post = post.select("user_id").distinct().withColumn(
+        "_alive", F.lit(1)
+    )
+    return (
+        feats.join(active_post, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            F.round(F.col("rev_cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            # integer div, not double-cast: DuckDB CAST(double AS INT)
+            # rounds where Spark truncates
+            F.expr(
+                "CAST((CAST(TIMESTAMP '2024-01-21' AS LONG) - _last_ep)"
+                " DIV 86400 AS INT)"
+            ).alias("days_inactive"),
+            F.when(F.col("_alive").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+
+
+def sql_churn_labels() -> str:
+    return """
+WITH pre AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev_cents,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ep
+  FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id
+), post AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-21'
+)
+SELECT pre.user_id, pre.n_events, pre.n_purchases,
+       round(CAST(pre.rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+       CAST((CAST(floor(epoch(TIMESTAMP '2024-01-21')) AS BIGINT)
+             - pre.last_ep) // 86400 AS INTEGER) AS days_inactive,
+       CAST(CASE WHEN post.user_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS churned
+FROM pre LEFT JOIN post ON pre.user_id = post.user_id
+"""
+
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the detected host communities — the quality
+    score that says whether label propagation found real structure
+    (Q ≈ 0: no better than random; Q > 0.3: strong): over the
+    UNDIRECTED host graph, Q = Σ_c [L_c/L − (d_c/2L)²] from exact
+    integer community edge/degree tallies; the per-community double
+    terms are summed via a community-sorted array fold (the
+    design_effect discipline), so Q replays bit-for-bit. Reuses the
+    same 4-round label-propagation communities the host_communities
+    query checks; one edge join onto labels + two metadata-scale
+    rollups."""
+    from pdf_parser_spark.operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = _host_edges(d)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .filter(F.col("a") < F.col("b"))
+    )
+    labels = graph.label_propagation(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")), rounds=4
+    ).select(F.col("v").alias("_v"), F.col("community").alias("_c"))
+    la = labels.select(F.col("_v").alias("a"), F.col("_c").alias("ca"))
+    lb = labels.select(F.col("_v").alias("b"), F.col("_c").alias("cb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    per_comm_edges = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_lc"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"), F.col("b"))
+        .unionByName(
+            und.select(F.col("b").alias("v"), F.col("a").alias("b"))
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    per_comm_deg = (
+        labels.join(deg, labels["_v"] == deg["v"])
+        .groupBy("_c")
+        .agg(F.sum("_d").alias("_dc"))
+    )
+    ltot = und.agg(F.count(F.lit(1)).cast("long").alias("_l"))
+    comm = per_comm_deg.join(per_comm_edges, "_c", "left").select(
+        "_c",
+        F.coalesce("_lc", F.lit(0)).alias("_lc"),
+        "_dc",
+    )
+    term = (
+        F.col("_lc").cast("double") / F.col("_l").cast("double")
+        - (
+            F.col("_dc").cast("double")
+            / (2.0 * F.col("_l").cast("double"))
+        )
+        * (
+            F.col("_dc").cast("double")
+            / (2.0 * F.col("_l").cast("double"))
+        )
+    )
+    g = comm.crossJoin(F.broadcast(ltot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("_l").alias("n_edges"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_c"), term.alias("_t")))
+                ),
+                lambda s: s["_t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_q"),
+    )
+    return g.select(
+        "n_communities",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(F.col("_q"), 6).alias("modularity"),
+    )
+
+
+def sql_community_modularity(rounds: int = 4) -> str:
+    # undirected edge set (a < b) of the synthetic host graph
+    base = """e0 AS (
+  SELECT DISTINCT
+    'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+    'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                   % 25 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+     <> 'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                       % 25 AS VARCHAR)
+), und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e0
+    UNION ALL SELECT dst, src FROM e0)
+  WHERE a < b
+), sym AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL SELECT b, a FROM und
+), l0 AS (
+  SELECT v, v AS label FROM (
+    SELECT DISTINCT src AS v FROM sym
+    UNION SELECT DISTINCT dst FROM sym)
+)"""
+    ctes = [base]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(f"""v{k} AS (
+  SELECT s.dst AS v, l.label, count(*) AS c
+  FROM sym s JOIN l{p} l ON l.v = s.src
+  GROUP BY 1, 2
+), l{k} AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{k})
+  WHERE rn = 1
+)""")
+    fin = f"""comm_edges AS (
+  SELECT l1.label AS c, CAST(count(*) AS BIGINT) AS lc
+  FROM und JOIN l{rounds} l1 ON l1.v = und.a
+           JOIN l{rounds} l2 ON l2.v = und.b
+  WHERE l1.label = l2.label GROUP BY 1
+), deg AS (
+  SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+), comm_deg AS (
+  SELECT l.label AS c, CAST(sum(deg.d) AS BIGINT) AS dc
+  FROM l{rounds} l JOIN deg ON deg.v = l.v GROUP BY 1
+), lt AS (
+  SELECT CAST(count(*) AS BIGINT) AS l FROM und
+), terms AS (
+  SELECT cd.c, coalesce(ce.lc, 0) AS lc, cd.dc, lt.l,
+         CAST(coalesce(ce.lc, 0) AS DOUBLE) / CAST(lt.l AS DOUBLE)
+           - (CAST(cd.dc AS DOUBLE) / (2.0 * CAST(lt.l AS DOUBLE)))
+             * (CAST(cd.dc AS DOUBLE) / (2.0 * CAST(lt.l AS DOUBLE)))
+           AS t
+  FROM comm_deg cd LEFT JOIN comm_edges ce ON ce.c = cd.c
+  CROSS JOIN lt
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(l) AS BIGINT) AS n_edges,
+       round(list_reduce(list(t ORDER BY c), (x, y) -> x + y), 6)
+         AS modularity
+FROM terms"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + fin
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -17279,6 +17508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_balance_drawdown": q_user_balance_drawdown,
     "dow_hour_heatmap": q_dow_hour_heatmap,
     "retrieval_cascade": q_retrieval_cascade,
+    "churn_labels": q_churn_labels,
+    "community_modularity": q_community_modularity,
 }
 
 ORACLES: dict[str, str] = {
@@ -17607,4 +17838,6 @@ ORACLES: dict[str, str] = {
     "user_balance_drawdown": sql_user_balance_drawdown(),
     "dow_hour_heatmap": sql_dow_hour_heatmap(),
     "retrieval_cascade": sql_retrieval_cascade(),
+    "churn_labels": sql_churn_labels(),
+    "community_modularity": sql_community_modularity(),
 }
