@@ -317,6 +317,8 @@ BENCH_QUERIES = [
     "retrieval_cascade",
     "churn_labels",
     "community_modularity",
+    "cohort_ltv_curve",
+    "user_data_footprint",
 ]
 
 

@@ -17146,6 +17146,174 @@ FROM terms"""
     return "WITH " + ",\n".join(ctes) + ",\n" + fin
 
 
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the growth team's companion to the
+    retention triangle: users cohorted by first-event week (integer
+    epoch-day div 7, the engine-portable bucket), cumulative purchase
+    revenue per user by cohort age in weeks. Exact int64 cents
+    end-to-end: one first-event aggregate, one (cohort, age) rollup,
+    one cumulative window over the metadata-scale cohort×age grid."""
+    e = load_table(spark, sf_dir, "events")
+    staged = e.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+        ).alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    first = staged.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        staged.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort", (F.col("week") - F.col("cohort")).alias("age_weeks"),
+            "cents",
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("week_cents").over(w))
+    return cum.join(sized, "cohort").select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        "cohort_users",
+        F.round(F.col("cum_cents").cast("double") / 100.0, 2).alias(
+            "cum_revenue"
+        ),
+        F.round(
+            F.col("cum_cents").cast("double")
+            / F.col("cohort_users").cast("double")
+            / 100.0,
+            4,
+        ).alias("ltv_per_user"),
+    )
+
+
+def sql_cohort_ltv_curve() -> str:
+    return """
+WITH staged AS (
+  SELECT user_id, event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort FROM staged GROUP BY 1
+), sized AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY 1
+), rev AS (
+  SELECT f.cohort, s.week - f.cohort AS age_weeks,
+         CAST(sum(s.cents) AS BIGINT) AS week_cents
+  FROM staged s JOIN first f ON s.user_id = f.user_id
+  WHERE s.event_type = 'purchase'
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age_weeks,
+         sum(week_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+                               ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM rev
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort,
+       CAST(c.age_weeks AS BIGINT) AS age_weeks,
+       z.cohort_users,
+       round(CAST(c.cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
+       round(CAST(c.cum_cents AS DOUBLE) / CAST(z.cohort_users AS DOUBLE)
+             / 100.0, 4) AS ltv_per_user
+FROM cum c JOIN sized z ON c.cohort = z.cohort
+"""
+
+
+def q_user_data_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten footprint audit — before a deletion batch
+    runs, the compliance report of every row the batch touches across
+    the schema: an md5-gated ~5% of users form the deletion set; the
+    audit counts their events rows, their orders (as customers), and
+    the lineitems hanging off those orders (the transitive FK fan-out a
+    DELETE must follow). Three semi-join counts unioned as (table,
+    metric) rows; the deletion set broadcasts everywhere."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit("#del")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(20),
+        )
+        == 0
+    )
+    delset = e.select("user_id").distinct().filter(gate)
+    ev_rows = e.join(F.broadcast(delset), "user_id", "left_semi")
+    ord_rows = o.join(
+        F.broadcast(delset.select(F.col("user_id").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    li_rows = li.join(
+        ord_rows.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+
+    def one(name, df):
+        return df.agg(
+            F.lit(name).alias("surface"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    n_users = delset.agg(
+        F.lit("users").alias("surface"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return (
+        n_users.unionByName(one("events", ev_rows))
+        .unionByName(one("orders", ord_rows))
+        .unionByName(one("lineitem", li_rows))
+    )
+
+
+def sql_user_data_footprint() -> str:
+    return """
+WITH delset AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ('0x' || substr(md5(user_id || '#del'), 1, 15))::BIGINT % 20 = 0
+), ords AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT user_id FROM delset)
+)
+SELECT 'users' AS surface,
+       CAST((SELECT count(*) FROM delset) AS BIGINT) AS n_rows
+UNION ALL SELECT 'events',
+       CAST((SELECT count(*) FROM events
+             WHERE user_id IN (SELECT user_id FROM delset)) AS BIGINT)
+UNION ALL SELECT 'orders',
+       CAST((SELECT count(*) FROM ords) AS BIGINT)
+UNION ALL SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM ords)) AS BIGINT)
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -17510,6 +17678,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_cascade": q_retrieval_cascade,
     "churn_labels": q_churn_labels,
     "community_modularity": q_community_modularity,
+    "cohort_ltv_curve": q_cohort_ltv_curve,
+    "user_data_footprint": q_user_data_footprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -17840,4 +18010,6 @@ ORACLES: dict[str, str] = {
     "retrieval_cascade": sql_retrieval_cascade(),
     "churn_labels": sql_churn_labels(),
     "community_modularity": sql_community_modularity(),
+    "cohort_ltv_curve": sql_cohort_ltv_curve(),
+    "user_data_footprint": sql_user_data_footprint(),
 }
