@@ -319,6 +319,8 @@ BENCH_QUERIES = [
     "community_modularity",
     "cohort_ltv_curve",
     "user_data_footprint",
+    "gapped_event_pairs",
+    "csv_dialect_sniff",
 ]
 
 

@@ -17314,6 +17314,229 @@ UNION ALL SELECT 'lineitem',
 """
 
 
+def q_gapped_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential patterns — the step past adjacent transitions:
+    ordered event-type pairs (a …≤3 events… b) WITHIN a session, so
+    'view then purchase, possibly with clicks between' is countable
+    (event_transitions only sees adjacent pairs). Sessionize (30-min
+    gap), position by row_number, self-join per session bounded by the
+    1..3 position gap — session sizes bound the fan-out, never the
+    corpus. Top-20 by support with a pinned tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    staged = e.select(
+        "user_id", "event_id", "event_type", "ts", ep.alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    sess = staged.withColumn(
+        "_ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sid",
+        F.sum("_ns").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    pos = sess.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        ),
+    ).select("user_id", "sid", "pos", "event_type")
+    a = pos.select(
+        "user_id", "sid", F.col("pos").alias("pa"),
+        F.col("event_type").alias("a"),
+    )
+    b = pos.select(
+        "user_id", "sid", F.col("pos").alias("pb"),
+        F.col("event_type").alias("b"),
+    )
+    pairs = a.join(b, ["user_id", "sid"]).filter(
+        (F.col("pb") - F.col("pa") >= 1) & (F.col("pb") - F.col("pa") <= 3)
+    )
+    counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return counts.orderBy(
+        F.desc("support"), F.asc("a"), F.asc("b")
+    ).limit(20)
+
+
+def sql_gapped_event_pairs() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), p AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS pos
+  FROM s
+)
+SELECT a.event_type AS a, b.event_type AS b,
+       CAST(count(*) AS BIGINT) AS support
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.sid = b.sid
+ AND b.pos - a.pos BETWEEN 1 AND 3
+GROUP BY 1, 2
+ORDER BY support DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+def q_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect sniffing at ingestion (the simplified consistency
+    sniffer real CSV readers run, documented simplification: no quote
+    escapes): per blob, a candidate delimiter wins when every line
+    splits into the SAME field count > 1, preferring the candidate with
+    the most fields (ties by the pinned candidate order , ; | tab).
+    Blobs are synthesized per doc in four dialect classes from the doc
+    words, so every candidate and an inconsistent-blob class are
+    exercised. Pure HOF/codegen over one scan; zero shuffles before
+    the per-dialect rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    ws = dedup.words_col(F.col("text"))
+    f1, f2, f3 = (
+        F.coalesce(F.try_element_at(ws, F.lit(1)), F.lit("")),
+        F.coalesce(F.try_element_at(ws, F.lit(2)), F.lit("")),
+        F.coalesce(F.try_element_at(ws, F.lit(3)), F.lit("")),
+    )
+    cls = (did % 5).cast("int")
+    delim = (
+        F.when(cls == 0, F.lit(","))
+        .when(cls == 1, F.lit(";"))
+        .when(cls == 2, F.lit("|"))
+        .when(cls == 3, F.lit("\t"))
+        .otherwise(F.lit(","))
+    )
+    line = F.concat_ws("", f1, delim, f2, delim, f3)
+    # class 4 is INCONSISTENT: second line has a different field count
+    line2 = F.when(
+        cls == 4, F.concat_ws("", f1, F.lit(","), f2)
+    ).otherwise(line)
+    blob = F.concat(line, F.lit("\n"), line2, F.lit("\n"), line)
+    blobs = d.select(did.alias("doc_id"), blob.alias("blob"))
+    lines = F.filter(F.split(F.col("blob"), "\n"), lambda x: F.length(x) > 0)
+    cands = [(",", "comma"), (";", "semicolon"), ("|", "pipe"), ("\t", "tab")]
+
+    def fields_per_line(delim_ch: str):
+        # consistent iff every line has the same count > 1
+        counts = F.transform(
+            lines,
+            lambda x: F.size(F.split(x, F.lit(delim_ch), -1)),
+        )
+        return F.when(
+            (F.array_min(counts) == F.array_max(counts))
+            & (F.array_min(counts) > 1),
+            F.array_min(counts),
+        ).otherwise(F.lit(0))
+
+    staged = blobs.select(
+        "doc_id",
+        *[
+            fields_per_line(
+                "\\|" if ch == "|" else ("\\t" if ch == "\t" else ch)
+            ).alias(f"_n_{name}")
+            for ch, name in cands
+        ],
+    )
+    # choose the candidate with max fields; ties by the pinned candidate
+    # order (, ; | tab) — the outermost when wins, so iterate reversed
+    expr = F.lit("none")
+    best_n = F.lit(0)
+    for _, name in reversed(cands):
+        n = F.col(f"_n_{name}")
+        take = n >= F.greatest(
+            *[F.col(f"_n_{m}") for _, m in cands if m != name], F.lit(1)
+        )
+        expr = F.when((n > 0) & take, F.lit(name)).otherwise(expr)
+    out = staged.select(
+        "doc_id",
+        expr.alias("dialect"),
+        F.greatest(*[F.col(f"_n_{m}") for _, m in cands]).alias("n_fields"),
+    )
+    return out.groupBy("dialect").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        F.max("n_fields").cast("long").alias("max_fields"),
+    )
+
+
+def sql_csv_dialect_sniff() -> str:
+    words = _WORDS_SQL
+    line = (
+        "ws[1] || dl || ws[2] || dl || ws[3]"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform({words}, x -> coalesce(x, '')) AS ws0,
+         CAST(CAST(doc_id AS BIGINT) % 5 AS INT) AS cls
+  FROM documents
+), dlc AS (
+  SELECT doc_id,
+         [coalesce(ws0[1], ''), coalesce(ws0[2], ''), coalesce(ws0[3], '')]
+           AS ws,
+         cls,
+         CASE cls WHEN 0 THEN ',' WHEN 1 THEN ';' WHEN 2 THEN '|'
+                  WHEN 3 THEN chr(9) ELSE ',' END AS dl
+  FROM base
+), blobs AS (
+  SELECT doc_id, cls,
+         ({line}) || chr(10)
+         || (CASE WHEN cls = 4 THEN ws[1] || ',' || ws[2]
+                  ELSE ({line}) END) || chr(10)
+         || ({line}) AS blob
+  FROM dlc
+), lines AS (
+  SELECT doc_id,
+         list_filter(string_split(blob, chr(10)), x -> length(x) > 0) AS ls
+  FROM blobs
+), counted AS (
+  SELECT doc_id,
+    {", ".join(
+        f'''CASE WHEN list_min(list_transform(ls,
+                x -> len(string_split(x, {d})))) =
+              list_max(list_transform(ls, x -> len(string_split(x, {d}))))
+           AND list_min(list_transform(ls,
+                x -> len(string_split(x, {d})))) > 1
+         THEN list_min(list_transform(ls, x -> len(string_split(x, {d}))))
+         ELSE 0 END AS n_{name}'''
+        for d, name in [("','", "comma"), ("';'", "semicolon"),
+                        ("'|'", "pipe"), ("chr(9)", "tab")]
+    )}
+  FROM lines
+), picked AS (
+  SELECT doc_id,
+    CASE
+      WHEN n_comma > 0 AND n_comma >= greatest(n_semicolon, n_pipe, n_tab, 1)
+        THEN 'comma'
+      WHEN n_semicolon > 0
+           AND n_semicolon >= greatest(n_comma, n_pipe, n_tab, 1)
+        THEN 'semicolon'
+      WHEN n_pipe > 0 AND n_pipe >= greatest(n_comma, n_semicolon, n_tab, 1)
+        THEN 'pipe'
+      WHEN n_tab > 0 AND n_tab >= greatest(n_comma, n_semicolon, n_pipe, 1)
+        THEN 'tab'
+      ELSE 'none' END AS dialect,
+    greatest(n_comma, n_semicolon, n_pipe, n_tab) AS n_fields
+  FROM counted
+)
+SELECT dialect, CAST(count(*) AS BIGINT) AS n_blobs,
+       CAST(max(n_fields) AS BIGINT) AS max_fields
+FROM picked GROUP BY dialect
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -17680,6 +17903,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_modularity": q_community_modularity,
     "cohort_ltv_curve": q_cohort_ltv_curve,
     "user_data_footprint": q_user_data_footprint,
+    "gapped_event_pairs": q_gapped_event_pairs,
+    "csv_dialect_sniff": q_csv_dialect_sniff,
 }
 
 ORACLES: dict[str, str] = {
@@ -18012,4 +18237,6 @@ ORACLES: dict[str, str] = {
     "community_modularity": sql_community_modularity(),
     "cohort_ltv_curve": sql_cohort_ltv_curve(),
     "user_data_footprint": sql_user_data_footprint(),
+    "gapped_event_pairs": sql_gapped_event_pairs(),
+    "csv_dialect_sniff": sql_csv_dialect_sniff(),
 }
