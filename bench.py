@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "user_data_footprint",
     "gapped_event_pairs",
     "csv_dialect_sniff",
+    "order_value_percentile",
+    "settlement_dates",
 ]
 
 

@@ -17537,6 +17537,111 @@ FROM picked GROUP BY dialect
 """
 
 
+def q_order_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-to-distribution window family members the suite hadn't
+    pinned: percent_rank (rank position scaled to [0,1]) and cume_dist
+    (fraction of peers ≤ this row) of every order's value within its
+    priority class, plus the ntile(4) quartile — the trio a pricing
+    analyst reads together. Total order pinned by (value, orderkey);
+    one priority-keyed window shuffle serves all three functions."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    staged = o.select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("priority").orderBy("cents", "orderkey")
+    return staged.select(
+        "orderkey",
+        "priority",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+def sql_order_value_percentile() -> str:
+    return """
+WITH staged AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+         o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT orderkey, priority,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM staged
+WINDOW w AS (PARTITION BY priority ORDER BY cents, orderkey)
+"""
+
+
+def q_settlement_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic (T+2 settlement skipping weekends — the
+    calendar math every finance pipeline needs and no built-in gives):
+    ISO-dow via integer epoch-day mod 7 (1970-01-01 was a Thursday, so
+    dow = (epoch_day + 3) mod 7 with Monday=0 — pure int arithmetic,
+    no locale), then the closed-form weekend skip: roll a weekend start
+    to Monday, add floor and remainder business days. Codegen only;
+    the oracle replays the identical integer formula."""
+    o = load_table(spark, sf_dir, "orders")
+    n = 2  # T+2
+    staged = o.select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_orderdate").alias("trade_ts"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).alias("_ed"),
+    )
+    dow = F.pmod(F.col("_ed") + 3, F.lit(7))  # Mon=0 .. Sun=6
+    # roll weekend starts forward to Monday (Sat +2, Sun +1)
+    start = (
+        F.col("_ed")
+        + F.when(dow == 5, 2).when(dow == 6, 1).otherwise(0)
+    )
+    sdow = F.pmod(start + 3, F.lit(7))  # now 0..4
+    # add n business days: full weeks + remainder, +2 if remainder
+    # crosses Friday
+    add = F.lit(7 * (n // 5) + (n % 5)) + F.when(
+        sdow + (n % 5) > 4, 2
+    ).otherwise(0)
+    settle_ed = start + add
+    return staged.select(
+        "orderkey",
+        F.to_date("trade_ts").alias("trade_date"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"), settle_ed.cast("int")
+        ).alias("settle_date"),
+    )
+
+
+def sql_settlement_dates(n: int = 2) -> str:
+    return f"""
+WITH staged AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+         CAST(o_orderdate AS DATE) AS trade_date,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS ed
+  FROM orders
+), rolled AS (
+  SELECT orderkey, trade_date, ed,
+         ed + (CASE (ed + 3) % 7 WHEN 5 THEN 2 WHEN 6 THEN 1 ELSE 0 END)
+           AS start
+  FROM staged
+)
+SELECT orderkey, trade_date,
+       DATE '1970-01-01' + CAST(
+         start + 7 * ({n} // 5) + ({n} % 5)
+         + (CASE WHEN (start + 3) % 7 + ({n} % 5) > 4 THEN 2 ELSE 0 END)
+         AS INTEGER) AS settle_date
+FROM rolled
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -17905,6 +18010,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_data_footprint": q_user_data_footprint,
     "gapped_event_pairs": q_gapped_event_pairs,
     "csv_dialect_sniff": q_csv_dialect_sniff,
+    "order_value_percentile": q_order_value_percentile,
+    "settlement_dates": q_settlement_dates,
 }
 
 ORACLES: dict[str, str] = {
@@ -18239,4 +18346,6 @@ ORACLES: dict[str, str] = {
     "user_data_footprint": sql_user_data_footprint(),
     "gapped_event_pairs": sql_gapped_event_pairs(),
     "csv_dialect_sniff": sql_csv_dialect_sniff(),
+    "order_value_percentile": sql_order_value_percentile(),
+    "settlement_dates": sql_settlement_dates(),
 }

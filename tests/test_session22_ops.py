@@ -987,3 +987,33 @@ def test_balance_drawdown_hand_case(spark):
     assert r["peak_balance"] == 20.0
     assert r["final_balance"] == 20.0
     assert r["max_drawdown"] == 10.0  # peak 1000 -> trough 0
+
+
+def test_settlement_dates_skip_weekends(spark):
+    import datetime
+
+    import pdf_parser_spark.queries as Q
+
+    # 2024-01-01 Mon .. 2024-01-07 Sun; T+2 business days
+    rows = [
+        (i + 1, datetime.datetime(2024, 1, i + 1)) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate timestamp")
+    orig = Q.load_table
+    try:
+        Q.load_table = (
+            lambda spark, sf, name: df if name == "orders" else orig(spark, sf, name)
+        )
+        got = {
+            r["orderkey"]: r["settle_date"].isoformat()
+            for r in Q.q_settlement_dates(spark, "unused").collect()
+        }
+    finally:
+        Q.load_table = orig
+    assert got[1] == "2024-01-03"  # Mon -> Wed
+    assert got[2] == "2024-01-04"  # Tue -> Thu
+    assert got[3] == "2024-01-05"  # Wed -> Fri
+    assert got[4] == "2024-01-08"  # Thu -> Mon (skip weekend)
+    assert got[5] == "2024-01-09"  # Fri -> Tue
+    assert got[6] == "2024-01-10"  # Sat -> rolls to Mon -> Wed
+    assert got[7] == "2024-01-10"  # Sun -> rolls to Mon -> Wed
