@@ -323,6 +323,8 @@ BENCH_QUERIES = [
     "csv_dialect_sniff",
     "order_value_percentile",
     "settlement_dates",
+    "trigram_regex_candidates",
+    "sentence_safe_truncate",
 ]
 
 

@@ -17642,6 +17642,159 @@ FROM rolled
 """
 
 
+_TRGM_QUERY = "spark table"
+
+
+def q_trigram_regex_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index substring search (the pg_trgm pattern, public): a
+    literal query's character trigrams prefilter candidates through an
+    inverted (trigram → doc) index — a doc can contain the substring
+    only if it contains EVERY query trigram — and the exact contains()
+    verify runs only on the survivors. The corpus-scale regex/substring
+    search discipline: the index join replaces a full-corpus scan per
+    query. Output compares the candidate and verified sets per doc
+    (hit=1 ⇒ verified), so the oracle value-checks both the index
+    recall and the verify."""
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("low"),
+    )
+    q = _TRGM_QUERY
+    qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("low") - 2, F.lit(1))),
+            lambda i: F.col("low").substr(i, F.lit(3)),
+        )
+    )
+    posted = d.select("doc_id", "low", F.explode(grams).alias("g")).filter(
+        F.col("g").isin(qgrams)
+    )
+    cands = (
+        posted.groupBy("doc_id", "low")
+        .agg(F.countDistinct("g").alias("_k"))
+        .filter(F.col("_k") == len(qgrams))
+    )
+    return cands.select(
+        "doc_id",
+        F.lit(len(qgrams)).cast("long").alias("n_query_grams"),
+        F.col("low").contains(q).cast("int").alias("verified"),
+    )
+
+
+def sql_trigram_regex_candidates() -> str:
+    q = _TRGM_QUERY
+    qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    glist = ", ".join(f"'{g}'" for g in qgrams)
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS low
+  FROM documents
+), grams AS (
+  SELECT doc_id, low, g FROM (
+    SELECT doc_id, low,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(length(low) - 2, 1) + 1),
+             i -> substr(low, CAST(i AS INT), 3)))) AS g
+    FROM d)
+  WHERE g IN ({glist})
+), cands AS (
+  SELECT doc_id, low, count(DISTINCT g) AS k
+  FROM grams GROUP BY 1, 2
+)
+SELECT doc_id, CAST({len(qgrams)} AS BIGINT) AS n_query_grams,
+       CAST(CASE WHEN position('{q}' IN low) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS verified
+FROM cands WHERE k = {len(qgrams)}
+"""
+
+
+def q_sentence_safe_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary-safe truncation — clip every document to ≤64
+    words WITHOUT cutting mid-sentence (the context-window prep that
+    keeps clipped training text grammatical): sentences split on
+    terminal punctuation + space, per-sentence word counts, the kept
+    prefix is the longest run of FULL sentences fitting the budget
+    (greedy; a first sentence longer than the budget keeps nothing —
+    callers route those to the hard chunker). Pure HOF arithmetic over
+    one scan (prefix sums via bounded per-doc transform); md5 of the
+    truncated text value-checks the exact clip point."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    budget = 64
+    # sentinel-replace split (no lookbehind: DuckDB's RE2 has none) —
+    # '. ' -> '.<US>' etc., then split on the literal sentinel
+    marked = F.col("text")
+    for p in (". ", "! ", "? "):
+        marked = F.replace(marked, F.lit(p), F.lit(p[0] + "\x1f"))
+    sents = F.split(marked, "\x1f")
+    staged = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        sents.alias("_s"),
+    ).withColumn(
+        "_wc",
+        F.transform(
+            F.col("_s"),
+            lambda s: F.size(
+                F.filter(F.split(F.trim(s), " "), lambda x: F.length(x) > 0)
+            ),
+        ),
+    )
+    k = F.size("_s")
+    prefix_ok = F.filter(
+        F.sequence(F.lit(1), k),
+        lambda i: F.aggregate(
+            F.slice(F.col("_wc"), 1, i), F.lit(0), lambda a, x: a + x
+        )
+        <= budget,
+    )
+    keep = F.coalesce(F.array_max(prefix_ok), F.lit(0))
+    staged = staged.withColumn("_keep", keep)
+    kept_text = F.array_join(F.slice(F.col("_s"), 1, F.col("_keep")), " ")
+    kept_words = F.when(F.col("_keep") > 0, F.aggregate(
+        F.slice(F.col("_wc"), 1, F.col("_keep")), F.lit(0), lambda a, x: a + x
+    )).otherwise(F.lit(0))
+    return staged.select(
+        "doc_id",
+        F.size("_s").cast("long").alias("n_sentences"),
+        F.col("_keep").cast("long").alias("kept_sentences"),
+        kept_words.cast("long").alias("kept_words"),
+        F.md5(kept_text).alias("clip_md5"),
+    )
+
+
+def sql_sentence_safe_truncate(budget: int = 64) -> str:
+    wc = (
+        "list_transform(s, x -> len(list_filter("
+        "string_split(trim(x), ' '), w -> length(w) > 0)))"
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(
+           replace(replace(replace(text,
+             '. ', '.' || chr(31)), '! ', '!' || chr(31)),
+             '? ', '?' || chr(31)),
+           chr(31)) AS s
+  FROM documents
+), staged AS (
+  SELECT doc_id, s, {wc} AS wc FROM d
+), kept AS (
+  SELECT doc_id, s, wc,
+    coalesce(list_max(list_filter(range(1, len(s) + 1),
+      i -> list_sum(wc[1:CAST(i AS INT)]) <= {budget})), 0) AS keep
+  FROM staged
+)
+SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sentences,
+       CAST(keep AS BIGINT) AS kept_sentences,
+       CAST(CASE WHEN keep > 0
+                 THEN list_sum(wc[1:CAST(keep AS INT)]) ELSE 0 END
+            AS BIGINT) AS kept_words,
+       md5(coalesce(array_to_string(s[1:CAST(keep AS INT)], ' '), ''))
+         AS clip_md5
+FROM kept
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18012,6 +18165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_dialect_sniff": q_csv_dialect_sniff,
     "order_value_percentile": q_order_value_percentile,
     "settlement_dates": q_settlement_dates,
+    "trigram_regex_candidates": q_trigram_regex_candidates,
+    "sentence_safe_truncate": q_sentence_safe_truncate,
 }
 
 ORACLES: dict[str, str] = {
@@ -18348,4 +18503,6 @@ ORACLES: dict[str, str] = {
     "csv_dialect_sniff": sql_csv_dialect_sniff(),
     "order_value_percentile": sql_order_value_percentile(),
     "settlement_dates": sql_settlement_dates(),
+    "trigram_regex_candidates": sql_trigram_regex_candidates(),
+    "sentence_safe_truncate": sql_sentence_safe_truncate(),
 }
