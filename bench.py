@@ -325,6 +325,8 @@ BENCH_QUERIES = [
     "settlement_dates",
     "trigram_regex_candidates",
     "sentence_safe_truncate",
+    "index_segment_merge",
+    "t_closeness_audit",
 ]
 
 

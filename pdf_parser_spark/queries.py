@@ -17795,6 +17795,197 @@ FROM kept
 """
 
 
+def q_index_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index segment merge — the Lucene-style maintenance step
+    a search tier runs continuously: a BASE segment (docs with id < 400)
+    and a DELTA segment (the rest) each hold per-term postings (df +
+    the first-10 doc ids, the capped preview a merge policy reads);
+    merging unions postings per term and sums df — ONE full-outer term
+    join, never a rebuild from raw text. The oracle builds the merged
+    index straight from the corpus, so the segment-merge arithmetic
+    must equal the from-scratch build (the invariant incremental
+    indexing must keep)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def segment(df):
+        tok = df.select(
+            "doc_id", F.explode(dedup.words_col(F.col("text"))).alias("t")
+        ).filter(F.length("t") >= 4)
+        per = tok.distinct().groupBy("t").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10).alias(
+                "preview"
+            ),
+        )
+        return per
+
+    base = segment(d.filter(F.col("doc_id") < 400))
+    delta = segment(d.filter(F.col("doc_id") >= 400))
+    b = base.select(
+        F.col("t"), F.col("df").alias("df_b"), F.col("preview").alias("p_b")
+    )
+    x = delta.select(
+        F.col("t"), F.col("df").alias("df_d"), F.col("preview").alias("p_d")
+    )
+    merged = b.join(x, "t", "full_outer").select(
+        "t",
+        (F.coalesce("df_b", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias(
+            "df"
+        ),
+        F.slice(
+            F.array_sort(
+                F.array_union(
+                    F.coalesce("p_b", F.array().cast("array<long>")),
+                    F.coalesce("p_d", F.array().cast("array<long>")),
+                )
+            ),
+            1,
+            10,
+        ).alias("preview"),
+    )
+    return merged.select(
+        "t",
+        "df",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("preview"), lambda x: x.cast("string")), ","
+            )
+        ).alias("preview_md5"),
+    )
+
+
+def sql_index_segment_merge() -> str:
+    # the merged index must equal a from-scratch build over the corpus;
+    # base-preview ∪ delta-preview == first-10 overall because the
+    # segments split on doc_id < 400 and previews are id-sorted
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, t
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS t FROM documents)
+  WHERE length(t) >= 4
+), base AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df,
+         (list_sort(list(doc_id)))[1:10] AS preview
+  FROM tok WHERE doc_id < 400 GROUP BY t
+), delta AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df,
+         (list_sort(list(doc_id)))[1:10] AS preview
+  FROM tok WHERE doc_id >= 400 GROUP BY t
+)
+SELECT coalesce(b.t, d.t) AS t,
+       coalesce(b.df, 0) + coalesce(d.df, 0) AS df,
+       md5(array_to_string(list_transform(
+         (list_sort(list_distinct(
+            coalesce(b.preview, []) || coalesce(d.preview, []))))[1:10],
+         x -> CAST(x AS VARCHAR)), ',')) AS preview_md5
+FROM base b FULL OUTER JOIN delta d ON b.t = d.t
+"""
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 — the third
+    rung of the privacy ladder after k-anonymity and l-diversity):
+    per quasi-identifier class (nation, market segment), the Earth
+    Mover's Distance between the class's distribution over the ORDERED
+    sensitive attribute (account-balance tercile) and the global one —
+    EMD over an ordered categorical = sum of |cumulative differences|,
+    computed from EXACT counts with one divide per cell. Classes with
+    EMD > 0.2 fail. One class×tercile rollup + a broadcast global."""
+    c = load_table(spark, sf_dir, "customer")
+    terc = (
+        F.when(F.col("c_acctbal") < 3000, 0)
+        .when(F.col("c_acctbal") < 7000, 1)
+        .otherwise(2)
+    )
+    staged = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        terc.alias("terc"),
+    )
+    cell = staged.groupBy("nation", "segment", "terc").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cls = cell.groupBy("nation", "segment").agg(
+        F.sum("n").alias("cls_n"),
+        *[
+            F.sum(F.when(F.col("terc") == t, F.col("n")).otherwise(0)).alias(
+                f"n{t}"
+            )
+            for t in (0, 1, 2)
+        ],
+    )
+    glob = staged.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("g_n"),
+        *[
+            F.sum(F.when(F.col("terc") == t, 1).otherwise(0)).alias(f"g{t}")
+            for t in (0, 1, 2)
+        ],
+    )
+    j = cls.crossJoin(F.broadcast(glob))
+    p = [
+        F.col(f"n{t}").cast("double") / F.col("cls_n").cast("double")
+        for t in (0, 1, 2)
+    ]
+    q = [
+        F.col(f"g{t}").cast("double") / F.col("g_n").cast("double")
+        for t in (0, 1, 2)
+    ]
+    d1 = p[0] - q[0]
+    d2 = d1 + (p[1] - q[1])
+    emd = (F.abs(d1) + F.abs(d2)) / 2.0
+    return j.select(
+        "nation",
+        "segment",
+        F.col("cls_n").alias("class_size"),
+        F.round(emd, 6).alias("emd"),
+        (emd > 0.2).cast("int").alias("fails_t"),
+    )
+
+
+def sql_t_closeness_audit() -> str:
+    terc = (
+        "CASE WHEN c_acctbal < 3000 THEN 0"
+        " WHEN c_acctbal < 7000 THEN 1 ELSE 2 END"
+    )
+    return f"""
+WITH staged AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         {terc} AS terc
+  FROM customer
+), cls AS (
+  SELECT nation, segment, CAST(count(*) AS BIGINT) AS cls_n,
+         CAST(sum(CASE WHEN terc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN terc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN terc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM staged GROUP BY 1, 2
+), gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS g_n,
+         CAST(sum(CASE WHEN terc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+         CAST(sum(CASE WHEN terc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+         CAST(sum(CASE WHEN terc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2
+  FROM staged
+)
+SELECT nation, segment, cls_n AS class_size,
+       round((abs(CAST(n0 AS DOUBLE) / CAST(cls_n AS DOUBLE)
+                  - CAST(g0 AS DOUBLE) / CAST(g_n AS DOUBLE))
+            + abs(CAST(n0 AS DOUBLE) / CAST(cls_n AS DOUBLE)
+                  - CAST(g0 AS DOUBLE) / CAST(g_n AS DOUBLE)
+                  + (CAST(n1 AS DOUBLE) / CAST(cls_n AS DOUBLE)
+                     - CAST(g1 AS DOUBLE) / CAST(g_n AS DOUBLE))))
+             / 2.0, 6) AS emd,
+       CAST(CASE WHEN (abs(CAST(n0 AS DOUBLE) / CAST(cls_n AS DOUBLE)
+                  - CAST(g0 AS DOUBLE) / CAST(g_n AS DOUBLE))
+            + abs(CAST(n0 AS DOUBLE) / CAST(cls_n AS DOUBLE)
+                  - CAST(g0 AS DOUBLE) / CAST(g_n AS DOUBLE)
+                  + (CAST(n1 AS DOUBLE) / CAST(cls_n AS DOUBLE)
+                     - CAST(g1 AS DOUBLE) / CAST(g_n AS DOUBLE))))
+             / 2.0 > 0.2 THEN 1 ELSE 0 END AS INTEGER) AS fails_t
+FROM cls CROSS JOIN gtot
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18167,6 +18358,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "settlement_dates": q_settlement_dates,
     "trigram_regex_candidates": q_trigram_regex_candidates,
     "sentence_safe_truncate": q_sentence_safe_truncate,
+    "index_segment_merge": q_index_segment_merge,
+    "t_closeness_audit": q_t_closeness_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -18505,4 +18698,6 @@ ORACLES: dict[str, str] = {
     "settlement_dates": sql_settlement_dates(),
     "trigram_regex_candidates": sql_trigram_regex_candidates(),
     "sentence_safe_truncate": sql_sentence_safe_truncate(),
+    "index_segment_merge": sql_index_segment_merge(),
+    "t_closeness_audit": sql_t_closeness_audit(),
 }
