@@ -327,6 +327,8 @@ BENCH_QUERIES = [
     "sentence_safe_truncate",
     "index_segment_merge",
     "t_closeness_audit",
+    "supplier_hhi",
+    "nearest_centroid_eval",
 ]
 
 

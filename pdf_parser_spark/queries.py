@@ -17986,6 +17986,179 @@ FROM cls CROSS JOIN gtot
 """
 
 
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation (the Herfindahl–Hirschman
+    index an antitrust/market review reads: Σ share² over suppliers,
+    ×10,000): supplier revenue in exact int64 cents, shares one divide
+    each, and the order-dependent share² sum pinned by a supplier-
+    sorted fold (the design_effect discipline). One lineitem→supplier
+    rollup + a nation rollup over the METADATA-scale supplier frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_supp = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("s_nationkey").alias("nation"),
+            F.col("s_suppkey").alias("supp"),
+            cents.alias("cents"),
+        )
+        .groupBy("nation", "supp")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    tot = per_supp.groupBy("nation").agg(F.sum("rev").alias("nat_rev"))
+    j = per_supp.join(tot, "nation")
+    share2 = (
+        F.col("rev").cast("double") / F.col("nat_rev").cast("double")
+    ) * (F.col("rev").cast("double") / F.col("nat_rev").cast("double"))
+    return (
+        j.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(
+                F.lit(10000.0)
+                * F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("supp"), share2.alias("_s2"))
+                            )
+                        ),
+                        lambda x: x["_s2"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                4,
+            ).alias("hhi"),
+        )
+    )
+
+
+def sql_supplier_hhi() -> str:
+    return """
+WITH per_supp AS (
+  SELECT s_nationkey AS nation, s_suppkey AS supp,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT nation, sum(rev) AS nat_rev FROM per_supp GROUP BY 1
+), j AS (
+  SELECT p.nation, p.supp,
+         (CAST(p.rev AS DOUBLE) / CAST(t.nat_rev AS DOUBLE))
+         * (CAST(p.rev AS DOUBLE) / CAST(t.nat_rev AS DOUBLE)) AS s2
+  FROM per_supp p JOIN tot t ON p.nation = t.nation
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(10000.0 * list_reduce(list(s2 ORDER BY supp),
+                                   (a, b) -> a + b), 4) AS hhi
+FROM j GROUP BY nation
+"""
+
+
+def q_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier eval over the labeled embeddings —
+    with EXACT integer distance algebra so the argmin can never flip
+    between engines (the determinism the rows-only IVF trainer lacks):
+    coordinates quantize to 1e-6 ints; per (label, dim) the centroid is
+    the exact int sum s and count n; the scaled squared distance
+    Σ(x·n − s)² accumulates in decimal (int128-class — the int64
+    ceiling is real at these magnitudes) and the single d² = T/n²
+    divide happens once per (vec, label). Per-label accuracy is the
+    output. posexplode → two partial-agg shuffles + one broadcast
+    centroid join; no k-means iterations, no float summation
+    anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x") * 1e6).cast("long").alias("xq"),
+    )
+    cents = e.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    joined = e.join(F.broadcast(cents), "dim")
+    term = (
+        (F.col("xq") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+        * (F.col("xq") * F.col("n") - F.col("s"))
+    )
+    t = joined.groupBy("vec_id", "label", "clabel", "n").agg(
+        F.sum(term).alias("_t")
+    )
+    d2 = F.col("_t").cast("double") / (F.col("n") * F.col("n")).cast(
+        "double"
+    )
+    ranked = t.withColumn("_d2", d2).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.asc("_d2"), F.asc("clabel")
+            )
+        ),
+    )
+    pred = ranked.filter(F.col("_rn") == 1).select(
+        "vec_id", "label", F.col("clabel").alias("pred")
+    )
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def sql_nearest_centroid_eval() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           AS xq
+  FROM embeddings
+), cents AS (
+  SELECT label AS clabel, dim, sum(xq) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+), t AS (
+  SELECT e.vec_id, e.label, c.clabel, c.n,
+         sum((e.xq * c.n - c.s) * (e.xq * c.n - c.s)) AS tt
+  FROM e JOIN cents c ON e.dim = c.dim
+  GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(tt AS DOUBLE) / CAST(n * n AS DOUBLE) ASC,
+                    clabel ASC) AS rn
+  FROM t
+), pred AS (
+  SELECT vec_id, label, clabel AS pred FROM ranked WHERE rn = 1
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18360,6 +18533,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_safe_truncate": q_sentence_safe_truncate,
     "index_segment_merge": q_index_segment_merge,
     "t_closeness_audit": q_t_closeness_audit,
+    "supplier_hhi": q_supplier_hhi,
+    "nearest_centroid_eval": q_nearest_centroid_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -18700,4 +18875,6 @@ ORACLES: dict[str, str] = {
     "sentence_safe_truncate": sql_sentence_safe_truncate(),
     "index_segment_merge": sql_index_segment_merge(),
     "t_closeness_audit": sql_t_closeness_audit(),
+    "supplier_hhi": sql_supplier_hhi(),
+    "nearest_centroid_eval": sql_nearest_centroid_eval(),
 }
