@@ -329,6 +329,8 @@ BENCH_QUERIES = [
     "t_closeness_audit",
     "supplier_hhi",
     "nearest_centroid_eval",
+    "identity_stitching",
+    "simpsons_paradox_screen",
 ]
 
 

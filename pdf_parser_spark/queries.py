@@ -18159,6 +18159,180 @@ FROM pred GROUP BY label
 """
 
 
+def q_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device identity stitching — the CDP's core join: each user
+    is observed under synthetic device aliases (two md5-derived device
+    ids per user, plus the account id), 'signup' events bridge the
+    device seen at signup to the account; transitively stitching
+    bridges (dedup.pair_clusters — the same connected components the
+    near-dup ladder uses) yields one canonical identity per device
+    cluster. Output: identities with their device counts + total
+    events — the dedup'd audience size marketing actually reports."""
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("long")
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(uid.cast("string"), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # device alias per event: device A or B by event parity
+    dev = F.concat(
+        F.lit("dev-"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(2)) == 0, h("#devA")
+        ).otherwise(h("#devB")).cast("string"),
+    )
+    acct = F.concat(F.lit("acct-"), uid.cast("string"))
+    obs = e.select(
+        dev.alias("device"),
+        acct.alias("account"),
+        F.col("event_type"),
+    )
+    bridges = (
+        obs.filter(F.col("event_type") == "signup")
+        .select(F.col("device").alias("a"), F.col("account").alias("b"))
+        .distinct()
+    )
+    labels = dedup.pair_clusters(bridges, a_col="a", b_col="b")
+    counts = obs.groupBy("device").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    stitched = labels.join(
+        counts, labels["node"] == counts["device"], "left"
+    ).select(
+        "cluster",
+        "node",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    return stitched.groupBy(F.col("cluster").alias("identity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(
+            F.when(F.col("node").startswith("dev-"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_devices"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def sql_identity_stitching() -> str:
+    return """
+WITH RECURSIVE obs AS (
+  SELECT 'dev-' || CAST(CASE WHEN event_id % 2 = 0
+           THEN ('0x' || substr(md5(user_id || '#devA'), 1, 15))::BIGINT
+           ELSE ('0x' || substr(md5(user_id || '#devB'), 1, 15))::BIGINT
+         END AS VARCHAR) AS device,
+         'acct-' || CAST(user_id AS VARCHAR) AS account,
+         event_type
+  FROM events
+), bridges AS (
+  SELECT DISTINCT device AS a, account AS b
+  FROM obs WHERE event_type = 'signup'
+), sym AS (
+  SELECT a AS x, b AS y FROM bridges
+  UNION SELECT b, a FROM bridges
+), reach(node, label) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+  UNION
+  SELECT s.y, r.label FROM reach r JOIN sym s ON s.x = r.node
+), labels AS (
+  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+), counts AS (
+  SELECT device, CAST(count(*) AS BIGINT) AS n_events
+  FROM obs GROUP BY device
+)
+SELECT l.cluster AS identity, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN l.node LIKE 'dev-%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_devices,
+       CAST(sum(coalesce(c.n_events, 0)) AS BIGINT) AS n_events
+FROM labels l LEFT JOIN counts c ON c.device = l.node
+GROUP BY l.cluster
+"""
+
+
+def q_simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen — the aggregation trap detector every
+    analytics review should run before trusting a pooled trend: the
+    POOLED quantity↔price covariance sign versus each brand's
+    within-group sign; brands whose sign contradicts the pooled one
+    are flagged (if MOST contradict, the pooled trend is an artifact
+    of group mix). Covariance numerators n·Σxy − Σx·Σy stay EXACT
+    (int64 cents/quantities accumulated in decimal — the cross-terms
+    overflow int64), so every sign is unambiguous. One brand rollup +
+    a broadcast pooled row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("l_quantity").cast("long")  # integral in the testdata
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    staged = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"), x.alias("x"), y.alias("y")
+    )
+
+    def cov_aggs(prefix: str):
+        return [
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}n"),
+            F.sum("x").alias(f"{prefix}sx"),
+            F.sum("y").alias(f"{prefix}sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias(
+                f"{prefix}sxy"
+            ),
+        ]
+
+    per = staged.groupBy("brand").agg(*cov_aggs("b_"))
+    pooled = staged.agg(*cov_aggs("p_"))
+    num = lambda pre: (  # noqa: E731
+        F.col(f"{pre}n").cast("decimal(38,0)") * F.col(f"{pre}sxy")
+        - F.col(f"{pre}sx").cast("decimal(38,0)") * F.col(f"{pre}sy")
+    )
+    j = per.crossJoin(F.broadcast(pooled))
+    return j.select(
+        "brand",
+        F.col("b_n").alias("n_rows"),
+        F.signum(num("b_").cast("double")).cast("int").alias("group_sign"),
+        F.signum(num("p_").cast("double")).cast("int").alias("pooled_sign"),
+        (
+            F.signum(num("b_").cast("double"))
+            != F.signum(num("p_").cast("double"))
+        )
+        .cast("int")
+        .alias("contradicts"),
+    )
+
+
+def sql_simpsons_paradox_screen() -> str:
+    return """
+WITH staged AS (
+  SELECT p_brand AS brand, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), per AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy
+  FROM staged GROUP BY 1
+), pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy
+  FROM staged
+)
+SELECT per.brand, per.n AS n_rows,
+       CAST(sign(CAST(per.n * per.sxy - per.sx * per.sy AS DOUBLE))
+            AS INTEGER) AS group_sign,
+       CAST(sign(CAST(pooled.n * pooled.sxy - pooled.sx * pooled.sy
+                      AS DOUBLE)) AS INTEGER) AS pooled_sign,
+       CAST(CASE WHEN sign(CAST(per.n * per.sxy - per.sx * per.sy
+                               AS DOUBLE))
+                   <> sign(CAST(pooled.n * pooled.sxy
+                                - pooled.sx * pooled.sy AS DOUBLE))
+                 THEN 1 ELSE 0 END AS INTEGER) AS contradicts
+FROM per CROSS JOIN pooled
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18535,6 +18709,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_closeness_audit": q_t_closeness_audit,
     "supplier_hhi": q_supplier_hhi,
     "nearest_centroid_eval": q_nearest_centroid_eval,
+    "identity_stitching": q_identity_stitching,
+    "simpsons_paradox_screen": q_simpsons_paradox_screen,
 }
 
 ORACLES: dict[str, str] = {
@@ -18877,4 +19053,6 @@ ORACLES: dict[str, str] = {
     "t_closeness_audit": sql_t_closeness_audit(),
     "supplier_hhi": sql_supplier_hhi(),
     "nearest_centroid_eval": sql_nearest_centroid_eval(),
+    "identity_stitching": sql_identity_stitching(),
+    "simpsons_paradox_screen": sql_simpsons_paradox_screen(),
 }
