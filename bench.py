@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "nearest_centroid_eval",
     "identity_stitching",
     "simpsons_paradox_screen",
+    "dirty_partition_audit",
 ]
 
 

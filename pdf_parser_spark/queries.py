@@ -18333,6 +18333,92 @@ FROM per CROSS JOIN pooled
 """
 
 
+def q_dirty_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance planning — before an
+    incremental pipeline recomputes, the audit of exactly which
+    (day, event_type) rollup partitions a delta batch dirties and by
+    how much: an md5-gated ~5% of events stands in for the delta; the
+    output joins delta counts against the base partition counts
+    (affected partitions only — the semi-join discipline that keeps the
+    recompute proportional to the DELTA, not the table). Dirty
+    fraction = delta/new rows per partition; partitions absent from
+    the base are flagged born_new."""
+    e = load_table(spark, sf_dir, "events")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit("#delta")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(20),
+        )
+        == 0
+    )
+    keyed = e.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        gate.cast("int").alias("is_delta"),
+    )
+    base = keyed.filter(F.col("is_delta") == 0).groupBy(
+        "day", "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("base_rows"))
+    delta = keyed.filter(F.col("is_delta") == 1).groupBy(
+        "day", "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("delta_rows"))
+    return delta.join(base, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        "delta_rows",
+        F.coalesce("base_rows", F.lit(0)).alias("base_rows"),
+        F.when(F.col("base_rows").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("born_new"),
+        F.round(
+            F.col("delta_rows").cast("double")
+            / (
+                F.col("delta_rows") + F.coalesce("base_rows", F.lit(0))
+            ).cast("double"),
+            6,
+        ).alias("dirty_frac"),
+    )
+
+
+def sql_dirty_partition_audit() -> str:
+    return """
+WITH keyed AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CASE WHEN ('0x' || substr(md5(event_id || '#delta'), 1, 15))::BIGINT
+                   % 20 = 0 THEN 1 ELSE 0 END AS is_delta
+  FROM events
+), base AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS base_rows
+  FROM keyed WHERE is_delta = 0 GROUP BY 1, 2
+), delta AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS delta_rows
+  FROM keyed WHERE is_delta = 1 GROUP BY 1, 2
+)
+SELECT d.day, d.event_type, d.delta_rows,
+       coalesce(b.base_rows, 0) AS base_rows,
+       CAST(CASE WHEN b.base_rows IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS born_new,
+       round(CAST(d.delta_rows AS DOUBLE)
+             / CAST(d.delta_rows + coalesce(b.base_rows, 0) AS DOUBLE), 6)
+         AS dirty_frac
+FROM delta d LEFT JOIN base b
+  ON d.day = b.day AND d.event_type = b.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18711,6 +18797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nearest_centroid_eval": q_nearest_centroid_eval,
     "identity_stitching": q_identity_stitching,
     "simpsons_paradox_screen": q_simpsons_paradox_screen,
+    "dirty_partition_audit": q_dirty_partition_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -19055,4 +19142,5 @@ ORACLES: dict[str, str] = {
     "nearest_centroid_eval": sql_nearest_centroid_eval(),
     "identity_stitching": sql_identity_stitching(),
     "simpsons_paradox_screen": sql_simpsons_paradox_screen(),
+    "dirty_partition_audit": sql_dirty_partition_audit(),
 }
