@@ -332,6 +332,8 @@ BENCH_QUERIES = [
     "identity_stitching",
     "simpsons_paradox_screen",
     "dirty_partition_audit",
+    "props_map_explode",
+    "behavior_overlap_multiset",
 ]
 
 

@@ -18419,6 +18419,110 @@ FROM delta d LEFT JOIN base b
 """
 
 
+def q_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip — the semi-structured surface the suite
+    hadn't pinned: event props parse to a real map<string,bigint>
+    (from_json), two derived entries merge in (map_concat), the map
+    EXPLODES to (key, value) rows, and per-key stats roll up. At scale
+    this is the properties-bag pattern every event store carries;
+    keeping it a MAP (not a struct) is what lets producers add keys
+    without schema migrations. One scan + one key rollup."""
+    e = load_table(spark, sf_dir, "events")
+    base_map = F.from_json(F.col("props"), "map<string,bigint>")
+    extra = F.create_map(
+        F.lit("v_cents"),
+        F.round(F.col("value") * 100).cast("long"),
+        F.lit("uid_mod"),
+        F.pmod(F.col("user_id"), F.lit(10)).cast("long"),
+    )
+    merged = F.map_concat(base_map, extra)
+    kv = e.select(F.explode(merged).alias("key", "val"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").alias("total"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )
+
+
+def sql_props_map_explode() -> str:
+    return """
+WITH kv AS (
+  SELECT 'k' AS key, CAST(props->>'$.k' AS BIGINT) AS val FROM events
+  UNION ALL
+  SELECT 'v_cents', CAST(round(value * 100) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'uid_mod', CAST(user_id % 10 AS BIGINT) FROM events
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS total,
+       CAST(min(val) AS BIGINT) AS vmin,
+       CAST(max(val) AS BIGINT) AS vmax
+FROM kv GROUP BY key
+"""
+
+
+def q_behavior_overlap_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset-intersection behavioral stability (INTERSECT ALL
+    semantics, computed as Σ least(count_a, count_b) — the bag overlap
+    plain INTERSECT's set semantics undercounts): per event type, how
+    much of each user's first-half-of-month activity REPEATS in the
+    second half, as a corpus-wide overlap count and rate. Per-(user,
+    type, half) counts → one least() per pair → type rollup."""
+    e = load_table(spark, sf_dir, "events")
+    half = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0).otherwise(1)
+    per = e.select(
+        "user_id", "event_type", half.alias("half")
+    ).groupBy("user_id", "event_type", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = per.filter(F.col("half") == 0).select(
+        "user_id", "event_type", F.col("n").alias("n_a")
+    )
+    b = per.filter(F.col("half") == 1).select(
+        "user_id", "event_type", F.col("n").alias("n_b")
+    )
+    j = a.join(b, ["user_id", "event_type"], "full_outer").select(
+        "event_type",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    return j.groupBy("event_type").agg(
+        F.sum("n_a").alias("first_half"),
+        F.sum("n_b").alias("second_half"),
+        F.sum(F.least("n_a", "n_b")).alias("bag_overlap"),
+        F.round(
+            F.sum(F.least("n_a", "n_b")).cast("double")
+            / F.greatest(F.sum("n_a"), F.lit(1)).cast("double"),
+            6,
+        ).alias("repeat_rate"),
+    )
+
+
+def sql_behavior_overlap_multiset() -> str:
+    return """
+WITH per AS (
+  SELECT user_id, event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), a AS (SELECT user_id, event_type, n AS n_a FROM per WHERE half = 0),
+b AS (SELECT user_id, event_type, n AS n_b FROM per WHERE half = 1),
+j AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+)
+SELECT event_type, CAST(sum(n_a) AS BIGINT) AS first_half,
+       CAST(sum(n_b) AS BIGINT) AS second_half,
+       CAST(sum(least(n_a, n_b)) AS BIGINT) AS bag_overlap,
+       round(CAST(sum(least(n_a, n_b)) AS DOUBLE)
+             / CAST(greatest(sum(n_a), 1) AS DOUBLE), 6) AS repeat_rate
+FROM j GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18798,6 +18902,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "identity_stitching": q_identity_stitching,
     "simpsons_paradox_screen": q_simpsons_paradox_screen,
     "dirty_partition_audit": q_dirty_partition_audit,
+    "props_map_explode": q_props_map_explode,
+    "behavior_overlap_multiset": q_behavior_overlap_multiset,
 }
 
 ORACLES: dict[str, str] = {
@@ -19143,4 +19249,6 @@ ORACLES: dict[str, str] = {
     "identity_stitching": sql_identity_stitching(),
     "simpsons_paradox_screen": sql_simpsons_paradox_screen(),
     "dirty_partition_audit": sql_dirty_partition_audit(),
+    "props_map_explode": sql_props_map_explode(),
+    "behavior_overlap_multiset": sql_behavior_overlap_multiset(),
 }
