@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "dirty_partition_audit",
     "props_map_explode",
     "behavior_overlap_multiset",
+    "native_session_windows",
 ]
 
 

@@ -18523,6 +18523,65 @@ FROM j GROUP BY event_type
 """
 
 
+def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window API (the engine's own gap-based
+    session assignment, the same primitive Structured Streaming uses
+    for stateful session aggregation) — pinned against the manual
+    lag/cumsum sessionization the rest of the suite builds by hand:
+    per user, session counts and bounded per-session event counts must
+    agree exactly with the windowed construction (the oracle replays
+    the manual form, so the native API's gap semantics are
+    value-checked). Output per user: n_sessions, max_session_events,
+    longest_session_sec."""
+    e = load_table(spark, sf_dir, "events")
+    sw = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    # NTZ timestamps refuse a direct long cast — route through timestamp
+    dur = (
+        F.col("w.end").cast("timestamp").cast("long")
+        - F.col("w.start").cast("timestamp").cast("long")
+        - 1800  # session_window end = last event + gap; subtract it back
+    )
+    return sw.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+        F.max(dur).cast("long").alias("longest_session_sec"),
+    )
+
+
+def sql_native_session_windows() -> str:
+    # manual replay: 30-min-gap sessions; the SPLIT compares exact
+    # MICROSECOND gaps (session_window sees full ts precision — a
+    # floored-seconds compare mis-splits ~1800.x-second gaps), while
+    # durations report floored seconds like the Spark side's long casts
+    return """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         epoch_us(ts) AS epu
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN lag(epu) OVER w IS NULL
+                   OR epu - lag(epu) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ep,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+         max(ep) - min(ep) AS dur
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+       CAST(max(dur) AS BIGINT) AS longest_session_sec
+FROM sess GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18904,6 +18963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dirty_partition_audit": q_dirty_partition_audit,
     "props_map_explode": q_props_map_explode,
     "behavior_overlap_multiset": q_behavior_overlap_multiset,
+    "native_session_windows": q_native_session_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -19251,4 +19311,5 @@ ORACLES: dict[str, str] = {
     "dirty_partition_audit": sql_dirty_partition_audit(),
     "props_map_explode": sql_props_map_explode(),
     "behavior_overlap_multiset": sql_behavior_overlap_multiset(),
+    "native_session_windows": sql_native_session_windows(),
 }
