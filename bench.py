@@ -335,6 +335,8 @@ BENCH_QUERIES = [
     "props_map_explode",
     "behavior_overlap_multiset",
     "native_session_windows",
+    "augmentation_manifest",
+    "trailing_distinct_types",
 ]
 
 

@@ -18582,6 +18582,134 @@ FROM sess GROUP BY user_id
 """
 
 
+def q_augmentation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text-augmentation manifest — word-dropout the way
+    a resumable training pipeline must do it (hash-positional, never
+    RNG: re-runs and late shards regenerate byte-identical variants):
+    per doc, drop every word whose (doc_id, position) hash lands in a
+    15% gate, emit original/augmented token counts, the realized drop
+    rate, and the augmented text's md5 (the exact variant is
+    value-checked, not just its size). Pure HOF codegen over one scan —
+    the manifest a curriculum mixes 1:1 with originals."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id").cast("long")
+    staged = d.select(
+        did.alias("doc_id"), dedup.words_col(F.col("text")).alias("_ws")
+    )
+    idx = F.sequence(F.lit(1), F.size("_ws"))
+    keep_flags = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#aug"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        >= 15,
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_ws"), keep_flags, lambda w, k: F.when(k, w)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_ws").cast("long").alias("n_words"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(
+            (F.size("_ws") - F.size(kept)).cast("double")
+            / F.greatest(F.size("_ws"), F.lit(1)).cast("double"),
+            6,
+        ).alias("drop_rate"),
+        F.md5(F.array_join(kept, " ")).alias("aug_md5"),
+    )
+
+
+def sql_augmentation_manifest() -> str:
+    gate = (
+        "('0x' || substr(md5(doc_id || '#aug' || CAST(i AS VARCHAR)),"
+        " 1, 15))::BIGINT % 100 >= 15"
+    )
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_WORDS_SQL} AS ws
+  FROM documents
+), kept AS (
+  SELECT doc_id, ws,
+    list_filter(list_transform(range(1, len(ws) + 1),
+      i -> CASE WHEN {gate} THEN ws[CAST(i AS INT)] END),
+      x -> x IS NOT NULL) AS kw
+  FROM w
+)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(kw) AS BIGINT) AS n_kept,
+       round(CAST(len(ws) - len(kw) AS DOUBLE)
+             / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS drop_rate,
+       md5(array_to_string(kw, ' ')) AS aug_md5
+FROM kept
+"""
+
+
+def q_trailing_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding DISTINCT-count window — the frame no built-in aggregate
+    gives (count(DISTINCT) over a moving frame is unsupported SQL):
+    per event, the number of distinct event types among the user's
+    trailing 5 events, via collect_list over a ROWS frame +
+    array_distinct — the behavioral-diversity signal session scoring
+    reads. Rolled up per user: mean trailing diversity and the count
+    of full-diversity moments. One user-window shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    div = F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+    staged = e.select(
+        "user_id", div.alias("div")
+    )
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum("div").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_diversity"),
+        F.sum(F.when(F.col("div") >= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("full_diversity_moments"),
+    )
+
+
+def sql_trailing_distinct_types() -> str:
+    return """
+WITH d AS (
+  SELECT user_id,
+         len(list_distinct(list(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS div
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(div) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_diversity,
+       CAST(sum(CASE WHEN div >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS full_diversity_moments
+FROM d GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -18964,6 +19092,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_map_explode": q_props_map_explode,
     "behavior_overlap_multiset": q_behavior_overlap_multiset,
     "native_session_windows": q_native_session_windows,
+    "augmentation_manifest": q_augmentation_manifest,
+    "trailing_distinct_types": q_trailing_distinct_types,
 }
 
 ORACLES: dict[str, str] = {
@@ -19312,4 +19442,6 @@ ORACLES: dict[str, str] = {
     "props_map_explode": sql_props_map_explode(),
     "behavior_overlap_multiset": sql_behavior_overlap_multiset(),
     "native_session_windows": sql_native_session_windows(),
+    "augmentation_manifest": sql_augmentation_manifest(),
+    "trailing_distinct_types": sql_trailing_distinct_types(),
 }
