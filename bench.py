@@ -337,6 +337,8 @@ BENCH_QUERIES = [
     "native_session_windows",
     "augmentation_manifest",
     "trailing_distinct_types",
+    "clustering_coefficient",
+    "access_log_parse",
 ]
 
 

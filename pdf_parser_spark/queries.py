@@ -18710,6 +18710,200 @@ FROM d GROUP BY user_id
 """
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the host graph — EXACT: C =
+    3·triangles / wedges, both integer counts (wedges = Σ_v deg·(deg−1)/2
+    from the degree rollup; triangles via the ordered two-path join the
+    triangle operator family uses). The "is this graph clumpier than
+    random" number a link-graph review reads next to modularity. Two
+    metadata-scale rollups + one ordered pair join; one divide."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = _host_edges(d)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .filter(F.col("a") < F.col("b"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+    )
+    # triangles: ordered paths a<b<c with edges (a,b),(b,c),(a,c)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    paths = e1.join(e2, "y")
+    tri = paths.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    one = wedges.crossJoin(F.broadcast(tri))
+    return one.select(
+        "n_vertices",
+        F.col("wedges").cast("long").alias("wedges"),
+        "triangles",
+        F.round(
+            F.lit(3.0)
+            * F.col("triangles").cast("double")
+            / F.col("wedges").cast("double"),
+            6,
+        ).alias("clustering_coef"),
+    )
+
+
+def sql_clustering_coefficient() -> str:
+    return """
+WITH e0 AS (
+  SELECT DISTINCT
+    'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+    'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                   % 25 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+     <> 'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                       % 25 AS VARCHAR)
+), und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e0
+    UNION ALL SELECT dst, src FROM e0)
+  WHERE a < b
+), sym AS (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+), deg AS (
+  SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+), wedges AS (
+  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges,
+         CAST(count(*) AS BIGINT) AS n_vertices
+  FROM deg
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS triangles
+  FROM und p1 JOIN und p2 ON p1.b = p2.a
+  WHERE EXISTS (SELECT 1 FROM und p3
+                WHERE p3.a = p1.a AND p3.b = p2.b)
+)
+SELECT n_vertices, wedges, triangles,
+       round(3.0 * CAST(triangles AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+         AS clustering_coef
+FROM wedges CROSS JOIN tri
+"""
+
+
+def q_access_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache combined-log-format ingestion — the classic semi-
+    structured parse every log pipeline starts with: log lines are
+    synthesized from events in Catalyst (so the oracle rebuilds them
+    byte-for-byte), then ONE regexp with capture groups recovers (ip,
+    method, path, status, bytes) and the rollup reports status counts
+    and byte totals per method. A parse failure yields NULLs (counted)
+    — 2% of lines are deliberately malformed to pin that path. One
+    scan, one rollup."""
+    e = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("long")
+    ip = F.concat_ws(
+        ".",
+        (F.pmod(eid, F.lit(223)) + 1).cast("string"),
+        F.pmod(eid * 7, F.lit(256)).cast("string"),
+        F.pmod(eid * 13, F.lit(256)).cast("string"),
+        (F.pmod(eid * 29, F.lit(254)) + 1).cast("string"),
+    )
+    method = (
+        F.when(F.col("event_type") == "view", "GET")
+        .when(F.col("event_type") == "click", "GET")
+        .when(F.col("event_type") == "purchase", "POST")
+        .when(F.col("event_type") == "signup", "PUT")
+        .otherwise("GET")
+    )
+    status = (
+        F.when(F.col("event_type") == "error", 500).otherwise(200)
+    )
+    nbytes = F.round(F.col("value") * 10).cast("long") + 100
+    line = F.concat(
+        ip,
+        F.lit(' - - [01/Jan/2024:00:00:00 +0000] "'),
+        method,
+        F.lit(" /p/"),
+        F.pmod(eid, F.lit(50)).cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        nbytes.cast("string"),
+    )
+    # 2% of lines are malformed (truncated) — the parse must not crash
+    raw = F.when(F.pmod(eid, F.lit(50)) == 0, F.lit("corrupt-line")).otherwise(
+        line
+    )
+    pat = r'^(\S+) - - \[[^\]]+\] "(\S+) (\S+) HTTP/1\.1" (\d{3}) (\d+)$'
+    logs = e.select(raw.alias("raw"))
+    parsed = logs.select(
+        F.nullif(F.regexp_extract("raw", pat, 2), F.lit("")).alias("method"),
+        F.nullif(F.regexp_extract("raw", pat, 4), F.lit("")).cast("int").alias(
+            "status"
+        ),
+        F.nullif(F.regexp_extract("raw", pat, 5), F.lit(""))
+        .cast("long")
+        .alias("nbytes"),
+    )
+    return parsed.groupBy(
+        F.coalesce("method", F.lit("UNPARSED")).alias("method")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("status") >= 500, 1).otherwise(0))
+        .cast("long")
+        .alias("n_5xx"),
+        F.coalesce(F.sum("nbytes"), F.lit(0)).cast("long").alias(
+            "total_bytes"
+        ),
+    )
+
+
+def sql_access_log_parse() -> str:
+    return r"""
+WITH staged AS (
+  SELECT CAST(event_id AS BIGINT) AS eid, event_type, value FROM events
+), lines AS (
+  SELECT CASE WHEN eid % 50 = 0 THEN 'corrupt-line'
+    ELSE
+      CAST(eid % 223 + 1 AS VARCHAR) || '.'
+      || CAST((eid * 7) % 256 AS VARCHAR) || '.'
+      || CAST((eid * 13) % 256 AS VARCHAR) || '.'
+      || CAST((eid * 29) % 254 + 1 AS VARCHAR)
+      || ' - - [01/Jan/2024:00:00:00 +0000] "'
+      || (CASE event_type WHEN 'purchase' THEN 'POST'
+                          WHEN 'signup' THEN 'PUT' ELSE 'GET' END)
+      || ' /p/' || CAST(eid % 50 AS VARCHAR) || ' HTTP/1.1" '
+      || (CASE WHEN event_type = 'error' THEN '500' ELSE '200' END)
+      || ' ' || CAST(CAST(round(value * 10) AS BIGINT) + 100 AS VARCHAR)
+    END AS raw
+  FROM staged
+), parsed AS (
+  SELECT nullif(regexp_extract(raw,
+           '^(\S+) - - \[[^\]]+\] "(\S+) (\S+) HTTP/1\.1" (\d{3}) (\d+)$',
+           2), '') AS method,
+         CAST(nullif(regexp_extract(raw,
+           '^(\S+) - - \[[^\]]+\] "(\S+) (\S+) HTTP/1\.1" (\d{3}) (\d+)$',
+           4), '') AS INTEGER) AS status,
+         CAST(nullif(regexp_extract(raw,
+           '^(\S+) - - \[[^\]]+\] "(\S+) (\S+) HTTP/1\.1" (\d{3}) (\d+)$',
+           5), '') AS BIGINT) AS nbytes
+  FROM lines
+)
+SELECT coalesce(method, 'UNPARSED') AS method,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_5xx,
+       CAST(coalesce(sum(nbytes), 0) AS BIGINT) AS total_bytes
+FROM parsed GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19094,6 +19288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "native_session_windows": q_native_session_windows,
     "augmentation_manifest": q_augmentation_manifest,
     "trailing_distinct_types": q_trailing_distinct_types,
+    "clustering_coefficient": q_clustering_coefficient,
+    "access_log_parse": q_access_log_parse,
 }
 
 ORACLES: dict[str, str] = {
@@ -19444,4 +19640,6 @@ ORACLES: dict[str, str] = {
     "native_session_windows": sql_native_session_windows(),
     "augmentation_manifest": sql_augmentation_manifest(),
     "trailing_distinct_types": sql_trailing_distinct_types(),
+    "clustering_coefficient": sql_clustering_coefficient(),
+    "access_log_parse": sql_access_log_parse(),
 }
