@@ -339,6 +339,8 @@ BENCH_QUERIES = [
     "trailing_distinct_types",
     "clustering_coefficient",
     "access_log_parse",
+    "bitemporal_restatement",
+    "diversified_ranking",
 ]
 
 

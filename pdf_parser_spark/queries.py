@@ -18904,6 +18904,169 @@ FROM parsed GROUP BY 1
 """
 
 
+def q_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal restatement report — the finance-pipeline discipline
+    where every metric exists twice: as FIRST REPORTED and AS RESTATED
+    (an md5-gated ~10% of orders receive corrections: totals marked
+    down 10%, in exact cents). Per order month: both totals, the
+    restatement delta, and the count of restated orders — the audit
+    trail a controller reads before trusting a trend. One scan, one
+    month rollup; corrections are a codegen branch, not a join."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"), F.lit("#rst")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        == 0
+    )
+    restated = F.when(
+        gate, F.expr("CAST(round(o_totalprice * 100) AS BIGINT) * 9 div 10")
+    ).otherwise(cents)
+    staged = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        cents.alias("orig"),
+        restated.alias("rst"),
+        gate.cast("long").alias("is_restated"),
+    )
+    return staged.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("is_restated").cast("long").alias("n_restated"),
+        F.round(F.sum("orig").cast("double") / 100.0, 2).alias(
+            "reported_total"
+        ),
+        F.round(F.sum("rst").cast("double") / 100.0, 2).alias(
+            "restated_total"
+        ),
+        F.round(
+            (F.sum("rst") - F.sum("orig")).cast("double") / 100.0, 2
+        ).alias("restatement_delta"),
+    )
+
+
+def sql_bitemporal_restatement() -> str:
+    return """
+WITH staged AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS orig,
+         CASE WHEN ('0x' || substr(md5(o_orderkey || '#rst'), 1, 15))::BIGINT
+                   % 10 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) * 9 // 10
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS rst,
+         CASE WHEN ('0x' || substr(md5(o_orderkey || '#rst'), 1, 15))::BIGINT
+                   % 10 = 0 THEN 1 ELSE 0 END AS is_restated
+  FROM orders
+)
+SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(is_restated) AS BIGINT) AS n_restated,
+       round(CAST(sum(orig) AS DOUBLE) / 100.0, 2) AS reported_total,
+       round(CAST(sum(rst) AS DOUBLE) / 100.0, 2) AS restated_total,
+       round(CAST(sum(rst) - sum(orig) AS DOUBLE) / 100.0, 2)
+         AS restatement_delta
+FROM staged GROUP BY month
+"""
+
+
+def q_diversified_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-diversified re-ranking (the xQuAD-lite diversity pass a
+    search serving layer applies after relevance ranking): BM25
+    top-100 candidates get their host (the page-synthesis host hash),
+    rank WITHIN host by score, then interleave hosts round-robin —
+    final order (within-host rank, score desc, doc) — so no single
+    host monopolizes the top of the page. Top-20 out with both the
+    relevance rank and the diversified rank, value-checking the whole
+    permutation."""
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    scored = textqc.bm25_scores(d, _BM25_TERMS)
+    cands = (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    host = F.concat(
+        F.lit("h"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-1"))), 1, 2
+        ),
+    )
+    withhost = cands.withColumn("host", host)
+    wrel = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    whost = Window.partitionBy("host").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = withhost.withColumn(
+        "rel_rank", F.row_number().over(wrel)
+    ).withColumn("host_rank", F.row_number().over(whost))
+    wdiv = Window.orderBy(
+        F.asc("host_rank"), F.desc("score"), F.asc("doc_id")
+    )
+    out = ranked.withColumn("div_rank", F.row_number().over(wdiv))
+    return out.filter(F.col("div_rank") <= 20).select(
+        "doc_id", "host", "score", "rel_rank", "div_rank"
+    )
+
+
+def sql_diversified_ranking() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+  WHERE t IN ({terms}) GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), contrib AS (
+  SELECT tf.doc_id,
+         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+  FROM tf
+  JOIN (SELECT t, count(*) AS df FROM tf GROUP BY 1) USING (t)
+  JOIN dl USING (doc_id) CROSS JOIN stats
+), bm AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(c), 4) AS score
+  FROM contrib GROUP BY doc_id
+  ORDER BY round(sum(c), 4) DESC, doc_id ASC LIMIT 100
+), hosted AS (
+  SELECT doc_id, score,
+         'h' || substr(md5(doc_id || '-1'), 1, 2) AS host
+  FROM bm
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rel_rank,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY score DESC, doc_id ASC) AS host_rank
+  FROM hosted
+)
+SELECT doc_id, host, score, CAST(rel_rank AS BIGINT) AS rel_rank,
+       CAST(row_number() OVER (ORDER BY host_rank ASC, score DESC,
+                               doc_id ASC) AS BIGINT) AS div_rank
+FROM ranked
+QUALIFY div_rank <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19290,6 +19453,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_distinct_types": q_trailing_distinct_types,
     "clustering_coefficient": q_clustering_coefficient,
     "access_log_parse": q_access_log_parse,
+    "bitemporal_restatement": q_bitemporal_restatement,
+    "diversified_ranking": q_diversified_ranking,
 }
 
 ORACLES: dict[str, str] = {
@@ -19642,4 +19807,6 @@ ORACLES: dict[str, str] = {
     "trailing_distinct_types": sql_trailing_distinct_types(),
     "clustering_coefficient": sql_clustering_coefficient(),
     "access_log_parse": sql_access_log_parse(),
+    "bitemporal_restatement": sql_bitemporal_restatement(),
+    "diversified_ranking": sql_diversified_ranking(),
 }
