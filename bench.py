@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "access_log_parse",
     "bitemporal_restatement",
     "diversified_ranking",
+    "rle_size_estimate",
 ]
 
 

@@ -19067,6 +19067,84 @@ QUALIFY div_rank <= 20
 """
 
 
+def q_rle_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding size estimator — the quantified companion to
+    the layout advisor's qualitative 'delta/dict' suggestion: for the
+    return-flag column under the natural order versus the
+    returnflag-sorted order, count the value RUNS (exact gaps-and-
+    islands integers) and estimate RLE bytes (runs × (1 value byte + 4
+    length bytes) vs 1 byte/value plain), giving the compression ratio
+    a sort buys BEFORE rewriting anything. Same total-order tiebreak
+    discipline as column_layout_stats; two bounded-block window passes
+    + one 2-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        *[c for c in _LAYOUT_ORDER if c != "l_returnflag"],
+    ).withColumn("_blk", F.expr("l_orderkey div 1000"))
+
+    def runs_for(order_cols):
+        w = Window.partitionBy("_blk").orderBy(*order_cols)
+        brk = F.when(
+            F.lag("l_returnflag").over(w).isNull()
+            | (F.lag("l_returnflag").over(w) != F.col("l_returnflag")),
+            1,
+        ).otherwise(0)
+        return base.withColumn("_brk", brk).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_brk").cast("long").alias("n_runs"),
+        )
+
+    natural = runs_for(_LAYOUT_ORDER).withColumn(
+        "layout", F.lit("natural")
+    )
+    sorted_ = runs_for(
+        ["l_returnflag"] + [c for c in _LAYOUT_ORDER if c != "l_returnflag"]
+    ).withColumn("layout", F.lit("flag_sorted"))
+    out = natural.unionByName(sorted_)
+    return out.select(
+        "layout",
+        "n_rows",
+        "n_runs",
+        (F.col("n_runs") * 5).alias("rle_bytes"),
+        F.col("n_rows").alias("plain_bytes"),
+        F.round(
+            (F.col("n_runs") * 5).cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("rle_ratio"),
+    )
+
+
+def sql_rle_size_estimate() -> str:
+    order_nat = ", ".join(_LAYOUT_ORDER)
+    order_srt = ", ".join(
+        ["l_returnflag"] + [c for c in _LAYOUT_ORDER if c != "l_returnflag"]
+    )
+
+    def block(order_by, name):
+        return f"""SELECT '{name}' AS layout,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(brk) AS BIGINT) AS n_runs,
+  CAST(sum(brk) * 5 AS BIGINT) AS rle_bytes,
+  CAST(count(*) AS BIGINT) AS plain_bytes,
+  round(CAST(sum(brk) * 5 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS rle_ratio
+FROM (
+  SELECT CASE WHEN lag(l_returnflag) OVER w IS NULL
+                OR lag(l_returnflag) OVER w <> l_returnflag
+              THEN 1 ELSE 0 END AS brk
+  FROM (SELECT *, l_orderkey // 1000 AS blk FROM lineitem)
+  WINDOW w AS (PARTITION BY blk ORDER BY {order_by})
+)"""
+
+    return (
+        block(order_nat, "natural")
+        + "\nUNION ALL "
+        + block(order_srt, "flag_sorted")
+    )
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19455,6 +19533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "access_log_parse": q_access_log_parse,
     "bitemporal_restatement": q_bitemporal_restatement,
     "diversified_ranking": q_diversified_ranking,
+    "rle_size_estimate": q_rle_size_estimate,
 }
 
 ORACLES: dict[str, str] = {
@@ -19809,4 +19888,5 @@ ORACLES: dict[str, str] = {
     "access_log_parse": sql_access_log_parse(),
     "bitemporal_restatement": sql_bitemporal_restatement(),
     "diversified_ranking": sql_diversified_ranking(),
+    "rle_size_estimate": sql_rle_size_estimate(),
 }
