@@ -342,6 +342,8 @@ BENCH_QUERIES = [
     "bitemporal_restatement",
     "diversified_ranking",
     "rle_size_estimate",
+    "source_lang_entropy",
+    "not_in_null_semantics",
 ]
 
 

@@ -19145,6 +19145,144 @@ FROM (
     )
 
 
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source (how multilingual each provider
+    really is — the mixture planner's diversity number): Shannon H =
+    −Σ p·ln p over the source's language distribution, from exact
+    counts, with the per-language double terms summed via a
+    lang-sorted fold (the design_effect discipline) so H replays
+    bit-for-bit. One (source, lang) rollup + a source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cell.groupBy("source").agg(F.sum("n").alias("src_n"))
+    j = cell.join(tot, "source")
+    p = F.col("n").cast("double") / F.col("src_n").cast("double")
+    term = -(p * F.log(p))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("src_n").cast("long").alias("n_docs"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("lang"), term.alias("_t")))
+                    ),
+                    lambda s: s["_t"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("lang_entropy"),
+    )
+
+
+def sql_source_lang_entropy() -> str:
+    return """
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(n) AS src_n FROM cell GROUP BY 1
+), j AS (
+  SELECT c.source, c.lang, c.n, t.src_n,
+         -((CAST(c.n AS DOUBLE) / CAST(t.src_n AS DOUBLE))
+           * ln(CAST(c.n AS DOUBLE) / CAST(t.src_n AS DOUBLE))) AS term
+  FROM cell c JOIN tot t ON c.source = t.source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(max(src_n) AS BIGINT) AS n_docs,
+       round(list_reduce(list(term ORDER BY lang), (a, b) -> a + b), 6)
+         AS lang_entropy
+FROM j GROUP BY source
+"""
+
+
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned as a value-checked query: when the
+    subquery side contains even ONE NULL, ANSI `NOT IN` returns zero
+    rows (x <> NULL is UNKNOWN) while `NOT EXISTS` keeps the expected
+    anti-join semantics — the classic production incident. A gated 2%
+    of the customer keys are nulled in the probe set; the query
+    reports both counts plus the no-null control, proving the engine
+    pair agrees on the full three-valued-logic surface."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c_custkey").cast("string"), F.lit("#nil")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(50),
+        )
+        == 0
+    )
+    probe_nulls = c.select(
+        F.when(gate, F.lit(None).cast("long"))
+        .otherwise(F.col("c_custkey").cast("long"))
+        .alias("k")
+    )
+    probe_clean = c.select(F.col("c_custkey").cast("long").alias("k"))
+    ok = o.select(F.col("o_custkey").cast("long").alias("o_custkey"))
+    # registered as temp views so both forms run through the SQL parser
+    ok.createOrReplaceTempView("_nin_orders")
+    probe_nulls.createOrReplaceTempView("_nin_probe_nulls")
+    probe_clean.createOrReplaceTempView("_nin_probe_clean")
+    return o.sparkSession.sql(
+        """
+SELECT
+  CAST((SELECT count(*) FROM _nin_orders
+        WHERE o_custkey NOT IN (SELECT k FROM _nin_probe_nulls))
+       AS BIGINT) AS not_in_with_null,
+  CAST((SELECT count(*) FROM _nin_orders o
+        WHERE NOT EXISTS (SELECT 1 FROM _nin_probe_nulls p
+                          WHERE p.k = o.o_custkey))
+       AS BIGINT) AS not_exists_with_null,
+  CAST((SELECT count(*) FROM _nin_orders
+        WHERE o_custkey NOT IN (SELECT k FROM _nin_probe_clean))
+       AS BIGINT) AS not_in_clean
+"""
+    )
+
+
+def sql_not_in_null_semantics() -> str:
+    return """
+WITH probe_nulls AS (
+  SELECT CASE WHEN ('0x' || substr(md5(c_custkey || '#nil'), 1, 15))::BIGINT
+                   % 50 = 0 THEN NULL
+              ELSE CAST(c_custkey AS BIGINT) END AS k
+  FROM customer
+), probe_clean AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+), ok AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders
+)
+SELECT
+  CAST((SELECT count(*) FROM ok
+        WHERE o_custkey NOT IN (SELECT k FROM probe_nulls)) AS BIGINT)
+    AS not_in_with_null,
+  CAST((SELECT count(*) FROM ok o
+        WHERE NOT EXISTS (SELECT 1 FROM probe_nulls p
+                          WHERE p.k = o.o_custkey)) AS BIGINT)
+    AS not_exists_with_null,
+  CAST((SELECT count(*) FROM ok
+        WHERE o_custkey NOT IN (SELECT k FROM probe_clean)) AS BIGINT)
+    AS not_in_clean
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19534,6 +19672,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitemporal_restatement": q_bitemporal_restatement,
     "diversified_ranking": q_diversified_ranking,
     "rle_size_estimate": q_rle_size_estimate,
+    "source_lang_entropy": q_source_lang_entropy,
+    "not_in_null_semantics": q_not_in_null_semantics,
 }
 
 ORACLES: dict[str, str] = {
@@ -19889,4 +20029,6 @@ ORACLES: dict[str, str] = {
     "bitemporal_restatement": sql_bitemporal_restatement(),
     "diversified_ranking": sql_diversified_ranking(),
     "rle_size_estimate": sql_rle_size_estimate(),
+    "source_lang_entropy": sql_source_lang_entropy(),
+    "not_in_null_semantics": sql_not_in_null_semantics(),
 }
