@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "rle_size_estimate",
     "source_lang_entropy",
     "not_in_null_semantics",
+    "fifo_lot_matching",
 ]
 
 

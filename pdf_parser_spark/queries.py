@@ -19283,6 +19283,126 @@ SELECT
 """
 
 
+def q_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the inventory/cost-basis problem usually
+    written as a sequential loop, solved RELATIONALLY with the
+    double-cumsum trick (public folklore: buys and sells each get
+    cumulative-quantity intervals [cum−qty, cum); a sell consumes
+    exactly the buy lots whose interval overlaps its own, and the
+    matched quantity is the interval overlap length): per user,
+    purchase events alternate buy/sell by event-id parity with integer
+    quantities; output per user: lots matched, units matched, and
+    unmatched sell units (short sales against no inventory). One
+    user-keyed window pair + one per-user interval join (bounded by
+    per-user event counts) — no loops, no UDFs, exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    qty = (F.round(F.col("value")).cast("long") + 1)
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").cast("long").alias("eid"),
+            qty.alias("qty"),
+            F.pmod(F.col("event_id"), F.lit(2)).alias("side"),  # 0 buy, 1 sell
+        )
+    )
+    w = (
+        Window.partitionBy("user_id", "side")
+        .orderBy("ts", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = base.withColumn("cum_end", F.sum("qty").over(w)).withColumn(
+        "cum_start", F.col("cum_end") - F.col("qty")
+    )
+    buys = iv.filter(F.col("side") == 0).select(
+        "user_id",
+        F.col("eid").alias("buy_eid"),
+        F.col("cum_start").alias("bs"),
+        F.col("cum_end").alias("be"),
+    )
+    sells = iv.filter(F.col("side") == 1).select(
+        "user_id",
+        F.col("eid").alias("sell_eid"),
+        F.col("cum_start").alias("ss"),
+        F.col("cum_end").alias("se"),
+    )
+    matched = (
+        buys.join(sells, "user_id")
+        .filter((F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")))
+        .select(
+            "user_id",
+            (
+                F.least("be", "se") - F.greatest("bs", "ss")
+            ).alias("units"),
+        )
+    )
+    m = matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("lots_matched"),
+        F.sum("units").cast("long").alias("units_matched"),
+    )
+    totals = iv.groupBy("user_id").agg(
+        F.sum(F.when(F.col("side") == 1, F.col("qty")).otherwise(0)).alias(
+            "sold"
+        ),
+        F.sum(F.when(F.col("side") == 0, F.col("qty")).otherwise(0)).alias(
+            "bought"
+        ),
+    )
+    return totals.join(m, "user_id", "left").select(
+        "user_id",
+        F.col("bought").cast("long").alias("units_bought"),
+        F.col("sold").cast("long").alias("units_sold"),
+        F.coalesce("lots_matched", F.lit(0)).alias("lots_matched"),
+        F.coalesce("units_matched", F.lit(0)).alias("units_matched"),
+        (F.col("sold") - F.coalesce("units_matched", F.lit(0)))
+        .cast("long")
+        .alias("units_unbacked"),
+    )
+
+
+def sql_fifo_lot_matching() -> str:
+    return """
+WITH base AS (
+  SELECT user_id, ts, CAST(event_id AS BIGINT) AS eid,
+         CAST(round(value) AS BIGINT) + 1 AS qty,
+         CAST(event_id AS BIGINT) % 2 AS side
+  FROM events WHERE event_type = 'purchase'
+), iv AS (
+  SELECT *, sum(qty) OVER w AS cum_end, sum(qty) OVER w - qty AS cum_start
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, side ORDER BY ts, eid
+               ROWS UNBOUNDED PRECEDING)
+), buys AS (
+  SELECT user_id, eid AS buy_eid, cum_start AS bs, cum_end AS be
+  FROM iv WHERE side = 0
+), sells AS (
+  SELECT user_id, eid AS sell_eid, cum_start AS ss, cum_end AS se
+  FROM iv WHERE side = 1
+), matched AS (
+  SELECT b.user_id, least(b.be, s.se) - greatest(b.bs, s.ss) AS units
+  FROM buys b JOIN sells s ON b.user_id = s.user_id
+  WHERE b.bs < s.se AND s.ss < b.be
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS lots_matched,
+         CAST(sum(units) AS BIGINT) AS units_matched
+  FROM matched GROUP BY user_id
+), totals AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN side = 1 THEN qty ELSE 0 END) AS BIGINT)
+           AS sold,
+         CAST(sum(CASE WHEN side = 0 THEN qty ELSE 0 END) AS BIGINT)
+           AS bought
+  FROM iv GROUP BY user_id
+)
+SELECT t.user_id, t.bought AS units_bought, t.sold AS units_sold,
+       coalesce(m.lots_matched, 0) AS lots_matched,
+       coalesce(m.units_matched, 0) AS units_matched,
+       t.sold - coalesce(m.units_matched, 0) AS units_unbacked
+FROM totals t LEFT JOIN m ON t.user_id = m.user_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19674,6 +19794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rle_size_estimate": q_rle_size_estimate,
     "source_lang_entropy": q_source_lang_entropy,
     "not_in_null_semantics": q_not_in_null_semantics,
+    "fifo_lot_matching": q_fifo_lot_matching,
 }
 
 ORACLES: dict[str, str] = {
@@ -20031,4 +20152,5 @@ ORACLES: dict[str, str] = {
     "rle_size_estimate": sql_rle_size_estimate(),
     "source_lang_entropy": sql_source_lang_entropy(),
     "not_in_null_semantics": sql_not_in_null_semantics(),
+    "fifo_lot_matching": sql_fifo_lot_matching(),
 }

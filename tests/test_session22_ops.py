@@ -1017,3 +1017,34 @@ def test_settlement_dates_skip_weekends(spark):
     assert got[5] == "2024-01-09"  # Fri -> Tue
     assert got[6] == "2024-01-10"  # Sat -> rolls to Mon -> Wed
     assert got[7] == "2024-01-10"  # Sun -> rolls to Mon -> Wed
+
+
+def test_fifo_lot_matching_hand_ledger(spark):
+    import datetime
+
+    import pdf_parser_spark.queries as Q
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # user 1: buys (even eids) 3, 2 units; sells (odd eids) 4 units
+    # FIFO: sell interval [0,4) overlaps buy [0,3) -> 3 and buy [3,5) -> 1
+    rows = [
+        (2, 1, t0, "purchase", 2.0),                                   # buy 3
+        (4, 1, t0 + datetime.timedelta(minutes=1), "purchase", 1.0),   # buy 2
+        (1, 1, t0 + datetime.timedelta(minutes=2), "purchase", 3.0),   # sell 4
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    orig = Q.load_table
+    try:
+        Q.load_table = (
+            lambda spark, sf, name: df if name == "events" else orig(spark, sf, name)
+        )
+        (r,) = Q.q_fifo_lot_matching(spark, "unused").collect()
+    finally:
+        Q.load_table = orig
+    assert r["units_bought"] == 5 and r["units_sold"] == 4
+    assert r["lots_matched"] == 2          # sell consumed two buy lots
+    assert r["units_matched"] == 4         # 3 from lot 1, 1 from lot 2
+    assert r["units_unbacked"] == 0
