@@ -345,6 +345,7 @@ BENCH_QUERIES = [
     "source_lang_entropy",
     "not_in_null_semantics",
     "fifo_lot_matching",
+    "host_assortativity",
 ]
 
 

@@ -19403,6 +19403,95 @@ FROM totals t LEFT JOIN m ON t.user_id = m.user_id
 """
 
 
+def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host graph (Newman 2002: the Pearson
+    correlation of endpoint degrees over edges — do hubs link hubs?) —
+    the third exact graph diagnostic beside clustering_coefficient and
+    community_modularity. Both endpoint degree columns come from one
+    degree rollup joined twice onto the symmetric edge list; every
+    Pearson moment is an EXACT integer sum (degrees are small ints), so
+    r is two casts, one sqrt pair, one divide — engine-identical. One
+    row out."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = _host_edges(d)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    pairs = und.join(da, "a").join(db, "b")
+    g = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("m").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    denx = F.col("m").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    deny = F.col("m").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    return g.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias(
+            "assortativity"
+        ),
+    )
+
+
+def sql_host_assortativity() -> str:
+    return """
+WITH e0 AS (
+  SELECT DISTINCT
+    'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR) AS src,
+    'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                   % 25 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'site' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+     <> 'site' || CAST((CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT) + 3)
+                       % 25 AS VARCHAR)
+), und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e0
+    UNION ALL SELECT dst, src FROM e0)
+  WHERE a <> b
+), deg AS (
+  SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1
+), pairs AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT m AS n_directed_edges,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS assortativity
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19795,6 +19884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_lang_entropy": q_source_lang_entropy,
     "not_in_null_semantics": q_not_in_null_semantics,
     "fifo_lot_matching": q_fifo_lot_matching,
+    "host_assortativity": q_host_assortativity,
 }
 
 ORACLES: dict[str, str] = {
@@ -20153,4 +20243,5 @@ ORACLES: dict[str, str] = {
     "source_lang_entropy": sql_source_lang_entropy(),
     "not_in_null_semantics": sql_not_in_null_semantics(),
     "fifo_lot_matching": sql_fifo_lot_matching(),
+    "host_assortativity": sql_host_assortativity(),
 }
