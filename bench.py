@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     "not_in_null_semantics",
     "fifo_lot_matching",
     "host_assortativity",
+    "gate_canary_diff",
 ]
 
 

@@ -19492,6 +19492,74 @@ FROM g
 """
 
 
+def q_gate_canary_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-policy canary — before swapping a quality gate, the
+    side-by-side of incumbent vs candidate on the SAME corpus: per
+    source, docs kept by each policy (quality_score ≥ 0.75 vs the
+    stricter ≥ 1.0 — the real textqc score, whose four criteria cap
+    it at 1.0), the flip counts in both directions, and
+    the keep-rate delta — the rollout report that catches a policy
+    silently dropping one provider before it ships. Both policies ride
+    ONE feature scan (a second scan per candidate policy is the naive
+    form); one rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = textqc.quality_features(
+        d.select("doc_id", "source", "text"), text_col="text"
+    ).select("source", "quality_score")
+    old_keep = (F.col("quality_score") >= 0.75).cast("long")
+    new_keep = (F.col("quality_score") >= 1.0).cast("long")
+    staged = feats.select(
+        "source",
+        old_keep.alias("ok"),
+        new_keep.alias("nk"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("kept_old"),
+        F.sum("nk").cast("long").alias("kept_new"),
+        F.sum(F.when((F.col("ok") == 1) & (F.col("nk") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_by_new"),
+        F.sum(F.when((F.col("ok") == 0) & (F.col("nk") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("added_by_new"),
+        F.round(
+            (F.sum("nk") - F.sum("ok")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate_delta"),
+    )
+
+
+def sql_gate_canary_diff() -> str:
+    qf = _quality_feature_sql()
+    score = (
+        f"(CASE WHEN {qf['mwl']} >= 2 AND {qf['mwl']} <= 12"
+        f" THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {qf['pr']} <= 0.2 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {qf['ar']} >= 0.6 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {qf['sr']} >= 0.01 THEN 0.25 ELSE 0.0 END)"
+    )
+    return f"""
+WITH staged AS (
+  SELECT source,
+         CASE WHEN ({score}) >= 0.75 THEN 1 ELSE 0 END AS ok,
+         CASE WHEN ({score}) >= 1.0 THEN 1 ELSE 0 END AS nk
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ok) AS BIGINT) AS kept_old,
+       CAST(sum(nk) AS BIGINT) AS kept_new,
+       CAST(sum(CASE WHEN ok = 1 AND nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_by_new,
+       CAST(sum(CASE WHEN ok = 0 AND nk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS added_by_new,
+       round(CAST(sum(nk) - sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS keep_rate_delta
+FROM staged GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19885,6 +19953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "not_in_null_semantics": q_not_in_null_semantics,
     "fifo_lot_matching": q_fifo_lot_matching,
     "host_assortativity": q_host_assortativity,
+    "gate_canary_diff": q_gate_canary_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -20244,4 +20313,5 @@ ORACLES: dict[str, str] = {
     "not_in_null_semantics": sql_not_in_null_semantics(),
     "fifo_lot_matching": sql_fifo_lot_matching(),
     "host_assortativity": sql_host_assortativity(),
+    "gate_canary_diff": sql_gate_canary_diff(),
 }
