@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "fifo_lot_matching",
     "host_assortativity",
     "gate_canary_diff",
+    "balance_rollforward",
 ]
 
 

@@ -19560,6 +19560,83 @@ FROM staged GROUP BY source
 """
 
 
+def q_balance_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily balance-sheet roll-forward — the reconciliation identity
+    every ledger pipeline asserts nightly: opening + inflows − outflows
+    = closing, per day, with the identity CHECKED in-query (reconciled
+    flag must be 1 everywhere; a broken incremental load shows up as a
+    0 before it corrupts a month). Purchases credit, error fees debit;
+    exact int64 cents; one day rollup + one ordering window over the
+    day-grain frame."""
+    e = load_table(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).when(F.col("event_type") == "error", F.lit(-500)).otherwise(F.lit(0))
+    daily = (
+        e.filter(F.col("event_type").isin("purchase", "error"))
+        .select(F.to_date("ts").alias("day"), delta.alias("d"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0)).alias(
+                "inflow"
+            ),
+            F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0)).alias(
+                "outflow"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    net = F.col("inflow") - F.col("outflow")
+    cum = daily.withColumn("closing", F.sum(net).over(w)).withColumn(
+        "opening", F.col("closing") - net
+    )
+    return cum.select(
+        "day",
+        F.round(F.col("opening").cast("double") / 100.0, 2).alias("opening"),
+        F.round(F.col("inflow").cast("double") / 100.0, 2).alias("inflow"),
+        F.round(F.col("outflow").cast("double") / 100.0, 2).alias("outflow"),
+        F.round(F.col("closing").cast("double") / 100.0, 2).alias("closing"),
+        (
+            F.col("opening") + F.col("inflow") - F.col("outflow")
+            == F.col("closing")
+        )
+        .cast("int")
+        .alias("reconciled"),
+    )
+
+
+def sql_balance_rollforward() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS inflow,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 500 ELSE 0 END)
+              AS BIGINT) AS outflow
+  FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1
+), cum AS (
+  SELECT day, inflow, outflow,
+         sum(inflow - outflow) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS closing
+  FROM daily
+)
+SELECT day,
+       round(CAST(closing - (inflow - outflow) AS DOUBLE) / 100.0, 2)
+         AS opening,
+       round(CAST(inflow AS DOUBLE) / 100.0, 2) AS inflow,
+       round(CAST(outflow AS DOUBLE) / 100.0, 2) AS outflow,
+       round(CAST(closing AS DOUBLE) / 100.0, 2) AS closing,
+       CAST(CASE WHEN closing - (inflow - outflow) + inflow - outflow
+                      = closing
+                 THEN 1 ELSE 0 END AS INTEGER) AS reconciled
+FROM cum
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -19954,6 +20031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fifo_lot_matching": q_fifo_lot_matching,
     "host_assortativity": q_host_assortativity,
     "gate_canary_diff": q_gate_canary_diff,
+    "balance_rollforward": q_balance_rollforward,
 }
 
 ORACLES: dict[str, str] = {
@@ -20314,4 +20392,5 @@ ORACLES: dict[str, str] = {
     "fifo_lot_matching": sql_fifo_lot_matching(),
     "host_assortativity": sql_host_assortativity(),
     "gate_canary_diff": sql_gate_canary_diff(),
+    "balance_rollforward": sql_balance_rollforward(),
 }
