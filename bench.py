@@ -348,6 +348,8 @@ BENCH_QUERIES = [
     "host_assortativity",
     "gate_canary_diff",
     "balance_rollforward",
+    "trailing_median_value",
+    "revenue_error_xcorr",
 ]
 
 

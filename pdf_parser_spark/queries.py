@@ -19637,6 +19637,163 @@ FROM cum
 """
 
 
+def q_trailing_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding MEDIAN over a moving frame — like the sliding distinct
+    count, a window no built-in aggregate provides (percentile
+    functions don't take frames): per purchase event, the median of
+    the user's trailing 7 purchase amounts via collect_list over a
+    ROWS frame + array_sort + exact middle pick (even counts average
+    the two middles — in cents, so .5 is the only fraction). Rolled
+    up per user: mean of the trailing medians and its max. One
+    user-window shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    staged = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", cents.alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = (
+        (mid_lo + mid_hi).cast("double") / 2.0
+    )  # odd n: lo == hi; even: true average
+    rolled = staged.select("user_id", med.alias("med"))
+    # medians sit on the .5-cent grid → sum×2 is an EXACT integer; export
+    # that (plus n) instead of a rounded mean, whose small-denominator
+    # decimals land on round ties (the CLAUDE.md hazard, twice over)
+    return rolled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (F.sum("med") * 2).cast("long").alias("med_sum_x2_cents"),
+        # cents, no /100 round: medians sit on the .5-cent grid, so a
+        # 2dp round lands on EXACT decimal ties where Spark and DuckDB
+        # round apart (the CLAUDE.md round-tie hazard)
+        F.max("med").alias("max_trailing_median_cents"),
+    )
+
+
+def sql_trailing_median_value() -> str:
+    return """
+WITH staged AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), framed AS (
+  SELECT user_id,
+         list_sort(list(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM staged
+), med AS (
+  SELECT user_id,
+         CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+              + arr[CAST(len(arr) // 2 + 1 AS INT)] AS DOUBLE) / 2.0 AS med
+  FROM framed
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(med) * 2 AS BIGINT) AS med_sum_x2_cents,
+       max(med) AS max_trailing_median_cents
+FROM med GROUP BY user_id
+"""
+
+
+def q_revenue_error_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily revenue and daily error
+    series at lags −3..+3 — "do errors lead revenue dips": per lag,
+    Pearson r from EXACT integer sums over the lag-joined day pairs
+    (revenue in cents, error counts) — the operational diagnosis the
+    lag-k autocorrelation query can't give (it's one series). Day
+    grain: the lag join runs over ~30 metadata rows per lag."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("rev"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("err"),
+    )
+    a = daily.select(F.col("day").alias("d"), F.col("rev").alias("x"))
+    out = None
+    for lag in range(-3, 4):
+        b = daily.select(
+            F.date_add(F.col("day"), -lag).alias("d"),
+            F.col("err").alias("y"),
+        )
+        j = a.join(b, "d")
+        g = j.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        ).select(
+            F.lit(lag).cast("int").alias("lag"),
+            "n",
+            F.round(
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy").cast("double")
+                )
+                / (
+                    F.sqrt(
+                        F.col("n").cast("double")
+                        * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double")
+                        * F.col("sx").cast("double")
+                    )
+                    * F.sqrt(
+                        F.col("n").cast("double")
+                        * F.col("syy").cast("double")
+                        - F.col("sy").cast("double")
+                        * F.col("sy").cast("double")
+                    )
+                ),
+                6,
+            ).alias("xcorr"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def sql_revenue_error_xcorr() -> str:
+    parts = []
+    for lag in range(-3, 4):
+        parts.append(f"""SELECT {lag} AS lag, CAST(count(*) AS BIGINT) AS n,
+  round((CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
+         - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+        / (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+           * sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE)
+                  - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6)
+    AS xcorr
+FROM (
+  SELECT a.x, b.y
+  FROM daily a JOIN daily b ON b.day = a.day + INTERVAL ({lag}) DAY
+)""")
+    union = "\nUNION ALL ".join(parts)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+)
+{union}
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20032,6 +20189,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_assortativity": q_host_assortativity,
     "gate_canary_diff": q_gate_canary_diff,
     "balance_rollforward": q_balance_rollforward,
+    "trailing_median_value": q_trailing_median_value,
+    "revenue_error_xcorr": q_revenue_error_xcorr,
 }
 
 ORACLES: dict[str, str] = {
@@ -20393,4 +20552,6 @@ ORACLES: dict[str, str] = {
     "host_assortativity": sql_host_assortativity(),
     "gate_canary_diff": sql_gate_canary_diff(),
     "balance_rollforward": sql_balance_rollforward(),
+    "trailing_median_value": sql_trailing_median_value(),
+    "revenue_error_xcorr": sql_revenue_error_xcorr(),
 }
