@@ -350,6 +350,7 @@ BENCH_QUERIES = [
     "balance_rollforward",
     "trailing_median_value",
     "revenue_error_xcorr",
+    "lsh_precision_audit",
 ]
 
 

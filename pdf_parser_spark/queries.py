@@ -19794,6 +19794,79 @@ WITH daily AS (
 """
 
 
+def q_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding precision audit — the number that says whether the
+    band/row configuration is wasting verify work: candidate pairs from
+    the 8-band/32-hash banding versus the pairs the exact-Jaccard
+    verify keeps at the 0.2 threshold, plus the verified min/max
+    jaccard (deterministic extrema of deterministic doubles — a MEAN
+    would be an order-dependent float sum). Same portable pipeline and
+    doc slice as minhash_near_dups, so the oracle replays every
+    stage and then just counts."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    sigs = dedup.minhash_signatures(docs, portable=True)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=8, num_hashes=32, portable=True
+    )
+    verified = dedup.jaccard_verify(docs, cands, threshold=0.2)
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nv = verified.agg(
+        F.count(F.lit(1)).cast("long").alias("n_verified"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    return nc.crossJoin(F.broadcast(nv)).select(
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified").cast("double")
+            / F.greatest(F.col("n_candidates"), F.lit(1)).cast("double"),
+            6,
+        ).alias("precision"),
+        "min_jaccard",
+        "max_jaccard",
+    )
+
+
+def sql_lsh_precision_audit() -> str:
+    mins, band_rows = _portable_minhash_sql(32, 8)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 200
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), verified AS (
+  SELECT pairs.a, pairs.b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           AS j
+  FROM pairs JOIN sh sa ON pairs.a = sa.doc_id
+             JOIN sh sb ON pairs.b = sb.doc_id
+), nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs
+), nv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_verified,
+         round(min(j), 6) AS min_jaccard,
+         round(max(j), 6) AS max_jaccard
+  FROM verified WHERE j >= 0.2
+)
+SELECT n_candidates, n_verified,
+       round(CAST(n_verified AS DOUBLE)
+             / CAST(greatest(n_candidates, 1) AS DOUBLE), 6) AS precision,
+       min_jaccard, max_jaccard
+FROM nc CROSS JOIN nv
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20191,6 +20264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balance_rollforward": q_balance_rollforward,
     "trailing_median_value": q_trailing_median_value,
     "revenue_error_xcorr": q_revenue_error_xcorr,
+    "lsh_precision_audit": q_lsh_precision_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -20554,4 +20628,5 @@ ORACLES: dict[str, str] = {
     "balance_rollforward": sql_balance_rollforward(),
     "trailing_median_value": sql_trailing_median_value(),
     "revenue_error_xcorr": sql_revenue_error_xcorr(),
+    "lsh_precision_audit": sql_lsh_precision_audit(),
 }
