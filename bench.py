@@ -351,6 +351,7 @@ BENCH_QUERIES = [
     "trailing_median_value",
     "revenue_error_xcorr",
     "lsh_precision_audit",
+    "lid_kappa_vs_truth",
 ]
 
 

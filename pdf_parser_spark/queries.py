@@ -19867,6 +19867,109 @@ FROM nc CROSS JOIN nv
 """
 
 
+def q_lid_kappa_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected language-ID accuracy — Cohen's kappa of the
+    lexicon detector against the labeled truth (the confusion-matrix
+    queries report raw counts; kappa is the number that survives class
+    imbalance): po and pe from EXACT marginal counts, the pe product
+    terms summed via a label-sorted fold. One confusion rollup + two
+    metadata-scale marginal rollups; one row out."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    pred = d.select(
+        "lang", textqc.detect_language(F.col("text")).alias("pred")
+    )
+    conf = pred.groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = conf.agg(
+        F.sum("n").alias("N"),
+        F.sum(F.when(F.col("lang") == F.col("pred"), F.col("n")).otherwise(0))
+        .alias("agree"),
+    )
+    rows_m = conf.groupBy(F.col("lang").alias("l")).agg(
+        F.sum("n").alias("row_n")
+    )
+    cols_m = conf.groupBy(F.col("pred").alias("l")).agg(
+        F.sum("n").alias("col_n")
+    )
+    marg = rows_m.join(cols_m, "l", "full_outer").select(
+        "l",
+        F.coalesce("row_n", F.lit(0)).alias("row_n"),
+        F.coalesce("col_n", F.lit(0)).alias("col_n"),
+    )
+    pe_terms = marg.crossJoin(F.broadcast(tot)).select(
+        "l",
+        (
+            F.col("row_n").cast("double")
+            / F.col("N").cast("double")
+            * (F.col("col_n").cast("double") / F.col("N").cast("double"))
+        ).alias("_t"),
+        "N",
+        "agree",
+    )
+    g = pe_terms.groupBy("N", "agree").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("l"), F.col("_t")))
+                ),
+                lambda s: s["_t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("_pe")
+    )
+    po = F.col("agree").cast("double") / F.col("N").cast("double")
+    return g.select(
+        F.col("N").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(F.col("_pe"), 6).alias("pe"),
+        F.round((po - F.col("_pe")) / (1.0 - F.col("_pe")), 6).alias("kappa"),
+    )
+
+
+def sql_lid_kappa_vs_truth() -> str:
+    scores, case = _lang_scores_sql()
+    return f"""
+WITH pred AS (
+  SELECT lang, {case} AS pred
+  FROM (SELECT lang, {scores} FROM documents)
+), conf AS (
+  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS N,
+         CAST(sum(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM conf
+), marg AS (
+  SELECT coalesce(r.l, c.l) AS l,
+         coalesce(r.row_n, 0) AS row_n, coalesce(c.col_n, 0) AS col_n
+  FROM (SELECT lang AS l, CAST(sum(n) AS BIGINT) AS row_n
+        FROM conf GROUP BY 1) r
+  FULL OUTER JOIN (SELECT pred AS l, CAST(sum(n) AS BIGINT) AS col_n
+                   FROM conf GROUP BY 1) c ON r.l = c.l
+), terms AS (
+  SELECT l,
+         (CAST(row_n AS DOUBLE) / CAST(N AS DOUBLE))
+         * (CAST(col_n AS DOUBLE) / CAST(N AS DOUBLE)) AS t,
+         N, agree
+  FROM marg CROSS JOIN tot
+), g AS (
+  SELECT N, agree,
+         list_reduce(list(t ORDER BY l), (a, b) -> a + b) AS pe
+  FROM terms GROUP BY N, agree
+)
+SELECT N AS n_docs, agree AS n_agree,
+       round(CAST(agree AS DOUBLE) / CAST(N AS DOUBLE), 6) AS po,
+       round(pe, 6) AS pe,
+       round((CAST(agree AS DOUBLE) / CAST(N AS DOUBLE) - pe) / (1.0 - pe),
+             6) AS kappa
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20265,6 +20368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_median_value": q_trailing_median_value,
     "revenue_error_xcorr": q_revenue_error_xcorr,
     "lsh_precision_audit": q_lsh_precision_audit,
+    "lid_kappa_vs_truth": q_lid_kappa_vs_truth,
 }
 
 ORACLES: dict[str, str] = {
@@ -20629,4 +20733,5 @@ ORACLES: dict[str, str] = {
     "trailing_median_value": sql_trailing_median_value(),
     "revenue_error_xcorr": sql_revenue_error_xcorr(),
     "lsh_precision_audit": sql_lsh_precision_audit(),
+    "lid_kappa_vs_truth": sql_lid_kappa_vs_truth(),
 }
