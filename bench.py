@@ -352,6 +352,8 @@ BENCH_QUERIES = [
     "revenue_error_xcorr",
     "lsh_precision_audit",
     "lid_kappa_vs_truth",
+    "storage_tiering_plan",
+    "trimmed_mean_value",
 ]
 
 

@@ -19970,6 +19970,135 @@ FROM g
 """
 
 
+def q_storage_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-tiering decision table — the lifecycle policy a lakehouse
+    applies per partition: synthetic days-since-last-access per doc
+    (md5-derived), tier = hot (<7d) / warm (<30d) / cold (otherwise)
+    UNLESS the doc is large (n_chars ≥ 2000 stays ≥ warm — large
+    objects are expensive to rehydrate). Per (source, tier): object
+    count, byte mass, and the share of the source's bytes — the
+    migration plan a tiering job executes. One scan + one rollup +
+    a broadcast source-total join."""
+    d = load_table(spark, sf_dir, "documents")
+    age = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#age"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(90),
+    )
+    raw_tier = (
+        F.when(age < 7, F.lit("hot"))
+        .when(age < 30, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    tier = F.when(
+        (F.col("n_chars") >= 2000) & (raw_tier == "cold"), F.lit("warm")
+    ).otherwise(raw_tier)
+    staged = d.select(
+        "source", tier.alias("tier"), F.col("n_chars").cast("long").alias("b")
+    )
+    per = staged.groupBy("source", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_objects"),
+        F.sum("b").alias("bytes"),
+    )
+    tot = staged.groupBy("source").agg(F.sum("b").alias("src_bytes"))
+    return per.join(tot, "source").select(
+        "source",
+        "tier",
+        "n_objects",
+        F.col("bytes").cast("long").alias("bytes"),
+        F.round(
+            F.col("bytes").cast("double") / F.col("src_bytes").cast("double"),
+            6,
+        ).alias("byte_share"),
+    )
+
+
+def sql_storage_tiering_plan() -> str:
+    return """
+WITH staged AS (
+  SELECT source,
+    CASE WHEN (CASE WHEN age < 7 THEN 'hot' WHEN age < 30 THEN 'warm'
+                    ELSE 'cold' END) = 'cold' AND n_chars >= 2000
+         THEN 'warm'
+         ELSE (CASE WHEN age < 7 THEN 'hot' WHEN age < 30 THEN 'warm'
+                    ELSE 'cold' END) END AS tier,
+    CAST(n_chars AS BIGINT) AS b
+  FROM (SELECT source, n_chars,
+          ('0x' || substr(md5(doc_id || '#age'), 1, 15))::BIGINT % 90 AS age
+        FROM documents)
+), per AS (
+  SELECT source, tier, CAST(count(*) AS BIGINT) AS n_objects,
+         CAST(sum(b) AS BIGINT) AS bytes
+  FROM staged GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(b) AS BIGINT) AS src_bytes
+  FROM staged GROUP BY 1
+)
+SELECT p.source, p.tier, p.n_objects, p.bytes,
+       round(CAST(p.bytes AS DOUBLE) / CAST(t.src_bytes AS DOUBLE), 6)
+         AS byte_share
+FROM per p JOIN tot t ON p.source = t.source
+"""
+
+
+def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TRIMMED mean per event type (drop the top and bottom 10%
+    of observations then average — the other robust-mean convention
+    beside the suite's winsorized clamp): rank windows pick the kept
+    band deterministically ((cents, event_id) total order), the kept
+    sum stays int64, one divide at the end. One type-keyed window +
+    one rollup."""
+    e = load_table(spark, sf_dir, "events")
+    staged = e.filter(F.col("event_type").isNotNull()).select(
+        "event_type",
+        F.col("event_id").cast("long").alias("eid"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "eid")
+    ranked = staged.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    k = F.expr("n div 10")
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(
+            F.sum("cents").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100.0,
+            4,
+        ).alias("trimmed_mean"),
+    )
+
+
+def sql_trimmed_mean_value() -> str:
+    return """
+WITH staged AS (
+  SELECT event_type, CAST(event_id AS BIGINT) AS eid,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents, eid) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM staged
+), kept AS (
+  SELECT * FROM ranked WHERE rn > n // 10 AND rn <= n - n // 10
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0,
+             4) AS trimmed_mean
+FROM kept GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20369,6 +20498,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_error_xcorr": q_revenue_error_xcorr,
     "lsh_precision_audit": q_lsh_precision_audit,
     "lid_kappa_vs_truth": q_lid_kappa_vs_truth,
+    "storage_tiering_plan": q_storage_tiering_plan,
+    "trimmed_mean_value": q_trimmed_mean_value,
 }
 
 ORACLES: dict[str, str] = {
@@ -20734,4 +20865,6 @@ ORACLES: dict[str, str] = {
     "revenue_error_xcorr": sql_revenue_error_xcorr(),
     "lsh_precision_audit": sql_lsh_precision_audit(),
     "lid_kappa_vs_truth": sql_lid_kappa_vs_truth(),
+    "storage_tiering_plan": sql_storage_tiering_plan(),
+    "trimmed_mean_value": sql_trimmed_mean_value(),
 }
