@@ -354,6 +354,8 @@ BENCH_QUERIES = [
     "lid_kappa_vs_truth",
     "storage_tiering_plan",
     "trimmed_mean_value",
+    "frequency_cap_audit",
+    "missingness_outage_scan",
 ]
 
 

@@ -20099,6 +20099,170 @@ FROM kept GROUP BY event_type
 """
 
 
+def q_frequency_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cap audit (ad-ops: at most 10 view events per user per
+    epoch-week; everything past the cap is wasted delivery): per-user-
+    week event ranks against the cap, rolled up per week — capped
+    users, wasted impressions, waste rate. One (user, week) window +
+    one week rollup; integer epoch-week bucketing."""
+    e = load_table(spark, sf_dir, "events")
+    staged = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("eid"),
+        "ts",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+        ).alias("week"),
+    )
+    w = Window.partitionBy("user_id", "week").orderBy("ts", "eid")
+    ranked = staged.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("impressions"),
+        F.countDistinct("user_id").cast("long").alias("users"),
+        F.countDistinct(F.when(F.col("rn") > 10, F.col("user_id")))
+        .cast("long")
+        .alias("capped_users"),
+        F.sum(F.when(F.col("rn") > 10, 1).otherwise(0))
+        .cast("long")
+        .alias("wasted"),
+        F.round(
+            F.sum(F.when(F.col("rn") > 10, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("waste_rate"),
+    )
+
+
+def sql_frequency_cap_audit() -> str:
+    return """
+WITH staged AS (
+  SELECT user_id, CAST(event_id AS BIGINT) AS eid, ts,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events WHERE event_type = 'view'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, week
+                               ORDER BY ts, eid) AS rn
+  FROM staged
+)
+SELECT week, CAST(count(*) AS BIGINT) AS impressions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(count(DISTINCT CASE WHEN rn > 10 THEN user_id END) AS BIGINT)
+         AS capped_users,
+       CAST(sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT) AS wasted,
+       round(CAST(sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS waste_rate
+FROM ranked GROUP BY week
+"""
+
+
+def q_missingness_outage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness forensics — nulls clustered in TIME mean an upstream
+    outage, not random loss: a synthesized outage nulls the value field
+    for days 10-12 (plus a 1% background rate), the scan computes the
+    daily null rate and flags outage days (rate ≥ 10× the corpus
+    background), then counts the LONGEST consecutive flagged run
+    (gaps-and-islands) — one number that says 'a 3-day outage
+    happened'. One day rollup + a broadcast background rate + one
+    ordering window over day-grain rows."""
+    e = load_table(spark, sf_dir, "events")
+    day_idx = F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')")
+    bg = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit("#miss")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        == 0
+    )
+    is_null = ((day_idx >= 9) & (day_idx <= 11)) | bg
+    staged = e.select(
+        day_idx.alias("d"), is_null.cast("long").alias("miss")
+    )
+    daily = staged.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("miss").cast("long").alias("n_miss"),
+    )
+    tot = staged.agg(
+        (F.sum("miss").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "bg_rate"
+        )
+    )
+    flagged = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "outage",
+        (
+            F.col("n_miss").cast("double") / F.col("n").cast("double")
+            >= F.lit(10.0) * F.col("bg_rate")
+        ).cast("int"),
+    )
+    w = Window.orderBy("d")
+    runs = flagged.withColumn(
+        "_grp", F.col("d") - F.sum("outage").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    longest = (
+        runs.filter(F.col("outage") == 1)
+        .groupBy("_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .agg(F.coalesce(F.max("_len"), F.lit(0)).cast("long").alias("run"))
+    )
+    summary = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("outage").cast("long").alias("outage_days"),
+    )
+    return summary.crossJoin(F.broadcast(longest)).select(
+        "n_days", "outage_days", F.col("run").alias("longest_outage_run")
+    )
+
+
+def sql_missingness_outage_scan() -> str:
+    return """
+WITH staged AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CASE WHEN (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    BETWEEN 9 AND 11)
+                OR ('0x' || substr(md5(event_id || '#miss'), 1, 15))::BIGINT
+                   % 100 = 0
+              THEN 1 ELSE 0 END AS miss
+  FROM events
+), daily AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(miss) AS BIGINT) AS n_miss
+  FROM staged GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(miss) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bg_rate
+  FROM staged
+), flagged AS (
+  SELECT d, n, n_miss,
+         CASE WHEN CAST(n_miss AS DOUBLE) / CAST(n AS DOUBLE)
+                   >= 10.0 * bg_rate THEN 1 ELSE 0 END AS outage
+  FROM daily CROSS JOIN tot
+), runs AS (
+  SELECT *, d - sum(outage) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+           AS grp
+  FROM flagged
+), longest AS (
+  SELECT CAST(coalesce(max(len), 0) AS BIGINT) AS run FROM (
+    SELECT grp, count(*) AS len FROM runs WHERE outage = 1 GROUP BY grp)
+)
+SELECT CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_days,
+       CAST((SELECT sum(outage) FROM flagged) AS BIGINT) AS outage_days,
+       run AS longest_outage_run
+FROM longest
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20500,6 +20664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lid_kappa_vs_truth": q_lid_kappa_vs_truth,
     "storage_tiering_plan": q_storage_tiering_plan,
     "trimmed_mean_value": q_trimmed_mean_value,
+    "frequency_cap_audit": q_frequency_cap_audit,
+    "missingness_outage_scan": q_missingness_outage_scan,
 }
 
 ORACLES: dict[str, str] = {
@@ -20867,4 +21033,6 @@ ORACLES: dict[str, str] = {
     "lid_kappa_vs_truth": sql_lid_kappa_vs_truth(),
     "storage_tiering_plan": sql_storage_tiering_plan(),
     "trimmed_mean_value": sql_trimmed_mean_value(),
+    "frequency_cap_audit": sql_frequency_cap_audit(),
+    "missingness_outage_scan": sql_missingness_outage_scan(),
 }
