@@ -356,6 +356,8 @@ BENCH_QUERIES = [
     "trimmed_mean_value",
     "frequency_cap_audit",
     "missingness_outage_scan",
+    "lift_convergence_curve",
+    "abc_classification",
 ]
 
 

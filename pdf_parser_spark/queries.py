@@ -20263,6 +20263,162 @@ FROM longest
 """
 
 
+def q_lift_convergence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-readout convergence curve — the plot a reviewer wants
+    BEFORE trusting a lift number: per day, the CUMULATIVE treatment
+    and control purchase means (md5 arms as in did_lift) and their
+    running lift — if the curve is still swinging on the last day, the
+    experiment isn't done. Exact cumulative int64 cents and counts via
+    day-grain windows; one divide per day per arm."""
+    e = load_table(spark, sf_dir, "events")
+    treat = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#arm"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("day"),
+            treat.alias("arm"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.sum("cents").alias("c"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.withColumn("cc", F.sum("c").over(w)).withColumn(
+        "cn", F.sum("n").over(w)
+    )
+    t = cum.filter(F.col("arm") == 1).select(
+        "day", F.col("cc").alias("tc"), F.col("cn").alias("tn")
+    )
+    c = cum.filter(F.col("arm") == 0).select(
+        "day", F.col("cc").alias("cc0"), F.col("cn").alias("cn0")
+    )
+    j = t.join(c, "day")
+    tmean = F.col("tc").cast("double") / F.col("tn").cast("double")
+    cmean = F.col("cc0").cast("double") / F.col("cn0").cast("double")
+    return j.select(
+        "day",
+        F.col("tn").cast("long").alias("treat_n"),
+        F.col("cn0").cast("long").alias("control_n"),
+        F.round(tmean / 100.0, 4).alias("treat_mean"),
+        F.round(cmean / 100.0, 4).alias("control_mean"),
+        F.round(tmean / cmean - 1.0, 6).alias("running_lift"),
+    )
+
+
+def sql_lift_convergence_curve() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(('0x' || substr(md5(user_id || '#arm'), 1, 15))::BIGINT % 2
+              AS INTEGER) AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), cum AS (
+  SELECT day, arm,
+         sum(c) OVER (PARTITION BY arm ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         sum(n) OVER (PARTITION BY arm ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS cn
+  FROM daily
+), t AS (SELECT day, cc AS tc, cn AS tn FROM cum WHERE arm = 1),
+c AS (SELECT day, cc AS cc0, cn AS cn0 FROM cum WHERE arm = 0)
+SELECT t.day, CAST(t.tn AS BIGINT) AS treat_n,
+       CAST(c.cn0 AS BIGINT) AS control_n,
+       round(CAST(t.tc AS DOUBLE) / CAST(t.tn AS DOUBLE) / 100.0, 4)
+         AS treat_mean,
+       round(CAST(c.cc0 AS DOUBLE) / CAST(c.cn0 AS DOUBLE) / 100.0, 4)
+         AS control_mean,
+       round((CAST(t.tc AS DOUBLE) / CAST(t.tn AS DOUBLE))
+             / (CAST(c.cc0 AS DOUBLE) / CAST(c.cn0 AS DOUBLE)) - 1.0, 6)
+         AS running_lift
+FROM t JOIN c ON t.day = c.day
+"""
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the 80/95 cumulative-revenue-share
+    cut every supply-chain review runs): parts ranked by exact-cents
+    revenue, cumulative share thresholds assign A (≤80%), B (≤95%),
+    C (rest); per class: part count, revenue, revenue share. The rank
+    and cumsum windows run over the PART-grain rollup (metadata-scale
+    vs lineitems); class boundaries compare exact integer cumsums
+    against integer thresholds (cum*100 ≤ 80*total — no float share
+    before the final display divide)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = li.select(
+        F.col("l_partkey").alias("part"), cents.alias("c")
+    ).groupBy("part").agg(F.sum("c").alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("part")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_part.agg(F.sum("rev").alias("T"))
+    cum = per_part.withColumn("cum", F.sum("rev").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("T") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("T") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cum.withColumn("cls", cls).groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("rev").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("T").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+def sql_abc_classification() -> str:
+    return """
+WITH per_part AS (
+  SELECT l_partkey AS part,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(rev) AS T FROM per_part
+), cum AS (
+  SELECT part, rev,
+         sum(rev) OVER (ORDER BY rev DESC, part ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_part
+), classed AS (
+  SELECT part, rev,
+         CASE WHEN cum * 100 <= T * 80 THEN 'A'
+              WHEN cum * 100 <= T * 95 THEN 'B'
+              ELSE 'C' END AS cls,
+         T
+  FROM cum CROSS JOIN tot
+)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(rev) AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(sum(rev) AS DOUBLE) / CAST(max(T) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY cls
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20666,6 +20822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trimmed_mean_value": q_trimmed_mean_value,
     "frequency_cap_audit": q_frequency_cap_audit,
     "missingness_outage_scan": q_missingness_outage_scan,
+    "lift_convergence_curve": q_lift_convergence_curve,
+    "abc_classification": q_abc_classification,
 }
 
 ORACLES: dict[str, str] = {
@@ -21035,4 +21193,6 @@ ORACLES: dict[str, str] = {
     "trimmed_mean_value": sql_trimmed_mean_value(),
     "frequency_cap_audit": sql_frequency_cap_audit(),
     "missingness_outage_scan": sql_missingness_outage_scan(),
+    "lift_convergence_curve": sql_lift_convergence_curve(),
+    "abc_classification": sql_abc_classification(),
 }
