@@ -358,6 +358,7 @@ BENCH_QUERIES = [
     "missingness_outage_scan",
     "lift_convergence_curve",
     "abc_classification",
+    "cross_source_reconciliation",
 ]
 
 

@@ -20419,6 +20419,83 @@ FROM classed GROUP BY cls
 """
 
 
+def q_cross_source_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source revenue reconciliation — two INDEPENDENTLY ingested
+    tables that should tell one story (the event stream's purchase
+    values vs the orders table's totals), compared at month grain:
+    both exact-cents sums, their ratio, and a drift flag when the
+    ratio leaves [0.5, 2] — the cheapest detector of a silently broken
+    ingestion path (one feed stalls, the ratio walks). Two one-pass
+    rollups met by a full-outer month join; missing months on either
+    side surface as NULL-coalesced zeros, not silent drops."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    ev = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("ev_cents")
+        )
+    )
+    od = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "od_cents"
+        )
+    )
+    j = ev.join(od, "month", "full_outer").select(
+        "month",
+        F.coalesce("ev_cents", F.lit(0)).alias("ev_cents"),
+        F.coalesce("od_cents", F.lit(0)).alias("od_cents"),
+    )
+    ratio = F.col("ev_cents").cast("double") / F.greatest(
+        F.col("od_cents"), F.lit(1)
+    ).cast("double")
+    return j.select(
+        "month",
+        F.round(F.col("ev_cents").cast("double") / 100.0, 2).alias(
+            "event_revenue"
+        ),
+        F.round(F.col("od_cents").cast("double") / 100.0, 2).alias(
+            "order_revenue"
+        ),
+        F.round(ratio, 6).alias("ratio"),
+        ((ratio < 0.5) | (ratio > 2.0)).cast("int").alias("drifted"),
+    )
+
+
+def sql_cross_source_reconciliation() -> str:
+    return """
+WITH ev AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ev_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), od AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS od_cents
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT coalesce(ev.month, od.month) AS month,
+         coalesce(ev.ev_cents, 0) AS ev_cents,
+         coalesce(od.od_cents, 0) AS od_cents
+  FROM ev FULL OUTER JOIN od ON ev.month = od.month
+)
+SELECT month,
+       round(CAST(ev_cents AS DOUBLE) / 100.0, 2) AS event_revenue,
+       round(CAST(od_cents AS DOUBLE) / 100.0, 2) AS order_revenue,
+       round(CAST(ev_cents AS DOUBLE)
+             / CAST(greatest(od_cents, 1) AS DOUBLE), 6) AS ratio,
+       CAST(CASE WHEN CAST(ev_cents AS DOUBLE)
+                      / CAST(greatest(od_cents, 1) AS DOUBLE) < 0.5
+                   OR CAST(ev_cents AS DOUBLE)
+                      / CAST(greatest(od_cents, 1) AS DOUBLE) > 2.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS drifted
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20824,6 +20901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "missingness_outage_scan": q_missingness_outage_scan,
     "lift_convergence_curve": q_lift_convergence_curve,
     "abc_classification": q_abc_classification,
+    "cross_source_reconciliation": q_cross_source_reconciliation,
 }
 
 ORACLES: dict[str, str] = {
@@ -21195,4 +21273,5 @@ ORACLES: dict[str, str] = {
     "missingness_outage_scan": sql_missingness_outage_scan(),
     "lift_convergence_curve": sql_lift_convergence_curve(),
     "abc_classification": sql_abc_classification(),
+    "cross_source_reconciliation": sql_cross_source_reconciliation(),
 }
