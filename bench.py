@@ -359,6 +359,7 @@ BENCH_QUERIES = [
     "lift_convergence_curve",
     "abc_classification",
     "cross_source_reconciliation",
+    "revenue_variance_decomposition",
 ]
 
 

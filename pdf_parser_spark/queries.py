@@ -20496,6 +20496,82 @@ FROM j
 """
 
 
+def q_revenue_variance_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FP&A variance decomposition — why did revenue move: per order
+    priority, the month-over-month revenue delta (1995-01 → 1995-02)
+    split into the VOLUME effect ((n₂−n₁)·A₁) and the RATE effect
+    (n₂·(A₂−A₁)), whose sum reconstructs the delta exactly (the
+    identity is asserted as a reconciled flag at cent precision).
+    Exact cents sums and counts; averages are one divide each, effects
+    two fixed-order multiplies — engine-identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (
+        o.filter(month.isin("1995-01", "1995-02"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            month.alias("m"),
+            cents.alias("c"),
+        )
+        .groupBy("priority", "m")
+        .agg(F.sum("c").alias("r"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m1 = per.filter(F.col("m") == "1995-01").select(
+        "priority", F.col("r").alias("r1"), F.col("n").alias("n1")
+    )
+    m2 = per.filter(F.col("m") == "1995-02").select(
+        "priority", F.col("r").alias("r2"), F.col("n").alias("n2")
+    )
+    j = m1.join(m2, "priority")
+    a1 = F.col("r1").cast("double") / F.col("n1").cast("double")
+    a2 = F.col("r2").cast("double") / F.col("n2").cast("double")
+    delta = (F.col("r2") - F.col("r1")).cast("double")
+    volume = (F.col("n2") - F.col("n1")).cast("double") * a1
+    rate = F.col("n2").cast("double") * (a2 - a1)
+    return j.select(
+        "priority",
+        F.round(delta / 100.0, 2).alias("revenue_delta"),
+        F.round(volume / 100.0, 2).alias("volume_effect"),
+        F.round(rate / 100.0, 2).alias("rate_effect"),
+        (F.abs(volume + rate - delta) < 1.0).cast("int").alias("reconciled"),
+    )
+
+
+def sql_revenue_variance_decomposition() -> str:
+    return """
+WITH per AS (
+  SELECT o_orderpriority AS priority,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') IN ('1995-01', '1995-02')
+  GROUP BY 1, 2
+), m1 AS (SELECT priority, r AS r1, n AS n1 FROM per WHERE m = '1995-01'),
+m2 AS (SELECT priority, r AS r2, n AS n2 FROM per WHERE m = '1995-02')
+SELECT j.priority,
+       round(CAST(r2 - r1 AS DOUBLE) / 100.0, 2) AS revenue_delta,
+       round(CAST(n2 - n1 AS DOUBLE)
+             * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0, 2)
+         AS volume_effect,
+       round(CAST(n2 AS DOUBLE)
+             * (CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                - CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0, 2)
+         AS rate_effect,
+       CAST(CASE WHEN abs(CAST(n2 - n1 AS DOUBLE)
+                          * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                          + CAST(n2 AS DOUBLE)
+                            * (CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                               - CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                          - CAST(r2 - r1 AS DOUBLE)) < 1.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS reconciled
+FROM m1 j JOIN m2 USING (priority)
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20902,6 +20978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lift_convergence_curve": q_lift_convergence_curve,
     "abc_classification": q_abc_classification,
     "cross_source_reconciliation": q_cross_source_reconciliation,
+    "revenue_variance_decomposition": q_revenue_variance_decomposition,
 }
 
 ORACLES: dict[str, str] = {
@@ -21274,4 +21351,5 @@ ORACLES: dict[str, str] = {
     "lift_convergence_curve": sql_lift_convergence_curve(),
     "abc_classification": sql_abc_classification(),
     "cross_source_reconciliation": sql_cross_source_reconciliation(),
+    "revenue_variance_decomposition": sql_revenue_variance_decomposition(),
 }
