@@ -360,6 +360,8 @@ BENCH_QUERIES = [
     "abc_classification",
     "cross_source_reconciliation",
     "revenue_variance_decomposition",
+    "fiscal_445_rollup",
+    "link_scheme_screen",
 ]
 
 

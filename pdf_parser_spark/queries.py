@@ -20572,6 +20572,139 @@ FROM m1 j JOIN m2 USING (priority)
 """
 
 
+def q_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 fiscal-calendar rollup — retail finance's week-aligned
+    periods that no built-in date function provides: epoch weeks
+    (anchored to the 1995-01-02 Monday fiscal year start) map to
+    13-week quarters whose periods span weeks 1-4 / 5-8 / 9-13, all in
+    integer arithmetic (week div/mod — no calendar library, no locale).
+    Revenue and order counts per (fiscal_year, quarter, period); exact
+    cents. One scan + one rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    week = F.expr(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-02') div 7"
+    )
+    staged = o.filter(
+        F.col("o_orderdate") >= F.lit("1995-01-02").cast("timestamp")
+    ).select(
+        week.alias("w"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    fy = F.expr("w div 52")
+    wof = F.expr("w % 52")  # week of fiscal year, 0..51
+    q = F.expr("least(wof div 13, 3)")  # week 52 folds into Q4 (53-wk yrs)
+    wq = F.expr("wof % 13")
+    period = (
+        F.when(wq < 4, 1).when(wq < 8, 2).otherwise(3)
+    )
+    out = (
+        staged.withColumn("wof", wof)
+        .select(
+            (fy + 1995).cast("int").alias("fiscal_year"),
+            (q + 1).cast("int").alias("quarter"),
+            period.cast("int").alias("period"),
+            "c",
+        )
+        .groupBy("fiscal_year", "quarter", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("c").cast("double") / 100.0, 2).alias("revenue"),
+        )
+    )
+    return out
+
+
+def sql_fiscal_445_rollup() -> str:
+    return """
+WITH staged AS (
+  SELECT date_diff('day', DATE '1995-01-02', CAST(o_orderdate AS DATE)) // 7
+           AS w,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-02'
+), mapped AS (
+  SELECT CAST(w // 52 + 1995 AS INTEGER) AS fiscal_year,
+         CAST(least((w % 52) // 13, 3) + 1 AS INTEGER) AS quarter,
+         CAST(CASE WHEN (w % 52) % 13 < 4 THEN 1
+                   WHEN (w % 52) % 13 < 8 THEN 2
+                   ELSE 3 END AS INTEGER) AS period,
+         c
+  FROM staged
+)
+SELECT fiscal_year, quarter, period,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(c) AS DOUBLE) / 100.0, 2) AS revenue
+FROM mapped GROUP BY 1, 2, 3
+"""
+
+
+def q_link_scheme_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangerous-link-scheme screen over the parsed link table — the
+    XSS/open-redirect hygiene pass a republishing pipeline runs:
+    javascript:, data: and protocol-relative (//) hrefs are synthesized
+    onto md5-gated docs alongside the normal https links, the REAL link
+    extractor parses them back, and the rollup reports per-scheme
+    counts and the flagged-doc rate. Zero-shuffle parse + one rollup."""
+    from pdf_parser_spark.operators import webextract
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    pages = webextract.web_pages_from_documents(d)
+    did = F.col("doc_id").cast("long")
+    inject = F.concat(
+        F.col("html"),
+        F.when(
+            did % 13 == 0,
+            F.lit('<p><a href="javascript:alert(1)">x</a></p>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.lit('<p><a href="data:text/html;base64,AA">y</a></p>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 19 == 0,
+            F.lit('<p><a href="//evil.example/z">z</a></p>'),
+        ).otherwise(F.lit("")),
+    )
+    links = webextract.html_links(
+        pages.select("doc_id", inject.alias("html"))
+    )
+    scheme = (
+        F.when(F.col("href").startswith("javascript:"), "javascript")
+        .when(F.col("href").startswith("data:"), "data")
+        .when(F.col("href").startswith("//"), "protocol_relative")
+        .when(F.col("href").startswith("https://"), "https")
+        .otherwise("other")
+    )
+    staged = links.select("doc_id", scheme.alias("scheme"))
+    return staged.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+def sql_link_scheme_screen() -> str:
+    # link inventory per doc: 2 fixed nav + doc_id%3 extra + 1 content
+    # + 1 promo https links (the html_link_hosts oracle's set), plus the
+    # injected dangerous links on their gates
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+), https AS (
+  SELECT doc_id, 4 + doc_id % 3 AS n FROM d
+), danger AS (
+  SELECT doc_id, 'javascript' AS scheme FROM d WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id, 'data' FROM d WHERE doc_id % 17 = 0
+  UNION ALL SELECT doc_id, 'protocol_relative' FROM d WHERE doc_id % 19 = 0
+)
+SELECT scheme, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, 'https' AS scheme
+  FROM https, UNNEST(generate_series(1, n)) AS u(i)
+  UNION ALL SELECT doc_id, scheme FROM danger
+) GROUP BY scheme
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -20979,6 +21112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abc_classification": q_abc_classification,
     "cross_source_reconciliation": q_cross_source_reconciliation,
     "revenue_variance_decomposition": q_revenue_variance_decomposition,
+    "fiscal_445_rollup": q_fiscal_445_rollup,
+    "link_scheme_screen": q_link_scheme_screen,
 }
 
 ORACLES: dict[str, str] = {
@@ -21352,4 +21487,6 @@ ORACLES: dict[str, str] = {
     "abc_classification": sql_abc_classification(),
     "cross_source_reconciliation": sql_cross_source_reconciliation(),
     "revenue_variance_decomposition": sql_revenue_variance_decomposition(),
+    "fiscal_445_rollup": sql_fiscal_445_rollup(),
+    "link_scheme_screen": sql_link_scheme_screen(),
 }
