@@ -362,6 +362,7 @@ BENCH_QUERIES = [
     "revenue_variance_decomposition",
     "fiscal_445_rollup",
     "link_scheme_screen",
+    "path_hierarchy_rollup",
 ]
 
 

@@ -20705,6 +20705,78 @@ FROM (
 """
 
 
+def q_path_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical path rollup — the directory-tree aggregation web
+    and filesystem analytics both need (every /a/b/c page counts toward
+    /a and /a/b too): the robots-family paths explode to their prefix
+    chains in one HOF, and a single groupBy yields per-prefix page
+    counts and depth — no recursive query, no self-joins (the naive
+    hierarchical form is one join per level). Top-level shares ride a
+    broadcast total."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    sid = F.col("doc_id").cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/public/docs/p"), sid))
+        .when(v == 1, F.concat(F.lit("/private/p"), sid))
+        .when(v == 2, F.concat(F.lit("/private/pub/p"), sid))
+        .otherwise(F.concat(F.lit("/tmp/cache/p"), sid))
+    )
+    parts = F.filter(F.split(path, "/"), lambda x: F.length(x) > 0)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.concat(
+            F.lit("/"), F.array_join(F.slice(parts, 1, i), "/")
+        ),
+    )
+    ex = d.select(F.explode(prefixes).alias("prefix"))
+    counts = ex.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "prefix",
+        (F.size(F.split(F.col("prefix"), "/")) - 1).cast("int").alias("depth"),
+        "n_pages",
+        F.round(
+            F.col("n_pages").cast("double") / F.col("N").cast("double"), 6
+        ).alias("page_share"),
+    ).filter(F.col("depth") <= 2)
+
+
+def sql_path_hierarchy_rollup() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE CAST(CAST(doc_id AS BIGINT) % 4 AS INT)
+      WHEN 0 THEN '/public/docs/p' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/private/pub/p' || CAST(doc_id AS VARCHAR)
+      ELSE '/tmp/cache/p' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+), ex AS (
+  SELECT '/' || array_to_string(parts[1:CAST(i AS INT)], '/') AS prefix
+  FROM (
+    SELECT list_filter(string_split(path, '/'), x -> length(x) > 0)
+             AS parts
+    FROM d),
+    UNNEST(generate_series(1, len(parts))) AS u(i)
+), counts AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_pages FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS N FROM d
+)
+SELECT prefix,
+       CAST(len(string_split(prefix, '/')) - 1 AS INTEGER) AS depth,
+       n_pages,
+       round(CAST(n_pages AS DOUBLE) / CAST(N AS DOUBLE), 6) AS page_share
+FROM counts CROSS JOIN tot
+WHERE len(string_split(prefix, '/')) - 1 <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -21114,6 +21186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_variance_decomposition": q_revenue_variance_decomposition,
     "fiscal_445_rollup": q_fiscal_445_rollup,
     "link_scheme_screen": q_link_scheme_screen,
+    "path_hierarchy_rollup": q_path_hierarchy_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -21489,4 +21562,5 @@ ORACLES: dict[str, str] = {
     "revenue_variance_decomposition": sql_revenue_variance_decomposition(),
     "fiscal_445_rollup": sql_fiscal_445_rollup(),
     "link_scheme_screen": sql_link_scheme_screen(),
+    "path_hierarchy_rollup": sql_path_hierarchy_rollup(),
 }
