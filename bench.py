@@ -363,6 +363,7 @@ BENCH_QUERIES = [
     "fiscal_445_rollup",
     "link_scheme_screen",
     "path_hierarchy_rollup",
+    "revenue_var_p5",
 ]
 
 

@@ -20777,6 +20777,81 @@ WHERE len(string_split(prefix, '/')) - 1 <= 2
 """
 
 
+def q_revenue_var_p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk of daily revenue — the risk lens the
+    balance/drawdown queries don't give: day-over-day revenue CHANGES
+    (exact cents via a lag window), their exact 5th/1st percentiles
+    (type-7 interpolation, the quantile_cont-equal definition
+    token_quantiles proved) = the 95%/99% one-day VaR, plus worst day
+    and the count of 5%-tail breaches. One day rollup + one day-grain
+    lag window + one percentile aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    deltas = daily.withColumn(
+        "chg", F.col("rev") - F.lag("rev").over(w)
+    ).filter(F.col("chg").isNotNull())
+    g = deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.percentile(F.col("chg").cast("double"), F.lit(0.05)).alias("_p5"),
+        F.percentile(F.col("chg").cast("double"), F.lit(0.01)).alias("_p1"),
+        F.min("chg").alias("_worst"),
+    )
+    g2 = g.select(
+        "n_days",
+        F.round(F.col("_p5") / 100.0, 2).alias("var_95"),
+        F.round(F.col("_p1") / 100.0, 2).alias("var_99"),
+        F.round(F.col("_worst").cast("double") / 100.0, 2).alias("worst_day"),
+        F.col("_p5").alias("_p5raw"),
+    )
+    breaches = deltas.crossJoin(
+        F.broadcast(g.select(F.col("_p5").alias("_cut")))
+    ).agg(
+        F.sum(
+            F.when(F.col("chg").cast("double") < F.col("_cut"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tail_breaches")
+    )
+    return g2.crossJoin(F.broadcast(breaches)).select(
+        "n_days", "var_95", "var_99", "worst_day", "tail_breaches"
+    )
+
+
+def sql_revenue_var_p5() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), deltas AS (
+  SELECT chg FROM (
+    SELECT rev - lag(rev) OVER (ORDER BY day) AS chg FROM daily)
+  WHERE chg IS NOT NULL
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         quantile_cont(CAST(chg AS DOUBLE), 0.05) AS p5,
+         quantile_cont(CAST(chg AS DOUBLE), 0.01) AS p1,
+         CAST(min(chg) AS BIGINT) AS worst
+  FROM deltas
+)
+SELECT n_days,
+       round(p5 / 100.0, 2) AS var_95,
+       round(p1 / 100.0, 2) AS var_99,
+       round(CAST(worst AS DOUBLE) / 100.0, 2) AS worst_day,
+       CAST((SELECT sum(CASE WHEN CAST(chg AS DOUBLE) < g.p5
+                             THEN 1 ELSE 0 END)
+             FROM deltas) AS BIGINT) AS tail_breaches
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -21187,6 +21262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fiscal_445_rollup": q_fiscal_445_rollup,
     "link_scheme_screen": q_link_scheme_screen,
     "path_hierarchy_rollup": q_path_hierarchy_rollup,
+    "revenue_var_p5": q_revenue_var_p5,
 }
 
 ORACLES: dict[str, str] = {
@@ -21563,4 +21639,5 @@ ORACLES: dict[str, str] = {
     "fiscal_445_rollup": sql_fiscal_445_rollup(),
     "link_scheme_screen": sql_link_scheme_screen(),
     "path_hierarchy_rollup": sql_path_hierarchy_rollup(),
+    "revenue_var_p5": sql_revenue_var_p5(),
 }
