@@ -364,6 +364,7 @@ BENCH_QUERIES = [
     "link_scheme_screen",
     "path_hierarchy_rollup",
     "revenue_var_p5",
+    "source_p90_spread",
 ]
 
 

@@ -20852,6 +20852,45 @@ FROM g
 """
 
 
+def q_source_p90_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provider-capability dispersion — a two-level quantile
+    composition: each source's exact p90 document length (type-7, the
+    proven quantile_cont-equal definition), then the SPREAD of those
+    p90s across sources (min / median / max of the per-source p90s) —
+    one row saying how unevenly providers deliver long-form content.
+    The second-level quantile runs over the SOURCE-grain frame
+    (metadata-scale); exact interpolation at both levels."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.9)).alias("p90")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.round(F.min("p90"), 4).alias("min_p90"),
+        F.round(F.percentile(F.col("p90"), F.lit(0.5)), 4).alias(
+            "median_p90"
+        ),
+        F.round(F.max("p90"), 4).alias("max_p90"),
+        F.round(F.max("p90") - F.min("p90"), 4).alias("p90_range"),
+    )
+
+
+def sql_source_p90_spread() -> str:
+    return """
+WITH per AS (
+  SELECT source,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90
+  FROM documents GROUP BY source
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       round(min(p90), 4) AS min_p90,
+       round(quantile_cont(p90, 0.5), 4) AS median_p90,
+       round(max(p90), 4) AS max_p90,
+       round(max(p90) - min(p90), 4) AS p90_range
+FROM per
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -21263,6 +21302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_scheme_screen": q_link_scheme_screen,
     "path_hierarchy_rollup": q_path_hierarchy_rollup,
     "revenue_var_p5": q_revenue_var_p5,
+    "source_p90_spread": q_source_p90_spread,
 }
 
 ORACLES: dict[str, str] = {
@@ -21640,4 +21680,5 @@ ORACLES: dict[str, str] = {
     "link_scheme_screen": sql_link_scheme_screen(),
     "path_hierarchy_rollup": sql_path_hierarchy_rollup(),
     "revenue_var_p5": sql_revenue_var_p5(),
+    "source_p90_spread": sql_source_p90_spread(),
 }
