@@ -365,6 +365,8 @@ BENCH_QUERIES = [
     "path_hierarchy_rollup",
     "revenue_var_p5",
     "source_p90_spread",
+    "value_mode_per_type",
+    "business_hours_share",
 ]
 
 

@@ -20891,6 +20891,97 @@ FROM per
 """
 
 
+def q_value_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group — the aggregate SQL forgot (most frequent
+    whole-dollar value per event type, ties pinned by (count DESC,
+    value ASC)): one (type, value) partial-agg rollup + a
+    WindowGroupLimit argmax; the frequency share rides the same
+    aggregate. A sketch replaces the exact rollup at 10^12 rows —
+    this is its calibration twin."""
+    e = load_table(spark, sf_dir, "events")
+    dollars = F.expr("CAST(round(value * 100) AS BIGINT) div 100")
+    counts = e.select(
+        "event_type", dollars.alias("v")
+    ).groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("v"))
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return top.join(tot, "event_type").select(
+        "event_type",
+        F.col("v").alias("mode_dollars"),
+        F.col("c").alias("mode_count"),
+        F.round(
+            F.col("c").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mode_share"),
+    )
+
+
+def sql_value_mode_per_type() -> str:
+    return """
+WITH counts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) // 100 AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(c) AS n FROM counts GROUP BY 1
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY c DESC, v ASC) AS rn
+    FROM counts)
+  WHERE rn = 1
+)
+SELECT t.event_type, t.v AS mode_dollars, t.c AS mode_count,
+       round(CAST(t.c AS DOUBLE) / CAST(z.n AS DOUBLE), 6) AS mode_share
+FROM top t JOIN tot z ON t.event_type = z.event_type
+"""
+
+
+def q_business_hours_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-hours share per event type (Mon–Fri 09:00–16:59 UTC —
+    the session-tz-pinned calendar slice an ops review baselines
+    against): portable ISO-dow via the integer epoch-day formula the
+    settlement query proved, hour from the same UTC timestamp; one
+    conditional rollup."""
+    e = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')") + 3,
+        F.lit(7),
+    )  # Mon=0..Sun=6
+    hour = F.hour("ts")
+    in_bh = ((dow <= 4) & (hour >= 9) & (hour < 17)).cast("long")
+    staged = e.select("event_type", in_bh.alias("bh"))
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("bh").cast("long").alias("n_business_hours"),
+        F.round(
+            F.sum("bh").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("bh_share"),
+    )
+
+
+def sql_business_hours_share() -> str:
+    return """
+WITH staged AS (
+  SELECT event_type,
+         CASE WHEN (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    + 3) % 7 <= 4
+                AND hour(ts) >= 9 AND hour(ts) < 17
+              THEN 1 ELSE 0 END AS bh
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(bh) AS BIGINT) AS n_business_hours,
+       round(CAST(sum(bh) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS bh_share
+FROM staged GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -21303,6 +21394,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "path_hierarchy_rollup": q_path_hierarchy_rollup,
     "revenue_var_p5": q_revenue_var_p5,
     "source_p90_spread": q_source_p90_spread,
+    "value_mode_per_type": q_value_mode_per_type,
+    "business_hours_share": q_business_hours_share,
 }
 
 ORACLES: dict[str, str] = {
@@ -21681,4 +21774,6 @@ ORACLES: dict[str, str] = {
     "path_hierarchy_rollup": sql_path_hierarchy_rollup(),
     "revenue_var_p5": sql_revenue_var_p5(),
     "source_p90_spread": sql_source_p90_spread(),
+    "value_mode_per_type": sql_value_mode_per_type(),
+    "business_hours_share": sql_business_hours_share(),
 }
