@@ -367,6 +367,7 @@ BENCH_QUERIES = [
     "source_p90_spread",
     "value_mode_per_type",
     "business_hours_share",
+    "corpus_release_report",
 ]
 
 

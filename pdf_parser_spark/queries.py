@@ -20982,6 +20982,109 @@ FROM staged GROUP BY event_type
 """
 
 
+def q_corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus RELEASE CHECKLIST in one scan — the free-rider-battery
+    claim made concrete: license markers, credential patterns,
+    invisible characters, and citation density (each oracled separately
+    this session) evaluated TOGETHER on a single pass over the raw
+    text, one row per source with every gate's doc counts — the table
+    a release review signs off on. Composition only: all four
+    batteries are codegen predicates on the same scan columns; ONE
+    rollup; the corpus is read once, not four times."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    from pdf_parser_spark.operators.textqc import (
+        LICENSE_MARKERS,
+        SECRET_PATTERNS,
+    )
+
+    lic_hit = F.lit(False)
+    for markers in LICENSE_MARKERS.values():
+        for m in markers:
+            lic_hit = lic_hit | low.contains(m)
+    sec_hit = F.lit(False)
+    for pat in SECRET_PATTERNS.values():
+        sec_hit = sec_hit | (F.regexp_count(F.col("text"), F.lit(pat)) > 0)
+    inv_hit = F.lit(False)
+    for chars in _INVISIBLE_CHARS.values():
+        for ch in chars:
+            inv_hit = inv_hit | F.col("text").contains(ch)
+    cite_hit = (
+        F.regexp_count(
+            F.col("text"), F.lit(r"10\.\d{4,9}/[-._;()/:a-zA-Z0-9]+")
+        )
+        + F.regexp_count(low, F.lit(r"arxiv:\d{4}\.\d{4,5}"))
+        + F.regexp_count(F.col("text"), F.lit(r"\[\d{1,3}\]"))
+    ) > 0
+    staged = d.select(
+        "source",
+        lic_hit.cast("long").alias("lic"),
+        sec_hit.cast("long").alias("sec"),
+        inv_hit.cast("long").alias("inv"),
+        cite_hit.cast("long").alias("cit"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("lic").cast("long").alias("license_marked"),
+        F.sum("sec").cast("long").alias("secret_leaking"),
+        F.sum("inv").cast("long").alias("invisible_flagged"),
+        F.sum("cit").cast("long").alias("citing"),
+        F.sum(
+            F.when(
+                (F.col("sec") == 1) | (F.col("inv") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("release_blockers"),
+    )
+
+
+def sql_corpus_release_report() -> str:
+    from pdf_parser_spark.operators.textqc import (
+        LICENSE_MARKERS,
+        SECRET_PATTERNS,
+    )
+
+    lic = " OR ".join(
+        f"position('{m}' IN lower(text)) > 0"
+        for markers in LICENSE_MARKERS.values()
+        for m in markers
+    )
+    sec = " OR ".join(
+        f"len(regexp_extract_all(text, '{p}')) > 0"
+        for p in SECRET_PATTERNS.values()
+    )
+    inv = " OR ".join(
+        f"position(chr({ord(ch)}) IN text) > 0"
+        for chars in _INVISIBLE_CHARS.values()
+        for ch in chars
+    )
+    cite = (
+        "len(regexp_extract_all(text,"
+        " '10\\.\\d{4,9}/[-._;()/:a-zA-Z0-9]+'))"
+        " + len(regexp_extract_all(lower(text), 'arxiv:\\d{4}\\.\\d{4,5}'))"
+        " + len(regexp_extract_all(text, '\\[\\d{1,3}\\]')) > 0"
+    )
+    return f"""
+WITH staged AS (
+  SELECT source,
+         CASE WHEN {lic} THEN 1 ELSE 0 END AS lic,
+         CASE WHEN {sec} THEN 1 ELSE 0 END AS sec,
+         CASE WHEN {inv} THEN 1 ELSE 0 END AS inv,
+         CASE WHEN {cite} THEN 1 ELSE 0 END AS cit
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lic) AS BIGINT) AS license_marked,
+       CAST(sum(sec) AS BIGINT) AS secret_leaking,
+       CAST(sum(inv) AS BIGINT) AS invisible_flagged,
+       CAST(sum(cit) AS BIGINT) AS citing,
+       CAST(sum(CASE WHEN sec = 1 OR inv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS release_blockers
+FROM staged GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -21396,6 +21499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_p90_spread": q_source_p90_spread,
     "value_mode_per_type": q_value_mode_per_type,
     "business_hours_share": q_business_hours_share,
+    "corpus_release_report": q_corpus_release_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -21776,4 +21880,5 @@ ORACLES: dict[str, str] = {
     "source_p90_spread": sql_source_p90_spread(),
     "value_mode_per_type": sql_value_mode_per_type(),
     "business_hours_share": sql_business_hours_share(),
+    "corpus_release_report": sql_corpus_release_report(),
 }
