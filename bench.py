@@ -368,6 +368,7 @@ BENCH_QUERIES = [
     "value_mode_per_type",
     "business_hours_share",
     "corpus_release_report",
+    "dedup_savings_ledger",
 ]
 
 

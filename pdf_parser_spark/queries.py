@@ -21085,6 +21085,64 @@ FROM staged GROUP BY source
 """
 
 
+def q_dedup_savings_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup ROI ledger — the byte savings the dedup stage
+    actually buys, itemized per source (the number that justifies the
+    digest shuffle in a storage review): duplicates = every doc whose
+    content digest has a smaller-id representative (the standard
+    min-id-wins window), savings = their char mass. One digest window
+    + one source rollup — the same two-shuffle shape as the dedup
+    materializer this ledger audits."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("b"),
+        dedup.content_digest(F.col("text")).alias("dg"),
+    )
+    w = Window.partitionBy("dg").orderBy("doc_id")
+    flagged = staged.withColumn(
+        "dup", (F.row_number().over(w) > 1).cast("long")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dup").cast("long").alias("n_dups"),
+        F.sum("b").alias("total_chars"),
+        F.sum(F.when(F.col("dup") == 1, F.col("b")).otherwise(0))
+        .cast("long")
+        .alias("chars_saved"),
+        F.round(
+            F.sum(F.when(F.col("dup") == 1, F.col("b")).otherwise(0))
+            .cast("double")
+            / F.sum("b").cast("double"),
+            6,
+        ).alias("savings_rate"),
+    )
+
+
+def sql_dedup_savings_ledger() -> str:
+    digest = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+WITH staged AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS b, {digest} AS dg
+  FROM documents
+), flagged AS (
+  SELECT *, CASE WHEN row_number() OVER (PARTITION BY dg ORDER BY doc_id)
+                      > 1 THEN 1 ELSE 0 END AS dup
+  FROM staged
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dup) AS BIGINT) AS n_dups,
+       CAST(sum(b) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN dup = 1 THEN b ELSE 0 END) AS BIGINT)
+         AS chars_saved,
+       round(CAST(sum(CASE WHEN dup = 1 THEN b ELSE 0 END) AS DOUBLE)
+             / CAST(sum(b) AS DOUBLE), 6) AS savings_rate
+FROM flagged GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Registry ordering note (driver contract): the correctness driver checks
@@ -21500,6 +21558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_mode_per_type": q_value_mode_per_type,
     "business_hours_share": q_business_hours_share,
     "corpus_release_report": q_corpus_release_report,
+    "dedup_savings_ledger": q_dedup_savings_ledger,
 }
 
 ORACLES: dict[str, str] = {
@@ -21881,4 +21940,5 @@ ORACLES: dict[str, str] = {
     "value_mode_per_type": sql_value_mode_per_type(),
     "business_hours_share": sql_business_hours_share(),
     "corpus_release_report": sql_corpus_release_report(),
+    "dedup_savings_ledger": sql_dedup_savings_ledger(),
 }
