@@ -1594,8 +1594,14 @@ def group_kfold(
     row per GROUP; the ordering window runs over that metadata-scale
     frame (groups ≪ rows — sources, hosts, clusters), never the corpus;
     the fold map joins back on the group key (AQE broadcasts it when
-    small). Returns the input plus an int ``fold`` column.
+    small; NULL-safe, so a NULL group is its own group rather than a
+    silently dropped row — ADVICE r03). Returns the input plus an int
+    ``fold`` column (refuses an input that already carries one).
     """
+    if "fold" in rows.columns:
+        raise ValueError(
+            "group_kfold: input already has a 'fold' column; rename it first"
+        )
     w = (
         F.sum(F.col(weight_col)).alias("_w")
         if weight_col
@@ -1608,7 +1614,7 @@ def group_kfold(
         F.pmod(F.row_number().over(order) - 1, F.lit(k)).cast("int"),
     ).select("_g", "fold")
     return rows.join(
-        folds, rows[group_col] == folds["_g"]
+        folds, rows[group_col].eqNullSafe(folds["_g"])
     ).drop("_g")
 
 

@@ -227,9 +227,16 @@ def retry_backoff_batch(
     caller sorts/limits the due batch downstream.
     """
     # SQL-function form: the pyspark shiftleft wrapper wants a Python
-    # int for numBits; the engine function takes a column fine
-    due = F.col(last_fail_col) + F.lit(base_sec) * F.expr(
-        f"shiftleft(1L, cast(`{attempts_col}` as int))"
+    # int for numBits; the engine function takes a column fine.
+    # Java shifts wrap mod 64, so clamp the shift amount at 62 and
+    # saturate the multiply/add with try_* + a far-future sentinel — a
+    # corrupt/huge attempts value parks far-future instead of wrapping
+    # negative and leaking into the due batch (ADVICE r03).
+    due = F.expr(
+        f"coalesce(try_add(cast(`{last_fail_col}` as bigint),"
+        f" try_multiply({int(base_sec)}L,"
+        f" shiftleft(1L, least(cast(`{attempts_col}` as int), 62)))),"
+        f" 9223372036854775807L)"
     )
     return failures.select(
         F.col(id_col),

@@ -14800,10 +14800,14 @@ def q_scan_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_shipdate").alias("max_k"),
         )
     )
-    out_n = slayout.file_stats_pruning(natural, _PRUNE_PROBES).withColumn(
+    out_n = slayout.file_stats_pruning(
+        natural, _PRUNE_PROBES, probe_type="timestamp"
+    ).withColumn(
         "layout", F.lit("natural")
     )
-    out_c = slayout.file_stats_pruning(clustered, _PRUNE_PROBES).withColumn(
+    out_c = slayout.file_stats_pruning(
+        clustered, _PRUNE_PROBES, probe_type="timestamp"
+    ).withColumn(
         "layout", F.lit("shipdate_clustered")
     )
     return out_n.unionByName(out_c).select(
@@ -15898,10 +15902,10 @@ SELECT 'urn:md5:' || md5('warc-' || CAST(p.doc_id AS VARCHAR)) AS record_id,
   CAST(CASE WHEN p.doc_id % 5 = 0 AND p.doc_id > 0 THEN 1 ELSE 0 END
        AS INTEGER) AS was_revisit,
   CAST(length(CASE WHEN p.doc_id % 5 = 0 AND p.doc_id > 0
-                   THEN coalesce(o.html, '') ELSE p.html END) AS BIGINT)
+                   THEN o.html ELSE p.html END) AS BIGINT)
     AS resolved_len,
   md5(CASE WHEN p.doc_id % 5 = 0 AND p.doc_id > 0
-           THEN coalesce(o.html, '') ELSE p.html END) AS resolved_md5
+           THEN o.html ELSE p.html END) AS resolved_md5
 FROM page p LEFT JOIN page o ON o.doc_id = p.doc_id - 1
 """
 

@@ -230,7 +230,9 @@ def column_layout_stats(
     )
 
 
-def file_stats_pruning(files: DataFrame, probes: list) -> DataFrame:
+def file_stats_pruning(
+    files: DataFrame, probes: list, probe_type: str | None = None
+) -> DataFrame:
     """Given per-file [min, max] key statistics (one row per file — the
     parquet footer / Iceberg manifest view of a table), report for each
     probe value how many files a point predicate must actually read:
@@ -240,15 +242,22 @@ def file_stats_pruning(files: DataFrame, probes: list) -> DataFrame:
     rewriting a table (write_clustered / write_zordered are the writers
     whose effect it predicts).
 
+    ``probe_type`` casts each probe literal to the stats key's type
+    (e.g. ``"timestamp"`` for event-time stats); by default the probe
+    keeps its natural literal type so int/string key stats compare
+    correctly instead of silently NULLing out (ADVICE r03).
+
     The stats frame is metadata-scale, so the probe fan-out
     (``files × len(probes)``) and the rollup are deliberately tiny;
     returns (probe, n_files, n_candidates, skip_rate).
     """
+    def _probe(p):
+        lit = F.lit(p)
+        return lit.cast(probe_type) if probe_type else lit
+
     probed = files.select(
         "*",
-        F.explode(F.array(*[F.lit(p).cast("timestamp") for p in probes])).alias(
-            "probe"
-        ),
+        F.explode(F.array(*[_probe(p) for p in probes])).alias("probe"),
     )
     return probed.groupBy("probe").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),

@@ -250,7 +250,10 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
     payload; responses resolve to themselves. ONE equi-join on the
     record id (responses ≪ total when dedup bites, and the join key is
     unique) — never a scan of archive bytes twice. Returns (record_id,
-    warc_type, was_revisit, resolved_len, resolved_md5)."""
+    warc_type, was_revisit, resolved_len, resolved_md5). A revisit whose
+    ``WARC-Refers-To`` names no response (dangling pointer in a torn
+    archive) keeps NULL resolved_len/resolved_md5 so it stays
+    distinguishable from a genuinely empty payload (ADVICE r03)."""
     responses = records.filter(F.col("warc_type") == "response").select(
         F.col("record_id").alias("_orig_id"),
         F.col("payload").alias("_orig_payload"),
@@ -262,10 +265,8 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
             "record_id",
             "warc_type",
             F.lit(1).alias("was_revisit"),
-            F.length(F.coalesce("_orig_payload", F.lit(""))).cast("long").alias(
-                "resolved_len"
-            ),
-            F.md5(F.coalesce("_orig_payload", F.lit(""))).alias("resolved_md5"),
+            F.length("_orig_payload").cast("long").alias("resolved_len"),
+            F.md5("_orig_payload").alias("resolved_md5"),
         )
     )
     direct = records.filter(F.col("warc_type") == "response").select(

@@ -1,0 +1,131 @@
+"""Regression tests for the four ADVICE r03 findings.
+
+Each test pins the FIXED behavior: generic probe types in
+file_stats_pruning, NULL-group safety + fold-collision guard in
+group_kfold, shift-amount clamping in retry_backoff_batch, and
+dangling-revisit NULL semantics in resolve_revisits.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_file_stats_pruning_int_probes(spark):
+    """Int key stats must compare against int probes (previously every
+    probe was hard-cast to timestamp -> NULL -> zero candidates)."""
+    from pdf_parser_spark.sources.layout import file_stats_pruning
+
+    files = spark.createDataFrame(
+        [("f1", 0, 10), ("f2", 11, 20), ("f3", 5, 15)],
+        ["file_id", "min_k", "max_k"],
+    )
+    out = {
+        r["probe"]: r
+        for r in file_stats_pruning(files, [7, 12, 99]).collect()
+    }
+    assert out[7]["n_candidates"] == 2  # f1, f3
+    assert out[12]["n_candidates"] == 2  # f2, f3
+    assert out[99]["n_candidates"] == 0
+    assert all(r["n_files"] == 3 for r in out.values())
+
+
+def test_file_stats_pruning_string_probes(spark):
+    from pdf_parser_spark.sources.layout import file_stats_pruning
+
+    files = spark.createDataFrame(
+        [("f1", "a", "m"), ("f2", "n", "z")], ["file_id", "min_k", "max_k"]
+    )
+    out = {
+        r["probe"]: r["n_candidates"]
+        for r in file_stats_pruning(files, ["b", "q"]).collect()
+    }
+    assert out == {"b": 1, "q": 1}
+
+
+def test_file_stats_pruning_timestamp_probe_type(spark):
+    """probe_type='timestamp' keeps the old behavior for time stats."""
+    from pdf_parser_spark.sources.layout import file_stats_pruning
+
+    files = spark.sql(
+        "SELECT 'f1' AS file_id, timestamp'2024-01-01' AS min_k,"
+        " timestamp'2024-01-31' AS max_k"
+    )
+    rows = file_stats_pruning(
+        files, ["2024-01-15 00:00:00"], probe_type="timestamp"
+    ).collect()
+    assert rows[0]["n_candidates"] == 1
+
+
+def test_group_kfold_null_group_kept(spark):
+    """Rows with a NULL group key must land in a fold, not vanish."""
+    from pdf_parser_spark.operators.curation import group_kfold
+
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        ["id", "grp"],
+    )
+    out = group_kfold(rows, "grp", k=2).collect()
+    assert len(out) == 5
+    null_folds = {r["fold"] for r in out if r["grp"] is None}
+    assert len(null_folds) == 1  # NULL is one coherent group
+    assert all(r["fold"] in (0, 1) for r in out)
+
+
+def test_group_kfold_fold_collision_raises(spark):
+    from pdf_parser_spark.operators.curation import group_kfold
+
+    rows = spark.createDataFrame([(1, "a", 0)], ["id", "grp", "fold"])
+    with pytest.raises(ValueError, match="fold"):
+        group_kfold(rows, "grp", k=2)
+
+
+def test_retry_backoff_shift_clamped(spark):
+    """attempts far past 62 must saturate far-future, not wrap mod 64
+    into the due batch."""
+    from pdf_parser_spark.operators.queue import retry_backoff_batch
+
+    now = 1_700_000_000
+    failures = spark.createDataFrame(
+        [(1, 100, now - 10), (2, 64, now - 10), (3, 0, now - 120)],
+        ["doc_id", "attempts", "last_fail_ep"],
+    )
+    # max_attempts raised past the clamp so give_up doesn't mask the wrap
+    out = {
+        r["doc_id"]: r
+        for r in retry_backoff_batch(
+            failures, now_epoch=now, max_attempts=200
+        ).collect()
+    }
+    # attempts=100 and 64: due time saturates far future -> NOT due
+    assert 1 not in out and 2 not in out
+    # attempts=0: due 60s after last_fail (now-60) -> due
+    assert out[3]["due_ep"] == now - 60
+
+
+def test_resolve_revisits_dangling_refers_to_is_null(spark):
+    """A revisit whose referenced response is absent resolves to NULL,
+    not to the md5 of the empty string."""
+    from pdf_parser_spark.operators import webextract
+    from pdf_parser_spark.sources import warc
+
+    # doc 5 is a revisit (id % 5 == 0) pointing at doc 4, which is
+    # deliberately missing from the corpus -> dangling WARC-Refers-To.
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i}", "s") for i in (0, 1, 2, 3, 5)],
+        ["doc_id", "text", "source"],
+    )
+    pages = webextract.web_pages_from_documents(docs)
+    blobs = warc.warc_blobs_with_revisits(pages, every=5, group=10)
+    recs = warc.parse_warc_records_full(blobs)
+    out = {r["record_id"]: r for r in warc.resolve_revisits(recs).collect()}
+    rid5 = "urn:md5:" + hashlib.md5(b"warc-5").hexdigest()
+    assert out[rid5]["was_revisit"] == 1
+    assert out[rid5]["resolved_len"] is None
+    assert out[rid5]["resolved_md5"] is None
+    # a resolvable response still carries real values
+    rid1 = "urn:md5:" + hashlib.md5(b"warc-1").hexdigest()
+    assert out[rid1]["resolved_md5"] is not None
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert out[rid5]["resolved_md5"] != empty_md5

@@ -436,7 +436,7 @@ def test_file_stats_pruning_hand_case(spark):
         r["probe"]: (r["n_candidates"], r["skip_rate"])
         for r in file_stats_pruning(
             files, ["2020-03-01 00:00:00", "2020-09-01 00:00:00",
-                    "2021-03-01 00:00:00"]
+                    "2021-03-01 00:00:00"], probe_type="timestamp"
         ).collect()
     }
     assert got[d(2020, 3, 1)] == (2, round(1 - 2 / 3, 6))
