@@ -2946,6 +2946,56 @@ FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 100
 """
 
 
+def q_extract_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED flagship pipeline — exactly what ``entry()`` runs
+    (interleaved docs with media_every=4 → size-bucketed salted
+    repartition → mapInPandas kernel → spans_out), returned as full span
+    rows INCLUDING text content, so the driver hash-checks the end-to-end
+    composition rather than only its pieces (VERDICT r03 #6). The oracle
+    replays all three kernel paths per golden.py: text-only docs emit the
+    windowed cleaned text; scanned docs (media doc, text<100 chars) take
+    the OCR path (cleaned text + empty recovered text + media, NO window);
+    media docs with long text keep their media span only when the cleaned
+    stream lacks the window marker (the cut truncates at the last
+    'references' and drops everything after)."""
+    docs = interleaved_from_documents(spark, sf_dir, media_every=4)
+    spans, _lineage, _metrics = pipeline.extract(docs)
+    return spans.select(
+        "doc_id",
+        "kind",
+        "text",
+        "media_ref",
+        F.col("order").cast("long").alias("ord"),
+    )
+
+
+def sql_extract_pipeline_e2e() -> str:
+    clean = _clean_sql("text")
+    windowed = _window_sql("ct")
+    return f"""
+WITH c AS (
+  SELECT doc_id, {clean} AS ct, length(text) AS raw_len FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind,
+       CASE WHEN doc_id % 4 = 0 AND raw_len < 100 THEN ct
+            ELSE {windowed} END AS text,
+       '' AS media_ref, CAST(0 AS BIGINT) AS ord
+FROM c
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text', '', '', CAST(1 AS BIGINT)
+FROM c WHERE doc_id % 4 = 0 AND raw_len < 100
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', '',
+       'img-' || CAST(doc_id AS VARCHAR) || '-000', CAST(2 AS BIGINT)
+FROM c WHERE doc_id % 4 = 0 AND raw_len < 100
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', '',
+       'img-' || CAST(doc_id AS VARCHAR) || '-000', CAST(1 AS BIGINT)
+FROM c WHERE doc_id % 4 = 0 AND raw_len >= 100
+  AND NOT contains(lower(ct), 'references')
+"""
+
+
 def q_lang_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token budget cap (data-mixture recipe step): keep the
     highest-priority docs per language while the running token total fits
@@ -21563,6 +21613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "business_hours_share": q_business_hours_share,
     "corpus_release_report": q_corpus_release_report,
     "dedup_savings_ledger": q_dedup_savings_ledger,
+    # -- round-4 additions (VERDICT r03 #4/#5/#6 exceptions to the
+    #    registry-growth freeze) --
+    "extract_pipeline_e2e": q_extract_pipeline_e2e,
 }
 
 ORACLES: dict[str, str] = {
@@ -21945,4 +21998,5 @@ ORACLES: dict[str, str] = {
     "business_hours_share": sql_business_hours_share(),
     "corpus_release_report": sql_corpus_release_report(),
     "dedup_savings_ledger": sql_dedup_savings_ledger(),
+    "extract_pipeline_e2e": sql_extract_pipeline_e2e(),
 }
