@@ -1407,6 +1407,116 @@ def bitext_margin_pairs(
     return out.orderBy(F.desc("margin"), F.asc("x_id"), F.asc("y_id"))
 
 
+def bitext_margin_pairs_ivf(
+    x: DataFrame,
+    y: DataFrame,
+    centroids: np.ndarray,
+    k: int = 4,
+    nprobe: int = 2,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The CORPUS×CORPUS-scale bitext miner (VERDICT r03 #4): the same
+    Artetxe & Schwenk ratio-margin rule as ``bitext_margin_pairs``, but
+    candidate generation goes through the IVF cascade instead of a
+    broadcast-scored full scan — the shape CCMatrix actually mines with
+    (Schwenk et al. 2021: approximate kNN neighborhoods on both sides).
+
+    Cascade: (1) every Y vector is assigned its nearest centroid cell
+    (``assign_ivf_cells`` — pure Catalyst argmin); (2) every X vector
+    probes its ``nprobe`` nearest cells (the same array_sort-of-structs
+    distance slice as ``ivf_topk_batch``, exploded to (x_id, cell)
+    rows); (3) candidates are ONE equi-join on ``cell`` — per pair
+    exactly once, since a Y row owns one cell and probe cells are
+    distinct. No corpus×corpus product exists in the plan (pinned by
+    tests/test_plans.py); the scored fraction is ~nprobe/C, and over a
+    cell-partitioned index (``write_ivf_index``) the Y scan partition-
+    prunes to the probed cells. Neither side broadcasts — both are
+    corpus-scale; AQE picks the join strategy at runtime.
+
+    The NNk neighborhood means are computed over the CANDIDATE frame
+    (the standard approximation — margins are exact for any pair whose
+    true top-k lands in the probed cells; ``tests/test_training_ops``
+    measures pair recall vs the exact miner). Same determinism contract
+    as the exact path: cosines round to 6 dp before the windows, NNk
+    means sum as DECIMAL(16,6), ties rank by id.
+
+    Returns (x_id, y_id, cosine, margin) for margin ≥ threshold.
+    """
+    from pyspark.sql import Window
+
+    yc = assign_ivf_cells(
+        y.select(
+            F.col(id_col).alias("y_id"),
+            F.col(vec_col).cast("array<double>").alias("_yv"),
+        ),
+        centroids,
+        vec_col="_yv",
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    dist_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            qv,
+                            F.array(*[F.lit(float(c)) for c in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda s, v: s + v,
+                    ).alias("dist"),
+                    F.lit(i).cast("int").alias("cell"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+    )
+    probes = x.select(
+        F.col(id_col).alias("x_id"),
+        qv.alias("_xv"),
+        F.explode(F.slice(dist_cells, 1, nprobe).getField("cell")).alias("cell"),
+    )
+    scored = probes.join(yc, "cell").select(
+        "x_id",
+        "y_id",
+        F.round(cosine(F.col("_xv"), F.col("_yv")), 6).alias("cosine"),
+    )
+    dec = F.col("cosine").cast("decimal(16,6)")
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), F.asc("y_id"))
+    wxa = Window.partitionBy("x_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), F.asc("x_id"))
+    wya = Window.partitionBy("y_id")
+    topx = F.when(F.col("_rx") <= k, dec)
+    topy = F.when(F.col("_ry") <= k, dec)
+    out = (
+        scored.withColumn("_rx", F.row_number().over(wx))
+        .withColumn(
+            "_mx",
+            F.sum(topx).over(wxa).cast("double")
+            / F.sum(topx.isNotNull().cast("long")).over(wxa),
+        )
+        .withColumn("_ry", F.row_number().over(wy))
+        .withColumn(
+            "_my",
+            F.sum(topy).over(wya).cast("double")
+            / F.sum(topy.isNotNull().cast("long")).over(wya),
+        )
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine") / ((F.col("_mx") + F.col("_my")) / F.lit(2.0)),
+                6,
+            ),
+        )
+        .where(F.col("margin") >= F.lit(threshold))
+        .select("x_id", "y_id", "cosine", "margin")
+    )
+    return out.orderBy(F.desc("margin"), F.asc("x_id"), F.asc("y_id"))
+
+
 def random_projection(
     emb: DataFrame,
     out_dims: int = 8,

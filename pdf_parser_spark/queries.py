@@ -11683,6 +11683,93 @@ WHERE round(s.cosine / ((mx + my) / 2.0), 6) >= 1.0
 """
 
 
+def q_bitext_margin_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale bitext miner (similarity.bitext_margin_pairs_ivf;
+    VERDICT r03 #4): same query/corpus split and margin rule as
+    bitext_margin_pairs, but candidates come from the IVF cascade —
+    Y assigned to FIXED centroid cells (embeddings of vec_id 0..7, the
+    ivf_topk_probe fixture, so the whole cascade is value-checkable),
+    X probing its nprobe=3 nearest cells, ONE equi-join on cell. No
+    corpus×corpus product anywhere in the plan; NNk means run over the
+    candidate frame (the CCMatrix approximation)."""
+    import numpy as np
+
+    from pdf_parser_spark.operators.similarity import bitext_margin_pairs_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    x = emb.where((F.col("label") < 5) & (F.col("vec_id") % 4 == 0))
+    y = emb.where(F.col("label") >= 5)
+    return bitext_margin_pairs_ivf(x, y, cents, k=4, nprobe=3, threshold=1.0)
+
+
+def sql_bitext_margin_pairs_ivf() -> str:
+    return """
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), x AS (
+  SELECT CAST(vec_id AS BIGINT) AS x_id, embedding::DOUBLE[] AS xv
+  FROM embeddings WHERE label < 5 AND vec_id % 4 = 0
+), y AS (
+  SELECT CAST(vec_id AS BIGINT) AS y_id, embedding::DOUBLE[] AS yv
+  FROM embeddings WHERE label >= 5
+), ycell AS (
+  SELECT y_id, yv, cell FROM (
+    SELECT y.y_id, y.yv, c.cell,
+           row_number() OVER (
+             PARTITION BY y.y_id
+             ORDER BY list_distance(y.yv, c.cv) ASC, c.cell ASC
+           ) AS rn
+    FROM y CROSS JOIN cents c
+  ) WHERE rn = 1
+), xprobe AS (
+  SELECT x_id, xv, cell FROM (
+    SELECT x.x_id, x.xv, c.cell,
+           row_number() OVER (
+             PARTITION BY x.x_id
+             ORDER BY list_distance(x.xv, c.cv) ASC, c.cell ASC
+           ) AS rn
+    FROM x CROSS JOIN cents c
+  ) WHERE rn <= 3
+), s AS (
+  SELECT x_id, y_id,
+         round(list_dot_product(xv, yv)
+               / (sqrt(list_dot_product(xv, xv))
+                  * sqrt(list_dot_product(yv, yv))), 6) AS cosine
+  FROM xprobe p JOIN ycell USING (cell)
+), rx AS (
+  SELECT x_id, y_id, cosine,
+         row_number() OVER (PARTITION BY x_id
+                            ORDER BY cosine DESC, y_id) AS r
+  FROM s
+), nnx AS (
+  SELECT x_id, CAST(sum(CAST(cosine AS DECIMAL(16,6))) AS DOUBLE)
+               / count(*) AS mx
+  FROM rx WHERE r <= 4 GROUP BY x_id
+), ry AS (
+  SELECT x_id, y_id, cosine,
+         row_number() OVER (PARTITION BY y_id
+                            ORDER BY cosine DESC, x_id) AS r
+  FROM s
+), nny AS (
+  SELECT y_id, CAST(sum(CAST(cosine AS DECIMAL(16,6))) AS DOUBLE)
+               / count(*) AS my
+  FROM ry WHERE r <= 4 GROUP BY y_id
+)
+SELECT s.x_id, s.y_id, s.cosine,
+       round(s.cosine / ((mx + my) / 2.0), 6) AS margin
+FROM s JOIN nnx USING (x_id) JOIN nny USING (y_id)
+WHERE round(s.cosine / ((mx + my) / 2.0), 6) >= 1.0
+"""
+
+
 def q_crawl_trap_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-trap screen (crawl.trap_screen): URLs synthesized
     in pure Catalyst over doc_id — five hosts are engineered traps
@@ -21616,6 +21703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-4 additions (VERDICT r03 #4/#5/#6 exceptions to the
     #    registry-growth freeze) --
     "extract_pipeline_e2e": q_extract_pipeline_e2e,
+    "bitext_margin_pairs_ivf": q_bitext_margin_pairs_ivf,
 }
 
 ORACLES: dict[str, str] = {
@@ -21999,4 +22087,5 @@ ORACLES: dict[str, str] = {
     "corpus_release_report": sql_corpus_release_report(),
     "dedup_savings_ledger": sql_dedup_savings_ledger(),
     "extract_pipeline_e2e": sql_extract_pipeline_e2e(),
+    "bitext_margin_pairs_ivf": sql_bitext_margin_pairs_ivf(),
 }

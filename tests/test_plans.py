@@ -1263,3 +1263,14 @@ def test_retrieval_cascade_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     # final stage is a bounded top-k, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bitext_ivf_no_corpus_product(spark):
+    """The IVF-cascaded bitext miner (VERDICT r03 #4) must generate
+    candidates through the cell EQUI-join — no corpus×corpus product,
+    no nested-loop join anywhere in the plan."""
+    df = QUERIES["bitext_margin_pairs_ivf"](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join [cell" in plan or "Join cell" in plan  # equi-join on cell

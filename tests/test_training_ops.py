@@ -1516,3 +1516,30 @@ def test_weighted_median_exact_semantics(spark):
         for r in weighted_median(df, "g", "v", "w", "id").collect()
     }
     assert got == {"a": (12, 1), "b": (3, 7), "c": (6, 4)}
+
+
+def test_bitext_ivf_recall_vs_exact(spark):
+    """The IVF cascade is an approximation of the exact miner: measure
+    pair-level recall against bitext_margin_pairs on the same split
+    (VERDICT r03 #4 — the ann_recall_eval methodology applied to the
+    miner). The fixture's 8 fixed cells at nprobe=2 must recover a
+    solid majority of the exact alignments, and every recovered pair's
+    cosine must match the exact path bit-for-bit (the cascade changes
+    WHICH pairs are scored, never the scoring arithmetic)."""
+    from pdf_parser_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["x_id"], r["y_id"]): r["cosine"]
+        for r in QUERIES["bitext_margin_pairs"](spark, sf).collect()
+    }
+    ivf = {
+        (r["x_id"], r["y_id"]): r["cosine"]
+        for r in QUERIES["bitext_margin_pairs_ivf"](spark, sf).collect()
+    }
+    assert exact, "exact miner returned no pairs — fixture broke"
+    hits = set(exact) & set(ivf)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"IVF bitext recall collapsed: {recall:.3f}"
+    for pair in hits:
+        assert ivf[pair] == exact[pair]
