@@ -467,6 +467,53 @@ def run_extraction(spark, corpus_path: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n_docs
 
 
+def _skew_stress_frames(spark):
+    """(uniform, hot) doc frames for the bucket_cap skew bench
+    (VERDICT r03 #5): `hot` replaces the text of every 10th doc with ONE
+    fixed string — a mega-bucket holding 10% of the corpus in every LSH
+    band. Both run the capped generator; flat timings demonstrate the
+    largest task stays bounded when the hot key appears."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    hot = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.lit(
+                "the quick brown fox jumps over the lazy dog "
+                "again and again and again today"
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return docs, hot
+
+
+def measure_skew_stress(spark) -> dict[str, list[float]]:
+    """Best-of-3 timings of the CAPPED LSH pair generator on the uniform
+    vs the 10%-hot corpus. Returns {name: raw_triplet}."""
+    from pdf_parser_spark.operators import dedup
+
+    uniform, hot = _skew_stress_frames(spark)
+    out: dict[str, list[float]] = {}
+    for name, frame in (
+        ("skew_lsh_uniform_capped", uniform),
+        ("skew_lsh_hot_capped", hot),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sigs = dedup.minhash_signatures(frame, num_hashes=32)
+            dedup.lsh_candidate_pairs(
+                sigs, bands=8, num_hashes=32, bucket_cap=64
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        out[name] = runs
+    return out
+
+
 def run_suite() -> dict:
     from pdf_parser_spark.queries import QUERIES
     from pdf_parser_spark.session import get_spark
@@ -501,6 +548,13 @@ def run_suite() -> dict:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        raw[name] = runs
+
+    # bucket_cap skew stress: capped LSH on uniform vs 10%-hot corpus
+    # must time flat (VERDICT r03 #5; tests/test_skew_stress.py is the
+    # correctness half)
+    for name, runs in measure_skew_stress(spark).items():
         timings[name] = min(runs)
         raw[name] = runs
 

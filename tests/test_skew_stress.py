@@ -1,0 +1,149 @@
+"""Empirical skew-stress for the bucket_cap hot-bucket defenses
+(VERDICT r03 #5): inject a pathological mega-bucket — a large fraction
+of docs sharing one band/block/variant value — and MEASURE that
+
+1. the uncapped generator really does produce the quadratic hot-pair
+   blow-up (the hazard is real, not hypothetical),
+2. with ``bucket_cap`` set, the post-cap bucket table's largest bucket
+   is ≤ cap — the direct bound on the largest join task (a bucket of m
+   rows fans out m² candidate rows in the self-join), and
+3. capping removes EXACTLY the hot pairs: candidates among the clean
+   (unique-content) docs are bit-identical with and without the cap.
+
+The bench-side twin (bench.py skew_stress entries) times the capped
+generator on a 10%-hot corpus vs a uniform corpus at sf0.1 and reports
+both — runtime must stay flat when the hot key appears.
+"""
+
+from pyspark.sql import functions as F
+
+HOT_TEXT = (
+    "the quick brown fox jumps over the lazy dog again and again today"
+)
+N_HOT = 60
+N_CLEAN = 240
+CAP = 30
+
+
+def _skew_corpus(spark):
+    """N_HOT docs with IDENTICAL text (one mega-bucket in EVERY band —
+    identical minhash signatures / simhash fingerprints) + N_CLEAN docs
+    with pairwise-distinct content."""
+    rows = [(i, HOT_TEXT) for i in range(N_HOT)] + [
+        (
+            N_HOT + i,
+            f"unique{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}",
+        )
+        for i in range(N_CLEAN)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bucket_sizes(banded, key_cols):
+    return [
+        r["n"]
+        for r in banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+
+
+def test_lsh_hot_bucket_capped(spark):
+    from pdf_parser_spark.operators import dedup
+
+    docs = _skew_corpus(spark)
+    sigs = dedup.minhash_signatures(docs, num_hashes=16).cache()
+
+    # 1. hazard is real: every band holds one N_HOT-member bucket
+    banded_raw = dedup.lsh_bands(sigs, bands=4, num_hashes=16)
+    assert max(_bucket_sizes(banded_raw, ["band", "band_hash"])) == N_HOT
+
+    # 2. largest post-cap bucket ≤ cap — the largest-join-task bound
+    banded_cap = dedup.lsh_bands(
+        sigs, bands=4, num_hashes=16, bucket_cap=CAP
+    )
+    sizes = _bucket_sizes(banded_cap, ["band", "band_hash"])
+    assert max(sizes) <= CAP
+
+    # 3. capping removes exactly the hot pairs
+    uncapped = {
+        (r["a"], r["b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16
+        ).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16, bucket_cap=CAP
+        ).collect()
+    }
+    hot_pairs = {
+        (a, b) for a in range(N_HOT) for b in range(a + 1, N_HOT)
+    }
+    assert hot_pairs <= uncapped  # quadratic blow-up present uncapped
+    assert len(uncapped) >= len(hot_pairs)
+    assert capped == uncapped - hot_pairs
+    sigs.unpersist()
+
+
+def test_hamming_hot_block_capped(spark):
+    from pdf_parser_spark.operators import dedup
+
+    docs = _skew_corpus(spark)
+    fps = dedup.simhash_agg(docs, "doc_id", "text", 32).cache()
+
+    uncapped = {
+        (r["a"], r["b"])
+        for r in dedup.fingerprint_hamming_pairs(
+            fps, bits=32, blocks=4, max_distance=3
+        ).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.fingerprint_hamming_pairs(
+            fps, bits=32, blocks=4, max_distance=3, bucket_cap=CAP
+        ).collect()
+    }
+    hot_pairs = {
+        (a, b) for a in range(N_HOT) for b in range(a + 1, N_HOT)
+    }
+    # identical docs: distance 0, all hot pairs emitted uncapped
+    assert hot_pairs <= uncapped
+    assert not (hot_pairs & capped)  # the mega-block is fully dropped
+    # clean-doc pairs (both ids >= N_HOT) are untouched by the cap
+    clean_unc = {p for p in uncapped if p[0] >= N_HOT and p[1] >= N_HOT}
+    clean_cap = {p for p in capped if p[0] >= N_HOT and p[1] >= N_HOT}
+    assert clean_cap == clean_unc
+    fps.unpersist()
+
+
+def test_fuzzy_join_hot_variant_capped(spark):
+    """FastSS deletion-neighborhood join: N_HOT distinct right strings
+    'hotkey<c>' all share the deletion variant 'hotkey' (a last-char
+    substitution pair meets ONLY there), so one left probe 'hotkey~'
+    fans out to N_HOT candidates through that single hot variant.
+    bucket_cap drops the hot posting; a clean dist-1 pair that meets at
+    a cold variant survives untouched."""
+    from pdf_parser_spark.operators.dedup import fuzzy_string_join
+
+    alphabet = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    )
+    right = spark.createDataFrame(
+        [(f"hotkey{alphabet[i]}",) for i in range(N_HOT)] + [("cleanb",)],
+        ["b"],
+    )
+    left = spark.createDataFrame([("hotkey~",), ("cleana",)], ["a"])
+    unc = {(r["a"], r["b"]) for r in fuzzy_string_join(left, right).collect()}
+    cap = {
+        (r["a"], r["b"])
+        for r in fuzzy_string_join(left, right, bucket_cap=CAP).collect()
+    }
+    # uncapped: the hot variant fans the probe out to all N_HOT strings
+    assert sum(1 for a, b in unc if a == "hotkey~") == N_HOT
+    # capped: the hot posting is dropped entirely...
+    assert not any(a == "hotkey~" for a, b in cap)
+    # ...while the clean cold-variant pair survives bit-identically
+    assert ("cleana", "cleanb") in unc and ("cleana", "cleanb") in cap
+    assert cap == {p for p in unc if p[0] != "hotkey~"}
