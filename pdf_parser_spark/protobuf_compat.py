@@ -1,0 +1,95 @@
+"""Make ``google.protobuf`` importable without pip when the container
+ships a pure-Python copy elsewhere on disk.
+
+Spark 4's ``transformWithStateInPandas`` speaks protobuf between the
+Python state clients and the JVM state server
+(``pyspark/sql/streaming/proto/StateMessage_pb2.py``). This environment
+has no ``protobuf`` wheel installed and installs are off-limits, but the
+google-cloud-sdk bundled with the image carries the vanilla pure-Python
+runtime (``platform/google_appengine/google/protobuf``, BSD-licensed
+upstream protobuf, version 6.32).
+
+``bootstrap()`` builds a shim directory exposing ONLY ``google/protobuf``
+(a symlink — never ``google.appengine``/``google.auth``, which could
+shadow real packages), prepends it to ``sys.path`` AND ``$PYTHONPATH``,
+and sets protobuf's own documented escape hatch
+``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` (pyspark's gencode is
+6.33, one patch ahead of the bundled 6.32 runtime — wire-compatible;
+the check is version-string pedantry, bypassed via the upstream knob,
+not by patching third-party code).
+
+Call it BEFORE the first SparkSession is built: executor Python workers
+inherit the JVM's environment, and the JVM inherits the driver process
+environment at gateway launch — so the PYTHONPATH/env-var changes only
+reach workers if they precede ``getOrCreate``. ``session.get_spark``
+calls this automatically.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_BUNDLE_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+_ENV_ESCAPE = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+
+def _shim_dir() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, ".driver_pyfiles", "protobuf_shim")
+
+
+def bootstrap() -> bool:
+    """Return True iff ``google.protobuf`` is importable after this call.
+
+    No-op (True) when a real runtime is already installed; False when
+    neither an installed runtime nor a usable bundle exists — callers
+    gate the transformWithStateInPandas path on that."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    src = os.environ.get("SPARK_GRAFT_PROTOBUF_DIR")
+    candidates = ([src] if src else []) + list(_BUNDLE_DIRS)
+    bundle = next(
+        (
+            d
+            for d in candidates
+            if d and os.path.isdir(os.path.join(d, "google", "protobuf"))
+        ),
+        None,
+    )
+    if bundle is None:
+        return False
+    shim = _shim_dir()
+    pkg = os.path.join(shim, "google")
+    link = os.path.join(pkg, "protobuf")
+    os.makedirs(pkg, exist_ok=True)
+    init = os.path.join(pkg, "__init__.py")
+    if not os.path.exists(init):
+        with open(init, "w") as f:
+            f.write(
+                "__path__ = __import__('pkgutil')"
+                ".extend_path(__path__, __name__)\n"
+            )
+    if not os.path.islink(link):
+        os.symlink(os.path.join(bundle, "google", "protobuf"), link)
+    os.environ.setdefault(_ENV_ESCAPE, "true")
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    # workers are separate processes: they need the same path + escape
+    pp = os.environ.get("PYTHONPATH", "")
+    if shim not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            shim + (os.pathsep + pp if pp else "")
+        )
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

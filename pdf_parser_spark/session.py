@@ -39,6 +39,12 @@ def get_spark(
     rows) or blows worker memory on straggler-dense batches. 1024 rows OR
     64 MB, whichever comes first, bounds memory AND amortizes overhead.
     """
+    # must run BEFORE the gateway launches: workers inherit the JVM env,
+    # the JVM inherits ours at launch (see protobuf_compat docstring)
+    from pdf_parser_spark import protobuf_compat
+
+    protobuf_compat.bootstrap()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS

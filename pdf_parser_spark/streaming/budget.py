@@ -158,25 +158,44 @@ try:  # transformWithState needs protobuf for its state-server protocol
         spark: SparkSession, input_path: str, output_root: str, budget: int
     ) -> None:
         """transformWithStateInPandas variant of stream_host_budget —
-        identical contract; requires google.protobuf at runtime."""
+        identical contract; requires google.protobuf at runtime
+        (protobuf_compat.bootstrap wires the bundled fallback) and the
+        RocksDB state store: typed state lives in per-variable column
+        families, which HDFSBackedStateStoreProvider does not support.
+        The provider conf is captured at query START, so it is scoped to
+        this query and restored afterwards — other streams in the same
+        session keep their configured provider."""
         checkpoint = os.path.join(output_root, "_stream_checkpoint")
         out_path = os.path.join(output_root, "admissions")
-        docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
-        decisions = docs.groupBy("host").transformWithStateInPandas(
-            statefulProcessor=HostBudgetProcessor(budget),
-            outputStructType=OUT_SCHEMA,
-            outputMode="append",
-            timeMode="none",
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
         )
-        q = (
-            decisions.writeStream.format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", checkpoint)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
+            decisions = docs.groupBy("host").transformWithStateInPandas(
+                statefulProcessor=HostBudgetProcessor(budget),
+                outputStructType=OUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
+            q = (
+                decisions.writeStream.format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prior is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prior)
 
 except ImportError:  # pragma: no cover - pyspark always ships the API
     pass

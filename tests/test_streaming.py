@@ -327,10 +327,14 @@ def test_stateful_budget_gate_matches_batch(spark, tmp_path):
 
 def test_transform_with_state_budget_variant(spark, tmp_path):
     """Spark 4 typed-state twin (transformWithStateInPandas): identical
-    contract, shared kernel. Its Python state server speaks protobuf,
-    which this container does not ship — skip cleanly when absent so the
-    test activates the moment the dependency exists."""
-    pytest.importorskip("google.protobuf")
+    contract, shared kernel. Its Python state server speaks protobuf;
+    protobuf_compat.bootstrap() (run by get_spark before the JVM
+    launches) wires up the container's bundled pure-Python runtime when
+    no wheel is installed — skip only when neither exists."""
+    from pdf_parser_spark.protobuf_compat import bootstrap
+
+    if not bootstrap():
+        pytest.skip("no google.protobuf runtime or bundled fallback")
     from pyspark.sql import functions as F
 
     from pdf_parser_spark.streaming.budget import (
