@@ -21299,19 +21299,384 @@ FROM flagged GROUP BY source
 # at three SFs). The ~30 still-unchecked tail entries are queued for the
 # round-4 window. Round-by-round manifest: COVERAGE.md "driver-green
 # manifest".
+def q_stream_budget_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the streaming token-budget gate's BATCH TWIN
+    (streaming/budget.batch_host_budget) — the relational equality
+    target the stateful stream is pytest-pinned against
+    (tests/test_streaming.py equates streaming output with this exact
+    frame value-for-value, so a driver hash here transitively covers
+    the streaming kernel's semantics). Docs derived from events: host =
+    user shard, tokens deterministic from event_id; one window cumsum
+    per host in (ts, doc_id) order, budget 500."""
+    from pdf_parser_spark.streaming.budget import batch_host_budget
+
+    e = load_table(spark, sf_dir, "events")
+    docs = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.col("event_id").cast("long").alias("doc_id"),
+        "ts",
+        (F.lit(1) + F.col("event_id") % 100).cast("long").alias("tokens"),
+    )
+    out = batch_host_budget(docs, budget=500)
+    return out.select(
+        "host",
+        "doc_id",
+        "tokens",
+        F.col("seen_before").cast("long").alias("seen_before"),
+        F.col("admitted").cast("int").alias("admitted"),
+    )
+
+
+def sql_stream_budget_batch_twin() -> str:
+    return """
+WITH d AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CAST(event_id AS BIGINT) AS doc_id, ts,
+         CAST(1 + event_id % 100 AS BIGINT) AS tokens
+  FROM events
+), w AS (
+  SELECT host, doc_id, tokens,
+         CAST(coalesce(sum(tokens) OVER (
+           PARTITION BY host ORDER BY ts, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS seen_before
+  FROM d
+)
+SELECT host, doc_id, tokens, seen_before,
+       CAST(CASE WHEN seen_before < 500 THEN 1 ELSE 0 END AS INTEGER)
+         AS admitted
+FROM w
+"""
+
+
+def q_stream_interval_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the stream-stream interval join's BATCH TWIN
+    (streaming/intervaljoin.batch_interval_join — the bounded-frame
+    equality target of the watermarked attribution join): impressions =
+    'view' events, clicks = 'click' events, attribution window 30
+    minutes on the same user. The streaming form is pytest-pinned to
+    equal this frame after the stream drains."""
+    from pdf_parser_spark.streaming.intervaljoin import batch_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    imps = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").cast("long").alias("imp_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return batch_interval_join(imps, clicks, within="30 minutes")
+
+
+def sql_stream_interval_batch_twin() -> str:
+    return """
+WITH i AS (
+  SELECT CAST(event_id AS BIGINT) AS imp_id,
+         CAST(user_id AS BIGINT) AS user_id, ts AS imp_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT CAST(event_id AS BIGINT) AS click_id,
+         CAST(user_id AS BIGINT) AS user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT i.imp_id, i.user_id, c.click_id, i.imp_ts, c.click_ts
+FROM i JOIN c ON i.user_id = c.user_id
+ AND c.click_ts >= i.imp_ts
+ AND c.click_ts <= i.imp_ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- window block A: never driver-checked, carried from the earlier
-    #    round-3 window arrangement --
+    # ---- ROUND-4 DRIVER WINDOW (first 50): never driver-checked in
+    # r01/r02/r03, chosen one-per-operator-family first so every
+    # operator module gains a driver-green representative (VERDICT
+    # r03 #1); includes the r04 additions (VERDICT #4/#5/#6 and the
+    # streaming batch twins) ----
+    "extract_pipeline_e2e": q_extract_pipeline_e2e,
+    "bitext_margin_pairs_ivf": q_bitext_margin_pairs_ivf,
+    "bitext_margin_pairs": q_bitext_margin_pairs,
+    "stream_budget_batch_twin": q_stream_budget_batch_twin,
+    "stream_interval_batch_twin": q_stream_interval_batch_twin,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
+    "event_key_skew": q_event_key_skew,
+    "bootstrap_ci_mean": q_bootstrap_ci_mean,
+    "logreg_en_classifier": q_logreg_en_classifier,
+    "km_time_to_purchase": q_km_time_to_purchase,
+    "psi_price_drift": q_psi_price_drift,
+    "ewma_value_anomalies": q_ewma_value_anomalies,
+    "crawl_snapshot_delta": q_crawl_snapshot_delta,
+    "robots_path_filter": q_robots_path_filter,
+    "frontier_schedule": q_frontier_schedule,
+    "crawl_trap_screen": q_crawl_trap_screen,
+    "sitemap_robots_conflicts": q_sitemap_robots_conflicts,
+    "host_triangles": q_host_triangles,
+    "host_k_core": q_host_k_core,
+    "host_communities": q_host_communities,
+    "community_modularity": q_community_modularity,
+    "host_bfs_depth": q_host_bfs_depth,
+    "cm_word_freq": q_cm_word_freq,
+    "kmv_source_overlap": q_kmv_source_overlap,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "scd2_customer_merge": q_scd2_customer_merge,
+    "cdc_apply_log": q_cdc_apply_log,
+    "retry_backoff_batch": q_retry_backoff_batch,
+    "scd2_integrity_audit": q_scd2_integrity_audit,
+    "resample_user_values": q_resample_user_values,
+    "pit_customer_segments": q_pit_customer_segments,
+    "points_near_sites": q_points_near_sites,
+    "nearest_event_join": q_nearest_event_join,
+    "session_incident_overlap": q_session_incident_overlap,
+    "zorder_bucket_counts": q_zorder_bucket_counts,
+    "scan_pruning_stats": q_scan_pruning_stats,
+    "column_layout_stats": q_column_layout_stats,
+    "record_linkage": q_record_linkage,
+    "compaction_plan": q_compaction_plan,
+    "snapshot_retention_plan": q_snapshot_retention_plan,
+    "vad_segments": q_vad_segments,
+    "warc_revisit_resolution": q_warc_revisit_resolution,
+    "fix_encoding_triage": q_fix_encoding_triage,
+    "span_kind_rle": q_span_kind_rle,
+    "kmeans_lloyd_centroids": q_kmeans_lloyd_centroids,
+    "retrieval_cascade": q_retrieval_cascade,
+    "dsir_scores": q_dsir_scores,
+    "source_kfold_assign": q_source_kfold_assign,
+    "hash_to_min_clusters": q_hash_to_min_clusters,
+    # ---- entries 51+ (outside the driver window) ----
+    # never-checked remainder, queued for the round-5 window; every
+    # entry is value-checked by the local gate at sf0.001/0.01/0.1:
+    "source_triage": q_source_triage,
+    "anchor_topk_per_host": q_anchor_topk_per_host,
+    "recrawl_priority": q_recrawl_priority,
+    "html_link_hosts": q_html_link_hosts,
+    "profile_documents": q_profile_documents,
+    "html_anchor_topk": q_html_anchor_topk,
+    "shipping_priority": q_shipping_priority,
+    "sitemap_recrawl": q_sitemap_recrawl,
+    "host_hits": q_host_hits,
+    "html_table_cells": q_html_table_cells,
+    "embedding_int8_codes": q_embedding_int8_codes,
+    "jsonl_ingest_triage": q_jsonl_ingest_triage,
+    "fuzzy_vocab_match": q_fuzzy_vocab_match,
+    "customer_order_counts": q_customer_order_counts,
+    "pps_sample_docs": q_pps_sample_docs,
+    "phrase_hits": q_phrase_hits,
+    "min_cost_supplier": q_min_cost_supplier,
+    "priority_return_orders": q_priority_return_orders,
+    "large_quantity_orders": q_large_quantity_orders,
+    "blame_suppliers": q_blame_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "activity_islands": q_activity_islands,
+    "user_value_trend": q_user_value_trend,
+    "packing_efficiency": q_packing_efficiency,
+    "doc_length_outliers": q_doc_length_outliers,
+    "sliding_chunks": q_sliding_chunks,
+    "word_entropy_stats": q_word_entropy_stats,
+    "regional_local_revenue": q_regional_local_revenue,
+    "nation_market_share": q_nation_market_share,
+    "returned_revenue_topk": q_returned_revenue_topk,
+    "priority_line_counts": q_priority_line_counts,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "supplier_part_counts": q_supplier_part_counts,
+    "brand_quantity_revenue": q_brand_quantity_revenue,
+    "source_divergence": q_source_divergence,
+    "accent_folded_digests": q_accent_folded_digests,
+    "chunk_retrieval_topk": q_chunk_retrieval_topk,
+    "sentence_segments": q_sentence_segments,
+    "containment_pairs": q_containment_pairs,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "nation_trade_volume": q_nation_trade_volume,
+    "product_profit_by_nation": q_product_profit_by_nation,
+    "part_revenue_concentration": q_part_revenue_concentration,
+    "promotable_suppliers": q_promotable_suppliers,
+    "skyline_orders": q_skyline_orders,
+    "benford_digit_audit": q_benford_digit_audit,
+    "event_transitions": q_event_transitions,
+    "value_deciles": q_value_deciles,
+    "lexical_richness": q_lexical_richness,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "heavy_hitter_words": q_heavy_hitter_words,
+    "global_sequence_ids": q_global_sequence_ids,
+    "quality_auc": q_quality_auc,
+    "transition_latency_quantiles": q_transition_latency_quantiles,
+    "host_error_drift": q_host_error_drift,
+    "hrw_shard_stability": q_hrw_shard_stability,
+    "gopher_top_ngrams": q_gopher_top_ngrams,
+    "ann_recall_eval": q_ann_recall_eval,
+    "script_mix_stats": q_script_mix_stats,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "zipf_fit": q_zipf_fit,
+    "word_freq_spectrum": q_word_freq_spectrum,
+    "classifier_agreement": q_classifier_agreement,
+    "host_reputation_decay": q_host_reputation_decay,
+    "weighted_sample_docs": q_weighted_sample_docs,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "embedding_drift_matrix": q_embedding_drift_matrix,
+    "winsorized_value_stats": q_winsorized_value_stats,
+    "hard_negative_mining": q_hard_negative_mining,
+    "token_budget_waterfill": q_token_budget_waterfill,
+    "minhash_estimate_error": q_minhash_estimate_error,
+    "incremental_rollup_merge": q_incremental_rollup_merge,
+    "readability_scores": q_readability_scores,
+    "dedup_best_quality": q_dedup_best_quality,
+    "dow_seasonality": q_dow_seasonality,
+    "edit_similarity_pairs": q_edit_similarity_pairs,
+    "smoothed_error_rates": q_smoothed_error_rates,
+    "word_pmi_pairs": q_word_pmi_pairs,
+    "neyman_allocation": q_neyman_allocation,
+    "dq_expectations": q_dq_expectations,
+    "kneser_ney_surprisal": q_kneser_ney_surprisal,
+    "k_anonymity": q_k_anonymity,
+    "peak_concurrency": q_peak_concurrency,
+    "cuped_lift": q_cuped_lift,
+    "permutation_test_lift": q_permutation_test_lift,
+    "charmass_median_length": q_charmass_median_length,
+    "ks_lang_doclen": q_ks_lang_doclen,
+    "mwu_lang_doclen": q_mwu_lang_doclen,
+    "benford_price": q_benford_price,
+    "dehyphenate_docs": q_dehyphenate_docs,
+    "media_caption_link": q_media_caption_link,
+    "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
+    "quality_calibration": q_quality_calibration,
+    "ht_corpus_estimate": q_ht_corpus_estimate,
+    "conformal_quality_gate": q_conformal_quality_gate,
+    "rbo_ranking_agreement": q_rbo_ranking_agreement,
+    "kcenter_diverse_docs": q_kcenter_diverse_docs,
+    "revenue_attribution": q_revenue_attribution,
+    "quantile_map_nchars": q_quantile_map_nchars,
+    "clustering_agreement": q_clustering_agreement,
+    "srm_check": q_srm_check,
+    "rolling_active_users": q_rolling_active_users,
+    "source_length_gini": q_source_length_gini,
+    "theilsen_value_trend": q_theilsen_value_trend,
+    "bbit_minhash_estimates": q_bbit_minhash_estimates,
+    "doc_stitch_pairs": q_doc_stitch_pairs,
+    "kwic_snippets": q_kwic_snippets,
+    "corpus_grouping_sets": q_corpus_grouping_sets,
+    "dedup_consecutive_events": q_dedup_consecutive_events,
+    "matryoshka_recall": q_matryoshka_recall,
+    "dp_source_counts": q_dp_source_counts,
+    "span_integrity_audit": q_span_integrity_audit,
+    "bloom_prefiltered_revenue": q_bloom_prefiltered_revenue,
+    "oof_priority_encoding": q_oof_priority_encoding,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "daily_revenue_acf": q_daily_revenue_acf,
+    "brand_basket_lift": q_brand_basket_lift,
+    "heaps_vocab_growth": q_heaps_vocab_growth,
+    "spearman_qty_price": q_spearman_qty_price,
+    "lang_source_chisq": q_lang_source_chisq,
+    "user_event_burstiness": q_user_event_burstiness,
+    "mk_value_trend": q_mk_value_trend,
+    "ngram_diversity": q_ngram_diversity,
+    "welch_source_length": q_welch_source_length,
+    "embedding_projection": q_embedding_projection,
+    "embedding_dbscan_clusters": q_embedding_dbscan_clusters,
+    "user_value_changepoint": q_user_value_changepoint,
+    "quality_retention_curve": q_quality_retention_curve,
+    "texttiling_boundaries": q_texttiling_boundaries,
+    "topical_chunks": q_topical_chunks,
+    "doc_hash_embeddings": q_doc_hash_embeddings,
+    "instruction_leak_rates": q_instruction_leak_rates,
+    "source_length_impact": q_source_length_impact,
+    "vocab_typo_clusters": q_vocab_typo_clusters,
+    "corpus_datacard": q_corpus_datacard,
+    "fim_spans": q_fim_spans,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "corpus_content_address": q_corpus_content_address,
+    "semantic_dup_degree": q_semantic_dup_degree,
+    "bpe_pack_sequences": q_bpe_pack_sequences,
+    "session_paths": q_session_paths,
+    "homoglyph_spoof_pairs": q_homoglyph_spoof_pairs,
+    "daily_novelty_rate": q_daily_novelty_rate,
+    "weak_label_vote": q_weak_label_vote,
+    "trending_terms": q_trending_terms,
+    "geohash_rollup": q_geohash_rollup,
+    "bpe_roundtrip_check": q_bpe_roundtrip_check,
+    "events_datacard": q_events_datacard,
+    "trailing_week_value": q_trailing_week_value,
+    "did_lift": q_did_lift,
+    "license_marker_rates": q_license_marker_rates,
+    "citation_stats": q_citation_stats,
+    "stratified_deff": q_stratified_deff,
+    "secret_leak_rates": q_secret_leak_rates,
+    "event_steady_state": q_event_steady_state,
+    "cdc_chunk_stats": q_cdc_chunk_stats,
+    "host_link_prediction": q_host_link_prediction,
+    "revenue_forecast_mase": q_revenue_forecast_mase,
+    "fk_orphan_audit": q_fk_orphan_audit,
+    "bag_dup_docs": q_bag_dup_docs,
+    "invisible_char_rates": q_invisible_char_rates,
+    "brand_revenue_topn_other": q_brand_revenue_topn_other,
+    "user_balance_drawdown": q_user_balance_drawdown,
+    "dow_hour_heatmap": q_dow_hour_heatmap,
+    "churn_labels": q_churn_labels,
+    "cohort_ltv_curve": q_cohort_ltv_curve,
+    "user_data_footprint": q_user_data_footprint,
+    "gapped_event_pairs": q_gapped_event_pairs,
+    "csv_dialect_sniff": q_csv_dialect_sniff,
+    "order_value_percentile": q_order_value_percentile,
+    "settlement_dates": q_settlement_dates,
+    "trigram_regex_candidates": q_trigram_regex_candidates,
+    "sentence_safe_truncate": q_sentence_safe_truncate,
+    "index_segment_merge": q_index_segment_merge,
+    "t_closeness_audit": q_t_closeness_audit,
+    "supplier_hhi": q_supplier_hhi,
+    "nearest_centroid_eval": q_nearest_centroid_eval,
+    "identity_stitching": q_identity_stitching,
+    "simpsons_paradox_screen": q_simpsons_paradox_screen,
+    "dirty_partition_audit": q_dirty_partition_audit,
+    "props_map_explode": q_props_map_explode,
+    "behavior_overlap_multiset": q_behavior_overlap_multiset,
+    "native_session_windows": q_native_session_windows,
+    "augmentation_manifest": q_augmentation_manifest,
+    "trailing_distinct_types": q_trailing_distinct_types,
+    "clustering_coefficient": q_clustering_coefficient,
+    "access_log_parse": q_access_log_parse,
+    "bitemporal_restatement": q_bitemporal_restatement,
+    "diversified_ranking": q_diversified_ranking,
+    "rle_size_estimate": q_rle_size_estimate,
+    "source_lang_entropy": q_source_lang_entropy,
+    "not_in_null_semantics": q_not_in_null_semantics,
+    "fifo_lot_matching": q_fifo_lot_matching,
+    "host_assortativity": q_host_assortativity,
+    "gate_canary_diff": q_gate_canary_diff,
+    "balance_rollforward": q_balance_rollforward,
+    "trailing_median_value": q_trailing_median_value,
+    "revenue_error_xcorr": q_revenue_error_xcorr,
+    "lsh_precision_audit": q_lsh_precision_audit,
+    "lid_kappa_vs_truth": q_lid_kappa_vs_truth,
+    "storage_tiering_plan": q_storage_tiering_plan,
+    "trimmed_mean_value": q_trimmed_mean_value,
+    "frequency_cap_audit": q_frequency_cap_audit,
+    "missingness_outage_scan": q_missingness_outage_scan,
+    "lift_convergence_curve": q_lift_convergence_curve,
+    "abc_classification": q_abc_classification,
+    "cross_source_reconciliation": q_cross_source_reconciliation,
+    "revenue_variance_decomposition": q_revenue_variance_decomposition,
+    "fiscal_445_rollup": q_fiscal_445_rollup,
+    "link_scheme_screen": q_link_scheme_screen,
+    "path_hierarchy_rollup": q_path_hierarchy_rollup,
+    "revenue_var_p5": q_revenue_var_p5,
+    "source_p90_spread": q_source_p90_spread,
+    "value_mode_per_type": q_value_mode_per_type,
+    "business_hours_share": q_business_hours_share,
+    "corpus_release_report": q_corpus_release_report,
+    "dedup_savings_ledger": q_dedup_savings_ledger,
+    # driver-green in CORRECTNESS_r01/r02/r03 (see COVERAGE.md
+    # manifest); still value-checked by the local gate:
     "brand_year_pivot": q_brand_year_pivot,
     "moving_avg_value": q_moving_avg_value,
     "buyers_without_returns": q_buyers_without_returns,
     "label_mean_embeddings": q_label_mean_embeddings,
     "salted_segment_revenue": q_salted_segment_revenue,
     "salted_event_counts": q_salted_event_counts,
-    # rows-only: Vincenty iterations (value checks in tests/test_geodesic.py)
     "wgs84_bb_midpoints": q_wgs84_bb_midpoints,
-    # rows-only k-means trainer (probe path value-checked by ivf_topk_probe;
-    # centroids value-pinned by tests/test_training_ops.py golden):
     "ivf_topk": q_ivf_topk,
     "html_extract_main": q_html_extract_main,
     "warc_extract_records": q_warc_extract_records,
@@ -21324,8 +21689,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_docs": q_semantic_dedup_docs,
     "gopher_filter_cascade": q_gopher_filter_cascade,
     "unigram_surprisal": q_unigram_surprisal,
-    # -- window block B: promoted from the never-checked tail (first
-    #    driver check this round) --
     "web_curate_pipeline": q_web_curate_pipeline,
     "pack_interleaved_spans": q_pack_interleaved_spans,
     "bpe_encode_docs": q_bpe_encode_docs,
@@ -21357,77 +21720,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "web_quality_scores": q_web_quality_scores,
-    # ---- entries 51+ (outside the driver's 50-entry check window) ----
-    # never-checked remainder, queued for the ROUND-4 window (local gate
-    # value-checks them at sf0.001/0.01/0.1 this round):
-    "funnel_conversion": q_funnel_conversion,
-    "retention_cohorts": q_retention_cohorts,
-    "source_triage": q_source_triage,
-    "crawl_snapshot_delta": q_crawl_snapshot_delta,
-    "robots_path_filter": q_robots_path_filter,
-    "anchor_topk_per_host": q_anchor_topk_per_host,
-    "recrawl_priority": q_recrawl_priority,
-    "html_link_hosts": q_html_link_hosts,
-    "frontier_schedule": q_frontier_schedule,
-    "profile_documents": q_profile_documents,
-    "html_anchor_topk": q_html_anchor_topk,
-    "shipping_priority": q_shipping_priority,
-    "sitemap_recrawl": q_sitemap_recrawl,
-    "zorder_bucket_counts": q_zorder_bucket_counts,
-    "fix_encoding_triage": q_fix_encoding_triage,
-    "host_hits": q_host_hits,
-    "vad_segments": q_vad_segments,
-    "dsir_scores": q_dsir_scores,
-    "html_table_cells": q_html_table_cells,
-    "scd2_customer_merge": q_scd2_customer_merge,
-    "resample_user_values": q_resample_user_values,
-    "embedding_int8_codes": q_embedding_int8_codes,
-    "jsonl_ingest_triage": q_jsonl_ingest_triage,
-    "fuzzy_vocab_match": q_fuzzy_vocab_match,
-    "cm_word_freq": q_cm_word_freq,
-    "host_triangles": q_host_triangles,
-    "customer_order_counts": q_customer_order_counts,
-    "pps_sample_docs": q_pps_sample_docs,
-    "phrase_hits": q_phrase_hits,
-    "points_near_sites": q_points_near_sites,
-    "min_cost_supplier": q_min_cost_supplier,
-    "priority_return_orders": q_priority_return_orders,
-    "large_quantity_orders": q_large_quantity_orders,
-    "blame_suppliers": q_blame_suppliers,
-    "idle_rich_customers": q_idle_rich_customers,
-    "activity_islands": q_activity_islands,
-    "user_value_trend": q_user_value_trend,
-    "packing_efficiency": q_packing_efficiency,
-    "doc_length_outliers": q_doc_length_outliers,
-    "sliding_chunks": q_sliding_chunks,
-    "word_entropy_stats": q_word_entropy_stats,
-    "regional_local_revenue": q_regional_local_revenue,
-    "nation_market_share": q_nation_market_share,
-    "returned_revenue_topk": q_returned_revenue_topk,
-    "priority_line_counts": q_priority_line_counts,
-    "promo_revenue_ratio": q_promo_revenue_ratio,
-    "supplier_part_counts": q_supplier_part_counts,
-    "brand_quantity_revenue": q_brand_quantity_revenue,
-    "source_divergence": q_source_divergence,
-    "accent_folded_digests": q_accent_folded_digests,
-    "chunk_retrieval_topk": q_chunk_retrieval_topk,
-    "sentence_segments": q_sentence_segments,
-    "event_key_skew": q_event_key_skew,
-    "containment_pairs": q_containment_pairs,
-    # session-6 battery (never driver-checked yet; queued for a later
-    # window rotation; local gate value-checks them this round):
-    "forecast_revenue_change": q_forecast_revenue_change,
-    "nation_trade_volume": q_nation_trade_volume,
-    "product_profit_by_nation": q_product_profit_by_nation,
-    "part_revenue_concentration": q_part_revenue_concentration,
-    "promotable_suppliers": q_promotable_suppliers,
-    "skyline_orders": q_skyline_orders,
-    "benford_digit_audit": q_benford_digit_audit,
-    "event_transitions": q_event_transitions,
-    "value_deciles": q_value_deciles,
-    "lexical_richness": q_lexical_richness,
-    # driver-green in CORRECTNESS_r01 or _r02 (see COVERAGE.md manifest);
-    # still value-checked by the local gate at sf0.001/0.01/0.1:
     "revenue_by_brand": q_revenue_by_brand,
     "first_long_word": q_first_long_word,
     "dms_coordinate_parse": q_dms_coordinate_parse,
@@ -21495,215 +21787,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_lineage": q_extract_lineage,
     "extract_from_span_rows": q_extract_from_span_rows,
     "coordinate_dispatch": q_coordinate_dispatch,
-    # -- session-6 additions (queued for the round-4 window) --
-    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
-    "heavy_hitter_words": q_heavy_hitter_words,
-    "global_sequence_ids": q_global_sequence_ids,
-    "quality_auc": q_quality_auc,
-    "transition_latency_quantiles": q_transition_latency_quantiles,
-    "host_error_drift": q_host_error_drift,
-    "hrw_shard_stability": q_hrw_shard_stability,
-    "gopher_top_ngrams": q_gopher_top_ngrams,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "ann_recall_eval": q_ann_recall_eval,
-    "script_mix_stats": q_script_mix_stats,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "zipf_fit": q_zipf_fit,
-    "word_freq_spectrum": q_word_freq_spectrum,
-    "classifier_agreement": q_classifier_agreement,
-    "host_reputation_decay": q_host_reputation_decay,
-    "weighted_sample_docs": q_weighted_sample_docs,
-    "source_overlap_matrix": q_source_overlap_matrix,
-    "embedding_drift_matrix": q_embedding_drift_matrix,
-    "winsorized_value_stats": q_winsorized_value_stats,
-    "hard_negative_mining": q_hard_negative_mining,
-    "token_budget_waterfill": q_token_budget_waterfill,
-    "minhash_estimate_error": q_minhash_estimate_error,
-    "incremental_rollup_merge": q_incremental_rollup_merge,
-    "readability_scores": q_readability_scores,
-    "dedup_best_quality": q_dedup_best_quality,
-    "dow_seasonality": q_dow_seasonality,
-    "record_linkage": q_record_linkage,
-    "edit_similarity_pairs": q_edit_similarity_pairs,
-    "smoothed_error_rates": q_smoothed_error_rates,
-    "word_pmi_pairs": q_word_pmi_pairs,
-    "neyman_allocation": q_neyman_allocation,
-    "dq_expectations": q_dq_expectations,
-    "kneser_ney_surprisal": q_kneser_ney_surprisal,
-    "k_anonymity": q_k_anonymity,
-    "peak_concurrency": q_peak_concurrency,
-    "hash_to_min_clusters": q_hash_to_min_clusters,
-    "bootstrap_ci_mean": q_bootstrap_ci_mean,
-    "logreg_en_classifier": q_logreg_en_classifier,
-    "kmeans_lloyd_centroids": q_kmeans_lloyd_centroids,
-    "cuped_lift": q_cuped_lift,
-    "permutation_test_lift": q_permutation_test_lift,
-    "charmass_median_length": q_charmass_median_length,
-    "ks_lang_doclen": q_ks_lang_doclen,
-    "mwu_lang_doclen": q_mwu_lang_doclen,
-    "benford_price": q_benford_price,
-    "dehyphenate_docs": q_dehyphenate_docs,
-    "media_caption_link": q_media_caption_link,
-    "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
-    "quality_calibration": q_quality_calibration,
-    "ht_corpus_estimate": q_ht_corpus_estimate,
-    "conformal_quality_gate": q_conformal_quality_gate,
-    "rbo_ranking_agreement": q_rbo_ranking_agreement,
-    "kcenter_diverse_docs": q_kcenter_diverse_docs,
-    "revenue_attribution": q_revenue_attribution,
-    "quantile_map_nchars": q_quantile_map_nchars,
-    "clustering_agreement": q_clustering_agreement,
-    "srm_check": q_srm_check,
-    # -- session-15 additions (tail; queued for the round-4 window) --
-    "rolling_active_users": q_rolling_active_users,
-    "source_length_gini": q_source_length_gini,
-    "theilsen_value_trend": q_theilsen_value_trend,
-    "bitext_margin_pairs": q_bitext_margin_pairs,
-    "crawl_trap_screen": q_crawl_trap_screen,
-    "bbit_minhash_estimates": q_bbit_minhash_estimates,
-    "doc_stitch_pairs": q_doc_stitch_pairs,
-    "kwic_snippets": q_kwic_snippets,
-    "corpus_grouping_sets": q_corpus_grouping_sets,
-    "dedup_consecutive_events": q_dedup_consecutive_events,
-    "nearest_event_join": q_nearest_event_join,
-    "matryoshka_recall": q_matryoshka_recall,
-    "dp_source_counts": q_dp_source_counts,
-    "pit_customer_segments": q_pit_customer_segments,
-    "span_integrity_audit": q_span_integrity_audit,
-    "bloom_prefiltered_revenue": q_bloom_prefiltered_revenue,
-    # -- session-16 additions (tail; queued for the round-4 window) --
-    "psi_price_drift": q_psi_price_drift,
-    "oof_priority_encoding": q_oof_priority_encoding,
-    "lineitem_corr_matrix": q_lineitem_corr_matrix,
-    # -- session-17 additions (tail; queued for the round-4 window) --
-    "km_time_to_purchase": q_km_time_to_purchase,
-    "daily_revenue_acf": q_daily_revenue_acf,
-    "brand_basket_lift": q_brand_basket_lift,
-    "heaps_vocab_growth": q_heaps_vocab_growth,
-    # -- session-18 additions (tail; queued for the round-4 window) --
-    "spearman_qty_price": q_spearman_qty_price,
-    "lang_source_chisq": q_lang_source_chisq,
-    "user_event_burstiness": q_user_event_burstiness,
-    "mk_value_trend": q_mk_value_trend,
-    # -- session-19 additions (tail; queued for the round-4 window) --
-    "ngram_diversity": q_ngram_diversity,
-    "welch_source_length": q_welch_source_length,
-    "embedding_projection": q_embedding_projection,
-    "ewma_value_anomalies": q_ewma_value_anomalies,
-    "host_k_core": q_host_k_core,
-    "embedding_dbscan_clusters": q_embedding_dbscan_clusters,
-    "user_value_changepoint": q_user_value_changepoint,
-    "quality_retention_curve": q_quality_retention_curve,
-    "host_communities": q_host_communities,
-    "texttiling_boundaries": q_texttiling_boundaries,
-    "topical_chunks": q_topical_chunks,
-    "doc_hash_embeddings": q_doc_hash_embeddings,
-    "instruction_leak_rates": q_instruction_leak_rates,
-    "source_length_impact": q_source_length_impact,
-    "vocab_typo_clusters": q_vocab_typo_clusters,
-    "corpus_datacard": q_corpus_datacard,
-    "fim_spans": q_fim_spans,
-    "compaction_plan": q_compaction_plan,
-    "cdc_apply_log": q_cdc_apply_log,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "host_bfs_depth": q_host_bfs_depth,
-    "snapshot_retention_plan": q_snapshot_retention_plan,
-    "column_layout_stats": q_column_layout_stats,
-    "corpus_content_address": q_corpus_content_address,
-    "session_incident_overlap": q_session_incident_overlap,
-    "source_kfold_assign": q_source_kfold_assign,
-    "semantic_dup_degree": q_semantic_dup_degree,
-    "bpe_pack_sequences": q_bpe_pack_sequences,
-    "scan_pruning_stats": q_scan_pruning_stats,
-    "session_paths": q_session_paths,
-    "homoglyph_spoof_pairs": q_homoglyph_spoof_pairs,
-    "daily_novelty_rate": q_daily_novelty_rate,
-    "kmv_source_overlap": q_kmv_source_overlap,
-    "weak_label_vote": q_weak_label_vote,
-    "trending_terms": q_trending_terms,
-    "geohash_rollup": q_geohash_rollup,
-    "bpe_roundtrip_check": q_bpe_roundtrip_check,
-    "events_datacard": q_events_datacard,
-    "trailing_week_value": q_trailing_week_value,
-    "did_lift": q_did_lift,
-    "retry_backoff_batch": q_retry_backoff_batch,
-    "license_marker_rates": q_license_marker_rates,
-    "citation_stats": q_citation_stats,
-    "scd2_integrity_audit": q_scd2_integrity_audit,
-    "stratified_deff": q_stratified_deff,
-    "warc_revisit_resolution": q_warc_revisit_resolution,
-    "secret_leak_rates": q_secret_leak_rates,
-    "event_steady_state": q_event_steady_state,
-    "sitemap_robots_conflicts": q_sitemap_robots_conflicts,
-    "cdc_chunk_stats": q_cdc_chunk_stats,
-    "host_link_prediction": q_host_link_prediction,
-    "revenue_forecast_mase": q_revenue_forecast_mase,
-    "fk_orphan_audit": q_fk_orphan_audit,
-    "bag_dup_docs": q_bag_dup_docs,
-    "invisible_char_rates": q_invisible_char_rates,
-    "span_kind_rle": q_span_kind_rle,
-    "brand_revenue_topn_other": q_brand_revenue_topn_other,
-    "user_balance_drawdown": q_user_balance_drawdown,
-    "dow_hour_heatmap": q_dow_hour_heatmap,
-    "retrieval_cascade": q_retrieval_cascade,
-    "churn_labels": q_churn_labels,
-    "community_modularity": q_community_modularity,
-    "cohort_ltv_curve": q_cohort_ltv_curve,
-    "user_data_footprint": q_user_data_footprint,
-    "gapped_event_pairs": q_gapped_event_pairs,
-    "csv_dialect_sniff": q_csv_dialect_sniff,
-    "order_value_percentile": q_order_value_percentile,
-    "settlement_dates": q_settlement_dates,
-    "trigram_regex_candidates": q_trigram_regex_candidates,
-    "sentence_safe_truncate": q_sentence_safe_truncate,
-    "index_segment_merge": q_index_segment_merge,
-    "t_closeness_audit": q_t_closeness_audit,
-    "supplier_hhi": q_supplier_hhi,
-    "nearest_centroid_eval": q_nearest_centroid_eval,
-    "identity_stitching": q_identity_stitching,
-    "simpsons_paradox_screen": q_simpsons_paradox_screen,
-    "dirty_partition_audit": q_dirty_partition_audit,
-    "props_map_explode": q_props_map_explode,
-    "behavior_overlap_multiset": q_behavior_overlap_multiset,
-    "native_session_windows": q_native_session_windows,
-    "augmentation_manifest": q_augmentation_manifest,
-    "trailing_distinct_types": q_trailing_distinct_types,
-    "clustering_coefficient": q_clustering_coefficient,
-    "access_log_parse": q_access_log_parse,
-    "bitemporal_restatement": q_bitemporal_restatement,
-    "diversified_ranking": q_diversified_ranking,
-    "rle_size_estimate": q_rle_size_estimate,
-    "source_lang_entropy": q_source_lang_entropy,
-    "not_in_null_semantics": q_not_in_null_semantics,
-    "fifo_lot_matching": q_fifo_lot_matching,
-    "host_assortativity": q_host_assortativity,
-    "gate_canary_diff": q_gate_canary_diff,
-    "balance_rollforward": q_balance_rollforward,
-    "trailing_median_value": q_trailing_median_value,
-    "revenue_error_xcorr": q_revenue_error_xcorr,
-    "lsh_precision_audit": q_lsh_precision_audit,
-    "lid_kappa_vs_truth": q_lid_kappa_vs_truth,
-    "storage_tiering_plan": q_storage_tiering_plan,
-    "trimmed_mean_value": q_trimmed_mean_value,
-    "frequency_cap_audit": q_frequency_cap_audit,
-    "missingness_outage_scan": q_missingness_outage_scan,
-    "lift_convergence_curve": q_lift_convergence_curve,
-    "abc_classification": q_abc_classification,
-    "cross_source_reconciliation": q_cross_source_reconciliation,
-    "revenue_variance_decomposition": q_revenue_variance_decomposition,
-    "fiscal_445_rollup": q_fiscal_445_rollup,
-    "link_scheme_screen": q_link_scheme_screen,
-    "path_hierarchy_rollup": q_path_hierarchy_rollup,
-    "revenue_var_p5": q_revenue_var_p5,
-    "source_p90_spread": q_source_p90_spread,
-    "value_mode_per_type": q_value_mode_per_type,
-    "business_hours_share": q_business_hours_share,
-    "corpus_release_report": q_corpus_release_report,
-    "dedup_savings_ledger": q_dedup_savings_ledger,
-    # -- round-4 additions (VERDICT r03 #4/#5/#6 exceptions to the
-    #    registry-growth freeze) --
-    "extract_pipeline_e2e": q_extract_pipeline_e2e,
-    "bitext_margin_pairs_ivf": q_bitext_margin_pairs_ivf,
 }
 
 ORACLES: dict[str, str] = {
@@ -22088,4 +22171,6 @@ ORACLES: dict[str, str] = {
     "dedup_savings_ledger": sql_dedup_savings_ledger(),
     "extract_pipeline_e2e": sql_extract_pipeline_e2e(),
     "bitext_margin_pairs_ivf": sql_bitext_margin_pairs_ivf(),
+    "stream_budget_batch_twin": sql_stream_budget_batch_twin(),
+    "stream_interval_batch_twin": sql_stream_interval_batch_twin(),
 }
