@@ -369,6 +369,11 @@ BENCH_QUERIES = [
     "business_hours_share",
     "corpus_release_report",
     "dedup_savings_ledger",
+    # round-4 additions
+    "extract_pipeline_e2e",
+    "bitext_margin_pairs_ivf",
+    "stream_budget_batch_twin",
+    "stream_interval_batch_twin",
 ]
 
 
