@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed by Arrow-batched kernels.
 
-Decode is REAL for the uncompressed public formats a pure-NumPy parser can
-handle with zero dependencies: 24-bit BI_RGB BMP (`decode_image`),
-16-bit PCM RIFF/WAV (`decode_audio`), and multi-frame RIFF/AVI with
-uncompressed 'DIB ' video frames (`decode_avi_frames`), all from their
-published format layouts. Compressed formats (PNG/JPEG/MP3/...) still raise
+Decode is REAL for the public formats a pure-NumPy parser can handle with
+zero dependencies: 24-bit BI_RGB BMP, 8-bit PNG (full inflate + all five
+scanline filters via stdlib zlib — `decode_png_pixels`), 16-bit PCM
+RIFF/WAV (`decode_audio`), and multi-frame RIFF/AVI with uncompressed
+'DIB ' video frames (`decode_avi_frames`), all from their published
+format layouts. Lossy-compressed formats (JPEG/WebP/MP3/...) still raise
 ``NotImplementedError`` — those require PIL/librosa, which are not in this
 container; swapping them in changes only the inner per-format branch. The
 synthetic media table (`media_table_from_docs`) emits VALID BMP/WAV
@@ -99,14 +100,12 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     (H, W, 3) uint8 array. Compressed/other-depth variants raise
     NotImplementedError (PIL territory); malformed bytes raise ValueError."""
     if len(payload) < 2 or payload[:2] != b"BM":
-        if (
-            payload[:4] == b"\x89PNG"
-            or payload[:3] == b"\xff\xd8\xff"  # any JPEG (JFIF/EXIF/raw)
-            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
+        if payload[:3] == b"\xff\xd8\xff" or (  # any JPEG (JFIF/EXIF/raw)
+            payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
         ):
             raise NotImplementedError(
-                "compressed image formats require PIL/opencv — not in this "
-                "container; only uncompressed 24-bit BMP decodes natively"
+                "JPEG/WebP require PIL/opencv — not in this container; "
+                "BMP and PNG decode natively (decode_image_pixels)"
             )
         raise ValueError("not a BMP payload")
     if len(payload) < 54:
@@ -131,6 +130,142 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     data = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
     rows = data.reshape(h, stride)[:, : w * 3]
     return (rows if top_down else rows[::-1]).reshape(h, w, 3).copy()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal REAL PNG writer (published RFC 2083 layout, zero deps
+    beyond stdlib zlib): 8-bit RGB (color type 2), non-interlaced, one
+    IDAT, filter type 0 on every scanline, correct CRC32s. Pixels are
+    (H, W, 3) uint8 in RGB order."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no ilace
+    )
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the 5 PNG scanline filters (None/Sub/Up/Average/Paeth, RFC
+    2083 §6). Up/None vectorize whole-row; Sub/Average/Paeth carry a
+    left-pixel dependency, so those rows run a per-pixel int loop —
+    correctness-first (payload images are small; a bulk corpus decode
+    would swap in a C codec behind this same function)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(
+            stride, dtype=np.int32
+        )
+        if ftype == 0:  # None
+            line = cur
+        elif ftype == 2:  # Up
+            line = (cur + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            line = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0  # left
+                b = prior[x]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                line[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = line.astype(np.uint8)
+    return out
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Fully-validated REAL decode of an 8-bit non-interlaced PNG (color
+    types 0 gray / 2 RGB / 6 RGBA) → (H, W, 3) uint8 RGB, pure stdlib
+    zlib + NumPy: chunk walk with CRC verification, IDAT concatenation,
+    inflate, all five scanline filters (``_png_unfilter``). Palette /
+    16-bit / interlaced variants raise NotImplementedError; malformed
+    bytes raise ValueError."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = b""
+    n = len(payload)
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > n:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + clen : pos + 12 + clen], "big")
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, ilace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: bad compression/filter method")
+    if ilace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None or depth != 8:
+        raise NotImplementedError(
+            f"PNG color type {ctype} / depth {depth}: only 8-bit "
+            "gray/RGB/RGBA decode natively"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
 
 
 def _u32(n: int) -> bytes:
@@ -253,12 +388,24 @@ def decode_avi_frames(payload: bytes) -> np.ndarray:
     return out
 
 
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """Format-dispatching REAL image decode → (H, W, 3) uint8: PNG by
+    signature (``decode_png_pixels``), else the BMP path (which also owns
+    the JPEG/WebP missing-codec classification). One entry point so the
+    feature, ahash, and resize kernels agree on what parses."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png_pixels(payload)
+    return decode_bmp_pixels(payload)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL decode of an uncompressed 24-bit BMP → FEATURE_DIM float32
-    features: [mean/255, mean_B/255, mean_G/255, mean_R/255, std/255, 0...].
-    Validation (and the compressed-format NotImplementedError) lives in
-    decode_bmp_pixels so the feature and resize paths agree on what parses."""
-    px = decode_bmp_pixels(payload).astype(np.float64)
+    """REAL decode of a 24-bit BMP or 8-bit PNG → FEATURE_DIM float32
+    features: [mean/255, then per-channel means/255 in the container's
+    native channel order (BMP: BGR; PNG: RGB), std/255, 0...].
+    Validation (and the missing-codec NotImplementedError) lives in
+    decode_image_pixels so the feature and resize paths agree on what
+    parses."""
+    px = decode_image_pixels(payload).astype(np.float64)
     feat = np.zeros(FEATURE_DIM, dtype=np.float32)
     feat[0] = px.mean() / 255.0
     feat[1:4] = px.mean(axis=(0, 1)) / 255.0  # B, G, R channel means
@@ -287,29 +434,227 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     )
 
 
+# --- G.711 μ-law (WAVE_FORMAT_MULAW = 7) — published ITU-T telephony
+# codec; 8 bits/sample, logarithmic. Integer-exact both directions.
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode_samples(samples: np.ndarray) -> bytes:
+    """int16-domain samples → μ-law bytes: the published Sun g711.c
+    ``st_14linear2ulaw(x >> 2)`` algorithm verbatim (14-bit domain,
+    arithmetic shift — negatives round toward -inf, which is why a naive
+    |x|-domain encoder is off by one at segment edges). Bit-identical to
+    stdlib ``audioop.lin2ulaw`` (cross-checked in tests)."""
+    v = np.asarray(samples, dtype=np.int64) >> 2  # 14-bit, floor shift
+    neg = v < 0
+    mag = np.where(neg, -v, v)
+    mag = np.minimum(mag, 8159) + (_ULAW_BIAS >> 2)  # CLIP + BIAS, 14-bit
+    seg = (np.floor(np.log2(mag)) - 5).astype(np.int64)  # mag>=33 -> >=0
+    # g711.c: out-of-range segment (full-scale clip) returns 0x7F ^ mask
+    uval = np.where(
+        seg >= 8, 0x7F, (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    )
+    code = uval ^ np.where(neg, 0x7F, 0xFF)
+    return code.astype(np.uint8).tobytes()
+
+
+def ulaw_decode_bytes(data: bytes) -> np.ndarray:
+    """μ-law bytes → int64 samples in the int16 domain (exact inverse of
+    the published table; matches stdlib audioop.ulaw2lin)."""
+    u = ~np.frombuffer(data, dtype=np.uint8).astype(np.int64) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag)
+
+
+# --- IMA/DVI ADPCM (WAVE_FORMAT_IMA_ADPCM = 17) — published 4-bit
+# differential codec (IMA 1992 spec); block = 4-byte state header
+# (predictor int16, step index u8, reserved) + nibbles, low nibble first.
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int64,
+)
+
+
+def _ima_step(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM update: (new predictor, new index)."""
+    step = int(_IMA_STEP_TABLE[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_TABLE[nibble & 7])))
+    return pred, index
+
+
+def ima_adpcm_encode_samples(
+    samples: np.ndarray, block_samples: int = 505
+) -> tuple[bytes, int]:
+    """int16-domain samples → IMA ADPCM WAV blocks; returns (data,
+    block_align). Each block stores its first sample verbatim in the
+    header (the IMA spec's seeding), then one 4-bit code per sample."""
+    x = [int(v) for v in np.asarray(samples, dtype=np.int64)]
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    out = bytearray()
+    index = 0
+    i = 0
+    while i < len(x):
+        blk = x[i : i + block_samples]
+        i += block_samples
+        pred = max(-32768, min(32767, blk[0]))
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out += bytes([index, 0])
+        nibbles = []
+        for s in blk[1:]:
+            step = int(_IMA_STEP_TABLE[index])
+            diff = s - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, index = _ima_step(code, pred, index)
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        pad = block_align - 4 - len(nibbles) // 2
+        out += bytes(pad)
+    return bytes(out), block_align
+
+
+def ima_adpcm_decode_data(
+    data: bytes, block_align: int, n_samples: int | None = None
+) -> np.ndarray:
+    """IMA ADPCM WAV data chunk (mono) → int64 samples: per block, the
+    header predictor is emitted as the first sample, then each nibble
+    (low first) advances the published step/index tables."""
+    out: list[int] = []
+    for bstart in range(0, len(data), block_align):
+        blk = data[bstart : bstart + block_align]
+        if len(blk) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        index = blk[2]
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_step(nib, pred, index)
+                out.append(pred)
+    arr = np.array(out, dtype=np.int64)
+    return arr[:n_samples] if n_samples is not None else arr
+
+
+def encode_wav_compressed(
+    samples: np.ndarray, codec: str = "ulaw", rate: int = 8000
+) -> bytes:
+    """RIFF/WAVE writer for the two REAL compressed codecs: ``ulaw``
+    (format 7, 8 bits) or ``adpcm`` (format 17, 4 bits, with the spec's
+    ``fact`` chunk carrying the true sample count)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if codec == "ulaw":
+        data, fmt_code, bits, block_align, extra = (
+            ulaw_encode_samples(x), 7, 8, 1, b"",
+        )
+        fact = b""
+    elif codec == "adpcm":
+        data, block_align = ima_adpcm_encode_samples(x)
+        fmt_code, bits = 17, 4
+        extra = (2).to_bytes(2, "little") + (505).to_bytes(2, "little")
+        fact = b"fact" + (4).to_bytes(4, "little") + len(x).to_bytes(
+            4, "little"
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    if len(data) % 2:
+        data += b"\x00"
+    fmt_body = (
+        fmt_code.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + extra
+    )
+    return (
+        b"RIFF"
+        + (4 + 8 + len(fmt_body) + len(fact) + 8 + len(data)).to_bytes(
+            4, "little"
+        )
+        + b"WAVEfmt "
+        + len(fmt_body).to_bytes(4, "little")
+        + fmt_body
+        + fact
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
 def decode_wav_samples(payload: bytes) -> np.ndarray:
-    """Fully-validated decode of a 16-bit PCM RIFF/WAV → int64 sample
-    array. Walks the chunk list (fmt may not immediately precede data).
-    Compressed audio raises NotImplementedError; malformed, ValueError."""
+    """Fully-validated decode of a RIFF/WAV → int64 sample array in the
+    int16 domain. Walks the chunk list (fmt may not immediately precede
+    data). REAL codecs: 16-bit PCM (format 1), G.711 μ-law (7), and IMA
+    ADPCM (17, honoring ``fact``'s sample count) — all integer-exact
+    published algorithms, zero deps. Other compressed audio raises
+    NotImplementedError; malformed, ValueError."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt_code, bits, data = 12, None, None, None
+    block_align, n_channels, fact_samples = None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_code = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"fact":
+            fact_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_code is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code == 7 and bits == 8 and n_channels == 1:
+        return ulaw_decode_bytes(data)
+    if fmt_code == 17 and bits == 4 and n_channels == 1:
+        if not block_align or block_align < 5:
+            raise ValueError("ADPCM WAV missing/degenerate block align")
+        return ima_adpcm_decode_data(data, block_align, fact_samples)
     if fmt_code != 1 or bits != 16:
         raise NotImplementedError(
-            f"WAV format={fmt_code} bits={bits}: only 16-bit PCM decodes "
-            "natively; compressed audio requires librosa/soundfile"
+            f"WAV format={fmt_code} bits={bits}: PCM16, mono mu-law and "
+            "mono IMA ADPCM decode natively; other compressed audio "
+            "requires librosa/soundfile"
         )
     return np.frombuffer(data, dtype="<i2").astype(np.int64)
 
@@ -508,7 +853,7 @@ def media_ahash(
     """
 
     def one(p) -> int | None:
-        return ahash_from_pixels(decode_bmp_pixels(bytes(p)), grid)
+        return ahash_from_pixels(decode_image_pixels(bytes(p)), grid)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -559,11 +904,13 @@ def _fit_scale(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
 
 
 def _resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
-    """Nearest-neighbor downscale of a 24-bit BMP to fit (max_w, max_h),
-    never upscaling; re-encoded as BMP. Unparseable/compressed payloads
-    pass through untouched (the compressed path is PIL's job)."""
+    """Nearest-neighbor downscale of a 24-bit BMP or 8-bit PNG to fit
+    (max_w, max_h), never upscaling; re-encoded in the SAME container it
+    arrived in. Unparseable / missing-codec payloads pass through
+    untouched (the JPEG path is PIL's job)."""
+    is_png = payload[: len(_PNG_SIG)] == _PNG_SIG
     try:
-        px = decode_bmp_pixels(payload)
+        px = decode_image_pixels(payload)
     except Exception:
         return payload
     h, w = px.shape[:2]
@@ -573,7 +920,8 @@ def _resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
     ow, oh = max(1, w * num // den), max(1, h * num // den)
     yi = (np.arange(oh) * den) // num
     xi = (np.arange(ow) * den) // num
-    return encode_bmp(px[yi][:, xi])
+    out = px[yi][:, xi]
+    return encode_png(out) if is_png else encode_bmp(out)
 
 
 def resize_media(

@@ -329,7 +329,9 @@ def test_real_decode_bmp_wav_roundtrip():
 
 
 def test_real_decode_rejects_compressed_and_garbage():
-    with pytest.raises(NotImplementedError):
+    # PNG now DECODES natively; a signature followed by garbage is
+    # corruption (ValueError), not a missing codec
+    with pytest.raises(ValueError):
         media.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
     # ANY JPEG variant (JFIF e0, EXIF e1, raw db) is missing-codec, not
     # corruption — strict mode must report it as NotImplementedError
@@ -1543,3 +1545,192 @@ def test_bitext_ivf_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF bitext recall collapsed: {recall:.3f}"
     for pair in hits:
         assert ivf[pair] == exact[pair]
+
+
+def _ref_png(px, filters):
+    """Hand-built PNG encoding px (H,W,3) with a CHOSEN filter type per
+    scanline — exercises decode paths the filter-0-only encoder never
+    emits. Filters applied per RFC 2083 §6 in plain Python."""
+    import zlib
+
+    h, w, _ = px.shape
+    bpp = 3
+    raw = b""
+    prior = bytes(w * bpp)
+    for y in range(h):
+        line = px[y].astype(np.uint8).tobytes()
+        f = filters[y % len(filters)]
+        out = bytearray()
+        for x in range(w * bpp):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((line[x] - pred) & 0xFF)
+        raw += bytes([f]) + bytes(out)
+        prior = line
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+
+    def chunk(tag, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    """encode_png -> decode_png_pixels is the identity, and the decoder
+    recovers pixels under ALL FIVE scanline filters (a reference Python
+    filterer builds the payloads the filter-0 encoder never writes)."""
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (4, 4), (5, 7), (16, 3)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(media.decode_png_pixels(media.encode_png(px)), px)
+    px = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(
+            media.decode_png_pixels(_ref_png(px, filters)), px
+        ), f"filter set {filters}"
+
+
+def test_png_validation_and_unsupported():
+    import zlib
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = media.encode_png(px)
+    # CRC corruption must be caught, not silently decoded
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError):
+        media.decode_png_pixels(bytes(bad))
+    # interlaced and 16-bit are declared unsupported, not corruption
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 1]
+    )
+
+    def chunk(tag, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    ilaced = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        media.decode_png_pixels(ilaced)
+
+
+def test_png_feeds_feature_ahash_resize_kernels():
+    """The PNG path flows through the same feature / ahash / resize
+    kernels as BMP: identical pixels give identical mean/std features and
+    identical ahash; resize keeps the PNG container."""
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    png, bmp = media.encode_png(px), media.encode_bmp(px)
+    fp, fb = media.decode_image(png), media.decode_image(bmp)
+    assert abs(fp[0] - fb[0]) < 1e-7 and abs(fp[4] - fb[4]) < 1e-7
+    assert media.ahash_from_pixels(
+        media.decode_image_pixels(png)
+    ) == media.ahash_from_pixels(media.decode_image_pixels(bmp))
+    small = media._resize_bmp(png, 4, 4)
+    assert small[:8] == b"\x89PNG\r\n\x1a\n"
+    assert media.decode_png_pixels(small).shape == (4, 4, 3)
+
+
+def test_ulaw_bitexact_vs_stdlib_audioop():
+    """G.711 mu-law encode/decode are bit-identical to CPython's
+    audioop (an independent implementation of the same published
+    tables) over the ENTIRE int16 domain / all 256 codes."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # audioop deprecated in 3.11
+        import audioop
+
+    s = np.arange(-32768, 32768, dtype=np.int64)
+    assert media.ulaw_encode_samples(s) == audioop.lin2ulaw(
+        s.astype("<i2").tobytes(), 2
+    )
+    codes = bytes(range(256))
+    ref = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2").astype(
+        np.int64
+    )
+    assert np.array_equal(media.ulaw_decode_bytes(codes), ref)
+
+
+def test_ima_adpcm_core_vs_stdlib_audioop():
+    """The IMA step/index tables match audioop's DVI ADPCM nibble for
+    nibble (audioop packs high nibble first — raw DVI order; the WAV
+    container is low-first, covered by the container test)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+
+    rng = np.random.RandomState(9)
+    data = bytes(rng.randint(0, 256, size=256, dtype=np.uint8))
+    frag, _ = audioop.adpcm2lin(data, 2, (0, 0))
+    ref = np.frombuffer(frag, dtype="<i2").astype(np.int64)
+    pred, idx = 0, 0
+    mine = []
+    for byte in data:
+        for nib in (byte >> 4, byte & 0x0F):
+            pred, idx = media._ima_step(nib, pred, idx)
+            mine.append(pred)
+    assert np.array_equal(np.array(mine), ref)
+
+
+def test_compressed_wav_container_roundtrips():
+    t = np.arange(1500)
+    sine = (9000 * np.sin(t / 17)).astype(np.int64)
+
+    # mu-law: container decode == codec decode of codec encode
+    wav = media.encode_wav_compressed(sine, "ulaw")
+    got = media.decode_wav_samples(wav)
+    want = media.ulaw_decode_bytes(media.ulaw_encode_samples(sine))
+    assert np.array_equal(got, want)
+    assert int(np.abs(got - sine).max()) < 1024  # log-companding bound
+
+    # ADPCM: block-seeded, fact-trimmed, deterministic; tracks a smooth
+    # signal within the 4-bit differential error envelope
+    wav = media.encode_wav_compressed(sine, "adpcm")
+    got = media.decode_wav_samples(wav)
+    assert len(got) == len(sine)  # fact chunk trims block padding
+    assert got[0] == sine[0]  # first sample verbatim in block header
+    assert got[505] == sine[505]  # second block reseeds verbatim
+    assert int(np.abs(got - sine).max()) < 3000
+    assert np.array_equal(got, media.decode_wav_samples(wav))
+
+    # feature kernel consumes compressed audio through the same path
+    f = media.decode_audio(wav)
+    assert abs(f[0] - got.astype(np.float64).mean() / 32768.0) < 1e-6
+
+    # other compressed formats still classify as missing codec
+    bad = bytearray(media.encode_wav_compressed(sine, "ulaw"))
+    bad[20:22] = (2).to_bytes(2, "little")  # MS ADPCM
+    with pytest.raises(NotImplementedError):
+        media.decode_wav_samples(bytes(bad))
