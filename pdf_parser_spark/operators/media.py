@@ -3,10 +3,12 @@ metadata, processed by Arrow-batched kernels.
 
 Decode is REAL for the public formats a pure-NumPy parser can handle with
 zero dependencies: 24-bit BI_RGB BMP, 8-bit PNG (full inflate + all five
-scanline filters via stdlib zlib — `decode_png_pixels`), 16-bit PCM
-RIFF/WAV (`decode_audio`), and multi-frame RIFF/AVI with uncompressed
-'DIB ' video frames (`decode_avi_frames`), all from their published
-format layouts. Lossy-compressed formats (JPEG/WebP/MP3/...) still raise
+scanline filters via stdlib zlib — `decode_png_pixels`), GIF87a/89a
+(real variable-width LZW + 4-pass deinterlace — `decode_gif_pixels`),
+16-bit PCM / G.711 μ-law / IMA ADPCM RIFF/WAV (`decode_audio`), and
+multi-frame RIFF/AVI with uncompressed 'DIB ' video frames
+(`decode_avi_frames`), all from their published format layouts.
+Lossy-transform formats (JPEG/WebP/MP3/...) still raise
 ``NotImplementedError`` — those require PIL/librosa, which are not in this
 container; swapping them in changes only the inner per-format branch. The
 synthetic media table (`media_table_from_docs`) emits VALID BMP/WAV
@@ -268,6 +270,217 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()
 
 
+# --- GIF (GIF87a/89a, published CompuServe spec) — palette images with
+# REAL LZW compression, pure Python/NumPy, zero deps.
+
+
+def _lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """Variable-width LZW (GIF flavor): clear/end codes, LSB-first bit
+    packing, dictionary grows to 4096 then emits CLEAR."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = acc_bits = 0
+
+    def emit(code: int):
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    emit(clear)
+    run: tuple[int, ...] = ()
+    for px in indices:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        run = (px,)
+    if run:
+        emit(table[run])
+    emit(end)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF LZW decode: LSB-first variable-width codes, clear/end
+    handling, the KwKwK first-char rule."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code + 1
+    acc = acc_bits = pos = 0
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    n = len(data)
+    while len(out) < n_pixels:
+        while acc_bits < width:
+            if pos >= n:
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << acc_bits
+            pos += 1
+            acc_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        acc_bits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data short")
+    return out[:n_pixels]
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Minimal REAL GIF89a writer: one frame, a global color table built
+    from the image's distinct colors (≤256 — the GIF contract), real
+    LZW. Pixels are (H, W, 3) uint8 RGB."""
+    h, w, c = pixels.shape
+    assert c == 3
+    flat = pixels.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF encode: more than 256 distinct colors")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    min_code = max(2, bits)
+    lzw = _lzw_encode([int(i) for i in inv], min_code)
+    sub = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + int(w).to_bytes(2, "little")
+        + int(h).to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])  # GCT present, size 2^bits
+        + table.tobytes()
+        + b"\x2c"
+        + bytes(4)  # left, top
+        + int(w).to_bytes(2, "little")
+        + int(h).to_bytes(2, "little")
+        + b"\x00"  # no local table, not interlaced
+        + bytes([min_code])
+        + sub
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """Fully-validated REAL decode of the FIRST frame of a GIF87a/89a →
+    (H, W, 3) uint8 RGB: screen/image descriptors, global+local color
+    tables, extension-block skip, real variable-width LZW, Adam-style
+    4-pass deinterlace. Malformed bytes raise ValueError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            if w <= 0 or h <= 0:
+                raise ValueError("degenerate GIF dimensions")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.array(
+                _lzw_decode(bytes(data), min_code, w * h), dtype=np.int64
+            )
+            if idx.max(initial=0) >= len(table):
+                raise ValueError("GIF pixel index outside color table")
+            px = table[idx].reshape(h, w, 3)
+            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                out = np.zeros_like(px)
+                out[order] = px
+                px = out
+            return px.copy()
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def _u32(n: int) -> bytes:
     return int(n).to_bytes(4, "little")
 
@@ -395,6 +608,8 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
     feature, ahash, and resize kernels agree on what parses."""
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
     return decode_bmp_pixels(payload)
 
 
@@ -904,11 +1119,13 @@ def _fit_scale(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
 
 
 def _resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
-    """Nearest-neighbor downscale of a 24-bit BMP or 8-bit PNG to fit
-    (max_w, max_h), never upscaling; re-encoded in the SAME container it
-    arrived in. Unparseable / missing-codec payloads pass through
-    untouched (the JPEG path is PIL's job)."""
+    """Nearest-neighbor downscale of a 24-bit BMP, 8-bit PNG, or GIF to
+    fit (max_w, max_h), never upscaling; re-encoded in the SAME container
+    it arrived in (a downscaled palette image keeps ≤256 colors, so GIF
+    re-encode always succeeds). Unparseable / missing-codec payloads pass
+    through untouched (the JPEG path is PIL's job)."""
     is_png = payload[: len(_PNG_SIG)] == _PNG_SIG
+    is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
     try:
         px = decode_image_pixels(payload)
     except Exception:
@@ -921,7 +1138,11 @@ def _resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
     yi = (np.arange(oh) * den) // num
     xi = (np.arange(ow) * den) // num
     out = px[yi][:, xi]
-    return encode_png(out) if is_png else encode_bmp(out)
+    if is_png:
+        return encode_png(out)
+    if is_gif:
+        return encode_gif(out)
+    return encode_bmp(out)
 
 
 def resize_media(

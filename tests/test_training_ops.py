@@ -1734,3 +1734,49 @@ def test_compressed_wav_container_roundtrips():
     bad[20:22] = (2).to_bytes(2, "little")  # MS ADPCM
     with pytest.raises(NotImplementedError):
         media.decode_wav_samples(bytes(bad))
+
+
+def test_gif_roundtrip_including_lzw_dict_wrap():
+    """encode_gif -> decode_gif_pixels is the identity across geometries,
+    palette sizes (1 color .. 256 colors) and streams long enough to
+    force LZW code-width growth AND the 4096-entry dictionary clear."""
+    rng = np.random.RandomState(13)
+    for h, w, ncol in [(1, 1, 1), (4, 4, 4), (5, 7, 16), (40, 60, 256),
+                       (80, 90, 11)]:
+        pal = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        px = pal[rng.randint(0, ncol, size=(h, w))]
+        got = media.decode_gif_pixels(media.encode_gif(px))
+        assert np.array_equal(got, px), (h, w, ncol)
+
+
+def test_gif_interlaced_and_validation():
+    """Interlaced GIFs deinterlace through the published 4-pass order;
+    malformed payloads classify as corruption."""
+    rng = np.random.RandomState(17)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    px = pal[rng.randint(0, 8, size=(13, 6))]
+    plain = media.encode_gif(px)
+    # rebuild the same image with rows stored in interlace order
+    h = 13
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    inter_px = px[order]
+    inter = bytearray(media.encode_gif(inter_px))
+    # find the image descriptor and set the interlace bit
+    gct_len = 3 * (2 << (inter[10] & 0x07))
+    desc = 13 + gct_len
+    assert inter[desc] == 0x2C
+    inter[desc + 9] |= 0x40
+    got = media.decode_gif_pixels(bytes(inter))
+    assert np.array_equal(got, px)
+    # dispatcher routes GIF; resize keeps the GIF container
+    assert np.array_equal(media.decode_image_pixels(plain), px)
+    small = media._resize_bmp(media.encode_gif(px), 4, 4)
+    assert small[:6] in (b"GIF87a", b"GIF89a")
+    assert media.decode_gif_pixels(small).shape[2] == 3
+    with pytest.raises(ValueError):
+        media.decode_gif_pixels(b"GIF89a" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        media.decode_gif_pixels(plain[:-10])  # truncated LZW stream
