@@ -1,0 +1,569 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) encode + decode, pure NumPy +
+stdlib — the last image codec the media layer stubbed.
+
+Scope (the overwhelmingly common web case):
+- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+  any h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0), multiple
+  DQT/DHT segments, byte stuffing, DRI/RSTn restart markers.
+- encode: 4:4:4 (no subsampling), quality-scaled Annex K quantization
+  tables, the Annex K typical Huffman tables, JFIF APP0.
+- progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+  modes raise NotImplementedError — declared unsupported, not
+  corruption; malformed streams raise ValueError.
+
+Everything here is the published standard: quantization and Huffman
+tables from T.81 Annex K, the IDCT is the textbook separable DCT-III,
+color transform per JFIF 1.02. Entropy decode is a Python bit loop —
+correctness-first (sidecar thumbnails are small); a corpus-scale decode
+swaps a C codec behind the same decode_image_pixels dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- T.81 Annex K tables ---------------------------------------------------
+
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# zigzag order: ZIGZAG[k] = raster index of the k-th zigzag coefficient
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K typical Huffman tables: (bits[1..16] counts, symbol values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# --- DCT -------------------------------------------------------------------
+
+_DCT_T = np.zeros((8, 8))
+for _i in range(8):
+    _c = np.sqrt(0.125) if _i == 0 else 0.5
+    for _j in range(8):
+        _DCT_T[_i, _j] = _c * np.cos((2 * _j + 1) * _i * np.pi / 16.0)
+
+
+def fdct_block(block: np.ndarray) -> np.ndarray:
+    """Forward 8x8 DCT-II (level-shifted input expected)."""
+    return _DCT_T @ block @ _DCT_T.T
+
+
+def idct_block(coef: np.ndarray) -> np.ndarray:
+    """Inverse 8x8 DCT (DCT-III), the exact transpose pair of fdct."""
+    return _DCT_T.T @ coef @ _DCT_T
+
+
+def quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's published quality scaling of an Annex K table."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+# --- Huffman ----------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical T.81 assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()
+    }
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a signed coefficient, T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy stream truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is None:
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            else:  # a real marker terminates the segment
+                self.marker = nxt
+                raise _MarkerHit()
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+    def skip_marker(self) -> int:
+        """Consume a pending RSTn marker; returns the marker byte."""
+        m = self.marker
+        self.marker = None
+        self.pos += 2  # the FF + marker byte
+        return m if m is not None else -1
+
+
+class _MarkerHit(Exception):
+    pass
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+# --- Encoder ----------------------------------------------------------------
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) grayscale) → baseline JFIF JPEG,
+    4:4:4, Annex K tables scaled by ``quality``."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        comps = [pixels.astype(np.float64) - 128.0]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y - 128.0, cb - 128.0, cr - 128.0]
+    qly = quality_scale(QUANT_LUMA, quality)
+    qlc = quality_scale(QUANT_CHROMA, quality)
+    qtabs = [qly] + ([qlc, qlc] if not gray else [])
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+    )
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
+    )
+
+    bw = _BitWriter()
+    dc_pred = [0] * len(comps)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for c in comps:
+        p = np.zeros((bh * 8, bwid * 8))
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]  # edge replicate
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, c in enumerate(padded):
+                block = c[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = fdct_block(block)
+                q = qtabs[ci].reshape(8, 8)
+                zz = np.round(coef / q).astype(np.int64).reshape(-1)[ZIGZAG]
+                diff = int(zz[0]) - dc_pred[ci]
+                dc_pred[ci] = int(zz[0])
+                size, bits = _magnitude(diff)
+                code, ln = dc_codes[ci][size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[ci][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, ln = ac_codes[ci][(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[ci][0x00]  # EOB
+                    bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qly.reshape(-1)[ZIGZAG].tolist()))
+    if not gray:
+        out += seg(
+            0xDB, bytes([0x01]) + bytes(qlc.reshape(-1)[ZIGZAG].tolist())
+        )
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    )
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    )
+    out += seg(
+        0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    )
+    if not gray:
+        out += seg(
+            0xC4, bytes([0x01] + DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        )
+        out += seg(
+            0xC4, bytes([0x11] + AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+        )
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- Decoder ----------------------------------------------------------------
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) uint8 RGB (grayscale replicated).
+    Supports SOF0 8-bit, sampling factors ≤ 2, DRI/RSTn. Progressive /
+    arithmetic / 12-bit raise NotImplementedError."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("JPEG: truncated segment")
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(
+                    body[o + 1 : o + 65], dtype=np.uint8
+                ).astype(np.int64)
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = zz
+                qtabs[tq] = tab.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                cnt = sum(bits)
+                vals = list(body[o + 17 : o + 17 + cnt])
+                htabs[(tc, th)] = _build_decode_map(bits, vals)
+                o += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential decodes"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si : 3 + 2 * si]
+                comp = next(
+                    c for c in frame["comps"] if c["id"] == cs
+                )
+                scan.append(
+                    {"c": comp, "dc": tda >> 4, "ac": tda & 0x0F}
+                )
+            return _decode_scan(
+                payload,
+                pos + 2 + seglen,
+                frame,
+                scan,
+                qtabs,
+                htabs,
+                restart_interval,
+            )
+        elif marker == 0xD9:
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
+    fh, fw, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        raise NotImplementedError("JPEG sampling factors beyond 2 unsupported")
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        for c in comps
+    }
+    br = _BitReader(data, pos)
+    dc_pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.byte_align()
+                # expect an RSTn in the stream: skim to it
+                while True:
+                    try:
+                        br._fill()
+                        br.byte_align()
+                    except _MarkerHit:
+                        m = br.skip_marker()
+                        if not (0xD0 <= m <= 0xD7):
+                            raise ValueError("JPEG: expected RST marker")
+                        break
+                    except ValueError:
+                        raise
+                dc_pred = {c["id"]: 0 for c in comps}
+            for s in scan:
+                c = s["c"]
+                q = qtabs.get(c["tq"])
+                if q is None:
+                    raise ValueError("JPEG: missing quant table")
+                dct = htabs.get((0, s["dc"]))
+                act = htabs.get((1, s["ac"]))
+                if dct is None or act is None:
+                    raise ValueError("JPEG: missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        try:
+                            zz = _decode_block(br, dct, act)
+                        except _MarkerHit:
+                            raise ValueError(
+                                "JPEG: marker inside entropy block"
+                            )
+                        dc_pred[c["id"]] += int(zz[0])
+                        zz[0] = dc_pred[c["id"]]
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
+                        px = idct_block(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br, dct, act):
+    zz = np.zeros(64, dtype=np.int64)
+    size = _decode_symbol(br, dct)
+    zz[0] = _extend(br.read_bits(size), size) if size else 0
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(br, act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63 or size == 0:
+            raise ValueError("JPEG: AC coefficient index overflow")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return zz

@@ -7,8 +7,10 @@ scanline filters via stdlib zlib — `decode_png_pixels`), GIF87a/89a
 (real variable-width LZW + 4-pass deinterlace — `decode_gif_pixels`),
 16-bit PCM / G.711 μ-law / IMA ADPCM RIFF/WAV (`decode_audio`), and
 multi-frame RIFF/AVI with uncompressed 'DIB ' video frames
-(`decode_avi_frames`), all from their published format layouts.
-Lossy-transform formats (JPEG/WebP/MP3/...) still raise
+(`decode_avi_frames`), plus baseline JPEG (SOF0 — full Huffman
+entropy decode, dequant, IDCT, 4:2:0/4:2:2 upsampling, restart markers;
+`operators/jpeg.py`), all from their published format layouts.
+The remaining lossy formats (WebP/MP3/progressive JPEG/...) raise
 ``NotImplementedError`` — those require PIL/librosa, which are not in this
 container; swapping them in changes only the inner per-format branch. The
 synthetic media table (`media_table_from_docs`) emits VALID BMP/WAV
@@ -102,12 +104,11 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     (H, W, 3) uint8 array. Compressed/other-depth variants raise
     NotImplementedError (PIL territory); malformed bytes raise ValueError."""
     if len(payload) < 2 or payload[:2] != b"BM":
-        if payload[:3] == b"\xff\xd8\xff" or (  # any JPEG (JFIF/EXIF/raw)
-            payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
-        ):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             raise NotImplementedError(
-                "JPEG/WebP require PIL/opencv — not in this container; "
-                "BMP and PNG decode natively (decode_image_pixels)"
+                "WebP requires PIL/opencv — not in this container; BMP, "
+                "PNG, GIF and baseline JPEG decode natively "
+                "(decode_image_pixels)"
             )
         raise ValueError("not a BMP payload")
     if len(payload) < 54:
@@ -610,6 +611,10 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from pdf_parser_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     return decode_bmp_pixels(payload)
 
 
@@ -1126,6 +1131,7 @@ def _resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
     through untouched (the JPEG path is PIL's job)."""
     is_png = payload[: len(_PNG_SIG)] == _PNG_SIG
     is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
+    is_jpg = payload[:3] == b"\xff\xd8\xff"
     try:
         px = decode_image_pixels(payload)
     except Exception:
@@ -1142,6 +1148,10 @@ def _resize_bmp(payload: bytes, max_w: int, max_h: int) -> bytes:
         return encode_png(out)
     if is_gif:
         return encode_gif(out)
+    if is_jpg:
+        from pdf_parser_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(out)
     return encode_bmp(out)
 
 

@@ -329,14 +329,12 @@ def test_real_decode_bmp_wav_roundtrip():
 
 
 def test_real_decode_rejects_compressed_and_garbage():
-    # PNG now DECODES natively; a signature followed by garbage is
-    # corruption (ValueError), not a missing codec
+    # PNG and JPEG now DECODE natively; a signature followed by garbage
+    # is corruption (ValueError), not a missing codec
     with pytest.raises(ValueError):
         media.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
-    # ANY JPEG variant (JFIF e0, EXIF e1, raw db) is missing-codec, not
-    # corruption — strict mode must report it as NotImplementedError
     for marker in (b"\xe0", b"\xe1", b"\xdb"):
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             media.decode_image(b"\xff\xd8\xff" + marker + b"\x00" * 64)
     with pytest.raises(ValueError):
         media.decode_image(b"garbage")
