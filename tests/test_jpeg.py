@@ -246,3 +246,75 @@ def test_jpeg_flows_through_media_kernels():
     small = media._resize_bmp(jp, 8, 8)
     assert small[:3] == b"\xff\xd8\xff"
     assert jpeg.decode_jpeg_pixels(small).shape == (8, 8, 3)
+
+
+# --- hypothesis property fuzz: lossless codecs are the identity on ----
+# arbitrary pixel arrays; the JPEG pair respects its own bounds ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _rgb_images(draw, max_side=24):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    data = draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rgb_images())
+def test_png_identity_fuzz(px):
+    assert np.array_equal(media.decode_png_pixels(media.encode_png(px)), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rgb_images(max_side=16), st.integers(1, 8))
+def test_gif_identity_fuzz(px, ncol):
+    """Quantize the random image to <=2^ncol colors (GIF's palette
+    contract), then the codec pair must be the identity."""
+    q = (px >> (8 - min(ncol, 8))) << (8 - min(ncol, 8))
+    flat = q.reshape(-1, 3)
+    colors = np.unique(flat, axis=0)
+    if len(colors) > 256:
+        colors = colors[:256]
+        # snap leftover pixels to the first color
+        keep = {tuple(c) for c in colors}
+        flat = np.array(
+            [c if tuple(c) in keep else colors[0] for c in flat],
+            dtype=np.uint8,
+        )
+        q = flat.reshape(q.shape)
+    assert np.array_equal(media.decode_gif_pixels(media.encode_gif(q)), q)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_rgb_images(max_side=16), st.integers(10, 95))
+def test_jpeg_roundtrip_fuzz_never_crashes_and_bounded(px, quality):
+    """JPEG is lossy but must (a) roundtrip without error on ANY input,
+    (b) keep output shape/dtype, (c) reproduce a uniform image of the
+    mean within the quant table's DC step."""
+    dec = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(px, quality))
+    assert dec.shape == px.shape and dec.dtype == np.uint8
+    uni = np.full_like(px, int(px.mean()))
+    dec_u = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(uni, quality))
+    dc_step = int(jpeg.quality_scale(jpeg.QUANT_LUMA, quality)[0])
+    assert int(np.abs(dec_u.astype(int) - uni.astype(int)).max()) <= max(
+        2, dc_step
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=80))
+def test_codec_garbage_classification_fuzz(data):
+    """Arbitrary bytes with a codec signature prepended must raise
+    ValueError or NotImplementedError — never decode garbage, never
+    crash with an unrelated exception, never hang."""
+    for sig in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff\xe0", b"BM"):
+        try:
+            media.decode_image_pixels(sig + data)
+        except (ValueError, NotImplementedError):
+            pass
