@@ -1,0 +1,105 @@
+"""Plan the next driver-window rotation.
+
+The correctness driver checks the FIRST 50 entries of the QUERIES
+registry. Each round those slots go to queries with no prior driver row
+(VERDICT r02/r03 policy), chosen family-first. This tool reports the
+current state and proposes the next window:
+
+    PYTHONPATH=. python tools/plan_window.py [N]
+
+- reads every CORRECTNESS_r*.json for the driver-green union,
+- groups the never-checked tail by the operator module(s) each query
+  touches (same heuristic the round-4 rotation used),
+- proposes N (default 50) entries: first one per under-represented
+  family, then round-robin across families by tail size.
+
+Output is a proposal to apply by reordering the QUERIES dict in
+pdf_parser_spark/queries.py — deliberately NOT automated: the dict
+carries hand-written window comments, and the rotation deserves eyes.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import re
+import sys
+
+MODULES = [
+    "analytics", "asof", "contamination", "crawl", "curation", "dedup",
+    "enrich", "explode", "gates", "geo", "graph", "layout", "linkage",
+    "media", "queue", "rangejoin", "similarity", "sketches", "skew",
+    "textqc", "webextract", "warc", "htmlparse", "urls", "tokens",
+    "geodesic", "coords", "dates", "bucketed", "maintenance", "corpus",
+    "streaming", "kernel", "pipeline", "jpeg",
+]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    driver: set[str] = set()
+    rounds = sorted(glob.glob("CORRECTNESS_r*.json"))
+    for path in rounds:
+        driver |= set(json.load(open(path)))
+
+    src = open("pdf_parser_spark/queries.py").read()
+    tree = ast.parse(src)
+    funcs = {
+        node.name: ast.get_source_segment(src, node)
+        for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name.startswith("q_")
+    }
+    m = re.search(r"QUERIES: dict.*?=\s*\{(.*?)\n\}", src, re.S)
+    entries = re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1))
+
+    def fams(name: str) -> list[str]:
+        body = funcs.get("q_" + name, "")
+        return [mod for mod in MODULES if re.search(r"\b" + mod + r"\.", body)]
+
+    never = [e for e in entries if e not in driver]
+    print(f"registry: {len(entries)}  driver-green union: {len(driver)}  "
+          f"never-checked: {len(never)}  (rounds read: {len(rounds)})")
+
+    by_fam: dict[str, list[str]] = {}
+    for q in never:
+        fs = fams(q) or ["inline"]
+        by_fam.setdefault(fs[0], []).append(q)
+
+    # family driver coverage (how many driver-green queries touch it)
+    covered: dict[str, int] = {mod: 0 for mod in MODULES}
+    for q in entries:
+        if q in driver:
+            for mod in fams(q):
+                covered[mod] += 1
+
+    print("\nnever-checked tail by family (driver-green count in parens):")
+    for fam in sorted(by_fam, key=lambda f: covered.get(f, 0)):
+        qs = by_fam[fam]
+        print(f"  {fam} ({covered.get(fam, 0)}): {len(qs)} -> "
+              f"{', '.join(qs[:6])}{' ...' if len(qs) > 6 else ''}")
+
+    # proposal: one from each family ordered by (coverage, tail size),
+    # then round-robin the remainder
+    fams_order = sorted(by_fam, key=lambda f: (covered.get(f, 0), -len(by_fam[f])))
+    proposal: list[str] = []
+    idx = {f: 0 for f in fams_order}
+    while len(proposal) < min(n, len(never)):
+        progressed = False
+        for f in fams_order:
+            if len(proposal) >= n:
+                break
+            if idx[f] < len(by_fam[f]):
+                proposal.append(by_fam[f][idx[f]])
+                idx[f] += 1
+                progressed = True
+        if not progressed:
+            break
+    print(f"\nproposed next window ({len(proposal)}):")
+    for q in proposal:
+        print(f'    "{q}": q_{q},')
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
