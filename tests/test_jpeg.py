@@ -318,3 +318,57 @@ def test_codec_garbage_classification_fuzz(data):
             media.decode_image_pixels(sig + data)
         except (ValueError, NotImplementedError):
             pass
+
+
+def _png_chunk(tag, body):
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def _raw_png(w, h, ctype, raw, split_idat=1):
+    """Hand-build a PNG with arbitrary color type and IDAT splitting."""
+    import zlib
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    )
+    comp = zlib.compress(raw)
+    step = max(1, len(comp) // split_idat)
+    idats = b"".join(
+        _png_chunk(b"IDAT", comp[i : i + step])
+        for i in range(0, len(comp), step)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_grayscale_rgba_and_multi_idat():
+    """Color types 0 (gray) and 6 (RGBA) decode — gray replicates to 3
+    channels, RGBA drops alpha — and IDAT data split across many chunks
+    (a layout our one-IDAT encoder never writes) concatenates."""
+    rng = np.random.RandomState(23)
+    # grayscale 5x7
+    g = rng.randint(0, 256, size=(5, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(5))
+    out = media.decode_png_pixels(_raw_png(7, 5, 0, raw))
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(out[:, :, 1], g) and np.array_equal(out[:, :, 2], g)
+    # RGBA 4x6: RGB must survive, alpha dropped
+    rgba = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    out = media.decode_png_pixels(_raw_png(6, 4, 6, raw, split_idat=5))
+    assert np.array_equal(out, rgba[:, :, :3])
+    # palette PNG (color type 3) is declared unsupported, not corruption
+    with pytest.raises(NotImplementedError):
+        media.decode_png_pixels(_raw_png(2, 2, 3, b"\x00\x00\x00" * 2))
