@@ -404,16 +404,71 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     )
 
 
-def decode_gif_pixels(payload: bytes) -> np.ndarray:
-    """Fully-validated REAL decode of the FIRST frame of a GIF87a/89a →
-    (H, W, 3) uint8 RGB: screen/image descriptors, global+local color
-    tables, extension-block skip, real variable-width LZW, Adam-style
-    4-pass deinterlace. Malformed bytes raise ValueError."""
+def encode_gif_animated(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """Multi-frame GIF89a writer: one global color table built over the
+    distinct colors of ALL frames (≤256), a NETSCAPE loop block, and per
+    frame a graphics-control extension (disposal=do-not-dispose) + a
+    full-screen image with real LZW. Frames are (N, H, W, 3) uint8."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    flat = frames.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF encode: more than 256 distinct colors")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    min_code = max(2, bits)
+    inv = inv.reshape(n, h * w)
+    out = bytearray(
+        b"GIF89a"
+        + int(w).to_bytes(2, "little")
+        + int(h).to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])
+        + table.tobytes()
+    )
+    out += (  # NETSCAPE 2.0 infinite loop
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    )
+    for f in range(n):
+        out += bytes([0x21, 0xF9, 4, 0x04, delay_cs & 0xFF, delay_cs >> 8,
+                      0, 0])  # disposal=1 (keep), no transparency
+        lzw = _lzw_encode([int(i) for i in inv[f]], min_code)
+        sub = b"".join(
+            bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += (
+            b"\x2c"
+            + bytes(4)
+            + int(w).to_bytes(2, "little")
+            + int(h).to_bytes(2, "little")
+            + b"\x00"
+            + bytes([min_code])
+            + sub
+            + b"\x00"
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> np.ndarray:
+    """Fully-validated REAL decode of a GIF87a/89a → (N, H, W, 3) uint8
+    RGB frames composited on the logical screen: screen/image
+    descriptors with (left, top) sub-rect placement, global+local color
+    tables, graphics-control transparency, disposal methods 0-3
+    (none/keep/restore-background/restore-previous), real variable-width
+    LZW, Adam-style 4-pass deinterlace. Animated GIF frames feed the
+    same fingerprint/scene-cut kernels as AVI frames. Malformed bytes
+    raise ValueError."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
     packed = payload[10]
+    bg_index = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -424,16 +479,33 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
         if len(gct) != n:
             raise ValueError("truncated GIF global color table")
         pos += 3 * n
+    if sw <= 0 or sh <= 0:
+        raise ValueError("degenerate GIF screen dimensions")
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct) else
+        np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
             pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                gce = payload[pos + 1 : pos + 5]
+                disposal = (gce[0] >> 2) & 0x07
+                transparent = gce[3] if gce[0] & 0x01 else None
             while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(payload):
                 raise ValueError("truncated GIF image descriptor")
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
             ipacked = payload[pos + 9]
@@ -447,8 +519,8 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                 pos += 3 * n
             if table is None:
                 raise ValueError("GIF image with no color table")
-            if w <= 0 or h <= 0:
-                raise ValueError("degenerate GIF dimensions")
+            if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+                raise ValueError("GIF image rect outside the screen")
             min_code = payload[pos]
             pos += 1
             data = bytearray()
@@ -456,12 +528,13 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                 ln = payload[pos]
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = np.array(
                 _lzw_decode(bytes(data), min_code, w * h), dtype=np.int64
             )
             if idx.max(initial=0) >= len(table):
                 raise ValueError("GIF pixel index outside color table")
-            px = table[idx].reshape(h, w, 3)
+            idx = idx.reshape(h, w)
             if ipacked & 0x40:  # interlaced: 4-pass row shuffle
                 order = np.concatenate(
                     [
@@ -471,15 +544,41 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                         np.arange(1, h, 2),
                     ]
                 )
-                out = np.zeros_like(px)
-                out[order] = px
-                px = out
-            return px.copy()
+                out = np.zeros_like(idx)
+                out[order] = idx
+                idx = out
+            prior = canvas.copy()
+            region = canvas[top : top + h, left : left + w]
+            px = table[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = px[mask]
+            else:
+                region[:] = px
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return np.stack(frames)
+            # disposal applies AFTER the frame is shown
+            if disposal == 2:  # restore background in the frame's rect
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3:  # restore previous canvas
+                canvas = prior
+            transparent = None
+            disposal = 0
+            continue
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames)
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """First composited frame of a GIF → (H, W, 3) uint8 RGB (the image
+    dispatcher's entry; `decode_gif_frames` yields the full animation)."""
+    return decode_gif_frames(payload, max_frames=1)[0]
 
 
 def _u32(n: int) -> bytes:

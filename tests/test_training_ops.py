@@ -1778,3 +1778,54 @@ def test_gif_interlaced_and_validation():
         media.decode_gif_pixels(b"GIF89a" + b"\x00" * 4)
     with pytest.raises(ValueError):
         media.decode_gif_pixels(plain[:-10])  # truncated LZW stream
+
+
+def test_gif_animated_roundtrip_and_compositing():
+    """Multi-frame GIF: encode->decode is the identity per frame; a
+    hand-built sub-rect second frame composites onto the canvas; GCE
+    transparency keeps underlying pixels; disposal=2 restores the
+    background region before the next frame."""
+    rng = np.random.RandomState(29)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = pal[rng.randint(0, 16, size=(4, 10, 12))]
+    got = media.decode_gif_frames(media.encode_gif_animated(frames))
+    assert got.shape == frames.shape
+    assert np.array_equal(got, frames)
+    # first-frame dispatcher path agrees
+    assert np.array_equal(
+        media.decode_gif_pixels(media.encode_gif_animated(frames)),
+        frames[0],
+    )
+
+    # hand-build: full frame, then a 2x3 sub-rect at (left=4, top=2)
+    # with one transparent index and disposal=restore-background
+    base = media.encode_gif(frames[0])
+    gct_len = 3 * (2 << (base[10] & 0x07))
+    head = base[: 13 + gct_len]
+    body = bytearray(base[13 + gct_len : -1])  # image block, minus trailer
+    sub_idx = np.array([[1, 2, 3], [3, 0, 1]], dtype=np.int64)
+    lzw = media._lzw_encode([int(i) for i in sub_idx.reshape(-1)], 4)
+    gce = bytes([0x21, 0xF9, 4, (2 << 2) | 0x01, 0, 0, 0, 0])  # disp=2, transp idx 0
+    img = (
+        b"\x2c"
+        + (4).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + b"\x00" + bytes([4]) + bytes([len(lzw)]) + lzw + b"\x00"
+    )
+    payload = bytes(head) + bytes(body) + gce + img + b"\x3b"
+    out = media.decode_gif_frames(payload)
+    assert out.shape[0] == 2
+    f2 = out[1]
+    # outside the sub-rect: unchanged from frame 1
+    assert np.array_equal(f2[:2], out[0][:2])
+    # inside: non-transparent indices take the palette color,
+    # transparent index 0 keeps the underlying frame-1 pixel
+    table = np.frombuffer(base[13 : 13 + gct_len], dtype=np.uint8).reshape(-1, 3)
+    for dy in range(2):
+        for dx in range(3):
+            want = (
+                out[0][2 + dy, 4 + dx]
+                if sub_idx[dy, dx] == 0
+                else table[sub_idx[dy, dx]]
+            )
+            assert np.array_equal(f2[2 + dy, 4 + dx], want), (dy, dx)
