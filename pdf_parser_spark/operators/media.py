@@ -1139,7 +1139,12 @@ def ahash_from_pixels(px: np.ndarray, grid: int = 8) -> int:
     s = px[yi][:, xi].sum(axis=2)  # grid×grid channel sums
     total = int(s.sum())
     bits = (s * (grid * grid) > total).flatten()
-    return int(sum(1 << i for i, b in enumerate(bits) if b))
+    v = int(sum(1 << i for i, b in enumerate(bits) if b))
+    # SIGNED int64 representation: at grid=8 bit 63 exists, and Python's
+    # arbitrary-precision sum would overflow the LongType schema /
+    # pandas int64 (crash found by the animated-GIF kernel test). Two's-
+    # complement wrap keeps XOR/bit_count Hamming algebra bit-identical.
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 AHASH_SCHEMA = T.StructType(
@@ -1408,11 +1413,22 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 )
 
 
+def decode_video_frames(payload: bytes) -> np.ndarray:
+    """Format-dispatching multi-frame decode → (N, H, W, 3) uint8:
+    RIFF/AVI by magic, animated GIF by magic — one entry point so every
+    frame-level kernel (sampling, scene cuts, cross-modal near-dup)
+    consumes any native video container."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_frames(payload)
+    return decode_avi_frames(payload)
+
+
 def media_video_frames(
     media_df: DataFrame, stride: int = 1, grid: int = 8, strict: bool = False
 ) -> DataFrame:
-    """Video frame-sampling over the REAL AVI decode: every ``stride``-th
-    frame of each payload is decoded and fingerprinted — the per-frame
+    """Video frame-sampling over the REAL multi-frame decode (AVI or
+    animated GIF — ``decode_video_frames``): every ``stride``-th frame
+    of each payload is decoded and fingerprinted — the per-frame
     primitive keyframe extraction, scene-cut detection, and frame-level
     near-dup all consume. One row per (media_ref, sampled frame): the
     exact-integer pixel sum and the frame's aHash (ahash_from_pixels —
@@ -1432,7 +1448,7 @@ def media_video_frames(
                 if p is None:
                     continue
                 try:
-                    frames = decode_avi_frames(bytes(p))
+                    frames = decode_video_frames(bytes(p))
                 except Exception:
                     if strict:
                         raise

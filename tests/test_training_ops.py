@@ -1829,3 +1829,27 @@ def test_gif_animated_roundtrip_and_compositing():
                 else table[sub_idx[dy, dx]]
             )
             assert np.array_equal(f2[2 + dy, 4 + dx], want), (dy, dx)
+
+
+def test_video_frames_kernel_consumes_animated_gif(spark):
+    """media_video_frames fingerprints animated-GIF payloads through the
+    same kernel as AVI — identical frames in either container must
+    produce identical (frame_idx, px_sum, ahash) rows."""
+    rng = np.random.RandomState(31)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    frames = pal[rng.randint(0, 8, size=(3, 8, 8))]
+    gif = media.encode_gif_animated(frames)
+    # AVI stores rows bottom-up BGR? encode_avi takes the same (N,H,W,3)
+    avi = media.encode_avi(frames)
+    rows = [
+        ("g-0", "d0", "video", bytearray(gif), 8, 8, 300),
+        ("a-0", "d1", "video", bytearray(avi), 8, 8, 300),
+    ]
+    df = spark.createDataFrame(rows, schema=media.MEDIA_SCHEMA)
+    got = {
+        (r["media_ref"], r["frame_idx"]): (r["px_sum"], r["ahash"])
+        for r in media.media_video_frames(df, strict=True).collect()
+    }
+    assert len(got) == 6
+    for f in range(3):
+        assert got[("g-0", f)] == got[("a-0", f)], f
