@@ -478,6 +478,12 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
         raise NotImplementedError("JPEG sampling factors beyond 2 unsupported")
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    # allocation guard (garbage-fuzz hardening): every MCU consumes at
+    # least 4 bits of entropy data (DC symbol + EOB ≥ 2 bits each), so a
+    # header declaring far more MCUs than the stream could ever encode
+    # is corrupt — reject BEFORE allocating screen-sized planes.
+    if mcux * mcuy > 2 * max(0, len(data) - pos) + 16:
+        raise ValueError("JPEG: declared geometry exceeds entropy data")
     planes = {
         c["id"]: np.zeros(
             (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64

@@ -485,7 +485,12 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> np.ndarr
         gct[bg_index] if gct is not None and bg_index < len(gct) else
         np.zeros(3, dtype=np.uint8)
     )
-    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    # canvas allocation is DEFERRED until the first frame's LZW data has
+    # actually decoded: a garbage header can declare a 65535×65535
+    # screen (~12 GB canvas) and an eager allocation turns a corrupt
+    # 80-byte payload into an OOM grind instead of a fast ValueError
+    # (found by the codec garbage fuzz).
+    canvas: np.ndarray | None = None
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
@@ -547,6 +552,9 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> np.ndarr
                 out = np.zeros_like(idx)
                 out[order] = idx
                 idx = out
+            if canvas is None:
+                canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+                canvas[:] = bg_rgb
             prior = canvas.copy()
             region = canvas[top : top + h, left : left + w]
             px = table[idx]

@@ -372,3 +372,28 @@ def test_png_grayscale_rgba_and_multi_idat():
     # palette PNG (color type 3) is declared unsupported, not corruption
     with pytest.raises(NotImplementedError):
         media.decode_png_pixels(_raw_png(2, 2, 3, b"\x00\x00\x00" * 2))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=80), st.sampled_from([1, 7, 17, 2, 85]))
+def test_wav_garbage_classification_fuzz(data, fmt_code):
+    """RIFF/WAVE container with a declared format code and arbitrary
+    chunk bytes must classify as ValueError (corruption) or
+    NotImplementedError (missing codec) — never decode garbage into a
+    wrong answer silently crash-free, never raise anything else."""
+    body = (
+        b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + fmt_code.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + ({1: 16, 7: 8, 17: 4}.get(fmt_code, 16)).to_bytes(2, "little")
+        + data
+    )
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    try:
+        media.decode_wav_samples(payload)
+    except (ValueError, NotImplementedError):
+        pass
