@@ -1,0 +1,64 @@
+"""Isolated fresh-session re-measure of the driver-run r04 regression
+block (VERDICT r04 "Next round" #3) — the BENCH/NOISE.md method:
+
+    PYTHONPATH=. python tools/adjudicate_block.py [reps]
+
+One fresh SparkSession on local[32] at sf0.1, one warm-up execution,
+then best-of-N (default 3) per flagged query, nothing else running on
+the host. Run the script twice (two sessions) and record both in
+BENCH/NOISE.md against the r03 historical bests.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+FLAGGED = {
+    # query: r03 best (the historical best the driver-run r04 regressed vs)
+    "points_near_sites": 0.244,
+    "min_cost_supplier": 1.078,
+    "fix_encoding_triage": 0.327,
+    "large_quantity_orders": 0.536,
+    "priority_return_orders": 0.377,
+    "blame_suppliers": 1.708,
+    "access_log_parse": 0.540,
+    "hrw_shard_stability": 0.254,
+    "value_mode_per_type": 0.247,
+    "native_session_windows": 0.305,
+}
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from pdf_parser_spark.queries import QUERIES
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", app_name="adjudicate_block")
+    # warm-up: JIT + python worker pool, excluded from timings
+    QUERIES["points_near_sites"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out = {}
+    for name, r03_best in FLAGGED.items():
+        fn = QUERIES[name]
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        best = min(runs)
+        out[name] = {"raw": runs, "best": best, "r03_best": r03_best,
+                     "ratio": round(best / r03_best, 2)}
+        print(f"{name}: raw {runs} -> {best} s  (r03 {r03_best}, "
+              f"{best / r03_best:.2f}x)", flush=True)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
