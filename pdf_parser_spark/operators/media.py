@@ -1545,3 +1545,185 @@ def vad_segments(
         "energy",
         "peak",
     )
+
+
+# --- Codec roundtrip evidence kernels (round 5) -----------------------------
+# The round-4 codecs (PNG, GIF incl. animated, baseline JPEG, G.711
+# mu-law, IMA ADPCM) were pytest-pinned only; these kernels make them
+# driver-visible: the SOURCE content is derived in Catalyst from md5 hex
+# chars (SQL-recomputable), the kernel encodes it with the ENGINE'S OWN
+# encoder, decodes it with the ENGINE'S OWN decoder, and emits integer
+# stats of the DECODED data — the DuckDB oracle recomputes the same
+# stats from the source definition, so a single flipped bit anywhere in
+# the entropy coder, filters, LZW, DCT or companding breaks the value
+# hash. Lossless codecs roundtrip arbitrary bytes; the lossy ones run at
+# FIXED POINTS of their quantizers (verified exhaustively in tests):
+# JPEG on constant 8x8 tiles with v = 65 + 3*hexval at quality 90
+# (Q00 = 3: the DC quantizer divides 8*(v-128) exactly, all ACs are 0),
+# mu-law on the G.711 decode levels of the source bytes.
+
+CODEC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("px_min", T.LongType(), False),
+        T.StructField("px_max", T.LongType(), False),
+        T.StructField("wsum", T.LongType(), False),
+    ]
+)
+
+
+def _frame_stats(dec: np.ndarray) -> tuple[int, int, int, int]:
+    """(px_sum, px_min, px_max, wsum) over one decoded (H, W, 3) frame;
+    wsum weights each byte by ((i*31 + j*7 + c*13) % 101) — position-
+    sensitive, so a transposed/shifted decode cannot hash-match."""
+    h, w, _ = dec.shape
+    wgt = (
+        np.arange(h, dtype=np.int64)[:, None, None] * 31
+        + np.arange(w, dtype=np.int64)[None, :, None] * 7
+        + np.arange(3, dtype=np.int64)[None, None, :] * 13
+    ) % 101
+    d = dec.astype(np.int64)
+    return int(d.sum()), int(d.min()), int(d.max()), int((d * wgt).sum())
+
+
+def codec_roundtrip_stats(src_df: DataFrame) -> DataFrame:
+    """mapInPandas: (media_ref, codec, body) → decoded-frame stats after
+    an encode→decode roundtrip through the engine's own image codecs.
+
+    codec ∈ {png, gif, gif_anim, jpeg}; ``body`` is a string of md5 hex
+    chars. Layouts (all SQL-recomputable):
+      png      192 chars → 8x8 RGB, px[i,j,c] = ascii(body[(i*8+j)*3+c])
+      gif      192 chars → 12x16 gray (16 distinct colors → palette+LZW)
+      gif_anim 192 chars → 3 frames of 8x8 gray (full-screen, keep
+               disposal → composited frame == source frame)
+      jpeg     16 chars → 32x32 RGB of constant 8x8 tiles,
+               v(tile t) = 65 + 3*hexval(body[t]), quality 90 — a fixed
+               point of the quantizer, so decode == source exactly
+    One output row per decoded frame (gif_anim: 3; others: 1)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, codec, body in zip(
+                pdf["media_ref"], pdf["codec"], pdf["body"]
+            ):
+                a = np.frombuffer(body.encode("ascii"), dtype=np.uint8)
+                if codec == "png":
+                    src = a[:192].reshape(8, 8, 3)
+                    frames = decode_png_pixels(encode_png(src))[None]
+                elif codec == "gif":
+                    g = a[:192].reshape(12, 16)
+                    src = np.repeat(g[:, :, None], 3, axis=2)
+                    frames = decode_gif_pixels(encode_gif(src))[None]
+                elif codec == "gif_anim":
+                    g = a[:192].reshape(3, 8, 8)
+                    src = np.repeat(g[:, :, :, None], 3, axis=3)
+                    frames = decode_gif_frames(encode_gif_animated(src))
+                elif codec == "jpeg":
+                    from pdf_parser_spark.operators.jpeg import (
+                        decode_jpeg_pixels,
+                        encode_jpeg,
+                    )
+
+                    hv = np.array(
+                        [int(ch, 16) for ch in body[:16]], dtype=np.uint8
+                    )
+                    tiles = (65 + 3 * hv).reshape(4, 4)
+                    g = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                    src = np.repeat(g[:, :, None], 3, axis=2)
+                    frames = decode_jpeg_pixels(
+                        encode_jpeg(src, quality=90)
+                    )[None]
+                else:
+                    raise ValueError(f"unknown codec {codec!r}")
+                for fi, dec in enumerate(frames):
+                    s, lo, hi, ws = _frame_stats(dec)
+                    rows.append(
+                        (ref, codec, fi, dec.shape[1], dec.shape[0],
+                         s, lo, hi, ws)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in CODEC_STATS_SCHEMA]
+                )
+
+    return src_df.mapInPandas(run, schema=CODEC_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("s_sum", T.LongType(), False),
+        T.StructField("s_min", T.LongType(), False),
+        T.StructField("s_max", T.LongType(), False),
+        T.StructField("wsum", T.LongType(), False),
+    ]
+)
+
+
+def audio_codec_stats(src_df: DataFrame, roundtrip_ulaw: bool = False) -> DataFrame:
+    """mapInPandas audio-codec evidence kernel → per-row decoded-sample
+    stats (wsum = Σ s_k * (k+1), order-sensitive).
+
+    roundtrip_ulaw=False: rows carry a ``payload`` binary (a complete
+    RIFF/WAV — e.g. the Catalyst-built IMA ADPCM payload) decoded by the
+    real chunk-walking ``decode_wav_samples``.
+    roundtrip_ulaw=True: rows carry a ``body`` string; its ASCII bytes
+    are G.711 code points whose decode levels are the sample source —
+    the kernel runs levels → ``encode_wav_compressed('ulaw')`` →
+    ``decode_wav_samples``, driving the engine's mu-law ENCODER and
+    DECODER end to end (an exact roundtrip: the levels are fixed points
+    of the companding quantizer)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            if roundtrip_ulaw:
+                srcs = [
+                    (ref, None, body)
+                    for ref, body in zip(pdf["media_ref"], pdf["body"])
+                ]
+            else:
+                srcs = [
+                    (ref, p, None)
+                    for ref, p in zip(pdf["media_ref"], pdf["payload"])
+                ]
+            for ref, payload, body in srcs:
+                if body is not None:
+                    levels = ulaw_decode_bytes(body.encode("ascii"))
+                    payload = encode_wav_compressed(levels, codec="ulaw")
+                s = decode_wav_samples(bytes(payload))
+                k = np.arange(len(s), dtype=np.int64) + 1
+                rows.append(
+                    (ref, len(s), int(s.sum()), int(s.min()),
+                     int(s.max()), int((s * k).sum()))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in AUDIO_STATS_SCHEMA]
+                )
+
+    return src_df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+# Catalyst-buildable compressed-WAV prefixes: fixed RIFF/fmt(/fact)/data
+# headers for a 24-byte mono 8 kHz payload. The mu-law one fronts 24 raw
+# G.711 bytes; the ADPCM one already includes the 4-byte block header
+# (predictor 0, step index 0) and fronts 24 nibble-pair bytes → 49
+# samples (fact chunk). Layouts verified byte-for-byte against
+# encode_wav_compressed in tests/test_codec_queries.py.
+ULAW_WAV_PREFIX_24 = bytes.fromhex(
+    "524946463c00000057415645666d7420100000000700010040"
+    "1f0000401f0000010008006461746118000000"
+)
+ADPCM_WAV_PREFIX_24 = bytes.fromhex(
+    "524946465000000057415645666d7420140000001100010040"
+    "1f0000db1100001c000400020031006661637404000000310000"
+    "00646174611c00000000000000"
+)

@@ -1,0 +1,132 @@
+"""Driver-query evidence for the round-4 codecs (VERDICT r04 #2).
+
+Pins the three assumptions the codec oracle queries rest on:
+1. the Catalyst WAV prefix constants reproduce the engine encoder's
+   RIFF layout byte for byte;
+2. the lossy-codec fixed points are EXACT for every value the queries
+   can feed (all 16 JPEG tile values; all 16 mu-law hex-ASCII code
+   points — exhaustively, not just the md5s that happen to occur);
+3. the kernels' decoded-stats match an independent NumPy recompute.
+Plus one end-to-end Spark run per kernel at tiny scale.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark.operators import media as M
+from pdf_parser_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+
+def test_ulaw_wav_prefix_matches_engine_encoder():
+    body = bytes(range(48, 58)) + b"abcdef" * 3  # arbitrary 28? keep 24
+    body = body[:24]
+    levels = M.ulaw_decode_bytes(body)
+    engine = M.encode_wav_compressed(levels, codec="ulaw")
+    assert engine == M.ULAW_WAV_PREFIX_24 + body
+
+
+def test_adpcm_wav_prefix_decodes_like_engine_blocks():
+    # the prefix carries pred=0/index=0 block state; decoding prefix+data
+    # must equal a direct ima_adpcm_decode_data replay of the same block
+    body = hashlib.md5(b"seed").hexdigest()[:24].encode()
+    dec = M.decode_wav_samples(M.ADPCM_WAV_PREFIX_24 + body)
+    ref = M.ima_adpcm_decode_data(b"\x00\x00\x00\x00" + body, 28, 49)
+    assert dec.tolist() == ref.tolist()
+    assert len(dec) == 49 and dec[0] == 0
+
+
+def test_jpeg_fixed_point_exhaustive_all_16_values():
+    # one image containing every tile value 65+3k, plus per-value
+    # constant images (DC prediction chain from 0 in both directions)
+    vals = np.array([65 + 3 * k for k in range(16)], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(4, 4), 8, 0), 8, 1)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_jpeg_pixels(encode_jpeg(rgb, 90)), rgb)
+    for v in vals:
+        one = np.full((8, 8, 3), v, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg_pixels(encode_jpeg(one, 90)), one)
+
+
+def test_ulaw_fixed_point_exhaustive_hex_ascii():
+    bs = bytes(b"0123456789abcdef")
+    levels = M.ulaw_decode_bytes(bs)
+    assert M.ulaw_encode_samples(levels) == bs
+    # and the published bit formula the SQL oracle uses
+    for b, s in zip(bs, levels):
+        u = 255 - b
+        mag = (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+        assert int(s) == (-mag if u >= 128 else mag)
+
+
+def test_frame_stats_weighting_position_sensitive():
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    a[1, 2, 0] = 10
+    b = np.zeros((4, 4, 3), dtype=np.uint8)
+    b[2, 1, 0] = 10  # same sum/min/max, transposed position
+    assert M._frame_stats(a)[0] == M._frame_stats(b)[0]
+    assert M._frame_stats(a)[3] != M._frame_stats(b)[3]
+
+
+@pytest.mark.parametrize("codec,nchars,shape", [
+    ("png", 192, (8, 8)), ("gif", 192, (12, 16)), ("jpeg", 16, (32, 32)),
+])
+def test_codec_roundtrip_kernel_spark(spark, codec, nchars, shape):
+    body = (hashlib.md5(b"x").hexdigest() * 6)[:nchars]
+    src = spark.createDataFrame(
+        [("m0", codec, body)], "media_ref string, codec string, body string"
+    )
+    rows = M.codec_roundtrip_stats(src).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.height, r.width) == shape
+    if codec == "png":
+        px = np.frombuffer(body.encode(), dtype=np.uint8).reshape(8, 8, 3)
+    elif codec == "gif":
+        g = np.frombuffer(body.encode(), dtype=np.uint8).reshape(12, 16)
+        px = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        hv = np.array([int(c, 16) for c in body[:16]], dtype=np.uint8)
+        g = np.repeat(np.repeat((65 + 3 * hv).reshape(4, 4), 8, 0), 8, 1)
+        px = np.repeat(g[:, :, None], 3, axis=2)
+    s, lo, hi, ws = M._frame_stats(px)
+    assert (r.px_sum, r.px_min, r.px_max, r.wsum) == (s, lo, hi, ws)
+
+
+def test_gif_anim_kernel_three_frames(spark):
+    body = (hashlib.md5(b"y").hexdigest() * 6)[:192]
+    src = spark.createDataFrame(
+        [("m0", "gif_anim", body)],
+        "media_ref string, codec string, body string",
+    )
+    rows = sorted(M.codec_roundtrip_stats(src).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    fr = np.frombuffer(body.encode(), dtype=np.uint8).reshape(3, 8, 8)
+    for r, f in zip(rows, fr):
+        px = np.repeat(f[:, :, None], 3, axis=2)
+        s, lo, hi, ws = M._frame_stats(px)
+        assert (r.px_sum, r.px_min, r.px_max, r.wsum) == (s, lo, hi, ws)
+
+
+def test_audio_codec_stats_kernels(spark):
+    body = hashlib.md5(b"z").hexdigest()[:24]
+    src = spark.createDataFrame(
+        [("a0", body)], "media_ref string, body string"
+    )
+    (r,) = M.audio_codec_stats(src, roundtrip_ulaw=True).collect()
+    levels = M.ulaw_decode_bytes(body.encode())
+    k = np.arange(24) + 1
+    assert (r.n_samples, r.s_sum, r.wsum) == (
+        24, int(levels.sum()), int((levels * k).sum())
+    )
+    pay = M.ADPCM_WAV_PREFIX_24 + body.encode()
+    src2 = spark.createDataFrame(
+        [("a1", bytearray(pay))], "media_ref string, payload binary"
+    )
+    (r2,) = M.audio_codec_stats(src2).collect()
+    s = M.decode_wav_samples(pay)
+    assert (r2.n_samples, r2.s_min, r2.s_max) == (
+        49, int(s.min()), int(s.max())
+    )
