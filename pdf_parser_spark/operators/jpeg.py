@@ -1,15 +1,19 @@
 """Baseline JPEG (ITU-T T.81 / JFIF) encode + decode, pure NumPy +
 stdlib — the last image codec the media layer stubbed.
 
-Scope (the overwhelmingly common web case):
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
-  any h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0), multiple
-  DQT/DHT segments, byte stuffing, DRI/RSTn restart markers.
-- encode: 4:4:4 (no subsampling), quality-scaled Annex K quantization
-  tables, the Annex K typical Huffman tables, JFIF APP0.
-- progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-  modes raise NotImplementedError — declared unsupported, not
-  corruption; malformed streams raise ValueError.
+Scope (the overwhelmingly common web cases):
+- decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2 — spectral selection + successive approximation, DC/AC
+  first and refinement scans, EOB-run codes, T.81 Annex G), 8-bit,
+  grayscale or YCbCr, any h/v sampling factors ≤ 2 (4:4:4, 4:2:2,
+  4:2:0), multiple DQT/DHT segments, byte stuffing, DRI/RSTn
+  restart markers.
+- encode: baseline (encode_jpeg) and progressive
+  (encode_jpeg_progressive), 4:4:4, quality-scaled Annex K
+  quantization tables, the Annex K typical Huffman tables, JFIF APP0.
+- arithmetic coding, 12-bit, and hierarchical modes raise
+  NotImplementedError — declared unsupported, not corruption;
+  malformed streams raise ValueError.
 
 Everything here is the published standard: quantization and Huffman
 tables from T.81 Annex K, the IDCT is the textbook separable DCT-III,
@@ -377,9 +381,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB (grayscale replicated).
-    Supports SOF0 8-bit, sampling factors ≤ 2, DRI/RSTn. Progressive /
-    arithmetic / 12-bit raise NotImplementedError."""
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG → (H, W, 3)
+    uint8 RGB (grayscale replicated). 8-bit, sampling factors ≤ 2,
+    DRI/RSTn. Arithmetic-coded / 12-bit / hierarchical raise
+    NotImplementedError."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -388,6 +393,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    prog_state = None
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -421,7 +427,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + cnt])
                 htabs[(tc, th)] = _build_decode_map(bits, vals)
                 o += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -434,11 +440,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential decodes"
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential and "
+                "progressive (SOF0/SOF1/SOF2) decode"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -455,18 +463,31 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 scan.append(
                     {"c": comp, "dc": tda >> 4, "ac": tda & 0x0F}
                 )
-            return _decode_scan(
-                payload,
-                pos + 2 + seglen,
-                frame,
-                scan,
-                qtabs,
-                htabs,
-                restart_interval,
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    payload,
+                    pos + 2 + seglen,
+                    frame,
+                    scan,
+                    qtabs,
+                    htabs,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _prog_alloc(frame, len(payload))
+            pos = _decode_scan_progressive(
+                payload, pos + 2 + seglen, frame, scan,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                htabs, restart_interval, prog_state,
             )
+            continue
         elif marker == 0xD9:
             break
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and prog_state is not None:
+        return _prog_reconstruct(frame, prog_state, qtabs)
     raise ValueError("JPEG contains no scan")
 
 
@@ -573,3 +594,497 @@ def _decode_block(br, dct, act):
         zz[k] = _extend(br.read_bits(size), size)
         k += 1
     return zz
+
+
+# --- Progressive JPEG (SOF2) ------------------------------------------------
+# Spectral selection + successive approximation, T.81 Annex G: the
+# decoder accumulates per-component dequantized-domain COEFFICIENT
+# arrays across any number of scans (DC first/refine, AC first/refine
+# with EOB-run codes), then runs the shared dequant+IDCT reconstruction.
+# The encoder emits the common libjpeg-style scan script (DC Al=1 →
+# per-component AC bands → successive-approximation refinements down to
+# Al=0) using the Annex K Huffman tables; it never emits EOBn runs
+# longer than 1 (EOB1 is always legal and Annex K has no EOBn>1
+# symbols) and emits ZRL eagerly at each 16th zero so correction-bit
+# flushes align bit-for-bit with the figure-G.7 decoder walk. Entropy
+# semantics are identical to baseline; progressive changes only the
+# coefficient TRANSMISSION ORDER, so progressive encode → progressive
+# decode equals baseline encode → baseline decode exactly — pinned in
+# tests/test_jpeg_progressive.py.
+
+
+def _strunc(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.1): sign-magnitude truncation,
+    |v| >> al with sign preserved (NOT arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _quantized_blocks(pixels: np.ndarray, quality: int):
+    """(H,W,3) RGB or (H,W) gray → per-component zigzag-ordered
+    quantized coefficient arrays, the exact arithmetic of the baseline
+    encoder (shared fdct + quality-scaled Annex K tables)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        comps = [pixels.astype(np.float64) - 128.0]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y - 128.0, cb - 128.0, cr - 128.0]
+    qly = quality_scale(QUANT_LUMA, quality)
+    qlc = quality_scale(QUANT_CHROMA, quality)
+    qtabs = [qly] + ([qlc, qlc] if not gray else [])
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    out = []
+    for ci, c in enumerate(comps):
+        p = np.zeros((bh * 8, bwid * 8))
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        zz = np.zeros((bh, bwid, 64), dtype=np.int64)
+        q = qtabs[ci].reshape(8, 8)
+        for by in range(bh):
+            for bx in range(bwid):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = fdct_block(block)
+                zz[by, bx] = np.round(coef / q).astype(np.int64).reshape(-1)[
+                    ZIGZAG
+                ]
+        out.append(zz)
+    return out, gray, qly, qlc
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) gray) → progressive JFIF JPEG
+    (SOF2), 4:4:4, Annex K tables: DC scan at Al=1 + DC refinement, per-
+    component spectral-selection AC scans with successive approximation
+    refined down to Al=0. Coefficients are identical to encode_jpeg's,
+    only their transmission order differs."""
+    zzs, gray, qly, qlc = _quantized_blocks(pixels, quality)
+    h, w = pixels.shape[:2]
+    ncomp = 1 if gray else 3
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+    )
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qly.reshape(-1)[ZIGZAG].tolist()))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qlc.reshape(-1)[ZIGZAG].tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    )
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    out += seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if not gray:
+        out += seg(0xC4, bytes([0x01] + DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        out += seg(0xC4, bytes([0x11] + AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            ci = cid - 1
+            body += bytes([cid, ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        bh_, bw_ = zzs[0].shape[:2]
+        for by in range(bh_):
+            for bx in range(bw_):
+                for ci in range(ncomp):
+                    v = int(zzs[ci][by, bx, 0]) >> al  # arithmetic shift (spec)
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size, bits = _magnitude(diff)
+                    code, ln = dc_codes[ci][size]
+                    bw.write(code, ln)
+                    if size:
+                        bw.write(bits, size)
+        return bw.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        bh_, bw_ = zzs[0].shape[:2]
+        for by in range(bh_):
+            for bx in range(bw_):
+                for ci in range(ncomp):
+                    bw.write((int(zzs[ci][by, bx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        codes = ac_codes[ci]
+        for by in range(zzs[ci].shape[0]):
+            for bx in range(zzs[ci].shape[1]):
+                blk = zzs[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = _strunc(int(blk[k]), al)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, ln = codes[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    code, ln = codes[0x00]  # EOB1
+                    bw.write(code, ln)
+        return bw.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # figure G.7 with EOB1-only runs and EAGER ZRL: the moment a 16th
+        # zero-history coefficient accumulates, ZRL + the corrections
+        # buffered among exactly those 16 zeros are flushed — so the
+        # decoder's advance walk consumes precisely the flushed bits.
+        bw = _BitWriter()
+        codes = ac_codes[ci]
+        ah = al + 1
+        for by in range(zzs[ci].shape[0]):
+            for bx in range(zzs[ci].shape[1]):
+                blk = zzs[ci][by, bx]
+                run = 0
+                corr: list[int] = []
+                for k in range(ss, se + 1):
+                    av = abs(int(blk[k])) >> al
+                    if (abs(int(blk[k])) >> ah) != 0:  # history nonzero
+                        corr.append(av & 1)
+                        continue
+                    if av == 0:
+                        run += 1
+                        if run == 16:
+                            code, ln = codes[0xF0]
+                            bw.write(code, ln)
+                            for bit in corr:
+                                bw.write(bit, 1)
+                            corr = []
+                            run = 0
+                        continue
+                    # newly nonzero at this precision: |v| is exactly 1
+                    code, ln = codes[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for bit in corr:
+                        bw.write(bit, 1)
+                    corr = []
+                    run = 0
+                if run or corr:
+                    code, ln = codes[0x00]  # EOB1
+                    bw.write(code, ln)
+                    for bit in corr:
+                        bw.write(bit, 1)
+        return bw.flush()
+
+    # libjpeg-style scan script, refined to Al=0 everywhere
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    out += dc_first_scan(1)
+    if gray:
+        ac_plan = [(0, 1, 5, 0, 2), (0, 6, 63, 0, 2)]
+        refine_plan = [(0, 1, 63, 2, 1), (0, 1, 63, 1, 0)]
+    else:
+        ac_plan = [
+            (0, 1, 5, 0, 2), (2, 1, 63, 0, 1), (1, 1, 63, 0, 1),
+            (0, 6, 63, 0, 2),
+        ]
+        refine_plan = [
+            (0, 1, 63, 2, 1), (0, 1, 63, 1, 0),
+            (2, 1, 63, 1, 0), (1, 1, 63, 1, 0),
+        ]
+    for ci, ss, se, ah, al in ac_plan:
+        out += sos_header([ci + 1], ss, se, ah, al)
+        out += ac_first_scan(ci, ss, se, al)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    out += dc_refine_scan(0)
+    for ci, ss, se, ah, al in refine_plan:
+        out += sos_header([ci + 1], ss, se, ah, al)
+        out += ac_refine_scan(ci, ss, se, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- Progressive decode machinery (T.81 Annex G, figure G.2/G.7 walks) ------
+
+
+def _prog_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        raise NotImplementedError("JPEG sampling factors beyond 2 unsupported")
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_alloc(frame, payload_len: int):
+    """Per-component zigzag-order coefficient planes on the PADDED
+    (MCU-covering) block grid, persisted across scans."""
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    # allocation guard (same corrupt-geometry defense as baseline): each
+    # block needs >= 1 bit of entropy data in SOME scan
+    if mcux * mcuy > 2 * payload_len + 16:
+        raise ValueError("JPEG: declared geometry exceeds entropy data")
+    return {
+        c["id"]: np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+        )
+        for c in frame["comps"]
+    }
+
+
+def _comp_true_grid(frame, c) -> tuple[int, int]:
+    """Non-interleaved scans cover only the component's TRUE block grid
+    (T.81 A.2.2), not the MCU-padded one."""
+    hmax, vmax, _, _ = _prog_geometry(frame)
+    cols = (frame["w"] * c["h"] + hmax - 1) // hmax
+    rows = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (rows + 7) // 8, (cols + 7) // 8
+
+
+def _expect_rst(br: "_BitReader") -> None:
+    br.byte_align()
+    while True:
+        try:
+            br._fill()
+            br.byte_align()
+        except _MarkerHit:
+            m = br.skip_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError("JPEG: expected RST marker")
+            return
+
+
+def _skim_to_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker (0xFF + non-stuffing byte) at or
+    after ``pos`` — the walk resumes there after a progressive scan."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("JPEG: entropy stream ends without a marker")
+
+
+def _decode_scan_progressive(
+    data, pos, frame, scan, ss, se, ah, al, htabs, ri, coeffs
+):
+    """One progressive scan → accumulate into ``coeffs``; returns the
+    payload position of the next marker."""
+    br = _BitReader(data, pos)
+    eobrun = [0]
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG: DC scan with Se != 0")
+            _prog_dc_scan(br, frame, scan, ah, al, ri, coeffs, htabs)
+        else:
+            if len(scan) != 1:
+                raise ValueError("JPEG: interleaved AC scan")
+            _prog_ac_scan(br, frame, scan[0], ss, se, ah, al, ri,
+                          coeffs, htabs, eobrun)
+    except _MarkerHit:
+        raise ValueError("JPEG: marker inside progressive scan data")
+    if br.marker is not None:  # stopped exactly at a marker boundary
+        return br.pos
+    return _skim_to_marker(data, br.pos)
+
+
+def _prog_dc_scan(br, frame, scan, ah, al, ri, coeffs, htabs):
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    interleaved = len(scan) > 1
+    if ah == 0:
+        for s in scan:
+            if htabs.get((0, s["dc"])) is None:
+                raise ValueError("JPEG: missing DC Huffman table")
+    htabs_local = {s["c"]["id"]: htabs.get((0, s["dc"])) for s in scan}
+    preds = {s["c"]["id"]: 0 for s in scan}
+    unit = 0
+    if interleaved:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and unit and unit % ri == 0:
+                    _expect_rst(br)
+                    preds = {k: 0 for k in preds}
+                for s in scan:
+                    c = s["c"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coeffs[c["id"]][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ]
+                            _dc_unit(br, blk, htabs_local[c["id"]],
+                                     preds, c["id"], ah, al)
+                unit += 1
+    else:
+        c = scan[0]["c"]
+        rows, cols = _comp_true_grid(frame, c)
+        for by in range(rows):
+            for bx in range(cols):
+                if ri and unit and unit % ri == 0:
+                    _expect_rst(br)
+                    preds = {k: 0 for k in preds}
+                _dc_unit(br, coeffs[c["id"]][by, bx],
+                         htabs_local[c["id"]], preds, c["id"], ah, al)
+                unit += 1
+
+
+def _dc_unit(br, blk, dct, preds, cid, ah, al):
+    if ah == 0:  # first scan: Huffman-coded diffs in the >>Al domain
+        size = _decode_symbol(br, dct)
+        diff = _extend(br.read_bits(size), size) if size else 0
+        preds[cid] += diff
+        blk[0] = preds[cid] << al
+    else:  # refinement: one raw bit
+        if br.read_bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_scan(br, frame, s, ss, se, ah, al, ri, coeffs, htabs, eobrun):
+    c = s["c"]
+    act = htabs.get((1, s["ac"]))
+    if act is None:
+        raise ValueError("JPEG: missing AC Huffman table")
+    rows, cols = _comp_true_grid(frame, c)
+    unit = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if ri and unit and unit % ri == 0:
+                _expect_rst(br)
+                eobrun[0] = 0
+            blk = coeffs[c["id"]][by, bx]
+            if ah == 0:
+                _ac_first_block(br, blk, ss, se, al, act, eobrun)
+            else:
+                _ac_refine_block(br, blk, ss, se, al, act, eobrun)
+            unit += 1
+
+
+def _ac_first_block(br, blk, ss, se, al, act, eobrun):
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _decode_symbol(br, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1
+            if r:
+                eobrun[0] += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow in progressive scan")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(br, blk, ss, se, al, act, eobrun):
+    # T.81 figure G.7 / jdphuff walk: corrections are read the moment a
+    # nonzero-history coefficient is passed, runs count only zero-history
+    # positions, and --r < 0 at a zero is the landing site of a new
+    # coefficient (or the 16th zero of a ZRL).
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            sym = _decode_symbol(br, act)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("JPEG: refinement size > 1")
+                val = p1 if br.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += br.read_bits(r)
+                    break
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0:
+                if br.read_bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _prog_reconstruct(frame, coeffs, qtabs):
+    """All scans consumed: dequantize + IDCT every block, then the same
+    upsample/color-convert tail as the baseline path."""
+    fh, fw, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        q = qtabs.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG: missing quant table")
+        zz = coeffs[c["id"]]
+        bh, bw = zz.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        qz = q.reshape(-1)[ZIGZAG]
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zz[by, bx] * qz
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct_block(coef.reshape(8, 8)) + 128.0
+                )
+        planes[c["id"]] = plane
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

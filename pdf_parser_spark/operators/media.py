@@ -7,10 +7,11 @@ scanline filters via stdlib zlib — `decode_png_pixels`), GIF87a/89a
 (real variable-width LZW + 4-pass deinterlace — `decode_gif_pixels`),
 16-bit PCM / G.711 μ-law / IMA ADPCM RIFF/WAV (`decode_audio`), and
 multi-frame RIFF/AVI with uncompressed 'DIB ' video frames
-(`decode_avi_frames`), plus baseline JPEG (SOF0 — full Huffman
-entropy decode, dequant, IDCT, 4:2:0/4:2:2 upsampling, restart markers;
-`operators/jpeg.py`), all from their published format layouts.
-The remaining lossy formats (WebP/MP3/progressive JPEG/...) raise
+(`decode_avi_frames`), plus baseline AND progressive JPEG (SOF0/SOF2 —
+full Huffman entropy decode incl. spectral-selection/successive-
+approximation scans, dequant, IDCT, 4:2:0/4:2:2 upsampling, restart
+markers; `operators/jpeg.py`), all from their published format layouts.
+The remaining lossy formats (WebP/MP3/...) raise
 ``NotImplementedError`` — those require PIL/librosa, which are not in this
 container; swapping them in changes only the inner per-format branch. The
 synthetic media table (`media_table_from_docs`) emits VALID BMP/WAV
@@ -1624,10 +1625,11 @@ def codec_roundtrip_stats(src_df: DataFrame) -> DataFrame:
                     g = a[:192].reshape(3, 8, 8)
                     src = np.repeat(g[:, :, :, None], 3, axis=3)
                     frames = decode_gif_frames(encode_gif_animated(src))
-                elif codec == "jpeg":
+                elif codec in ("jpeg", "jpeg_prog"):
                     from pdf_parser_spark.operators.jpeg import (
                         decode_jpeg_pixels,
                         encode_jpeg,
+                        encode_jpeg_progressive,
                     )
 
                     hv = np.array(
@@ -1636,9 +1638,12 @@ def codec_roundtrip_stats(src_df: DataFrame) -> DataFrame:
                     tiles = (65 + 3 * hv).reshape(4, 4)
                     g = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
                     src = np.repeat(g[:, :, None], 3, axis=2)
-                    frames = decode_jpeg_pixels(
-                        encode_jpeg(src, quality=90)
-                    )[None]
+                    enc = (
+                        encode_jpeg_progressive
+                        if codec == "jpeg_prog"
+                        else encode_jpeg
+                    )
+                    frames = decode_jpeg_pixels(enc(src, quality=90))[None]
                 else:
                     raise ValueError(f"unknown codec {codec!r}")
                 for fi, dec in enumerate(frames):

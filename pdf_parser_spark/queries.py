@@ -21575,6 +21575,47 @@ FROM v
 """
 
 
+def q_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2) under the driver: the same fixed-point
+    tile construction as jpeg_fixedpoint_roundtrip, but through
+    encode_jpeg_progressive (DC Al=1 scan + spectral-selection AC scans
+    + successive-approximation refinements) and the multi-scan
+    coefficient-accumulating decoder — decoded == source exactly, so the
+    baseline oracle shape carries over verbatim."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    src = _codec_src(spark, sf_dir, "jpp", "jpeg_prog", 16, 1)
+    return _codec_stats_select(media_ops.codec_roundtrip_stats(src))
+
+
+def sql_jpeg_progressive_roundtrip() -> str:
+    return """
+WITH s AS (
+  SELECT 'jpp-' || CAST(doc_id AS VARCHAR) AS media_ref,
+         substr(md5('jpp-' || CAST(doc_id AS VARCHAR)), 1, 16) AS body
+  FROM documents WHERE doc_id % 4 = 0
+), v AS (
+  SELECT media_ref,
+    list_transform(generate_series(0, 15), t -> 65 + 3 * (
+      CASE WHEN ascii(substr(body, t + 1, 1)) <= 57
+           THEN ascii(substr(body, t + 1, 1)) - 48
+           ELSE ascii(substr(body, t + 1, 1)) - 87 END)) AS tv
+  FROM s
+)
+SELECT media_ref, 'jpeg_prog' AS codec,
+  CAST(0 AS BIGINT) AS frame_idx, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+  CAST(192 * list_sum(tv) AS BIGINT) AS px_sum,
+  CAST(list_min(tv) AS BIGINT) AS px_min,
+  CAST(list_max(tv) AS BIGINT) AS px_max,
+  CAST(list_sum(list_transform(generate_series(0, 15), t -> tv[t + 1] *
+    list_sum(list_transform(generate_series(0, 191), q ->
+      (((t // 4) * 8 + q // 24) * 31
+       + ((t % 4) * 8 + (q % 24) // 3) * 7
+       + (q % 3) * 13) % 101)))) AS BIGINT) AS wsum
+FROM v
+"""
+
+
 def q_ulaw_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 mu-law ENCODER + DECODER under the driver: the 24 source
     samples are the G.711 decode levels of md5 ASCII bytes (fixed points
@@ -21766,6 +21807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_roundtrip_stats": q_gif_roundtrip_stats,
     "gif_animated_frames": q_gif_animated_frames,
     "jpeg_fixedpoint_roundtrip": q_jpeg_fixedpoint_roundtrip,
+    "jpeg_progressive_roundtrip": q_jpeg_progressive_roundtrip,
     "ulaw_roundtrip_stats": q_ulaw_roundtrip_stats,
     "adpcm_wav_decode": q_adpcm_wav_decode,
     "source_triage": q_source_triage,
@@ -22156,6 +22198,7 @@ ORACLES: dict[str, str] = {
     "gif_roundtrip_stats": sql_gif_roundtrip_stats(),
     "gif_animated_frames": sql_gif_animated_frames(),
     "jpeg_fixedpoint_roundtrip": sql_jpeg_fixedpoint_roundtrip(),
+    "jpeg_progressive_roundtrip": sql_jpeg_progressive_roundtrip(),
     "ulaw_roundtrip_stats": sql_ulaw_roundtrip_stats(),
     "adpcm_wav_decode": sql_adpcm_wav_decode(),
     "rolling_fingerprints": sql_rolling_fingerprints(),

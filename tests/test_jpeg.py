@@ -214,14 +214,19 @@ def test_roundtrip_exactness_and_psnr():
 
 
 def test_unsupported_and_malformed_classification():
-    # progressive (SOF2) is a missing mode, not corruption
+    # progressive (SOF2) now DECODES — a header-only stream with no
+    # scan is corruption, not a missing mode
     payload = (
         b"\xff\xd8"
         + _dqt_flat16(0)
         + _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg_pixels(payload)
+    # arithmetic-coded sequential (SOF9) stays a missing mode
+    payload9 = b"\xff\xd8" + _seg(0xC9, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg_pixels(payload9)
     # 12-bit precision likewise
     payload12 = b"\xff\xd8" + _seg(0xC0, bytes([12, 0, 8, 0, 8, 1, 1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
