@@ -519,6 +519,52 @@ def measure_skew_stress(spark) -> dict[str, list[float]]:
     return out
 
 
+def measure_bitext_scale(spark) -> dict[str, list[float]]:
+    """VERDICT r04 #4: the IVF bitext miner's scale story measured end
+    to end at a config where pruning bites. Y (1600 vectors) is
+    materialized ONCE as a 64-cell partitioned IVF index (build+write
+    excluded — it amortizes across mining batches); X is a 400-vector
+    incremental batch. `bitext_exact_batch` scores every (x, y) pair;
+    `bitext_ivf_pruned_batch` probes nprobe=6 of 64 cells (~9% scored
+    fraction) and the index scan partition-prunes to the probed cells
+    (PartitionFilters — pinned in tests/test_plans.py and shown in
+    PLANS.md). Best-of-3 each, identical margin semantics."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    x = emb.where(F.col("vec_id") % 5 == 0).localCheckpoint()
+    y = emb.where(F.col("vec_id") % 5 != 0)
+    cents = similarity.kmeans_centroids(y, n_centroids=64, iters=2)
+    idx = tempfile.mkdtemp(prefix="bench_bitext_ivf_")
+    try:
+        similarity.write_ivf_index(y, cents, idx)
+        out: dict[str, list[float]] = {}
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            similarity.bitext_margin_pairs(x, y, k=4, threshold=1.0).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        out["bitext_exact_batch"] = runs
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            similarity.bitext_margin_pairs_ivf_pruned(
+                spark, x, idx, cents, k=4, nprobe=6, threshold=1.0
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        out["bitext_ivf_pruned_batch"] = runs
+        return out
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def run_suite() -> dict:
     from pdf_parser_spark.queries import QUERIES
     from pdf_parser_spark.session import get_spark
@@ -560,6 +606,11 @@ def run_suite() -> dict:
     # must time flat (VERDICT r03 #5; tests/test_skew_stress.py is the
     # correctness half)
     for name, runs in measure_skew_stress(spark).items():
+        timings[name] = min(runs)
+        raw[name] = runs
+
+    # IVF bitext scale story (VERDICT r04 #4): exact vs partition-pruned
+    for name, runs in measure_bitext_scale(spark).items():
         timings[name] = min(runs)
         raw[name] = runs
 

@@ -1484,6 +1484,15 @@ def bitext_margin_pairs_ivf(
         "y_id",
         F.round(cosine(F.col("_xv"), F.col("_yv")), 6).alias("cosine"),
     )
+    return _margin_filter(scored, k, threshold)
+
+
+def _margin_filter(scored: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Shared ratio-margin tail of the bitext miners: NNk neighborhood
+    means over the candidate frame (DECIMAL(16,6) sums, id-ranked ties),
+    margin = cosine / mean, thresholded, deterministically ordered."""
+    from pyspark.sql import Window
+
     dec = F.col("cosine").cast("decimal(16,6)")
     wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), F.asc("y_id"))
     wxa = Window.partitionBy("x_id")
@@ -1515,6 +1524,82 @@ def bitext_margin_pairs_ivf(
         .select("x_id", "y_id", "cosine", "margin")
     )
     return out.orderBy(F.desc("margin"), F.asc("x_id"), F.asc("y_id"))
+
+
+def bitext_margin_pairs_ivf_pruned(
+    spark,
+    x: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    k: int = 4,
+    nprobe: int = 2,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The INCREMENTAL-BATCH form of the IVF bitext cascade: X is a
+    bounded batch (today's new documents / a query slice), Y is the
+    corpus materialized as a cell-partitioned IVF index
+    (``write_ivf_index``). The batch's probed-cell set is collected
+    (≤ n_centroids ints — a k-bounded driver action) and pushed into the
+    index scan as a LITERAL partition filter, so the Y read touches only
+    the probed cells' directories (`PartitionFilters` in the plan,
+    pinned by tests/test_plans.py::test_bitext_ivf_pruned_scan). At
+    100 TB with C=4096 cells and nprobe=8 a daily mining batch reads
+    ~0.2% of the index instead of all of it — the read-volume story the
+    in-plan variant (``bitext_margin_pairs_ivf``) cannot express because
+    its probe set is computed inside the same job.
+
+    Same margin semantics as the other miners (shared ``_margin_filter``
+    tail); candidates still come from ONE equi-join on cell."""
+    qv = F.col(vec_col).cast("array<double>")
+    dist_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            qv,
+                            F.array(*[F.lit(float(c)) for c in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda s, v: s + v,
+                    ).alias("dist"),
+                    F.lit(i).cast("int").alias("cell"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+    )
+    # the batch is bounded by contract, so its probe assignment (an
+    # interpreted |C|-centroid HOF per row — the one expensive X-side
+    # expression) is materialized ONCE via localCheckpoint and reused by
+    # both the probed-cell collect and the mining join; without this the
+    # explode re-evaluates the full centroid distance array per output
+    # row (measured 2.4x on the bench config)
+    probes = x.select(
+        F.col(id_col).alias("x_id"),
+        qv.alias("_xv"),
+        F.explode(F.slice(dist_cells, 1, nprobe).getField("cell")).alias("cell"),
+    ).localCheckpoint()
+    # bounded collect: at most n_centroids distinct ints
+    cells = [int(r["cell"]) for r in probes.select("cell").distinct().collect()]
+    yc = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(id_col).alias("y_id"),
+            F.col(vec_col).cast("array<double>").alias("_yv"),
+            "cell",
+        )
+    )
+    scored = probes.join(yc, "cell").select(
+        "x_id",
+        "y_id",
+        F.round(cosine(F.col("_xv"), F.col("_yv")), 6).alias("cosine"),
+    )
+    return _margin_filter(scored, k, threshold)
 
 
 def random_projection(

@@ -1853,3 +1853,44 @@ def test_video_frames_kernel_consumes_animated_gif(spark):
     assert len(got) == 6
     for f in range(3):
         assert got[("g-0", f)] == got[("a-0", f)], f
+
+
+def test_bitext_ivf_pruned_recall_on_clustered_corpus(spark, tmp_path):
+    """VERDICT r04 #4: on a corpus where IVF's assumption holds (real
+    embedding spaces are clustered — the synthetic near-random testdata
+    is the worst case, where recall ~ probed fraction), the pruned-index
+    cascade must recover nearly all exact-miner pairs while scoring only
+    ~nprobe/C of the corpus. Deterministic Gaussian blobs around 8 well-
+    separated centers; recall pinned >= 0.9 at nprobe=2/8."""
+    import numpy as np
+
+    from pdf_parser_spark.operators import similarity
+
+    rng = np.random.default_rng(123)
+    centers = rng.normal(0.0, 1.0, (8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.normal(0.0, 0.08, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = emb.where(emb.vec_id % 5 == 0)
+    y = emb.where(emb.vec_id % 5 != 0)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=3)
+    idx = str(tmp_path / "blob_ivf_index")
+    similarity.write_ivf_index(y, cents, idx)
+    exact = {
+        (r.x_id, r.y_id)
+        for r in similarity.bitext_margin_pairs(
+            x, y, k=4, threshold=1.0
+        ).collect()
+    }
+    # prune the X rows out of the indexed Y side by id
+    pruned = similarity.bitext_margin_pairs_ivf_pruned(
+        spark, x, idx, cents, k=4, nprobe=2, threshold=1.0
+    )
+    got = {(r.x_id, r.y_id) for r in pruned.collect()}
+    assert exact, "exact miner found no pairs — test corpus degenerate"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"pruned IVF recall too low: {recall:.3f}"
