@@ -21745,11 +21745,65 @@ FROM walk GROUP BY ref
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- ROUND-4 DRIVER WINDOW (first 50): never driver-checked in
-    # r01/r02/r03, chosen one-per-operator-family first so every
-    # operator module gains a driver-green representative (VERDICT
-    # r03 #1); includes the r04 additions (VERDICT #4/#5/#6 and the
-    # streaming batch twins) ----
+    # ---- ROUND-5 DRIVER WINDOW (first 50): never driver-checked in
+    # r01-r04, family round-robin via tools/plan_window.py, with ALL
+    # SEVEN new codec-roundtrip queries included (VERDICT r04 #2/#5:
+    # PNG, GIF, animated GIF, baseline + progressive JPEG, mu-law,
+    # ADPCM — the round-4/5 codecs' first driver-visible evidence) ----
+    "png_roundtrip_stats": q_png_roundtrip_stats,
+    "gapped_event_pairs": q_gapped_event_pairs,
+    "media_caption_link": q_media_caption_link,
+    "bloom_prefiltered_revenue": q_bloom_prefiltered_revenue,
+    "anchor_topk_per_host": q_anchor_topk_per_host,
+    "host_hits": q_host_hits,
+    "html_table_cells": q_html_table_cells,
+    "profile_documents": q_profile_documents,
+    "embedding_int8_codes": q_embedding_int8_codes,
+    "source_triage": q_source_triage,
+    "fuzzy_vocab_match": q_fuzzy_vocab_match,
+    "phrase_hits": q_phrase_hits,
+    "gif_roundtrip_stats": q_gif_roundtrip_stats,
+    "span_integrity_audit": q_span_integrity_audit,
+    "recrawl_priority": q_recrawl_priority,
+    "host_link_prediction": q_host_link_prediction,
+    "link_scheme_screen": q_link_scheme_screen,
+    "activity_islands": q_activity_islands,
+    "ann_recall_eval": q_ann_recall_eval,
+    "pps_sample_docs": q_pps_sample_docs,
+    "sentence_segments": q_sentence_segments,
+    "word_entropy_stats": q_word_entropy_stats,
+    "gif_animated_frames": q_gif_animated_frames,
+    "html_link_hosts": q_html_link_hosts,
+    "user_value_trend": q_user_value_trend,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "packing_efficiency": q_packing_efficiency,
+    "containment_pairs": q_containment_pairs,
+    "accent_folded_digests": q_accent_folded_digests,
+    "jpeg_fixedpoint_roundtrip": q_jpeg_fixedpoint_roundtrip,
+    "html_anchor_topk": q_html_anchor_topk,
+    "doc_length_outliers": q_doc_length_outliers,
+    "embedding_drift_matrix": q_embedding_drift_matrix,
+    "sliding_chunks": q_sliding_chunks,
+    "lexical_richness": q_lexical_richness,
+    "gopher_top_ngrams": q_gopher_top_ngrams,
+    "jpeg_progressive_roundtrip": q_jpeg_progressive_roundtrip,
+    "sitemap_recrawl": q_sitemap_recrawl,
+    "skyline_orders": q_skyline_orders,
+    "hard_negative_mining": q_hard_negative_mining,
+    "source_divergence": q_source_divergence,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "script_mix_stats": q_script_mix_stats,
+    "ulaw_roundtrip_stats": q_ulaw_roundtrip_stats,
+    "quality_auc": q_quality_auc,
+    "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
+    "chunk_retrieval_topk": q_chunk_retrieval_topk,
+    "heavy_hitter_words": q_heavy_hitter_words,
+    "zipf_fit": q_zipf_fit,
+    "adpcm_wav_decode": q_adpcm_wav_decode,
+    # ---- entries 51+ (outside the driver window) ----
+    # driver-green union from r01-r04 plus the remaining never-checked
+    # tail (each value-checked by the local gate at sf0.001/0.01/0.1,
+    # queued for future windows):
     "extract_pipeline_e2e": q_extract_pipeline_e2e,
     "bitext_margin_pairs_ivf": q_bitext_margin_pairs_ivf,
     "bitext_margin_pairs": q_bitext_margin_pairs,
@@ -21800,43 +21854,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_scores": q_dsir_scores,
     "source_kfold_assign": q_source_kfold_assign,
     "hash_to_min_clusters": q_hash_to_min_clusters,
-    # ---- entries 51+ (outside the driver window) ----
-    # never-checked remainder, queued for the round-5 window; every
-    # entry is value-checked by the local gate at sf0.001/0.01/0.1:
-    "png_roundtrip_stats": q_png_roundtrip_stats,
-    "gif_roundtrip_stats": q_gif_roundtrip_stats,
-    "gif_animated_frames": q_gif_animated_frames,
-    "jpeg_fixedpoint_roundtrip": q_jpeg_fixedpoint_roundtrip,
-    "jpeg_progressive_roundtrip": q_jpeg_progressive_roundtrip,
-    "ulaw_roundtrip_stats": q_ulaw_roundtrip_stats,
-    "adpcm_wav_decode": q_adpcm_wav_decode,
-    "source_triage": q_source_triage,
-    "anchor_topk_per_host": q_anchor_topk_per_host,
-    "recrawl_priority": q_recrawl_priority,
-    "html_link_hosts": q_html_link_hosts,
-    "profile_documents": q_profile_documents,
-    "html_anchor_topk": q_html_anchor_topk,
     "shipping_priority": q_shipping_priority,
-    "sitemap_recrawl": q_sitemap_recrawl,
-    "host_hits": q_host_hits,
-    "html_table_cells": q_html_table_cells,
-    "embedding_int8_codes": q_embedding_int8_codes,
     "jsonl_ingest_triage": q_jsonl_ingest_triage,
-    "fuzzy_vocab_match": q_fuzzy_vocab_match,
     "customer_order_counts": q_customer_order_counts,
-    "pps_sample_docs": q_pps_sample_docs,
-    "phrase_hits": q_phrase_hits,
     "min_cost_supplier": q_min_cost_supplier,
     "priority_return_orders": q_priority_return_orders,
     "large_quantity_orders": q_large_quantity_orders,
     "blame_suppliers": q_blame_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
-    "activity_islands": q_activity_islands,
-    "user_value_trend": q_user_value_trend,
-    "packing_efficiency": q_packing_efficiency,
-    "doc_length_outliers": q_doc_length_outliers,
-    "sliding_chunks": q_sliding_chunks,
-    "word_entropy_stats": q_word_entropy_stats,
     "regional_local_revenue": q_regional_local_revenue,
     "nation_market_share": q_nation_market_share,
     "returned_revenue_topk": q_returned_revenue_topk,
@@ -21844,41 +21869,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "supplier_part_counts": q_supplier_part_counts,
     "brand_quantity_revenue": q_brand_quantity_revenue,
-    "source_divergence": q_source_divergence,
-    "accent_folded_digests": q_accent_folded_digests,
-    "chunk_retrieval_topk": q_chunk_retrieval_topk,
-    "sentence_segments": q_sentence_segments,
-    "containment_pairs": q_containment_pairs,
     "forecast_revenue_change": q_forecast_revenue_change,
     "nation_trade_volume": q_nation_trade_volume,
     "product_profit_by_nation": q_product_profit_by_nation,
     "part_revenue_concentration": q_part_revenue_concentration,
     "promotable_suppliers": q_promotable_suppliers,
-    "skyline_orders": q_skyline_orders,
     "benford_digit_audit": q_benford_digit_audit,
     "event_transitions": q_event_transitions,
     "value_deciles": q_value_deciles,
-    "lexical_richness": q_lexical_richness,
-    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
-    "heavy_hitter_words": q_heavy_hitter_words,
     "global_sequence_ids": q_global_sequence_ids,
-    "quality_auc": q_quality_auc,
     "transition_latency_quantiles": q_transition_latency_quantiles,
     "host_error_drift": q_host_error_drift,
     "hrw_shard_stability": q_hrw_shard_stability,
-    "gopher_top_ngrams": q_gopher_top_ngrams,
-    "ann_recall_eval": q_ann_recall_eval,
-    "script_mix_stats": q_script_mix_stats,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "zipf_fit": q_zipf_fit,
     "word_freq_spectrum": q_word_freq_spectrum,
     "classifier_agreement": q_classifier_agreement,
     "host_reputation_decay": q_host_reputation_decay,
     "weighted_sample_docs": q_weighted_sample_docs,
     "source_overlap_matrix": q_source_overlap_matrix,
-    "embedding_drift_matrix": q_embedding_drift_matrix,
     "winsorized_value_stats": q_winsorized_value_stats,
-    "hard_negative_mining": q_hard_negative_mining,
     "token_budget_waterfill": q_token_budget_waterfill,
     "minhash_estimate_error": q_minhash_estimate_error,
     "incremental_rollup_merge": q_incremental_rollup_merge,
@@ -21900,8 +21908,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mwu_lang_doclen": q_mwu_lang_doclen,
     "benford_price": q_benford_price,
     "dehyphenate_docs": q_dehyphenate_docs,
-    "media_caption_link": q_media_caption_link,
-    "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
     "quality_calibration": q_quality_calibration,
     "ht_corpus_estimate": q_ht_corpus_estimate,
     "conformal_quality_gate": q_conformal_quality_gate,
@@ -21921,8 +21927,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_consecutive_events": q_dedup_consecutive_events,
     "matryoshka_recall": q_matryoshka_recall,
     "dp_source_counts": q_dp_source_counts,
-    "span_integrity_audit": q_span_integrity_audit,
-    "bloom_prefiltered_revenue": q_bloom_prefiltered_revenue,
     "oof_priority_encoding": q_oof_priority_encoding,
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "daily_revenue_acf": q_daily_revenue_acf,
@@ -21966,7 +21970,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "secret_leak_rates": q_secret_leak_rates,
     "event_steady_state": q_event_steady_state,
     "cdc_chunk_stats": q_cdc_chunk_stats,
-    "host_link_prediction": q_host_link_prediction,
     "revenue_forecast_mase": q_revenue_forecast_mase,
     "fk_orphan_audit": q_fk_orphan_audit,
     "bag_dup_docs": q_bag_dup_docs,
@@ -21977,7 +21980,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "churn_labels": q_churn_labels,
     "cohort_ltv_curve": q_cohort_ltv_curve,
     "user_data_footprint": q_user_data_footprint,
-    "gapped_event_pairs": q_gapped_event_pairs,
     "csv_dialect_sniff": q_csv_dialect_sniff,
     "order_value_percentile": q_order_value_percentile,
     "settlement_dates": q_settlement_dates,
@@ -22019,7 +22021,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_reconciliation": q_cross_source_reconciliation,
     "revenue_variance_decomposition": q_revenue_variance_decomposition,
     "fiscal_445_rollup": q_fiscal_445_rollup,
-    "link_scheme_screen": q_link_scheme_screen,
     "path_hierarchy_rollup": q_path_hierarchy_rollup,
     "revenue_var_p5": q_revenue_var_p5,
     "source_p90_spread": q_source_p90_spread,
@@ -22027,8 +22028,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "business_hours_share": q_business_hours_share,
     "corpus_release_report": q_corpus_release_report,
     "dedup_savings_ledger": q_dedup_savings_ledger,
-    # driver-green in CORRECTNESS_r01/r02/r03 (see COVERAGE.md
-    # manifest); still value-checked by the local gate:
     "brand_year_pivot": q_brand_year_pivot,
     "moving_avg_value": q_moving_avg_value,
     "buyers_without_returns": q_buyers_without_returns,
