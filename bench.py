@@ -374,6 +374,14 @@ BENCH_QUERIES = [
     "bitext_margin_pairs_ivf",
     "stream_budget_batch_twin",
     "stream_interval_batch_twin",
+    # round-5 codec roundtrip queries (VERDICT r04 #2/#5)
+    "png_roundtrip_stats",
+    "gif_roundtrip_stats",
+    "gif_animated_frames",
+    "jpeg_fixedpoint_roundtrip",
+    "jpeg_progressive_roundtrip",
+    "ulaw_roundtrip_stats",
+    "adpcm_wav_decode",
 ]
 
 
