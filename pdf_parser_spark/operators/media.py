@@ -2,8 +2,9 @@
 metadata, processed by Arrow-batched kernels.
 
 Decode is REAL for the public formats a pure-NumPy parser can handle with
-zero dependencies: 24-bit BI_RGB BMP, 8-bit PNG (full inflate + all five
-scanline filters via stdlib zlib — `decode_png_pixels`), GIF87a/89a
+zero dependencies: 24-bit BI_RGB BMP, full-spec PNG (every core variant:
+gray/RGB/palette/gray+alpha/RGBA at depths 1-16, Adam7 interlacing, all
+five scanline filters via stdlib zlib — `decode_png_pixels`), GIF87a/89a
 (real variable-width LZW + 4-pass deinterlace — `decode_gif_pixels`),
 16-bit PCM / G.711 μ-law / IMA ADPCM RIFF/WAV (`decode_audio`), and
 multi-frame RIFF/AVI with uncompressed 'DIB ' video frames
@@ -139,11 +140,33 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+# Adam7 interlace passes: (row_start, row_step, col_start, col_step)
+_ADAM7 = [
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+]
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def _png_passes(h: int, w: int, interlace: bool):
+    return _ADAM7 if interlace else [(0, 1, 0, 1)]
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal REAL PNG writer (published RFC 2083 layout, zero deps
-    beyond stdlib zlib): 8-bit RGB (color type 2), non-interlaced, one
-    IDAT, filter type 0 on every scanline, correct CRC32s. Pixels are
-    (H, W, 3) uint8 in RGB order."""
+    beyond stdlib zlib): 8-bit RGB (color type 2), one IDAT, filter
+    type 0 on every scanline, correct CRC32s; ``interlace=True`` writes
+    the seven-pass Adam7 layout. Pixels are (H, W, 3) uint8 in RGB order."""
     import zlib
 
     h, w, c = pixels.shape
@@ -151,25 +174,69 @@ def encode_png(pixels: np.ndarray) -> bytes:
     ihdr = (
         int(w).to_bytes(4, "big")
         + int(h).to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no ilace
+        + bytes([8, 2, 0, 0, 1 if interlace else 0])
     )
-    raw = b"".join(
-        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
-    )
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big")
-            + tag
-            + body
-            + zlib.crc32(tag + body).to_bytes(4, "big")
+    raw = b""
+    for r0, rs, c0, cs in _png_passes(h, w, interlace):
+        sub = pixels[r0::rs, c0::cs]
+        if sub.size == 0:
+            continue
+        raw += b"".join(
+            b"\x00" + sub[y].astype(np.uint8).tobytes()
+            for y in range(sub.shape[0])
         )
-
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    pixels: np.ndarray, depth: int = 8, interlace: bool = False
+) -> bytes:
+    """REAL palette (color type 3) PNG writer: PLTE built from the
+    image's distinct colors (≤ 2^depth), indices packed MSB-first at
+    ``depth`` bits per pixel (1/2/4/8), optional Adam7. The web's
+    logo/icon format — the variant a crawl corpus hits constantly."""
+    import zlib
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth} invalid")
+    h, w, c = pixels.shape
+    assert c == 3
+    flat = pixels.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > (1 << depth):
+        raise ValueError(
+            f"palette encode: {len(colors)} colors exceed depth {depth}"
+        )
+    idx = inv.reshape(h, w).astype(np.uint8)
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([depth, 3, 0, 0, 1 if interlace else 0])
+    )
+    raw = b""
+    for r0, rs, c0, cs in _png_passes(h, w, interlace):
+        sub = idx[r0::rs, c0::cs]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            row = sub[y]
+            if depth == 8:
+                packed = row.tobytes()
+            else:
+                bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth :]
+                packed = np.packbits(bits.reshape(-1)).tobytes()
+            raw += b"\x00" + packed
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -215,18 +282,24 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png_pixels(payload: bytes) -> np.ndarray:
-    """Fully-validated REAL decode of an 8-bit non-interlaced PNG (color
-    types 0 gray / 2 RGB / 6 RGBA) → (H, W, 3) uint8 RGB, pure stdlib
-    zlib + NumPy: chunk walk with CRC verification, IDAT concatenation,
-    inflate, all five scanline filters (``_png_unfilter``). Palette /
-    16-bit / interlaced variants raise NotImplementedError; malformed
-    bytes raise ValueError."""
+    """Fully-validated REAL decode of a PNG → (H, W, 3) uint8 RGB, pure
+    stdlib zlib + NumPy: chunk walk with CRC verification, IDAT
+    concatenation, inflate, all five scanline filters
+    (``_png_unfilter``), EVERY core variant of the published spec —
+    color types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette
+    via PLTE, 1/2/4/8), 4 (gray+alpha, 8/16), 6 (RGBA, 8/16), and
+    Adam7 interlacing (each pass filtered independently, merged at the
+    interlace offsets). Sub-byte grays scale linearly to 8 bits; 16-bit
+    samples keep the high byte (the display convention); alpha is
+    dropped (the engine's pixel kernels are RGB). Malformed bytes raise
+    ValueError — no PNG core variant is left unimplemented."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
     idat = b""
     n = len(payload)
     while pos + 8 <= n:
@@ -240,6 +313,10 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = body
+        elif tag == b"PLTE":
+            if clen % 3 or clen == 0 or clen > 768:
+                raise ValueError("PNG PLTE length invalid")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -252,24 +329,60 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     depth, ctype, comp, filt, ilace = ihdr[8:13]
     if comp != 0 or filt != 0:
         raise ValueError("PNG: bad compression/filter method")
-    if ilace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
-    if channels is None or depth != 8:
-        raise NotImplementedError(
-            f"PNG color type {ctype} / depth {depth}: only 8-bit "
-            "gray/RGB/RGBA decode natively"
-        )
+    if ilace > 1:
+        raise ValueError(f"PNG: unknown interlace method {ilace}")
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if ctype not in valid or depth not in valid[ctype]:
+        raise ValueError(f"PNG: invalid color type {ctype} / depth {depth}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
-    stride = w * channels
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for r0, rs, c0, cs in _png_passes(h, w, ilace == 1):
+        ph = len(range(r0, h, rs))
+        pw = len(range(c0, w, cs))
+        if ph == 0 or pw == 0:
+            continue
+        bits_px = channels * depth
+        stride = (pw * bits_px + 7) // 8
+        bpp = max(1, bits_px // 8)
+        need = ph * (stride + 1)
+        sub = raw[off : off + need]
+        off += need
+        if sub.size != need:
+            raise ValueError("PNG pixel data length mismatch")
+        un = _png_unfilter(sub, ph, stride, bpp)
+        if depth == 8:
+            vals = un[:, : pw * channels].reshape(ph, pw, channels)
+        elif depth == 16:
+            vals = un[:, : pw * channels * 2].reshape(ph, pw, channels, 2)[
+                :, :, :, 0
+            ]  # big-endian high byte
+        else:
+            bits = np.unpackbits(un, axis=1)[:, : pw * channels * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (
+                bits.reshape(ph, pw * channels, depth) @ weights
+            ).astype(np.uint8).reshape(ph, pw, channels)
+        samples[r0::rs, c0::cs, :] = vals
+    if off != raw.size:
         raise ValueError("PNG pixel data length mismatch")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
-    if channels == 1:
-        return np.repeat(px, 3, axis=2).copy()
-    return px[:, :, :3].copy()
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image missing PLTE")
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        return plte[idx].copy()
+    if ctype == 0 and depth < 8:
+        maxv = (1 << depth) - 1
+        samples = (samples.astype(np.int32) * 255 // maxv).astype(np.uint8)
+    if channels <= 2:  # gray / gray+alpha -> replicate luminance
+        return np.repeat(samples[:, :, :1], 3, axis=2).copy()
+    return samples[:, :, :3].copy()
 
 
 # --- GIF (GIF87a/89a, published CompuServe spec) — palette images with
@@ -1616,7 +1729,17 @@ def codec_roundtrip_stats(src_df: DataFrame) -> DataFrame:
                 a = np.frombuffer(body.encode("ascii"), dtype=np.uint8)
                 if codec == "png":
                     src = a[:192].reshape(8, 8, 3)
-                    frames = decode_png_pixels(encode_png(src))[None]
+                    # alternate writer path by ref-derived parity: even
+                    # rows take RGB8/filter-0, odd rows take the Adam7-
+                    # INTERLACED PALETTE writer — the decoded stats (and
+                    # so the oracle) are identical, but the driver row
+                    # exercises PLTE + the seven-pass merge on half the
+                    # corpus (round-5 PNG variant coverage)
+                    if int(body[0], 16) % 2:
+                        enc = encode_png_palette(src, depth=8, interlace=True)
+                    else:
+                        enc = encode_png(src)
+                    frames = decode_png_pixels(enc)[None]
                 elif codec == "gif":
                     g = a[:192].reshape(12, 16)
                     src = np.repeat(g[:, :, None], 3, axis=2)

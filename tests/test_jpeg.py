@@ -374,8 +374,9 @@ def test_png_grayscale_rgba_and_multi_idat():
     raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
     out = media.decode_png_pixels(_raw_png(6, 4, 6, raw, split_idat=5))
     assert np.array_equal(out, rgba[:, :, :3])
-    # palette PNG (color type 3) is declared unsupported, not corruption
-    with pytest.raises(NotImplementedError):
+    # palette PNG (color type 3) now DECODES (tests/test_png_variants.py);
+    # one without its mandatory PLTE is corruption
+    with pytest.raises(ValueError):
         media.decode_png_pixels(_raw_png(2, 2, 3, b"\x00\x00\x00" * 2))
 
 

@@ -1623,9 +1623,10 @@ def test_png_validation_and_unsupported():
     bad[-5] ^= 0xFF  # inside IEND CRC
     with pytest.raises(ValueError):
         media.decode_png_pixels(bytes(bad))
-    # interlaced and 16-bit are declared unsupported, not corruption
+    # interlaced now DECODES (tests/test_png_variants.py); an UNKNOWN
+    # interlace method stays corruption
     ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
-        [8, 2, 0, 0, 1]
+        [8, 2, 0, 0, 2]
     )
 
     def chunk(tag, body):
@@ -1637,7 +1638,7 @@ def test_png_validation_and_unsupported():
         )
 
     ilaced = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         media.decode_png_pixels(ilaced)
 
 
