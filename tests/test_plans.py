@@ -1300,3 +1300,20 @@ def test_bitext_ivf_pruned_scan(spark, tmp_path):
         x, emb, cents, k=4, nprobe=2, threshold=1.0
     )
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in want.collect()]
+
+
+@pytest.mark.parametrize("name", [
+    "png_roundtrip_stats", "gif_roundtrip_stats", "gif_animated_frames",
+    "jpeg_fixedpoint_roundtrip", "jpeg_progressive_roundtrip",
+    "ulaw_roundtrip_stats", "adpcm_wav_decode",
+])
+def test_codec_queries_zero_shuffle(spark, name):
+    """The codec roundtrip queries are embarrassingly parallel: one
+    parquet scan (doc_id filter PUSHED DOWN), Catalyst source
+    derivation, one mapInPandas kernel — ZERO Exchange. At 100 TB these
+    run at scan speed with no shuffle barrier."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan, name
+    fmt = _formatted(df)
+    assert "PushedFilters" in fmt
