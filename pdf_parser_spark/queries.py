@@ -21722,7 +21722,13 @@ def q_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline oracle shape carries over verbatim."""
     from pdf_parser_spark.operators import media as media_ops
 
-    src = _codec_src(spark, sf_dir, "jpp", "jpeg_prog", 16, 1)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 16 == 0)
+    ref = F.concat(F.lit("jpp-"), F.col("doc_id").cast("string"))
+    src = d.select(
+        ref.alias("media_ref"),
+        F.lit("jpeg_prog").alias("codec"),
+        F.substring(F.md5(ref), 1, 16).alias("body"),
+    )
     return _codec_stats_select(media_ops.codec_roundtrip_stats(src))
 
 
@@ -21731,7 +21737,7 @@ def sql_jpeg_progressive_roundtrip() -> str:
 WITH s AS (
   SELECT 'jpp-' || CAST(doc_id AS VARCHAR) AS media_ref,
          substr(md5('jpp-' || CAST(doc_id AS VARCHAR)), 1, 16) AS body
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 16 = 0
 ), v AS (
   SELECT media_ref,
     list_transform(generate_series(0, 15), t -> 65 + 3 * (
