@@ -132,3 +132,26 @@ def test_png_roundtrip_fuzz(h, w, interlace, seed):
     assert np.array_equal(
         M.decode_png_pixels(M.encode_png(px, interlace=interlace)), px
     )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=120),
+       st.sampled_from([0, 2, 3, 4, 6, 5]),
+       st.sampled_from([1, 2, 4, 8, 16, 3]),
+       st.integers(0, 2))
+def test_png_variant_garbage_classification_fuzz(body, ctype, depth, ilace):
+    """A structurally-plausible PNG wrapper (valid signature + CRCs)
+    around arbitrary IHDR parameters and IDAT bytes must classify as
+    ValueError (corruption) or decode — never raise anything else, never
+    crash. This drives the NEW variant paths (palette lookup, bit
+    unpacking, 16-bit strides, Adam7 pass accounting) against garbage."""
+    import zlib as _z
+
+    raw = _z.compress(body)
+    p = _png(_ihdr(3, 4, depth, ctype, ilace), raw,
+             plte=body[:9] if ctype == 3 and len(body) >= 9 else None)
+    try:
+        out = M.decode_png_pixels(p)
+        assert out.shape == (4, 3, 3)
+    except ValueError:
+        pass
