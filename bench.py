@@ -382,6 +382,7 @@ BENCH_QUERIES = [
     "jpeg_progressive_roundtrip",
     "ulaw_roundtrip_stats",
     "adpcm_wav_decode",
+    "flac_roundtrip_stats",
 ]
 
 

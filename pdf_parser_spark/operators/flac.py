@@ -1,0 +1,560 @@
+"""FLAC lossless audio — REAL encode + decode, pure Python/NumPy, from
+the published format specification (RFC 9639 / xiph.org FLAC format):
+the audio-dataset container speech corpora actually ship.
+
+Decode (the general read path):
+- stream marker + metadata blocks (STREAMINFO parsed, others skipped),
+- frame sync/header with CRC-8, UTF-8-coded frame numbers, all
+  blocksize/sample-rate/sample-size code forms,
+- channel assignments: independent (1-8), left/side, right/side,
+  mid/side (side channel carries the +1-bit sample size per spec),
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4 (the spec's fixed
+  difference predictors), LPC orders 1-32 (quantized coefficients +
+  shift), wasted-bits unary prefix,
+- residuals: Rice method 0 (4-bit parameter) and 1 (5-bit), any
+  partition order, escape partitions (raw n-bit residuals),
+- frame CRC-16 verification; STREAMINFO MD5 verified when present.
+
+Encode (the test/evidence writer): 16-bit mono or stereo, fixed
+predictors chosen per block by residual magnitude, single-partition
+Rice residuals, CONSTANT detection, optional left/side or mid/side
+stereo decorrelation — enough to produce REAL spec-conformant streams
+whose decode is bit-exact (pinned by roundtrip + property tests; the
+decoder-only paths our encoder never emits — LPC, multi-partition
+Rice, escapes — are pinned by hand-assembled streams in
+tests/test_flac.py).
+
+Malformed streams raise ValueError. The per-sample Python bit loops are
+correctness-first (sidecar audio is short); a corpus-scale decode swaps
+a C codec behind the same decode_audio dispatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_SYNC = 0b11111111111110
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 (FLAC frame
+    header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 (FLAC
+    whole-frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (
+                crc << 1
+            ) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    """MSB-first bit packer (FLAC's bit order)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def write_signed(self, value: int, bits: int) -> None:
+        self.write(value & ((1 << bits) - 1), bits)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def byte_align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over a byte window."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        d = self.data
+        for _ in range(bits):
+            if self.byte >= len(d):
+                raise ValueError("FLAC bitstream truncated")
+            v = (v << 1) | ((d[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("FLAC unary run unreasonably long")
+        return q
+
+    def byte_align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _utf8_number(bw: _BitWriter, n: int) -> None:
+    """FLAC's UTF-8-style coded number (frame index)."""
+    if n < 0x80:
+        bw.write(n, 8)
+        return
+    # count continuation bytes
+    for nbytes in range(1, 7):
+        if n < (1 << (6 - nbytes + 6 * nbytes)):
+            break
+    lead = (0xFF << (7 - nbytes)) & 0xFF
+    bw.write(lead | (n >> (6 * nbytes)), 8)
+    for i in range(nbytes - 1, -1, -1):
+        bw.write(0x80 | ((n >> (6 * i)) & 0x3F), 8)
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x40
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 1 or nbytes > 6:
+        raise ValueError("FLAC: invalid UTF-8 coded number")
+    n = b0 & (mask - 1)
+    for _ in range(nbytes):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC: invalid UTF-8 continuation")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _write_rice(bw: _BitWriter, residuals, order: int, blocksize: int) -> None:
+    """Single-partition 4-bit Rice residual coding (partition order 0)."""
+    bw.write(0, 2)  # method 0: 4-bit Rice
+    bw.write(0, 4)  # partition order 0
+    us = [_zigzag(int(v)) for v in residuals]
+    mean = (sum(us) // max(1, len(us))) if us else 0
+    k = 0
+    while (1 << (k + 1)) <= mean + 1 and k < 14:
+        k += 1
+    bw.write(k, 4)
+    for u in us:
+        bw.write_unary(u >> k)
+        bw.write(u, k)
+
+
+def _read_residuals(br: _BitReader, order: int, blocksize: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("FLAC: reserved residual coding method")
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise ValueError("FLAC: partition order does not divide block size")
+    out: list[int] = []
+    for p in range(nparts):
+        n = blocksize >> porder
+        if p == 0:
+            n -= order
+        if n < 0:
+            raise ValueError("FLAC: predictor order exceeds first partition")
+        k = br.read(kbits)
+        if k == escape:
+            raw = br.read(5)
+            for _ in range(n):
+                out.append(br.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                u = (q << k) | br.read(k)
+                out.append(_unzigzag(u))
+    return out
+
+
+def _best_fixed_order(x: list[int]) -> int:
+    best, best_cost = 0, None
+    cur = list(x)
+    for order in range(5):
+        if order > 0:
+            cur = [cur[i] - cur[i - 1] for i in range(1, len(cur))]
+        if len(cur) == 0:
+            break
+        cost = sum(abs(v) for v in cur[max(0, 4 - order):])
+        if best_cost is None or cost < best_cost:
+            best, best_cost = order, cost
+    return best
+
+
+def _encode_subframe(bw: _BitWriter, x: list[int], bits: int) -> None:
+    if all(v == x[0] for v in x):
+        bw.write(0, 1)  # zero pad
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(x[0], bits)
+        return
+    order = _best_fixed_order(x)
+    order = min(order, max(0, len(x) - 1))
+    bw.write(0, 1)
+    bw.write(0b001000 | order, 6)  # FIXED, order
+    bw.write(0, 1)
+    for v in x[:order]:
+        bw.write_signed(v, bits)
+    res = list(x)
+    for _ in range(order):
+        res = [res[i] - res[i - 1] for i in range(1, len(res))]
+    _write_rice(bw, res, order, len(x))
+
+
+def _decode_subframe(br: _BitReader, n: int, bits: int) -> list[int]:
+    if br.read(1) != 0:
+        raise ValueError("FLAC: subframe pad bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1  # count coded as unary(count-1)
+    if stype == 0b000000:  # CONSTANT
+        v = br.read_signed(bits - wasted)
+        out = [v] * n
+    elif stype == 0b000001:  # VERBATIM
+        out = [br.read_signed(bits - wasted) for _ in range(n)]
+    elif 0b001000 <= stype <= 0b001100:  # FIXED 0-4
+        order = stype & 0x07
+        warm = [br.read_signed(bits - wasted) for _ in range(order)]
+        res = _read_residuals(br, order, n)
+        out = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[len(out) - 1 - i] for i, c in enumerate(coefs))
+            out.append(pred + r)
+    elif stype >= 0b100000:  # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        warm = [br.read_signed(bits - wasted) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0x0F:
+            raise ValueError("FLAC: invalid LPC precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residuals(br, order, n)
+        out = list(warm)
+        for r in res:
+            acc = sum(
+                c * out[len(out) - 1 - i] for i, c in enumerate(coefs)
+            )
+            out.append((acc >> shift) + r)
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {stype:06b}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int = 8000,
+    block: int = 1024,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """int16-domain samples → FLAC stream. 1-D input = mono; (N, 2) =
+    stereo with ``stereo_mode`` ∈ independent | left_side | mid_side.
+    Fixed predictors + single-partition Rice; CONSTANT blocks detected."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        chans = [x.tolist()]
+    elif x.ndim == 2 and x.shape[1] == 2:
+        chans = [x[:, 0].tolist(), x[:, 1].tolist()]
+    else:
+        raise ValueError("encode_flac: mono 1-D or (N, 2) stereo only")
+    nch = len(chans)
+    n_total = len(chans[0])
+    bits = 16
+
+    # STREAMINFO
+    raw_le = np.asarray(samples, dtype="<i2").tobytes()
+    md5 = hashlib.md5(raw_le).digest()
+    si = _BitWriter()
+    si.write(block, 16)  # min block size
+    si.write(block, 16)  # max block size
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n_total, 36)
+    streaminfo = si.bytes() + md5
+
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo  # last block
+
+    frame_no = 0
+    for start in range(0, n_total, block):
+        bs = min(block, n_total - start)
+        bw = _BitWriter()
+        bw.write(_SYNC, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocksize strategy → frame number
+        bw.write(0b0111, 4)  # blocksize: 16-bit value follows
+        bw.write(0b0000, 4)  # sample rate: from STREAMINFO
+        if nch == 1:
+            ch_asgn = 0
+        elif stereo_mode == "independent":
+            ch_asgn = 1
+        elif stereo_mode == "left_side":
+            ch_asgn = 8
+        elif stereo_mode == "right_side":
+            ch_asgn = 9
+        elif stereo_mode == "mid_side":
+            ch_asgn = 10
+        else:
+            raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+        bw.write(ch_asgn, 4)
+        bw.write(0b100, 3)  # 16 bits/sample
+        bw.write(0, 1)  # reserved
+        _utf8_number(bw, frame_no)
+        bw.write(bs - 1, 16)
+        bw.byte_align()
+        hdr = bw.bytes()
+        bw2 = _BitWriter()
+        # subframes
+        subs = []
+        if nch == 1:
+            subs = [(chans[0][start : start + bs], bits)]
+        else:
+            l = chans[0][start : start + bs]
+            r = chans[1][start : start + bs]
+            if ch_asgn == 1:
+                subs = [(l, bits), (r, bits)]
+            elif ch_asgn == 8:  # left/side: side = L - R (side has bits+1)
+                side = [a - b for a, b in zip(l, r)]
+                subs = [(l, bits), (side, bits + 1)]
+            elif ch_asgn == 9:  # right/side: side stored first
+                side = [a - b for a, b in zip(l, r)]
+                subs = [(side, bits + 1), (r, bits)]
+            else:  # mid/side
+                mid = [(a + b) >> 1 for a, b in zip(l, r)]
+                side = [a - b for a, b in zip(l, r)]
+                subs = [(mid, bits), (side, bits + 1)]
+        for s, sbits in subs:
+            _encode_subframe(bw2, s, sbits)
+        bw2.byte_align()
+        body = bytes([_crc8(hdr)]) + bw2.bytes()
+        frame = hdr + body
+        out += frame + _crc16(frame).to_bytes(2, "big")
+        frame_no += 1
+    return bytes(out)
+
+
+_BLOCKSIZE_TABLE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384,
+    15: 32768,
+}
+_RATE_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_BITS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac_samples(payload: bytes) -> np.ndarray:
+    """FLAC stream → (n_samples, n_channels) int64 array. Verifies frame
+    CRC-8/CRC-16 and the STREAMINFO MD5 (when non-zero, 16-bit only).
+    Malformed streams raise ValueError."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    # metadata blocks
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC: truncated metadata header")
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        last = bool(hdr & 0x80)
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if len(body) != size:
+            raise ValueError("FLAC: truncated metadata block")
+        if btype == 0:
+            if size != 34:
+                raise ValueError("FLAC: STREAMINFO must be 34 bytes")
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("FLAC: invalid metadata block type 127")
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+    br = _BitReader(streaminfo)
+    br.read(16)  # min blocksize
+    br.read(16)  # max blocksize
+    br.read(24)
+    br.read(24)
+    si_rate = br.read(20)
+    si_nch = br.read(3) + 1
+    si_bits = br.read(5) + 1
+    n_total = br.read(36)
+    si_md5 = streaminfo[18:34]
+    if si_rate == 0:
+        raise ValueError("FLAC: sample rate 0")
+    # allocation guard: every sample needs >= 1 bit somewhere
+    if n_total > 8 * max(0, len(payload) - pos) + (1 << 16):
+        raise ValueError("FLAC: declared sample count exceeds stream size")
+
+    chans: list[list[int]] = [[] for _ in range(si_nch)]
+    got = 0
+    while got < n_total:
+        if pos >= len(payload):
+            raise ValueError("FLAC: stream ends before declared samples")
+        br = _BitReader(payload, pos)
+        if br.read(14) != _SYNC:
+            raise ValueError("FLAC: lost frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        rate_code = br.read(4)
+        ch_asgn = br.read(4)
+        bits_code = br.read(3)
+        br.read(1)  # reserved
+        _read_utf8_number(br)
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved block size code")
+        elif bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        else:
+            bs = _BLOCKSIZE_TABLE[bs_code]
+        if rate_code == 12:
+            br.read(8)
+        elif rate_code in (13, 14):
+            br.read(16)
+        elif rate_code == 15:
+            raise ValueError("FLAC: invalid sample rate code")
+        elif rate_code != 0 and rate_code not in _RATE_TABLE:
+            raise ValueError("FLAC: reserved sample rate code")
+        if bits_code == 0:
+            bits = si_bits
+        elif bits_code in _BITS_TABLE:
+            bits = _BITS_TABLE[bits_code]
+        else:
+            raise ValueError("FLAC: reserved sample size code")
+        br.byte_align()
+        hdr_end = br.byte
+        crc8 = payload[hdr_end] if hdr_end < len(payload) else None
+        if crc8 is None or _crc8(payload[pos:hdr_end]) != crc8:
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+        br = _BitReader(payload, hdr_end + 1)
+
+        if ch_asgn <= 7:
+            nch = ch_asgn + 1
+            if nch != si_nch:
+                raise ValueError("FLAC: frame/STREAMINFO channel mismatch")
+            sub = [_decode_subframe(br, bs, bits) for _ in range(nch)]
+        elif ch_asgn in (8, 9, 10):
+            if si_nch != 2:
+                raise ValueError("FLAC: stereo decorrelation on non-stereo")
+            if ch_asgn == 8:  # left/side
+                left = _decode_subframe(br, bs, bits)
+                side = _decode_subframe(br, bs, bits + 1)
+                right = [a - s for a, s in zip(left, side)]
+                sub = [left, right]
+            elif ch_asgn == 9:  # right/side (side stored first)
+                side = _decode_subframe(br, bs, bits + 1)
+                right = _decode_subframe(br, bs, bits)
+                left = [r + s for r, s in zip(right, side)]
+                sub = [left, right]
+            else:  # mid/side
+                mid = _decode_subframe(br, bs, bits)
+                side = _decode_subframe(br, bs, bits + 1)
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+                sub = [left, right]
+        else:
+            raise ValueError("FLAC: reserved channel assignment")
+        br.byte_align()
+        frame_end = br.byte
+        if frame_end + 2 > len(payload):
+            raise ValueError("FLAC: truncated frame CRC-16")
+        want = int.from_bytes(payload[frame_end : frame_end + 2], "big")
+        if _crc16(payload[pos:frame_end]) != want:
+            raise ValueError("FLAC: frame CRC-16 mismatch")
+        take = min(bs, n_total - got)
+        for ci in range(si_nch):
+            chans[ci].extend(sub[ci][:take])
+        got += take
+        pos = frame_end + 2
+
+    out = np.array(chans, dtype=np.int64).T.reshape(got, si_nch)
+    if si_md5 != bytes(16) and si_bits == 16:
+        if hashlib.md5(out.astype("<i2").tobytes()).digest() != si_md5:
+            raise ValueError("FLAC: decoded audio MD5 mismatch")
+    return out

@@ -1101,9 +1101,16 @@ def decode_wav_samples(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """REAL decode of a 16-bit PCM RIFF/WAV → FEATURE_DIM float32 features:
-    [mean/32768, rms/32768, 0...] (validation lives in decode_wav_samples)."""
-    samples = decode_wav_samples(payload).astype(np.float64)
+    """REAL decode of a RIFF/WAV (PCM16 / mu-law / ADPCM) or FLAC stream
+    → FEATURE_DIM float32 features: [mean/32768, rms/32768, 0...]
+    (validation lives in decode_wav_samples / decode_flac_samples;
+    multi-channel FLAC averages channels before the stats)."""
+    if payload[:4] == b"fLaC":
+        from pdf_parser_spark.operators.flac import decode_flac_samples
+
+        samples = decode_flac_samples(payload).mean(axis=1)
+    else:
+        samples = decode_wav_samples(payload).astype(np.float64)
     feat = np.zeros(FEATURE_DIM, dtype=np.float32)
     if len(samples):
         feat[0] = samples.mean() / 32768.0
@@ -1795,24 +1802,35 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
-def audio_codec_stats(src_df: DataFrame, roundtrip_ulaw: bool = False) -> DataFrame:
+def audio_codec_stats(
+    src_df: DataFrame,
+    roundtrip_ulaw: bool = False,
+    mode: str | None = None,
+) -> DataFrame:
     """mapInPandas audio-codec evidence kernel → per-row decoded-sample
     stats (wsum = Σ s_k * (k+1), order-sensitive).
 
-    roundtrip_ulaw=False: rows carry a ``payload`` binary (a complete
+    mode='wav' (default): rows carry a ``payload`` binary (a complete
     RIFF/WAV — e.g. the Catalyst-built IMA ADPCM payload) decoded by the
     real chunk-walking ``decode_wav_samples``.
-    roundtrip_ulaw=True: rows carry a ``body`` string; its ASCII bytes
-    are G.711 code points whose decode levels are the sample source —
-    the kernel runs levels → ``encode_wav_compressed('ulaw')`` →
-    ``decode_wav_samples``, driving the engine's mu-law ENCODER and
-    DECODER end to end (an exact roundtrip: the levels are fixed points
-    of the companding quantizer)."""
+    mode='ulaw_rt' (or roundtrip_ulaw=True): rows carry a ``body``
+    string; its ASCII bytes are G.711 code points whose decode levels
+    are the sample source — the kernel runs levels →
+    ``encode_wav_compressed('ulaw')`` → ``decode_wav_samples``, driving
+    the engine's mu-law ENCODER and DECODER end to end (an exact
+    roundtrip: the levels are fixed points of the companding quantizer).
+    mode='flac_rt': rows carry a ``body`` string of 48 md5 hex chars;
+    consecutive char pairs are little-endian int16 samples (the
+    media-table WAV arithmetic, SQL-recomputable) — the kernel runs
+    samples → ``encode_flac`` → ``decode_flac_samples`` (lossless, so
+    decoded == source exactly), driving the FLAC ENCODER and DECODER
+    end to end under the driver."""
+    mode = mode or ("ulaw_rt" if roundtrip_ulaw else "wav")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            if roundtrip_ulaw:
+            if mode in ("ulaw_rt", "flac_rt"):
                 srcs = [
                     (ref, None, body)
                     for ref, body in zip(pdf["media_ref"], pdf["body"])
@@ -1823,10 +1841,22 @@ def audio_codec_stats(src_df: DataFrame, roundtrip_ulaw: bool = False) -> DataFr
                     for ref, p in zip(pdf["media_ref"], pdf["payload"])
                 ]
             for ref, payload, body in srcs:
-                if body is not None:
-                    levels = ulaw_decode_bytes(body.encode("ascii"))
-                    payload = encode_wav_compressed(levels, codec="ulaw")
-                s = decode_wav_samples(bytes(payload))
+                if mode == "flac_rt":
+                    from pdf_parser_spark.operators.flac import (
+                        decode_flac_samples,
+                        encode_flac,
+                    )
+
+                    a = np.frombuffer(
+                        body.encode("ascii"), dtype=np.uint8
+                    ).astype(np.int64)
+                    samples = a[0::2] + 256 * a[1::2]
+                    s = decode_flac_samples(encode_flac(samples))[:, 0]
+                else:
+                    if body is not None:
+                        levels = ulaw_decode_bytes(body.encode("ascii"))
+                        payload = encode_wav_compressed(levels, codec="ulaw")
+                    s = decode_wav_samples(bytes(payload))
                 k = np.arange(len(s), dtype=np.int64) + 1
                 rows.append(
                     (ref, len(s), int(s.sum()), int(s.min()),

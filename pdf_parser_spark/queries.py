@@ -21809,6 +21809,54 @@ FROM lv
 """
 
 
+def q_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC ENCODER + DECODER under the local gate (round-5 codec): 24
+    int16 samples derived in Catalyst-recomputable form from md5 ASCII
+    char pairs (the media-table WAV arithmetic) → encode_flac (fixed
+    predictors + Rice) → decode_flac_samples (frame walk, CRC-8/16,
+    STREAMINFO MD5) → decoded == source EXACTLY (lossless), stats
+    oracle-recomputed from the chars."""
+    from pdf_parser_spark.operators import media as media_ops
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    ref = F.concat(F.lit("fl-"), F.col("doc_id").cast("string"))
+    src = d.select(
+        ref.alias("media_ref"),
+        F.substring(F.repeat(F.md5(ref), 2), 1, 48).alias("body"),
+    )
+    return media_ops.audio_codec_stats(src, mode="flac_rt").select(
+        "media_ref",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "s_sum",
+        "s_min",
+        "s_max",
+        "wsum",
+    )
+
+
+def sql_flac_roundtrip_stats() -> str:
+    return """
+WITH s AS (
+  SELECT 'fl-' || CAST(doc_id AS VARCHAR) AS media_ref,
+         substr(repeat(md5('fl-' || CAST(doc_id AS VARCHAR)), 2), 1, 48) AS body
+  FROM documents WHERE doc_id % 4 = 0
+), lv AS (
+  SELECT media_ref,
+    list_transform(generate_series(0, 23), k ->
+      ascii(substr(body, 2 * k + 1, 1)) + 256 * ascii(substr(body, 2 * k + 2, 1))
+    ) AS sv
+  FROM s
+)
+SELECT media_ref, CAST(24 AS BIGINT) AS n_samples,
+  CAST(list_sum(sv) AS BIGINT) AS s_sum,
+  CAST(list_min(sv) AS BIGINT) AS s_min,
+  CAST(list_max(sv) AS BIGINT) AS s_max,
+  CAST(list_sum(list_transform(generate_series(0, 23), k -> sv[k + 1] * (k + 1)))
+       AS BIGINT) AS wsum
+FROM lv
+"""
+
+
 def q_adpcm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA ADPCM decode under the driver: the complete format-17 WAV
     payload (RIFF + fmt + fact + data with the 4-byte block state
@@ -21948,6 +21996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-green union from r01-r04 plus the remaining never-checked
     # tail (each value-checked by the local gate at sf0.001/0.01/0.1,
     # queued for future windows):
+    "flac_roundtrip_stats": q_flac_roundtrip_stats,
     "doc_length_outliers": q_doc_length_outliers,
     "extract_pipeline_e2e": q_extract_pipeline_e2e,
     "bitext_margin_pairs_ivf": q_bitext_margin_pairs_ivf,
@@ -22346,6 +22395,7 @@ ORACLES: dict[str, str] = {
     "jpeg_progressive_roundtrip": sql_jpeg_progressive_roundtrip(),
     "ulaw_roundtrip_stats": sql_ulaw_roundtrip_stats(),
     "adpcm_wav_decode": sql_adpcm_wav_decode(),
+    "flac_roundtrip_stats": sql_flac_roundtrip_stats(),
     "rolling_fingerprints": sql_rolling_fingerprints(),
     "simhash_clusters": sql_simhash_clusters(),
     "minhash_near_dups": sql_minhash_near_dups(),

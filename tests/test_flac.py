@@ -1,0 +1,218 @@
+"""FLAC codec (round 5): roundtrips through the engine's own encoder,
+spec-property pins, and hand-assembled streams for the decoder-only
+paths the encoder never emits (LPC prediction, multi-partition Rice,
+escape partitions, wasted bits), plus CRC/garbage classification."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_spark.operators import flac as FL
+from pdf_parser_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_number,
+    decode_flac_samples,
+    encode_flac,
+)
+
+
+@pytest.mark.parametrize("name,make", [
+    ("random", lambda r: r.integers(-32768, 32768, 4000)),
+    ("constant", lambda r: np.full(2500, -123)),
+    ("ramp", lambda r: np.arange(-2000, 2000)),
+    ("sine", lambda r: (3000 * np.sin(np.arange(3000) / 9.0)).astype(int)),
+    ("single", lambda r: np.array([7])),
+])
+def test_mono_roundtrip(name, make):
+    x = np.asarray(make(np.random.default_rng(1)), dtype=np.int64)
+    dec = decode_flac_samples(encode_flac(x, block=1024))
+    assert dec.shape == (len(x), 1)
+    assert np.array_equal(dec[:, 0], x)
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_roundtrip_all_decorrelations(mode):
+    rng = np.random.default_rng(2)
+    st_ = rng.integers(-32768, 32768, (1500, 2)).astype(np.int64)
+    assert np.array_equal(
+        decode_flac_samples(encode_flac(st_, block=512, stereo_mode=mode)),
+        st_,
+    )
+    # correlated signal (the case decorrelation is FOR) roundtrips too
+    corr = np.stack(
+        [st_[:, 0], st_[:, 0] // 2 + rng.integers(-30, 30, 1500)], axis=1
+    )
+    assert np.array_equal(
+        decode_flac_samples(encode_flac(corr, block=512, stereo_mode=mode)),
+        corr,
+    )
+
+
+def test_fixed_predictors_compress_smooth_signals():
+    # order-2 fixed prediction must make a linear ramp nearly free
+    ramp = np.arange(0, 4000, dtype=np.int64) % 20000
+    enc = encode_flac(ramp, block=2048)
+    assert len(enc) < 0.12 * (2 * len(ramp))
+    # and a constant block collapses to the CONSTANT subframe
+    enc_c = encode_flac(np.full(4096, 999, dtype=np.int64), block=4096)
+    assert len(enc_c) < 120
+
+
+def _stream(frame_payload_bits, n_samples, nch=1):
+    """Wrap hand-written frame bits into a full stream with STREAMINFO."""
+    si = _BitWriter()
+    si.write(16, 16)
+    si.write(65535, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(nch - 1, 3)
+    si.write(15, 5)  # 16 bits
+    si.write(n_samples, 36)
+    streaminfo = si.bytes() + bytes(16)  # zero MD5 -> skip audio hash
+    return (
+        b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo
+        + frame_payload_bits
+    )
+
+
+def _frame_header(bs, nch_code=0):
+    bw = _BitWriter()
+    bw.write(FL._SYNC, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0b0111, 4)  # 16-bit blocksize follows
+    bw.write(0b0000, 4)  # rate from STREAMINFO
+    bw.write(nch_code, 4)
+    bw.write(0b100, 3)  # 16 bits
+    bw.write(0, 1)
+    _utf8_number(bw, 0)
+    bw.write(bs - 1, 16)
+    bw.byte_align()
+    hdr = bw.bytes()
+    return hdr + bytes([_crc8(hdr)])
+
+
+def test_hand_built_lpc_subframe():
+    """LPC order 2, precision 5, shift 2, coefs [3, -1]: the decoder must
+    reproduce x[i] = ((3*x[i-1] - x[i-2]) >> 2) + r[i]."""
+    warm = [100, 110]
+    res = [5, -3, 0, 7, -2, 1]
+    bw = _BitWriter()
+    bw.write(0, 1)  # pad
+    bw.write(0b100000 | (2 - 1), 6)  # LPC order 2
+    bw.write(0, 1)  # no wasted bits
+    for v in warm:
+        bw.write_signed(v, 16)
+    bw.write(5 - 1, 4)  # precision 5
+    bw.write_signed(2, 5)  # shift
+    bw.write_signed(3, 5)  # coef for x[i-1]
+    bw.write_signed(-1, 5)  # coef for x[i-2]
+    bw.write(0, 2)  # rice method 0
+    bw.write(0, 4)  # partition order 0
+    bw.write(4, 4)  # k = 4
+    for r in res:
+        u = FL._zigzag(r)
+        bw.write_unary(u >> 4)
+        bw.write(u, 4)
+    bw.byte_align()
+    hdr = _frame_header(8)
+    frame = hdr + bw.bytes()
+    payload = _stream(frame + _crc16(frame).to_bytes(2, "big"), 8)
+    dec = decode_flac_samples(payload)[:, 0].tolist()
+    want = list(warm)
+    for r in res:
+        want.append(((3 * want[-1] - want[-2]) >> 2) + r)
+    assert dec == want
+
+
+def test_hand_built_multipartition_and_escape():
+    """Fixed order 0, blocksize 8, partition order 1: partition 1 Rice
+    k=0, partition 2 ESCAPE with 6-bit raw residuals."""
+    p1 = [1, -2, 0, 3]
+    p2 = [-20, 31, -32, 15]
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0b001000, 6)  # FIXED order 0
+    bw.write(0, 1)
+    bw.write(0, 2)  # method 0
+    bw.write(1, 4)  # partition order 1 -> 2 partitions of 4
+    bw.write(0, 4)  # k = 0 for partition 1
+    for v in p1:
+        u = FL._zigzag(v)
+        bw.write_unary(u)
+    bw.write(15, 4)  # escape
+    bw.write(6, 5)  # 6-bit raw
+    for v in p2:
+        bw.write_signed(v, 6)
+    bw.byte_align()
+    hdr = _frame_header(8)
+    frame = hdr + bw.bytes()
+    payload = _stream(frame + _crc16(frame).to_bytes(2, "big"), 8)
+    assert decode_flac_samples(payload)[:, 0].tolist() == p1 + p2
+
+
+def test_hand_built_wasted_bits():
+    """CONSTANT subframe with 2 wasted bits: value stored in 14 bits,
+    decoded samples shifted left by 2."""
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0b000000, 6)  # CONSTANT
+    bw.write(1, 1)  # wasted-bits flag
+    bw.write(0b01, 2)  # unary(1) -> wasted = 2
+    bw.write_signed(-300, 14)
+    bw.byte_align()
+    hdr = _frame_header(5)
+    frame = hdr + bw.bytes()
+    payload = _stream(frame + _crc16(frame).to_bytes(2, "big"), 5)
+    assert decode_flac_samples(payload)[:, 0].tolist() == [-1200] * 5
+
+
+def test_crc_and_md5_guards():
+    x = np.arange(500, dtype=np.int64)
+    enc = bytearray(encode_flac(x, block=256))
+    # flip one bit inside the last frame body -> CRC-16 must catch it
+    enc2 = bytearray(enc)
+    enc2[-10] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac_samples(bytes(enc2))
+    # corrupt the STREAMINFO MD5 -> decoded-audio hash mismatch
+    enc3 = bytearray(enc)
+    enc3[8 + 18] ^= 0xFF  # first MD5 byte (4 magic + 4 hdr + 18)
+    with pytest.raises(ValueError):
+        decode_flac_samples(bytes(enc3))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_flac_garbage_classification_fuzz(body):
+    try:
+        decode_flac_samples(b"fLaC" + body)
+    except ValueError:
+        pass  # corruption classified; anything else propagates = failure
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 600), st.integers(1, 3), st.integers(0, 2**32 - 1))
+def test_flac_roundtrip_fuzz(n, blocks, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, n).astype(np.int64)
+    block = max(1, n // blocks)
+    assert np.array_equal(
+        decode_flac_samples(encode_flac(x, block=block))[:, 0], x
+    )
+
+
+def test_media_dispatch_and_features():
+    from pdf_parser_spark.operators import media
+
+    rng = np.random.default_rng(6)
+    mono = rng.integers(-8000, 8000, 600).astype(np.int64)
+    feat = media.decode_audio(encode_flac(mono))
+    assert abs(feat[0] - mono.mean() / 32768.0) < 1e-6
+    assert abs(feat[1] - np.sqrt((mono.astype(float) ** 2).mean()) / 32768.0) < 1e-6
