@@ -6,7 +6,10 @@ zero dependencies: 24-bit BI_RGB BMP, full-spec PNG (every core variant:
 gray/RGB/palette/gray+alpha/RGBA at depths 1-16, Adam7 interlacing, all
 five scanline filters via stdlib zlib — `decode_png_pixels`), GIF87a/89a
 (real variable-width LZW + 4-pass deinterlace — `decode_gif_pixels`),
-16-bit PCM / G.711 μ-law / IMA ADPCM RIFF/WAV (`decode_audio`), and
+16-bit PCM / G.711 μ-law / IMA ADPCM RIFF/WAV plus full-spec FLAC
+(fixed + LPC predictors, Rice partitions, stereo decorrelation, CRC and
+MD5 verification — `operators/flac.py`; `decode_audio` dispatches on
+the stream magic), and
 multi-frame RIFF/AVI with uncompressed 'DIB ' video frames
 (`decode_avi_frames`), plus baseline AND progressive JPEG (SOF0/SOF2 —
 full Huffman entropy decode incl. spectral-selection/successive-

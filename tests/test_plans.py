@@ -1305,7 +1305,7 @@ def test_bitext_ivf_pruned_scan(spark, tmp_path):
 @pytest.mark.parametrize("name", [
     "png_roundtrip_stats", "gif_roundtrip_stats", "gif_animated_frames",
     "jpeg_fixedpoint_roundtrip", "jpeg_progressive_roundtrip",
-    "ulaw_roundtrip_stats", "adpcm_wav_decode",
+    "ulaw_roundtrip_stats", "adpcm_wav_decode", "flac_roundtrip_stats",
 ])
 def test_codec_queries_zero_shuffle(spark, name):
     """The codec roundtrip queries are embarrassingly parallel: one
