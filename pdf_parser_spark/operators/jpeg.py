@@ -271,21 +271,12 @@ def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     """(H, W, 3) uint8 RGB (or (H, W) grayscale) → baseline JFIF JPEG,
-    4:4:4, Annex K tables scaled by ``quality``."""
-    gray = pixels.ndim == 2
+    4:4:4, Annex K tables scaled by ``quality``. Quantized coefficients
+    come from the SAME ``_quantized_blocks`` the progressive encoder
+    uses — the two encoders differ only in transmission order by
+    construction."""
+    zzs, gray, qly, qlc = _quantized_blocks(pixels, quality)
     h, w = pixels.shape[:2]
-    if gray:
-        comps = [pixels.astype(np.float64) - 128.0]
-    else:
-        rgb = pixels.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [y - 128.0, cb - 128.0, cr - 128.0]
-    qly = quality_scale(QUANT_LUMA, quality)
-    qlc = quality_scale(QUANT_CHROMA, quality)
-    qtabs = [qly] + ([qlc, qlc] if not gray else [])
     dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + (
         [] if gray else [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
     )
@@ -294,22 +285,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     )
 
     bw = _BitWriter()
-    dc_pred = [0] * len(comps)
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    padded = []
-    for c in comps:
-        p = np.zeros((bh * 8, bwid * 8))
-        p[:h, :w] = c
-        p[h:, :w] = c[h - 1 : h, :]  # edge replicate
-        p[:, w:] = p[:, w - 1 : w]
-        padded.append(p)
+    dc_pred = [0] * len(zzs)
+    bh, bwid = zzs[0].shape[:2]
     for by in range(bh):
         for bx in range(bwid):
-            for ci, c in enumerate(padded):
-                block = c[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = fdct_block(block)
-                q = qtabs[ci].reshape(8, 8)
-                zz = np.round(coef / q).astype(np.int64).reshape(-1)[ZIGZAG]
+            for ci in range(len(zzs)):
+                zz = zzs[ci][by, bx]
                 diff = int(zz[0]) - dc_pred[ci]
                 dc_pred[ci] = int(zz[0])
                 size, bits = _magnitude(diff)
@@ -473,8 +454,14 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     htabs,
                     restart_interval,
                 )
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("JPEG: truncated progressive SOS header")
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
+            if ss > 63 or se > 63 or ss > se:
+                raise ValueError("JPEG: invalid spectral selection range")
+            if (ahal >> 4) > 13 or (ahal & 0x0F) > 13:
+                raise ValueError("JPEG: invalid successive approximation")
             if prog_state is None:
                 prog_state = _prog_alloc(frame, len(payload))
             pos = _decode_scan_progressive(

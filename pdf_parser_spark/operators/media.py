@@ -341,7 +341,11 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(idat)
+    except zlib.error as e:  # corrupt/absent deflate stream is corruption
+        raise ValueError(f"PNG: IDAT inflate failed: {e}") from None
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     samples = np.zeros((h, w, channels), dtype=np.uint8)
     off = 0
     for r0, rs, c0, cs in _png_passes(h, w, ilace == 1):

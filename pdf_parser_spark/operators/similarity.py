@@ -1359,8 +1359,6 @@ def bitext_margin_pairs(
     Returns (x_id, y_id, cosine, margin) for margin ≥ threshold,
     strongest first.
     """
-    from pyspark.sql import Window
-
     xb = x.select(
         F.col(id_col).alias("x_id"),
         F.col(vec_col).cast("array<double>").alias("_xv"),
@@ -1374,37 +1372,7 @@ def bitext_margin_pairs(
         "y_id",
         F.round(cosine(F.col("_xv"), F.col("_yv")), 6).alias("cosine"),
     )
-    dec = F.col("cosine").cast("decimal(16,6)")
-    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), F.asc("y_id"))
-    wxa = Window.partitionBy("x_id")
-    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), F.asc("x_id"))
-    wya = Window.partitionBy("y_id")
-    topx = F.when(F.col("_rx") <= k, dec)
-    topy = F.when(F.col("_ry") <= k, dec)
-    out = (
-        scored.withColumn("_rx", F.row_number().over(wx))
-        .withColumn(
-            "_mx",
-            F.sum(topx).over(wxa).cast("double")
-            / F.sum(topx.isNotNull().cast("long")).over(wxa),
-        )
-        .withColumn("_ry", F.row_number().over(wy))
-        .withColumn(
-            "_my",
-            F.sum(topy).over(wya).cast("double")
-            / F.sum(topy.isNotNull().cast("long")).over(wya),
-        )
-        .withColumn(
-            "margin",
-            F.round(
-                F.col("cosine") / ((F.col("_mx") + F.col("_my")) / F.lit(2.0)),
-                6,
-            ),
-        )
-        .where(F.col("margin") >= F.lit(threshold))
-        .select("x_id", "y_id", "cosine", "margin")
-    )
-    return out.orderBy(F.desc("margin"), F.asc("x_id"), F.asc("y_id"))
+    return _margin_filter(scored, k, threshold)
 
 
 def bitext_margin_pairs_ivf(
@@ -1444,8 +1412,6 @@ def bitext_margin_pairs_ivf(
 
     Returns (x_id, y_id, cosine, margin) for margin ≥ threshold.
     """
-    from pyspark.sql import Window
-
     yc = assign_ivf_cells(
         y.select(
             F.col(id_col).alias("y_id"),

@@ -11713,6 +11713,43 @@ def q_bitext_margin_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_margin_pairs_ivf(x, y, cents, k=4, nprobe=3, threshold=1.0)
 
 
+def q_bitext_margin_pairs_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-batch form of the IVF bitext miner
+    (similarity.bitext_margin_pairs_ivf_pruned; VERDICT r04 #4): same
+    query/corpus split, fixed centroids and margin rule as
+    bitext_margin_pairs_ivf, but Y is MATERIALIZED as a cell-partitioned
+    parquet index (write_ivf_index) and the batch's probed-cell set is
+    pushed into the index scan as a literal partition filter
+    (PartitionFilters — plan-pinned in tests/test_plans.py). Identical
+    results to the in-plan cascade by construction, so it shares that
+    query's oracle verbatim."""
+    import tempfile
+
+    import numpy as np
+
+    from pdf_parser_spark.operators.similarity import (
+        bitext_margin_pairs_ivf_pruned,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    x = emb.where((F.col("label") < 5) & (F.col("vec_id") % 4 == 0))
+    y = emb.where(F.col("label") >= 5)
+    idx = f"{tempfile.gettempdir()}/pdf_parser_spark_bitext_ivf_index"
+    write_ivf_index(y, cents, idx)
+    return bitext_margin_pairs_ivf_pruned(
+        spark, x, idx, cents, k=4, nprobe=3, threshold=1.0
+    )
+
+
 def sql_bitext_margin_pairs_ivf() -> str:
     return """
 WITH cents AS (
@@ -21997,6 +22034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tail (each value-checked by the local gate at sf0.001/0.01/0.1,
     # queued for future windows):
     "flac_roundtrip_stats": q_flac_roundtrip_stats,
+    "bitext_margin_pairs_ivf_pruned": q_bitext_margin_pairs_ivf_pruned,
     "doc_length_outliers": q_doc_length_outliers,
     "extract_pipeline_e2e": q_extract_pipeline_e2e,
     "bitext_margin_pairs_ivf": q_bitext_margin_pairs_ivf,
@@ -22396,6 +22434,9 @@ ORACLES: dict[str, str] = {
     "ulaw_roundtrip_stats": sql_ulaw_roundtrip_stats(),
     "adpcm_wav_decode": sql_adpcm_wav_decode(),
     "flac_roundtrip_stats": sql_flac_roundtrip_stats(),
+    # identical semantics to the in-plan cascade at this config (plan-
+    # pinned equality in tests/test_plans.py) -> shares its oracle
+    "bitext_margin_pairs_ivf_pruned": sql_bitext_margin_pairs_ivf(),
     "rolling_fingerprints": sql_rolling_fingerprints(),
     "simhash_clusters": sql_simhash_clusters(),
     "minhash_near_dups": sql_minhash_near_dups(),

@@ -87,9 +87,11 @@ def test_progressive_equals_baseline_fuzz(h, w, q, seed):
 
 def test_eob_run_longer_than_one_decodes():
     """Hand-assembled SOF2 stream whose AC scan opens with an EOB2 code
-    (symbol 0x10 + 1 appended bit) covering the last two of three
-    blocks — a path real progressive files use constantly but our
-    EOB1-only encoder never emits."""
+    covering blocks 1+2, then places a LARGE (size-4) coefficient in
+    block 3 — a path real progressive files use constantly but our
+    EOB1-only encoder never emits. The block-3 coefficient dequantizes
+    to 16, which is pixel-VISIBLE after the IDCT, so a wrong EOBRUN
+    count (off by one either way) changes the output and fails."""
     q = quality_scale(QUANT_LUMA, 90)
 
     def seg(marker, body):
@@ -101,9 +103,10 @@ def test_eob_run_longer_than_one_decodes():
     out += seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
                + (24).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
     out += seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
-    # custom AC table: symbol 0x01 at length 1 (code 0), EOB2 symbol
-    # 0x10 at length 2 (code 10)
-    out += seg(0xC4, bytes([0x11] + [1, 1] + [0] * 14) + bytes([0x01, 0x10]))
+    # custom AC table: 0x01 -> code 0 (len 1), 0x10 (EOBn r=1) -> 10
+    # (len 2), 0x00 (EOB1) -> 110, 0x04 (r=0 s=4) -> 111 (len 3)
+    out += seg(0xC4, bytes([0x11] + [1, 1, 2] + [0] * 13)
+               + bytes([0x01, 0x10, 0x00, 0x04]))
 
     class BW:
         def __init__(self):
@@ -136,46 +139,47 @@ def test_eob_run_longer_than_one_decodes():
         bw.w(code, ln)
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
     out += bw.flush()
-    # AC scan (Ss=1..63, Ah=Al=0): block 1: (r=0,s=1) coef k=1 = +1 then
-    # EOB2? No: after placing k=1 the block needs its own EOB; emit EOB2
-    # AT BLOCK 2 covering blocks 2+3. Custom table: 0x01 -> code 0 len1,
-    # 0x10 -> code 10 len2.
+    # AC scan (Ss=1..63, Ah=Al=0):
     bw = BW()
-    bw.w(0b0, 1)   # symbol 0x01 (run 0, size 1)
-    bw.w(1, 1)     # coefficient value +1
-    bw.w(0b10, 2)  # symbol 0x10 = EOBn, r=1
-    bw.w(1, 1)     # appended bit -> EOBRUN = (1<<1) + 1 - 1 = 2? see below
-    # NOTE: decoder computes eobrun = (1<<r) - 1 + bits = 1 + 1 = 2
-    # (consumes current block + 1 more); block 1 ended implicitly at Se
-    # because k walked 1..63? It did NOT — after k=1 the walk continues,
-    # so block 1 needs termination: with no EOB1 symbol in the table we
-    # instead fill k=2..63 via... simpler: make block 1 ALSO part of the
-    # EOB run: AC scan = single EOB3? Keep it minimal: re-emit.
-    bw = BW()
-    bw.w(0b10, 2)  # EOBn r=1 at block 1
-    bw.w(1, 1)     # EOBRUN = 2 -> blocks 1+2 have no AC
-    bw.w(0b0, 1)   # block 3: (0,1) at k=1
-    bw.w(1, 1)     # +1
-    bw.w(0b10, 2)  # EOBn r=1 -> EOBRUN=2? only block 3 remains...
-    # block 3's walk continues after k=1; terminate with EOB2 whose run
-    # is clipped to the remaining single block (run covers block 3 only)
-    bw.w(0, 1)     # appended bit 0 -> EOBRUN = (1<<1) - 1 + 0 = 1
+    bw.w(0b10, 2)   # block 1: EOBn with r=1
+    bw.w(0, 1)      # appended bit 0 -> EOBRUN = (1<<1)-1+0 = 1
+    #                 -> block 1 ends now, block 2 is skipped by the run
+    bw.w(0b111, 3)  # block 3: symbol (r=0, s=4)
+    bw.w(0b1000, 4) # value bits -> EXTEND(8, 4) = +8 at zigzag k=1
+    bw.w(0b110, 3)  # EOB1 terminates block 3
     out += seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0]))
     out += bw.flush()
     out += b"\xff\xd9"
 
     dec = decode_jpeg_pixels(bytes(out))
     assert dec.shape == (8, 24, 3)
-    # expected: DC=40 everywhere; block 3 has zigzag-1 AC = +1
-    base = np.zeros((8, 8))
-    base[:] = 0.0
     coef = np.zeros(64)
     coef[ZIGZAG[0]] = 40 * int(q.reshape(-1)[ZIGZAG[0]])
     flat = np.clip(np.round(idct_block(coef.reshape(8, 8)) + 128.0), 0, 255)
-    coef3 = np.zeros(64)
-    coef3[ZIGZAG[0]] = 40 * int(q.reshape(-1)[ZIGZAG[0]])
-    coef3[ZIGZAG[1]] = 1 * int(q.reshape(-1)[ZIGZAG[1]])
+    coef3 = coef.copy()
+    coef3[ZIGZAG[1]] = 8 * int(q.reshape(-1)[ZIGZAG[1]])
     blk3 = np.clip(np.round(idct_block(coef3.reshape(8, 8)) + 128.0), 0, 255)
+    # the size-4 coefficient is pixel-visible: the test cannot pass vacuously
+    assert not np.array_equal(blk3, flat)
     assert np.array_equal(dec[:, :8, 0], flat.astype(np.uint8))
     assert np.array_equal(dec[:, 8:16, 0], flat.astype(np.uint8))
     assert np.array_equal(dec[:, 16:, 0], blk3.astype(np.uint8))
+
+
+def test_malformed_progressive_scan_headers_raise_valueerror():
+    """Truncated or out-of-range progressive SOS parameters are
+    corruption (ValueError), same classification as the baseline path."""
+    q = quality_scale(QUANT_LUMA, 90)
+
+    def seg(mk, body):
+        return bytes([0xFF, mk]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes(q.reshape(-1)[ZIGZAG].tolist()))
+            + seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])))
+    with pytest.raises(ValueError):  # missing Ss/Se/AhAl
+        decode_jpeg_pixels(head + seg(0xDA, bytes([1, 1, 0x00])))
+    with pytest.raises(ValueError):  # Se out of range
+        decode_jpeg_pixels(head + seg(0xDA, bytes([1, 1, 0x00, 1, 99, 0])))
+    with pytest.raises(ValueError):  # Ss > Se
+        decode_jpeg_pixels(head + seg(0xDA, bytes([1, 1, 0x00, 9, 3, 0])))

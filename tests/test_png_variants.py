@@ -155,3 +155,16 @@ def test_png_variant_garbage_classification_fuzz(body, ctype, depth, ilace):
         assert out.shape == (4, 3, 3)
     except ValueError:
         pass
+
+
+def test_corrupt_idat_classifies_as_valueerror():
+    # a CRC-valid IDAT whose content is not a deflate stream, and a PNG
+    # with no IDAT at all, are corruption — never a raw zlib.error
+    ihdr = _ihdr(2, 2, 8, 2)
+    p = (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+         + M._png_chunk(b"IDAT", b"notdeflate") + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        M.decode_png_pixels(p)
+    p2 = M._PNG_SIG + M._png_chunk(b"IHDR", ihdr) + M._png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        M.decode_png_pixels(p2)
