@@ -216,3 +216,35 @@ def test_media_dispatch_and_features():
     feat = media.decode_audio(encode_flac(mono))
     assert abs(feat[0] - mono.mean() / 32768.0) < 1e-6
     assert abs(feat[1] - np.sqrt((mono.astype(float) ** 2).mean()) / 32768.0) < 1e-6
+
+
+def test_hand_built_table_blocksize_and_inline_rate_codes():
+    """Frame header forms our encoder never writes: a TABLE blocksize
+    code (1001 -> 512) and an inline 8-bit sample-rate code (1100, rate
+    byte follows) must parse with correct bit alignment — a CONSTANT
+    subframe of 512 samples decodes through them."""
+    bw = _BitWriter()
+    bw.write(FL._SYNC, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0b1001, 4)   # blocksize from table: 512
+    bw.write(0b1100, 4)   # sample rate: 8-bit kHz value follows
+    bw.write(0, 4)        # mono
+    bw.write(0b100, 3)    # 16 bits
+    bw.write(0, 1)
+    _utf8_number(bw, 0)
+    bw.write(8, 8)        # the inline rate byte (8 kHz)
+    bw.byte_align()
+    hdr = bw.bytes()
+    hdr += bytes([_crc8(hdr)])
+    sub = _BitWriter()
+    sub.write(0, 1)
+    sub.write(0b000000, 6)  # CONSTANT
+    sub.write(0, 1)
+    sub.write_signed(-7, 16)
+    sub.byte_align()
+    frame = hdr + sub.bytes()
+    payload = _stream(frame + _crc16(frame).to_bytes(2, "big"), 512)
+    dec = decode_flac_samples(payload)
+    assert dec.shape == (512, 1)
+    assert (dec[:, 0] == -7).all()
