@@ -183,3 +183,37 @@ def test_malformed_progressive_scan_headers_raise_valueerror():
         decode_jpeg_pixels(head + seg(0xDA, bytes([1, 1, 0x00, 1, 99, 0])))
     with pytest.raises(ValueError):  # Ss > Se
         decode_jpeg_pixels(head + seg(0xDA, bytes([1, 1, 0x00, 9, 3, 0])))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=60), st.integers(0, 63),
+       st.integers(0, 63), st.integers(0, 3), st.integers(0, 3))
+def test_progressive_garbage_scan_classification_fuzz(data, ss, se, ah, al):
+    """A structurally-valid SOF2 header followed by arbitrary scan
+    parameters and random entropy bytes must classify as ValueError
+    (corruption) or decode — never raise anything else, never hang.
+    Drives the progressive scan walker, EOBRUN/refinement loops, RST
+    skim and reconstruction against garbage."""
+    q = quality_scale(QUANT_LUMA, 90)
+
+    def seg(mk, body):
+        return bytes([0xFF, mk]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    from pdf_parser_spark.operators.jpeg import (
+        AC_LUMA_BITS, AC_LUMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS,
+    )
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(q.reshape(-1)[ZIGZAG].tolist()))
+        + seg(0xC2, bytes([8, 0, 16, 0, 16, 1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        + data
+        + b"\xff\xd9"
+    )
+    try:
+        out = decode_jpeg_pixels(payload)
+        assert out.shape == (16, 16, 3)
+    except ValueError:
+        pass
